@@ -6,21 +6,40 @@ import org.apache.spark.sql.Encoders
 
 /** §2.4 — aggregations. Spark plans partial (map-side) + final
   * (post-shuffle) HashAggregateExec automatically, so at 100 TB the shuffle
-  * carries only per-group partial states, never raw rows.
+  * carries only per-group partial states, never raw rows. Rollup/cube expand
+  * to grouping sets before the same partial/final pipeline.
   */
 object Aggregates {
   import Tables._
 
+  /** Discount-weighted average price: SUM(price*w)/SUM(w) as a typed
+    * Aggregator (q_agg_udaf). Buffer is a pair of running sums → partial
+    * aggregation and merge work across partitions like any built-in. */
+  private case class WAvgBuf(var num: Double, var den: Double)
+  private object WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, Double] {
+    def zero: WAvgBuf = WAvgBuf(0.0, 0.0)
+    def reduce(b: WAvgBuf, a: (Double, Double)): WAvgBuf = {
+      b.num += a._1 * a._2; b.den += a._2; b
+    }
+    def merge(x: WAvgBuf, y: WAvgBuf): WAvgBuf = {
+      x.num += y.num; x.den += y.den; x
+    }
+    def finish(r: WAvgBuf): Double = if (r.den == 0.0) 0.0 else r.num / r.den
+    def bufferEncoder = Encoders.product[WAvgBuf]
+    def outputEncoder = Encoders.scalaDouble
+  }
+
   val ops: Seq[OpDef] = Seq(
+
     // ----- q_agg_basic: TPC-H Q1-style pricing summary (the flagship) -----
     OpDef(
       "q_agg_basic",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -29,15 +48,176 @@ object Aggregates {
       lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          Det.r4(sum(col("l_quantity"))).as("sum_qty"),
+          Det.r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          Det.r4(avg(col("l_quantity"))).as("avg_qty"),
+          Det.r4(avg(col("l_extendedprice"))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag").asc_nulls_last,
                  col("l_linestatus").asc_nulls_last)
+    },
+
+    OpDef(
+      "q_agg_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    OpDef(
+      "q_agg_filter",
+      """SELECT o_orderpriority,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_all"),
+             count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+             count(when(col("o_totalprice") > 200000, 1)).as("n_big"))
+        .orderBy("o_orderpriority")
+    },
+
+    OpDef(
+      "q_agg_rollup",
+      """SELECT r_name, n_name, count(*) AS n_supp,
+        |       floor((sum(s_acctbal)) * 10000.0 + 0.5) / 10000.0 AS total_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // SQL path: the DataFrame rollup over this join plan trips Spark's
+      // ambiguous-self-join detector when re-resolving the grouping columns
+      supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "s_acctbal")
+        .createOrReplaceTempView("graft_rollup_src")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_supp,
+          |       floor((sum(s_acctbal)) * 1e4 + 0.5) / 1e4 AS total_bal
+          |FROM graft_rollup_src
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    OpDef(
+      "q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             Det.r4(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    },
+
+    OpDef(
+      "q_agg_gsets",
+      """SELECT r_name, n_name,
+        |       CAST(grouping(r_name) AS INTEGER) AS g_r,
+        |       CAST(grouping(n_name) AS INTEGER) AS g_n,
+        |       count(*) AS n
+        |FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .createOrReplaceTempView("graft_gsets_src")
+      s.sql(
+        """SELECT r_name, n_name,
+          |       CAST(grouping(r_name) AS INT) AS g_r,
+          |       CAST(grouping(n_name) AS INT) AS g_n,
+          |       count(*) AS n
+          |FROM graft_gsets_src
+          |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+          |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    OpDef(
+      "q_agg_stats",
+      """SELECT o_orderstatus,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor((stddev_samp(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sd_price,
+        |  floor((var_samp(o_totalprice) / 1000000.0) * 100.0 + 0.5) / 100.0 AS var_price_m
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"),
+             Det.r4(avg(col("o_totalprice"))).as("avg_price"),
+             Det.r2(stddev_samp(col("o_totalprice"))).as("sd_price"),
+             Det.r2(var_samp(col("o_totalprice")) / lit(1000000.0)).as("var_price_m"))
+        .orderBy("o_orderstatus")
+    },
+
+    OpDef(
+      "q_agg_collect",
+      """SELECT r_name, list_sort(list(n_name)) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin
+    ) { (s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+        .orderBy("r_name")
+    },
+
+    // Approximate distinct (HLL++). No oracle: DuckDB's approx sketch
+    // differs; a ScalaTest asserts tolerance vs the exact count instead.
+    OpDef.noOracle("q_agg_hll") { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    OpDef(
+      "q_agg_udaf",
+      """SELECT l_returnflag,
+        |  floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 10000.0 + 0.5) / 10000.0
+        |    AS qty_weighted_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val wavg = udaf(WeightedAvg)
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Det.r4(wavg(col("l_extendedprice"), col("l_quantity")))
+               .as("qty_weighted_price"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -17,6 +17,31 @@ final case class OpDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Cross-engine deterministic helpers (SURVEY §5.3).
+  *
+  * `r(c, n)` rounds to n decimals as `floor(x*10^n + 0.5)/10^n` — the same
+  * IEEE double ops DuckDB executes when the oracle SQL spells the identical
+  * formula, so row-level expressions round bit-identically on both sides
+  * (Spark's native `round` uses BigDecimal HALF_UP, DuckDB multiplies in
+  * floating point; they disagree near .5*10^-n boundaries).
+  */
+object Det {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{floor, lit}
+  def r(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale.toDouble)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+  def r2(c: Column): Column = r(c, 2)
+  def r4(c: Column): Column = r(c, 4)
+  def r6(c: Column): Column = r(c, 6)
+  /** The DuckDB-side spelling of [[r]]. */
+  def sql(e: String, scale: Int): String = {
+    val f = "1" + ("0" * scale) + ".0"
+    s"floor(($e) * $f + 0.5) / $f"
+  }
+}
+
 object OpDef {
   /** Oracle-checked op. */
   def apply(name: String, oracle: String)(

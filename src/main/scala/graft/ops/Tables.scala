@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated fixture tables (FIXTURES.md).
   *
@@ -23,7 +25,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    * Read it as raw nanos (legacy conf) and floor-truncate to microseconds —
+    * exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does on its TIMESTAMP_NS,
+    * so both engines see the identical µs value (oracle SQL casts likewise).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.5 analytic windows + §2.10 batch twins of the streaming time windows.
+  *
+  * Scale notes: every window here partitions by a key (custkey / user_id /
+  * status) so the sort is per-partition after a hash shuffle — no global
+  * sort. The time-window twins use the exact `window()` expression that the
+  * streaming path uses, so batch results are oracle-checkable while the
+  * streaming variant reuses the same code (Structured Streaming's unified
+  * API).
+  */
+object Windows {
+  import Tables._
+
+  val ops: Seq[OpDef] = Seq(
+
+    OpDef(
+      "q_win_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER w AS rn,
+        |  rank()       OVER w AS rk,
+        |  dense_rank() OVER w AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, rn""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).cast("long").as("rn"),
+                rank().over(w).cast("long").as("rk"),
+                dense_rank().over(w).cast("long").as("drk"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    OpDef(
+      "q_win_topk_group",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    OpDef(
+      "q_win_lag",
+      """SELECT user_id, event_id, value,
+        |  lag(value)  OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+                lag(col("value"), 1).over(w).as("prev_value"),
+                lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    OpDef(
+      "q_win_running",
+      """SELECT user_id, event_id,
+        |  floor((sum(value) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        * 10000.0 + 0.5) / 10000.0 AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+                Det.r4(sum(col("value")).over(w)).as("running_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    OpDef(
+      "q_win_moving",
+      """SELECT user_id, event_id,
+        |  floor((avg(value) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |        * 10000.0 + 0.5) / 10000.0 AS moving_avg3
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+                Det.r4(avg(col("value")).over(w)).as("moving_avg3"))
+        .orderBy("user_id", "event_id")
+    },
+
+    OpDef(
+      "q_win_range",
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+        |FROM orders
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // value-range frame over a double column: SQL form (the DataFrame
+      // rangeBetween(Long, Long) boundary would type-clash with DoubleType)
+      orders(s, d).createOrReplaceTempView("graft_winrange_src")
+      s.sql(
+        """SELECT o_orderstatus, o_orderkey, o_totalprice,
+          |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          |                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+          |FROM graft_winrange_src
+          |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+    },
+
+    OpDef(
+      "q_win_analytic",
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  ntile(4)  OVER w AS quartile,
+        |  floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+        |  floor((cume_dist()    OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cdist,
+        |  first_value(c_custkey) OVER w AS poorest,
+        |  last_value(c_custkey)  OVER (PARTITION BY c_nationkey
+        |                               ORDER BY c_acctbal ASC, c_custkey ASC
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                        AND UNBOUNDED FOLLOWING) AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+                ntile(4).over(w).cast("long").as("quartile"),
+                Det.r6(percent_rank().over(w)).as("pct_rank"),
+                Det.r6(cume_dist().over(w)).as("cdist"),
+                first(col("c_custkey")).over(w).as("poorest"),
+                last(col("c_custkey")).over(wFull).as("richest"))
+        .orderBy("c_custkey")
+    },
+
+    // ------------------- §2.10 batch twins of streaming time windows -----
+    OpDef(
+      "q_win_tumble_batch",
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
+        |  event_type,
+        |  count(*) AS n, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin
+    ) { (s, d) =>
+      // identical expression runs on readStream (streaming/StreamOps.scala)
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.r4(sum(col("value"))).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("total"))
+        .orderBy("win_start", "event_type")
+    },
+
+    OpDef(
+      "q_win_slide_batch",
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+        |           - (k * INTERVAL 15 MINUTE) AS win_start, value
+        |  FROM events, unnest([0, 1, 2, 3]) AS t(k))
+        |SELECT win_start, count(*) AS n,
+        |       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total
+        |FROM e
+        |GROUP BY win_start
+        |ORDER BY win_start""".stripMargin
+    ) { (s, d) =>
+      // 1-hour window sliding by 15 min: each event lands in 4 windows.
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), Det.r4(sum(col("value"))).as("total"))
+        .select(col("window.start").as("win_start"), col("n"), col("total"))
+        .orderBy("win_start")
+    }
+  )
+}
