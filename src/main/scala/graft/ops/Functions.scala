@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** §2.8 — scalar function surface, one composite query per family. Every
+  * expression here is a codegen'd built-in (`org.apache.spark.sql.functions`),
+  * never a Scala UDF — the whole projection stays inside one
+  * WholeStageCodegen span over the parquet scan.
+  *
+  * Cross-engine notes baked into the oracle SQL (verified against DuckDB
+  * 1.0 this session): DuckDB `length/strpos/year/...` return BIGINT where
+  * Spark returns INT (both sides cast to BIGINT); DuckDB `dayofweek` is
+  * Sunday=0 vs Spark's Sunday=1; DuckDB `regexp_replace` needs the 'g'
+  * flag to replace all; DuckDB CAST(double AS BIGINT) rounds where Spark
+  * truncates (oracle goes through trunc()); DuckDB `epoch` returns DOUBLE;
+  * DuckDB `sign` returns TINYINT.
+  */
+object Functions {
+  import Tables._
+
+  val ops: Seq[OpDef] = Seq(
+
+    OpDef(
+      "q_fn_string",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_type) AS lo,
+        |  trim(concat('  ', p_name, '  ')) AS trimmed,
+        |  ltrim(concat('xx', p_name), 'x') AS ltrimmed,
+        |  rtrim(concat(p_name, 'xx'), 'x') AS rtrimmed,
+        |  substring(p_name, 1, 4) AS sub4,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  concat_ws('-', p_brand, p_type) AS joined,
+        |  lpad(p_brand, 12, '*') AS lpadded,
+        |  rpad(p_brand, 12, '*') AS rpadded,
+        |  replace(p_name, ' ', '_') AS replaced,
+        |  string_split(p_name, ' ')[1] AS first_tok,
+        |  regexp_extract(p_type, '([A-Z]+)', 1) AS rex,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        |  CAST(strpos(p_name, 'o') AS BIGINT) AS o_pos
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"), lower(col("p_type")).as("lo"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        ltrim(concat(lit("xx"), col("p_name")), "x").as("ltrimmed"),
+        rtrim(concat(col("p_name"), lit("xx")), "x").as("rtrimmed"),
+        substring(col("p_name"), 1, 4).as("sub4"),
+        length(col("p_name")).cast("long").as("len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+        lpad(col("p_brand"), 12, "*").as("lpadded"),
+        rpad(col("p_brand"), 12, "*").as("rpadded"),
+        regexp_replace(col("p_name"), " ", "_").as("replaced"),
+        element_at(split(col("p_name"), " "), 1).as("first_tok"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("rex"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+        instr(col("p_name"), "o").cast("long").as("o_pos"))
+        .orderBy("p_partkey")
+    },
+
+    OpDef(
+      "q_fn_date",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since_95,
+        |  CAST(trunc(epoch(o_orderdate)) AS BIGINT) AS unix_sec,
+        |  make_date(2020, CAST(month(o_orderdate) AS INTEGER), 15) AS mid_month_2020,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        to_date(col("o_orderdate")).as("od"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"),
+        unix_timestamp(col("o_orderdate")).as("unix_sec"),
+        make_date(lit(2020), month(col("o_orderdate")), lit(15)).as("mid_month_2020"),
+        last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey")
+    },
+
+    OpDef(
+      "q_fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.04) AS absdev,
+        |  CAST(trunc(ceil(l_extendedprice)) AS BIGINT) AS ceilp,
+        |  CAST(trunc(floor(l_extendedprice)) AS BIGINT) AS floorp,
+        |  sqrt(l_quantity) AS sqrtq,
+        |  pow(l_quantity, 2) AS q2,
+        |  floor((exp(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS expd,
+        |  floor((ln(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS lnq,
+        |  floor((log10(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS log10p,
+        |  CAST(((l_partkey - 10) % 7 + 7) % 7 AS BIGINT) AS pm7,
+        |  CAST(sign(l_discount - 0.04) AS INTEGER) AS sg,
+        |  greatest(l_quantity, l_discount * 100, 25.0) AS gr,
+        |  least(l_quantity, l_discount * 100, 25.0) AS le
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.04).as("absdev"),
+        ceil(col("l_extendedprice")).as("ceilp"),
+        floor(col("l_extendedprice")).as("floorp"),
+        sqrt(col("l_quantity")).as("sqrtq"),
+        pow(col("l_quantity"), 2).as("q2"),
+        Det.r6(exp(col("l_discount"))).as("expd"),
+        Det.r6(log(col("l_quantity"))).as("lnq"),
+        Det.r6(log10(col("l_extendedprice"))).as("log10p"),
+        pmod(col("l_partkey") - 10, lit(7)).cast("long").as("pm7"),
+        signum(col("l_discount") - 0.04).cast("int").as("sg"),
+        greatest(col("l_quantity"), col("l_discount") * 100, lit(25.0)).as("gr"),
+        least(col("l_quantity"), col("l_discount") * 100, lit(25.0)).as("le"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    OpDef(
+      "q_fn_cond",
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  coalesce(nullif(o_orderpriority, '5-LOW'), 'relaxed') AS pri_or,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) AS key_dbl,
+        |  CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"),
+        nvl(nullif(col("o_orderpriority"), lit("5-LOW")), lit("relaxed"))
+          .as("pri_or"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_totalprice").cast("long").as("price_int"),
+        col("o_orderkey").cast("string").cast("double").as("key_dbl"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("pri_num"),
+        to_date(col("o_orderdate")).cast("string").as("date_str"))
+        .orderBy("o_orderkey")
+    },
+
+    OpDef(
+      "q_fn_array",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  list_contains(string_split(text, ' '), 'data') AS has_data,
+        |  list_sort(list_distinct(string_split(text, ' '))) AS sorted_uniq,
+        |  list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3,
+        |  list_transform(list_slice(list_sort(string_split(text, ' ')), 1, 3),
+        |                 x -> upper(x)) AS first3_up,
+        |  list_sort(list_filter(list_distinct(string_split(text, ' ')),
+        |                        x -> length(x) > 5)) AS longtoks_uniq,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |                               x -> length(x))) AS BIGINT) AS tok_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val toks = split(col("text"), " ")
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        array_contains(toks, "data").as("has_data"),
+        sort_array(array_distinct(toks)).as("sorted_uniq"),
+        slice(sort_array(toks), 1, 3).as("first3"),
+        transform(slice(sort_array(toks), 1, 3), x => upper(x)).as("first3_up"),
+        sort_array(filter(array_distinct(toks), x => length(x) > 5))
+          .as("longtoks_uniq"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("tok_chars"))
+        .orderBy("doc_id")
+    },
+
+    OpDef(
+      "q_fn_map",
+      """SELECT event_id,
+        |  json_keys(props) AS ks,
+        |  [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vs,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val m = from_json(col("props"), lit("MAP<STRING, INT>"))
+      events(s, d).select(
+        col("event_id"),
+        map_keys(m).as("ks"),
+        map_values(m).as("vs"),
+        element_at(m, "k").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    OpDef(
+      "q_fn_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
+        (from_json(col("props"), lit("k INT")).getField("k") * 2).as("k_doubled"))
+        .orderBy("event_id")
+    }
+  )
+}
