@@ -15,7 +15,8 @@ object SparkEntry {
   /** The full declared inventory (SURVEY.md §2). Order is registration
     * order; names are unique (enforced eagerly below). */
   val registry: Seq[OpDef] =
-    Relational.ops ++ Aggregates.ops ++ Windows.ops ++ Functions.ops
+    Relational.ops ++ Aggregates.ops ++ Windows.ops ++ Functions.ops ++
+      LlmOps.ops
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate op names in registry")

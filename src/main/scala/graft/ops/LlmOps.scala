@@ -1,0 +1,479 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.9 — LLM-training-data pipeline operators over `documents` /
+  * `embeddings`: exact + near dedup (3-gram Jaccard, MinHash banding,
+  * SimHash), similarity search, text analysis (language-ID, quality
+  * scoring, token counting, fingerprinting), multimodal column assembly.
+  *
+  * Everything here is pure DataFrame algebra over built-ins — no UDFs, no
+  * driver-side loops — so each op is a shuffle-bounded distributed plan:
+  *  - shingling explodes per-doc n-grams (rows ∝ corpus tokens, partition
+  *    by doc), candidate generation joins on gram/band/bucket keys (the
+  *    only quadratic step is *within* a bucket, never the corpus);
+  *  - hashing is md5 (identical in Spark and DuckDB → oracle-checkable,
+  *    unlike murmur3/xxhash which differ per engine).
+  *
+  * At 100 TB: n-gram keys are high-cardinality (vocab³), so the
+  * candidate join stays near-linear; MinHash banding is the designed
+  * sub-quadratic path (band buckets shard the join key space); SimHash
+  * pair scan is the one intentionally quadratic op and is documented as
+  * sf-bounded (use banding on hash prefixes to scale it).
+  */
+object LlmOps {
+  import Tables._
+
+  /** word 3-gram shingles, distinct per doc: (doc_id, g) */
+  private def grams(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+                              element_at(col("toks"), i + 1),
+                              element_at(col("toks"), i + 2))))).as("g"))
+  }
+
+  /** The DuckDB spelling of [[grams]] as a CTE body. */
+  private val gramsSql: String =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |    FROM docs WHERE len(toks) >= 3))""".stripMargin
+
+  private def dot64(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val ops: Seq[OpDef] = Seq(
+
+    // ------------------------------------------------------- exact dedup
+    OpDef(
+      "q_dedup_exact",
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       min(n_chars) AS n_chars
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin
+    ) { (s, d) =>
+      // survivor = min(doc_id) per identical text — NOT dropDuplicates,
+      // whose survivor choice is partition-order-dependent
+      documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+             min(col("n_chars")).as("n_chars"))
+        .select("keep_id", "n_copies", "n_chars")
+        .orderBy("keep_id")
+    },
+
+    // ------------------------------- near dedup: word-3-gram Jaccard ----
+    OpDef(
+      "q_dedup_near",
+      s"""WITH $gramsSql,
+        |gcnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
+        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i AS doc_a, j AS doc_b,
+        |  floor((n * 1.0 / (ca.c + cb.c - n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM inter
+        |JOIN gcnt ca ON i = ca.doc_id
+        |JOIN gcnt cb ON j = cb.doc_id
+        |WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      val g = grams(s, d)
+      val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = g.select(col("doc_id").as("i"), col("g"))
+        .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n"))
+      val jac = col("n") * lit(1.0) / (col("ca") + col("cb") - col("n"))
+      inter
+        .join(gcnt.select(col("doc_id").as("i"), col("c").as("ca")), Seq("i"))
+        .join(gcnt.select(col("doc_id").as("j"), col("c").as("cb")), Seq("j"))
+        .filter(jac >= 0.5)
+        .select(col("i").as("doc_a"), col("j").as("doc_b"),
+                Det.r4(jac).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // --------------------- near dedup: MinHash + LSH banding (md5) ------
+    OpDef(
+      "q_dedup_minhash",
+      s"""WITH $gramsSql,
+        |hashed AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || g)) AS minh
+        |  FROM grams, (SELECT unnest(range(0, 16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(minh, ',' ORDER BY seed) AS sig
+        |  FROM hashed GROUP BY doc_id, seed // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      // 16 minhash permutations via seeded md5, banded 4×4: docs agreeing
+      // on any full band become candidates. Sub-quadratic: the join key is
+      // (band, sig) — only same-bucket docs ever meet.
+      val hashed = grams(s, d)
+        .select(col("doc_id"), col("g"),
+                explode(sequence(lit(0), lit(15))).as("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("g"))))
+               .as("minh"))
+      val bands = hashed
+        .groupBy(col("doc_id"), (col("seed") / 4).cast("int").as("band"))
+        .agg(array_join(
+               transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+                         x => x.getField("minh")), ",").as("sig"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+      a.join(b, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----------------------------- near dedup: 32-bit SimHash (md5) -----
+    OpDef(
+      "q_dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tokbits AS (
+        |  SELECT doc_id, b,
+        |    ((strpos('0123456789abcdef', substring(md5(tok), 1 + b // 4, 1)) - 1)
+        |      >> (b % 4)) & 1 AS bit
+        |  FROM toks, (SELECT unnest(range(0, 32)) AS b)),
+        |bitsum AS (
+        |  SELECT doc_id, b, sum(2 * bit - 1) AS s
+        |  FROM tokbits GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |  FROM bitsum GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      // bag-weighted 32-bit SimHash; bits come from md5 hex digits so both
+      // engines hash identically. The pair scan is O(n²) by design —
+      // documented scale path is banding on simhash prefixes.
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tokbits = toks
+        .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("b"),
+                col("tok"))
+        .select(col("doc_id"), col("b"),
+          expr("(instr('0123456789abcdef', substring(md5(tok), 1 + CAST(b / 4 AS INT), 1)) - 1)")
+            .bitwiseAND(lit(0xf)).as("hv"),
+          expr("CAST(b % 4 AS INT)").as("bitpos"))
+        .select(col("doc_id"), col("b"),
+                expr("shiftright(hv, bitpos) & 1").as("bit"))
+      val bitsum = tokbits.groupBy("doc_id", "b")
+        .agg(sum(col("bit") * 2 - 1).as("s"))
+      val sh = bitsum.groupBy("doc_id")
+        .agg(sum(when(col("s") > 0,
+                      expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+               .otherwise(0L)).as("simhash"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+                bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // --------------------------- similarity: exact cosine top-k ---------
+    OpDef(
+      "q_sim_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT qid, vec_id,
+        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM q JOIN e ON qid <> vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM sims)
+        |SELECT qid, vec_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin
+    ) { (s, d) =>
+      // brute-force baseline: broadcast the query set, dot-product via
+      // higher-order functions (unit-norm vectors ⇒ cosine ≡ dot), rank on
+      // the *rounded* sim so cross-engine float noise cannot flip order.
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+                Det.r6(dot64(col("qv"), col("v"))).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // --------------------------- similarity: cosine near-dup pairs ------
+    OpDef(
+      "q_sim_cosine_dup",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin
+    ) { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+                Det.r6(dot64(col("va"), col("vb"))).as("sim"))
+        .filter(col("sim") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ------------------------------------------- text: token analysis ---
+    OpDef(
+      "q_text_tokens",
+      """WITH toks AS (
+        |  SELECT DISTINCT lang, doc_id, tok FROM (
+        |    SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |df AS (SELECT lang, tok, count(*) AS doc_freq FROM toks GROUP BY lang, tok),
+        |ranked AS (
+        |  SELECT lang, tok, doc_freq,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY doc_freq DESC, tok ASC) AS rn
+        |  FROM df)
+        |SELECT lang, tok, doc_freq, rn FROM ranked WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin
+    ) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("lang"), col("doc_id"),
+                explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val df = toks.groupBy("lang", "tok").agg(count(lit(1)).as("doc_freq"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_freq").desc, col("tok").asc)
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select("lang", "tok", "doc_freq", "rn")
+        .orderBy("lang", "rn")
+    },
+
+    OpDef(
+      "q_text_stats",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars,
+        |  floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+        |  floor((avg(len(string_split(text, ' ')))) * 10000.0 + 0.5) / 10000.0 AS avg_toks
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
+    ) { (s, d) =>
+      documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             Det.r4(avg(col("n_chars"))).as("avg_chars"),
+             Det.r4(avg(size(split(col("text"), " ")).cast("double"))).as("avg_toks"))
+        .orderBy("lang", "source")
+    },
+
+    // ------------------------------------------- text: language ID ------
+    OpDef(
+      "q_text_langid",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |df AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok),
+        |markers AS (
+        |  SELECT lang AS mlang, tok FROM (
+        |    SELECT lang, tok,
+        |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn
+        |    FROM df) WHERE rn <= 10),
+        |scores AS (
+        |  SELECT t.doc_id, m.mlang, count(*) AS score
+        |  FROM toks t JOIN markers m ON t.tok = m.tok
+        |  GROUP BY t.doc_id, m.mlang),
+        |best AS (
+        |  SELECT doc_id, mlang AS pred_lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, mlang ASC) AS rn
+        |  FROM scores)
+        |SELECT d.doc_id, d.lang, b.pred_lang, b.score,
+        |       d.lang = b.pred_lang AS correct
+        |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      // marker-token heuristic: each language's 10 highest-doc-frequency
+      // tokens vote; a doc is classified to the language with most marker
+      // overlap (ties → lang asc). Two aggregations + one broadcast join.
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val df = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val wM = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok").asc)
+      val markers = df.withColumn("rn", row_number().over(wM)).filter(col("rn") <= 10)
+        .select(col("lang").as("mlang"), col("tok"))
+      val scores = toks.join(broadcast(markers), Seq("tok"))
+        .groupBy("doc_id", "mlang").agg(count(lit(1)).as("score"))
+      val wB = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("mlang").asc)
+      val best = scores.withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("mlang").as("pred_lang"), col("score"))
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
+                (col("lang") === col("pred_lang")).as("correct"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- text: quality score ----
+    OpDef(
+      "q_text_quality",
+      """WITH bag AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |stop AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM bag GROUP BY tok) t
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 5),
+        |stopcnt AS (
+        |  SELECT b.doc_id, count(*) AS n_stop
+        |  FROM bag b JOIN stop s ON b.tok = s.tok GROUP BY b.doc_id),
+        |base AS (
+        |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents)
+        |SELECT base.doc_id, base.n_chars,
+        |  CAST(base.n_toks AS BIGINT) AS n_toks,
+        |  floor((base.n_chars * 1.0 / base.n_toks) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+        |  floor((coalesce(sc.n_stop, 0) * 1.0 / base.n_toks) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  floor((0.5 * least(base.n_toks / 50.0, 1.0)
+        |         + 0.5 * (1.0 - coalesce(sc.n_stop, 0) * 1.0 / base.n_toks))
+        |        * 10000.0 + 0.5) / 10000.0 AS quality
+        |FROM base LEFT JOIN stopcnt sc ON base.doc_id = sc.doc_id
+        |ORDER BY base.doc_id""".stripMargin
+    ) { (s, d) =>
+      // quality = length saturation + (1 − stopword density); stopwords are
+      // the corpus's own top-5 tokens (deterministic, data-derived).
+      val bag = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val wS = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val stop = bag.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 5)
+        .select("tok")
+      val stopcnt = bag.join(broadcast(stop), Seq("tok"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+      val base = documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+                size(split(col("text"), " ")).as("n_toks"))
+      val nStop = coalesce(col("n_stop"), lit(0L)) * lit(1.0) / col("n_toks")
+      base.join(stopcnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+                col("n_toks").cast("long").as("n_toks"),
+                Det.r4(col("n_chars") * lit(1.0) / col("n_toks")).as("avg_tok_len"),
+                Det.r4(nStop).as("stop_ratio"),
+                Det.r4(lit(0.5) * least(col("n_toks") / lit(50.0), lit(1.0))
+                       + lit(0.5) * (lit(1.0) - nStop)).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- text: token counting ---
+    OpDef(
+      "q_text_tokcount",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |       x -> ceil(length(x) / 4.0))) AS BIGINT) AS subword_est,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // whitespace tokens + a BPE-ish upper bound (≈ len/4 subwords per
+      // word, the usual bytes-per-token heuristic)
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"),
+                size(toks).cast("long").as("ws_tokens"),
+                aggregate(transform(toks, x => ceil(length(x) / lit(4.0))),
+                          lit(0L), (acc, x) => acc + x).as("subword_est"),
+                length(col("text")).cast("long").as("chars"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- text: fingerprinting ---
+    OpDef(
+      "q_text_fingerprint",
+      s"""WITH $gramsSql
+        |SELECT doc_id, min(md5(g)) AS fingerprint
+        |FROM grams
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // 1-permutation MinHash over 3-gram shingles: a stable corpus-level
+      // content fingerprint (docs sharing it are near-dup candidates)
+      grams(s, d)
+        .groupBy("doc_id")
+        .agg(min(md5(col("g"))).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // --------------------------------------- multimodal column assembly -
+    OpDef(
+      "q_multimodal",
+      """SELECT d.doc_id,
+        |  struct_pack(lang := d.lang, source := d.source) AS meta,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+        |  CAST((strpos('0123456789abcdef', substring(md5(d.text), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(md5(d.text), 2, 1)) - 1)
+        |    AS BIGINT) AS fake_width,
+        |  floor((sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+        |                                      x -> x * x))))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS emb_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      // multimodal row: opaque binary payload + typed metadata struct +
+      // vector-derived feature. The "decode" (fake_width from md5) is a
+      // deterministic STUB for an image decoder — the real thing would be a
+      // mapPartitions over the binary column with the same schema; the
+      // Spark-side plumbing (binary col, struct metadata, derived feature)
+      // is the real, tested part.
+      documents(s, d).join(embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id"),
+          struct(col("lang").as("lang"), col("source").as("source")).as("meta"),
+          octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+          ((expr("instr('0123456789abcdef', substring(md5(text), 1, 1))") - 1) * 16
+            + (expr("instr('0123456789abcdef', substring(md5(text), 2, 1))") - 1))
+            .cast("long").as("fake_width"),
+          Det.r6(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x * x))).as("emb_norm"))
+        .orderBy("doc_id")
+    }
+  )
+}
