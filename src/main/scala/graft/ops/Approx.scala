@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
+
+/** §2.9 P2 — sub-quadratic scale paths for near-dedup and similarity
+  * search. All no-oracle (randomized hash families aren't expressible in
+  * DuckDB); ApproxSpec property-tests recall against the exact operators
+  * (`q_dedup_near`, `q_sim_topk`) on the same fixtures.
+  *
+  * These are the 100 TB designs: the exact operators stay as correctness
+  * baselines, and these replace them when the candidate-pair space must be
+  * sharded by hash bucket instead of enumerated.
+  */
+object Approx {
+  import Tables._
+
+  val ops: Seq[OpDef] = Seq(
+
+    /** MinHash-LSH near-dup join (MLlib): token set → 4096-dim binary
+      * vector → 8 hash tables → approxSimilarityJoin at Jaccard distance
+      * ≤ 0.5. Seeded → deterministic across runs. */
+    OpDef.noOracle("q_dedup_lsh") { (s, d) =>
+      val docs = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+        .setNumFeatures(4096).setBinary(true)
+      val feat = tf.transform(docs)
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+        .select(col("datasetA.doc_id").as("doc_a"),
+                col("datasetB.doc_id").as("doc_b"),
+                Det.r4(lit(1.0) - col("jaccard_dist")).as("est_jaccard"))
+        .filter(col("doc_a") < col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    /** Random-projection-LSH ANN (MLlib): bucketed Euclidean join from the
+      * 8-query set to all vectors (unit-norm ⇒ dist² = 2−2·cos), ranked to
+      * top-5 per query. */
+    OpDef.noOracle("q_sim_ann_lsh") { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+      val model = lsh.fit(e)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist_r").asc, col("vec_id").asc)
+      model.approxSimilarityJoin(q, e, 1.2, "dist")
+        .select(col("datasetA.qid").as("qid"),
+                col("datasetB.vec_id").as("vec_id"),
+                Det.r6(col("dist")).as("dist_r"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    /** IVF-style ANN: coarse quantization by per-label centroid, probe the
+      * 4 nearest cells, exact re-rank inside them. Deterministic; the scale
+      * story is that the inner search touches nprobe/k of the corpus and the
+      * cell assignment is a broadcast join against k centroids. Note the
+      * fixture's labels are NOT geometric clusters (within- and cross-label
+      * mean cosine are both ≈0), so recall here ≈ the searched fraction —
+      * ApproxSpec pins that recall/cost relationship; on genuinely clustered
+      * data the same operator approaches exact recall. */
+    OpDef.noOracle("q_sim_ann_ivf") { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      // centroids: mean per dimension per label
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                       p => p.getField("cx")).as("cv"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val dotc = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+                           lit(0.0), (acc, x) => acc + x)
+      val wCell = Window.partitionBy(col("qid"))
+        .orderBy(col("csim").desc, col("label").asc)
+      val probe = q.join(broadcast(cent))
+        .select(col("qid"), col("qv"), col("label"), Det.r6(dotc).as("csim"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 4)
+        .select(col("qid"), col("qv"), col("label"))
+      val dotv = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+                           lit(0.0), (acc, x) => acc + x)
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      probe.join(e, Seq("label"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), Det.r6(dotv).as("sim"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** §2.10 — Structured Streaming operators over the `events` stream shape.
+  *
+  * Every transformation is source-agnostic (`DataFrame => DataFrame`), so
+  * the identical code runs over `MemoryStream` (tests), a file source, the
+  * batch `events` table (the oracle-checked twins `q_win_tumble_batch` /
+  * `q_win_slide_batch` in ops/Windows.scala), or the Kafka source in
+  * production. Micro-batch execution, watermark semantics, and state-store
+  * eviction follow the Structured Streaming model (SIGMOD'18; PAPERS.md:7).
+  */
+object StreamOps {
+
+  /** Event row shape used by the typed stateful ops. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  /** Per-user running state emitted by [[runningUserTotals]]. */
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour counts per event_type with a 10-minute watermark.
+    * Late rows (older than watermark) are dropped; window state is evicted
+    * once the watermark passes window end — bounded state at any scale. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("total"))
+
+  /** Sliding 1-hour / 15-minute windows (each event in 4 windows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Gap-based session windows per user (10-minute inactivity gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("sess_start"),
+              col("session_window.end").as("sess_end"),
+              col("user_id"), col("n"), col("total"))
+
+  /** Exactly-once-per-event_id dedup; watermark bounds the dedup state. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  /** Custom state: running per-user totals via mapGroupsWithState with
+    * event-time timeout — state for idle users is dropped when the
+    * watermark passes their timeout. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Stream–static enrichment join (static side broadcast per micro-batch). */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer),
+                events("user_id") === customer("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("c_name"), col("c_mktsegment"))
+
+  /** Stream–stream interval join: purchases matched to the same user's
+    * clicks within the preceding 30 minutes. Both sides watermarked so the
+    * join state is purgeable (Structured Streaming requires the interval
+    * condition + watermarks to bound buffered state). */
+  def purchaseAfterClick(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+  }
+
+  /** Kafka source (documented surface; the connector jar is not present in
+    * this offline image, so this compiles but only runs where
+    * spark-sql-kafka-0-10 is on the classpath — the transforms above are
+    * format-agnostic either way). */
+  def kafkaEvents(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), lit(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")).as("e"))
+      .select("e.*")
+
+  /** Kafka sink twin: JSON-encode rows to a topic. */
+  def toKafka(df: DataFrame, servers: String, topic: String) =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+}

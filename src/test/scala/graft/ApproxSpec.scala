@@ -1,0 +1,54 @@
+package graft
+
+import graft.SparkEntry.queries
+
+/** Recall/tolerance properties for the randomized (no-oracle) operators,
+  * measured against their exact counterparts on sf0.001 (SURVEY §5.2.3). */
+class ApproxSpec extends SparkTestBase {
+
+  test("MinHash-LSH near-dup recall >= 0.8 vs exact 3-gram Jaccard") {
+    val exact = queries("q_dedup_near")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = queries("q_dedup_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain planted near-dups")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  // fixture labels are not geometric clusters (mean cosine ≈ 0 both within
+  // and across labels), so IVF recall ≈ searched fraction = nprobe/k = 0.4;
+  // the assertion pins that recall/cost dial rather than cluster luck
+  test("IVF ANN top-5 recall tracks the searched fraction (nprobe=4, k=10)") {
+    val exact = queries("q_sim_topk")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = queries("q_sim_ann_ivf")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall $recall should be ≈ 0.4 (searched fraction)")
+  }
+
+  test("BRP-LSH ANN returns ranked neighbors for every query") {
+    val ann = queries("q_sim_ann_lsh")(spark, sf)
+    val perQuery = ann.groupBy("qid").count().collect()
+      .map(r => r.getLong(1)).toList
+    assert(perQuery.nonEmpty && perQuery.forall(_ <= 5))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.ops.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = queries("q_agg_hll")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+}

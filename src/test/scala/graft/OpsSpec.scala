@@ -1,0 +1,95 @@
+package graft
+
+import graft.SparkEntry.{queries, oracleSql, registry}
+import org.apache.spark.sql.functions._
+
+/** Registry invariants + golden/property checks on sf0.001 (SURVEY §5.2). */
+class OpsSpec extends SparkTestBase {
+
+  test("registry: names unique, every oracle key is declared") {
+    assert(registry.map(_.name).distinct.size == registry.size)
+    assert(oracleSql.keySet.subsetOf(queries.keySet))
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and is non-degenerate on sf0.001") {
+    // every op must at least produce a schema and (for this fixture) rows;
+    // queries whose filters may legitimately select zero rows are exempted
+    val mayBeEmpty = Set("q_join_full", "q_join_anti", "q_intersect", "q_except",
+                         "q_dedup_simhash", "q_dedup_lsh", "q_sim_cosine_dup")
+    queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows on sf0.001")
+    }
+  }
+
+  test("q_agg_basic matches a hand-computed slice") {
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    val expected = li.filter(col("l_returnflag") === "A").count()
+    val got = queries("q_agg_basic")(spark, sf)
+      .filter(col("l_returnflag") === "A")
+      .agg(sum("count_order")).collect().head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("exact dedup is idempotent and total") {
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val deduped = queries("q_dedup_exact")(spark, sf)
+    assert(deduped.agg(sum("n_copies")).collect().head.getLong(0) == docs.count())
+    assert(deduped.select("keep_id").distinct().count() == deduped.count())
+  }
+
+  test("near-dup finds the planted +' dup' pairs symmetrically") {
+    val pairs = queries("q_dedup_near")(spark, sf).collect()
+    assert(pairs.length >= 20, s"expected ~25 planted pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getLong(1) > r.getLong(0), "pairs must be ordered a < b")
+    }
+  }
+
+  test("window running sum ends at the group total") {
+    val ev = graft.ops.Tables.events(spark, sf)
+    val expected = ev.filter(col("user_id") === 3)
+      .agg(sum("value")).collect().head.getDouble(0)
+    val lastRunning = queries("q_win_running")(spark, sf)
+      .filter(col("user_id") === 3)
+      .orderBy(col("event_id").desc).limit(1)
+      .collect().head.getDouble(2)
+    assert(math.abs(lastRunning - expected) < 1e-3)
+  }
+
+  test("set algebra: |A union_all B| = |A| + |B|") {
+    val ev = graft.ops.Tables.events(spark, sf)
+    val a = ev.filter(col("event_type") === "purchase").count()
+    val b = ev.filter(col("event_type") === "error").count()
+    assert(queries("q_union_all")(spark, sf).count() == a + b)
+  }
+
+  test("top-k per group is bounded and correctly ranked") {
+    val topk = queries("q_win_topk_group")(spark, sf)
+    val maxPer = topk.groupBy("o_custkey").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("sim_topk self-consistency: best neighbor has highest sim") {
+    val df = queries("q_sim_topk")(spark, sf).collect()
+    df.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("queries are deterministic across runs") {
+    val names = Seq("q_agg_basic", "q_dedup_minhash", "q_win_rank", "q_sim_topk")
+    names.foreach { n =>
+      val a = queries(n)(spark, sf).collect().toSeq
+      val b = queries(n)(spark, sf).collect().toSeq
+      assert(a == b, s"$n not deterministic")
+    }
+  }
+}

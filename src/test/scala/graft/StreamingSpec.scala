@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** §2.10 behaviors driven through MicroBatchExecution via MemoryStream —
+  * the same engine path a Kafka source exercises (§1.4). */
+class StreamingSpec extends SparkTestBase {
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"stream_sink_$qn" }
+
+  private def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+    Event(id, ts(t), uid, typ, v, """{"k": 1}""")
+
+  test("tumbling window counts; watermark finalizes closed windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:20:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 10:40:00", 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark well past 11:00 so the 10:00 window closes
+    ms.addData(ev(4, "2024-01-01 13:00:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table(name)
+      .select("win_start", "event_type", "n", "total")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+                           r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(ev(1, "2024-01-01 10:05:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(2, "2024-01-01 14:00:00", 1, "click", 1.0)) // wm → 13:50
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 10:10:00", 1, "click", 5.0)) // late: dropped
+    ms.addData(ev(4, "2024-01-01 16:00:00", 1, "click", 1.0)) // close 14:00 win
+    q.processAllAvailable()
+    val clicks10 = spark.table(name)
+      .filter("win_start = timestamp'2024-01-01 10:00:00' AND event_type='click'")
+      .select("n").collect().map(_.getLong(0)).toList
+    q.stop()
+    assert(clicks10 == List(1L), s"late row must not count, got $clicks10")
+  }
+
+  test("streaming dedup by event_id") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.dedupByEventId(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // dup in same batch
+      ev(2, "2024-01-01 10:01:00", 1, "view", 2.0))
+    q.processAllAvailable()
+    ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0)) // dup later batch
+    q.processAllAvailable()
+    val n = spark.table(name).count()
+    q.stop()
+    assert(n == 2, s"expected 2 distinct events, got $n")
+  }
+
+  test("session windows split on gap > 10 minutes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+      ev(2, "2024-01-01 10:05:00", 7, "click", 1.0), // same session
+      ev(3, "2024-01-01 10:30:00", 7, "click", 1.0)) // new session
+    ms.addData(ev(4, "2024-01-01 12:00:00", 8, "view", 1.0)) // advance wm
+    q.processAllAvailable()
+    val sessions = spark.table(name).filter("user_id = 7")
+      .select("n").collect().map(_.getLong(0)).sorted.toList
+    q.stop()
+    assert(sessions == List(1L, 2L), s"expected sessions of 2 and 1, got $sessions")
+  }
+
+  test("mapGroupsWithState keeps running per-user totals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.runningUserTotals(spark, ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+      ev(2, "2024-01-01 10:01:00", 1, "click", 2.5))
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 10:02:00", 1, "view", 6.0))
+    q.processAllAvailable()
+    val last = spark.table(name).filter("user_id = 1")
+      .orderBy("n_events").collect().last
+    q.stop()
+    assert(last.getLong(1) == 3L)
+    assert(math.abs(last.getDouble(2) - 10.0) < 1e-9)
+  }
+
+  test("stream-static join enriches events with customer dims") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val customers = graft.ops.Tables.customer(spark, sf)
+    val name = nextName()
+    val q = StreamOps.enrichWithCustomer(ms.toDF(), customers)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(ev(1, "2024-01-01 10:00:00", 3, "click", 1.0))
+    q.processAllAvailable()
+    val row = spark.table(name).collect().head
+    q.stop()
+    assert(row.getAs[String]("c_name") != null, "customer 3 should enrich")
+  }
+
+  test("stream-stream interval join matches purchase to preceding click") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.purchaseAfterClick(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      ev(2, "2024-01-01 10:10:00", 1, "purchase", 9.99),
+      ev(3, "2024-01-01 09:00:00", 2, "click", 0.0),
+      ev(4, "2024-01-01 10:10:00", 2, "purchase", 5.0)) // click 70min before
+    ms.addData(ev(9, "2024-01-01 13:00:00", 3, "view", 0.0)) // advance wm
+    q.processAllAvailable()
+    val pairs = spark.table(name).select("p_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs.contains((2L, 1L)), s"user1 purchase must match its click: $pairs")
+    assert(!pairs.exists(_._1 == 4L), "user2 click is outside the 30min interval")
+  }
+
+  test("complete output mode re-emits full aggregate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    import org.apache.spark.sql.functions._
+    val agg = ms.toDF().groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(2, "2024-01-01 10:01:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    val n = spark.table(name).filter("event_type = 'click'")
+      .collect().head.getLong(1)
+    q.stop()
+    assert(n == 2L)
+  }
+}
