@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: injects graft's native functions so
+  * `spark.sql("... graft_dot(a, b) ...")` works in any session built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.dotProductDescriptor)
+  }
+}
+
+object GraftFunctions {
+  private[graft] val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1))
+  )
+
+  /** Register on an existing session; ops then reference the function with
+    * `expr("graft_dot(x, y)")` — routed through the registry so nothing
+    * depends on Column's private Expression constructor (changed in the
+    * Spark 4 Connect refactor). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+}

@@ -19,17 +19,35 @@ object Approx {
 
   val ops: Seq[OpDef] = Seq(
 
-    /** MinHash-LSH near-dup join (MLlib): token set → 4096-dim binary
-      * vector → 8 hash tables → approxSimilarityJoin at Jaccard distance
-      * ≤ 0.5. Seeded → deterministic across runs. */
+    /** MinHash-LSH near-dup join (MLlib): word-3-gram shingle set →
+      * 4096-dim binary vector → 8 hash tables → approxSimilarityJoin at
+      * Jaccard distance ≤ 0.5. Seeded → deterministic across runs.
+      *
+      * Shingles, not unigram tokens: the fixture vocabulary is 31 words, so
+      * unigram token sets are near-identical corpus-wide and every minhash
+      * bucket would hold ~the whole corpus — approxSimilarityJoin degrades
+      * to an all-pairs scan (observed: one 700 s task at sf0.1). 3-gram
+      * space is vocab³, buckets stay tiny, the join stays near-linear. */
     OpDef.noOracle("q_dedup_lsh") { (s, d) =>
+      val toks = split(col("text"), " ")
       val docs = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                                element_at(toks, i + 2)))).as("tokens"))
       val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
         .setNumFeatures(4096).setBinary(true)
-      val feat = tf.transform(docs)
+      // cache: the LSH self-join evaluates each side (shingling + hashing
+      // lineage) independently per stage without it — MLlib's own guidance
+      // for approxSimilarityJoin inputs
+      val feat = tf.transform(docs).cache()
+      // 4 tables: a true pair at J≥0.9 is caught with p = 1−0.1⁴ ≈ 0.9999,
+      // while candidate volume (and the 24 s join at sf0.1) roughly halves
+      // vs 8 tables
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(4).setSeed(42L)
       val model = lsh.fit(feat)
       model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
         .select(col("datasetA.doc_id").as("doc_a"),
@@ -82,10 +100,10 @@ object Approx {
         .groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
                        p => p.getField("cx")).as("cv"))
+      graft.GraftFunctions.register(s)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val dotc = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
-                           lit(0.0), (acc, x) => acc + x)
+      val dotc = expr("graft_dot(qv, cv)")
       val wCell = Window.partitionBy(col("qid"))
         .orderBy(col("csim").desc, col("label").asc)
       val probe = q.join(broadcast(cent))
@@ -93,8 +111,7 @@ object Approx {
         .withColumn("crn", row_number().over(wCell))
         .filter(col("crn") <= 4)
         .select(col("qid"), col("qv"), col("label"))
-      val dotv = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
-                           lit(0.0), (acc, x) => acc + x)
+      val dotv = expr("graft_dot(qv, v)")
       val wTop = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       probe.join(e, Seq("label"))

@@ -49,8 +49,13 @@ object LlmOps {
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
       |    FROM docs WHERE len(toks) >= 3))""".stripMargin
 
-  private def dot64(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product (graft.functions.DotProduct); summation
+    * order matches the DuckDB oracle's list_sum(list_transform(...)), so
+    * results are bit-identical to the HOF formulation it replaced. */
+  private def dot64(s: SparkSession, a: String, b: String): Column = {
+    graft.GraftFunctions.register(s)
+    expr(s"graft_dot($a, $b)")
+  }
 
   val ops: Seq[OpDef] = Seq(
 
@@ -171,17 +176,22 @@ object LlmOps {
       // bag-weighted 32-bit SimHash; bits come from md5 hex digits so both
       // engines hash identically. The pair scan is O(n²) by design —
       // documented scale path is banding on simhash prefixes.
+      // md5 hoisted to one evaluation per token (the bit-explode then only
+      // indexes the 8 precomputed hex-digit values) — 32× fewer hashes than
+      // hashing inside the per-bit row; values identical to the oracle's
+      // per-(tok, b) spelling
       val toks = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          expr("transform(sequence(1, 8), " +
+               "j -> instr('0123456789abcdef', substring(md5(tok), j, 1)) - 1)")
+            .as("hv8"))
       val tokbits = toks
         .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("b"),
-                col("tok"))
+                col("hv8"))
         .select(col("doc_id"), col("b"),
-          expr("(instr('0123456789abcdef', substring(md5(tok), 1 + CAST(b / 4 AS INT), 1)) - 1)")
-            .bitwiseAND(lit(0xf)).as("hv"),
-          expr("CAST(b % 4 AS INT)").as("bitpos"))
-        .select(col("doc_id"), col("b"),
-                expr("shiftright(hv, bitpos) & 1").as("bit"))
+          expr("shiftright(element_at(hv8, 1 + CAST(b div 4 AS INT)), " +
+               "CAST(b % 4 AS INT)) & 1").as("bit"))
       val bitsum = tokbits.groupBy("doc_id", "b")
         .agg(sum(col("bit") * 2 - 1).as("s"))
       val sh = bitsum.groupBy("doc_id")
@@ -225,7 +235,7 @@ object LlmOps {
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
       broadcast(q).join(e, col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"),
-                Det.r6(dot64(col("qv"), col("v"))).as("sim"))
+                Det.r6(dot64(s, "qv", "v")).as("sim"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
@@ -250,7 +260,7 @@ object LlmOps {
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-                Det.r6(dot64(col("va"), col("vb"))).as("sim"))
+                Det.r6(dot64(s, "va", "vb")).as("sim"))
         .filter(col("sim") >= 0.45)
         .orderBy("vec_a", "vec_b")
     },
