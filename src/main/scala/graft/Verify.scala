@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the INT96 parquet timestamp default: DuckDB reads INT96 as a
+      // naive TIMESTAMP, exactly the type its oracle queries produce —
+      // TIMESTAMP_MICROS would be tagged isAdjustedToUTC and read back as
+      // TIMESTAMPTZ, breaking the driver's type/hash compare
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

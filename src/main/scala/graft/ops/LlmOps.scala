@@ -94,7 +94,10 @@ object LlmOps {
         |WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) =>
-      val g = grams(s, d)
+      // cache: the shingle set feeds both join sides and both size lookups
+      // (4 plan references) — at scale this is the persist-before-self-join
+      // pattern
+      val g = grams(s, d).cache()
       val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = g.select(col("doc_id").as("i"), col("g"))
         .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
@@ -141,6 +144,7 @@ object LlmOps {
         .agg(array_join(
                transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
                          x => x.getField("minh")), ",").as("sig"))
+        .cache() // reused by both sides of the candidate self-join
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
       a.join(b, Seq("band", "sig"))
@@ -198,6 +202,7 @@ object LlmOps {
         .agg(sum(when(col("s") > 0,
                       expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
                .otherwise(0L)).as("simhash"))
+        .cache() // reused by both sides of the pair scan
       val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
       val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
       a.join(b, col("doc_a") < col("doc_b"))

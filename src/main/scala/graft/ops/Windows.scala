@@ -181,6 +181,62 @@ object Windows {
     },
 
     OpDef(
+      "q_win_session_batch",
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY us ASC, event_id ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  CAST(make_timestamp(min(us)) AS TIMESTAMP) AS sess_start,
+        |  CAST(make_timestamp(max(us)) AS TIMESTAMP) AS sess_end
+        |FROM s
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
+    ) { (s, d) =>
+      // batch sessionization: gap > 10 min starts a new session
+      // (lag → flag → running sum), the oracle-checkable twin of
+      // streaming session_window. Everything is per-user-partition window
+      // work after one hash shuffle — no global sort.
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"),
+                lag(unix_micros(col("ts")), 1).over(wOrd).as("prev_us"))
+        .select(col("user_id"), col("event_id"), col("us"),
+                when(col("prev_us").isNull ||
+                     col("us") - col("prev_us") > 600000000L, 1L)
+                  .otherwise(0L).as("new_sess"))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("us").asc, col("event_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+             timestamp_micros(min(col("us"))).as("sess_start"),
+             timestamp_micros(max(col("us"))).as("sess_end"))
+        .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+                col("n_events"), col("sess_start"), col("sess_end"))
+        .orderBy("user_id", "session_seq")
+    },
+
+    OpDef(
       "q_win_slide_batch",
       """WITH e AS (
         |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))

@@ -161,6 +161,27 @@ class StreamingSpec extends SparkTestBase {
     assert(!pairs.exists(_._1 == 4L), "user2 click is outside the 30min interval")
   }
 
+  test("foreachBatch sink receives every micro-batch exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        seen.put(batchId, batch.count()); ()
+      }
+      .outputMode("append").start()
+    ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+               ev(2, "2024-01-01 10:01:00", 1, "view", 2.0))
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 10:02:00", 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.values.asScala.sum == 3, s"expected 3 rows across batches: $seen")
+    assert(seen.size >= 2, "expected at least two micro-batches")
+  }
+
   test("complete output mode re-emits full aggregate") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
