@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Multi-join analytic queries in the shapes a reference user actually
+  * runs (TPC-H Q3/Q5/Q10 adapted to the fixture schema) plus the salted
+  * two-stage aggregation skew pattern.
+  *
+  * Join trees are written dims-last with `broadcast()` hints on dimension
+  * tables; the fact-side shuffles are on join keys only. Rankings that
+  * involve floating revenue order by the *rounded* value (then a unique
+  * key) so cross-engine float noise cannot flip the order.
+  */
+object Analytics {
+  import Tables._
+
+  private val revSql = "floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0"
+  private def revCol = Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+
+  val ops: Seq[OpDef] = Seq(
+
+    // TPC-H Q3 shape: shipping-priority revenue top-10
+    OpDef(
+      "q_tpch_q3",
+      s"""SELECT l_orderkey, $revSql AS revenue, o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+              col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revCol.as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape: revenue by nation where supplier and customer share
+    // the nation, one region, one year
+    OpDef(
+      "q_tpch_q5",
+      s"""SELECT n_name, $revSql AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    ) { (s, d) =>
+      val nat = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+      lineitem(s, d)
+        .join(orders(s, d)
+                .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                        col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)),
+              col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(revCol.as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20
+    OpDef(
+      "q_tpch_q10",
+      s"""SELECT c_custkey, c_name, $revSql AS revenue, n_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(orders(s, d)
+                .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+                        col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+              col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revCol.as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // salted two-stage aggregation: the skew pattern (partial per
+    // (key, salt) → final per key). Result ≡ direct GROUP BY; at 100 TB a
+    // hot key's rows spread over 8 reducers in stage 1 instead of one.
+    OpDef(
+      "q_agg_salted",
+      """SELECT user_id,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(sum(col("value")).as("psum"), count(lit(1)).as("pn"))
+        .groupBy("user_id")
+        .agg(Det.r4(sum(col("psum"))).as("total"), sum(col("pn")).as("n"))
+        .orderBy("user_id")
+    }
+  )
+}

@@ -193,6 +193,55 @@ object Functions {
     },
 
     OpDef(
+      "q_fn_bitwise",
+      """SELECT event_id,
+        |  event_id & 255 AS band,
+        |  event_id | 4096 AS bor,
+        |  xor(event_id, user_id) AS bxor,
+        |  (event_id << 2) AS shl,
+        |  (event_id >> 3) AS shr,
+        |  CAST(bit_count(event_id) AS INTEGER) AS popcnt
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("band"),
+        col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        expr("shiftleft(event_id, 2)").as("shl"),
+        expr("shiftright(event_id, 3)").as("shr"),
+        bit_count(col("event_id")).cast("int").as("popcnt"))
+        .orderBy("event_id")
+    },
+
+    OpDef(
+      "q_fn_date2",
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST((CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE) AS plus3m,
+        |  CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+        |  CAST(hour(o_orderdate) AS BIGINT) AS h,
+        |  CAST(greatest(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01'), 0)
+        |       AS BIGINT) AS days_to_y2k
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        trunc(col("o_orderdate"), "year").as("year_start"),
+        hour(col("o_orderdate")).cast("long").as("h"),
+        greatest(datediff(lit("2000-01-01").cast("date"),
+                          to_date(col("o_orderdate"))), lit(0))
+          .cast("long").as("days_to_y2k"))
+        .orderBy("o_orderkey")
+    },
+
+    OpDef(
       "q_fn_map",
       """SELECT event_id,
         |  json_keys(props) AS ks,
