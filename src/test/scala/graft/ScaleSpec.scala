@@ -9,7 +9,19 @@ import java.nio.file.Files
 class ScaleSpec extends SparkTestBase {
 
   test("bucketed tables join without a shuffle exchange") {
-    // warehouse + derby dirs are pinned to /tmp via build.sbt javaOptions
+    // warehouse + derby dirs are pinned to /tmp via build.sbt javaOptions;
+    // the in-memory catalog forgets tables between JVMs while their files
+    // persist, so clear both before writing
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val o = graft.ops.Tables.orders(spark, sf)
     val c = graft.ops.Tables.customer(spark, sf)
     o.write.mode("overwrite").bucketBy(8, "o_custkey")
