@@ -54,6 +54,25 @@ class ScaleSpec extends SparkTestBase {
     assert(expected > 0)
   }
 
+  test("filters and projections reach the parquet scan") {
+    val plan = SparkEntry.queries("q_scan_pushdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert(!plan.contains("l_extendedprice"), "unused columns must be pruned")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dimension joins broadcast the small side") {
+    val plan = SparkEntry.queries("q_join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val df = graft.ops.Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
