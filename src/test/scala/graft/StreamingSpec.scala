@@ -182,6 +182,42 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.size >= 2, "expected at least two micro-batches")
   }
 
+  test("file source stream over the fixture equals the batch twin") {
+    // unified API: the same window expression drives q_win_tumble_batch and
+    // the streaming path; replaying the static events file through the
+    // parquet file source must reproduce the batch result exactly
+    import org.apache.spark.sql.functions._
+    val eventsBatch = graft.ops.Tables.events(spark, sf) // also sets nanosAsLong
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = nextName()
+    // no watermark: complete replay, complete mode — we want exact equality
+    val q = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = eventsBatch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream/batch divergence: ${streamed.size} vs ${batch.size}")
+  }
+
   test("complete output mode re-emits full aggregate") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
