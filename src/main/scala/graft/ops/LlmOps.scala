@@ -118,12 +118,14 @@ object LlmOps {
       "q_dedup_minhash",
       s"""WITH $gramsSql,
         |hashed AS (
-        |  SELECT doc_id, seed, min(md5(seed || ':' || g)) AS minh
+        |  SELECT doc_id, seed,
+        |    min(CAST('0x' || substring(md5(seed || ':' || g), 1, 12) AS BIGINT))
+        |      AS minh
         |  FROM grams, (SELECT unnest(range(0, 16)) AS seed)
         |  GROUP BY doc_id, seed),
         |bands AS (
         |  SELECT doc_id, seed // 4 AS band,
-        |         string_agg(minh, ',' ORDER BY seed) AS sig
+        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
         |  FROM hashed GROUP BY doc_id, seed // 4)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b
@@ -132,18 +134,22 @@ object LlmOps {
     ) { (s, d) =>
       // 16 minhash permutations via seeded md5, banded 4×4: docs agreeing
       // on any full band become candidates. Sub-quadratic: the join key is
-      // (band, sig) — only same-bucket docs ever meet.
+      // (band, sig) — only same-bucket docs ever meet. Minhashes are the
+      // first 48 md5 bits as BIGINT (Spark conv ≡ DuckDB '0x' cast): min
+      // over longs keeps the aggregate on the HashAggregate fast path where
+      // min over strings would fall back to SortAggregate.
       val hashed = grams(s, d)
         .select(col("doc_id"), col("g"),
                 explode(sequence(lit(0), lit(15))).as("seed"))
         .groupBy("doc_id", "seed")
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("g"))))
+        .agg(min(expr(
+          "CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':', g)), 1, 12), 16, 10) AS BIGINT)"))
                .as("minh"))
       val bands = hashed
         .groupBy(col("doc_id"), (col("seed") / 4).cast("int").as("band"))
         .agg(array_join(
                transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-                         x => x.getField("minh")), ",").as("sig"))
+                         x => x.getField("minh").cast("string")), ",").as("sig"))
         .cache() // reused by both sides of the candidate self-join
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
