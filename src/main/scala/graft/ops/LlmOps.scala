@@ -218,6 +218,69 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ------------------- near dedup: component clustering + canon -------
+    OpDef(
+      "q_dedup_cluster",
+      s"""WITH RECURSIVE $gramsSql,
+        |gcnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
+        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i AS a, j AS b FROM inter
+        |  JOIN gcnt ca ON i = ca.doc_id JOIN gcnt cb ON j = cb.doc_id
+        |  WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT v, v FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS canon_id,
+        |       CAST(count(*) AS BIGINT) AS cluster_size
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // connected components over the near-dup graph (the dedup pipeline's
+      // final step: every doc maps to the min doc_id of its component).
+      // Iterative min-label propagation — each iteration is one distributed
+      // join, loop runs to fixpoint (planted-dup components are tiny, so
+      // 2-3 iterations; the classic Pregel/large-star pattern at scale).
+      val g = grams(s, d).cache()
+      val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = g.select(col("doc_id").as("i"), col("g"))
+        .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n"))
+      val jac = col("n") * lit(1.0) / (col("ca") + col("cb") - col("n"))
+      val pairs = inter
+        .join(gcnt.select(col("doc_id").as("i"), col("c").as("ca")), Seq("i"))
+        .join(gcnt.select(col("doc_id").as("j"), col("c").as("cb")), Seq("j"))
+        .filter(jac >= 0.5)
+        .select(col("i").as("a"), col("j").as("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      var labels = edges.select(col("a").as("v")).distinct()
+        .withColumn("lbl", col("v")).cache()
+      var converged = false
+      while (!converged) {
+        val next = edges
+          .join(labels, col("b") === col("v"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
+          .join(labels, col("a") === col("v"))
+          .select(col("v"), least(col("lbl"), col("nlbl")).as("lbl"))
+          .cache()
+        converged = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
+          .filter(col("lbl") =!= col("old")).isEmpty
+        labels = next
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("v").as("doc_id"), col("lbl").as("canon_id"),
+                col("cluster_size"))
+        .orderBy("doc_id")
+    },
+
     // --------------------------- similarity: exact cosine top-k ---------
     OpDef(
       "q_sim_topk",

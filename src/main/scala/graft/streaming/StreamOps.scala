@@ -78,6 +78,48 @@ object StreamOps {
       }
   }
 
+  /** A closed user session emitted by [[sessionizer]]. */
+  case class ClosedSession(user_id: Long, n_events: Long, total_value: Double,
+                           start_us: Long, end_us: Long)
+  /** Internal accumulator for [[sessionizer]] (public: Catalyst's encoder
+    * codegen needs constructor access). */
+  case class SessionState(n: Long, total: Double, startUs: Long, endUs: Long)
+
+  /** Custom streaming sessionizer via flatMapGroupsWithState: accumulates
+    * per-user sessions and emits each one only when the event-time timeout
+    * fires (10 min of watermark progress past the last event) — the
+    * hand-rolled equivalent of `session_window`, demonstrating arbitrary
+    * stateful logic with bounded state. */
+  def sessionizer(spark: SparkSession, events: DataFrame): Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.n, s.total, s.startUs, s.endUs))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, 0L))
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              st = SessionState(st.n + 1, st.total + e.value,
+                                math.min(st.startUs, us), math.max(st.endUs, us))
+            }
+            state.update(st)
+            // close the session 10 min (event time) after the last event
+            state.setTimeoutTimestamp(st.endUs / 1000L + 10 * 60 * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream–static enrichment join (static side broadcast per micro-batch). */
   def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),

@@ -123,6 +123,32 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(last.getDouble(2) - 10.0) < 1e-9)
   }
 
+  test("flatMapGroupsWithState sessionizer emits sessions on event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.sessionizer(spark, ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 5, "click", 1.0),
+      ev(2, "2024-01-01 10:04:00", 5, "view", 2.0))
+    q.processAllAvailable()
+    // nothing closed yet: watermark hasn't passed end + 10min
+    assert(spark.table(name).count() == 0)
+    // push watermark far past the session timeout
+    ms.addData(ev(3, "2024-01-01 12:00:00", 6, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(4, "2024-01-01 14:00:00", 6, "click", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table(name).filter("user_id = 5").collect()
+    q.stop()
+    assert(sessions.length == 1, s"one closed session for user 5: ${sessions.toList}")
+    assert(sessions.head.getLong(1) == 2L)
+    assert(math.abs(sessions.head.getDouble(2) - 3.0) < 1e-9)
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
