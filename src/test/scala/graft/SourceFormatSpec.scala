@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink format coverage (§2.1): CSV and JSON round-trips preserve
+  * the data the engine computes on. */
+class SourceFormatSpec extends SparkTestBase {
+
+  test("csv round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val li = graft.ops.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(li.schema).option("header", "true").csv(dir)
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).collect().head.getDouble(0) ==
+           li.agg(sum("l_quantity")).collect().head.getDouble(0))
+  }
+
+  test("json lines round-trip") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(ev.schema).json(dir)
+    assert(back.count() == ev.count())
+    assert(back.select(sum("event_id")).collect().head.getLong(0) ==
+           ev.select(sum("event_id")).collect().head.getLong(0))
+  }
+}
