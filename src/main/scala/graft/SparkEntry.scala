@@ -16,7 +16,8 @@ object SparkEntry {
     * order; names are unique (enforced eagerly below). */
   val registry: Seq[OpDef] =
     Relational.ops ++ Aggregates.ops ++ Windows.ops ++ Functions.ops ++
-      LlmOps.ops ++ Approx.ops ++ Extras.ops ++ Analytics.ops
+      LlmOps.ops ++ Approx.ops ++ Extras.ops ++ Analytics.ops ++
+      Multimodal.ops
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate op names in registry")
