@@ -106,6 +106,84 @@ object Extras {
         .orderBy("doc_id", "pos")
     },
 
+    OpDef(
+      "q_fn_string2",
+      """SELECT p_partkey,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        |  reverse(p_name) AS rev,
+        |  repeat(p_brand, 2) AS rep,
+        |  left(p_name, 5) AS l5,
+        |  right(p_name, 5) AS r5,
+        |  contains(p_name, 'bolt') AS has_bolt,
+        |  starts_with(p_name, 'red') AS is_red,
+        |  ends_with(p_name, 'gear') AS is_gear,
+        |  upper(left(lower(p_type), 1)) || substring(lower(p_type), 2) AS cap_type,
+        |  CAST(levenshtein(p_name, translate(p_name, 'aeiou', 'AEIOU')) AS BIGINT)
+        |    AS n_vowels,
+        |  CAST(ascii(p_name) AS BIGINT) AS first_code,
+        |  chr(65 + (p_size % 26)) AS size_chr
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("right(p_name, 5)").as("r5"),
+        col("p_name").contains("bolt").as("has_bolt"),
+        col("p_name").startsWith("red").as("is_red"),
+        col("p_name").endsWith("gear").as("is_gear"),
+        initcap(lower(col("p_type"))).as("cap_type"),
+        levenshtein(col("p_name"),
+                    translate(col("p_name"), "aeiou", "AEIOU"))
+          .cast("long").as("n_vowels"),
+        ascii(col("p_name")).cast("long").as("first_code"),
+        expr("char(65 + (p_size % 26))").as("size_chr"))
+        .orderBy("p_partkey")
+    },
+
+    // arg-extremum aggregates (deterministic on this data: per-group
+    // extremum rows are unique, verified against the fixtures)
+    OpDef(
+      "q_agg_minmax_by",
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, o_totalprice) AS biggest_order,
+        |  arg_min(o_orderkey, o_totalprice) AS smallest_order,
+        |  max(o_totalprice) AS max_price,
+        |  min(o_totalprice) AS min_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("biggest_order"),
+             min_by(col("o_orderkey"), col("o_totalprice")).as("smallest_order"),
+             max(col("o_totalprice")).as("max_price"),
+             min(col("o_totalprice")).as("min_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    OpDef(
+      "q_agg_bool",
+      """SELECT event_type,
+        |  bool_and(value > 0.005) AS all_nonzero,
+        |  bool_or(value > 450) AS any_huge,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(bool_and(col("value") > 0.005).as("all_nonzero"),
+             bool_or(col("value") > 450).as("any_huge"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // deterministic hash-sampling: a reproducible 1-in-10 sample keyed on
     // md5 (portable across engines/runs, unlike TABLESAMPLE/rand) — at
     // 100 TB this is the sampling primitive that stays stable across

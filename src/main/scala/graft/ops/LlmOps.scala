@@ -218,6 +218,41 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -------------------- near dedup: edit distance, prefix-blocked -----
+    OpDef(
+      "q_dedup_editdist",
+      """WITH p AS (
+        |  SELECT doc_id, text, n_chars, substring(text, 1, 32) AS pfx
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM p a JOIN p b
+        |  ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      // edit-distance near-dup with prefix blocking: the 32-char prefix is
+      // the equi join key (shuffle-friendly, shards the quadratic space),
+      // the length band is a cheap residual, and the O(n·m) levenshtein
+      // runs only on surviving candidates. The planted " dup" suffix pairs
+      // have edit distance exactly 4.
+      val p = documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+                substring(col("text"), 1, 32).as("pfx"))
+      val a = p.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+                       col("n_chars").as("ca"), col("pfx"))
+      val b = p.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+                       col("n_chars").as("cb"), col("pfx"))
+      a.join(b, Seq("pfx"))
+        .filter(col("doc_a") < col("doc_b") &&
+                abs(col("ca") - col("cb")) <= 8)
+        .select(col("doc_a"), col("doc_b"),
+                levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 8)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ------------------- near dedup: component clustering + canon -------
     OpDef(
       "q_dedup_cluster",
