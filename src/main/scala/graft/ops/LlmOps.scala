@@ -560,6 +560,118 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------------------------- text: TF-IDF -----------
+    OpDef(
+      "q_text_tfidf",
+      """WITH bag AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM bag GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT bag.doc_id, bag.tok,
+        |    floor((bag.tf * ln(n.n_docs * 1.0 / df.df)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS tfidf
+        |  FROM bag JOIN df ON bag.tok = df.tok CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, tok ASC) AS rn
+        |  FROM w)
+        |SELECT doc_id, tok, tfidf, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin
+    ) { (s, d) =>
+      // classic TF-IDF, ranked on the rounded weight (cross-engine float
+      // safety); df and N are corpus-level aggregates broadcast back in
+      val bag = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = bag.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      bag.join(broadcast(df), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+                Det.r6(col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
+                  .as("tfidf"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    },
+
+    // ------------------------------------------- text: token entropy ----
+    OpDef(
+      "q_text_entropy",
+      """WITH bag AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM bag GROUP BY doc_id)
+        |SELECT bag.doc_id,
+        |  CAST(max(tot.n) AS BIGINT) AS n_toks,
+        |  floor((-sum((bag.c * 1.0 / tot.n) * ln(bag.c * 1.0 / tot.n)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS entropy
+        |FROM bag JOIN tot ON bag.doc_id = tot.doc_id
+        |GROUP BY bag.doc_id
+        |ORDER BY bag.doc_id""".stripMargin
+    ) { (s, d) =>
+      // Shannon entropy of the token distribution: low entropy flags
+      // repetitive/boilerplate docs — a standard corpus-quality signal
+      val bag = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val tot = bag.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      val p = col("c") * lit(1.0) / col("n")
+      bag.join(tot, Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).cast("long").as("n_toks"),
+             Det.r6(-sum(p * log(p))).as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // ----------------------------------- text: bigram LM fluency score --
+    OpDef(
+      "q_text_lmscore",
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM docs, unnest(range(1, len(toks))) AS t(i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY w1)
+        |SELECT bg.doc_id,
+        |  floor((avg(ln(c2.c12 * 1.0 / c1.c1))) * 1000000.0 + 0.5) / 1000000.0
+        |    AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM bg
+        |JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |JOIN c1 ON bg.w1 = c1.w1
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id""".stripMargin
+    ) { (s, d) =>
+      // corpus-MLE bigram model scoring each doc by mean log P(w2|w1):
+      // the self-supervised fluency filter, all in relational algebra —
+      // counts are corpus aggregates, scoring is a broadcast-join lookup
+      val toks = split(col("text"), " ")
+      val bg = documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+                        element_at(toks, i + 1).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(Det.r6(avg(log(col("c12") * lit(1.0) / col("c1")))).as("lm_score"),
+             count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
     // --------------------------------------- multimodal column assembly -
     OpDef(
       "q_multimodal",
