@@ -662,6 +662,7 @@ object LlmOps {
             i => struct(element_at(toks, i).as("w1"),
                         element_at(toks, i + 1).as("w2")))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .cache() // feeds c2, c1, and the scoring join
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
       bg.join(broadcast(c2), Seq("w1", "w2"))
