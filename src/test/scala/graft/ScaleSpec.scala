@@ -73,6 +73,37 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("AQE splits skewed join partitions when thresholds are hit") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one hot key (90% of rows) + a long tail
+      val skewed = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+                col("id").as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = skewed.join(dim, Seq("k"))
+      // execute THIS queryExecution (count() would plan its own); AQE only
+      // materializes the final skew-split plan after execution
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("AQE coalesces small shuffle partitions") {
     val df = graft.ops.Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
