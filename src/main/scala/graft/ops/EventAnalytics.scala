@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in the reference genre: funnels, retention
+  * cohorts, histograms — the queries a Kafka→Spark pipeline serves daily.
+  * All single-pass aggregations over the events table (conditional min/
+  * count), so each is one shuffle on its grouping key at any scale.
+  */
+object EventAnalytics {
+  import Tables._
+
+  val ops: Seq[OpDef] = Seq(
+
+    // conversion funnel: signup → click → purchase, ordered by event time
+    // per user (conditional-min + ordered-exists, one aggregation pass)
+    OpDef(
+      "q_events_funnel",
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'signup') AS t_signup,
+        |    min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'click') AS t_click,
+        |    min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+        |  count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup) AS n_click_after,
+        |  count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+        |                   AND t_purchase > t_click) AS n_purchase_after
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      val m = events(s, d)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+             min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+             min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      m.agg(
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_signup").isNotNull &&
+                   col("t_click") > col("t_signup"), 1)).as("n_click_after"),
+        count(when(col("t_signup").isNotNull &&
+                   col("t_click") > col("t_signup") &&
+                   col("t_purchase") > col("t_click"), 1)).as("n_purchase_after"))
+    },
+
+    // day-7 retention by first-seen cohort
+    OpDef(
+      "q_events_retention",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE)
+        |        = f.cohort_day + 7)
+        |SELECT f.cohort_day, count(*) AS n_users,
+        |  count(*) FILTER (WHERE r.user_id IS NOT NULL) AS n_retained,
+        |  floor((count(*) FILTER (WHERE r.user_id IS NOT NULL) * 1.0 / count(*))
+        |        * 10000.0 + 0.5) / 10000.0 AS retention7
+        |FROM f LEFT JOIN r ON f.user_id = r.user_id
+        |GROUP BY f.cohort_day
+        |ORDER BY f.cohort_day""".stripMargin
+    ) { (s, d) =>
+      val f = events(s, d)
+        .groupBy("user_id")
+        .agg(min(to_date(date_trunc("day", col("ts")))).as("cohort_day"))
+      val r = events(s, d)
+        .select(col("user_id").as("r_uid"),
+                to_date(date_trunc("day", col("ts"))).as("day"))
+        .join(f, col("r_uid") === col("user_id"))
+        .filter(col("day") === date_add(col("cohort_day"), 7))
+        .select(col("r_uid")).distinct()
+      f.join(r, col("user_id") === col("r_uid"), "left")
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_users"),
+             count(col("r_uid")).as("n_retained"),
+             Det.r4(count(col("r_uid")) * lit(1.0) / count(lit(1)))
+               .as("retention7"))
+        .orderBy("cohort_day")
+    },
+
+    // equi-width histogram (manual buckets — portable, unlike width_bucket)
+    OpDef(
+      "q_agg_histogram",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("o_totalprice")).as("lo"),
+             max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")
+    },
+
+    // approximate percentile sketch (no-oracle: engine-specific sketch;
+    // OpsSpec asserts tolerance vs the exact percentile)
+    OpDef.noOracle("q_agg_approx_pct") { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

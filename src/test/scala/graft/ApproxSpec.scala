@@ -39,6 +39,19 @@ class ApproxSpec extends SparkTestBase {
     assert(perQuery.nonEmpty && perQuery.forall(_ <= 5))
   }
 
+  test("approx_percentile within 5% of the exact interpolated percentile") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.ops.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    queries("q_agg_approx_pct")(spark, sf).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - e) / e <= 0.05,
+             s"${r.getString(0)}: approx ${r.getDouble(1)} vs exact $e")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     import org.apache.spark.sql.functions._
     val exact = graft.ops.Tables.lineitem(spark, sf)
