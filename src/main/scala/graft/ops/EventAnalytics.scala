@@ -100,6 +100,86 @@ object EventAnalytics {
         .orderBy("bucket")
     },
 
+    // deterministic mode: most frequent value, ties broken by min value
+    // (engine-native mode() is tie-nondeterministic — two-level agg isn't)
+    OpDef(
+      "q_agg_mode",
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt
+        |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val c = lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // calendar spine + gap fill: every day in the span gets a row even when
+    // no events landed on it (the time-series completeness primitive)
+    OpDef(
+      "q_gen_datespine",
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+        |daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         count(*) AS n,
+        |         floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total
+        |  FROM events GROUP BY 1)
+        |SELECT spine.day, coalesce(daily.n, 0) AS n,
+        |       coalesce(daily.total, 0.0) AS total
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin
+    ) { (s, d) =>
+      val spine = s.range(1)
+        .select(explode(expr(
+          "sequence(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)"))
+          .as("day"))
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"), Det.r4(sum(col("value"))).as("total"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+                coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy("day")
+    },
+
+    // keep-first dedup: earliest event per (user, type) with a total
+    // tie-break — the deterministic form of dropDuplicates
+    OpDef(
+      "q_dedup_keep_first",
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+    ) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    },
+
     // approximate percentile sketch (no-oracle: engine-specific sketch;
     // OpsSpec asserts tolerance vs the exact percentile)
     OpDef.noOracle("q_agg_approx_pct") { (s, d) =>
