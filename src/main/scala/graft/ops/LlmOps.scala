@@ -295,8 +295,11 @@ object LlmOps {
         .select(col("i").as("a"), col("j").as("b"))
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
         .distinct().cache()
+      // localCheckpoint truncates the lineage each iteration — without it
+      // the logical plan (and Catalyst planning time) grows per iteration,
+      // the classic iterative-algorithm trap
       var labels = edges.select(col("a").as("v")).distinct()
-        .withColumn("lbl", col("v")).cache()
+        .withColumn("lbl", col("v")).localCheckpoint()
       var converged = false
       while (!converged) {
         val next = edges
@@ -304,7 +307,7 @@ object LlmOps {
           .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
           .join(labels, col("a") === col("v"))
           .select(col("v"), least(col("lbl"), col("nlbl")).as("lbl"))
-          .cache()
+          .localCheckpoint()
         converged = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
           .filter(col("lbl") =!= col("old")).isEmpty
         labels = next
