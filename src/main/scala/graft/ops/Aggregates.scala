@@ -181,15 +181,17 @@ object Aggregates {
 
     OpDef(
       "q_agg_collect",
-      """SELECT r_name, list_sort(list(n_name)) AS nations
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin
     ) { (s, d) =>
+      // collect_list is the exercise; the projection serializes the sorted
+      // list to a scalar string (oracle-checked outputs must be scalar-only)
       nation(s, d)
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
         .orderBy("r_name")
     },
 

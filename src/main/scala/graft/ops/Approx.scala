@@ -81,6 +81,34 @@ object Approx {
         .orderBy("qid", "rn")
     },
 
+    /** Sub-quadratic cosine near-dup pairs — the 100 TB path for
+      * `q_sim_cosine_dup` (whose all-pairs scan is the exact baseline).
+      * Candidates come from a BucketedRandomProjectionLSH self-join: for
+      * unit-norm vectors cos ≥ t ⇔ ‖a−b‖ ≤ √(2−2t), so the Euclidean
+      * radius √(2−2·0.45) ≈ 1.0488 captures every true pair a bucket
+      * collision surfaces; each candidate is then re-ranked with the exact
+      * codegen'd dot product and thresholded — output rows are exact sims,
+      * only recall is approximate (ApproxSpec pins it vs the exact op). */
+    OpDef.noOracle("q_sim_cosine_dup_lsh") { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+        .cache() // both sides of the LSH self-join
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+      val model = lsh.fit(e)
+      model.approxSimilarityJoin(e, e, 1.0488, "dist")
+        .select(col("datasetA.vec_id").as("vec_a"), col("datasetA.v").as("va"),
+                col("datasetB.vec_id").as("vec_b"), col("datasetB.v").as("vb"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+                Det.r6(expr("graft_dot(va, vb)")).as("sim"))
+        .filter(col("sim") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    },
+
     /** IVF-style ANN: coarse quantization by per-label centroid, probe the
       * 4 nearest cells, exact re-rank inside them. Deterministic; the scale
       * story is that the inner search touches nprobe/k of the corpus and the

@@ -167,26 +167,38 @@ object Functions {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
         |  list_contains(string_split(text, ' '), 'data') AS has_data,
-        |  list_sort(list_distinct(string_split(text, ' '))) AS sorted_uniq,
-        |  list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3,
-        |  list_transform(list_slice(list_sort(string_split(text, ' ')), 1, 3),
-        |                 x -> upper(x)) AS first3_up,
-        |  list_sort(list_filter(list_distinct(string_split(text, ' ')),
-        |                        x -> length(x) > 5)) AS longtoks_uniq,
+        |  coalesce(array_to_string(
+        |    list_sort(list_distinct(string_split(text, ' '))), ' '), '')
+        |    AS sorted_uniq,
+        |  coalesce(array_to_string(
+        |    list_slice(list_sort(string_split(text, ' ')), 1, 3), ' '), '')
+        |    AS first3,
+        |  coalesce(array_to_string(list_transform(
+        |    list_slice(list_sort(string_split(text, ' ')), 1, 3),
+        |    x -> upper(x)), ' '), '') AS first3_up,
+        |  coalesce(array_to_string(
+        |    list_sort(list_filter(list_distinct(string_split(text, ' ')),
+        |                          x -> length(x) > 5)), ' '), '')
+        |    AS longtoks_uniq,
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |                               x -> length(x))) AS BIGINT) AS tok_chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
+      // the array ops (sort/distinct/slice/transform/filter/aggregate) are
+      // the exercise; the final projection serializes every array to a
+      // scalar string — oracle-checked outputs must be scalar-only (the
+      // comparator can't hash arrays)
       val toks = split(col("text"), " ")
       documents(s, d).select(
         col("doc_id"),
         size(toks).cast("long").as("n_toks"),
         array_contains(toks, "data").as("has_data"),
-        sort_array(array_distinct(toks)).as("sorted_uniq"),
-        slice(sort_array(toks), 1, 3).as("first3"),
-        transform(slice(sort_array(toks), 1, 3), x => upper(x)).as("first3_up"),
-        sort_array(filter(array_distinct(toks), x => length(x) > 5))
+        array_join(sort_array(array_distinct(toks)), " ").as("sorted_uniq"),
+        array_join(slice(sort_array(toks), 1, 3), " ").as("first3"),
+        array_join(transform(slice(sort_array(toks), 1, 3), x => upper(x)), " ")
+          .as("first3_up"),
+        array_join(sort_array(filter(array_distinct(toks), x => length(x) > 5)), " ")
           .as("longtoks_uniq"),
         aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("tok_chars"))
         .orderBy("doc_id")
@@ -244,17 +256,20 @@ object Functions {
     OpDef(
       "q_fn_map",
       """SELECT event_id,
-        |  json_keys(props) AS ks,
-        |  [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vs,
+        |  coalesce(array_to_string(json_keys(props), ','), '') AS ks,
+        |  coalesce(array_to_string(
+        |    [CAST(json_extract_string(props, '$.k') AS INTEGER)], ','), '') AS vs,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events
         |ORDER BY event_id""".stripMargin
     ) { (s, d) =>
+      // map_keys/map_values are the exercise; the projection joins them to
+      // scalar strings (oracle-checked outputs must be scalar-only)
       val m = from_json(col("props"), lit("MAP<STRING, INT>"))
       events(s, d).select(
         col("event_id"),
-        map_keys(m).as("ks"),
-        map_values(m).as("vs"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(transform(map_values(m), v => v.cast("string")), ",").as("vs"),
         element_at(m, "k").as("k_val"))
         .orderBy("event_id")
     },

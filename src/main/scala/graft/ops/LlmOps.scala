@@ -49,6 +49,35 @@ object LlmOps {
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
       |    FROM docs WHERE len(toks) >= 3))""".stripMargin
 
+  /** Grams present in more than [[hotGramFrac]] of all documents carry no
+    * discriminative near-dup signal (standard MinHash/shingling practice)
+    * and are exactly the keys that blow up the gram-bucket equi-join at
+    * scale (a stopword shingle in 1% of 100 TB joins ~10¹⁰×10¹⁰ rows).
+    * Dropping them bounds every gram bucket at `hotGramFrac × n_docs`. */
+  private val hotGramFrac = 0.1
+
+  /** [[grams]] minus hot grams. The hot set is pigeonhole-bounded —
+    * at most (avg grams/doc) ÷ hotGramFrac keys regardless of corpus
+    * size — so broadcasting it is safe at any scale. */
+  private def gramsCapped(s: SparkSession, d: String): DataFrame = {
+    val g = grams(s, d)
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val hot = g.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df_g") > col("n_docs") * hotGramFrac)
+      .select("g")
+    g.join(broadcast(hot), Seq("g"), "left_anti")
+  }
+
+  /** The DuckDB spelling of [[gramsCapped]] (extends [[gramsSql]]). */
+  private val gramsCappedSql: String =
+    s"""$gramsSql,
+      |hotg AS (
+      |  SELECT g FROM grams GROUP BY g
+      |  HAVING count(*) > (SELECT count(*) * $hotGramFrac FROM documents)),
+      |gramsf AS (
+      |  SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hotg))""".stripMargin
+
   /** Native codegen'd dot product (graft.functions.DotProduct); summation
     * order matches the DuckDB oracle's list_sum(list_transform(...)), so
     * results are bit-identical to the HOF formulation it replaced. */
@@ -81,10 +110,10 @@ object LlmOps {
     // ------------------------------- near dedup: word-3-gram Jaccard ----
     OpDef(
       "q_dedup_near",
-      s"""WITH $gramsSql,
-        |gcnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+      s"""WITH $gramsCappedSql,
+        |gcnt AS (SELECT doc_id, count(*) AS c FROM gramsf GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
-        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          FROM gramsf a JOIN gramsf b ON a.g = b.g AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
         |SELECT i AS doc_a, j AS doc_b,
         |  floor((n * 1.0 / (ca.c + cb.c - n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
@@ -96,8 +125,9 @@ object LlmOps {
     ) { (s, d) =>
       // cache: the shingle set feeds both join sides and both size lookups
       // (4 plan references) — at scale this is the persist-before-self-join
-      // pattern
-      val g = grams(s, d).cache()
+      // pattern. Hot grams are dropped first (see gramsCapped) so no gram
+      // bucket in the self-join can exceed hotGramFrac × n_docs rows.
+      val g = gramsCapped(s, d).cache()
       val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = g.select(col("doc_id").as("i"), col("g"))
         .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
@@ -138,18 +168,26 @@ object LlmOps {
       // first 48 md5 bits as BIGINT (Spark conv ≡ DuckDB '0x' cast): min
       // over longs keeps the aggregate on the HashAggregate fast path where
       // min over strings would fall back to SortAggregate.
+      //
+      // All 16 permutations are separate min() aggregates over ONE pass of
+      // the gram rows (seeds inlined as literals), not an explode×16 —
+      // partial aggregation collapses each partition to one 16-long row per
+      // doc map-side, so the shuffle carries 1/16th of the naive plan's
+      // rows (measured 19 s → the explode was the round-1 bench regression).
+      def mh(seed: Int) = min(expr(
+        s"CAST(conv(substring(md5(concat('$seed:', g)), 1, 12), 16, 10) AS BIGINT)"))
+        .as(s"minh_$seed")
       val hashed = grams(s, d)
-        .select(col("doc_id"), col("g"),
-                explode(sequence(lit(0), lit(15))).as("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(min(expr(
-          "CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':', g)), 1, 12), 16, 10) AS BIGINT)"))
-               .as("minh"))
+        .groupBy("doc_id")
+        .agg(mh(0), (1 to 15).map(mh): _*)
+      // band sig = the 4 member minhashes joined in seed order (same string
+      // the oracle's string_agg ... ORDER BY seed builds)
+      def sig(b: Int) = concat_ws(",",
+        (0 until 4).map(i => col(s"minh_${4 * b + i}").cast("string")): _*)
       val bands = hashed
-        .groupBy(col("doc_id"), (col("seed") / 4).cast("int").as("band"))
-        .agg(array_join(
-               transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-                         x => x.getField("minh").cast("string")), ",").as("sig"))
+        .select(col("doc_id"),
+                posexplode(array(sig(0), sig(1), sig(2), sig(3)))
+                  .as(Seq("band", "sig")))
         .cache() // reused by both sides of the candidate self-join
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
@@ -208,13 +246,28 @@ object LlmOps {
         .agg(sum(when(col("s") > 0,
                       expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
                .otherwise(0L)).as("simhash"))
-        .cache() // reused by both sides of the pair scan
-      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-      a.join(b, col("doc_a") < col("doc_b"))
+        .cache() // reused by both sides of the candidate join
+      // Pigeonhole banding: 4 bands of 8 bits over the 32-bit hash. A pair
+      // at Hamming ≤ 3 differs in ≤ 3 bits, so at least one band is
+      // bit-identical — candidates come from an equi-join on (band, value)
+      // instead of an all-pairs BroadcastNestedLoopJoin; the exact Hamming
+      // filter then removes band-collision false positives. Same output as
+      // the quadratic scan, but the pair space is sharded by bucket (at
+      // wider corpora, widen the hash and bands to keep buckets small).
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "bv")))
+      val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bv"),
+                            col("simhash").as("ha"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bv"),
+                            col("simhash").as("hb"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
                 bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 
@@ -256,10 +309,10 @@ object LlmOps {
     // ------------------- near dedup: component clustering + canon -------
     OpDef(
       "q_dedup_cluster",
-      s"""WITH RECURSIVE $gramsSql,
-        |gcnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+      s"""WITH RECURSIVE $gramsCappedSql,
+        |gcnt AS (SELECT doc_id, count(*) AS c FROM gramsf GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
-        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          FROM gramsf a JOIN gramsf b ON a.g = b.g AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2),
         |pairs AS (
         |  SELECT i AS a, j AS b FROM inter
@@ -281,7 +334,8 @@ object LlmOps {
       // Iterative min-label propagation — each iteration is one distributed
       // join, loop runs to fixpoint (planted-dup components are tiny, so
       // 2-3 iterations; the classic Pregel/large-star pattern at scale).
-      val g = grams(s, d).cache()
+      // Hot grams are dropped first (see gramsCapped) to bound the buckets.
+      val g = gramsCapped(s, d).cache()
       val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = g.select(col("doc_id").as("i"), col("g"))
         .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
@@ -365,6 +419,10 @@ object LlmOps {
         |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin
     ) { (s, d) =>
+      // EXACT baseline: all-pairs scan, O(n²) by design — sf-bounded and
+      // oracle-checkable. The scale path is q_sim_cosine_dup_lsh
+      // (Approx.scala): LSH-bucketed candidates + exact dot re-rank,
+      // recall-tested against this op.
       val e = embeddings(s, d)
         .select(col("vec_id"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -408,7 +466,7 @@ object LlmOps {
     OpDef(
       "q_text_stats",
       """SELECT lang, source, count(*) AS n_docs,
-        |  sum(n_chars) AS total_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
         |  floor((avg(len(string_split(text, ' ')))) * 10000.0 + 0.5) / 10000.0 AS avg_toks
         |FROM documents
@@ -586,7 +644,9 @@ object LlmOps {
         |ORDER BY doc_id, rn""".stripMargin
     ) { (s, d) =>
       // classic TF-IDF, ranked on the rounded weight (cross-engine float
-      // safety); df and N are corpus-level aggregates broadcast back in
+      // safety). df is VOCABULARY-sized (corpus-derived, unbounded) so it
+      // shuffles on tok (AQE broadcasts it only if measured small); only
+      // the single-row N is broadcast unconditionally.
       val bag = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -594,7 +654,7 @@ object LlmOps {
       val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok").asc)
-      bag.join(broadcast(df), Seq("tok"))
+      bag.join(df, Seq("tok"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("tok"),
                 Det.r6(col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
@@ -655,8 +715,11 @@ object LlmOps {
         |ORDER BY bg.doc_id""".stripMargin
     ) { (s, d) =>
       // corpus-MLE bigram model scoring each doc by mean log P(w2|w1):
-      // the self-supervised fluency filter, all in relational algebra —
-      // counts are corpus aggregates, scoring is a broadcast-join lookup
+      // the self-supervised fluency filter, all in relational algebra.
+      // The count tables are CORPUS-derived (bigram vocab grows with data),
+      // so they are NEVER broadcast-hinted — the scoring joins shuffle on
+      // (w1, w2)/(w1) and AQE demotes to broadcast only when a table is
+      // measured small at runtime. Bounded executor memory at any scale.
       val toks = split(col("text"), " ")
       val bg = documents(s, d)
         .filter(size(toks) >= 2)
@@ -668,8 +731,8 @@ object LlmOps {
         .cache() // feeds c2, c1, and the scoring join
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      bg.join(broadcast(c2), Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
+      bg.join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
         .groupBy("doc_id")
         .agg(Det.r6(avg(log(col("c12") * lit(1.0) / col("c1")))).as("lm_score"),
              count(lit(1)).as("n_bigrams"))
@@ -680,7 +743,7 @@ object LlmOps {
     OpDef(
       "q_multimodal",
       """SELECT d.doc_id,
-        |  struct_pack(lang := d.lang, source := d.source) AS meta,
+        |  d.lang AS meta_lang, d.source AS meta_source,
         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
         |  CAST((strpos('0123456789abcdef', substring(md5(d.text), 1, 1)) - 1) * 16
         |    + (strpos('0123456789abcdef', substring(md5(d.text), 2, 1)) - 1)
@@ -691,16 +754,18 @@ object LlmOps {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, d) =>
-      // multimodal row: opaque binary payload + typed metadata struct +
+      // multimodal row: opaque binary payload + typed metadata + a
       // vector-derived feature. The "decode" (fake_width from md5) is a
       // deterministic STUB for an image decoder — the real thing would be a
       // mapPartitions over the binary column with the same schema; the
-      // Spark-side plumbing (binary col, struct metadata, derived feature)
-      // is the real, tested part.
+      // Spark-side plumbing (binary col, metadata, derived feature) is the
+      // real, tested part. Metadata is emitted as flat meta_* scalars
+      // (oracle-checked outputs must be scalar-only; the typed-struct
+      // variant lives in Multimodal.scala's decode pipeline).
       documents(s, d).join(embeddings(s, d), col("doc_id") === col("vec_id"))
         .select(
           col("doc_id"),
-          struct(col("lang").as("lang"), col("source").as("source")).as("meta"),
+          col("lang").as("meta_lang"), col("source").as("meta_source"),
           octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
           ((expr("instr('0123456789abcdef', substring(md5(text), 1, 1))") - 1) * 16
             + (expr("instr('0123456789abcdef', substring(md5(text), 2, 1))") - 1))

@@ -39,4 +39,9 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Loader by table name, routing through the special-cased readers
+    * (`events` needs the nanos legacy conf). */
+  def byName(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else t(s, d, name)
 }

@@ -68,13 +68,29 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.EventTimeTimeout) {
         (uid, rows, state) =>
-          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          rows.foreach { e => n += 1; tot += e.value }
-          val next = UserTotal(uid, n, tot)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // watermark passed the idle deadline: emit the final total and
+            // drop the state — per-user state stays bounded by active users
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            var maxTsMs = 0L
+            rows.foreach { e =>
+              n += 1; tot += e.value
+              if (e.ts.getTime > maxTsMs) maxTsMs = e.ts.getTime
+            }
+            val next = UserTotal(uid, n, tot)
+            state.update(next)
+            // arm eviction: 30 min of event time past this user's newest
+            // event (must be set every invocation — EventTimeTimeout never
+            // fires otherwise and state grows without bound)
+            state.setTimeoutTimestamp(maxTsMs + 30 * 60 * 1000L)
+            next
+          }
       }
   }
 

@@ -32,6 +32,24 @@ class ApproxSpec extends SparkTestBase {
     assert(recall >= 0.25, s"IVF recall $recall should be ≈ 0.4 (searched fraction)")
   }
 
+  test("LSH cosine near-dup recall >= 0.8 vs exact all-pairs, exact sims") {
+    // sf0.01: the sf0.001 embedding slice may contain no pairs >= 0.45
+    val sf01 = "/root/testdata/sf0.01"
+    val exactRows = queries("q_sim_cosine_dup")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshRows = queries("q_sim_cosine_dup_lsh")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exactRows.nonEmpty, "fixture must contain cosine near-dup pairs")
+    val recall = exactRows.keys.count(lshRows.contains).toDouble / exactRows.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exactRows.size} true pairs")
+    // every surfaced pair must carry the EXACT re-ranked similarity and be a
+    // true positive (the threshold filter runs on exact dots, not estimates)
+    lshRows.foreach { case (k, sim) =>
+      assert(exactRows.get(k).contains(sim),
+             s"pair $k: lsh sim $sim != exact ${exactRows.get(k)}")
+    }
+  }
+
   test("BRP-LSH ANN returns ranked neighbors for every query") {
     val ann = queries("q_sim_ann_lsh")(spark, sf)
     val perQuery = ann.groupBy("qid").count().collect()

@@ -73,6 +73,19 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("banded near-dup candidate joins never use BroadcastNestedLoopJoin") {
+    // the quadratic all-pairs scans were replaced with equi-joins on band
+    // buckets (simhash: pigeonhole prefix bands; cosine: LSH buckets) — a
+    // BroadcastNestedLoopJoin anywhere in these plans would mean the O(n²)
+    // plan crept back in
+    for (q <- Seq("q_dedup_simhash", "q_sim_cosine_dup_lsh", "q_dedup_minhash")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must shard candidates by bucket, not scan all pairs:\n$plan")
+    }
+  }
+
   test("AQE splits skewed join partitions when thresholds are hit") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
