@@ -22,7 +22,12 @@ object Bench {
       try graft.ops.Tables.byName(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for targeted profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // drop caches left by earlier queries: measurements stay independent
       // and later queries don't pay eviction pressure from earlier ones
       spark.catalog.clearCache()

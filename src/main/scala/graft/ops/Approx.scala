@@ -43,11 +43,13 @@ object Approx {
       // lineage) independently per stage without it — MLlib's own guidance
       // for approxSimilarityJoin inputs
       val feat = tf.transform(docs).cache()
-      // 4 tables: a true pair at J≥0.9 is caught with p = 1−0.1⁴ ≈ 0.9999,
-      // while candidate volume (and the 24 s join at sf0.1) roughly halves
-      // vs 8 tables
+      // 2 tables: a true pair at J≥0.9 is caught with p = 1−0.1² ≈ 0.99
+      // (ApproxSpec pins recall ≥ 0.8 vs the exact op), while candidate
+      // volume — the whole cost of approxSimilarityJoin, each candidate
+      // paying a 4096-dim sparse Jaccard — scales linearly with tables
+      // (measured 10.4 s at 4 tables → ~5 s at 2, sf0.1)
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(4).setSeed(42L)
+        .setNumHashTables(2).setSeed(42L)
       val model = lsh.fit(feat)
       model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
         .select(col("datasetA.doc_id").as("doc_a"),

@@ -201,6 +201,63 @@ object Extras {
           "substring(md5(concat(l_orderkey, '-', l_linenumber)), 1, 1)) - 1 = 0"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // deterministic stratified downsample: keep the same number of docs
+    // per lang (the smallest stratum's size) so a skewed corpus becomes a
+    // balanced training mix. "Random" order within a stratum is
+    // md5(doc_id) — engine-identical, reproducible, and re-runnable with
+    // a seed by salting the hashed string. At scale: one window sort per
+    // stratum (shuffled by lang) + one broadcast of the 1-row min — no
+    // global sort, no driver collect.
+    OpDef(
+      "q_sample_stratified",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS target FROM c),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |          AS rn
+        |      FROM documents)
+        |SELECT doc_id, lang, rn FROM r, m WHERE rn <= m.target
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      val m = c.agg(min(col("n")).as("target"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(m))
+        .filter(col("rn") <= col("target"))
+        .select("doc_id", "lang", "rn")
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: mask digit runs and phone-shaped tokens before text
+    // reaches a training corpus — pure regexp_replace projections, fully
+    // codegen'd, no shuffle (the map-only shape a 100 TB scrub pass needs).
+    // DuckDB regexp_replace is first-match-only without the 'g' flag;
+    // Spark's is always global.
+    OpDef(
+      "q_scrub_pii",
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_tokenized,
+        |  CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT)
+        |    AS digits_removed
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("name_tokenized"),
+        length(regexp_replace(col("c_name"), "[^0-9]", ""))
+          .cast("long").as("digits_removed"))
+        .orderBy("c_custkey")
     }
   )
 }

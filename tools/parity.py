@@ -67,6 +67,12 @@ def main():
         oracles = json.load(f)
     names = sorted(os.listdir(outdir))
     n_pass = n_fail = 0
+    # a query that crashed in Verify writes NO output dir — without this
+    # check it would silently vanish from the report (round-2 lesson)
+    for name in sorted(oracles):
+        if name not in names and (not only or name in only):
+            print(f"FAIL {name}: declared oracle but no spark output dir")
+            n_fail += 1
     for name in names:
         if name == "oracle_sql.json" or not os.path.isdir(os.path.join(outdir, name)):
             continue
