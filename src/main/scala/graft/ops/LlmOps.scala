@@ -149,8 +149,8 @@ object LlmOps {
       s"""WITH $gramsSql,
         |hashed AS (
         |  SELECT doc_id, seed,
-        |    min(CAST('0x' || substring(md5(seed || ':' || g), 1, 12) AS BIGINT))
-        |      AS minh
+        |    min(CAST('0x' || substring(md5((seed // 4) || ':' || g),
+        |                               1 + 8 * (seed % 4), 8) AS BIGINT)) AS minh
         |  FROM grams, (SELECT unnest(range(0, 16)) AS seed)
         |  GROUP BY doc_id, seed),
         |bands AS (
@@ -162,22 +162,28 @@ object LlmOps {
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) =>
-      // 16 minhash permutations via seeded md5, banded 4×4: docs agreeing
-      // on any full band become candidates. Sub-quadratic: the join key is
-      // (band, sig) — only same-bucket docs ever meet. Minhashes are the
-      // first 48 md5 bits as BIGINT (Spark conv ≡ DuckDB '0x' cast): min
-      // over longs keeps the aggregate on the HashAggregate fast path where
-      // min over strings would fall back to SortAggregate.
+      // 16 minhash permutations banded 4×4: docs agreeing on any full band
+      // become candidates. Sub-quadratic: the join key is (band, sig) —
+      // only same-bucket docs ever meet.
       //
-      // All 16 permutations are separate min() aggregates over ONE pass of
-      // the gram rows (seeds inlined as literals), not an explode×16 —
-      // partial aggregation collapses each partition to one 16-long row per
-      // doc map-side, so the shuffle carries 1/16th of the naive plan's
-      // rows (measured 19 s → the explode was the round-1 bench regression).
-      def mh(seed: Int) = min(expr(
-        s"CAST(conv(substring(md5(concat('$seed:', g)), 1, 12), 16, 10) AS BIGINT)"))
+      // Permutation family: 4 seeded md5s per gram, each split into four
+      // independent 32-bit hex chunks → 16 independent permutations from
+      // 4 hashes (NOT ha+i·hb double hashing — its minima are attained by
+      // the same gram across seeds, which correlates bands and multiplies
+      // false-positive candidates ~5× on this corpus). All 16 permutations
+      // are separate min() aggregates over one pass of the gram rows — no
+      // explode×16 (the round-1 19 s regression) — and partial aggregation
+      // collapses each partition to one 16-long row per doc map-side. min
+      // over longs stays on the HashAggregate fast path where min over md5
+      // strings would fall back to SortAggregate. (32-bit chunks: fine up
+      // to ~10⁸ distinct grams; widen to 12-hex/48-bit chunks over 8 md5s
+      // past that.)
+      def mh(seed: Int) = min(
+        expr(s"CAST(conv(substring(c${seed / 4}, ${1 + 8 * (seed % 4)}, 8), 16, 10) AS BIGINT)"))
         .as(s"minh_$seed")
       val hashed = grams(s, d)
+        .select(col("doc_id") +:
+          (0 to 3).map(j => md5(concat(lit(s"$j:"), col("g"))).as(s"c$j")): _*)
         .groupBy("doc_id")
         .agg(mh(0), (1 to 15).map(mh): _*)
       // band sig = the 4 member minhashes joined in seed order (same string

@@ -295,6 +295,61 @@ object Relational {
     },
 
     OpDef(
+      "q_join_range",
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+        |iv AS (SELECT i AS win_id,
+        |         lo + i * ((hi - lo) // 20) AS w_start,
+        |         lo + i * ((hi - lo) // 20) + ((hi - lo) // 40) AS w_end
+        |       FROM b, (SELECT unnest(range(0, 20)) AS i))
+        |SELECT win_id, w_start, w_end, count(*) AS n_events
+        |FROM iv JOIN ev ON ev.us >= iv.w_start AND ev.us < iv.w_end
+        |GROUP BY win_id, w_start, w_end
+        |ORDER BY win_id""".stripMargin
+    ) { (s, d) =>
+      // PURE range join (no equi key): events falling inside data-derived
+      // time windows. A naive `a.join(b, a.ts between ...)` plans as a
+      // BroadcastNestedLoopJoin — O(|a|·|b|). The scale-safe formulation
+      // bucketizes time: each interval explodes to the coarse buckets it
+      // overlaps (~2 rows each), each event maps to exactly one bucket,
+      // and the join becomes an equi-join on bucket + residual range
+      // filter — the standard distributed interval-join technique. All in
+      // BIGINT epoch-micros (unix_micros ≡ DuckDB epoch_us, exact).
+      //
+      // The 1-row global bounds feed in as SCALAR SUBQUERIES (a DataFrame
+      // cross-join of a 1-row aggregate plans as BroadcastNestedLoopJoin —
+      // even with a constant equi key, which Catalyst folds away); the
+      // bounds aggregate is evaluated per reference, which parquet
+      // min/max statistics make a metadata-only scan at any scale.
+      events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .createOrReplaceTempView("graft_range_ev")
+      s.sql(
+        """WITH b AS (
+          |  SELECT min(us) AS lo, max(us) AS hi,
+          |         (max(us) - min(us)) div 32 + 1 AS bw
+          |  FROM graft_range_ev),
+          |iv AS (
+          |  SELECT win_id, w_start, w_end,
+          |         explode(sequence(w_start div bw, (w_end - 1) div bw)) AS bkt
+          |  FROM (SELECT win_id, bw,
+          |               lo + win_id * ((hi - lo) div 20) AS w_start,
+          |               lo + win_id * ((hi - lo) div 20) + ((hi - lo) div 40)
+          |                 AS w_end
+          |        FROM b LATERAL VIEW explode(sequence(0L, 19L)) t AS win_id)),
+          |evb AS (
+          |  SELECT event_id, us, us div (SELECT bw FROM b) AS bkt
+          |  FROM graft_range_ev)
+          |SELECT /*+ BROADCAST(iv) */ win_id, w_start, w_end,
+          |       count(*) AS n_events
+          |FROM evb JOIN iv USING (bkt)
+          |WHERE us >= w_start AND us < w_end
+          |GROUP BY win_id, w_start, w_end
+          |ORDER BY win_id""".stripMargin)
+    },
+
+    OpDef(
       "q_join_cross",
       """SELECT r_regionkey, n_nationkey, r_name, n_name
         |FROM region CROSS JOIN nation
