@@ -360,6 +360,14 @@ object LlmOps {
       // the classic iterative-algorithm trap
       var labels = edges.select(col("a").as("v")).distinct()
         .withColumn("lbl", col("v")).localCheckpoint()
+      // convergence = Σlbl unchanged: labels are monotonically
+      // non-increasing (least of old and neighborhood min), so a stable
+      // sum is exactly the fixpoint — one cheap aggregate per iteration
+      // instead of a join + isEmpty (decimal sum: overflow-safe at any
+      // corpus size)
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = lblSum(labels)
       var converged = false
       while (!converged) {
         val next = edges
@@ -368,8 +376,9 @@ object LlmOps {
           .join(labels, col("a") === col("v"))
           .select(col("v"), least(col("lbl"), col("nlbl")).as("lbl"))
           .localCheckpoint()
-        converged = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
-          .filter(col("lbl") =!= col("old")).isEmpty
+        val s = lblSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         labels = next
       }
       val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
@@ -567,9 +576,11 @@ object LlmOps {
       // the corpus's own top-5 tokens (deterministic, data-derived).
       val bag = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val wS = Window.orderBy(col("cnt").desc, col("tok").asc)
+      // top-5 via orderBy+limit → TakeOrderedAndProject (per-partition
+      // top-5 + merge), NOT a global row_number window, which would move
+      // the whole vocabulary to a single partition
       val stop = bag.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 5)
+        .orderBy(col("cnt").desc, col("tok").asc).limit(5)
         .select("tok")
       val stopcnt = bag.join(broadcast(stop), Seq("tok"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
