@@ -228,30 +228,26 @@ object LlmOps {
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) =>
       // bag-weighted 32-bit SimHash; bits come from md5 hex digits so both
-      // engines hash identically. The pair scan is O(n²) by design —
-      // documented scale path is banding on simhash prefixes.
-      // md5 hoisted to one evaluation per token (the bit-explode then only
-      // indexes the 8 precomputed hex-digit values) — 32× fewer hashes than
-      // hashing inside the per-bit row; values identical to the oracle's
-      // per-(tok, b) spelling
+      // engines hash identically. One md5 per token folded to a single
+      // 32-bit value h (conv(reverse(first-8-hex)) ≡ the oracle's
+      // little-endian nibble indexing: bit b of h = bit b%4 of hex digit
+      // b/4), then the 32 per-bit counters are 32 sum() aggregates over
+      // ONE pass of the token rows — no 32× bit-explode through the
+      // shuffle (same pattern as the minhash fix; the per-(tok,b) oracle
+      // spelling computes identical values). s_b = Σ(2·bit−1) = 2·Σbit − n.
       val toks = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"),
-          expr("transform(sequence(1, 8), " +
-               "j -> instr('0123456789abcdef', substring(md5(tok), j, 1)) - 1)")
-            .as("hv8"))
-      val tokbits = toks
-        .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("b"),
-                col("hv8"))
-        .select(col("doc_id"), col("b"),
-          expr("shiftright(element_at(hv8, 1 + CAST(b div 4 AS INT)), " +
-               "CAST(b % 4 AS INT)) & 1").as("bit"))
-      val bitsum = tokbits.groupBy("doc_id", "b")
-        .agg(sum(col("bit") * 2 - 1).as("s"))
-      val sh = bitsum.groupBy("doc_id")
-        .agg(sum(when(col("s") > 0,
-                      expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-               .otherwise(0L)).as("simhash"))
+          expr("CAST(conv(reverse(substring(md5(tok), 1, 8)), 16, 10) AS BIGINT)")
+            .as("h"))
+      def bitSum(b: Int) =
+        sum(expr(s"shiftright(h, $b) & 1")).as(s"n$b")
+      val agg0 = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), (0 to 31).map(bitSum): _*)
+      val simExpr = (0 to 31)
+        .map(b => s"(CASE WHEN 2 * n$b - n > 0 THEN ${1L << b}L ELSE 0L END)")
+        .mkString(" + ")
+      val sh = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
         .cache() // reused by both sides of the candidate join
       // Pigeonhole banding: 4 bands of 8 bits over the 32-bit hash. A pair
       // at Hamming ≤ 3 differs in ≤ 3 bits, so at least one band is

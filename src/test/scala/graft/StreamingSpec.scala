@@ -123,6 +123,38 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(last.getDouble(2) - 10.0) < 1e-9)
   }
 
+  test("mapGroupsWithState drops idle-user state on event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.runningUserTotals(spark, ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+      ev(2, "2024-01-01 10:01:00", 1, "click", 2.5))
+    q.processAllAvailable()
+    // push the watermark far past user 1's 30-min idle deadline (and run a
+    // second batch so the armed timeout actually fires and evicts state)
+    ms.addData(ev(3, "2024-01-01 12:00:00", 9, "view", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(4, "2024-01-01 12:01:00", 9, "view", 1.0))
+    q.processAllAvailable()
+    // user 1 returns AFTER eviction: totals must restart from zero — if
+    // the old state had survived, this would read n_events=3, total=11.0
+    ms.addData(ev(5, "2024-01-01 14:00:00", 1, "view", 7.0))
+    q.processAllAvailable()
+    val rows = spark.table(name).filter("user_id = 1")
+      .select("n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    assert(rows.contains((1L, 7.0)),
+      s"state must restart after timeout eviction, got $rows")
+    assert(!rows.exists(_._1 == 3L),
+      s"pre-timeout state must not leak into the new session, got $rows")
+  }
+
   test("flatMapGroupsWithState sessionizer emits sessions on event-time timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
