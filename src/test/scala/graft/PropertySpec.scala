@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated inputs (fixed seed → reproducible) evaluated in one
+  * DataFrame pass, pinning the exact arithmetic identities the oracle
+  * parity relies on: the codegen'd graft_dot vs a left-to-right reference
+  * fold, the Det rounding helper vs its scalar spelling, and the
+  * little-endian md5-nibble fold used by q_dedup_simhash. */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(sys.error("gen failure"))
+
+  test("graft_dot == left-to-right fold on 200 scalacheck vectors (exact)") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val genVec = Gen.listOfN(64, Gen.choose(-10.0, 10.0))
+    val pairs = samples(Gen.zip(genVec, genVec), 200)
+    val rows = pairs.toDF("a", "b").selectExpr("graft_dot(a, b)").collect()
+    rows.zip(pairs).foreach { case (r, (a, b)) =>
+      val expect = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(r.getDouble(0) == expect, s"dot drift on a=$a b=$b")
+    }
+  }
+
+  test("Det rounding == floor(x*10^n + 0.5)/10^n scalar spelling (exact)") {
+    import spark.implicits._
+    val xs = samples(Gen.choose(-1e6, 1e6), 500)
+    val got = xs.toDF("x")
+      .select(graft.ops.Det.r4(col("x")).as("r4"),
+              graft.ops.Det.r6(col("x")).as("r6"))
+      .collect()
+    got.zip(xs).foreach { case (r, x) =>
+      assert(r.getDouble(0) == math.floor(x * 1e4 + 0.5) / 1e4, s"r4($x)")
+      assert(r.getDouble(1) == math.floor(x * 1e6 + 0.5) / 1e6, s"r6($x)")
+    }
+  }
+
+  test("conv(reverse(md5 prefix)) == little-endian nibble fold (simhash h)") {
+    import spark.implicits._
+    val toks = samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 300)
+    val rows = toks.toDF("tok").selectExpr(
+      "CAST(conv(reverse(substring(md5(tok), 1, 8)), 16, 10) AS BIGINT) AS folded",
+      // the per-digit spelling the oracle uses
+      "aggregate(sequence(1, 8), 0L, (acc, j) -> acc + " +
+        "CAST((instr('0123456789abcdef', substring(md5(tok), j, 1)) - 1) AS BIGINT)" +
+        " * shiftleft(1L, CAST(4 * (j - 1) AS INT)))  AS digits").collect()
+    rows.zip(toks).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"nibble-fold drift on '$t'")
+    }
+  }
+}
