@@ -49,12 +49,17 @@ object LlmOps {
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
       |    FROM docs WHERE len(toks) >= 3))""".stripMargin
 
-  /** Grams present in more than [[hotGramFrac]] of all documents carry no
-    * discriminative near-dup signal (standard MinHash/shingling practice)
-    * and are exactly the keys that blow up the gram-bucket equi-join at
-    * scale (a stopword shingle in 1% of 100 TB joins ~10¹⁰×10¹⁰ rows).
-    * Dropping them bounds every gram bucket at `hotGramFrac × n_docs`. */
+  /** Hot-gram cap: grams present in more than min(hotGramFrac × n_docs,
+    * hotGramAbs) documents carry no discriminative near-dup signal
+    * (standard MinHash/shingling practice) and are exactly the keys that
+    * blow up the gram-bucket equi-join. The threshold must go ABSOLUTE at
+    * scale: a fraction alone still admits a 10⁹-doc bucket at 100 TB
+    * (≈10¹⁸ candidate pairs from one stopword shingle); the absolute cap
+    * bounds any bucket's pair count at C(1000,2) regardless of corpus
+    * size, while the fractional term keeps the filter proportionate on
+    * small fixtures. */
   private val hotGramFrac = 0.1
+  private val hotGramAbs = 1000.0
 
   /** [[grams]] minus hot grams. The hot set is pigeonhole-bounded —
     * at most (avg grams/doc) ÷ hotGramFrac keys regardless of corpus
@@ -64,7 +69,7 @@ object LlmOps {
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val hot = g.groupBy("g").agg(count(lit(1)).as("df_g"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df_g") > col("n_docs") * hotGramFrac)
+      .filter(col("df_g") > least(col("n_docs") * hotGramFrac, lit(hotGramAbs)))
       .select("g")
     g.join(broadcast(hot), Seq("g"), "left_anti")
   }
@@ -74,7 +79,8 @@ object LlmOps {
     s"""$gramsSql,
       |hotg AS (
       |  SELECT g FROM grams GROUP BY g
-      |  HAVING count(*) > (SELECT count(*) * $hotGramFrac FROM documents)),
+      |  HAVING count(*) >
+      |    (SELECT least(count(*) * $hotGramFrac, $hotGramAbs) FROM documents)),
       |gramsf AS (
       |  SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hotg))""".stripMargin
 
