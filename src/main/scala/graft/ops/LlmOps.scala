@@ -26,10 +26,11 @@ import org.apache.spark.sql.expressions.Window
 object LlmOps {
   import Tables._
 
-  /** word 3-gram shingles, distinct per doc: (doc_id, g) */
-  private def grams(s: SparkSession, d: String): DataFrame = {
+  /** word 3-gram shingles, distinct per doc: (doc_id, g).
+    * `docs` needs (doc_id, text) — any table shaped like that works. */
+  def grams(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    documents(s, d)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -64,9 +65,9 @@ object LlmOps {
   /** [[grams]] minus hot grams. The hot set is pigeonhole-bounded —
     * at most (avg grams/doc) ÷ hotGramFrac keys regardless of corpus
     * size — so broadcasting it is safe at any scale. */
-  private def gramsCapped(s: SparkSession, d: String): DataFrame = {
-    val g = grams(s, d)
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+  def gramsCapped(docs: DataFrame): DataFrame = {
+    val g = grams(docs)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val hot = g.groupBy("g").agg(count(lit(1)).as("df_g"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df_g") > least(col("n_docs") * hotGramFrac, lit(hotGramAbs)))
@@ -92,6 +93,243 @@ object LlmOps {
     expr(s"graft_dot($a, $b)")
   }
 
+  // -------------------------------------------------------------------
+  // Public DataFrame-parameterized API. Every operator works on ANY
+  // table with the documented column shape — the OpDef entries in `ops`
+  // below are thin bindings of these functions to the driver fixtures
+  // (mirroring graft.streaming.StreamOps, whose transforms are already
+  // source-agnostic). Shapes: docs = (doc_id: long, text: string
+  // [, n_chars: long]); emb = (vec_id: long, embedding: array<float>).
+  // -------------------------------------------------------------------
+
+  /** Exact dedup: survivor = min(doc_id) per identical text — NOT
+    * dropDuplicates, whose survivor choice is partition-order-dependent. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+           min(col("n_chars")).as("n_chars"))
+      .select("keep_id", "n_copies", "n_chars")
+      .orderBy("keep_id")
+
+  /** MinHash-banded near-dup candidate pairs: 16 minhash permutations
+    * banded 4×4 — docs agreeing on any full band become candidates.
+    * Sub-quadratic: the join key is (band, sig), only same-bucket docs
+    * ever meet.
+    *
+    * Permutation family: 4 seeded md5s per gram, each split into four
+    * independent 32-bit hex chunks → 16 independent permutations from 4
+    * hashes (NOT ha+i·hb double hashing — its minima are attained by the
+    * same gram across seeds, which correlates bands and multiplies
+    * false-positive candidates ~5× on this corpus). All 16 permutations
+    * are separate min() aggregates over one pass of the gram rows — no
+    * explode×16 (the round-1 19 s regression) — and partial aggregation
+    * collapses each partition to one 16-long row per doc map-side. min
+    * over longs stays on the HashAggregate fast path where min over md5
+    * strings would fall back to SortAggregate. (32-bit chunks: fine up to
+    * ~10⁸ distinct grams; widen to 12-hex/48-bit chunks over 8 md5s past
+    * that.) */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    def mh(seed: Int) = min(
+      expr(s"CAST(conv(substring(c${seed / 4}, ${1 + 8 * (seed % 4)}, 8), 16, 10) AS BIGINT)"))
+      .as(s"minh_$seed")
+    val hashed = grams(docs)
+      .select(col("doc_id") +:
+        (0 to 3).map(j => md5(concat(lit(s"$j:"), col("g"))).as(s"c$j")): _*)
+      .groupBy("doc_id")
+      .agg(mh(0), (1 to 15).map(mh): _*)
+    // band sig = the 4 member minhashes joined in seed order (same string
+    // the oracle's string_agg ... ORDER BY seed builds)
+    def sig(b: Int) = concat_ws(",",
+      (0 until 4).map(i => col(s"minh_${4 * b + i}").cast("string")): _*)
+    val bands = hashed
+      .select(col("doc_id"),
+              posexplode(array(sig(0), sig(1), sig(2), sig(3)))
+                .as(Seq("band", "sig")))
+      .cache() // reused by both sides of the candidate self-join
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup pairs by word-3-gram Jaccard ≥ threshold. Hot grams are
+    * dropped first (see [[gramsCapped]]) so no gram bucket in the
+    * self-join can exceed min(hotGramFrac × n_docs, hotGramAbs) rows.
+    * The shingle set is cached: it feeds both join sides and both size
+    * lookups (4 plan references) — the persist-before-self-join pattern. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsRaw(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), Det.r4(col("jac")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** [[jaccardPairs]] without the rounding projection and final sort —
+    * the form downstream consumers ([[dedupClusters]]) compose on, so
+    * the sort isn't dragged into their pipelines. */
+  private def jaccardPairsRaw(docs: DataFrame, threshold: Double): DataFrame = {
+    val g = gramsCapped(docs).cache()
+    val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = g.select(col("doc_id").as("i"), col("g"))
+      .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    val jac = col("n") * lit(1.0) / (col("ca") + col("cb") - col("n"))
+    inter
+      .join(gcnt.select(col("doc_id").as("i"), col("c").as("ca")), Seq("i"))
+      .join(gcnt.select(col("doc_id").as("j"), col("c").as("cb")), Seq("j"))
+      .filter(jac >= threshold)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"), jac.as("jac"))
+  }
+
+  /** SimHash near-dup pairs at Hamming ≤ maxHamming (≤ 3 for the banded
+    * formulation). Bag-weighted 32-bit SimHash; bits come from md5 hex
+    * digits so both engines hash identically. One md5 per token folds to
+    * a single 32-bit value h (conv(reverse(first-8-hex)) ≡ little-endian
+    * nibble indexing: bit b of h = bit b%4 of hex digit b/4), then the 32
+    * per-bit counters are 32 sum() aggregates over ONE pass of the token
+    * rows — no 32× bit-explode through the shuffle. s_b = 2·Σbit − n.
+    *
+    * Candidates come from pigeonhole banding: 4 bands of 8 bits — a pair
+    * at Hamming ≤ 3 differs in ≤ 3 bits, so at least one band is
+    * bit-identical, and the equi-join on (band, value) replaces the
+    * all-pairs BroadcastNestedLoopJoin; the exact Hamming filter then
+    * removes band-collision false positives. At wider corpora, widen the
+    * hash and bands to keep buckets small. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x8-bit banding guarantees recall only for Hamming <= 3")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr("CAST(conv(reverse(substring(md5(tok), 1, 8)), 16, 10) AS BIGINT)")
+          .as("h"))
+    def bitSum(b: Int) =
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"n$b")
+    val agg0 = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), (0 to 31).map(bitSum): _*)
+    val simExpr = (0 to 31)
+      .map(b => s"(CASE WHEN 2 * n$b - n > 0 THEN ${1L << b}L ELSE 0L END)")
+      .mkString(" + ")
+    val sh = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
+      .cache() // reused by both sides of the candidate join
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bv")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bv"),
+                          col("simhash").as("ha"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bv"),
+                          col("simhash").as("hb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Edit-distance near-dup pairs ≤ maxDist with prefix blocking: the
+    * 32-char prefix is the equi join key (shuffle-friendly, shards the
+    * quadratic space), the length band is a cheap residual, and the
+    * O(n·m) levenshtein runs only on surviving candidates. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val p = docs
+      .select(col("doc_id"), col("text"), col("n_chars"),
+              substring(col("text"), 1, 32).as("pfx"))
+    val a = p.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+                     col("n_chars").as("ca"), col("pfx"))
+    val b = p.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+                     col("n_chars").as("cb"), col("pfx"))
+    a.join(b, Seq("pfx"))
+      .filter(col("doc_a") < col("doc_b") &&
+              abs(col("ca") - col("cb")) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+              levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected components over the near-dup graph (the dedup pipeline's
+    * final step): every doc maps to the min doc_id of its Jaccard-≥-
+    * threshold component, with component sizes. Iterative min-label
+    * propagation — each iteration is one distributed join, loop runs to
+    * fixpoint (the classic Pregel/large-star pattern at scale);
+    * localCheckpoint truncates lineage each iteration (without it the
+    * logical plan and Catalyst planning time grow per iteration).
+    * Convergence = Σlbl unchanged: labels are monotonically
+    * non-increasing (least of old and neighborhood min), so a stable sum
+    * is exactly the fixpoint — one cheap aggregate per iteration instead
+    * of a join + isEmpty (decimal sum: overflow-safe at any size). */
+  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = jaccardPairsRaw(docs, threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    while (!converged) {
+      val next = edges
+        .join(labels, col("b") === col("v"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
+        .join(labels, col("a") === col("v"))
+        .select(col("v"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .localCheckpoint()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("v").as("doc_id"), col("lbl").as("canon_id"),
+              col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact cosine top-k: brute-force baseline — broadcast the query set
+    * (rows of emb matching queryPred), codegen'd `graft_dot` against the
+    * full corpus (unit-norm vectors ⇒ cosine ≡ dot), rank on the
+    * *rounded* sim so cross-engine float noise cannot flip order. The
+    * ANN scale paths are q_sim_ann_lsh / q_sim_ann_ivf (Approx.scala). */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = emb
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+              Det.r6(dot64(emb.sparkSession, "qv", "v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** EXACT cosine near-dup pairs ≥ minSim: all-pairs scan, O(n²) by
+    * design — sf-bounded and oracle-checkable. The scale path is
+    * q_sim_cosine_dup_lsh (Approx.scala): LSH-bucketed candidates +
+    * exact dot re-rank, recall-tested against this op. */
+  def cosineDupPairs(emb: DataFrame, minSim: Double): DataFrame = {
+    val e = emb
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+              Det.r6(dot64(emb.sparkSession, "va", "vb")).as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val ops: Seq[OpDef] = Seq(
 
     // ------------------------------------------------------- exact dedup
@@ -102,16 +340,7 @@ object LlmOps {
         |FROM documents
         |GROUP BY text
         |ORDER BY keep_id""".stripMargin
-    ) { (s, d) =>
-      // survivor = min(doc_id) per identical text — NOT dropDuplicates,
-      // whose survivor choice is partition-order-dependent
-      documents(s, d)
-        .groupBy("text")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
-             min(col("n_chars")).as("n_chars"))
-        .select("keep_id", "n_copies", "n_chars")
-        .orderBy("keep_id")
-    },
+    ) { (s, d) => exactDedup(documents(s, d)) },
 
     // ------------------------------- near dedup: word-3-gram Jaccard ----
     OpDef(
@@ -128,26 +357,7 @@ object LlmOps {
         |JOIN gcnt cb ON j = cb.doc_id
         |WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) =>
-      // cache: the shingle set feeds both join sides and both size lookups
-      // (4 plan references) — at scale this is the persist-before-self-join
-      // pattern. Hot grams are dropped first (see gramsCapped) so no gram
-      // bucket in the self-join can exceed hotGramFrac × n_docs rows.
-      val g = gramsCapped(s, d).cache()
-      val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val inter = g.select(col("doc_id").as("i"), col("g"))
-        .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("n"))
-      val jac = col("n") * lit(1.0) / (col("ca") + col("cb") - col("n"))
-      inter
-        .join(gcnt.select(col("doc_id").as("i"), col("c").as("ca")), Seq("i"))
-        .join(gcnt.select(col("doc_id").as("j"), col("c").as("cb")), Seq("j"))
-        .filter(jac >= 0.5)
-        .select(col("i").as("doc_a"), col("j").as("doc_b"),
-                Det.r4(jac).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    ) { (s, d) => jaccardPairs(documents(s, d), 0.5) },
 
     // --------------------- near dedup: MinHash + LSH banding (md5) ------
     OpDef(
@@ -167,48 +377,7 @@ object LlmOps {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) =>
-      // 16 minhash permutations banded 4×4: docs agreeing on any full band
-      // become candidates. Sub-quadratic: the join key is (band, sig) —
-      // only same-bucket docs ever meet.
-      //
-      // Permutation family: 4 seeded md5s per gram, each split into four
-      // independent 32-bit hex chunks → 16 independent permutations from
-      // 4 hashes (NOT ha+i·hb double hashing — its minima are attained by
-      // the same gram across seeds, which correlates bands and multiplies
-      // false-positive candidates ~5× on this corpus). All 16 permutations
-      // are separate min() aggregates over one pass of the gram rows — no
-      // explode×16 (the round-1 19 s regression) — and partial aggregation
-      // collapses each partition to one 16-long row per doc map-side. min
-      // over longs stays on the HashAggregate fast path where min over md5
-      // strings would fall back to SortAggregate. (32-bit chunks: fine up
-      // to ~10⁸ distinct grams; widen to 12-hex/48-bit chunks over 8 md5s
-      // past that.)
-      def mh(seed: Int) = min(
-        expr(s"CAST(conv(substring(c${seed / 4}, ${1 + 8 * (seed % 4)}, 8), 16, 10) AS BIGINT)"))
-        .as(s"minh_$seed")
-      val hashed = grams(s, d)
-        .select(col("doc_id") +:
-          (0 to 3).map(j => md5(concat(lit(s"$j:"), col("g"))).as(s"c$j")): _*)
-        .groupBy("doc_id")
-        .agg(mh(0), (1 to 15).map(mh): _*)
-      // band sig = the 4 member minhashes joined in seed order (same string
-      // the oracle's string_agg ... ORDER BY seed builds)
-      def sig(b: Int) = concat_ws(",",
-        (0 until 4).map(i => col(s"minh_${4 * b + i}").cast("string")): _*)
-      val bands = hashed
-        .select(col("doc_id"),
-                posexplode(array(sig(0), sig(1), sig(2), sig(3)))
-                  .as(Seq("band", "sig")))
-        .cache() // reused by both sides of the candidate self-join
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-      a.join(b, Seq("band", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    },
+    ) { (s, d) => minhashPairs(documents(s, d)) },
 
     // ----------------------------- near dedup: 32-bit SimHash (md5) -----
     OpDef(
@@ -232,52 +401,7 @@ object LlmOps {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) =>
-      // bag-weighted 32-bit SimHash; bits come from md5 hex digits so both
-      // engines hash identically. One md5 per token folded to a single
-      // 32-bit value h (conv(reverse(first-8-hex)) ≡ the oracle's
-      // little-endian nibble indexing: bit b of h = bit b%4 of hex digit
-      // b/4), then the 32 per-bit counters are 32 sum() aggregates over
-      // ONE pass of the token rows — no 32× bit-explode through the
-      // shuffle (same pattern as the minhash fix; the per-(tok,b) oracle
-      // spelling computes identical values). s_b = Σ(2·bit−1) = 2·Σbit − n.
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"),
-          expr("CAST(conv(reverse(substring(md5(tok), 1, 8)), 16, 10) AS BIGINT)")
-            .as("h"))
-      def bitSum(b: Int) =
-        sum(expr(s"shiftright(h, $b) & 1")).as(s"n$b")
-      val agg0 = toks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), (0 to 31).map(bitSum): _*)
-      val simExpr = (0 to 31)
-        .map(b => s"(CASE WHEN 2 * n$b - n > 0 THEN ${1L << b}L ELSE 0L END)")
-        .mkString(" + ")
-      val sh = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
-        .cache() // reused by both sides of the candidate join
-      // Pigeonhole banding: 4 bands of 8 bits over the 32-bit hash. A pair
-      // at Hamming ≤ 3 differs in ≤ 3 bits, so at least one band is
-      // bit-identical — candidates come from an equi-join on (band, value)
-      // instead of an all-pairs BroadcastNestedLoopJoin; the exact Hamming
-      // filter then removes band-collision false positives. Same output as
-      // the quadratic scan, but the pair space is sharded by bucket (at
-      // wider corpora, widen the hash and bands to keep buckets small).
-      val banded = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*))
-          .as(Seq("band", "bv")))
-      val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bv"),
-                            col("simhash").as("ha"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bv"),
-                            col("simhash").as("hb"))
-      a.join(b, Seq("band", "bv"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-                bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    },
+    ) { (s, d) => simhashPairs(documents(s, d), 3) },
 
     // -------------------- near dedup: edit distance, prefix-blocked -----
     OpDef(
@@ -292,27 +416,7 @@ object LlmOps {
         | AND abs(a.n_chars - b.n_chars) <= 8
         |WHERE levenshtein(a.text, b.text) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) =>
-      // edit-distance near-dup with prefix blocking: the 32-char prefix is
-      // the equi join key (shuffle-friendly, shards the quadratic space),
-      // the length band is a cheap residual, and the O(n·m) levenshtein
-      // runs only on surviving candidates. The planted " dup" suffix pairs
-      // have edit distance exactly 4.
-      val p = documents(s, d)
-        .select(col("doc_id"), col("text"), col("n_chars"),
-                substring(col("text"), 1, 32).as("pfx"))
-      val a = p.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-                       col("n_chars").as("ca"), col("pfx"))
-      val b = p.select(col("doc_id").as("doc_b"), col("text").as("tb"),
-                       col("n_chars").as("cb"), col("pfx"))
-      a.join(b, Seq("pfx"))
-        .filter(col("doc_a") < col("doc_b") &&
-                abs(col("ca") - col("cb")) <= 8)
-        .select(col("doc_a"), col("doc_b"),
-                levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
-        .filter(col("edit_dist") <= 8)
-        .orderBy("doc_a", "doc_b")
-    },
+    ) { (s, d) => editDistancePairs(documents(s, d), 8) },
 
     // ------------------- near dedup: component clustering + canon -------
     OpDef(
@@ -336,59 +440,7 @@ object LlmOps {
         |       CAST(count(*) AS BIGINT) AS cluster_size
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin
-    ) { (s, d) =>
-      // connected components over the near-dup graph (the dedup pipeline's
-      // final step: every doc maps to the min doc_id of its component).
-      // Iterative min-label propagation — each iteration is one distributed
-      // join, loop runs to fixpoint (planted-dup components are tiny, so
-      // 2-3 iterations; the classic Pregel/large-star pattern at scale).
-      // Hot grams are dropped first (see gramsCapped) to bound the buckets.
-      val g = gramsCapped(s, d).cache()
-      val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val inter = g.select(col("doc_id").as("i"), col("g"))
-        .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("n"))
-      val jac = col("n") * lit(1.0) / (col("ca") + col("cb") - col("n"))
-      val pairs = inter
-        .join(gcnt.select(col("doc_id").as("i"), col("c").as("ca")), Seq("i"))
-        .join(gcnt.select(col("doc_id").as("j"), col("c").as("cb")), Seq("j"))
-        .filter(jac >= 0.5)
-        .select(col("i").as("a"), col("j").as("b"))
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-        .distinct().cache()
-      // localCheckpoint truncates the lineage each iteration — without it
-      // the logical plan (and Catalyst planning time) grows per iteration,
-      // the classic iterative-algorithm trap
-      var labels = edges.select(col("a").as("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      // convergence = Σlbl unchanged: labels are monotonically
-      // non-increasing (least of old and neighborhood min), so a stable
-      // sum is exactly the fixpoint — one cheap aggregate per iteration
-      // instead of a join + isEmpty (decimal sum: overflow-safe at any
-      // corpus size)
-      def lblSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-      var prevSum = lblSum(labels)
-      var converged = false
-      while (!converged) {
-        val next = edges
-          .join(labels, col("b") === col("v"))
-          .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
-          .join(labels, col("a") === col("v"))
-          .select(col("v"), least(col("lbl"), col("nlbl")).as("lbl"))
-          .localCheckpoint()
-        val s = lblSum(next)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        labels = next
-      }
-      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, Seq("lbl"))
-        .select(col("v").as("doc_id"), col("lbl").as("canon_id"),
-                col("cluster_size"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => dedupClusters(documents(s, d), 0.5) },
 
     // --------------------------- similarity: exact cosine top-k ---------
     OpDef(
@@ -406,23 +458,7 @@ object LlmOps {
         |  FROM sims)
         |SELECT qid, vec_id, sim, rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin
-    ) { (s, d) =>
-      // brute-force baseline: broadcast the query set, dot-product via
-      // higher-order functions (unit-norm vectors ⇒ cosine ≡ dot), rank on
-      // the *rounded* sim so cross-engine float noise cannot flip order.
-      val e = embeddings(s, d)
-        .select(col("vec_id"),
-                transform(col("embedding"), x => x.cast("double")).as("v"))
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-      broadcast(q).join(e, col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"),
-                Det.r6(dot64(s, "qv", "v")).as("sim"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .orderBy("qid", "rn")
-    },
+    ) { (s, d) => cosineTopK(embeddings(s, d), col("vec_id") < 8, 5) },
 
     // --------------------------- similarity: cosine near-dup pairs ------
     OpDef(
@@ -435,22 +471,7 @@ object LlmOps {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin
-    ) { (s, d) =>
-      // EXACT baseline: all-pairs scan, O(n²) by design — sf-bounded and
-      // oracle-checkable. The scale path is q_sim_cosine_dup_lsh
-      // (Approx.scala): LSH-bucketed candidates + exact dot re-rank,
-      // recall-tested against this op.
-      val e = embeddings(s, d)
-        .select(col("vec_id"),
-                transform(col("embedding"), x => x.cast("double")).as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-                Det.r6(dot64(s, "va", "vb")).as("sim"))
-        .filter(col("sim") >= 0.45)
-        .orderBy("vec_a", "vec_b")
-    },
+    ) { (s, d) => cosineDupPairs(embeddings(s, d), 0.45) },
 
     // ------------------------------------------- text: token analysis ---
     OpDef(
@@ -634,7 +655,7 @@ object LlmOps {
     ) { (s, d) =>
       // 1-permutation MinHash over 3-gram shingles: a stable corpus-level
       // content fingerprint (docs sharing it are near-dup candidates)
-      grams(s, d)
+      grams(documents(s, d))
         .groupBy("doc_id")
         .agg(min(md5(col("g"))).as("fingerprint"))
         .orderBy("doc_id")
