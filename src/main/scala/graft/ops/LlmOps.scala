@@ -330,6 +330,171 @@ object LlmOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Top-k tokens by document frequency per language (docs also needs a
+    * `lang` column). */
+  def topTokensPerLang(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("lang"), col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val df = toks.groupBy("lang", "tok").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_freq").desc, col("tok").asc)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("lang", "tok", "doc_freq", "rn")
+      .orderBy("lang", "rn")
+  }
+
+  /** Corpus stats per (lang, source): doc counts, total/avg chars, avg
+    * tokens. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           Det.r4(avg(col("n_chars"))).as("avg_chars"),
+           Det.r4(avg(size(split(col("text"), " ")).cast("double"))).as("avg_toks"))
+      .orderBy("lang", "source")
+
+  /** Marker-token language ID: each language's `markersPerLang`
+    * highest-doc-frequency tokens vote; a doc is classified to the
+    * language with most marker overlap (ties → lang asc). Two
+    * aggregations + one broadcast join (the marker table is top-k
+    * bounded, so broadcasting is safe at any corpus size). */
+  def languageId(docs: DataFrame, markersPerLang: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val df = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val wM = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok").asc)
+    val markers = df.withColumn("rn", row_number().over(wM))
+      .filter(col("rn") <= markersPerLang)
+      .select(col("lang").as("mlang"), col("tok"))
+    val scores = toks.join(broadcast(markers), Seq("tok"))
+      .groupBy("doc_id", "mlang").agg(count(lit(1)).as("score"))
+    val wB = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("mlang").asc)
+    val best = scores.withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("mlang").as("pred_lang"), col("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
+              (col("lang") === col("pred_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length saturation + (1 − stopword density), where
+    * stopwords are the corpus's own top-`nStopwords` tokens
+    * (deterministic, data-derived). The stopword top-k uses orderBy+limit
+    * → TakeOrderedAndProject (per-partition top-k + merge), NOT a global
+    * row_number window, which would move the whole vocabulary to a single
+    * partition. */
+  def qualityScores(docs: DataFrame, nStopwords: Int): DataFrame = {
+    val bag = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val stop = bag.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(nStopwords)
+      .select("tok")
+    val stopcnt = bag.join(broadcast(stop), Seq("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+    val base = docs
+      .select(col("doc_id"), col("n_chars"),
+              size(split(col("text"), " ")).as("n_toks"))
+    val nStop = coalesce(col("n_stop"), lit(0L)) * lit(1.0) / col("n_toks")
+    base.join(stopcnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+              col("n_toks").cast("long").as("n_toks"),
+              Det.r4(col("n_chars") * lit(1.0) / col("n_toks")).as("avg_tok_len"),
+              Det.r4(nStop).as("stop_ratio"),
+              Det.r4(lit(0.5) * least(col("n_toks") / lit(50.0), lit(1.0))
+                     + lit(0.5) * (lit(1.0) - nStop)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish upper bound (≈ len/4
+    * subwords per word, the usual bytes-per-token heuristic). Map-only. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"),
+              size(toks).cast("long").as("ws_tokens"),
+              aggregate(transform(toks, x => ceil(length(x) / lit(4.0))),
+                        lit(0L), (acc, x) => acc + x).as("subword_est"),
+              length(col("text")).cast("long").as("chars"))
+      .orderBy("doc_id")
+  }
+
+  /** 1-permutation MinHash over 3-gram shingles: a stable content
+    * fingerprint (docs sharing it are near-dup candidates). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    grams(docs)
+      .groupBy("doc_id")
+      .agg(min(md5(col("g"))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Classic TF-IDF, top-k terms per doc ranked on the rounded weight
+    * (cross-engine float safety). df is VOCABULARY-sized (corpus-derived,
+    * unbounded) so it shuffles on tok (AQE broadcasts it only if measured
+    * small); only the single-row N is broadcast unconditionally. */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    val bag = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = bag.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    bag.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+              Det.r6(col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
+                .as("tfidf"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Shannon entropy of each doc's token distribution: low entropy flags
+    * repetitive/boilerplate docs — a standard corpus-quality signal. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val bag = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val tot = bag.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    val p = col("c") * lit(1.0) / col("n")
+    bag.join(tot, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).cast("long").as("n_toks"),
+           Det.r6(-sum(p * log(p))).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-MLE bigram model scoring each doc by mean log P(w2|w1): the
+    * self-supervised fluency filter, all in relational algebra. The count
+    * tables are CORPUS-derived (bigram vocab grows with data), so they
+    * are NEVER broadcast-hinted — the scoring joins shuffle on
+    * (w1, w2)/(w1) and AQE demotes to broadcast only when a table is
+    * measured small at runtime. Bounded executor memory at any scale. */
+  def lmScores(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bg = docs
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+                      element_at(toks, i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .cache() // feeds c2, c1, and the scoring join
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(Det.r6(avg(log(col("c12") * lit(1.0) / col("c1")))).as("lm_score"),
+           count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[OpDef] = Seq(
 
     // ------------------------------------------------------- exact dedup
@@ -488,18 +653,7 @@ object LlmOps {
         |  FROM df)
         |SELECT lang, tok, doc_freq, rn FROM ranked WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin
-    ) { (s, d) =>
-      val toks = documents(s, d)
-        .select(col("lang"), col("doc_id"),
-                explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val df = toks.groupBy("lang", "tok").agg(count(lit(1)).as("doc_freq"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("doc_freq").desc, col("tok").asc)
-      df.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 20)
-        .select("lang", "tok", "doc_freq", "rn")
-        .orderBy("lang", "rn")
-    },
+    ) { (s, d) => topTokensPerLang(documents(s, d), 20) },
 
     OpDef(
       "q_text_stats",
@@ -510,15 +664,7 @@ object LlmOps {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin
-    ) { (s, d) =>
-      documents(s, d)
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_chars")).as("total_chars"),
-             Det.r4(avg(col("n_chars"))).as("avg_chars"),
-             Det.r4(avg(size(split(col("text"), " ")).cast("double"))).as("avg_toks"))
-        .orderBy("lang", "source")
-    },
+    ) { (s, d) => corpusStats(documents(s, d)) },
 
     // ------------------------------------------- text: language ID ------
     OpDef(
@@ -546,29 +692,7 @@ object LlmOps {
         |       d.lang = b.pred_lang AS correct
         |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin
-    ) { (s, d) =>
-      // marker-token heuristic: each language's 10 highest-doc-frequency
-      // tokens vote; a doc is classified to the language with most marker
-      // overlap (ties → lang asc). Two aggregations + one broadcast join.
-      val toks = documents(s, d)
-        .select(col("doc_id"), col("lang"),
-                explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val df = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-      val wM = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok").asc)
-      val markers = df.withColumn("rn", row_number().over(wM)).filter(col("rn") <= 10)
-        .select(col("lang").as("mlang"), col("tok"))
-      val scores = toks.join(broadcast(markers), Seq("tok"))
-        .groupBy("doc_id", "mlang").agg(count(lit(1)).as("score"))
-      val wB = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("mlang").asc)
-      val best = scores.withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("mlang").as("pred_lang"), col("score"))
-      documents(s, d).select(col("doc_id"), col("lang"))
-        .join(best, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
-                (col("lang") === col("pred_lang")).as("correct"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => languageId(documents(s, d), 10) },
 
     // ------------------------------------------- text: quality score ----
     OpDef(
@@ -594,32 +718,7 @@ object LlmOps {
         |        * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM base LEFT JOIN stopcnt sc ON base.doc_id = sc.doc_id
         |ORDER BY base.doc_id""".stripMargin
-    ) { (s, d) =>
-      // quality = length saturation + (1 − stopword density); stopwords are
-      // the corpus's own top-5 tokens (deterministic, data-derived).
-      val bag = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      // top-5 via orderBy+limit → TakeOrderedAndProject (per-partition
-      // top-5 + merge), NOT a global row_number window, which would move
-      // the whole vocabulary to a single partition
-      val stop = bag.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok").asc).limit(5)
-        .select("tok")
-      val stopcnt = bag.join(broadcast(stop), Seq("tok"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
-      val base = documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-                size(split(col("text"), " ")).as("n_toks"))
-      val nStop = coalesce(col("n_stop"), lit(0L)) * lit(1.0) / col("n_toks")
-      base.join(stopcnt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chars"),
-                col("n_toks").cast("long").as("n_toks"),
-                Det.r4(col("n_chars") * lit(1.0) / col("n_toks")).as("avg_tok_len"),
-                Det.r4(nStop).as("stop_ratio"),
-                Det.r4(lit(0.5) * least(col("n_toks") / lit(50.0), lit(1.0))
-                       + lit(0.5) * (lit(1.0) - nStop)).as("quality"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => qualityScores(documents(s, d), 5) },
 
     // ------------------------------------------- text: token counting ---
     OpDef(
@@ -631,18 +730,7 @@ object LlmOps {
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin
-    ) { (s, d) =>
-      // whitespace tokens + a BPE-ish upper bound (≈ len/4 subwords per
-      // word, the usual bytes-per-token heuristic)
-      val toks = split(col("text"), " ")
-      documents(s, d)
-        .select(col("doc_id"),
-                size(toks).cast("long").as("ws_tokens"),
-                aggregate(transform(toks, x => ceil(length(x) / lit(4.0))),
-                          lit(0L), (acc, x) => acc + x).as("subword_est"),
-                length(col("text")).cast("long").as("chars"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => tokenCounts(documents(s, d)) },
 
     // ------------------------------------------- text: fingerprinting ---
     OpDef(
@@ -652,14 +740,7 @@ object LlmOps {
         |FROM grams
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
-    ) { (s, d) =>
-      // 1-permutation MinHash over 3-gram shingles: a stable corpus-level
-      // content fingerprint (docs sharing it are near-dup candidates)
-      grams(documents(s, d))
-        .groupBy("doc_id")
-        .agg(min(md5(col("g"))).as("fingerprint"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => fingerprints(documents(s, d)) },
 
     // ------------------------------------------- text: TF-IDF -----------
     OpDef(
@@ -682,27 +763,7 @@ object LlmOps {
         |  FROM w)
         |SELECT doc_id, tok, tfidf, rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin
-    ) { (s, d) =>
-      // classic TF-IDF, ranked on the rounded weight (cross-engine float
-      // safety). df is VOCABULARY-sized (corpus-derived, unbounded) so it
-      // shuffles on tok (AQE broadcasts it only if measured small); only
-      // the single-row N is broadcast unconditionally.
-      val bag = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = bag.groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("tok").asc)
-      bag.join(df, Seq("tok"))
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("tok"),
-                Det.r6(col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
-                  .as("tfidf"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .orderBy("doc_id", "rn")
-    },
+    ) { (s, d) => tfidfTopK(documents(s, d), 3) },
 
     // ------------------------------------------- text: token entropy ----
     OpDef(
@@ -719,20 +780,7 @@ object LlmOps {
         |FROM bag JOIN tot ON bag.doc_id = tot.doc_id
         |GROUP BY bag.doc_id
         |ORDER BY bag.doc_id""".stripMargin
-    ) { (s, d) =>
-      // Shannon entropy of the token distribution: low entropy flags
-      // repetitive/boilerplate docs — a standard corpus-quality signal
-      val bag = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      val tot = bag.groupBy("doc_id").agg(sum(col("c")).as("n"))
-      val p = col("c") * lit(1.0) / col("n")
-      bag.join(tot, Seq("doc_id"))
-        .groupBy("doc_id")
-        .agg(max(col("n")).cast("long").as("n_toks"),
-             Det.r6(-sum(p * log(p))).as("entropy"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => tokenEntropy(documents(s, d)) },
 
     // ----------------------------------- text: bigram LM fluency score --
     OpDef(
@@ -753,31 +801,7 @@ object LlmOps {
         |JOIN c1 ON bg.w1 = c1.w1
         |GROUP BY bg.doc_id
         |ORDER BY bg.doc_id""".stripMargin
-    ) { (s, d) =>
-      // corpus-MLE bigram model scoring each doc by mean log P(w2|w1):
-      // the self-supervised fluency filter, all in relational algebra.
-      // The count tables are CORPUS-derived (bigram vocab grows with data),
-      // so they are NEVER broadcast-hinted — the scoring joins shuffle on
-      // (w1, w2)/(w1) and AQE demotes to broadcast only when a table is
-      // measured small at runtime. Bounded executor memory at any scale.
-      val toks = split(col("text"), " ")
-      val bg = documents(s, d)
-        .filter(size(toks) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-                        element_at(toks, i + 1).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .cache() // feeds c2, c1, and the scoring join
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      bg.join(c2, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .groupBy("doc_id")
-        .agg(Det.r6(avg(log(col("c12") * lit(1.0) / col("c1")))).as("lm_score"),
-             count(lit(1)).as("n_bigrams"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => lmScores(documents(s, d)) },
 
     // --------------------------------------- multimodal column assembly -
     OpDef(
