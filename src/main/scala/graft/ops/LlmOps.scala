@@ -58,9 +58,12 @@ object LlmOps {
     * (≈10¹⁸ candidate pairs from one stopword shingle); the absolute cap
     * bounds any bucket's pair count at C(1000,2) regardless of corpus
     * size, while the fractional term keeps the filter proportionate on
-    * small fixtures. */
+    * small fixtures. The hotGramMin floor keeps the cap inert on tiny
+    * tables (10% of a 5-doc table is 0.5 — without the floor EVERY gram
+    * would be "hot" and the whole shingle set dropped). */
   private val hotGramFrac = 0.1
   private val hotGramAbs = 1000.0
+  private val hotGramMin = 5.0
 
   /** [[grams]] minus hot grams. The hot set is pigeonhole-bounded —
     * at most (avg grams/doc) ÷ hotGramFrac keys regardless of corpus
@@ -70,7 +73,9 @@ object LlmOps {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val hot = g.groupBy("g").agg(count(lit(1)).as("df_g"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df_g") > least(col("n_docs") * hotGramFrac, lit(hotGramAbs)))
+      .filter(col("df_g") >
+        greatest(least(col("n_docs") * hotGramFrac, lit(hotGramAbs)),
+                 lit(hotGramMin)))
       .select("g")
     g.join(broadcast(hot), Seq("g"), "left_anti")
   }
@@ -81,7 +86,8 @@ object LlmOps {
       |hotg AS (
       |  SELECT g FROM grams GROUP BY g
       |  HAVING count(*) >
-      |    (SELECT least(count(*) * $hotGramFrac, $hotGramAbs) FROM documents)),
+      |    (SELECT greatest(least(count(*) * $hotGramFrac, $hotGramAbs),
+      |                     $hotGramMin) FROM documents)),
       |gramsf AS (
       |  SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hotg))""".stripMargin
 

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.LlmOps
+
+/** The DataFrame-parameterized API must work on ANY table with the
+  * documented column shape — not just the driver fixtures. These tests
+  * build tiny in-memory tables from scratch and run the public operators
+  * on them. */
+class ApiSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight", 51L),
+      (1L, "the quick brown fox jumps over the lazy dog tonight", 51L), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog today", 49L),   // near dup of 0
+      (3L, "completely different content about spark query engines", 54L),
+      (4L, "another unrelated document mentioning database systems", 54L))
+    rows.toDF("doc_id", "text", "n_chars")
+  }
+
+  test("exactDedup groups identical texts with min-id survivor") {
+    val out = LlmOps.exactDedup(docs).collect()
+    assert(out.length == 4, "5 docs, one exact-dup pair -> 4 groups")
+    val dupGroup = out.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(0) == 0L, "survivor must be the min doc_id")
+  }
+
+  test("jaccardPairs finds the planted near-dup on a hand-built table") {
+    val pairs = LlmOps.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair (jaccard 1.0)")
+    assert(pairs.contains((0L, 2L)), "near dup pair (differs in last token)")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+           "unrelated doc must not pair")
+  }
+
+  test("minhashPairs and simhashPairs surface the exact-dup pair") {
+    val mh = LlmOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((0L, 1L)), "identical texts share every band")
+    val sh = LlmOps.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((0L, 1L)), "identical texts have Hamming 0")
+  }
+
+  test("dedupClusters assigns one canon id to the {0,1,2} component") {
+    val canon = LlmOps.dedupClusters(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(0L) == 0L && canon(1L) == 0L && canon(2L) == 0L,
+           s"component must canonicalize to min id, got $canon")
+  }
+
+  test("tokenCounts and qualityScores run on the hand-built table") {
+    val tc = LlmOps.tokenCounts(docs).collect()
+    assert(tc.length == 5 && tc.head.getLong(1) > 0)
+    val q = LlmOps.qualityScores(docs, 2).collect()
+    assert(q.length == 5 && q.forall(r => r.getDouble(5) > 0.0))
+  }
+
+  test("cosineTopK and cosineDupPairs run on a hand-built embedding table") {
+    import spark.implicits._
+    // unit-norm 4-dim vectors: 0 and 1 identical, 2 orthogonal
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.col
+    val top = LlmOps.cosineTopK(emb, col("vec_id") === 0L, 1).collect()
+    assert(top.length == 1 && top.head.getLong(1) == 1L &&
+           top.head.getDouble(2) == 1.0)
+    val dups = LlmOps.cosineDupPairs(emb, 0.9).collect()
+    assert(dups.length == 1 &&
+           (dups.head.getLong(0), dups.head.getLong(1)) == (0L, 1L))
+  }
+}
