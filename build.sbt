@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of echoing it
+// via sbt's logger, which prefixes every line with "[info] " — that
+// prefix is why the driver could not parse Bench's JSON summary line
+// (BENCH_r01/r02 "parsed": null: no output line started with '{').
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
