@@ -87,8 +87,8 @@ object Approx {
       * `q_sim_cosine_dup` (whose all-pairs scan is the exact baseline).
       * Candidates come from a BucketedRandomProjectionLSH self-join: for
       * unit-norm vectors cos ≥ t ⇔ ‖a−b‖ ≤ √(2−2t), so the Euclidean
-      * radius √(2−2·0.45) ≈ 1.0488 captures every true pair a bucket
-      * collision surfaces; each candidate is then re-ranked with the exact
+      * radius √(2−2·0.45) captures every true pair a bucket collision
+      * surfaces; each candidate is then re-ranked with the exact
       * codegen'd dot product and thresholded — output rows are exact sims,
       * only recall is approximate (ApproxSpec pins it vs the exact op). */
     OpDef.noOracle("q_sim_cosine_dup_lsh") { (s, d) =>
@@ -101,7 +101,9 @@ object Approx {
         .setInputCol("features").setOutputCol("hashes")
         .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
       val model = lsh.fit(e)
-      model.approxSimilarityJoin(e, e, 1.0488, "dist")
+      // computed, not hand-rounded: 1.0488 < √1.1 would systematically
+      // reject true pairs with sim in [0.45, 0.4500093)
+      model.approxSimilarityJoin(e, e, math.sqrt(2 - 2 * 0.45), "dist")
         .select(col("datasetA.vec_id").as("vec_a"), col("datasetA.v").as("va"),
                 col("datasetB.vec_id").as("vec_b"), col("datasetB.v").as("vb"))
         .filter(col("vec_a") < col("vec_b"))

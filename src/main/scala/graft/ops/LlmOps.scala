@@ -65,9 +65,11 @@ object LlmOps {
   private val hotGramAbs = 1000.0
   private val hotGramMin = 5.0
 
-  /** [[grams]] minus hot grams. The hot set is pigeonhole-bounded —
-    * at most (avg grams/doc) ÷ hotGramFrac keys regardless of corpus
-    * size — so broadcasting it is safe at any scale. */
+  /** [[grams]] minus hot grams. Once the absolute cap binds (n_docs >
+    * hotGramAbs/hotGramFrac) the hot set is every gram with df above a
+    * fixed constant — a corpus-derived, Zipf-growing set — so it is NOT
+    * broadcast-hinted: the anti-join shuffles on `g` and AQE demotes to
+    * broadcast only when the set is measured small at runtime. */
   def gramsCapped(docs: DataFrame): DataFrame = {
     val g = grams(docs)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -77,7 +79,7 @@ object LlmOps {
         greatest(least(col("n_docs") * hotGramFrac, lit(hotGramAbs)),
                  lit(hotGramMin)))
       .select("g")
-    g.join(broadcast(hot), Seq("g"), "left_anti")
+    g.join(hot, Seq("g"), "left_anti")
   }
 
   /** The DuckDB spelling of [[gramsCapped]] (extends [[gramsSql]]). */
@@ -105,13 +107,28 @@ object LlmOps {
   // below are thin bindings of these functions to the driver fixtures
   // (mirroring graft.streaming.StreamOps, whose transforms are already
   // source-agnostic). Shapes: docs = (doc_id: long, text: string
-  // [, n_chars: long]); emb = (vec_id: long, embedding: array<float>).
+  // [, n_chars: long — derived as length(text) when absent]); emb =
+  // (vec_id: long, embedding: array<float>). corpusStats additionally
+  // needs (lang, source); languageId and topTokensPerLang need (lang).
+  //
+  // Caching contract: the self-join operators cache their shingle/
+  // signature intermediates (the plan references them 2–4 times).
+  // Caches scoped to an operator's internal loop are unpersisted before
+  // return; caches the *returned* plan still references cannot be —
+  // call spark.catalog.clearCache() (or .unpersist() the input) between
+  // repeated library calls, as Bench does between queries.
   // -------------------------------------------------------------------
+
+  /** `n_chars` is documented optional: pass it through when present,
+    * derive it as length(text) when absent. */
+  private def withNChars(docs: DataFrame): DataFrame =
+    if (docs.columns.contains("n_chars")) docs
+    else docs.withColumn("n_chars", length(col("text")).cast("long"))
 
   /** Exact dedup: survivor = min(doc_id) per identical text — NOT
     * dropDuplicates, whose survivor choice is partition-order-dependent. */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs
+    withNChars(docs)
       .groupBy("text")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
            min(col("n_chars")).as("n_chars"))
@@ -242,7 +259,7 @@ object LlmOps {
     * quadratic space), the length band is a cheap residual, and the
     * O(n·m) levenshtein runs only on surviving candidates. */
   def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val p = docs
+    val p = withNChars(docs)
       .select(col("doc_id"), col("text"), col("n_chars"),
               substring(col("text"), 1, 32).as("pfx"))
     val a = p.select(col("doc_id").as("doc_a"), col("text").as("ta"),
@@ -276,8 +293,13 @@ object LlmOps {
       .distinct().cache()
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    // sum-over-empty is NULL — coalesce to 0 so an edge-free graph (no
+    // pair meets the threshold) converges to an empty result instead of
+    // NPE-ing on the BigDecimal compare
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+                      lit(0).cast("decimal(38,0)")))
+        .head.getDecimal(0)
     var prevSum = lblSum(labels)
     var converged = false
     while (!converged) {
@@ -292,6 +314,9 @@ object LlmOps {
       prevSum = s
       labels = next
     }
+    // labels are localCheckpoint-ed (lineage truncated), so the edge
+    // cache is loop-scoped and can be released here
+    edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
       .select(col("v").as("doc_id"), col("lbl").as("canon_id"),
@@ -354,7 +379,7 @@ object LlmOps {
   /** Corpus stats per (lang, source): doc counts, total/avg chars, avg
     * tokens. */
   def corpusStats(docs: DataFrame): DataFrame =
-    docs
+    withNChars(docs)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).as("total_chars"),
@@ -403,7 +428,7 @@ object LlmOps {
       .select("tok")
     val stopcnt = bag.join(broadcast(stop), Seq("tok"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
-    val base = docs
+    val base = withNChars(docs)
       .select(col("doc_id"), col("n_chars"),
               size(split(col("text"), " ")).as("n_toks"))
     val nStop = coalesce(col("n_stop"), lit(0L)) * lit(1.0) / col("n_toks")

@@ -51,6 +51,28 @@ class ApiSpec extends SparkTestBase {
            s"component must canonicalize to min id, got $canon")
   }
 
+  test("dedupClusters returns empty on a table with no near-dup pairs") {
+    import spark.implicits._
+    // every pairwise 3-gram Jaccard is 0 — the near-dup graph has no
+    // edges; sum-over-empty convergence must not NPE (regression)
+    val clean = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", 35L),
+      (1L, "one two three four five six seven", 33L),
+      (2L, "red orange yellow green blue indigo violet", 42L))
+      .toDF("doc_id", "text", "n_chars")
+    assert(LlmOps.dedupClusters(clean, 0.5).collect().isEmpty)
+  }
+
+  test("operators derive n_chars when the column is absent") {
+    val noChars = docs.drop("n_chars")
+    val dd = LlmOps.exactDedup(noChars).collect()
+    assert(dd.length == 4 && dd.find(_.getLong(1) == 2L).get.getLong(2) == 51L,
+           "derived n_chars must equal length(text)")
+    assert(LlmOps.editDistancePairs(noChars, 8).collect()
+             .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(LlmOps.qualityScores(noChars, 2).collect().length == 5)
+  }
+
   test("tokenCounts and qualityScores run on the hand-built table") {
     val tc = LlmOps.tokenCounts(docs).collect()
     assert(tc.length == 5 && tc.head.getLong(1) > 0)
