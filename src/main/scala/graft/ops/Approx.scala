@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 
 /** §2.9 P2 — sub-quadratic scale paths for near-dedup and similarity
@@ -19,45 +19,13 @@ object Approx {
 
   val ops: Seq[OpDef] = Seq(
 
-    /** MinHash-LSH near-dup join (MLlib): word-3-gram shingle set →
-      * 4096-dim binary vector → 8 hash tables → approxSimilarityJoin at
-      * Jaccard distance ≤ 0.5. Seeded → deterministic across runs.
-      *
-      * Shingles, not unigram tokens: the fixture vocabulary is 31 words, so
-      * unigram token sets are near-identical corpus-wide and every minhash
-      * bucket would hold ~the whole corpus — approxSimilarityJoin degrades
-      * to an all-pairs scan (observed: one 700 s task at sf0.1). 3-gram
-      * space is vocab³, buckets stay tiny, the join stays near-linear. */
-    OpDef.noOracle("q_dedup_lsh") { (s, d) =>
-      val toks = split(col("text"), " ")
-      val docs = documents(s, d)
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"),
-          array_distinct(transform(
-            sequence(lit(1), size(toks) - 2),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-                                element_at(toks, i + 2)))).as("tokens"))
-      val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
-        .setNumFeatures(4096).setBinary(true)
-      // cache: the LSH self-join evaluates each side (shingling + hashing
-      // lineage) independently per stage without it — MLlib's own guidance
-      // for approxSimilarityJoin inputs
-      val feat = tf.transform(docs).cache()
-      // 2 tables: a true pair at J≥0.9 is caught with p = 1−0.1² ≈ 0.99
-      // (ApproxSpec pins recall ≥ 0.8 vs the exact op), while candidate
-      // volume — the whole cost of approxSimilarityJoin, each candidate
-      // paying a 4096-dim sparse Jaccard — scales linearly with tables
-      // (measured 10.4 s at 4 tables → ~5 s at 2, sf0.1)
-      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(2).setSeed(42L)
-      val model = lsh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-        .select(col("datasetA.doc_id").as("doc_a"),
-                col("datasetB.doc_id").as("doc_b"),
-                Det.r4(lit(1.0) - col("jaccard_dist")).as("est_jaccard"))
-        .filter(col("doc_a") < col("doc_b"))
-        .orderBy("doc_a", "doc_b")
-    },
+    // q_dedup_lsh — the LSH near-dup scale path — lives in LlmOps: its
+    // native banded-minhash formulation (md5 permutations) is deterministic
+    // and therefore oracle-checked there. An MLlib MinHashLSH formulation
+    // was measured and rejected for the role: approxSimilarityJoin pays a
+    // 4096-dim sparse-vector Jaccard (keyDistance) per candidate — 7.5 s at
+    // sf0.1 vs ~3 s for the signature-agreement estimate, and the gap
+    // widens with document length since signatures are constant-size.
 
     /** Random-projection-LSH ANN (MLlib): bucketed Euclidean join from the
       * 8-query set to all vectors (unit-norm ⇒ dist² = 2−2·cos), ranked to

@@ -152,23 +152,32 @@ object LlmOps {
     * strings would fall back to SortAggregate. (32-bit chunks: fine up to
     * ~10⁸ distinct grams; widen to 12-hex/48-bit chunks over 8 md5s past
     * that.) */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  /** Per-doc 16-permutation minhash signature: (doc_id, minh_0..minh_15).
+    * The shared signature stage of [[minhashPairs]] and [[lshDedupPairs]]. */
+  def minhashSigs(docs: DataFrame): DataFrame = {
     def mh(seed: Int) = min(
       expr(s"CAST(conv(substring(c${seed / 4}, ${1 + 8 * (seed % 4)}, 8), 16, 10) AS BIGINT)"))
       .as(s"minh_$seed")
-    val hashed = grams(docs)
+    grams(docs)
       .select(col("doc_id") +:
         (0 to 3).map(j => md5(concat(lit(s"$j:"), col("g"))).as(s"c$j")): _*)
       .groupBy("doc_id")
       .agg(mh(0), (1 to 15).map(mh): _*)
-    // band sig = the 4 member minhashes joined in seed order (same string
-    // the oracle's string_agg ... ORDER BY seed builds)
+  }
+
+  /** Banded candidate rows from a signature table: (doc_id, band, sig)
+    * where sig = the band's 4 member minhashes joined in seed order (the
+    * same string the oracle's string_agg ... ORDER BY seed builds), plus
+    * any extra columns the caller carried on `sigs`. */
+  private def minhashBands(sigs: DataFrame, carry: Column*): DataFrame = {
     def sig(b: Int) = concat_ws(",",
       (0 until 4).map(i => col(s"minh_${4 * b + i}").cast("string")): _*)
-    val bands = hashed
-      .select(col("doc_id"),
-              posexplode(array(sig(0), sig(1), sig(2), sig(3)))
-                .as(Seq("band", "sig")))
+    sigs.select(col("doc_id") +: carry :+
+      posexplode(array(sig(0), sig(1), sig(2), sig(3))).as(Seq("band", "sig")): _*)
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(minhashSigs(docs))
       .cache() // reused by both sides of the candidate self-join
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
@@ -176,6 +185,37 @@ object LlmOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The full LSH dedup pipeline — the designated 100 TB near-dup path:
+    * banded minhash candidates (sub-quadratic: only same-bucket docs ever
+    * meet) + signature-agreement Jaccard estimate (E[agree/16] = J), kept
+    * when the estimate clears `threshold`. Per-candidate cost is a
+    * 16-element signature compare — constant, independent of document
+    * length — where a verify-on-text design would re-read both gram sets
+    * per pair. Deterministic (md5 permutations), so unlike randomized-LSH
+    * formulations it is oracle-checkable; recall vs the exact operator is
+    * additionally property-tested (ApproxSpec). */
+  def lshDedupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigArr = array((0 to 15).map(i => col(s"minh_$i")): _*)
+    val bands = minhashBands(minhashSigs(docs).withColumn("sig16", sigArr),
+                             col("sig16"))
+      .cache() // both sides of the candidate self-join
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig16").as("sa"),
+                         col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig16").as("sb"),
+                         col("band"), col("sig"))
+    val agree = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+              Det.r4(agree / lit(16.0)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -574,6 +614,37 @@ object LlmOps {
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) => minhashPairs(documents(s, d)) },
+
+    // ----------- near dedup at scale: banded LSH + signature estimate ---
+    OpDef(
+      "q_dedup_lsh",
+      s"""WITH $gramsSql,
+        |hashed AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST('0x' || substring(md5((seed // 4) || ':' || g),
+        |                               1 + 8 * (seed % 4), 8) AS BIGINT)) AS minh
+        |  FROM grams, (SELECT unnest(range(0, 16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM hashed GROUP BY doc_id, seed // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    floor((sum(CASE WHEN ha.minh = hb.minh THEN 1 ELSE 0 END) / 16.0)
+        |          * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN hashed ha ON ha.doc_id = c.doc_a
+        |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.seed = ha.seed
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) => lshDedupPairs(documents(s, d), 0.5) },
 
     // ----------------------------- near dedup: 32-bit SimHash (md5) -----
     OpDef(
