@@ -248,38 +248,41 @@ object LlmOps {
   }
 
   /** SimHash near-dup pairs at Hamming ≤ maxHamming (≤ 3 for the banded
-    * formulation). Bag-weighted 32-bit SimHash; bits come from md5 hex
+    * formulation). Bag-weighted 48-bit SimHash; bits come from md5 hex
     * digits so both engines hash identically. One md5 per token folds to
-    * a single 32-bit value h (conv(reverse(first-8-hex)) ≡ little-endian
-    * nibble indexing: bit b of h = bit b%4 of hex digit b/4), then the 32
-    * per-bit counters are 32 sum() aggregates over ONE pass of the token
-    * rows — no 32× bit-explode through the shuffle. s_b = 2·Σbit − n.
+    * a single 48-bit value h (conv(reverse(first-12-hex)) ≡ little-endian
+    * nibble indexing: bit b of h = bit b%4 of hex digit b/4), then the 48
+    * per-bit counters are 48 sum() aggregates over ONE pass of the token
+    * rows — no 48× bit-explode through the shuffle. s_b = 2·Σbit − n.
     *
-    * Candidates come from pigeonhole banding: 4 bands of 8 bits — a pair
+    * Candidates come from pigeonhole banding: 4 bands of 12 bits — a pair
     * at Hamming ≤ 3 differs in ≤ 3 bits, so at least one band is
     * bit-identical, and the equi-join on (band, value) replaces the
     * all-pairs BroadcastNestedLoopJoin; the exact Hamming filter then
-    * removes band-collision false positives. At wider corpora, widen the
-    * hash and bands to keep buckets small. */
+    * removes band-collision false positives. 12-bit bands (4096 values)
+    * rather than 8-bit (256): expected bucket size — and the quadratic
+    * within-bucket pair count — drops 16×/256×, which is what keeps the
+    * candidate join flat as the corpus grows. Widen further for 100 TB
+    * (e.g. 64-bit hash, 4×16-bit bands). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4x8-bit banding guarantees recall only for Hamming <= 3")
+    require(maxHamming <= 3, "4x12-bit banding guarantees recall only for Hamming <= 3")
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
-        expr("CAST(conv(reverse(substring(md5(tok), 1, 8)), 16, 10) AS BIGINT)")
+        expr("CAST(conv(reverse(substring(md5(tok), 1, 12)), 16, 10) AS BIGINT)")
           .as("h"))
     def bitSum(b: Int) =
       sum(expr(s"shiftright(h, $b) & 1")).as(s"n$b")
     val agg0 = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), (0 to 31).map(bitSum): _*)
-    val simExpr = (0 to 31)
+      .agg(count(lit(1)).as("n"), (0 to 47).map(bitSum): _*)
+    val simExpr = (0 to 47)
       .map(b => s"(CASE WHEN 2 * n$b - n > 0 THEN ${1L << b}L ELSE 0L END)")
       .mkString(" + ")
     val sh = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
       .cache() // reused by both sides of the candidate join
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*))
+        shiftright(col("simhash"), 12 * i).bitwiseAND(lit(4095L))): _*))
         .as(Seq("band", "bv")))
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bv"),
                           col("simhash").as("ha"))
@@ -646,7 +649,7 @@ object LlmOps {
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) => lshDedupPairs(documents(s, d), 0.5) },
 
-    // ----------------------------- near dedup: 32-bit SimHash (md5) -----
+    // ----------------------------- near dedup: 48-bit SimHash (md5) -----
     OpDef(
       "q_dedup_simhash",
       """WITH toks AS (
@@ -655,7 +658,7 @@ object LlmOps {
         |  SELECT doc_id, b,
         |    ((strpos('0123456789abcdef', substring(md5(tok), 1 + b // 4, 1)) - 1)
         |      >> (b % 4)) & 1 AS bit
-        |  FROM toks, (SELECT unnest(range(0, 32)) AS b)),
+        |  FROM toks, (SELECT unnest(range(0, 48)) AS b)),
         |bitsum AS (
         |  SELECT doc_id, b, sum(2 * bit - 1) AS s
         |  FROM tokbits GROUP BY doc_id, b),
