@@ -232,8 +232,12 @@ object LlmOps {
   /** [[jaccardPairs]] without the rounding projection and final sort —
     * the form downstream consumers ([[dedupClusters]]) compose on, so
     * the sort isn't dragged into their pipelines. */
-  private def jaccardPairsRaw(docs: DataFrame, threshold: Double): DataFrame = {
-    val g = gramsCapped(docs).cache()
+  private def jaccardPairsRaw(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsFrom(gramsCapped(docs).cache(), threshold)
+
+  /** Jaccard pairs from an already-built (and caller-cached) capped gram
+    * table — lets [[dedupClusters]] own the cache so it can release it. */
+  private def jaccardPairsFrom(g: DataFrame, threshold: Double): DataFrame = {
     val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = g.select(col("doc_id").as("i"), col("g"))
       .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
@@ -330,7 +334,8 @@ object LlmOps {
     * is exactly the fixpoint — one cheap aggregate per iteration instead
     * of a join + isEmpty (decimal sum: overflow-safe at any size). */
   def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = jaccardPairsRaw(docs, threshold)
+    val g = gramsCapped(docs).cache()
+    val pairs = jaccardPairsFrom(g, threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
@@ -346,20 +351,22 @@ object LlmOps {
     var prevSum = lblSum(labels)
     var converged = false
     while (!converged) {
-      val next = edges
-        .join(labels, col("b") === col("v"))
-        .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
-        .join(labels, col("a") === col("v"))
-        .select(col("v"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // min over {own label} ∪ {neighbors' labels} as one union + one
+      // aggregate — one join per iteration, not join + rejoin
+      val next = labels
+        .union(edges.join(labels, col("b") === col("v"))
+                 .select(col("a").as("v"), col("lbl")))
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
     }
-    // labels are localCheckpoint-ed (lineage truncated), so the edge
-    // cache is loop-scoped and can be released here
+    // labels are localCheckpoint-ed (lineage truncated), so the gram and
+    // edge caches are loop-scoped and can be released here
     edges.unpersist()
+    g.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
       .select(col("v").as("doc_id"), col("lbl").as("canon_id"),
