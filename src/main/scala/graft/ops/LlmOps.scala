@@ -335,8 +335,19 @@ object LlmOps {
     * of a join + isEmpty (decimal sum: overflow-safe at any size). */
   def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
     val g = gramsCapped(docs).cache()
-    val pairs = jaccardPairsFrom(g, threshold)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val out = clusterPairs(jaccardPairsFrom(g, threshold)
+      .select(col("doc_a"), col("doc_b")))
+    g.unpersist()
+    out
+  }
+
+  /** Connected components over ANY undirected pair table
+    * (doc_a, doc_b) — the generic half of [[dedupClusters]], reused by
+    * the semantic (embedding-space) clustering op. Returns
+    * (doc_id, canon_id, cluster_size) for every vertex that appears in a
+    * pair; canon_id = min doc_id of the component. */
+  def clusterPairs(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     var labels = edges.select(col("a").as("v")).distinct()
@@ -363,15 +374,69 @@ object LlmOps {
       prevSum = s
       labels = next
     }
-    // labels are localCheckpoint-ed (lineage truncated), so the gram and
-    // edge caches are loop-scoped and can be released here
+    // labels are localCheckpoint-ed (lineage truncated), so the edge
+    // cache is loop-scoped and can be released here
     edges.unpersist()
-    g.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
       .select(col("v").as("doc_id"), col("lbl").as("canon_id"),
               col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  /** Semantic (embedding-space) dedup: connected components over the
+    * cosine-similarity graph at `minSim` — the "same content, different
+    * words" counterpart of [[dedupClusters]]. Uses the exact pair scan
+    * ([[cosineDupPairs]]); at scale feed [[clusterPairs]] from the LSH
+    * candidate path (q_sim_cosine_dup_lsh) instead, which surfaces the
+    * same exact-sim pairs sub-quadratically. */
+  def semanticClusters(emb: DataFrame, minSim: Double): DataFrame =
+    clusterPairs(cosineDupPairs(emb, minSim)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
+  /** Incremental near-dedup — the 100 TB production shape: band-join the
+    * NEW slice's minhash signatures against the EXISTING corpus index
+    * instead of re-deduping everything. Work scales with |new| + the
+    * touched buckets of |corpus|, not |corpus|²; the signature table is
+    * exactly what a production pipeline would persist between runs.
+    * Returns (new_id, dup_of, est_jaccard ≥ threshold). */
+  def incrementalDedupPairs(newDocs: DataFrame, corpus: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sigArr = array((0 to 15).map(i => col(s"minh_$i")): _*)
+    def banded(docs: DataFrame) =
+      minhashBands(minhashSigs(docs).withColumn("sig16", sigArr), col("sig16"))
+    val n = banded(newDocs).select(col("doc_id").as("new_id"),
+                                   col("sig16").as("sa"), col("band"), col("sig"))
+    val c = banded(corpus).select(col("doc_id").as("dup_of"),
+                                  col("sig16").as("sb"), col("band"), col("sig"))
+    val agree = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    n.join(c, Seq("band", "sig"))
+      .select(col("new_id"), col("dup_of"), col("sa"), col("sb"))
+      .distinct()
+      .select(col("new_id"), col("dup_of"),
+              Det.r4(agree / lit(16.0)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("new_id", "dup_of")
+  }
+
+  /** Vocabulary stats per (lang, source): type-token ratio and hapax
+    * fraction — the standard corpus-diversity signals (low TTR flags
+    * templated/boilerplate slices). Two aggregations, shuffle-bounded. */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val bag = docs
+      .select(col("lang"), col("source"),
+              explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "source", "tok").agg(count(lit(1)).as("c"))
+    bag.groupBy("lang", "source")
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("source"), col("n_tokens"), col("n_types"),
+              Det.r6(col("n_types") * lit(1.0) / col("n_tokens")).as("ttr"),
+              Det.r6(col("n_hapax") * lit(1.0) / col("n_types")).as("hapax_ratio"))
+      .orderBy("lang", "source")
   }
 
   /** Exact cosine top-k: brute-force baseline — broadcast the query set
@@ -719,6 +784,67 @@ object LlmOps {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) => dedupClusters(documents(s, d), 0.5) },
 
+    // ---------------- semantic dedup: components in embedding space -----
+    OpDef(
+      "q_dedup_semantic",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT va AS a, vb AS b FROM sims WHERE sim >= 0.45),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT v, v FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS canon_id,
+        |       CAST(count(*) AS BIGINT) AS cluster_size
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) => semanticClusters(embeddings(s, d), 0.45) },
+
+    // -------------- incremental dedup: new slice vs corpus index --------
+    OpDef(
+      "q_dedup_incremental",
+      s"""WITH $gramsSql,
+        |hashed AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST('0x' || substring(md5((seed // 4) || ':' || g),
+        |                               1 + 8 * (seed % 4), 8) AS BIGINT)) AS minh
+        |  FROM grams, (SELECT unnest(range(0, 16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM hashed GROUP BY doc_id, seed // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+        |est AS (
+        |  SELECT c.new_id, c.dup_of,
+        |    floor((sum(CASE WHEN ha.minh = hb.minh THEN 1 ELSE 0 END) / 16.0)
+        |          * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN hashed ha ON ha.doc_id = c.new_id
+        |  JOIN hashed hb ON hb.doc_id = c.dup_of AND hb.seed = ha.seed
+        |  GROUP BY c.new_id, c.dup_of)
+        |SELECT new_id, dup_of, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY new_id, dup_of""".stripMargin
+    ) { (s, d) =>
+      // "new" slice = doc_id ≡ 0 (mod 3): an arbitrary but deterministic
+      // ~1/3 batch that crosses the fixture's planted (i, i+50) dup pairs
+      // (mod 2/5/10 splits would put both ends in the same slice)
+      val docs = documents(s, d)
+      incrementalDedupPairs(docs.filter(col("doc_id") % 3 === 0),
+                            docs.filter(col("doc_id") % 3 =!= 0), 0.5)
+    },
+
     // --------------------------- similarity: exact cosine top-k ---------
     OpDef(
       "q_sim_topk",
@@ -777,6 +903,25 @@ object LlmOps {
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin
     ) { (s, d) => corpusStats(documents(s, d)) },
+
+    // ------------------------------- text: vocabulary diversity ---------
+    OpDef(
+      "q_text_ttr",
+      """WITH bag AS (
+        |  SELECT lang, source, tok, count(*) AS c FROM (
+        |    SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY lang, source, tok)
+        |SELECT lang, source,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  floor((count(*) * 1.0 / sum(c)) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+        |  floor((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS hapax_ratio
+        |FROM bag
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
+    ) { (s, d) => vocabStats(documents(s, d)) },
 
     // ------------------------------------------- text: language ID ------
     OpDef(

@@ -73,6 +73,24 @@ class ApiSpec extends SparkTestBase {
     assert(LlmOps.qualityScores(noChars, 2).collect().length == 5)
   }
 
+  test("clusterPairs components any pair table; incremental dedup crosses slices") {
+    import spark.implicits._
+    // chain 10-11-12 plus isolated pair 20-21
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val canon = LlmOps.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(canon(10L) == ((10L, 3L)) && canon(11L) == ((10L, 3L)) &&
+           canon(12L) == ((10L, 3L)), s"chain must canonicalize to 10, got $canon")
+    assert(canon(20L) == ((20L, 2L)) && canon(21L) == ((20L, 2L)))
+
+    val newSlice = docs.filter("doc_id = 1 or doc_id = 2")
+    val corpus = docs.filter("doc_id = 0 or doc_id >= 3")
+    val inc = LlmOps.incrementalDedupPairs(newSlice, corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((1L, 0L)), "new exact-dup doc must hit the corpus index")
+    assert(!inc.exists(_._2 == 4L), "unrelated corpus doc must not pair")
+  }
+
   test("tokenCounts and qualityScores run on the hand-built table") {
     val tc = LlmOps.tokenCounts(docs).collect()
     assert(tc.length == 5 && tc.head.getLong(1) > 0)
