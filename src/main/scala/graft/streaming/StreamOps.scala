@@ -162,6 +162,89 @@ object StreamOps {
       col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
   }
 
+  /** A timestamped document flowing through [[streamingNearDup]]. */
+  case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  /** A doc exploded into one of its 4 band buckets (public: encoder). */
+  case class BandedDoc(doc_id: Long, ts: java.sql.Timestamp,
+                       sig16: Seq[Long], bucket: String)
+  /** One stored signature in a band bucket (public: encoder codegen). */
+  case class BucketEntry(docId: Long, sig: Seq[Long])
+  /** Band-bucket state for [[streamingNearDup]]. */
+  case class BucketState(entries: List[BucketEntry])
+  /** A detected streaming near-duplicate: `doc_id` arrived after and
+    * matches `dup_of` with minhash-agreement ≥ the threshold. */
+  case class NearDup(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+  /** Streaming near-dedup of a document firehose — the stateful twin of
+    * the batch `LlmOps.lshDedupPairs`: each doc's 16-permutation minhash
+    * signature is computed MAP-ONLY (word-3-gram array + `array_min` over
+    * higher-order transforms — no aggregation, so the only stateful op in
+    * the query is the bucket store), then the doc lands in 4 band buckets
+    * and is compared against the signatures already stored there. State is
+    * bounded two ways: per-bucket entry cap (`maxBucket`, hot buckets stop
+    * absorbing — mirroring the batch hot-gram cap) and event-time timeout
+    * (idle buckets evicted once the watermark passes 30 min past their
+    * newest doc). A pair agreeing in several bands emits once per band —
+    * `.dropDuplicates` downstream or tolerate at-least-once, as with any
+    * streaming join. */
+  def streamingNearDup(spark: SparkSession, docs: DataFrame,
+                       threshold: Double, maxBucket: Int = 64): Dataset[NearDup] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val toks = split(col("text"), " ")
+    val gramsArr = array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                          element_at(toks, i + 2))))
+    val hashes = transform(col("grams"),
+      g => struct((0 to 3).map(j => md5(concat(lit(s"$j:"), g)).as(s"c$j")): _*))
+    def mh(seed: Int) = array_min(transform(col("hashes"),
+      h => conv(substring(h.getField(s"c${seed / 4}"), 1 + 8 * (seed % 4), 8),
+                16, 10).cast("long")))
+    def bandSig(b: Int) = concat_ws(",",
+      (0 until 4).map(i => element_at(col("sig16"), 4 * b + i + 1).cast("string")): _*)
+    val banded = docs
+      .filter(size(toks) >= 3)
+      .withColumn("grams", gramsArr)
+      .withColumn("hashes", hashes)
+      .withColumn("sig16", array((0 to 15).map(mh): _*))
+      .drop("grams", "hashes", "text")
+      .withColumn("bucket",
+        explode(array((0 until 4).map(b =>
+          concat_ws("|", lit(b), bandSig(b))): _*)))
+      .withWatermark("ts", "10 minutes")
+      .as[BandedDoc]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BucketState(Nil))
+            val out = List.newBuilder[NearDup]
+            var maxTsMs = 0L
+            // arrival order within a micro-batch is not defined — process
+            // in (ts, doc_id) order so dup_of is always the earlier doc
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { d =>
+              if (d.ts.getTime > maxTsMs) maxTsMs = d.ts.getTime
+              st.entries.foreach { e =>
+                val agree = e.sig.iterator.zip(d.sig16.iterator)
+                  .count { case (a, b) => a == b } / 16.0
+                if (agree >= threshold)
+                  out += NearDup(d.doc_id, e.docId,
+                                 math.floor(agree * 1e4 + 0.5) / 1e4)
+              }
+              if (st.entries.length < maxBucket)
+                st = BucketState(BucketEntry(d.doc_id, d.sig16) :: st.entries)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(maxTsMs + 30 * 60 * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

@@ -181,6 +181,33 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(sessions.head.getDouble(2) - 3.0) < 1e-9)
   }
 
+  test("streaming near-dup flags a later doc against earlier signatures") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamOps.DocEvent]
+    val name = nextName()
+    val q = StreamOps.streamingNearDup(spark, ms.toDF(), 0.5)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog tonight again"
+    ms.addData(
+      StreamOps.DocEvent(1L, ts("2024-01-01 10:00:00"), base),
+      StreamOps.DocEvent(2L, ts("2024-01-01 10:01:00"),
+        "completely different content about spark query engines at scale"))
+    q.processAllAvailable()
+    // near-dup of doc 1 arrives in a LATER micro-batch: must match the
+    // signature stored in the band-bucket state
+    ms.addData(StreamOps.DocEvent(3L, ts("2024-01-01 10:05:00"), base + " dup"))
+    q.processAllAvailable()
+    val dups = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(dups.exists { case (d, of, est) => d == 3L && of == 1L && est >= 0.5 },
+           s"doc 3 must be flagged against doc 1, got $dups")
+    assert(!dups.exists { case (d, of, _) => d == 2L || of == 2L },
+           s"unrelated doc 2 must not pair, got $dups")
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
