@@ -642,6 +642,20 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing ≥ `minShared`
+    * word-3-gram shingles with an evaluation set — the standard
+    * train/test-overlap check before a corpus ships. The benchmark gram
+    * set is broadcast: eval sets are bounded by construction (thousands
+    * of docs), unlike corpus-derived tables which are never hinted. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    minShared: Int): DataFrame = {
+    val bg = grams(benchmark).select("g").distinct()
+    grams(corpus).join(broadcast(bg), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus curation — the composed pipeline a training-data
     * run actually executes, built entirely from the public operators:
     * 1. exact dedup ([[exactDedup]]: min-id survivor per identical text);
@@ -868,6 +882,30 @@ object LlmOps {
       val docs = documents(s, d)
       incrementalDedupPairs(docs.filter(col("doc_id") % 3 === 0),
                             docs.filter(col("doc_id") % 3 =!= 0), 0.5)
+    },
+
+    // ---------------- decontamination: eval-set n-gram overlap ----------
+    OpDef(
+      "q_text_contamination",
+      s"""WITH $gramsSql,
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 7),
+        |shared AS (
+        |  SELECT gr.doc_id, count(*) AS shared_grams
+        |  FROM grams gr JOIN bench b ON gr.g = b.g
+        |  WHERE gr.doc_id % 20 <> 7
+        |  GROUP BY gr.doc_id)
+        |SELECT doc_id, shared_grams FROM shared
+        |WHERE shared_grams >= 10
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // "benchmark" = the deterministic 5% doc_id ≡ 7 (mod 20) slice
+      // standing in for an eval set; the rest is the training corpus.
+      // Threshold 10 sits above the fixture's incidental-overlap floor
+      // (≤4 shared grams at sf0.01) and far below true contamination
+      // (planted dups of benchmark docs share ~90 grams).
+      val docs = documents(s, d)
+      contamination(docs.filter(col("doc_id") % 20 =!= 7),
+                    docs.filter(col("doc_id") % 20 === 7), 10)
     },
 
     // ------------------- curation: the composed end-to-end pipeline -----

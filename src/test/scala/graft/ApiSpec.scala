@@ -91,6 +91,17 @@ class ApiSpec extends SparkTestBase {
     assert(!inc.exists(_._2 == 4L), "unrelated corpus doc must not pair")
   }
 
+  test("contamination flags only corpus docs overlapping the benchmark") {
+    val bench = docs.filter("doc_id = 0")
+    val corpus = docs.filter("doc_id >= 2")
+    val hits = LlmOps.contamination(corpus, bench, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 2 shares all but the last-token 3-grams with doc 0; 3 and 4
+    // share none
+    assert(hits.keySet == Set(2L), s"got $hits")
+    assert(hits(2L) >= 3L)
+  }
+
   test("curateCorpus keeps exact survivors and near-dup canons only") {
     val kept = LlmOps.curateCorpus(
         docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
