@@ -47,11 +47,86 @@ object Multimodal {
       .mapPartitions(decodeBatch _)
   }
 
+  /** One sampled frame of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long, n_bytes: Long)
+
+  /** STUB frame sampler — the 1→N shape of video processing: each input
+    * row explodes into every-`everyMs` frames through a per-partition
+    * iterator (a real implementation opens the container once per row and
+    * seeks; init cost amortizes per partition). The fake derives a
+    * deterministic "duration" from the payload so tests are stable. */
+  def sampleFrames(rows: Iterator[MediaRow], everyMs: Long): Iterator[Frame] = {
+    // [real demuxer/codec init would happen here, once per partition]
+    rows.flatMap { r =>
+      val durMs = 1000L + (r.payload.length % 9000)
+      (0L until durMs by everyMs).zipWithIndex.iterator.map { case (t, i) =>
+        Frame(r.doc_id, i, t, math.min(r.payload.length.toLong, 4096L))
+      }
+    }
+  }
+
+  /** documents.text → binary payload → per-partition frame sampling. */
+  def frameSample(spark: SparkSession, docs: DataFrame,
+                  everyMs: Long): Dataset[Frame] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+              col("lang"))
+      .as[MediaRow]
+      .mapPartitions(rows => sampleFrames(rows, everyMs))
+  }
+
+  /** Resized media row (payload size rescaled by pixel ratio). */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, n_bytes: Long)
+
+  /** STUB resize — a typed transform CHAINED after decode, the shape of a
+    * multi-stage media pipeline (decode → resize → encode) where each
+    * stage is an independent per-partition batch. */
+  def resizeBatch(rows: Iterator[DecodedMedia], w: Int, h: Int): Iterator[ResizedMedia] =
+    rows.map { m =>
+      val scaled = m.n_bytes * (w.toLong * h) / math.max(m.width.toLong * m.height, 1L)
+      ResizedMedia(m.doc_id, w, h, math.max(scaled, 1L))
+    }
+
+  /** Media feature vector — the contract a real image/audio encoder
+    * (CLIP-ish) would fill; output flows directly into the similarity
+    * operators (LlmOps.cosineTopK / cosineDupPairs take any
+    * (vec_id, embedding) table). */
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** STUB feature extractor: deterministic L2-normalized 8-bin byte
+    * histogram standing in for an encoder forward pass. The batch shape —
+    * iterator in, iterator out, weights loaded once per partition — is the
+    * real contract. */
+  def extractFeaturesBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    // [encoder weights would load here, once per partition]
+    rows.map { r =>
+      val hist = new Array[Float](8)
+      r.payload.foreach(b => hist((b & 0xff) >> 5) += 1f)
+      val n = math.max(math.sqrt(hist.map(x => x * x).sum).toFloat, 1e-6f)
+      MediaFeatures(r.doc_id, hist.map(_ / n))
+    }
+  }
+
+  /** documents → per-partition feature extraction. */
+  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+              col("lang"))
+      .as[MediaRow]
+      .mapPartitions(extractFeaturesBatch _)
+  }
+
   val ops: Seq[OpDef] = Seq(
     // no-oracle: the decode is opaque by design (rows-only check; schema,
     // determinism, and batch shape are asserted in MultimodalSpec)
     OpDef.noOracle("q_multimodal_decode") { (s, d) =>
       decodeDocuments(s, Tables.documents(s, d)).toDF().orderBy("doc_id")
+    },
+    OpDef.noOracle("q_multimodal_frames") { (s, d) =>
+      frameSample(s, Tables.documents(s, d), 500L).toDF()
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

@@ -26,6 +26,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeDocuments(spark, docs).rdd.getNumPartitions == 7)
   }
 
+  test("frame sampling explodes 1->N with deterministic frame grid") {
+    val frames = Multimodal.frameSample(spark, Tables.documents(spark, sf), 500L)
+      .collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.size == Tables.documents(spark, sf).count())
+    byDoc.values.foreach { fs =>
+      val sorted = fs.sortBy(_.frame_idx)
+      assert(sorted.head.frame_idx == 0 && sorted.head.ts_ms == 0L)
+      // every-500ms grid: ts = idx * 500
+      sorted.foreach(f => assert(f.ts_ms == f.frame_idx * 500L))
+      assert(fs.length >= 2, "stub duration >= 1s at 500ms sampling")
+    }
+  }
+
+  test("resize chains after decode and rescales byte size") {
+    import spark.implicits._
+    val resized = Multimodal.decodeDocuments(spark, Tables.documents(spark, sf))
+      .mapPartitions(it => Multimodal.resizeBatch(it, 32, 32))
+      .collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.width == 32 && r.height == 32 && r.n_bytes >= 1)
+    }
+  }
+
+  test("extracted features are unit-norm and feed the similarity operators") {
+    import org.apache.spark.sql.functions.col
+    val feats = Multimodal.extractFeatures(spark, Tables.documents(spark, sf))
+    val norms = feats.collect().map(f => math.sqrt(f.features.map(x => x.toDouble * x).sum))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-3, s"norm $n"))
+    // composition: media features are a (vec_id, embedding) table like any
+    // other — the similarity surface applies unchanged
+    val emb = feats.toDF().select(col("doc_id").as("vec_id"),
+                                  col("features").as("embedding"))
+    val top = graft.ops.LlmOps.cosineTopK(emb, col("vec_id") < 2, 3).collect()
+    assert(top.nonEmpty && top.forall(_.getLong(3) <= 3))
+  }
+
   test("batch shape: decoder sees one iterator per partition") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).repartition(5)
