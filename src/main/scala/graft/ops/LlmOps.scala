@@ -350,8 +350,13 @@ object LlmOps {
     val pairs = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
-    var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+    // seed with min(v, direct-neighbor min) — iteration 1 fused into the
+    // vertex derivation (same single aggregation that would list the
+    // vertices), so 2-vertex components start converged and the loop only
+    // runs the detection pass
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("lbl"))
+      .select(col("a").as("v"), col("lbl")).localCheckpoint()
     // sum-over-empty is NULL — coalesce to 0 so an edge-free graph (no
     // pair meets the threshold) converges to an empty result instead of
     // NPE-ing on the BigDecimal compare
