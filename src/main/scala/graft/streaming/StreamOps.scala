@@ -245,6 +245,32 @@ object StreamOps {
       }
   }
 
+  /** Streaming decontamination: flag documents in-flight that share ≥
+    * `minShared` 3-gram shingles with a STATIC benchmark/eval set. The
+    * benchmark collapses to a single array row (bounded by construction —
+    * eval sets are thousands of docs) broadcast into a map-only
+    * `array_intersect` per arriving doc: no streaming state, no shuffle,
+    * so it composes freely with any downstream stateful op. */
+  def streamingContamination(docs: DataFrame, benchmark: DataFrame,
+                             minShared: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val gramsArr = array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                          element_at(toks, i + 2))))
+    val benchGrams = benchmark
+      .select(explode(gramsArr).as("g")).distinct()
+      .agg(collect_set(col("g")).as("bench_grams"))
+    docs
+      .filter(size(toks) >= 3)
+      .withColumn("grams", gramsArr)
+      .crossJoin(broadcast(benchGrams))
+      .withColumn("shared_grams",
+        size(array_intersect(col("grams"), col("bench_grams"))).cast("long"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("doc_id"), col("ts"), col("shared_grams"))
+  }
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

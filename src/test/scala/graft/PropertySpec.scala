@@ -40,6 +40,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("LSH estimate family: q_dedup_lsh pairs ⊆ band candidates, est in [0,1]") {
+    import graft.ops.LlmOps
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val cand = LlmOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = LlmOps.lshDedupPairs(docs, 0.5).collect()
+    est.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(cand.contains(pair), s"$pair estimated but never banded")
+      val e = r.getDouble(2)
+      // banding admits the pair via one agreeing band (4 of 16 sigs), the
+      // 0.5 filter then requires at least 8
+      assert(e >= 0.5 && e <= 1.0, s"$pair est $e out of range")
+    }
+  }
+
   test("conv(reverse(md5 prefix)) == little-endian nibble fold (simhash h)") {
     import spark.implicits._
     val toks = samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 300)

@@ -208,6 +208,29 @@ class StreamingSpec extends SparkTestBase {
            s"unrelated doc 2 must not pair, got $dups")
   }
 
+  test("streaming contamination flags docs overlapping the static benchmark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[StreamOps.DocEvent]
+    val name = nextName()
+    val q = StreamOps.streamingContamination(ms.toDF(), bench, 3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      StreamOps.DocEvent(1L, ts("2024-01-01 10:00:00"),
+        "alpha beta gamma delta epsilon mu"),          // 3 shared grams
+      StreamOps.DocEvent(2L, ts("2024-01-01 10:01:00"),
+        "one two three four five six"))                // 0 shared
+    q.processAllAvailable()
+    val flagged = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    q.stop()
+    assert(flagged.keySet == Set(1L), s"got $flagged")
+    assert(flagged(1L) == 3L)
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
