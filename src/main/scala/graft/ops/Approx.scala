@@ -81,6 +81,32 @@ object Approx {
         .orderBy("vec_a", "vec_b")
     },
 
+    /** Sub-quadratic semantic dedup — q_dedup_semantic's scale twin:
+      * connected components over the LSH-surfaced cosine pairs instead of
+      * the all-pairs scan. Same generic `clusterPairs` loop; only the
+      * candidate generation changes, which is the whole point of keeping
+      * clustering and pair-finding as separate operators. */
+    OpDef.noOracle("q_dedup_semantic_lsh") { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+        .cache()
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+      val model = lsh.fit(e)
+      val pairs = model.approxSimilarityJoin(e, e, math.sqrt(2 - 2 * 0.45), "dist")
+        .select(col("datasetA.vec_id").as("vec_a"), col("datasetA.v").as("va"),
+                col("datasetB.vec_id").as("vec_b"), col("datasetB.v").as("vb"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+                Det.r6(expr("graft_dot(va, vb)")).as("sim"))
+        .filter(col("sim") >= 0.45)
+      graft.ops.LlmOps.clusterPairs(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    },
+
     /** IVF-style ANN: coarse quantization by per-label centroid, probe the
       * 4 nearest cells, exact re-rank inside them. Deterministic; the scale
       * story is that the inner search touches nprobe/k of the corpus and the

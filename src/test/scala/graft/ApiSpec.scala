@@ -113,6 +113,27 @@ class ApiSpec extends SparkTestBase {
     assert(kept == Set(0L, 3L, 4L), s"got $kept")
   }
 
+  test("every dedup/text operator returns empty (not an error) on an empty table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("web"))
+    assert(LlmOps.exactDedup(empty).collect().isEmpty)
+    assert(LlmOps.jaccardPairs(empty, 0.5).collect().isEmpty)
+    assert(LlmOps.minhashPairs(empty).collect().isEmpty)
+    assert(LlmOps.simhashPairs(empty, 3).collect().isEmpty)
+    assert(LlmOps.lshDedupPairs(empty, 0.5).collect().isEmpty)
+    assert(LlmOps.dedupClusters(empty, 0.5).collect().isEmpty)
+    assert(LlmOps.editDistancePairs(empty, 8).collect().isEmpty)
+    assert(LlmOps.incrementalDedupPairs(empty, empty, 0.5).collect().isEmpty)
+    assert(LlmOps.contamination(empty, empty, 1).collect().isEmpty)
+    assert(LlmOps.tokenCounts(empty).collect().isEmpty)
+    assert(LlmOps.vocabStats(empty).collect().isEmpty)
+    assert(LlmOps.corpusStats(empty).collect().isEmpty)
+    assert(LlmOps.qualityScores(empty, 5).collect().isEmpty)
+    assert(LlmOps.curateCorpus(empty, 0.5, 0.5).collect().isEmpty)
+  }
+
   test("tokenCounts and qualityScores run on the hand-built table") {
     val tc = LlmOps.tokenCounts(docs).collect()
     assert(tc.length == 5 && tc.head.getLong(1) > 0)

@@ -50,6 +50,19 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("LSH semantic clustering recovers the exact components (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = queries("q_dedup_semantic")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = queries("q_dedup_semantic_lsh")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixture must contain cosine components")
+    // recall over clustered vertices; canon ids may differ only if LSH
+    // missed the component's min member
+    val recovered = exact.keys.count(lsh.contains).toDouble / exact.size
+    assert(recovered >= 0.8, s"semantic-LSH vertex recall $recovered")
+  }
+
   test("BRP-LSH ANN returns ranked neighbors for every query") {
     val ann = queries("q_sim_ann_lsh")(spark, sf)
     val perQuery = ann.groupBy("qid").count().collect()
