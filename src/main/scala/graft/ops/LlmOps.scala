@@ -209,12 +209,13 @@ object LlmOps {
     val agree = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
+    // estimate BEFORE the distinct: the duplicate-collapsing shuffle then
+    // carries three scalars per row, never the 16-element sig arrays
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .distinct()
       .select(col("doc_a"), col("doc_b"),
               Det.r4(agree / lit(16.0)).as("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -418,10 +419,9 @@ object LlmOps {
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
     n.join(c, Seq("band", "sig"))
-      .select(col("new_id"), col("dup_of"), col("sa"), col("sb"))
-      .distinct()
       .select(col("new_id"), col("dup_of"),
               Det.r4(agree / lit(16.0)).as("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= threshold)
       .orderBy("new_id", "dup_of")
   }
