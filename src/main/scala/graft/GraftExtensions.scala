@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SpaceSavingTopK}
 
 /** SparkSessionExtensions entry point: injects graft's native functions so
   * `spark.sql("... graft_dot(a, b) ...")` works in any session built with
@@ -13,6 +13,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
+    e.injectFunction(GraftFunctions.topKDescriptor)
   }
 }
 
@@ -24,11 +25,30 @@ object GraftFunctions {
     (children: Seq[Expression]) => DotProduct(children(0), children(1))
   )
 
+  private def litInt(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"graft_topk $what must be an integer literal, got $other")
+  }
+
+  private[graft] val topKDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_topk"),
+    (children: Seq[Expression]) => SpaceSavingTopK(
+      children(0), litInt(children(1), "capacity"), litInt(children(2), "k"))
+  )
+
   /** Register on an existing session; ops then reference the function with
     * `expr("graft_dot(x, y)")` — routed through the registry so nothing
     * depends on Column's private Expression constructor (changed in the
     * Spark 4 Connect refactor). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => SpaceSavingTopK(
+        exprs(0), litInt(exprs(1), "capacity"), litInt(exprs(2), "k")),
+      "scala_udf")
+  }
 }

@@ -889,6 +889,25 @@ object LlmOps {
                             docs.filter(col("doc_id") % 3 =!= 0), 0.5)
     },
 
+    // ---------------- heavy hitters: SpaceSaving sketch aggregate -------
+    // no-oracle (sketch internals aren't SQL-expressible); the SpaceSaving
+    // guarantees are tolerance-tested against exact counts in
+    // ExtensionsSpec. Bounded memory: 64 counters per partial buffer
+    // regardless of vocabulary size — heavy-hitter tokens at 100 TB
+    // without materializing groupBy(token).
+    OpDef.noOracle("q_text_heavyhitters") { (s, d) =>
+      graft.GraftFunctions.register(s)
+      documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang")
+        .agg(expr("graft_topk(tok, 64, 10)").as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("rn", "e")))
+        .select(col("lang"), col("rn").cast("long").as("rn"),
+                col("e.item").as("item"), col("e.est").as("est"),
+                col("e.err").as("err"))
+        .orderBy("lang", "rn")
+    },
+
     // ---------------- decontamination: eval-set n-gram overlap ----------
     OpDef(
       "q_text_contamination",

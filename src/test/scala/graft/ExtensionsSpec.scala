@@ -39,4 +39,41 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("graft_topk SpaceSaving sketch honors the heavy-hitter guarantees") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-topk-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    import spark.implicits._
+    // zipf-ish stream: item i appears ~1000/i times, forced through
+    // multiple partitions so partial buffers really merge
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"item_$i"))
+    val df = rows.toDF("tok").repartition(4)
+    df.createOrReplaceTempView("toks")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = rows.size.toLong
+    val capacity = 16
+    val sketch = spark.sql(
+      s"SELECT inline(graft_topk(tok, $capacity, $capacity)) FROM toks")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every item with true frequency > N/capacity must be reported
+    val mandatory = exact.filter(_._2 > n / capacity).keySet
+    val reported = sketch.map(_._1).toSet
+    assert(mandatory.subsetOf(reported),
+           s"missing guaranteed heavy hitters: ${mandatory -- reported}")
+    // est >= true >= est - err for every reported item
+    sketch.foreach { case (item, est, err) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est >= t && t >= est - err, s"$item: est=$est err=$err true=$t")
+    }
+    // and the top-3 by estimate are the true top-3 (well separated here)
+    val top3 = sketch.sortBy(-_._2).take(3).map(_._1).toSeq
+    assert(top3 == Seq("item_1", "item_2", "item_3"), s"got $top3")
+  }
 }
