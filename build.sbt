@@ -16,6 +16,9 @@ run / fork := true
 // prefix is why the driver could not parse Bench's JSON summary line
 // (BENCH_r01/r02 "parsed": null: no output line started with '{').
 run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time: ..." line so the
+// JSON summary is the LAST stdout line even for a last-line-only parser.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
