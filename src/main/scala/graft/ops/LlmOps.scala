@@ -661,6 +661,21 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted sampling — the training-mix construction step:
+    * keep each doc with probability equal to its quality score, decided
+    * by a deterministic md5-derived uniform (reproducible across runs and
+    * engines, re-seedable by salting the hashed key; map-only on top of
+    * the quality join, no RNG state). */
+  def weightedSample(docs: DataFrame, nStopwords: Int): DataFrame = {
+    val u = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)") /
+      lit(65536.0)
+    qualityScores(docs, nStopwords)
+      .select(col("doc_id"), col("quality"))
+      .filter(u < col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus curation — the composed pipeline a training-data
     * run actually executes, built entirely from the public operators:
     * 1. exact dedup ([[exactDedup]]: min-id survivor per identical text);
@@ -888,6 +903,32 @@ object LlmOps {
       incrementalDedupPairs(docs.filter(col("doc_id") % 3 === 0),
                             docs.filter(col("doc_id") % 3 =!= 0), 0.5)
     },
+
+    // ---------------- sampling: quality-weighted training mix -----------
+    OpDef(
+      "q_sample_weighted",
+      """WITH bag AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |stop AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM bag GROUP BY tok) t
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 5),
+        |stopcnt AS (
+        |  SELECT b.doc_id, count(*) AS n_stop
+        |  FROM bag b JOIN stop s ON b.tok = s.tok GROUP BY b.doc_id),
+        |base AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),
+        |qual AS (
+        |  SELECT base.doc_id,
+        |    floor((0.5 * least(base.n_toks / 50.0, 1.0)
+        |           + 0.5 * (1.0 - coalesce(sc.n_stop, 0) * 1.0 / base.n_toks))
+        |          * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM base LEFT JOIN stopcnt sc ON base.doc_id = sc.doc_id)
+        |SELECT doc_id, quality FROM qual
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |      / 65536.0 < quality
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) => weightedSample(documents(s, d), 5) },
 
     // ---------------- heavy hitters: SpaceSaving sketch aggregate -------
     // no-oracle (sketch internals aren't SQL-expressible); the SpaceSaving
