@@ -583,6 +583,30 @@ object LlmOps {
       .agg(min(md5(col("g"))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
+    * MOSS scheme): hash every k-char window of the text, then keep the
+    * minimum hash of each w-long window of those hashes — the selected
+    * set is position-robust (any sufficiently long shared substring
+    * yields a shared fingerprint) and at most 2/(w+1) of the k-grams.
+    * Entirely map-only higher-order functions: no explode, no shuffle —
+    * the per-doc fingerprint summary streams out of the scan. */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val nk = length(col("text")) - (k - 1)
+    docs
+      .filter(length(col("text")) >= k + w - 1)
+      .withColumn("hs", transform(sequence(lit(1), nk),
+        i => conv(md5(col("text").substr(i, lit(k))).substr(lit(1), lit(8)),
+                  16, 10).cast("long")))
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - (w - 1)),
+        j => array_min(slice(col("hs"), j, lit(w))))))
+      .select(col("doc_id"),
+              size(col("fps")).cast("long").as("n_fps"),
+              array_min(col("fps")).as("min_fp"),
+              array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Classic TF-IDF, top-k terms per doc ranked on the rounded weight
     * (cross-engine float safety). df is VOCABULARY-sized (corpus-derived,
     * unbounded) so it shuffles on tok (AQE broadcasts it only if measured
@@ -1174,6 +1198,28 @@ object LlmOps {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) => fingerprints(documents(s, d)) },
+
+    // ---------------------- text: winnowing (rolling-hash) fingerprints -
+    OpDef(
+      "q_text_winnow",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 6),
+        |      i -> CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8)
+        |           AS BIGINT)) AS hs
+        |  FROM documents
+        |  WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |       list_aggregate(fps, 'min') AS min_fp,
+        |       list_aggregate(fps, 'max') AS max_fp
+        |FROM f
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) => winnowFingerprints(documents(s, d), 8, 4) },
 
     // ------------------------------------------- text: TF-IDF -----------
     OpDef(

@@ -91,6 +91,13 @@ class ApiSpec extends SparkTestBase {
     assert(!inc.exists(_._2 == 4L), "unrelated corpus doc must not pair")
   }
 
+  test("winnowing fingerprints: identical texts match, distinct content differs") {
+    val fp = LlmOps.winnowFingerprints(docs, 8, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fp(0L) == fp(1L), "exact dups must fingerprint identically")
+    assert(fp(0L) != fp(3L), "unrelated docs must not share the summary")
+  }
+
   test("contamination flags only corpus docs overlapping the benchmark") {
     val bench = docs.filter("doc_id = 0")
     val corpus = docs.filter("doc_id >= 2")
