@@ -79,4 +79,31 @@ class StreamingDurabilitySpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming near-dup state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft_chk_nd").toString
+    val out = Files.createTempDirectory("graft_out_nd").toString
+    val ms = MemoryStream[StreamOps.DocEvent]
+    val nd = StreamOps.streamingNearDup(spark, ms.toDF(), 0.5)
+    def start() = nd.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog tonight again"
+    val q1 = start()
+    ms.addData(StreamOps.DocEvent(1L, ts("2024-01-01 10:00:00"), base))
+    q1.processAllAvailable()
+    q1.stop()
+    // the duplicate arrives AFTER the restart: doc 1's signatures must
+    // come back from the band-bucket state in the checkpoint, not memory
+    ms.addData(StreamOps.DocEvent(2L, ts("2024-01-01 10:05:00"), base + " dup"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val dups = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toList
+    assert(dups.contains((2L, 1L)),
+      s"doc 2 must match doc 1's checkpointed signatures, got $dups")
+  }
 }
