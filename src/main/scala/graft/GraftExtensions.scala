@@ -25,10 +25,17 @@ object GraftFunctions {
     (children: Seq[Expression]) => DotProduct(children(0), children(1))
   )
 
-  private def litInt(e: Expression, what: String): Int = e.eval() match {
-    case n: Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"graft_topk $what must be an integer literal, got $other")
+  private def litInt(e: Expression, what: String): Int = {
+    // foldable check first: eval() on a non-foldable argument (e.g. a
+    // column reference) would die on an unbound reference deep inside
+    // eval instead of surfacing this message
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"graft_topk $what must be an integer literal, got non-literal $e")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_topk $what must be an integer literal, got $other")
+    }
   }
 
   private[graft] val topKDescriptor

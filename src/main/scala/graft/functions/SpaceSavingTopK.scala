@@ -78,8 +78,14 @@ case class SpaceSavingTopK(
   }
 
   override def merge(buf: SpaceSavingBuffer, other: SpaceSavingBuffer): SpaceSavingBuffer = {
-    // deterministic fold order so partial-buffer arrival order cannot
-    // change the result
+    // Sorted fold order removes one source of nondeterminism (iteration
+    // order within a partial buffer), but SpaceSaving merges are not
+    // associative: once evictions occur (distinct keys per group >
+    // capacity), different partition merge ORDERS can still yield
+    // different est/err and different top-k membership near ties. The
+    // determinism guarantee therefore holds only in the eviction-free
+    // regime; beyond it the contract is tolerance-only (the
+    // Metwally et al. error bound `est ≥ true ≥ est − err` always holds).
     other.entries.toSeq.sortBy(_._1).foreach { case (item, ce) =>
       buf.add(item, ce(0), ce(1))
     }
@@ -102,7 +108,12 @@ case class SpaceSavingTopK(
     out.writeInt(buf.capacity)
     out.writeInt(buf.entries.size)
     buf.entries.foreach { case (item, ce) =>
-      out.writeUTF(item); out.writeLong(ce(0)); out.writeLong(ce(1))
+      // length-prefixed UTF-8, not writeUTF: writeUTF throws on items
+      // whose encoding exceeds 65535 bytes (one pathological token on a
+      // large corpus would crash the aggregation at shuffle time)
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(ce(0)); out.writeLong(ce(1))
     }
     out.flush()
     bos.toByteArray
@@ -113,7 +124,9 @@ case class SpaceSavingTopK(
     val buf = new SpaceSavingBuffer(in.readInt())
     var n = in.readInt()
     while (n > 0) {
-      val item = in.readUTF()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      val item = new String(b, java.nio.charset.StandardCharsets.UTF_8)
       buf.entries.put(item, Array(in.readLong(), in.readLong()))
       n -= 1
     }

@@ -13,6 +13,14 @@ import org.apache.spark.ml.functions.array_to_vector
   * These are the 100 TB designs: the exact operators stay as correctness
   * baselines, and these replace them when the candidate-pair space must be
   * sharded by hash bucket instead of enumerated.
+  *
+  * Caching contract (same as [[LlmOps]]): the self-join operators cache
+  * the embeddings projection because the returned plan references it on
+  * both join sides — that cache cannot be unpersisted inside the
+  * operator without breaking the plan. Callers that invoke these
+  * repeatedly must call `spark.catalog.clearCache()` (or unpersist the
+  * input) between calls, as Bench does between queries; otherwise cached
+  * relations accumulate until executor storage evicts them.
   */
 object Approx {
   import Tables._

@@ -419,6 +419,11 @@ object LlmOps {
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
     n.join(c, Seq("band", "sig"))
+      // guard against overlapping newDocs/corpus slices: a doc present
+      // on both sides would band-join with itself and emit a
+      // (new_id, new_id) pair at est 1.0 — this also documents the
+      // disjointness contract without requiring it
+      .filter(col("new_id") =!= col("dup_of"))
       .select(col("new_id"), col("dup_of"),
               Det.r4(agree / lit(16.0)).as("est_jaccard"))
       .distinct()

@@ -89,6 +89,12 @@ class ApiSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc.contains((1L, 0L)), "new exact-dup doc must hit the corpus index")
     assert(!inc.exists(_._2 == 4L), "unrelated corpus doc must not pair")
+
+    // overlapping slices must not emit (id, id) self-pairs
+    val overlap = LlmOps.incrementalDedupPairs(docs, docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(overlap.nonEmpty && overlap.forall { case (a, b) => a != b },
+           s"overlapping slices leaked self-pairs: ${overlap.filter(p => p._1 == p._2)}")
   }
 
   test("winnowing fingerprints: identical texts match, distinct content differs") {

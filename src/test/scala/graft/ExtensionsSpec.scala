@@ -75,5 +75,15 @@ class ExtensionsSpec extends AnyFunSuite {
     // and the top-3 by estimate are the true top-3 (well separated here)
     val top3 = sketch.sortBy(-_._2).take(3).map(_._1).toSeq
     assert(top3 == Seq("item_1", "item_2", "item_3"), s"got $top3")
+
+    // items beyond the 64 KiB modified-UTF-8 limit must round-trip the
+    // shuffle serializer (writeUTF would throw UTFDataFormatException)
+    val big = "x" * 100000
+    val bigDf = (Seq.fill(8)(big) ++ Seq.fill(3)("small")).toDF("tok").repartition(4)
+    bigDf.createOrReplaceTempView("bigtoks")
+    val bigSketch = spark.sql("SELECT inline(graft_topk(tok, 4, 2)) FROM bigtoks")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bigSketch.toMap.get(big).contains(8L),
+           s"oversized token lost in serialization: ${bigSketch.map(t => (t._1.take(10), t._2)).toSeq}")
   }
 }
