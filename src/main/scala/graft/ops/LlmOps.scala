@@ -176,17 +176,31 @@ object LlmOps {
       posexplode(array(sig(0), sig(1), sig(2), sig(3))).as(Seq("band", "sig")): _*)
   }
 
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(minhashSigs(docs))
-      .cache() // reused by both sides of the candidate self-join
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+  /** Emit all ordered pairs (i < j) from a sorted id-array column,
+    * map-side: posexplode picks the left element, slice takes everything
+    * after it. The caller's groupBy already paid the only shuffle. */
+  private def pairsWithin(buckets: DataFrame, ids: String): DataFrame =
+    buckets
+      .select(col(ids), posexplode(col(ids)).as(Seq("i", "a")))
+      .select(col("a"),
+              explode(slice(col(ids), col("i") + lit(2), size(col(ids)))).as("b"))
+
+  def minhashPairs(docs: DataFrame): DataFrame =
+    // bucket-groupBy, not a self-join: docs sharing (band, sig) land in
+    // one bucket (a single shuffle — the join formulation shuffles the
+    // band table twice), and the pair list is generated map-side. Each
+    // doc appears once per band, so collect_list needs no dedup; the
+    // cross-band duplicate pairs collapse in the same distinct the
+    // self-join needed anyway.
+    pairsWithin(
+      minhashBands(minhashSigs(docs))
+        .groupBy("band", "sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2),
+      "ids")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
-  }
 
   /** The full LSH dedup pipeline — the designated 100 TB near-dup path:
     * banded minhash candidates (sub-quadratic: only same-bucket docs ever
@@ -199,21 +213,22 @@ object LlmOps {
     * additionally property-tested (ApproxSpec). */
   def lshDedupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sigArr = array((0 to 15).map(i => col(s"minh_$i")): _*)
-    val bands = minhashBands(minhashSigs(docs).withColumn("sig16", sigArr),
-                             col("sig16"))
-      .cache() // both sides of the candidate self-join
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig16").as("sa"),
-                         col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig16").as("sb"),
-                         col("band"), col("sig"))
+    // bucket-groupBy like [[minhashPairs]]: one shuffle carries each
+    // doc's 16-long signature once (the self-join formulation shuffled
+    // it on BOTH sides), pair generation and the agreement estimate run
+    // map-side, and the duplicate-collapsing distinct then moves three
+    // scalars per row — sig arrays never shuffle again.
+    val buckets = minhashBands(minhashSigs(docs).withColumn("sig16", sigArr),
+                               col("sig16"))
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig16")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
     val agree = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      zip_with(col("a.sig16"), col("b.sig16"),
+               (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    // estimate BEFORE the distinct: the duplicate-collapsing shuffle then
-    // carries three scalars per row, never the 16-element sig arrays
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    pairsWithin(buckets, "ms")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               Det.r4(agree / lit(16.0)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
@@ -240,9 +255,16 @@ object LlmOps {
     * table — lets [[dedupClusters]] own the cache so it can release it. */
   private def jaccardPairsFrom(g: DataFrame, threshold: Double): DataFrame = {
     val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = g.select(col("doc_id").as("i"), col("g"))
-      .join(g.select(col("doc_id").as("j"), col("g")), Seq("g"))
-      .filter(col("i") < col("j"))
+    // bucket-groupBy instead of a gram-keyed self-join: the gram table
+    // shuffles ONCE (the join shuffled it twice), pair generation is
+    // map-side, and the hot-gram cap still bounds every bucket — and
+    // with it the quadratic within-bucket pair count — at
+    // min(hotGramFrac·n_docs, hotGramAbs) ids.
+    val inter = pairsWithin(
+        g.groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2),
+        "ids")
+      .select(col("a").as("i"), col("b").as("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n"))
     val jac = col("n") * lit(1.0) / (col("ca") + col("cb") - col("n"))
     inter
@@ -283,20 +305,22 @@ object LlmOps {
     val simExpr = (0 to 47)
       .map(b => s"(CASE WHEN 2 * n$b - n > 0 THEN ${1L << b}L ELSE 0L END)")
       .mkString(" + ")
-    val sh = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
-      .cache() // reused by both sides of the candidate join
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), 12 * i).bitwiseAND(lit(4095L))): _*))
-        .as(Seq("band", "bv")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bv"),
-                          col("simhash").as("ha"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bv"),
-                          col("simhash").as("hb"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+    // bucket-groupBy like [[minhashPairs]]: docs sharing a 12-bit band
+    // value land in one bucket via a single shuffle (the self-join
+    // formulation shuffled the banded table twice and needed a cache),
+    // and the exact Hamming check runs map-side on the bucket's pairs.
+    val banded = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), 12 * i).bitwiseAND(lit(4095L))): _*))
+          .as(Seq("band", "bv")))
+    val buckets = banded.groupBy("band", "bv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    pairsWithin(buckets, "ms")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+                .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -307,18 +331,24 @@ object LlmOps {
     * quadratic space), the length band is a cheap residual, and the
     * O(n·m) levenshtein runs only on surviving candidates. */
   def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    // bucket-groupBy on the prefix block: document texts shuffle once
+    // (the self-join moved them on both sides) and the length band +
+    // levenshtein run map-side per bucket. A pathological block (massive
+    // boilerplate sharing a 32-char prefix) concentrates its texts in
+    // one bucket row — the join formulation holds the same rows in its
+    // hash-build side, so the memory profile is equivalent; widen the
+    // prefix to shrink blocks at scale.
     val p = withNChars(docs)
       .select(col("doc_id"), col("text"), col("n_chars"),
               substring(col("text"), 1, 32).as("pfx"))
-    val a = p.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-                     col("n_chars").as("ca"), col("pfx"))
-    val b = p.select(col("doc_id").as("doc_b"), col("text").as("tb"),
-                     col("n_chars").as("cb"), col("pfx"))
-    a.join(b, Seq("pfx"))
-      .filter(col("doc_a") < col("doc_b") &&
-              abs(col("ca") - col("cb")) <= maxDist)
-      .select(col("doc_a"), col("doc_b"),
-              levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+    val buckets = p.groupBy("pfx")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n_chars"), col("text")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    pairsWithin(buckets, "ms")
+      .filter(abs(col("a.n_chars") - col("b.n_chars")) <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
@@ -349,8 +379,11 @@ object LlmOps {
     * pair; canon_id = min doc_id of the component. */
   def clusterPairs(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // partition the cached edge table by the join key: every iteration's
+    // `edges.join(labels, b === v)` then shuffles only the (small) label
+    // table — the edge side reads its cached, already-partitioned blocks
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
+      .distinct().repartition(col("b")).cache()
     // seed with min(v, direct-neighbor min) — iteration 1 fused into the
     // vertex derivation (same single aggregation that would list the
     // vertices), so 2-vertex components start converged and the loop only
@@ -409,23 +442,34 @@ object LlmOps {
   def incrementalDedupPairs(newDocs: DataFrame, corpus: DataFrame,
                             threshold: Double): DataFrame = {
     val sigArr = array((0 to 15).map(i => col(s"minh_$i")): _*)
-    def banded(docs: DataFrame) =
+    // one bucket shuffle over the tagged union instead of joining two
+    // separately-banded tables (which shuffles each side's sig arrays):
+    // pairs and the agreement estimate are generated map-side per
+    // bucket, and only cross-side pairs survive.
+    def banded(docs: DataFrame, side: Int) =
       minhashBands(minhashSigs(docs).withColumn("sig16", sigArr), col("sig16"))
-    val n = banded(newDocs).select(col("doc_id").as("new_id"),
-                                   col("sig16").as("sa"), col("band"), col("sig"))
-    val c = banded(corpus).select(col("doc_id").as("dup_of"),
-                                  col("sig16").as("sb"), col("band"), col("sig"))
+        .withColumn("side", lit(side))
+    val buckets = banded(newDocs, 0).unionByName(banded(corpus, 1))
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("side"), col("sig16")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
     val agree = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      zip_with(col("a.sig16"), col("b.sig16"),
+               (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    n.join(c, Seq("band", "sig"))
-      // guard against overlapping newDocs/corpus slices: a doc present
-      // on both sides would band-join with itself and emit a
-      // (new_id, new_id) pair at est 1.0 — this also documents the
-      // disjointness contract without requiring it
-      .filter(col("new_id") =!= col("dup_of"))
-      .select(col("new_id"), col("dup_of"),
+    pairsWithin(buckets, "ms")
+      .filter(col("a.side") =!= col("b.side"))
+      .select(when(col("a.side") === 0, col("a.doc_id"))
+                .otherwise(col("b.doc_id")).as("new_id"),
+              when(col("a.side") === 0, col("b.doc_id"))
+                .otherwise(col("a.doc_id")).as("dup_of"),
               Det.r4(agree / lit(16.0)).as("est_jaccard"))
+      // guard against overlapping newDocs/corpus slices: a doc present
+      // on both sides would bucket with itself and emit (id, id) at
+      // est 1.0 — this also documents the disjointness contract
+      // without requiring it
+      .filter(col("new_id") =!= col("dup_of"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
       .orderBy("new_id", "dup_of")
