@@ -129,6 +129,76 @@ object Analytics {
         .groupBy("user_id")
         .agg(Det.r4(sum(col("psum"))).as("total"), sum(col("pn")).as("n"))
         .orderBy("user_id")
+    },
+
+    // TPC-H Q1 shape: the pricing-summary full-scan aggregate — partial
+    // aggregation collapses 600 k rows to 6 groups map-side; the shuffle
+    // moves 6 rows per partition
+    OpDef(
+      "q_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc,
+        |  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.r4(sum(col("l_quantity"))).as("sum_qty"),
+          Det.r4(sum(col("l_extendedprice"))).as("sum_base"),
+          Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc"),
+          Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                       * (lit(1) + col("l_tax")))).as("sum_charge"),
+          Det.r4(avg(col("l_quantity"))).as("avg_qty"),
+          Det.r4(avg(col("l_extendedprice"))).as("avg_price"),
+          Det.r6(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q18 shape: large-volume orders — the HAVING-on-aggregate +
+    // fact-fact join pattern. l_quantity values are integral doubles, so
+    // the HAVING threshold compares exactly on both engines; the ranking
+    // orders by the rounded price then the unique order key.
+    OpDef(
+      "q_tpch_q18",
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 200)
+        |SELECT c_custkey, o_orderkey, o_orderdate,
+        |       floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS total_r,
+        |       sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_r DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val big = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty_raw"))
+        .filter(col("qty_raw") > 200)
+        .select(col("l_orderkey"), Det.r4(col("qty_raw")).as("sum_qty"))
+      big
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+                Det.r4(col("o_totalprice")).as("total_r"), col("sum_qty"))
+        .orderBy(col("total_r").desc, col("o_orderkey").asc)
+        .limit(20)
     }
   )
 }

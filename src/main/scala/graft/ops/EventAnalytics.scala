@@ -180,6 +180,50 @@ object EventAnalytics {
         .orderBy("user_id", "event_type")
     },
 
+    // marketing attribution: each purchase credited to the user's FIRST
+    // click ever (first-touch) and the latest click at-or-before the
+    // purchase (last-touch) — one running-window pass over the event
+    // stream per user, no self-join (the naive formulation joins
+    // purchases to clicks and re-aggregates; the window form shuffles
+    // the events table once)
+    OpDef(
+      "q_events_attribution",
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+        |  first_click_us, last_click_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'click'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS first_click_us,
+        |    max(CASE WHEN event_type = 'click'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click_us
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val clickUs = when(col("event_type") === "click", unix_micros(col("ts")))
+      events(s, d)
+        .withColumn("first_click_us", min(clickUs).over(w))
+        .withColumn("last_click_us", max(clickUs).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("purchase_us"),
+                col("first_click_us"), col("last_click_us"))
+        .orderBy("event_id")
+    },
+
     // approximate percentile sketch (no-oracle: engine-specific sketch;
     // OpsSpec asserts tolerance vs the exact percentile)
     OpDef.noOracle("q_agg_approx_pct") { (s, d) =>

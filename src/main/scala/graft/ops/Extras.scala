@@ -258,6 +258,57 @@ object Extras {
         length(regexp_replace(col("c_name"), "[^0-9]", ""))
           .cast("long").as("digits_removed"))
         .orderBy("c_custkey")
+    },
+
+    // unpivot/melt: wide → long without touching the data (a generator
+    // projection — no shuffle until the final sort). The oracle spells
+    // the portable UNION ALL equivalent; values are raw column reads, so
+    // no rounding is needed for cross-engine parity.
+    OpDef(
+      "q_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber",
+                "l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_discount"), col("l_extendedprice"),
+                col("l_quantity"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // struct (nested record) surface: build, re-extract, serialize to
+    // JSON — Spark struct() ≡ DuckDB struct_pack, field order preserved
+    // by both to_json implementations, so the JSON strings compare
+    // byte-identical (int + string fields only: float formatting would
+    // differ).
+    OpDef(
+      "q_fn_struct",
+      """SELECT o_orderkey,
+        |  struct_pack(st := o_orderstatus, ck := o_custkey).st AS st,
+        |  struct_pack(st := o_orderstatus, ck := o_custkey).ck AS ck,
+        |  to_json(struct_pack(st := o_orderstatus, ck := o_custkey)) AS js
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+                struct(col("o_orderstatus").as("st"),
+                       col("o_custkey").as("ck")).as("os"))
+        .select(col("o_orderkey"),
+                col("os.st").as("st"), col("os.ck").as("ck"),
+                to_json(col("os")).as("js"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -475,6 +475,84 @@ object LlmOps {
       .orderBy("new_id", "dup_of")
   }
 
+  /** Normalization-keyed exact dedup: lowercase, strip non-alphanumerics,
+    * collapse whitespace — the canonical "same doc modulo boilerplate
+    * punctuation/casing" pass a pipeline runs BEFORE fuzzy dedup (it is a
+    * plain groupBy, orders of magnitude cheaper than shingling). Survivor
+    * is min(doc_id) per normalized key, like [[exactDedup]]. */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col("doc_id"), norm.as("k"))
+      .groupBy("k")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  /** N-gram containment pairs: C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|
+    * — the asymmetric cousin of Jaccard that catches CONTAINED duplication
+    * (quotes, sub-documents, doc+suffix near-dups) which symmetric Jaccard
+    * under-scores when lengths differ. Same bucket-groupBy candidate
+    * machinery and hot-gram cap as [[jaccardPairs]]; emits both directions
+    * and keeps pairs whose larger containment clears `threshold`. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val g = gramsCapped(docs).cache()
+    val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = pairsWithin(
+        g.groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2),
+        "ids")
+      .select(col("a").as("i"), col("b").as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    inter
+      .join(gcnt.select(col("doc_id").as("i"), col("c").as("ca")), Seq("i"))
+      .join(gcnt.select(col("doc_id").as("j"), col("c").as("cb")), Seq("j"))
+      .filter(greatest(col("n") * lit(1.0) / col("ca"),
+                       col("n") * lit(1.0) / col("cb")) >= threshold)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+              Det.r4(col("n") * lit(1.0) / col("ca")).as("cont_ab"),
+              Det.r4(col("n") * lit(1.0) / col("cb")).as("cont_ba"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc keyword summary: the top-k TF-IDF terms joined into one
+    * comma-separated string in rank order — the classic document-tagging
+    * op, composed from [[tfidfTopK]] (rank on the rounded score, then a
+    * deterministic struct-sort so the join order is rank order). */
+  def keywordSummary(docs: DataFrame, k: Int): DataFrame =
+    tfidfTopK(docs, k)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("tok")))),
+        x => x.getField("tok")), ",").as("keywords"))
+      .orderBy("doc_id")
+
+  /** Exact k-NN graph: every vector's top-k cosine neighbors — the
+    * brute-force baseline for similarity-graph construction (dedup
+    * clustering, diversity sampling). The corpus crosses itself through
+    * the codegen'd dot product and ranks on the ROUNDED sim (tie-break
+    * neighbor id) so cross-engine float noise cannot flip order. At 100 TB
+    * this all-pairs scan is the documented-exact baseline; the scale path
+    * is the same graph from IVF/LSH candidates (q_sim_ann_*). */
+  def knnGraph(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.GraftFunctions.register(spark)
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("sim").desc, col("j").asc)
+    a.crossJoin(b)
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+              Det.r6(expr("graft_dot(va, vb)")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("i", "rn")
+  }
+
   /** Vocabulary stats per (lang, source): type-token ratio and hapax
     * fraction — the standard corpus-diversity signals (low TTR flags
     * templated/boilerplate slices). Two aggregations, shuffle-bounded. */
@@ -802,6 +880,37 @@ object LlmOps {
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) => jaccardPairs(documents(s, d), 0.5) },
 
+    // ------------------- normalization-keyed exact dedup ----------------
+    OpDef(
+      "q_dedup_norm",
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS k
+        |      FROM documents)
+        |GROUP BY k
+        |ORDER BY keep_id""".stripMargin
+    ) { (s, d) => normalizedDedup(documents(s, d)) },
+
+    // ------------------- near dedup: n-gram containment -----------------
+    OpDef(
+      "q_text_containment_pairs",
+      s"""WITH $gramsCappedSql,
+        |cnt AS (SELECT doc_id, count(*) AS c FROM gramsf GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
+        |  FROM gramsf a JOIN gramsf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY i, j)
+        |SELECT i AS doc_a, j AS doc_b,
+        |  ${Det.sql("n * 1.0 / ca.c", 4)} AS cont_ab,
+        |  ${Det.sql("n * 1.0 / cb.c", 4)} AS cont_ba
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = i
+        |JOIN cnt cb ON cb.doc_id = j
+        |WHERE greatest(n * 1.0 / ca.c, n * 1.0 / cb.c) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) => containmentPairs(documents(s, d), 0.9) },
+
     // --------------------- near dedup: MinHash + LSH banding (md5) ------
     OpDef(
       "q_dedup_minhash",
@@ -1112,6 +1221,23 @@ object LlmOps {
         |ORDER BY qid, rn""".stripMargin
     ) { (s, d) => cosineTopK(embeddings(s, d), col("vec_id") < 8, 5) },
 
+    // ------------------------------- similarity: exact k-NN graph -------
+    OpDef(
+      "q_sim_knn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    floor((list_sum(list_transform(range(1, 65), x -> a.v[x] * b.v[x])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT i, j, sim,
+        |    row_number() OVER (PARTITION BY i ORDER BY sim DESC, j ASC) AS rn
+        |  FROM sims)
+        |SELECT i, j, sim, rn FROM ranked WHERE rn <= 3
+        |ORDER BY i, rn""".stripMargin
+    ) { (s, d) => knnGraph(embeddings(s, d), 3) },
+
     // --------------------------- similarity: cosine near-dup pairs ------
     OpDef(
       "q_sim_cosine_dup",
@@ -1292,6 +1418,31 @@ object LlmOps {
         |SELECT doc_id, tok, tfidf, rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin
     ) { (s, d) => tfidfTopK(documents(s, d), 3) },
+
+    // ---------------------------------- text: per-doc keyword summary ---
+    OpDef(
+      "q_text_keywords",
+      """WITH bag AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM bag GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT bag.doc_id, bag.tok,
+        |    floor((bag.tf * ln(n.n_docs * 1.0 / df.df)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS tfidf
+        |  FROM bag JOIN df ON bag.tok = df.tok CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, tok ASC) AS rn
+        |  FROM w)
+        |SELECT doc_id, string_agg(tok, ',' ORDER BY rn) AS keywords
+        |FROM r WHERE rn <= 3
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) => keywordSummary(documents(s, d), 3) },
 
     // ------------------------------------------- text: token entropy ----
     OpDef(

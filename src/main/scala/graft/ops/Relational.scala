@@ -461,6 +461,35 @@ object Relational {
         .filter(col("event_type") === "error" && col("value") > 250)
         .select("user_id")
       a.except(b).orderBy("user_id")
+    },
+
+    // correlated LATERAL join: per-customer top-2 orders — the "for each
+    // row, run a dependent subquery" surface. Catalyst decorrelates the
+    // LIMIT-ed inner query into a ranked window join (no per-row
+    // re-execution — same plan shape a 100 TB run needs); the oracle
+    // spells the decorrelated window equivalent, which is the semantics
+    // LATERAL guarantees.
+    OpDef(
+      "q_join_lateral",
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT c_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM customer JOIN orders ON o_custkey = c_custkey)
+        |WHERE rn <= 2
+        |ORDER BY c_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      customer(s, d).createOrReplaceTempView("graft_lat_cust")
+      orders(s, d).createOrReplaceTempView("graft_lat_ord")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM graft_lat_cust,
+          |LATERAL (SELECT o_orderkey, o_totalprice
+          |         FROM graft_lat_ord
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey ASC
+          |         LIMIT 2)
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
     }
   )
 }
