@@ -57,6 +57,18 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** At-least-once dedup for redelivered events whose retry carries a
+    * DIFFERENT timestamp: `dropDuplicatesWithinWatermark` keys state on
+    * `event_id` alone (plain `dropDuplicates("event_id")` would keep
+    * state forever without `ts` in the key) and evicts each key once the
+    * watermark passes its first-seen ts + delay — bounded state with
+    * redelivery tolerance, the shape an at-least-once Kafka source
+    * actually needs. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom state: running per-user totals via mapGroupsWithState with
     * event-time timeout — state for idle users is dropped when the
     * watermark passes their timeout. */
@@ -92,6 +104,44 @@ object StreamOps {
             next
           }
       }
+  }
+
+  /** Spark 4 arbitrary-state v2: the same running per-user totals through
+    * `transformWithState` — typed `ValueState` handles managed by the
+    * state-store (RocksDB-backed in production), with TTL available as a
+    * declarative config instead of hand-armed timeout timestamps. This is
+    * the API Structured Streaming is converging on for custom state;
+    * keeping it alongside the mapGroupsWithState formulation documents
+    * both generations, and StreamingSpec pins that they agree. */
+  class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal](
+        "totals", org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserTotal(key, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserTotals]] rebuilt on `transformWithState` (state v2). */
+  def runningUserTotalsV2(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+                          TimeMode.None(), OutputMode.Update())
   }
 
   /** A closed user session emitted by [[sessionizer]]. */

@@ -82,6 +82,62 @@ class StreamingSpec extends SparkTestBase {
     assert(n == 2, s"expected 2 distinct events, got $n")
   }
 
+  test("dropDuplicatesWithinWatermark dedups redeliveries with perturbed ts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:01:00", 1, "view", 2.0))
+    q.processAllAvailable()
+    // redelivery of event 1 with a DIFFERENT timestamp — the shape
+    // dropDuplicates("event_id","ts") would NOT catch
+    ms.addData(ev(1, "2024-01-01 10:00:07", 1, "click", 1.0))
+    q.processAllAvailable()
+    val n = spark.table(name).count()
+    q.stop()
+    assert(n == 2, s"expected the perturbed redelivery suppressed, got $n rows")
+  }
+
+  test("transformWithState running totals agree with mapGroupsWithState") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // state v2 requires a multi-column-family store: RocksDB, the
+    // production backend (HDFSBackedStateStoreProvider cannot run it)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.runningUserTotalsV2(spark, ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+      ev(2, "2024-01-01 10:01:00", 1, "click", 2.5))
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 10:02:00", 1, "view", 6.0))
+    q.processAllAvailable()
+    val last = spark.table(name).filter("user_id = 1")
+      .orderBy("n_events").collect().last
+    q.stop()
+    // same cumulative totals the mapGroupsWithState test pins
+    assert(last.getLong(1) == 3L)
+    assert(math.abs(last.getDouble(2) - 10.0) < 1e-9)
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("session windows split on gap > 10 minutes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
