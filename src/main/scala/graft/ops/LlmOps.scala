@@ -553,6 +553,31 @@ object LlmOps {
       .orderBy("i", "rn")
   }
 
+  /** Gopher-style repetition signals per doc: the token fraction covered
+    * by the single most frequent bigram, and the fraction of bigram
+    * occurrences that are repeats (1 − distinct/total). High values flag
+    * looping/templated generations and boilerplate — a standard
+    * pre-training quality gate. One explode + two aggregations,
+    * shuffle-bounded; docs under 2 tokens are excluded (no bigrams). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val big = docs
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i),
+                              element_at(col("tk"), i + 1)))).as("g2"))
+    big.groupBy("doc_id", "n_toks", "g2").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_toks")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_big"),
+           count(lit(1)).as("n_dist"))
+      .select(col("doc_id"), col("n_toks"),
+        Det.r6(col("top_c") * lit(2.0) / col("n_toks")).as("top_bigram_frac"),
+        Det.r6(lit(1.0) - col("n_dist") * lit(1.0) / col("n_big")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary stats per (lang, source): type-token ratio and hapax
     * fraction — the standard corpus-diversity signals (low TTR flags
     * templated/boilerplate slices). Two aggregations, shuffle-bounded. */
@@ -1443,6 +1468,27 @@ object LlmOps {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) => keywordSummary(documents(s, d), 3) },
+
+    // ------------------------------ text: repetition quality signals ----
+    OpDef(
+      "q_text_repetition",
+      """WITH big AS (
+        |  SELECT doc_id, len(toks) AS n_toks,
+        |    unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS g2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, n_toks, g2, count(*) AS c FROM big
+        |      GROUP BY doc_id, n_toks, g2)
+        |SELECT doc_id, n_toks,
+        |  floor((max(c) * 2.0 / n_toks) * 1000000.0 + 0.5) / 1000000.0
+        |    AS top_bigram_frac,
+        |  floor((1.0 - count(*) * 1.0 / sum(c)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS dup_bigram_frac
+        |FROM c
+        |GROUP BY doc_id, n_toks
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) => repetitionSignals(documents(s, d)) },
 
     // ------------------------------------------- text: token entropy ----
     OpDef(

@@ -118,6 +118,40 @@ object Multimodal {
       .mapPartitions(extractFeaturesBatch _)
   }
 
+  /** Per-row model score — what a quality/toxicity/NSFW classifier head
+    * emits per document or image. */
+  case class InferredScore(doc_id: Long, score: Double, batch_size: Int)
+
+  /** STUB batched inference — the GPU-inference shape: rows are grouped
+    * into fixed-size micro-batches INSIDE each partition and "the model"
+    * consumes a whole batch per forward pass (`grouped(batchSize)`), which
+    * is the throughput contract that separates accelerator inference from
+    * per-row map. The fake scorer is a deterministic byte-sum in [0,1);
+    * weights would load once per partition, the batch loop is real, and
+    * each output row records the batch it rode in (asserted in
+    * MultimodalSpec). */
+  def inferBatched(rows: Iterator[MediaRow], batchSize: Int): Iterator[InferredScore] = {
+    // [model weights would load here, once per partition]
+    rows.grouped(batchSize).flatMap { batch =>
+      // [real forward pass: model(batch) — one call per micro-batch]
+      batch.map { r =>
+        val s = (r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 1000L) / 1000.0
+        InferredScore(r.doc_id, s, batch.size)
+      }
+    }
+  }
+
+  /** documents → binary payload → per-partition micro-batched scoring. */
+  def scoreDocuments(spark: SparkSession, docs: DataFrame,
+                     batchSize: Int): Dataset[InferredScore] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+              col("lang"))
+      .as[MediaRow]
+      .mapPartitions(rows => inferBatched(rows, batchSize))
+  }
+
   val ops: Seq[OpDef] = Seq(
     // no-oracle: the decode is opaque by design (rows-only check; schema,
     // determinism, and batch shape are asserted in MultimodalSpec)
@@ -127,6 +161,9 @@ object Multimodal {
     OpDef.noOracle("q_multimodal_frames") { (s, d) =>
       frameSample(s, Tables.documents(s, d), 500L).toDF()
         .orderBy("doc_id", "frame_idx")
+    },
+    OpDef.noOracle("q_multimodal_infer") { (s, d) =>
+      scoreDocuments(s, Tables.documents(s, d), 32).toDF().orderBy("doc_id")
     }
   )
 }

@@ -170,4 +170,36 @@ class ApiSpec extends SparkTestBase {
     assert(dups.length == 1 &&
            (dups.head.getLong(0), dups.head.getLong(1)) == (0L, 1L))
   }
+
+  test("containment dominates jaccard and catches the exact-dup pair") {
+    val cont = LlmOps.containmentPairs(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+                (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.contains((0L, 1L)), s"suffix pair missing from $cont")
+    // every containment value bounds the pair's jaccard from above:
+    // |A∩B|/min-side ≥ |A∩B|/|A∪B|
+    val jac = LlmOps.jaccardPairs(docs, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cont.foreach { case (k, (ab, ba)) =>
+      jac.get(k).foreach(j =>
+        assert(math.max(ab, ba) >= j - 1e-9,
+               s"containment below jaccard for $k: ($ab,$ba) vs $j"))
+    }
+  }
+
+  test("normalizedDedup collapses case/punctuation variants; repetition flags loops") {
+    import spark.implicits._
+    val t = Seq(
+      (0L, "Alpha, beta GAMMA!"),
+      (1L, "alpha beta gamma"),
+      (2L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val nd = LlmOps.normalizedDedup(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nd(0L) == 2L, s"variants must collapse to doc 0: $nd")
+    assert(nd(2L) == 1L)
+    val rep = LlmOps.repetitionSignals(t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep(2L) > 0.9, s"pure loop must score ~1: $rep")
+    assert(rep(0L) < 0.9, s"non-repetitive doc must not: $rep")
+  }
 }

@@ -75,4 +75,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(batchSizes.length == 5, "one batch per partition")
     assert(batchSizes.sum == docs.count())
   }
+
+  test("batched inference groups rows into fixed micro-batches per partition") {
+    val docs = Tables.documents(spark, sf).repartition(3)
+    val n = docs.count()
+    val scored = Multimodal.scoreDocuments(spark, docs, 32).collect()
+    assert(scored.length == n, "one score per row")
+    assert(scored.forall(r => r.score >= 0.0 && r.score < 1.0))
+    // every micro-batch is full-size except possibly one tail per partition
+    assert(scored.forall(_.batch_size <= 32))
+    // (rows in a ragged batch all report its size, so at most one ragged
+    // batch per partition bounds ragged rows by 31 × 3 partitions)
+    val raggedRows = scored.count(_.batch_size < 32)
+    assert(raggedRows <= 31 * 3,
+      s"more ragged-batch rows than one tail per partition allows: $raggedRows")
+    // deterministic across runs
+    val again = Multimodal.scoreDocuments(spark, docs, 32).collect()
+      .map(r => r.doc_id -> r.score).toMap
+    assert(scored.forall(r => again(r.doc_id) == r.score))
+  }
 }
