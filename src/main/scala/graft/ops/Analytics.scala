@@ -131,6 +131,33 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // salted skew JOIN: when one join key carries a disproportionate row
+    // share, salt the fact side (key, hash%8) and replicate the dim side
+    // ×8 so the hot key's rows spread over 8 reducers — the manual
+    // companion to AQE's skew-join split (ScaleSpec covers that one), and
+    // the pattern that still matters when the skew is known up front.
+    // Result is identical to the plain join, which is what the oracle runs.
+    OpDef(
+      "q_join_salted",
+      s"""SELECT c_mktsegment, count(*) AS n,
+        |  ${Det.sql("sum(value)", 4)} AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      val nSalt = 8
+      val fact = events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(nSalt)).cast("int"))
+      val dim = customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+                explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
+      fact.join(dim, col("user_id") === col("c_custkey") &&
+                     fact("salt") === dim("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Det.r4(sum(col("value"))).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // TPC-H Q1 shape: the pricing-summary full-scan aggregate — partial
     // aggregation collapses 600 k rows to 6 groups map-side; the shuffle
     // moves 6 rows per partition

@@ -260,6 +260,51 @@ object Extras {
         .orderBy("c_custkey")
     },
 
+    // Spark 4 VARIANT: the semi-structured type for JSON whose shape
+    // isn't known at write time — parse once, extract typed paths with
+    // shredding-friendly variant_get (the open-format answer to
+    // schema-on-read JSON at 100 TB, vs re-parsing strings per access).
+    // Output columns are plain scalars; the oracle extracts the same
+    // paths with DuckDB's JSON operators.
+    OpDef(
+      "q_json_variant",
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INT) AS k,
+        |  CAST(props->>'$.k' AS INT) IS NULL AS k_missing
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+                variant_get(col("v"), "$.k", "int").as("k"),
+                variant_get(col("v"), "$.k", "int").isNull.as("k_missing"))
+        .orderBy("event_id")
+    },
+
+    // SQL-standard LISTAGG (Spark 4 native) — ordered string aggregation
+    // through the built-in instead of the array_join(sort_array(
+    // collect_list)) composition q_agg_stragg documents
+    OpDef(
+      "q_agg_listagg",
+      """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment)
+        |  AS segs
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
+    ) { (s, d) =>
+      customer(s, d)
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .createOrReplaceTempView("graft_listagg_src")
+      s.sql(
+        """SELECT c_nationkey,
+          |  listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)
+          |    AS segs
+          |FROM graft_listagg_src
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
+    },
+
     // unpivot/melt: wide → long without touching the data (a generator
     // projection — no shuffle until the final sort). The oracle spells
     // the portable UNION ALL equivalent; values are raw column reads, so

@@ -463,6 +463,37 @@ object Relational {
       a.except(b).orderBy("user_id")
     },
 
+    // recursive CTE (Spark 4): month spine generated by the recursion
+    // itself, left-joined to orders so EMPTY months surface with count 0
+    // — the gap-fill shape q_gen_datespine builds with sequence(),
+    // expressed through the SQL-standard WITH RECURSIVE operator both
+    // engines execute natively
+    OpDef(
+      "q_gen_recursive",
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine
+        |  WHERE m < TIMESTAMP '2001-07-01')
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m
+        |ORDER BY m""".stripMargin
+    ) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_rec_ord")
+      s.sql(
+        """WITH RECURSIVE spine(m) AS (
+          |  SELECT TIMESTAMP '1995-01-01'
+          |  UNION ALL
+          |  SELECT m + INTERVAL 1 MONTH FROM spine
+          |  WHERE m < TIMESTAMP '2001-07-01')
+          |SELECT m, count(o_orderkey) AS n_orders
+          |FROM spine LEFT JOIN graft_rec_ord
+          |  ON date_trunc('MONTH', o_orderdate) = m
+          |GROUP BY m
+          |ORDER BY m""".stripMargin)
+    },
+
     // correlated LATERAL join: per-customer top-2 orders — the "for each
     // row, run a dependent subquery" surface. Catalyst decorrelates the
     // LIMIT-ed inner query into a ranked window join (no per-row
