@@ -388,9 +388,13 @@ object LlmOps {
     // vertex derivation (same single aggregation that would list the
     // vertices), so 2-vertex components start converged and the loop only
     // runs the detection pass
+    // LAZY localCheckpoint: materialization happens inside the lblSum
+    // action that immediately follows, so each round of the loop costs
+    // ONE job (checkpoint+sum fused) instead of two (eager checkpoint,
+    // then sum)
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("lbl"))
-      .select(col("a").as("v"), col("lbl")).localCheckpoint()
+      .select(col("a").as("v"), col("lbl")).localCheckpoint(false)
     // sum-over-empty is NULL — coalesce to 0 so an edge-free graph (no
     // pair meets the threshold) converges to an empty result instead of
     // NPE-ing on the BigDecimal compare
@@ -407,7 +411,7 @@ object LlmOps {
         .union(edges.join(labels, col("b") === col("v"))
                  .select(col("a").as("v"), col("lbl")))
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
