@@ -115,6 +115,48 @@ object Approx {
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     },
 
+    /** IVF with TRAINED centroids: k-means coarse quantizer (seeded MLlib
+      * fit — the real IVF construction, vs q_sim_ann_ivf's fixture-label
+      * cells), then the same probe: rank the 16 cells per query by
+      * centroid similarity, search the top 4 exactly. `clusterCenters` is
+      * k×dim — bounded by the CHOSEN k, not the corpus — so materializing
+      * it driver-side and broadcasting is the correct plan at any scale
+      * (the per-vector cell assignment stays distributed in
+      * `model.transform`). */
+    OpDef.noOracle("q_sim_ann_ivf_kmeans") { (s, d) =>
+      graft.GraftFunctions.register(s)
+      import s.implicits._
+      val e = embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(16).setSeed(42L).setFeaturesCol("features")
+        .setPredictionCol("cell")
+        .fit(e)
+      val assigned = model.transform(e).select(col("vec_id"), col("cell"), col("v"))
+      val cents = model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toDF("cell", "cv")
+      val q = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wCell = Window.partitionBy(col("qid"))
+        .orderBy(col("csim").desc, col("cell").asc)
+      val probe = q.join(broadcast(cents))
+        .select(col("qid"), col("qv"), col("cell"),
+                Det.r6(expr("graft_dot(qv, cv)")).as("csim"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 4)
+        .select("qid", "qv", "cell")
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      probe.join(assigned, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+                Det.r6(expr("graft_dot(qv, v)")).as("sim"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
     /** IVF-style ANN: coarse quantization by per-label centroid, probe the
       * 4 nearest cells, exact re-rank inside them. Deterministic; the scale
       * story is that the inner search touches nprobe/k of the corpus and the

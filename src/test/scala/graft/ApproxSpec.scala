@@ -32,6 +32,24 @@ class ApproxSpec extends SparkTestBase {
     assert(recall >= 0.25, s"IVF recall $recall should be ≈ 0.4 (searched fraction)")
   }
 
+  test("k-means IVF is deterministic and recall tracks the searched fraction") {
+    val run1 = queries("q_sim_ann_ivf_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val run2 = queries("q_sim_ann_ivf_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(run1.sameElements(run2), "seeded k-means must be deterministic")
+    assert(run1.map(_._1).distinct.length == 8, "every query answered")
+    val exact = queries("q_sim_topk")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run1.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    // the fixture's vectors are near-uniform (no geometric clusters), so
+    // probing 4/16 cells recovers ≈ the searched fraction of true
+    // neighbors; on clustered data the same operator approaches 1.0
+    assert(recall >= 0.1, s"k-means IVF recall $recall collapsed below the searched-fraction floor")
+  }
+
   test("LSH cosine near-dup recall >= 0.8 vs exact all-pairs, exact sims") {
     // sf0.01: the sf0.001 embedding slice may contain no pairs >= 0.45
     val sf01 = "/root/testdata/sf0.01"

@@ -87,6 +87,21 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("lateral join decorrelates to a rank-limit window, not per-row re-execution") {
+    val plan = SparkEntry.queries("q_join_lateral")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit = Catalyst pushed the per-customer LIMIT into a
+    // partial top-k below the shuffle — the plan shape that scales
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("salted skew join broadcasts the replicated dimension") {
+    val plan = SparkEntry.queries("q_join_salted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("AQE splits skewed join partitions when thresholds are hit") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
