@@ -144,25 +144,43 @@ object LlmOps {
     * independent 32-bit hex chunks → 16 independent permutations from 4
     * hashes (NOT ha+i·hb double hashing — its minima are attained by the
     * same gram across seeds, which correlates bands and multiplies
-    * false-positive candidates ~5× on this corpus). All 16 permutations
-    * are separate min() aggregates over one pass of the gram rows — no
-    * explode×16 (the round-1 19 s regression) — and partial aggregation
-    * collapses each partition to one 16-long row per doc map-side. min
-    * over longs stays on the HashAggregate fast path where min over md5
-    * strings would fall back to SortAggregate. (32-bit chunks: fine up to
-    * ~10⁸ distinct grams; widen to 12-hex/48-bit chunks over 8 md5s past
-    * that.) */
+    * false-positive candidates ~5× on this corpus). (32-bit chunks: fine
+    * up to ~10⁸ distinct grams; widen to 12-hex/48-bit chunks over 8 md5s
+    * past that.) */
   /** Per-doc 16-permutation minhash signature: (doc_id, minh_0..minh_15).
-    * The shared signature stage of [[minhashPairs]] and [[lshDedupPairs]]. */
+    * The shared signature stage of [[minhashPairs]], [[lshDedupPairs]] and
+    * [[incrementalDedupPairs]].
+    *
+    * Map-only: each doc's shingle set is derived from its own text, so the
+    * per-seed minimum is an `array_min(transform(...))` over an in-row
+    * array — no explode, no groupBy. The earlier formulation exploded
+    * every gram and shuffled a 16-aggregate groupBy(doc_id); partial
+    * aggregation made that shuffle small, but the extra stage (and its
+    * task-scheduling barrier) was the single most load-fragile point in
+    * the driver bench. min over the same distinct gram set is
+    * order-independent, so values — and the DuckDB oracle, which keeps
+    * the grouped spelling — are unchanged. The md5 arrays c0..c3 live in
+    * their own projection; Catalyst's CollapseProject keeps multiply-
+    * referenced non-cheap aliases un-inlined, so each md5 is computed
+    * once per (gram, seed-group), exactly as before. */
   def minhashSigs(docs: DataFrame): DataFrame = {
-    def mh(seed: Int) = min(
-      expr(s"CAST(conv(substring(c${seed / 4}, ${1 + 8 * (seed % 4)}, 8), 16, 10) AS BIGINT)"))
-      .as(s"minh_$seed")
-    grams(docs)
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+                              element_at(col("toks"), i + 1),
+                              element_at(col("toks"), i + 2)))).as("gs"))
       .select(col("doc_id") +:
-        (0 to 3).map(j => md5(concat(lit(s"$j:"), col("g"))).as(s"c$j")): _*)
-      .groupBy("doc_id")
-      .agg(mh(0), (1 to 15).map(mh): _*)
+        (0 to 3).map(j => transform(col("gs"),
+          g => md5(concat(lit(s"$j:"), g))).as(s"c$j")): _*)
+      .select(col("doc_id") +:
+        (0 to 15).map(s => array_min(transform(col(s"c${s / 4}"),
+          h => conv(h.substr(lit(1 + 8 * (s % 4)), lit(8)), 16, 10)
+                 .cast("long"))).as(s"minh_$s")): _*)
   }
 
   /** Banded candidate rows from a signature table: (doc_id, band, sig)

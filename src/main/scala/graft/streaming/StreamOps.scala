@@ -212,6 +212,28 @@ object StreamOps {
       col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Stream–stream LEFT OUTER interval join: every purchase emits — with
+    * its preceding click when one exists, or with NULL click columns once
+    * the watermark proves no match can still arrive. The null-side rows
+    * are emitted only at watermark passage (state for the unmatched left
+    * row must be provably complete first) — the semantics that make outer
+    * stream joins bounded-state. */
+  def purchaseWithOptionalClick(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+  }
+
   /** A timestamped document flowing through [[streamingNearDup]]. */
   case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
   /** A doc exploded into one of its 4 band buckets (public: encoder). */

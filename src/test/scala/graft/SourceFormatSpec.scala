@@ -18,6 +18,18 @@ class SourceFormatSpec extends SparkTestBase {
            li.agg(sum("l_quantity")).collect().head.getDouble(0))
   }
 
+  test("orc round-trip preserves schema and values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = graft.ops.Tables.customer(spark, sf)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema, s"schema drift: ${back.schema}")
+    assert(back.count() == src.count())
+    val a = src.orderBy("c_custkey").collect().map(_.toString)
+    val b = back.orderBy("c_custkey").collect().map(_.toString)
+    assert(a.sameElements(b), "ORC round-trip must be lossless")
+  }
+
   test("json lines round-trip") {
     val dir = Files.createTempDirectory("graft_json").toString
     val ev = graft.ops.Tables.events(spark, sf)

@@ -325,6 +325,36 @@ class StreamingSpec extends SparkTestBase {
     assert(!pairs.exists(_._1 == 4L), "user2 click is outside the 30min interval")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.purchaseWithOptionalClick(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      ev(2, "2024-01-01 10:10:00", 1, "purchase", 9.99),
+      ev(4, "2024-01-01 10:10:00", 2, "purchase", 5.0)) // user 2 never clicked
+    q.processAllAvailable()
+    // push BOTH sides' watermarks far enough that user 2's purchase is
+    // provably unmatched -> the null-click row may now be emitted (a
+    // 'view' would be filtered out of both join inputs and advance
+    // neither watermark)
+    ms.addData(ev(9, "2024-01-01 15:00:00", 3, "click", 0.0),
+               ev(10, "2024-01-01 15:00:01", 3, "purchase", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(11, "2024-01-01 18:00:00", 3, "click", 0.0),
+               ev(12, "2024-01-01 18:00:01", 3, "purchase", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table(name).select("p_id", "c_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(rows.contains((2L, 1L)), s"matched purchase must carry its click: $rows")
+    assert(rows.contains((4L, -1L)), s"unmatched purchase must emit with NULL click: $rows")
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
