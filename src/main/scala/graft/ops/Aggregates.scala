@@ -220,6 +220,59 @@ object Aggregates {
         .agg(Det.r4(wavg(col("l_extendedprice"), col("l_quantity")))
                .as("qty_weighted_price"))
         .orderBy("l_returnflag")
+    },
+
+    // bitwise aggregates (AND/OR/XOR fold over a group) — bitmap-style
+    // audit ops; plain hash aggregation, map-side partial like any
+    // algebraic agg, so the shuffle moves one row per (flag, partition)
+    OpDef(
+      "q_agg_bitagg",
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey) AS and_ok,
+        |  bit_or(l_partkey)   AS or_pk,
+        |  bit_xor(l_suppkey)  AS xor_sk,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_orderkey")).as("and_ok"),
+             bit_or(col("l_partkey")).as("or_pk"),
+             bit_xor(col("l_suppkey")).as("xor_sk"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // grouping()/grouping_id() over a rollup: lets a consumer tell "NULL
+    // because subtotal row" from "NULL because the data is NULL" — both
+    // engines number grouping_id the same way ((g1<<1)|g2 for two cols).
+    // Spark's grouping() is TINYINT; cast to BIGINT on both sides.
+    OpDef(
+      "q_agg_grouping",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+        |    AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+             grouping(col("l_linestatus")).cast("long").as("g_status"),
+             grouping_id().cast("long").as("gid"),
+             count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+                col("g_status"), col("gid"), col("n"))
+        .orderBy(col("g_flag"), col("g_status"),
+                 col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
     }
   )
 }

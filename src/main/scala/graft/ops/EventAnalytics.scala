@@ -231,6 +231,44 @@ object EventAnalytics {
         .groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"))
         .orderBy("l_returnflag")
+    },
+
+    // gaps-and-islands: maximal runs of consecutive active days per user
+    // (streak analytics). The classic trick — day_number − row_number is
+    // constant within a run — turns run detection into two per-user
+    // window passes + one groupBy: everything shuffles on user_id once,
+    // no self-join, no sequence generation, so the plan is unchanged at
+    // 1000× users.
+    OpDef(
+      "q_win_islands",
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    datediff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |       count(*) AS n_days
+        |FROM r
+        |GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin
+    ) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      events(s, d)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+        .select(col("user_id"), col("day"),
+                (datediff(col("day"), lit("1970-01-01"))
+                   - row_number().over(w)).as("grp"))
+        .groupBy("user_id", "grp")
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+             count(lit(1)).as("n_days"))
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
     }
   )
 }

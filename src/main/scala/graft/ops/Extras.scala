@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Coverage beyond SURVEY §2's core inventory: pivot, exact percentiles,
   * correlation/covariance, ordered string aggregation, generator (UDTF)
@@ -354,6 +355,58 @@ object Extras {
                 col("os.st").as("st"), col("os.ck").as("ck"),
                 to_json(col("os")).as("js"))
         .orderBy("o_orderkey")
+    },
+
+    // SCD type-2 interval build: each customer's order history becomes
+    // [valid_from, valid_to) rows, open interval on the latest — the
+    // standard warehouse dimension-versioning shape. One lead() window
+    // per customer key: hash shuffle on o_custkey, per-key sort, no
+    // global sort — the partition strategy is unchanged at 1000×.
+    OpDef(
+      "q_scd2_build",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                col("o_orderdate").as("valid_from"),
+                lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+                lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+
+    // deterministic train/val/test split (~80/10/10): bucket =
+    // md5("split:" || doc_id) first byte. Map-only (no shuffle), seedable
+    // by changing the salt, reproducible across engines and runs — the
+    // property a training pipeline needs so re-runs never leak val/test
+    // docs into train.
+    OpDef(
+      "q_sample_split",
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 205 THEN 'train'
+        |       WHEN b < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        CAST('0x' || substring(md5('split:' || doc_id), 1, 2) AS BIGINT)
+        |          AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val b = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2),
+                   16, 10).cast("long")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                when(b < 205, "train").when(b < 230, "val")
+                  .otherwise("test").as("split"))
+        .orderBy("doc_id")
     }
   )
 }

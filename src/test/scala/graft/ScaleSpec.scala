@@ -95,6 +95,31 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("deterministic split is map-only — no exchange anywhere in the plan") {
+    // q_sample_split must stay embarrassingly parallel: an Exchange here
+    // would mean the md5 bucketing got hidden behind a shuffle
+    val plan = SparkEntry.queries("q_sample_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final ORDER BY's rangepartitioning —
+    // a hashpartitioning would mean a groupBy/join crept into the bucketing
+    assert(!plan.contains("hashpartitioning"), s"split must be map-only:\n$plan")
+  }
+
+  test("SCD2 build shuffles once on the partition key") {
+    val plan = SparkEntry.queries("q_scd2_build")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hashpartitioning exchange for the per-customer window; the only
+    // other allowed exchange is the final ORDER BY's rangepartitioning
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$plan")
+  }
+
+  test("minhash signature stage is shuffle-free (map-only array_min)") {
+    val plan = graft.ops.LlmOps.minhashSigs(
+      graft.ops.Tables.documents(spark, sf)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signatures must not shuffle:\n$plan")
+  }
+
   test("salted skew join broadcasts the replicated dimension") {
     val plan = SparkEntry.queries("q_join_salted")(spark, sf)
       .queryExecution.executedPlan.toString
