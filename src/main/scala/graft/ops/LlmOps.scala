@@ -898,6 +898,31 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Greedy sequence packing: lay documents end-to-end in deterministic
+    * (lang, doc_id) order and cut fixed `ctxLen`-token training examples —
+    * the standard pretraining batch-assembly step. Each doc gets the bin
+    * it STARTS in plus its offset; docs straddle bin boundaries exactly as
+    * packed pretraining examples do. One running-sum window per lang: hash
+    * shuffle on lang, per-partition scan, no self-join.
+    *
+    * Scale note: a lang is an unbounded partition at 100 TB — shard the
+    * window key to (lang, shard) where shard = a date/file bucket carried
+    * by the real corpus, and offset bin_id by a per-shard exclusive prefix
+    * sum (one tiny second pass over shard totals). The fixture has no
+    * shard column, so the single-key form is what the oracle checks. */
+  def packSequences(docs: DataFrame, ctxLen: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("start_tok", sum(col("n_toks")).over(w) - col("n_toks"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+              expr(s"start_tok div $ctxLen").as("bin_id"),
+              (col("start_tok") % lit(ctxLen.toLong)).as("bin_off"))
+      .orderBy("lang", "doc_id")
+  }
+
   val ops: Seq[OpDef] = Seq(
 
     // ------------------------------------------------------- exact dedup
@@ -1249,6 +1274,25 @@ object LlmOps {
         |  AND q.quality >= 0.5
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, d) => curateCorpus(documents(s, d), 0.5, 0.5) },
+
+    // ------------------- curation: fixed-context sequence packing -------
+    OpDef(
+      "q_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |                      ROWS UNBOUNDED PRECEDING) - n_toks AS start_tok
+        |  FROM t)
+        |SELECT doc_id, lang, n_toks,
+        |  CAST(start_tok // 2048 AS BIGINT) AS bin_id,
+        |  CAST(start_tok % 2048 AS BIGINT) AS bin_off
+        |FROM c
+        |ORDER BY lang, doc_id""".stripMargin
+    ) { (s, d) => packSequences(documents(s, d), 2048) },
 
     // --------------------------- similarity: exact cosine top-k ---------
     OpDef(
