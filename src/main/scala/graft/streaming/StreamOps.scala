@@ -197,20 +197,8 @@ object StreamOps {
     * clicks within the preceding 30 minutes. Both sides watermarked so the
     * join state is purgeable (Structured Streaming requires the interval
     * condition + watermarks to bound buffered state). */
-  def purchaseAfterClick(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-              col("ts").as("p_ts"), col("value").as("p_value"))
-      .withWatermark("p_ts", "10 minutes")
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-              col("ts").as("c_ts"))
-      .withWatermark("c_ts", "30 minutes")
-    purchases.join(clicks,
-      col("p_user") === col("c_user") &&
-      col("c_ts") <= col("p_ts") &&
-      col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
-  }
+  def purchaseAfterClick(events: DataFrame): DataFrame =
+    purchaseClickJoin(events, "inner")
 
   /** Stream–stream LEFT OUTER interval join: every purchase emits — with
     * its preceding click when one exists, or with NULL click columns once
@@ -218,7 +206,17 @@ object StreamOps {
     * are emitted only at watermark passage (state for the unmatched left
     * row must be provably complete first) — the semantics that make outer
     * stream joins bounded-state. */
-  def purchaseWithOptionalClick(events: DataFrame): DataFrame = {
+  def purchaseWithOptionalClick(events: DataFrame): DataFrame =
+    purchaseClickJoin(events, "leftOuter")
+
+  /** Stream–stream FULL OUTER interval join: unmatched rows from BOTH
+    * sides emit with NULLs at watermark passage — purchases that never
+    * saw a click AND clicks that never converted. Same bounded-state
+    * argument as the left-outer form, applied to each side. */
+  def purchaseClickFullOuter(events: DataFrame): DataFrame =
+    purchaseClickJoin(events, "fullOuter")
+
+  private def purchaseClickJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
               col("ts").as("p_ts"), col("value").as("p_value"))
@@ -231,7 +229,7 @@ object StreamOps {
       col("p_user") === col("c_user") &&
       col("c_ts") <= col("p_ts") &&
       col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
-      "leftOuter")
+      joinType)
   }
 
   /** A timestamped document flowing through [[streamingNearDup]]. */

@@ -147,6 +147,21 @@ class ApiSpec extends SparkTestBase {
     assert(LlmOps.curateCorpus(empty, 0.5, 0.5).collect().isEmpty)
   }
 
+  test("packSequences bins are contiguous, offsets in-bounds, langs independent") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "en", "a b c d e"), // 5 toks: bin 0 off 0
+      (1L, "en", "f g h"),     // starts at tok 5: bin 0 off 5, straddles
+      (2L, "en", "i j k l"),   // starts at tok 8: bin 1 off 0
+      (3L, "de", "x y z"))     // separate lang restarts at bin 0
+      .toDF("doc_id", "lang", "text")
+    val out = LlmOps.packSequences(d, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSet == Set(
+      (0L, "en", 0L, 0L), (1L, "en", 0L, 5L), (2L, "en", 1L, 0L),
+      (3L, "de", 0L, 0L)), out.mkString(", "))
+  }
+
   test("tokenCounts and qualityScores run on the hand-built table") {
     val tc = LlmOps.tokenCounts(docs).collect()
     assert(tc.length == 5 && tc.head.getLong(1) > 0)

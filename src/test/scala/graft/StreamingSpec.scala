@@ -355,6 +355,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((4L, -1L)), s"unmatched purchase must emit with NULL click: $rows")
   }
 
+  test("stream-stream FULL OUTER join emits unmatched rows from both sides") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.purchaseClickFullOuter(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      ev(2, "2024-01-01 10:10:00", 1, "purchase", 9.99),
+      ev(3, "2024-01-01 10:05:00", 5, "click", 0.0),    // user 5 never buys
+      ev(4, "2024-01-01 10:10:00", 2, "purchase", 5.0)) // user 2 never clicked
+    q.processAllAvailable()
+    // two far-future rounds so both watermarks pass every unmatched row's
+    // completeness horizon (click side additionally needs the purchase
+    // watermark past c_ts + 30min — the join window's width)
+    ms.addData(ev(9, "2024-01-01 15:00:00", 3, "click", 0.0),
+               ev(10, "2024-01-01 15:00:01", 3, "purchase", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(11, "2024-01-01 18:00:00", 3, "click", 0.0),
+               ev(12, "2024-01-01 18:00:01", 3, "purchase", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table(name).select("p_id", "c_id")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                           if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(rows.contains((2L, 1L)), s"matched pair must join: $rows")
+    assert(rows.contains((4L, -1L)), s"unmatched purchase must emit: $rows")
+    assert(rows.contains((-1L, 3L)), s"unmatched click must emit: $rows")
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
