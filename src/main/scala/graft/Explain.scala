@@ -13,7 +13,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q_scan_pushdown", "q_join_broadcast", "q_join_inner", "q_topk",
       "q_agg_basic", "q_sim_cosine_dup", "q_dedup_near", "q_win_tumble_batch",
-      "q_join_range", "q_dedup_simhash", "q_dedup_minhash", "q_sample_stratified")
+      "q_join_range", "q_dedup_simhash", "q_dedup_minhash", "q_sample_stratified",
+      "q_sim_knn", "q_scd2_build", "q_pack_sequences", "q_sample_split")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -245,6 +245,29 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // mergeable HLL sketches (DataSketches, Spark 4 built-ins): partial
+    // sketches per sub-group union-merged up to the parent group — THE
+    // 100 TB incremental pattern: persist per-shard/per-day sketch bytes,
+    // re-estimate any rollup without rescanning the corpus. The op proves
+    // merge correctness by computing each flag's distinct-part estimate
+    // both directly and via union of per-(flag,status) partials — the
+    // sketch algebra makes them identical. No DuckDB oracle (sketch
+    // binaries are engine-specific); ApproxSpec pins direct == merged and
+    // ±5% of exact.
+    OpDef.noOracle("q_agg_hll_sketch") { (s, d) =>
+      val li = lineitem(s, d)
+      val sub = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+      val merged = sub.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+               .as("est_merged"))
+      val direct = li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))")
+               .as("est_direct"))
+      direct.join(merged, Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+
     // grouping()/grouping_id() over a rollup: lets a consumer tell "NULL
     // because subtotal row" from "NULL because the data is NULL" — both
     // engines number grouping_id the same way ((g1<<1)|g2 for two cols).

@@ -113,4 +113,21 @@ class ApproxSpec extends SparkTestBase {
       assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("HLL sketch union-merge equals the direct sketch and tracks exact") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.ops.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = queries("q_agg_hll_sketch")(spark, sf).collect()
+    rows.foreach { r =>
+      val (flag, direct, merged) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(direct == merged,
+        s"$flag: sketch algebra must make union-of-partials == direct " +
+        s"($direct vs $merged)")
+      val e = exact(flag)
+      assert(math.abs(direct - e).toDouble / e <= 0.05,
+        s"$flag: sketch est $direct vs exact $e")
+    }
+  }
 }

@@ -40,6 +40,32 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("packSequences: scalacheck docs pack gaplessly with in-bounds offsets") {
+    import spark.implicits._
+    import graft.ops.LlmOps
+    val ctx = 64
+    val genDoc = for {
+      lang <- Gen.oneOf("en", "de", "fr")
+      n <- Gen.choose(1, 40) // some docs longer than... shorter than ctx
+      toks <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(3)))
+    } yield (lang, toks.mkString(" "))
+    val docs = samples(genDoc, 300).zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, lang, text) }
+      .toDF("doc_id", "lang", "text")
+    val out = LlmOps.packSequences(docs, ctx).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, id, n, bin, off) =>
+        assert(bin == cum / ctx && off == cum % ctx,
+          s"$lang/$id: expected start $cum -> (${cum / ctx}, ${cum % ctx}), got ($bin, $off)")
+        assert(off >= 0 && off < ctx, s"$lang/$id: offset $off out of bounds")
+        cum += n
+      }
+    }
+  }
+
   test("LSH estimate family: q_dedup_lsh pairs ⊆ band candidates, est in [0,1]") {
     import graft.ops.LlmOps
     val docs = graft.ops.Tables.documents(spark, sf)
