@@ -383,6 +383,57 @@ object Extras {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
 
+    // data-quality audit (the dbt-style pipeline gate): PK uniqueness,
+    // FK orphans, value-domain and not-null constraints, one row per
+    // check. Each branch is a shuffle-bounded aggregate; the FK check is
+    // a left-anti join AQE broadcasts when the key side is small. At
+    // scale this is the pre-publish gate a 100 TB table runs nightly.
+    OpDef(
+      "q_dq_checks",
+      """SELECT * FROM (
+        |  SELECT 'lineitem_fk_orders' AS check_name,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |      AS n_violations
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_positive',
+        |    (SELECT count(*) FROM lineitem WHERE NOT (l_quantity > 0))
+        |  UNION ALL
+        |  SELECT 'orders_pk_unique',
+        |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |                           GROUP BY 1 HAVING count(*) > 1))
+        |  UNION ALL
+        |  SELECT 'orders_price_nonneg',
+        |    (SELECT count(*) FROM orders WHERE NOT (o_totalprice >= 0))
+        |  UNION ALL
+        |  SELECT 'orders_status_domain',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderstatus NOT IN ('F', 'O', 'P')))
+        |ORDER BY check_name""".stripMargin
+    ) { (s, d) =>
+      def one(name: String, n: org.apache.spark.sql.DataFrame) =
+        n.select(lit(name).as("check_name"),
+                 col("n").cast("long").as("n_violations"))
+      val li = lineitem(s, d)
+      val o = orders(s, d)
+      one("lineitem_fk_orders",
+          li.join(o.select("o_orderkey"),
+                  li("l_orderkey") === o("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n")))
+        .unionByName(one("lineitem_qty_positive",
+          li.filter(!(col("l_quantity") > 0)).agg(count(lit(1)).as("n"))))
+        .unionByName(one("orders_pk_unique",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1).agg(count(lit(1)).as("n"))))
+        .unionByName(one("orders_price_nonneg",
+          o.filter(!(col("o_totalprice") >= 0)).agg(count(lit(1)).as("n"))))
+        .unionByName(one("orders_status_domain",
+          o.filter(!col("o_orderstatus").isin("F", "O", "P"))
+            .agg(count(lit(1)).as("n"))))
+        .orderBy("check_name")
+    },
+
     // deterministic train/val/test split (~80/10/10): bucket =
     // md5("split:" || doc_id) first byte. Map-only (no shuffle), seedable
     // by changing the salt, reproducible across engines and runs — the
