@@ -295,6 +295,43 @@ object Relational {
     },
 
     OpDef(
+      "q_join_asof_fwd",
+      """WITH j AS (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |         p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purch_ts,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY CAST(p.ts AS TIMESTAMP) ASC,
+        |                                     p.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = c.user_id
+        |   AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP))
+        |SELECT click_id, user_id, purchase_id, purch_ts
+        |FROM j WHERE rn = 1
+        |ORDER BY click_id""".stripMargin
+    ) { (s, d) =>
+      // FORWARD as-of: earliest purchase at or after each click, per user
+      // (conversion lead). LEFT join so unconverted clicks surface with
+      // NULLs — the "as-of with no match yet" semantic the backward twin
+      // (inner) doesn't exercise. Same scale shape: user_id equi shuffle
+      // + one per-click window; an unmatched click carries exactly one
+      // null row, so rn = 1 selects it.
+      val c = events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+                col("ts").as("purch_ts"))
+      val w = Window.partitionBy(col("click_id"))
+        .orderBy(col("purch_ts").asc, col("purchase_id").asc)
+      c.join(p, col("user_id") === col("p_uid") && col("purch_ts") >= col("ts"),
+             "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("click_id", "user_id", "purchase_id", "purch_ts")
+        .orderBy("click_id")
+    },
+
+    OpDef(
       "q_join_range",
       """WITH ev AS (
         |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -144,6 +144,53 @@ object StreamOps {
                           TimeMode.None(), OutputMode.Update())
   }
 
+  /** A document flowing into [[streamingPack]]. */
+  case class PackDoc(doc_id: Long, ts: java.sql.Timestamp, lang: String,
+                     text: String)
+  /** A packed-bin assignment emitted by [[streamingPack]]. */
+  case class PackedDoc(doc_id: Long, lang: String, n_toks: Long,
+                       bin_id: Long, bin_off: Long)
+
+  /** Streaming twin of `LlmOps.packSequences`: per-lang cumulative token
+    * position kept in a `ValueState[Long]`, each arriving doc assigned the
+    * fixed-context bin it starts in. Within a micro-batch docs are packed
+    * in doc_id order, so when ids arrive monotonically the assignment is
+    * identical to the batch operator over the same prefix — StreamingSpec
+    * pins that agreement. State is one long per lang: bounded regardless
+    * of stream length. */
+  class SequencePacker(ctxLen: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, PackDoc, PackedDoc] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long](
+        "cum", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[PackDoc],
+                                 timerValues: TimerValues): Iterator[PackedDoc] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val n = d.text.split(" ").length.toLong
+        val start = c
+        c += n
+        PackedDoc(d.doc_id, key, n, start / ctxLen, start % ctxLen)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** Run [[SequencePacker]] over a doc stream keyed by lang. */
+  def streamingPack(spark: SparkSession, docs: DataFrame,
+                    ctxLen: Int): Dataset[PackedDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.withWatermark("ts", "10 minutes")
+      .as[PackDoc]
+      .groupByKey(_.lang)
+      .transformWithState(new SequencePacker(ctxLen.toLong),
+                          TimeMode.None(), OutputMode.Append())
+  }
+
   /** A closed user session emitted by [[sessionizer]]. */
   case class ClosedSession(user_id: Long, n_events: Long, total_value: Double,
                            start_us: Long, end_us: Long)

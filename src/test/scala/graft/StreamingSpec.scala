@@ -387,6 +387,46 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((-1L, 3L)), s"unmatched click must emit: $rows")
   }
 
+  test("streaming sequence packer agrees with the batch operator on a monotone stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val d = Seq(
+        StreamOps.PackDoc(0L, ts, "en", "a b c d e"), // 5 toks
+        StreamOps.PackDoc(1L, ts, "en", "f g h"),     // 3
+        StreamOps.PackDoc(2L, ts, "en", "i j k l"),   // 4: starts tok 8
+        StreamOps.PackDoc(3L, ts, "de", "x y z"))
+      val ms = MemoryStream[StreamOps.PackDoc]
+      val name = nextName()
+      val q = StreamOps.streamingPack(spark, ms.toDF(), 8)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      ms.addData(d(0), d(1), d(3)) // batch 1
+      q.processAllAvailable()
+      ms.addData(d(2))             // batch 2: state carries tok position 8
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("doc_id", "lang", "bin_id", "bin_off").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      q.stop()
+      // identical to LlmOps.packSequences over the same 4 docs (ApiSpec)
+      assert(got == Set(
+        (0L, "en", 0L, 0L), (1L, "en", 0L, 5L), (2L, "en", 1L, 0L),
+        (3L, "de", 0L, 0L)), got.mkString(", "))
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
