@@ -269,6 +269,40 @@ object EventAnalytics {
              count(lit(1)).as("n_days"))
         .select("user_id", "start_day", "end_day", "n_days")
         .orderBy("user_id", "start_day")
+    },
+
+    // first-order Markov transition matrix over each user's event
+    // sequence: P(next | current) — clickstream path analysis. One lead()
+    // window per user (hash shuffle on user_id), then the probability
+    // normalization runs over the |event_types|² ≤ 25-row count table —
+    // the expensive pass is corpus-sized, the window over it is not.
+    OpDef(
+      "q_events_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY CAST(ts AS TIMESTAMP) ASC,
+        |                                    event_id ASC) AS nxt
+        |  FROM events),
+        |t AS (SELECT cur, nxt, count(*) AS n FROM s
+        |      WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        |SELECT cur, nxt, n,
+        |  floor((n * 1.0 / sum(n) OVER (PARTITION BY cur)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS p
+        |FROM t
+        |ORDER BY cur, nxt""".stripMargin
+    ) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cur"))
+      events(s, d)
+        .select(col("user_id"), col("event_type").as("cur"),
+                lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        .select(col("cur"), col("nxt"), col("n"),
+                Det.r6(col("n") * lit(1.0) / sum(col("n")).over(wc)).as("p"))
+        .orderBy("cur", "nxt")
     }
   )
 }

@@ -18,6 +18,26 @@ class SourceFormatSpec extends SparkTestBase {
            li.agg(sum("l_quantity")).collect().head.getDouble(0))
   }
 
+  test("HLL sketch partials survive a parquet round-trip and merge exactly") {
+    // the incremental-stats production pattern: persist per-sub-group
+    // sketch BYTES nightly, re-estimate any rollup later without
+    // rescanning — valid only if the binary column round-trips losslessly
+    val dir = Files.createTempDirectory("graft_sketch").toString
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      s"persisted partials must merge to the direct estimate: $merged vs $direct")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
