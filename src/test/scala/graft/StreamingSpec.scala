@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Event
@@ -425,6 +426,49 @@ class StreamingSpec extends SparkTestBase {
         case None => spark.conf.unset(provKey)
       }
     }
+  }
+
+  test("Trigger.AvailableNow backfills queued data then stops itself") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // data queued BEFORE start: the one-shot catch-up shape — process
+    // everything available, checkpoint, terminate (no perpetual query)
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:00:30", 2, "view", 2.0),
+      ev(3, "2024-01-01 10:01:10", 1, "click", 3.0))
+    val name = nextName()
+    val q = StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(!q.isActive)
+    val total = spark.table(name).agg(sum("n")).collect().head.getLong(0)
+    assert(total == 3L, s"backfill must process every queued event, got $total")
+  }
+
+  test("observe() exposes per-batch input metrics through query progress") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = ms.toDF()
+      .observe("input_stats", count(lit(1)).as("n_rows"),
+               sum(col("value")).as("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+      ev(2, "2024-01-01 10:00:10", 2, "view", 2.5))
+    q.processAllAvailable()
+    val m = q.lastProgress.observedMetrics.get("input_stats")
+    q.stop()
+    assert(m != null, "observed metrics must surface in progress")
+    assert(m.getAs[Long]("n_rows") == 2L, m.toString)
+    assert(math.abs(m.getAs[Double]("total_value") - 4.0) < 1e-9, m.toString)
   }
 
   test("foreachBatch sink receives every micro-batch exactly once") {
