@@ -245,6 +245,47 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // distribution shape in ONE pass: skewness and excess kurtosis from
+    // raw power sums (m-th central moments expanded into E[x^k]) — the
+    // spelling both engines execute identically, where the native
+    // skewness()/kurtosis() builtins disagree cross-engine on
+    // sample-vs-population correction. Prices are pre-scaled by 1e-5
+    // (shape stats are scale-invariant) so the x⁴ sums stay O(1) and the
+    // central-moment cancellation keeps ~12 clean digits. Map-side
+    // partial like any algebraic aggregate.
+    OpDef(
+      "q_agg_moments",
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag,
+        |    avg(l_extendedprice / 100000.0) AS mu,
+        |    avg(pow(l_extendedprice / 100000.0, 2.0)) AS s2,
+        |    avg(pow(l_extendedprice / 100000.0, 3.0)) AS s3,
+        |    avg(pow(l_extendedprice / 100000.0, 4.0)) AS s4
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag,
+        |  floor(((s3 - 3*mu*s2 + 2*mu*mu*mu)
+        |         / pow(s2 - mu*mu, 1.5)) * 10000.0 + 0.5) / 10000.0 AS skew,
+        |  floor(((s4 - 4*mu*s3 + 6*mu*mu*s2 - 3*mu*mu*mu*mu)
+        |         / pow(s2 - mu*mu, 2.0) - 3.0) * 10000.0 + 0.5) / 10000.0
+        |    AS kurt_excess
+        |FROM s
+        |ORDER BY flag""".stripMargin
+    ) { (s, d) =>
+      val x = col("l_extendedprice") / lit(100000.0)
+      val (mu, s2, s3, s4) = (col("mu"), col("s2"), col("s3"), col("s4"))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(avg(x).as("mu"), avg(pow(x, 2.0)).as("s2"),
+             avg(pow(x, 3.0)).as("s3"), avg(pow(x, 4.0)).as("s4"))
+        .select(col("flag"),
+                Det.r4((s3 - lit(3) * mu * s2 + lit(2) * mu * mu * mu)
+                       / pow(s2 - mu * mu, 1.5)).as("skew"),
+                Det.r4((s4 - lit(4) * mu * s3 + lit(6) * mu * mu * s2
+                        - lit(3) * mu * mu * mu * mu)
+                       / pow(s2 - mu * mu, 2.0) - lit(3.0)).as("kurt_excess"))
+        .orderBy("flag")
+    },
+
     // mergeable HLL sketches (DataSketches, Spark 4 built-ins): partial
     // sketches per sub-group union-merged up to the parent group — THE
     // 100 TB incremental pattern: persist per-shard/per-day sketch bytes,

@@ -189,6 +189,25 @@ object Relational {
     },
 
     OpDef(
+      "q_join_right",
+      """SELECT c_custkey, o_orderkey
+        |FROM orders RIGHT JOIN customer
+        |  ON c_custkey = o_custkey AND o_totalprice > 400000
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // right outer: Spark plans it as the mirrored left-outer with the
+      // build side swapped — declared so the full outer-join matrix
+      // (left/right/full) is first-class surface
+      orders(s, d)
+        .join(customer(s, d),
+              col("c_custkey") === col("o_custkey") &&
+              col("o_totalprice") > 400000,
+              "right")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    },
+
+    OpDef(
       "q_join_full",
       """WITH p AS (SELECT user_id, count(*) AS purchases FROM events
         |           WHERE event_type = 'purchase' AND value > 300 GROUP BY user_id),
