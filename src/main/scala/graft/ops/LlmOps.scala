@@ -1455,6 +1455,32 @@ object LlmOps {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) => tokenCounts(documents(s, d)) },
 
+    // BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation — the pre-merge atom split a byte-pair tokenizer
+    // starts from, as a second count column family alongside the
+    // whitespace + length/4 estimates. Pattern kept in the dialect
+    // intersection of Java regex (Spark) and RE2 (DuckDB). Map-only.
+    OpDef(
+      "q_text_tokcount_re",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS num_runs,
+        |  CAST(len(regexp_extract_all(text,
+        |       '[^A-Za-z0-9 ]')) AS BIGINT) AS punct_marks
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      def n(pat: String) =
+        size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+      documents(s, d)
+        .select(col("doc_id"),
+                n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("re_tokens"),
+                n("[0-9]+").as("num_runs"),
+                n("[^A-Za-z0-9 ]").as("punct_marks"))
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------------- text: fingerprinting ---
     OpDef(
       "q_text_fingerprint",
