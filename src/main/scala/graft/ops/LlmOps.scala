@@ -1455,6 +1455,37 @@ object LlmOps {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) => tokenCounts(documents(s, d)) },
 
+    // fixed-size overlapping chunking (64-token windows, stride 48 —
+    // 16-token overlap): the RAG-indexing / context-prep split. Map-only:
+    // chunk starts generated per row with sequence(), chunk text sliced
+    // from the in-row token array — no shuffle, parallelism = input
+    // splits, unchanged at any corpus size.
+    OpDef(
+      "q_text_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1, 48)) AS s
+        |      FROM t)
+        |SELECT doc_id, CAST((s-1) // 48 AS BIGINT) AS chunk_id,
+        |  CAST(least(64, len(toks) - s + 1) AS BIGINT) AS n_toks,
+        |  array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin
+    ) { (s, d) =>
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+                explode(sequence(lit(1), size(col("toks")), lit(48))).as("s"))
+        .select(col("doc_id"),
+                expr("(s - 1) div 48").cast("long").as("chunk_id"),
+                least(lit(64), size(col("toks")) - col("s") + 1).cast("long")
+                  .as("n_toks"),
+                array_join(slice(col("toks"), col("s"), lit(64)), " ")
+                  .as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // BPE-ish regex tokenization: letter runs / digit runs / single
     // punctuation — the pre-merge atom split a byte-pair tokenizer
     // starts from, as a second count column family alongside the
