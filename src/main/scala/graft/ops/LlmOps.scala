@@ -923,6 +923,28 @@ object LlmOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Fixed-size overlapping token chunking — the RAG-indexing / context-
+    * prep split: `window`-token chunks every `stride` tokens (overlap =
+    * window − stride), the tail chunk short. Map-only: chunk starts come
+    * from a per-row `sequence()`, text from an in-row `slice` — no
+    * shuffle, parallelism = input splits at any corpus size. */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      "need stride >= 1 and window >= stride (non-positive advance loops)")
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+              explode(sequence(lit(1), size(col("toks")), lit(stride))).as("s"))
+      .select(col("doc_id"),
+              expr(s"(s - 1) div $stride").cast("long").as("chunk_id"),
+              least(lit(window), size(col("toks")) - col("s") + 1).cast("long")
+                .as("n_toks"),
+              array_join(slice(col("toks"), col("s"), lit(window)), " ")
+                .as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val ops: Seq[OpDef] = Seq(
 
     // ------------------------------------------------------- exact dedup
@@ -1471,20 +1493,7 @@ object LlmOps {
         |  array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin
-    ) { (s, d) =>
-      val toks = split(col("text"), " ")
-      documents(s, d)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), col("toks"),
-                explode(sequence(lit(1), size(col("toks")), lit(48))).as("s"))
-        .select(col("doc_id"),
-                expr("(s - 1) div 48").cast("long").as("chunk_id"),
-                least(lit(64), size(col("toks")) - col("s") + 1).cast("long")
-                  .as("n_toks"),
-                array_join(slice(col("toks"), col("s"), lit(64)), " ")
-                  .as("chunk"))
-        .orderBy("doc_id", "chunk_id")
-    },
+    ) { (s, d) => chunkDocs(documents(s, d), 64, 48) },
 
     // BPE-ish regex tokenization: letter runs / digit runs / single
     // punctuation — the pre-merge atom split a byte-pair tokenizer

@@ -162,6 +162,19 @@ class ApiSpec extends SparkTestBase {
       (3L, "de", 0L, 0L)), out.mkString(", "))
   }
 
+  test("chunkDocs windows overlap by window-stride and cover every token") {
+    import spark.implicits._
+    val d = Seq((0L, (1 to 10).map(i => s"t$i").mkString(" "))) // 10 toks
+      .toDF("doc_id", "text")
+    val out = LlmOps.chunkDocs(d, 4, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // starts 1,4,7,10 -> chunks of 4,4,4,1 tokens; adjacent chunks share 1
+    assert(out.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"), (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10"), (3L, 1L, "t10")), out.mkString(", "))
+    intercept[IllegalArgumentException] { LlmOps.chunkDocs(d, 2, 3) }
+  }
+
   test("tokenCounts and qualityScores run on the hand-built table") {
     val tc = LlmOps.tokenCounts(docs).collect()
     assert(tc.length == 5 && tc.head.getLong(1) > 0)
