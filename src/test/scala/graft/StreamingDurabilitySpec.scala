@@ -106,4 +106,41 @@ class StreamingDurabilitySpec extends SparkTestBase {
     assert(dups.contains((2L, 1L)),
       s"doc 2 must match doc 1's checkpointed signatures, got $dups")
   }
+
+  test("streaming packer cumulative position survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val chk = Files.createTempDirectory("graft_chk_pack").toString
+      val out = Files.createTempDirectory("graft_out_pack").toString
+      val ms = MemoryStream[StreamOps.PackDoc]
+      val packed = StreamOps.streamingPack(spark, ms.toDF(), 8)
+      def start() = packed.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      val q1 = start()
+      ms.addData(StreamOps.PackDoc(0L, ts("2024-01-01 10:00:00"), "en",
+                                   "a b c d e")) // 5 toks -> bin 0, off 0
+      q1.processAllAvailable(); q1.stop()
+      // the next doc arrives AFTER the restart: its start position (5)
+      // must come back from the ValueState in the checkpoint, not memory
+      ms.addData(StreamOps.PackDoc(1L, ts("2024-01-01 10:01:00"), "en",
+                                   "f g h i")) // 4 toks -> bin 0, off 5
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+      assert(rows == Set((0L, 0L, 0L), (1L, 0L, 5L)),
+        s"packer state must resume at token 5: ${rows.mkString(", ")}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
