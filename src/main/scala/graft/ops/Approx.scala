@@ -133,7 +133,11 @@ object Approx {
         .setK(16).setSeed(42L).setFeaturesCol("features")
         .setPredictionCol("cell")
         .fit(e)
+      // cached: the probe plan reads the assignment on BOTH sides of the
+      // join (query rows and searched cells) — uncached it would re-scan
+      // and re-run model.transform twice (same contract as the LSH ops)
       val assigned = model.transform(e).select(col("vec_id"), col("cell"), col("v"))
+        .cache()
       val cents = model.clusterCenters.toSeq.zipWithIndex
         .map { case (c, i) => (i, c.toArray) }.toDF("cell", "cv")
       val q = assigned.filter(col("vec_id") < 8)

@@ -26,20 +26,25 @@ import org.apache.spark.sql.expressions.Window
 object LlmOps {
   import Tables._
 
+  /** The distinct word-3-gram shingle array of a token-array column —
+    * the single source of truth for shingle construction: [[grams]]
+    * explodes it, [[minhashSigs]] consumes it in-row. Any change here
+    * (delimiter, distinctness, gram width) must also land in the
+    * `gramsSql` oracle CTE or the jaccard and minhash families drift. */
+  private def shingles(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i),
+                          element_at(toks, i + 1),
+                          element_at(toks, i + 2))))
+
   /** word 3-gram shingles, distinct per doc: (doc_id, g).
     * `docs` needs (doc_id, text) — any table shaped like that works. */
-  def grams(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+  def grams(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i),
-                              element_at(col("toks"), i + 1),
-                              element_at(col("toks"), i + 2))))).as("g"))
-  }
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("g"))
 
   /** The DuckDB spelling of [[grams]] as a CTE body. */
   private val gramsSql: String =
@@ -164,16 +169,10 @@ object LlmOps {
     * referenced non-cheap aliases un-inlined, so each md5 is computed
     * once per (gram, seed-group), exactly as before. */
   def minhashSigs(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
     docs
-      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i),
-                              element_at(col("toks"), i + 1),
-                              element_at(col("toks"), i + 2)))).as("gs"))
+      .select(col("doc_id"), shingles(col("toks")).as("gs"))
       .select(col("doc_id") +:
         (0 to 3).map(j => transform(col("gs"),
           g => md5(concat(lit(s"$j:"), g))).as(s"c$j")): _*)
@@ -209,7 +208,12 @@ object LlmOps {
     // band table twice), and the pair list is generated map-side. Each
     // doc appears once per band, so collect_list needs no dedup; the
     // cross-band duplicate pairs collapse in the same distinct the
-    // self-join needed anyway.
+    // self-join needed anyway. Bucket-size contract: a (band, sig)
+    // bucket's members agree on 4 minhashes, i.e. they are near-dups of
+    // each other — run exactDedup first (as curateCorpus does) so
+    // identical texts collapse before banding, and bucket multiplicity
+    // stays the size of a genuine near-dup cluster, not a copy count;
+    // the collected id row is bounded by that cluster size.
     pairsWithin(
       minhashBands(minhashSigs(docs))
         .groupBy("band", "sig")
@@ -348,18 +352,29 @@ object LlmOps {
     * 32-char prefix is the equi join key (shuffle-friendly, shards the
     * quadratic space), the length band is a cheap residual, and the
     * O(n·m) levenshtein runs only on surviving candidates. */
+  /** Blocks larger than this are dropped before any text is collected:
+    * the bucket-groupBy materializes a whole block's texts in ONE
+    * aggregation-buffer row, which (unlike a join's spillable build side)
+    * cannot spill and is hard-capped at 2 GB per row — an uncapped
+    * boilerplate block (10⁵ docs sharing a 32-char prefix) would OOM the
+    * executor. A block that big is boilerplate, not near-dup signal
+    * (same reasoning as the hot-gram cap), and the cap is mirrored in
+    * the oracle so parity holds by construction. */
+  private val editBlockCap = 1000L
+
   def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
     // bucket-groupBy on the prefix block: document texts shuffle once
     // (the self-join moved them on both sides) and the length band +
-    // levenshtein run map-side per bucket. A pathological block (massive
-    // boilerplate sharing a 32-char prefix) concentrates its texts in
-    // one bucket row — the join formulation holds the same rows in its
-    // hash-build side, so the memory profile is equivalent; widen the
-    // prefix to shrink blocks at scale.
+    // levenshtein run map-side per bucket. The oversized-block filter
+    // runs on COUNTS, before collect_list touches any text — ordering
+    // that matters precisely because the collected row can't spill.
     val p = withNChars(docs)
       .select(col("doc_id"), col("text"), col("n_chars"),
               substring(col("text"), 1, 32).as("pfx"))
-    val buckets = p.groupBy("pfx")
+    val oversized = p.groupBy("pfx").agg(count(lit(1)).as("c"))
+      .filter(col("c") > editBlockCap).select("pfx")
+    val buckets = p.join(oversized, Seq("pfx"), "left_anti")
+      .groupBy("pfx")
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("n_chars"), col("text")))).as("ms"))
       .filter(size(col("ms")) >= 2)
@@ -595,7 +610,12 @@ object LlmOps {
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_big"),
            count(lit(1)).as("n_dist"))
       .select(col("doc_id"), col("n_toks"),
-        Det.r6(col("top_c") * lit(2.0) / col("n_toks")).as("top_bigram_frac"),
+        // least(1, ·): overlapping occurrences double-count tokens (all 5
+        // bigrams of "spam"×6 are the same one), so the raw ratio exceeds
+        // 1 on exactly the looping docs this flags — clamp keeps the
+        // documented "fraction of tokens" a fraction
+        Det.r6(least(lit(1.0), col("top_c") * lit(2.0) / col("n_toks")))
+          .as("top_bigram_frac"),
         Det.r6(lit(1.0) - col("n_dist") * lit(1.0) / col("n_big")).as("dup_bigram_frac"))
       .orderBy("doc_id")
   }
@@ -1083,9 +1103,11 @@ object LlmOps {
     // -------------------- near dedup: edit distance, prefix-blocked -----
     OpDef(
       "q_dedup_editdist",
-      """WITH p AS (
+      """WITH p0 AS (
         |  SELECT doc_id, text, n_chars, substring(text, 1, 32) AS pfx
-        |  FROM documents)
+        |  FROM documents),
+        |big AS (SELECT pfx FROM p0 GROUP BY pfx HAVING count(*) > 1000),
+        |p AS (SELECT * FROM p0 WHERE pfx NOT IN (SELECT pfx FROM big))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
         |FROM p a JOIN p b
@@ -1613,7 +1635,7 @@ object LlmOps {
         |c AS (SELECT doc_id, n_toks, g2, count(*) AS c FROM big
         |      GROUP BY doc_id, n_toks, g2)
         |SELECT doc_id, n_toks,
-        |  floor((max(c) * 2.0 / n_toks) * 1000000.0 + 0.5) / 1000000.0
+        |  floor((least(1.0, max(c) * 2.0 / n_toks)) * 1000000.0 + 0.5) / 1000000.0
         |    AS top_bigram_frac,
         |  floor((1.0 - count(*) * 1.0 / sum(c)) * 1000000.0 + 0.5) / 1000000.0
         |    AS dup_bigram_frac

@@ -169,7 +169,10 @@ object StreamOps {
                                  timerValues: TimerValues): Iterator[PackedDoc] = {
       var c = if (cum.exists()) cum.get() else 0L
       val out = rows.toSeq.sortBy(_.doc_id).map { d =>
-        val n = d.text.split(" ").length.toLong
+        // limit -1 keeps trailing empty tokens — Java's default split
+        // drops them, Spark's split() keeps them, and the batch-equality
+        // contract needs the Spark semantics
+        val n = d.text.split(" ", -1).length.toLong
         val start = c
         c += n
         PackedDoc(d.doc_id, key, n, start / ctxLen, start % ctxLen)
