@@ -18,7 +18,10 @@ class SqlParitySpec extends SparkTestBase {
     "q_join_anti", "q_join_cross", "q_topk", "q_limit_offset",
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
     "q_win_rank", "q_win_topk_group", "q_agg_pivot", "q_tpch_q3",
-    "q_tpch_q5", "q_tpch_q10", "q_agg_salted", "q_sort_multi")
+    "q_tpch_q5", "q_tpch_q10", "q_agg_salted", "q_sort_multi",
+    "q_scd2_build", "q_events_transitions", "q_agg_moments",
+    "q_join_right", "q_agg_bitagg", "q_agg_grouping", "q_join_asof_fwd",
+    "q_dq_checks")
 
   test("ANSI oracle SQL reproduces the DataFrame results on Spark SQL") {
     // events goes through its loader (ns→µs normalization + legacy conf);
