@@ -303,6 +303,36 @@ object EventAnalytics {
         .select(col("cur"), col("nxt"), col("n"),
                 Det.r6(col("n") * lit(1.0) / sum(col("n")).over(wc)).as("p"))
         .orderBy("cur", "nxt")
+    },
+
+    // volume anomaly detection: days whose event count deviates ≥ 1σ from
+    // the corpus mean (z-score) — the monitoring query every ingestion
+    // pipeline runs. The daily-count aggregate is the only corpus-sized
+    // pass; the 1-row stats table joins back via broadcast (a 2-column
+    // scalar, bounded at any scale).
+    OpDef(
+      "q_events_anomaly",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT avg(n * 1.0) AS mu, stddev_pop(n * 1.0) AS sd FROM d)
+        |SELECT day, n,
+        |  floor(((n - mu) / sd) * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM d, s
+        |WHERE abs((n - mu) / sd) >= 1.0
+        |ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.agg(avg(col("n") * lit(1.0)).as("mu"),
+                            stddev_pop(col("n") * lit(1.0)).as("sd"))
+      val z = (col("n") - col("mu")) / col("sd")
+      daily.crossJoin(broadcast(stats))
+        .filter(abs(z) >= 1.0)
+        .select(col("day"), col("n"), Det.r4(z).as("z"))
+        .orderBy("day")
     }
   )
 }
