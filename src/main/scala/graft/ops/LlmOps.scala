@@ -1433,6 +1433,45 @@ object LlmOps {
         |ORDER BY lang, source""".stripMargin
     ) { (s, d) => vocabStats(documents(s, d)) },
 
+    // Zipf rank-frequency slope per lang: least-squares slope of
+    // ln(freq) on ln(rank) (≈ −1 for natural language; the synthetic
+    // 31-word vocabulary is much flatter) plus the log-log correlation
+    // as fit quality — a corpus-health signal that flags templated or
+    // truncated-vocabulary slices. One token aggregate (corpus-sized),
+    // then everything runs over the per-lang vocabulary table.
+    OpDef(
+      "q_text_zipf",
+      """WITH bag AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT lang, tok, count(*) AS c FROM bag GROUP BY 1, 2),
+        |r AS (SELECT lang, c,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY c DESC, tok ASC) AS rk
+        |      FROM f)
+        |SELECT lang,
+        |  floor((covar_pop(ln(rk * 1.0), ln(c * 1.0)) / var_pop(ln(rk * 1.0)))
+        |        * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+        |  floor((corr(ln(rk * 1.0), ln(c * 1.0))) * 10000.0 + 0.5) / 10000.0
+        |    AS fit_r,
+        |  count(*) AS vocab
+        |FROM r
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tok").asc)
+      val (lnRk, lnC) = (log(col("rk") * lit(1.0)), log(col("c") * lit(1.0)))
+      documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("c"), row_number().over(w).as("rk"))
+        .groupBy("lang")
+        .agg(Det.r4(covar_pop(lnRk, lnC) / var_pop(lnRk)).as("zipf_slope"),
+             Det.r4(corr(lnRk, lnC)).as("fit_r"),
+             count(lit(1)).as("vocab"))
+        .orderBy("lang")
+    },
+
     // ------------------------------------------- text: language ID ------
     OpDef(
       "q_text_langid",
