@@ -226,6 +226,61 @@ object Analytics {
                 Det.r4(col("o_totalprice")).as("total_r"), col("sum_qty"))
         .orderBy(col("total_r").desc, col("o_orderkey").asc)
         .limit(20)
+    },
+
+    // TPC-H Q4 shape: order-priority checking — the correlated-EXISTS
+    // pattern (Catalyst decorrelates to a left-semi join on the fact
+    // table). The fixture lacks l_commitdate/l_receiptdate, so "late
+    // delivery" is adapted to l_shipdate > o_orderdate + 60 days.
+    OpDef(
+      "q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+                  col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q12 shape: shipping-priority split — conditional CASE
+    // aggregation over a fact-fact join. The fixture lacks l_shipmode,
+    // so the split keys on l_returnflag with a ship-date year window.
+    OpDef(
+      "q_tpch_q12",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+             sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("l_returnflag")
     }
   )
 }
