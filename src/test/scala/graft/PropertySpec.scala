@@ -66,6 +66,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocs: scalacheck docs — full coverage, exact overlap, reassembly") {
+    import spark.implicits._
+    import graft.ops.LlmOps
+    val (window, stride) = (16, 12)
+    val genDoc = for {
+      n <- Gen.choose(1, 80)
+      toks <- Gen.listOfN(n, Gen.choose(0, 999).map(i => s"w$i"))
+    } yield toks.mkString(" ")
+    val docs = samples(genDoc, 150).zipWithIndex
+      .map { case (text, i) => (i.toLong, text) }
+    val out = LlmOps.chunkDocs(docs.toDF("doc_id", "text"), window, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val chunks = out(id).sortBy(_._2)
+      // stride-th token of each chunk starts the next: reassembling the
+      // first `stride` tokens of every chunk plus the tail reproduces the
+      // doc exactly (full coverage, exact window-stride overlap)
+      val rebuilt = chunks.flatMap { case (_, _, _, c) =>
+        c.split(" ", -1).take(stride) }.take(toks.length) ++
+        chunks.last._4.split(" ", -1).drop(stride)
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $id: coverage gap")
+      chunks.foreach { case (_, _, n, c) =>
+        assert(c.split(" ", -1).length == n && n <= window,
+          s"doc $id: chunk size drift")
+      }
+    }
+  }
+
   test("LSH estimate family: q_dedup_lsh pairs ⊆ band candidates, est in [0,1]") {
     import graft.ops.LlmOps
     val docs = graft.ops.Tables.documents(spark, sf)

@@ -492,6 +492,35 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.size >= 2, "expected at least two micro-batches")
   }
 
+  test("maxFilesPerTrigger paces file ingestion into bounded micro-batches") {
+    // backpressure: a backlog of files must drain as bounded batches
+    // (1 file per trigger), not one giant catch-up batch — the knob that
+    // keeps a recovering stream from OOMing on its own backlog
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_paced").toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        seen.put(batchId, batch.count()); ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.values.asScala.sum == 3, s"all rows must arrive: $seen")
+    assert(seen.size >= 3, s"1 file per trigger -> >= 3 micro-batches: $seen")
+    assert(seen.values.asScala.forall(_ <= 1), s"each batch bounded to 1 row: $seen")
+  }
+
   test("file source stream over the fixture equals the batch twin") {
     // unified API: the same window expression drives q_win_tumble_batch and
     // the streaming path; replaying the static events file through the
