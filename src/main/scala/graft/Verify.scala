@@ -21,8 +21,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // the self-join ops cache intermediates their returned plan still
-      // references (documented contract) — release between queries so 140
-      // dumps don't accumulate storage (same hygiene as Bench)
+      // references (documented contract) — release between queries so the
+      // full dump run doesn't accumulate storage (same hygiene as Bench)
       spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

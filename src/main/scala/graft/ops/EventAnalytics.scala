@@ -320,7 +320,7 @@ object EventAnalytics {
         |SELECT day, n,
         |  floor(((n - mu) / sd) * 10000.0 + 0.5) / 10000.0 AS z
         |FROM d, s
-        |WHERE abs((n - mu) / sd) >= 1.0
+        |WHERE sd > 0 AND abs((n - mu) / sd) >= 1.0
         |ORDER BY day""".stripMargin
     ) { (s, d) =>
       val daily = events(s, d)
@@ -330,7 +330,10 @@ object EventAnalytics {
                             stddev_pop(col("n") * lit(1.0)).as("sd"))
       val z = (col("n") - col("mu")) / col("sd")
       daily.crossJoin(broadcast(stats))
-        .filter(abs(z) >= 1.0)
+        // sd > 0 guard: a zero-variance corpus has no anomalies — and the
+        // engines disagree on 0/0 (Spark Divide → NULL, IEEE DuckDB → NaN),
+        // so the guard is also what keeps the oracle hash-stable
+        .filter(col("sd") > 0 && abs(z) >= 1.0)
         .select(col("day"), col("n"), Det.r4(z).as("z"))
         .orderBy("day")
     }

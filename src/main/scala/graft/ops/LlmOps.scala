@@ -1456,6 +1456,7 @@ object LlmOps {
         |  count(*) AS vocab
         |FROM r
         |GROUP BY lang
+        |HAVING count(*) >= 2
         |ORDER BY lang""".stripMargin
     ) { (s, d) =>
       val w = Window.partitionBy(col("lang"))
@@ -1469,6 +1470,10 @@ object LlmOps {
         .agg(Det.r4(covar_pop(lnRk, lnC) / var_pop(lnRk)).as("zipf_slope"),
              Det.r4(corr(lnRk, lnC)).as("fit_r"),
              count(lit(1)).as("vocab"))
+        // a slope needs >= 2 rank points; ranks 1,2 guarantee
+        // var_pop(ln rk) > 0, so the filter also removes the one case
+        // where the engines disagree on 0/0 (Spark NULL vs IEEE NaN)
+        .filter(col("vocab") >= 2)
         .orderBy("lang")
     },
 
