@@ -245,6 +245,32 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // geometric mean via exp(avg(ln x)) — the right average for
+    // multiplicative quantities (growth rates, ratios); spelled as the
+    // same log-space composition in both engines, defined only over the
+    // strictly positive domain (l_quantity >= 1 in the fixture, guarded
+    // anyway so degenerate data errors neither engine)
+    OpDef(
+      "q_agg_geomean",
+      """SELECT l_returnflag,
+        |  floor((exp(avg(ln(l_quantity)))) * 10000.0 + 0.5) / 10000.0
+        |    AS geo_qty,
+        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS arith_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity > 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") > 0)
+        .groupBy("l_returnflag")
+        .agg(Det.r4(exp(avg(log(col("l_quantity"))))).as("geo_qty"),
+             Det.r4(avg(col("l_quantity"))).as("arith_qty"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // distribution shape in ONE pass: skewness and excess kurtosis from
     // raw power sums (m-th central moments expanded into E[x^k]) — the
     // spelling both engines execute identically, where the native
