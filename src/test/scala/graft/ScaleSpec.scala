@@ -120,6 +120,13 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"signatures must not shuffle:\n$plan")
   }
 
+  test("correlated EXISTS decorrelates to a semi join, not per-row re-execution") {
+    val plan = SparkEntry.queries("q_tpch_q4")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("salted skew join broadcasts the replicated dimension") {
     val plan = SparkEntry.queries("q_join_salted")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -428,6 +428,30 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("two source streams union into one aggregating query") {
+    // multi-source topology: two independent streams (e.g. two regions'
+    // feeds) union into a single stateful aggregation — offsets tracked
+    // per source in the same checkpoint
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms1 = MemoryStream[Event]
+    val ms2 = MemoryStream[Event]
+    val name = nextName()
+    val q = ms1.toDF().union(ms2.toDF())
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    ms1.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+    ms2.addData(ev(2, "2024-01-01 10:00:05", 2, "click", 2.0),
+                ev(3, "2024-01-01 10:00:10", 2, "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table(name).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows == Map("click" -> 2L, "view" -> 1L),
+      s"counts must span both sources: $rows")
+  }
+
   test("Trigger.AvailableNow backfills queued data then stops itself") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
