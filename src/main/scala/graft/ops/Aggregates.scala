@@ -104,17 +104,16 @@ object Aggregates {
     ) { (s, d) =>
       // SQL path: the DataFrame rollup over this join plan trips Spark's
       // ambiguous-self-join detector when re-resolving the grouping columns
-      supplier(s, d)
+      val v = Views.reg(supplier(s, d)
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "s_acctbal")
-        .createOrReplaceTempView("graft_rollup_src")
+        .select("r_name", "n_name", "s_acctbal"), "rollup_src")
       s.sql(
-        """SELECT r_name, n_name, count(*) AS n_supp,
-          |       floor((sum(s_acctbal)) * 1e4 + 0.5) / 1e4 AS total_bal
-          |FROM graft_rollup_src
-          |GROUP BY ROLLUP (r_name, n_name)
-          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+        s"""SELECT r_name, n_name, count(*) AS n_supp,
+           |       floor((sum(s_acctbal)) * 1e4 + 0.5) / 1e4 AS total_bal
+           |FROM $v
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     },
 
     OpDef(
@@ -144,17 +143,17 @@ object Aggregates {
         |GROUP BY GROUPING SETS ((r_name), (n_name), ())
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      nation(s, d)
-        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .createOrReplaceTempView("graft_gsets_src")
+      val v = Views.reg(nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey")),
+        "gsets_src")
       s.sql(
-        """SELECT r_name, n_name,
-          |       CAST(grouping(r_name) AS INT) AS g_r,
-          |       CAST(grouping(n_name) AS INT) AS g_n,
-          |       count(*) AS n
-          |FROM graft_gsets_src
-          |GROUP BY GROUPING SETS ((r_name), (n_name), ())
-          |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+        s"""SELECT r_name, n_name,
+           |       CAST(grouping(r_name) AS INT) AS g_r,
+           |       CAST(grouping(n_name) AS INT) AS g_n,
+           |       count(*) AS n
+           |FROM $v
+           |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+           |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     },
 
     OpDef(
@@ -289,10 +288,12 @@ object Aggregates {
         |    avg(pow(l_extendedprice / 100000.0, 4.0)) AS s4
         |  FROM lineitem GROUP BY 1)
         |SELECT flag,
-        |  floor(((s3 - 3*mu*s2 + 2*mu*mu*mu)
-        |         / pow(s2 - mu*mu, 1.5)) * 10000.0 + 0.5) / 10000.0 AS skew,
-        |  floor(((s4 - 4*mu*s3 + 6*mu*mu*s2 - 3*mu*mu*mu*mu)
-        |         / pow(s2 - mu*mu, 2.0) - 3.0) * 10000.0 + 0.5) / 10000.0
+        |  CASE WHEN s2 - mu*mu > 0 THEN
+        |    floor(((s3 - 3*mu*s2 + 2*mu*mu*mu)
+        |           / pow(s2 - mu*mu, 1.5)) * 10000.0 + 0.5) / 10000.0 END AS skew,
+        |  CASE WHEN s2 - mu*mu > 0 THEN
+        |    floor(((s4 - 4*mu*s3 + 6*mu*mu*s2 - 3*mu*mu*mu*mu)
+        |           / pow(s2 - mu*mu, 2.0) - 3.0) * 10000.0 + 0.5) / 10000.0 END
         |    AS kurt_excess
         |FROM s
         |ORDER BY flag""".stripMargin
@@ -304,11 +305,18 @@ object Aggregates {
         .agg(avg(x).as("mu"), avg(pow(x, 2.0)).as("s2"),
              avg(pow(x, 3.0)).as("s3"), avg(pow(x, 4.0)).as("s4"))
         .select(col("flag"),
-                Det.r4((s3 - lit(3) * mu * s2 + lit(2) * mu * mu * mu)
-                       / pow(s2 - mu * mu, 1.5)).as("skew"),
-                Det.r4((s4 - lit(4) * mu * s3 + lit(6) * mu * mu * s2
-                        - lit(3) * mu * mu * mu * mu)
-                       / pow(s2 - mu * mu, 2.0) - lit(3.0)).as("kurt_excess"))
+                // zero-variance guard: a constant-valued group yields 0/0,
+                // where Spark gives NULL but DuckDB gives IEEE NaN (which
+                // sorts GREATER) — NULL-out on BOTH sides like the sibling
+                // division guards in q_events_anomaly / q_text_zipf
+                when(s2 - mu * mu > 0,
+                     Det.r4((s3 - lit(3) * mu * s2 + lit(2) * mu * mu * mu)
+                            / pow(s2 - mu * mu, 1.5))).as("skew"),
+                when(s2 - mu * mu > 0,
+                     Det.r4((s4 - lit(4) * mu * s3 + lit(6) * mu * mu * s2
+                             - lit(3) * mu * mu * mu * mu)
+                            / pow(s2 - mu * mu, 2.0) - lit(3.0)))
+                  .as("kurt_excess"))
         .orderBy("flag")
     },
 

@@ -294,16 +294,15 @@ object Extras {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin
     ) { (s, d) =>
-      customer(s, d)
-        .select("c_nationkey", "c_mktsegment").distinct()
-        .createOrReplaceTempView("graft_listagg_src")
+      val v = Views.reg(customer(s, d)
+        .select("c_nationkey", "c_mktsegment").distinct(), "listagg_src")
       s.sql(
-        """SELECT c_nationkey,
-          |  listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)
-          |    AS segs
-          |FROM graft_listagg_src
-          |GROUP BY c_nationkey
-          |ORDER BY c_nationkey""".stripMargin)
+        s"""SELECT c_nationkey,
+           |  listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)
+           |    AS segs
+           |FROM $v
+           |GROUP BY c_nationkey
+           |ORDER BY c_nationkey""".stripMargin)
     },
 
     // unpivot/melt: wide → long without touching the data (a generator

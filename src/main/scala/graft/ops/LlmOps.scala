@@ -193,6 +193,29 @@ object LlmOps {
       posexplode(array(sig(0), sig(1), sig(2), sig(3))).as(Seq("band", "sig")): _*)
   }
 
+  /** Band-bucket hard cap, same reasoning as [[editBlockCap]]: the
+    * bucket-groupBy materializes a whole (band, sig) bucket in ONE
+    * aggregation-buffer row, which (unlike a join build side) cannot spill
+    * and is hard-capped at 2 GB per row — an uncapped bucket (a 10⁵-copy
+    * boilerplate cluster agrees on every band) would OOM the executor.
+    * A bucket that big is boilerplate, not near-dup signal; the cap is
+    * mirrored in every consuming oracle so parity holds by construction. */
+  private val bandBucketCap = 1000L
+
+  /** Drop over-cap buckets BEFORE any collect_list touches payloads: the
+    * count pass aggregates to tiny (keys, c) partials map-side, the
+    * oversized key set stays small (≤ #buckets over cap) so AQE broadcasts
+    * the anti-join — the banded rows themselves still shuffle exactly once,
+    * in the caller's groupBy. Callers cache the signature table feeding
+    * `banded` so the count pass re-reads the cache, not the md5 lineage. */
+  private def dropHotBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val oversized = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > bandBucketCap)
+      .select(keys.map(col): _*)
+    banded.join(oversized, keys, "left_anti")
+  }
+
   /** Emit all ordered pairs (i < j) from a sorted id-array column,
     * map-side: posexplode picks the left element, slice takes everything
     * after it. The caller's groupBy already paid the only shuffle. */
@@ -208,14 +231,13 @@ object LlmOps {
     // band table twice), and the pair list is generated map-side. Each
     // doc appears once per band, so collect_list needs no dedup; the
     // cross-band duplicate pairs collapse in the same distinct the
-    // self-join needed anyway. Bucket-size contract: a (band, sig)
-    // bucket's members agree on 4 minhashes, i.e. they are near-dups of
-    // each other — run exactDedup first (as curateCorpus does) so
-    // identical texts collapse before banding, and bucket multiplicity
-    // stays the size of a genuine near-dup cluster, not a copy count;
-    // the collected id row is bounded by that cluster size.
+    // self-join needed anyway. Bucket size is HARD-capped by
+    // [[dropHotBuckets]] (a mega exact-dup cluster agrees on every band);
+    // running exactDedup first (as curateCorpus does) keeps genuine
+    // near-dup clusters well under the cap.
     pairsWithin(
-      minhashBands(minhashSigs(docs))
+      dropHotBuckets(minhashBands(minhashSigs(docs).cache()),
+                     Seq("band", "sig"))
         .groupBy("band", "sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2),
@@ -240,8 +262,10 @@ object LlmOps {
     // it on BOTH sides), pair generation and the agreement estimate run
     // map-side, and the duplicate-collapsing distinct then moves three
     // scalars per row — sig arrays never shuffle again.
-    val buckets = minhashBands(minhashSigs(docs).withColumn("sig16", sigArr),
-                               col("sig16"))
+    val buckets = dropHotBuckets(
+        minhashBands(minhashSigs(docs).withColumn("sig16", sigArr).cache(),
+                     col("sig16")),
+        Seq("band", "sig"))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig16")))).as("ms"))
       .filter(size(col("ms")) >= 2)
@@ -331,12 +355,13 @@ object LlmOps {
     // value land in one bucket via a single shuffle (the self-join
     // formulation shuffled the banded table twice and needed a cache),
     // and the exact Hamming check runs map-side on the bucket's pairs.
-    val banded = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
+    val banded = agg0.select(col("doc_id"), expr(simExpr).as("simhash")).cache()
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), 12 * i).bitwiseAND(lit(4095L))): _*))
           .as(Seq("band", "bv")))
-    val buckets = banded.groupBy("band", "bv")
+    val buckets = dropHotBuckets(banded, Seq("band", "bv"))
+      .groupBy("band", "bv")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
       .filter(size(col("ms")) >= 2)
     pairsWithin(buckets, "ms")
@@ -475,7 +500,15 @@ object LlmOps {
     * instead of re-deduping everything. Work scales with |new| + the
     * touched buckets of |corpus|, not |corpus|²; the signature table is
     * exactly what a production pipeline would persist between runs.
-    * Returns (new_id, dup_of, est_jaccard ≥ threshold). */
+    * Returns (new_id, dup_of, est_jaccard ≥ threshold).
+    *
+    * PRECONDITION: doc_id must be globally unique across
+    * newDocs ∪ corpus. The self-pair guard below keys on id equality, so
+    * a newDocs doc and a DIFFERENT corpus doc that happened to share an
+    * id would have its genuine match silently dropped — id reuse across
+    * the two inputs is a caller bug this op cannot detect (a same-id
+    * cross-side pair is indistinguishable from the same doc fed to both
+    * sides, which the guard exists to tolerate). */
   def incrementalDedupPairs(newDocs: DataFrame, corpus: DataFrame,
                             threshold: Double): DataFrame = {
     val sigArr = array((0 to 15).map(i => col(s"minh_$i")): _*)
@@ -484,9 +517,13 @@ object LlmOps {
     // pairs and the agreement estimate are generated map-side per
     // bucket, and only cross-side pairs survive.
     def banded(docs: DataFrame, side: Int) =
-      minhashBands(minhashSigs(docs).withColumn("sig16", sigArr), col("sig16"))
+      minhashBands(minhashSigs(docs).withColumn("sig16", sigArr).cache(),
+                   col("sig16"))
         .withColumn("side", lit(side))
-    val buckets = banded(newDocs, 0).unionByName(banded(corpus, 1))
+    // the cap counts the COMBINED (both-side) bucket population — exactly
+    // the row the groupBy would materialize
+    val buckets = dropHotBuckets(
+        banded(newDocs, 0).unionByName(banded(corpus, 1)), Seq("band", "sig"))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("side"), col("sig16")))).as("ms"))
@@ -1038,9 +1075,15 @@ object LlmOps {
         |bands AS (
         |  SELECT doc_id, seed // 4 AS band,
         |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
-        |  FROM hashed GROUP BY doc_id, seed // 4)
+        |  FROM hashed GROUP BY doc_id, seed // 4),
+        |bandsf AS (
+        |  SELECT doc_id, band, sig FROM (
+        |    SELECT doc_id, band, sig,
+        |           count(*) OVER (PARTITION BY band, sig) AS bsz
+        |    FROM bands)
+        |  WHERE bsz <= $bandBucketCap)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
+        |FROM bandsf a JOIN bandsf b
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) => minhashPairs(documents(s, d)) },
@@ -1059,9 +1102,15 @@ object LlmOps {
         |  SELECT doc_id, seed // 4 AS band,
         |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
         |  FROM hashed GROUP BY doc_id, seed // 4),
+        |bandsf AS (
+        |  SELECT doc_id, band, sig FROM (
+        |    SELECT doc_id, band, sig,
+        |           count(*) OVER (PARTITION BY band, sig) AS bsz
+        |    FROM bands)
+        |  WHERE bsz <= $bandBucketCap),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
+        |  FROM bandsf a JOIN bandsf b
         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         |est AS (
         |  SELECT c.doc_a, c.doc_b,
@@ -1077,9 +1126,13 @@ object LlmOps {
     ) { (s, d) => lshDedupPairs(documents(s, d), 0.5) },
 
     // ----------------------------- near dedup: 48-bit SimHash (md5) -----
+    // oracle mirrors the 4×12-bit pigeonhole banding AND the band-bucket
+    // cap (not the all-pairs spelling): at Hamming ≤ 3 at least one band
+    // is bit-identical, so modulo the mirrored cap the candidate sets are
+    // identical by construction
     OpDef(
       "q_dedup_simhash",
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tokbits AS (
         |  SELECT doc_id, b,
@@ -1091,11 +1144,22 @@ object LlmOps {
         |  FROM tokbits GROUP BY doc_id, b),
         |sh AS (
         |  SELECT doc_id,
-        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
-        |  FROM bitsum GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+        |      AS simhash
+        |  FROM bitsum GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (12 * band)) & 4095 AS bv
+        |  FROM sh, (SELECT unnest(range(0, 4)) AS band)),
+        |bandedf AS (
+        |  SELECT doc_id, simhash, band, bv FROM (
+        |    SELECT doc_id, simhash, band, bv,
+        |           count(*) OVER (PARTITION BY band, bv) AS bsz
+        |    FROM banded)
+        |  WHERE bsz <= $bandBucketCap)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |FROM bandedf a JOIN bandedf b
+        |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) => simhashPairs(documents(s, d), 3) },
@@ -1178,9 +1242,15 @@ object LlmOps {
         |  SELECT doc_id, seed // 4 AS band,
         |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
         |  FROM hashed GROUP BY doc_id, seed // 4),
+        |bandsf AS (
+        |  SELECT doc_id, band, sig FROM (
+        |    SELECT doc_id, band, sig,
+        |           count(*) OVER (PARTITION BY band, sig) AS bsz
+        |    FROM bands)
+        |  WHERE bsz <= $bandBucketCap),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.sig = b.sig
         |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
         |est AS (
         |  SELECT c.new_id, c.dup_of,

@@ -42,6 +42,23 @@ object Det {
   }
 }
 
+/** Per-invocation temp-view names: SQL-form ops that must register their
+  * input plan as a view (rollup/grouping-sets re-resolution, LATERAL,
+  * recursive CTE, listagg, range-frame SQL) get a counter-suffixed name so
+  * concurrent invocations on one SparkSession — or a caller's own view that
+  * happens to share the prefix — can never cross-wire inputs. Views are
+  * session-scoped catalog entries; a handful per invocation is negligible
+  * and they are replaced, not leaked, across repeated runs of one query
+  * only if the name repeats — which the counter prevents by design. */
+object Views {
+  private val n = new java.util.concurrent.atomic.AtomicLong(0)
+  def reg(df: DataFrame, prefix: String): String = {
+    val v = s"graft_${prefix}_${n.incrementAndGet()}"
+    df.createOrReplaceTempView(v)
+    v
+  }
+}
+
 object OpDef {
   /** Oracle-checked op. */
   def apply(name: String, oracle: String)(

@@ -378,14 +378,13 @@ object Relational {
       // even with a constant equi key, which Catalyst folds away); the
       // bounds aggregate is evaluated per reference, which parquet
       // min/max statistics make a metadata-only scan at any scale.
-      events(s, d)
-        .select(col("event_id"), unix_micros(col("ts")).as("us"))
-        .createOrReplaceTempView("graft_range_ev")
+      val v = Views.reg(events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us")), "range_ev")
       s.sql(
-        """WITH b AS (
+        s"""WITH b AS (
           |  SELECT min(us) AS lo, max(us) AS hi,
           |         (max(us) - min(us)) div 32 + 1 AS bw
-          |  FROM graft_range_ev),
+          |  FROM $v),
           |iv AS (
           |  SELECT win_id, w_start, w_end,
           |         explode(sequence(w_start div bw, (w_end - 1) div bw)) AS bkt
@@ -396,7 +395,7 @@ object Relational {
           |        FROM b LATERAL VIEW explode(sequence(0L, 19L)) t AS win_id)),
           |evb AS (
           |  SELECT event_id, us, us div (SELECT bw FROM b) AS bkt
-          |  FROM graft_range_ev)
+          |  FROM $v)
           |SELECT /*+ BROADCAST(iv) */ win_id, w_start, w_end,
           |       count(*) AS n_events
           |FROM evb JOIN iv USING (bkt)
@@ -536,18 +535,18 @@ object Relational {
         |GROUP BY m
         |ORDER BY m""".stripMargin
     ) { (s, d) =>
-      orders(s, d).createOrReplaceTempView("graft_rec_ord")
+      val v = Views.reg(orders(s, d), "rec_ord")
       s.sql(
-        """WITH RECURSIVE spine(m) AS (
-          |  SELECT TIMESTAMP '1995-01-01'
-          |  UNION ALL
-          |  SELECT m + INTERVAL 1 MONTH FROM spine
-          |  WHERE m < TIMESTAMP '2001-07-01')
-          |SELECT m, count(o_orderkey) AS n_orders
-          |FROM spine LEFT JOIN graft_rec_ord
-          |  ON date_trunc('MONTH', o_orderdate) = m
-          |GROUP BY m
-          |ORDER BY m""".stripMargin)
+        s"""WITH RECURSIVE spine(m) AS (
+           |  SELECT TIMESTAMP '1995-01-01'
+           |  UNION ALL
+           |  SELECT m + INTERVAL 1 MONTH FROM spine
+           |  WHERE m < TIMESTAMP '2001-07-01')
+           |SELECT m, count(o_orderkey) AS n_orders
+           |FROM spine LEFT JOIN $v
+           |  ON date_trunc('MONTH', o_orderdate) = m
+           |GROUP BY m
+           |ORDER BY m""".stripMargin)
     },
 
     // correlated LATERAL join: per-customer top-2 orders — the "for each
@@ -566,17 +565,17 @@ object Relational {
         |WHERE rn <= 2
         |ORDER BY c_custkey, o_orderkey""".stripMargin
     ) { (s, d) =>
-      customer(s, d).createOrReplaceTempView("graft_lat_cust")
-      orders(s, d).createOrReplaceTempView("graft_lat_ord")
+      val vc = Views.reg(customer(s, d), "lat_cust")
+      val vo = Views.reg(orders(s, d), "lat_ord")
       s.sql(
-        """SELECT c_custkey, o_orderkey, o_totalprice
-          |FROM graft_lat_cust,
-          |LATERAL (SELECT o_orderkey, o_totalprice
-          |         FROM graft_lat_ord
-          |         WHERE o_custkey = c_custkey
-          |         ORDER BY o_totalprice DESC, o_orderkey ASC
-          |         LIMIT 2)
-          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+        s"""SELECT c_custkey, o_orderkey, o_totalprice
+           |FROM $vc,
+           |LATERAL (SELECT o_orderkey, o_totalprice
+           |         FROM $vo
+           |         WHERE o_custkey = c_custkey
+           |         ORDER BY o_totalprice DESC, o_orderkey ASC
+           |         LIMIT 2)
+           |ORDER BY c_custkey, o_orderkey""".stripMargin)
     }
   )
 }

@@ -124,13 +124,13 @@ object Windows {
     ) { (s, d) =>
       // value-range frame over a double column: SQL form (the DataFrame
       // rangeBetween(Long, Long) boundary would type-clash with DoubleType)
-      orders(s, d).createOrReplaceTempView("graft_winrange_src")
+      val v = Views.reg(orders(s, d), "winrange_src")
       s.sql(
-        """SELECT o_orderstatus, o_orderkey, o_totalprice,
-          |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-          |                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
-          |FROM graft_winrange_src
-          |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+        s"""SELECT o_orderstatus, o_orderkey, o_totalprice,
+           |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           |                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+           |FROM $v
+           |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
     },
 
     OpDef(
