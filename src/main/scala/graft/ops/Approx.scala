@@ -6,9 +6,11 @@ import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 
 /** §2.9 P2 — sub-quadratic scale paths for near-dedup and similarity
-  * search. All no-oracle (randomized hash families aren't expressible in
-  * DuckDB); ApproxSpec property-tests recall against the exact operators
-  * (`q_dedup_near`, `q_sim_topk`) on the same fixtures.
+  * search. The randomized-hash ops are no-oracle (MLlib's hash families
+  * aren't expressible in DuckDB); ApproxSpec property-tests their recall
+  * against the exact operators (`q_dedup_near`, `q_sim_topk`) on the same
+  * fixtures. The label-centroid IVF is fully deterministic and therefore
+  * oracle-checked like any exact op.
   *
   * These are the 100 TB designs: the exact operators stay as correctness
   * baselines, and these replace them when the candidate-pair space must be
@@ -115,6 +117,41 @@ object Approx {
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     },
 
+    /** Sub-quadratic FULL k-NN graph — q_sim_knn's scale twin, and the
+      * missing piece between the per-query ANN ops (which restrict to the
+      * 8-vector query set) and graph consumers (dedup clustering,
+      * diversity sampling) that need every vector's neighbors: BRP-LSH
+      * self-join surfaces bucket-collision candidates within the Euclidean
+      * radius √(2−2·minSim) (unit-norm ⇒ cos ≥ s ⇔ dist ≤ √(2−2s)), each
+      * candidate is re-ranked with the exact codegen'd dot product, and a
+      * per-vector window keeps top-k. No crossJoin anywhere in the plan
+      * (ScaleSpec asserts); cost ∝ Σ bucket² instead of n². Neighbors
+      * below minSim are unreachable by construction — on the near-random
+      * fixture that bounds recall (ApproxSpec pins the floor); on
+      * genuinely clustered embeddings true neighbors sit far inside the
+      * radius and recall approaches exact. */
+    OpDef.noOracle("q_sim_knn_lsh") { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+        .cache() // both sides of the LSH self-join
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(e)
+      val w = Window.partitionBy(col("i"))
+        .orderBy(col("sim").desc, col("j").asc)
+      model.approxSimilarityJoin(e, e, math.sqrt(2 - 2 * 0.1), "dist")
+        .select(col("datasetA.vec_id").as("i"), col("datasetA.v").as("va"),
+                col("datasetB.vec_id").as("j"), col("datasetB.v").as("vb"))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"), Det.r6(expr("graft_dot(va, vb)")).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("i", "rn")
+    },
+
     /** IVF with TRAINED centroids: k-means coarse quantizer (seeded MLlib
       * fit — the real IVF construction, vs q_sim_ann_ivf's fixture-label
       * cells), then the same probe: rank the 16 cells per query by
@@ -168,8 +205,54 @@ object Approx {
       * fixture's labels are NOT geometric clusters (within- and cross-label
       * mean cosine are both ≈0), so recall here ≈ the searched fraction —
       * ApproxSpec pins that recall/cost relationship; on genuinely clustered
-      * data the same operator approaches exact recall. */
-    OpDef.noOracle("q_sim_ann_ivf") { (s, d) =>
+      * data the same operator approaches exact recall.
+      *
+      * Unlike the randomized-LSH ops this one IS oracle-checked: label
+      * centroids are per-dimension averages, cell choice ranks on the
+      * ROUNDED centroid similarity with a label tie-break, and the final
+      * rank is on rounded sims with a vec_id tie-break — every step is
+      * deterministic and spelled identically in the DuckDB SQL. */
+    OpDef(
+      "q_sim_ann_ivf",
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cpos AS (
+        |  SELECT label, i AS pos, avg(v[i]) AS cx
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(cx ORDER BY pos) AS cv
+        |  FROM cpos GROUP BY label),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |csims AS (
+        |  SELECT qid,  c.label,
+        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.cv[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS csim
+        |  FROM q, cent c),
+        |probe AS (
+        |  SELECT qid, label FROM (
+        |    SELECT qid, label,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY csim DESC, label ASC) AS crn
+        |    FROM csims)
+        |  WHERE crn <= 4),
+        |sims AS (
+        |  SELECT p.qid, e.vec_id,
+        |    floor((list_sum(list_transform(range(1, 65), i -> q.qv[i] * e.v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM probe p
+        |  JOIN e ON e.label = p.label
+        |  JOIN q ON q.qid = p.qid
+        |  WHERE p.qid <> e.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM sims)
+        |SELECT qid, vec_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin
+    ) { (s, d) =>
       val e = embeddings(s, d)
         .select(col("vec_id"), col("label"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))

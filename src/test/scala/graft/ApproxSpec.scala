@@ -81,6 +81,30 @@ class ApproxSpec extends SparkTestBase {
     assert(recovered >= 0.8, s"semantic-LSH vertex recall $recovered")
   }
 
+  test("LSH full k-NN graph recovers exact edges above the radius floor") {
+    val exactRows = queries("q_sim_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshRows = queries("q_sim_knn_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exactRows.nonEmpty, "exact kNN graph must be non-empty")
+    // edges with sim < 0.1 are OUTSIDE the LSH radius by construction —
+    // recall is defined over the reachable edges (the operator's contract);
+    // overall recall is reported for context
+    val reachable = exactRows.filter(_._2 >= 0.1)
+    val recallReach = reachable.keys.count(lshRows.contains).toDouble /
+      math.max(reachable.size, 1)
+    val recallAll = exactRows.keys.count(lshRows.contains).toDouble / exactRows.size
+    info(s"knn-LSH recall: reachable $recallReach, overall $recallAll " +
+      s"(${exactRows.size} exact edges, ${reachable.size} reachable)")
+    assert(recallReach >= 0.5,
+      s"knn-LSH reachable-edge recall $recallReach over ${reachable.size} edges")
+    // surfaced edges carry the EXACT re-ranked similarity
+    lshRows.foreach { case (k, sim) =>
+      exactRows.get(k).foreach(e =>
+        assert(e == sim, s"edge $k: lsh sim $sim != exact $e"))
+    }
+  }
+
   test("BRP-LSH ANN returns ranked neighbors for every query") {
     val ann = queries("q_sim_ann_lsh")(spark, sf)
     val perQuery = ann.groupBy("qid").count().collect()

@@ -79,11 +79,14 @@ class ScaleSpec extends SparkTestBase {
     // BroadcastNestedLoopJoin anywhere in these plans would mean the O(n²)
     // plan crept back in
     for (q <- Seq("q_dedup_simhash", "q_sim_cosine_dup_lsh", "q_dedup_minhash",
-                  "q_dedup_lsh", "q_dedup_incremental", "q_join_range")) {
+                  "q_dedup_lsh", "q_dedup_incremental", "q_join_range",
+                  "q_sim_knn_lsh")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q must shard candidates by bucket, not scan all pairs:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must shard candidates by bucket, not cross-join:\n$plan")
     }
   }
 
