@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.ops.LlmOps
+
+/** Scale-growth benchmark: measures the banded dedup/similarity family on
+  * Synth corpora at 1×/3×/10× a base size and prints one JSON line per
+  * operator with (rows, sec) per scale — the empirical backing for the
+  * "survives 100×" claims BASELINE.md records (GrowthSpec asserts the
+  * same curves on smaller corpora inside `sbt test`).
+  *
+  * The exact all-pairs baseline (cosineDupPairs) runs only at 1× and 3×:
+  * its point here is the CONTRAST — ~9× work growth for 3× data — and at
+  * 10× it would dominate the whole run, which is exactly the claim.
+  *
+  * Env: SPARK_GRAFT_GROWTH_DOCS (base docs, default 5000),
+  * SPARK_GRAFT_GROWTH_VECS (base vectors, default 2000),
+  * SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_GROWTH_DIR
+  * (default /tmp/graft_growth). */
+object GrowthBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val baseDocs = sys.env.getOrElse("SPARK_GRAFT_GROWTH_DOCS", "5000").toLong
+    val baseVecs = sys.env.getOrElse("SPARK_GRAFT_GROWTH_VECS", "2000").toLong
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_GROWTH_DIR", "/tmp/graft_growth")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales = Seq(1L, 3L, 10L)
+    for (k <- scales)
+      Synth.write(spark, s"$outDir/x$k", baseDocs * k, baseVecs * k, dims = 256)
+
+    def docs(k: Long) = spark.read.parquet(s"$outDir/x$k/documents.parquet")
+    def embs(k: Long) = spark.read.parquet(s"$outDir/x$k/embeddings.parquet")
+
+    // warm codegen/JVM once so x1 isn't charged the startup cost
+    LlmOps.lshDedupPairs(docs(1), 0.5).count()
+    spark.catalog.clearCache()
+
+    val ops: Seq[(String, Seq[Long], Long => Long)] = Seq(
+      ("lsh_candidates", scales, k => LlmOps.lshDedupPairs(docs(k), 0.0).count()),
+      ("lsh_dedup", scales, k => LlmOps.lshDedupPairs(docs(k), 0.5).count()),
+      ("minhash_pairs", scales, k => LlmOps.minhashPairs(docs(k)).count()),
+      ("containment", scales, k => LlmOps.containmentPairs(docs(k), 0.5).count()),
+      ("jaccard_near", scales, k => LlmOps.jaccardPairs(docs(k), 0.5).count()),
+      ("cosine_dup_exact", Seq(1L, 3L),
+        k => LlmOps.cosineDupPairs(embs(k), 0.45).count()),
+    )
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val lines = ops.map { case (name, ks, f) =>
+      val cells = ks.map { k =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = f(k)
+        val sec = r3((System.nanoTime() - t0) / 1e9)
+        s""""x$k":{"rows":$n,"sec":$sec}"""
+      }
+      s""""$name":{${cells.mkString(",")}}"""
+    }
+    println(s"""{"metric":"growth","base_docs":$baseDocs,"base_vecs":$baseVecs,""" +
+      s""""ops":{${lines.mkString(",")}}}""")
+    spark.stop()
+  }
+}

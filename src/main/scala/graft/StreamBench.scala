@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+
+/** Streaming micro-benchmark: rows/sec through the three load-bearing
+  * streaming shapes (stateless-ish windowed agg, stateful banded
+  * near-dup, stream–stream interval join) under MemoryStream, fed in
+  * fixed-size chunks so every run produces the same batch sequence.
+  * Prints ONE JSON line with per-op rows/sec plus per-batch floor/ceiling
+  * throughput from StreamingQueryProgress — the BASELINE.md record the
+  * batch-only Bench can't provide. A 2× floor-vs-median per-batch
+  * collapse assertion lives in StreamingSpec; this main just measures.
+  *
+  * Env: SPARK_GRAFT_STREAM_EVENTS (default 200000),
+  * SPARK_GRAFT_STREAM_DOCS (default 20000), SPARK_GRAFT_CPUS (32). */
+object StreamBench {
+
+  private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "200000").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "20000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    // one chunk = one micro-batch: deterministic batch sequence
+    def drive[A](name: String, chunks: Seq[Seq[A]],
+                 q: MemoryStream[A] => DataFrame)(
+                 implicit enc: org.apache.spark.sql.Encoder[A]): String = {
+      val ms = MemoryStream[A]
+      val query = q(ms).writeStream.format("noop").start()
+      val n = chunks.map(_.size).sum
+      val start = System.nanoTime()
+      chunks.foreach { c => ms.addData(c); query.processAllAvailable() }
+      val sec = (System.nanoTime() - start) / 1e9
+      val perBatch = query.recentProgress.toSeq
+        .filter(_.numInputRows > 0).map(_.processedRowsPerSecond)
+      query.stop()
+      val floor = if (perBatch.nonEmpty) perBatch.min else 0.0
+      val ceil = if (perBatch.nonEmpty) perBatch.max else 0.0
+      s""""$name":{"rows":$n,"sec":${r3(sec)},"rows_per_sec":${r3(n / sec)},""" +
+        s""""batches":${perBatch.size},"batch_floor_rps":${r3(floor)},""" +
+        s""""batch_ceil_rps":${r3(ceil)}}"""
+    }
+
+    // windowed agg: events spread over hours, 10 equal chunks
+    val events = (0 until nEvents).map { i =>
+      StreamOps.Event(i.toLong, ts(t0 + i.toLong * 500),
+        (i % 997).toLong, Seq("click", "view", "purchase")(i % 3),
+        (i % 100) / 10.0, """{"k": 1}""")
+    }
+    val tumbling = drive("tumbling_agg", events.grouped(nEvents / 10).toSeq,
+      (ms: MemoryStream[StreamOps.Event]) => StreamOps.tumblingCounts(ms.toDF()))
+
+    // stateful banded near-dup: every 10th doc mutates the previous one
+    val docs = (0 until nDocs).map { i =>
+      val base = if (i % 10 == 9) i - 1 else i
+      val toks = (0 until 40).map { j =>
+        if (i % 10 == 9 && j == base % 38 + 1) s"mut$i"
+        else s"w${(base * 131 + j * 7919) % 5000}"
+      }
+      StreamOps.DocEvent(i.toLong, ts(t0 + i.toLong * 1000), toks.mkString(" "))
+    }
+    val nearDup = drive("near_dup", docs.grouped(nDocs / 10).toSeq,
+      (ms: MemoryStream[StreamOps.DocEvent]) =>
+        StreamOps.streamingNearDup(spark, ms.toDF(), 0.5).toDF())
+
+    // stream–stream interval join: click then purchase 30 s later
+    val joinEvents = (0 until nEvents).flatMap { i =>
+      val uid = (i % 4999).toLong
+      Seq(StreamOps.Event(i.toLong * 2, ts(t0 + i.toLong * 500), uid,
+            "click", 1.0, "{}"),
+          StreamOps.Event(i.toLong * 2 + 1, ts(t0 + i.toLong * 500 + 30000),
+            uid, "purchase", 2.0, "{}"))
+    }
+    val ssJoin = drive("stream_stream_join",
+      joinEvents.grouped(joinEvents.size / 10).toSeq,
+      (ms: MemoryStream[StreamOps.Event]) =>
+        StreamOps.purchaseAfterClick(ms.toDF()))
+
+    println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
+      s""""ops":{$tumbling,$nearDup,$ssJoin}}""")
+    spark.stop()
+  }
+}

@@ -66,9 +66,9 @@ object LlmOps {
     * small fixtures. The hotGramMin floor keeps the cap inert on tiny
     * tables (10% of a 5-doc table is 0.5 — without the floor EVERY gram
     * would be "hot" and the whole shingle set dropped). */
-  private val hotGramFrac = 0.1
-  private val hotGramAbs = 1000.0
-  private val hotGramMin = 5.0
+  private[graft] val hotGramFrac = 0.1
+  private[graft] val hotGramAbs = 1000.0
+  private[graft] val hotGramMin = 5.0
 
   /** [[grams]] minus hot grams. Once the absolute cap binds (n_docs >
     * hotGramAbs/hotGramFrac) the hot set is every gram with df above a
@@ -186,7 +186,7 @@ object LlmOps {
     * where sig = the band's 4 member minhashes joined in seed order (the
     * same string the oracle's string_agg ... ORDER BY seed builds), plus
     * any extra columns the caller carried on `sigs`. */
-  private def minhashBands(sigs: DataFrame, carry: Column*): DataFrame = {
+  private[graft] def minhashBands(sigs: DataFrame, carry: Column*): DataFrame = {
     def sig(b: Int) = concat_ws(",",
       (0 until 4).map(i => col(s"minh_${4 * b + i}").cast("string")): _*)
     sigs.select(col("doc_id") +: carry :+
@@ -200,7 +200,7 @@ object LlmOps {
     * boilerplate cluster agrees on every band) would OOM the executor.
     * A bucket that big is boilerplate, not near-dup signal; the cap is
     * mirrored in every consuming oracle so parity holds by construction. */
-  private val bandBucketCap = 1000L
+  private[graft] val bandBucketCap = 1000L
 
   /** Drop over-cap buckets BEFORE any collect_list touches payloads: the
     * count pass aggregates to tiny (keys, c) partials map-side, the
@@ -208,7 +208,7 @@ object LlmOps {
     * the anti-join — the banded rows themselves still shuffle exactly once,
     * in the caller's groupBy. Callers cache the signature table feeding
     * `banded` so the count pass re-reads the cache, not the md5 lineage. */
-  private def dropHotBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def dropHotBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
     val oversized = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("c"))
       .filter(col("c") > bandBucketCap)
@@ -695,10 +695,73 @@ object LlmOps {
       .orderBy("qid", "rn")
   }
 
+  /** Deterministic Rademacher hyperplane for SRP banding: component d of
+    * hyperplane (table t, bit j) is ±1 by the first hex digit of
+    * md5("srp:t:j:d") — a value Scala (java MessageDigest), Spark (md5)
+    * and DuckDB (md5) all compute identically, so the banding is
+    * oracle-checkable. Evaluated ONCE driver-side into literal sign
+    * arrays: hyperplanes are L·k constant vectors, not data. */
+  private def srpSigns(t: Int, j: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val h = md.digest(s"srp:$t:$j:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-random-projection (hyperplane LSH) cosine near-dup pairs — the
+    * deterministic 100 TB path for HIGH-similarity embedding dedup.
+    * Each vector gets `tables` band codes of `bits` sign bits
+    * (sign(v · hyperplane), Charikar's SRP: P[bits agree] =
+    * (1 − θ/π)^bits); vectors sharing any (table, code) bucket become
+    * candidates via the same capped bucket-groupBy machinery as
+    * [[lshDedupPairs]], then the exact codegen'd dot re-ranks and
+    * thresholds — surfaced sims are exact, only recall is banded.
+    *
+    * Parameter rule at scale: random-pair candidates ≈ L·n²/2^bits, so
+    * `bits` must grow ~log₂(n) to stay linear (GrowthSpec measures this:
+    * bits=24 holds candidate growth linear at 10× the corpus with ≈1.0
+    * recall on cos ≥ 0.99 planted dups). At near-dup thresholds
+    * (cos ≥ 0.8) recall stays high; for BORDERLINE search (cos ≈ 0.45)
+    * per-bucket collision collapses — that regime belongs to the IVF ops.
+    * Unlike the MLlib BRP ops this op is fully deterministic, so it is
+    * driver-oracle-checked, and its single-projection-per-hash weakness
+    * (everything concentrates into few buckets at high dims) is replaced
+    * by proper k-bit AND-composition per table. */
+  def srpCosinePairs(emb: DataFrame, minSim: Double, bits: Int = 8,
+                     tables: Int = 8, dims: Int = 64): DataFrame = {
+    val s = emb.sparkSession
+    graft.GraftFunctions.register(s)
+    val e = emb
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+      .cache() // feeds the sig build and both re-rank sides
+    def code(t: Int): Column = concat((0 until bits).map { j =>
+      val hp = lit(srpSigns(t, j, dims))
+      when(call_function("graft_dot", col("v"), hp) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
+    val banded = e.select(col("vec_id"),
+      posexplode(array((0 until tables).map(code): _*)).as(Seq("band", "sig")))
+    val buckets = dropHotBuckets(banded, Seq("band", "sig"))
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    pairsWithin(buckets, "ids")
+      .select(col("a").as("vec_a"), col("b").as("vec_b")).distinct()
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+              Det.r6(call_function("graft_dot", col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** EXACT cosine near-dup pairs ≥ minSim: all-pairs scan, O(n²) by
-    * design — sf-bounded and oracle-checkable. The scale path is
-    * q_sim_cosine_dup_lsh (Approx.scala): LSH-bucketed candidates +
-    * exact dot re-rank, recall-tested against this op. */
+    * design — sf-bounded and oracle-checkable. The scale paths are
+    * q_sim_cosine_dup_lsh (Approx.scala): MLlib-LSH candidates + exact
+    * dot re-rank, recall-tested against this op — and
+    * [[srpCosinePairs]], the deterministic oracle-checked banding. */
   def cosineDupPairs(emb: DataFrame, minSim: Double): DataFrame = {
     val e = emb
       .select(col("vec_id"),
@@ -939,11 +1002,25 @@ object LlmOps {
     * 3. quality gate ([[qualityScores]] ≥ minQuality).
     * Each stage is shuffle-bounded, so the composition inherits the
     * per-operator 100 TB properties unchanged. */
-  def curateCorpus(docs: DataFrame, jaccardThreshold: Double,
+  def curateCorpus(docs0: DataFrame, jaccardThreshold: Double,
                    minQuality: Double): DataFrame = {
+    // ONE materialized read of the input feeds all four consumers (exact
+    // dedup, the near-dup cluster stage, quality scoring, the final
+    // projection) instead of each stage re-scanning and re-tokenizing the
+    // corpus — the composition's former ~2× redundancy. At 100 TB the
+    // same role is played by persisting the curation input once between
+    // stages. The cache the returned plan references follows the
+    // documented caching contract (callers clearCache between calls);
+    // the gram cache is loop-scoped: clusterPairs runs its label
+    // iteration eagerly (localCheckpoint + sum actions), so the grams
+    // can be released as soon as it returns.
+    val docs = docs0.cache()
     val survivors = exactDedup(docs).select(col("keep_id").as("doc_id"))
-    val nonCanon = dedupClusters(docs, jaccardThreshold)
+    val g = gramsCapped(docs).cache()
+    val nonCanon = clusterPairs(
+        jaccardPairsFrom(g, jaccardThreshold).select(col("doc_a"), col("doc_b")))
       .filter(col("doc_id") =!= col("canon_id")).select("doc_id")
+    g.unpersist()
     val quality = qualityScores(docs, 5).select(col("doc_id"), col("quality"))
     withNChars(docs)
       .join(survivors, Seq("doc_id"), "left_semi")
@@ -1455,6 +1532,49 @@ object LlmOps {
         |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin
     ) { (s, d) => cosineDupPairs(embeddings(s, d), 0.45) },
+
+    // SRP-banded cosine near-dup — deterministic md5 hyperplanes, so the
+    // oracle rebuilds the SAME banding (including the bucket cap) and the
+    // candidate sets match by construction; the exact-dot re-rank then
+    // makes every surfaced sim exact. 8 tables × 8 bits at the fixture
+    // scale; bits grows ~log₂(n) at scale (see srpCosinePairs scaladoc).
+    OpDef(
+      "q_sim_cosine_dup_srp",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hp AS (
+        |  SELECT t, j,
+        |    list(CASE WHEN substring(md5('srp:' || t || ':' || j || ':' || d), 1, 1)
+        |              BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+        |  FROM (SELECT unnest(range(0, 8)) AS t),
+        |       (SELECT unnest(range(0, 8)) AS j),
+        |       (SELECT unnest(range(0, 64)) AS d)
+        |  GROUP BY t, j),
+        |codes AS (
+        |  SELECT e.vec_id, hp.t,
+        |    string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+        |                        i -> e.v[i] * hp.sv[i])) >= 0
+        |                    THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS code
+        |  FROM e, hp GROUP BY e.vec_id, hp.t),
+        |codesf AS (
+        |  SELECT vec_id, t, code FROM (
+        |    SELECT vec_id, t, code,
+        |           count(*) OVER (PARTITION BY t, code) AS bsz
+        |    FROM codes)
+        |  WHERE bsz <= $bandBucketCap),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM codesf a JOIN codesf b
+        |    ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id),
+        |sims AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    floor((list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.vec_a
+        |  JOIN e eb ON eb.vec_id = c.vec_b)
+        |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin
+    ) { (s, d) => srpCosinePairs(embeddings(s, d), 0.45) },
 
     // ------------------------------------------- text: token analysis ---
     OpDef(

@@ -391,6 +391,21 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("shared_grams"))
   }
 
+  /** Idempotent per-epoch write — the exactly-once half of the delivery
+    * story for sinks that cannot join Spark's commit protocol (Kafka
+    * without read_committed consumers, JDBC, object stores): Structured
+    * Streaming replays a failed epoch with the SAME batchId, so a
+    * foreachBatch writer that treats batchId as its transaction id and
+    * OVERWRITES its own `batch=<id>` partition turns at-least-once replay
+    * into exactly-once output — the replayed epoch rewrites, never
+    * appends a duplicate. StreamingDurabilitySpec proves it by crashing a
+    * query after the write but before the epoch commit and asserting the
+    * restarted query leaves no duplicate rows. The same shape swaps in a
+    * Kafka transactional producer (txn id = batchId) when the connector
+    * jar is present. */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

@@ -138,6 +138,32 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("HLL sketch error stays within the published 3-sigma bound at all SFs") {
+    import org.apache.spark.sql.functions._
+    // lgConfigK = 12 ⇒ k = 4096 registers ⇒ RSE ≈ 1.04/√k ≈ 1.63% (the
+    // standard HyperLogLog bound, and what the DataSketches HLL docs
+    // quote for the coupon-exhausted regime); 3σ ≈ 4.9%. Checking all
+    // three fixtures exercises the sketch from exact-ish coupon counts
+    // (sf0.001) through genuine estimation territory (sf0.1).
+    val bound = 3 * 1.04 / math.sqrt(1 << 12)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val exact = graft.ops.Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = queries("q_agg_hll_sketch")(spark, dir).collect()
+      assert(rows.nonEmpty, s"$dir: empty sketch output")
+      rows.foreach { r =>
+        val (flag, est) = (r.getString(0), r.getLong(1))
+        val e = exact(flag)
+        val err = math.abs(est - e).toDouble / e
+        info(f"$dir $flag: est $est exact $e err ${err * 100}%.2f%%")
+        assert(err <= bound,
+          f"$dir $flag: err ${err * 100}%.2f%% exceeds 3σ ${bound * 100}%.2f%%")
+      }
+    }
+  }
+
   test("HLL sketch union-merge equals the direct sketch and tracks exact") {
     import org.apache.spark.sql.functions._
     val exact = graft.ops.Tables.lineitem(spark, sf)

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LlmOps
+
+/** Empirical growth curves for the banded dedup family on synthetic
+  * corpora with KNOWN planted structure (Synth): near-dup density is a
+  * constant 1 pair / 10 docs, so a sub-quadratic operator's candidate
+  * count must grow ~linearly in the corpus size, while an all-pairs
+  * formulation would grow ~n². The assertions are on candidate COUNTS —
+  * deterministic observables that can't be polluted by machine load —
+  * with wall-times reported via info() for the BASELINE.md record
+  * (GrowthBench measures the same at larger sizes on local[32]).
+  *
+  * Also the cap-boundary invariants (hot-gram and band-bucket caps): a
+  * 1 500-copy boilerplate cluster exceeds both caps, so it must
+  * contribute ZERO banded candidates (exactDedup, not banding, is the
+  * sanctioned path for exact dups) and no post-cap bucket may exceed the
+  * cap — the test that fails if either cap is ever dropped. */
+class GrowthSpec extends SparkTestBase {
+
+  private val baseN = 1000L
+  private val scales = Seq(1L, 3L, 10L)
+
+  private def docsAt(k: Long) = Synth.synthDocs(spark, baseN * k)
+  private def planted(k: Long): Long = baseN * k / 10
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("banded minhash candidates grow linearly, not quadratically") {
+    // lshDedupPairs at threshold 0 returns EVERY banded candidate pair
+    val counts = scales.map { k =>
+      spark.catalog.clearCache()
+      val (c, t) = timed(LlmOps.lshDedupPairs(docsAt(k), 0.0).count())
+      info(f"x$k: $c candidates in $t%.1fs (${planted(k)} planted)")
+      k -> c
+    }.toMap
+    val ratio = counts(10).toDouble / counts(1)
+    // linear = 10; all-pairs would be 100. Banding admits ~95% of planted
+    // pairs (P[no band of 4 sigs agrees at J=0.85] ≈ 5%), so the ratio
+    // concentrates hard around 10.
+    assert(ratio >= 6 && ratio <= 16,
+      s"candidate growth x1→x10 was $ratio (linear=10, quadratic=100)")
+    // essentially every candidate is a planted pair: sub-quadratic AND
+    // precise (banding on random docs surfaces ~nothing)
+    scales.foreach { k =>
+      assert(counts(k) <= planted(k) + planted(k) / 10,
+        s"x$k: ${counts(k)} candidates for ${planted(k)} planted pairs")
+    }
+  }
+
+  test("capped gram-overlap candidates grow exactly with planted density") {
+    // every planted pair has containment ≈ 35/38; unrelated docs share no
+    // gram, so the count is EXACTLY the planted-pair count at every scale
+    val counts = scales.map { k =>
+      spark.catalog.clearCache()
+      val (c, t) = timed(LlmOps.containmentPairs(docsAt(k), 0.5).count())
+      info(f"x$k: $c pairs in $t%.1fs")
+      k -> c
+    }.toMap
+    scales.foreach { k =>
+      assert(counts(k) == planted(k),
+        s"x$k: got ${counts(k)}, expected exactly ${planted(k)}")
+    }
+  }
+
+  test("LSH dedup recall holds at 10x the corpus") {
+    spark.catalog.clearCache()
+    val n = baseN * 10
+    val got = LlmOps.lshDedupPairs(docsAt(10), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (9L until n by 10L).map(i => (i - 1, i))
+    val recall = expected.count(got.contains).toDouble / expected.size
+    info(f"recall at x10: $recall%.3f over ${expected.size} planted pairs")
+    // per-pair: P[≥8 of 16 sigs agree at J≈0.85] — E[agree]≈13.6
+    assert(recall >= 0.8, s"planted-pair recall $recall at 10x")
+    got.foreach { case (a, b) =>
+      assert(b - a == 1 && b % 10 == 9, s"false positive pair ($a,$b)")
+    }
+  }
+
+  test("a mega exact-dup cluster is capped out of banding, not exploded") {
+    spark.catalog.clearCache()
+    // 1500 identical docs: over bandBucketCap (1000) and the hot-gram
+    // threshold max(min(0.1·2500, 1000), 5) = 250
+    val docs = Synth.synthDocs(spark, baseN, megaCluster = 1500L).cache()
+    try {
+      val (pairs, t) = timed(LlmOps.lshDedupPairs(docs, 0.0).collect())
+      info(f"with mega-cluster: ${pairs.length} candidates in $t%.1fs")
+      pairs.foreach { r =>
+        assert(r.getLong(1) < baseN,
+          s"mega-cluster pair (${r.getLong(0)},${r.getLong(1)}) banded — " +
+            "C(1500,2) ≈ 1.1M pairs from one unspillable bucket row")
+      }
+      // the sanctioned path for exact dups still reports the full cluster
+      val mega = LlmOps.exactDedup(docs)
+        .filter(col("n_copies") === 1500).collect()
+      assert(mega.length == 1 && mega.head.getLong(0) == baseN,
+        "exactDedup must surface the boilerplate cluster banding dropped")
+    } finally { docs.unpersist(); () }
+  }
+
+  test("SRP cosine banding: linear pair growth, ~1.0 recall on planted dups") {
+    // bits ≈ log₂(n) + margin keeps random-pair collisions (≈ L·n²/2^bits)
+    // below the planted linear term — the documented SRP scaling rule
+    val counts = scales.map { k =>
+      spark.catalog.clearCache()
+      val emb = Synth.synthEmb(spark, baseN * k, dims = 256)
+      val (rows, t) = timed(
+        LlmOps.srpCosinePairs(emb, 0.9, bits = 24, tables = 8, dims = 256)
+          .collect())
+      info(f"x$k: ${rows.length} pairs in $t%.1fs (${planted(k)} planted)")
+      k -> rows
+    }.toMap
+    val ratio = counts(10).length.toDouble / counts(1).length
+    assert(ratio >= 6 && ratio <= 16,
+      s"SRP pair growth x1→x10 was $ratio (linear=10, quadratic=100)")
+    val got = counts(10).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (9L until baseN * 10 by 10L).map(i => (i - 1, i))
+    val recall = expected.count(got.contains).toDouble / expected.size
+    info(f"SRP recall at x10: $recall%.4f over ${expected.size} planted pairs")
+    // per-pair miss prob ≈ (1 − 0.991²⁴)⁸ ≈ 2·10⁻⁶ at cos ≈ 0.9996
+    assert(recall >= 0.98, s"SRP planted-pair recall $recall at 10x")
+  }
+
+  test("SRP pairs are a subset of exact cosine pairs with identical sims") {
+    spark.catalog.clearCache()
+    val emb = Synth.synthEmb(spark, baseN, dims = 256).cache()
+    try {
+      val exact = LlmOps.cosineDupPairs(emb, 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val srp = LlmOps.srpCosinePairs(emb, 0.9, bits = 24, tables = 8,
+                                      dims = 256).collect()
+      assert(srp.nonEmpty, "SRP found nothing on a corpus with planted dups")
+      srp.foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        assert(exact.get(k).contains(r.getDouble(2)),
+          s"SRP pair $k absent from the exact set or sim drifted")
+      }
+    } finally { emb.unpersist(); () }
+  }
+
+  test("post-cap band and gram buckets never exceed their caps") {
+    spark.catalog.clearCache()
+    val docs = Synth.synthDocs(spark, baseN, megaCluster = 1500L).cache()
+    try {
+      // band buckets, exactly as lshDedupPairs builds them
+      val banded = LlmOps.dropHotBuckets(
+        LlmOps.minhashBands(LlmOps.minhashSigs(docs)), Seq("band", "sig"))
+      val maxBand = banded.groupBy("band", "sig").count()
+        .agg(max("count")).collect().head.getLong(0)
+      assert(maxBand <= LlmOps.bandBucketCap,
+        s"band bucket of $maxBand rows survived the ${LlmOps.bandBucketCap} cap")
+      // gram buckets, exactly as jaccard/containment build them
+      val nDocs = docs.count()
+      val gramCap = math.max(
+        math.min(LlmOps.hotGramFrac * nDocs, LlmOps.hotGramAbs),
+        LlmOps.hotGramMin)
+      val maxGram = LlmOps.gramsCapped(docs).groupBy("g").count()
+        .agg(max("count")).collect().head.getLong(0)
+      assert(maxGram <= gramCap,
+        s"gram bucket of $maxGram rows survived the $gramCap cap")
+    } finally { docs.unpersist(); () }
+  }
+}

@@ -50,6 +50,42 @@ class StreamingDurabilitySpec extends SparkTestBase {
       s"13:00 window must appear exactly once after restart: $rows")
   }
 
+  test("foreachBatch idempotent write: epoch replay after a crash adds no duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft_chk_eo").toString
+    val out = Files.createTempDirectory("graft_out_eo").toString
+    val ms = MemoryStream[Event]
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = ms.toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.writeBatchIdempotent(b, out, id)
+        // crash AFTER the data landed but BEFORE the epoch commits: the
+        // replayed epoch re-runs with the SAME batchId and must overwrite
+        // its own partition, not append a second copy
+        if (id == 1 && injected.compareAndSet(false, true))
+          throw new RuntimeException("injected post-write pre-commit failure")
+      }
+      .start()
+    val q1 = start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:01:00", 1, "click", 2.0))
+    q1.processAllAvailable() // batch 0 commits
+    ms.addData(ev(3, "2024-01-01 10:02:00", 2, "view", 3.0))
+    intercept[Exception] { q1.processAllAvailable() } // batch 1 crashes
+    q1.stop()
+    assert(injected.get, "fault injection never fired")
+    val q2 = start() // WAL holds batch 1's offsets; it replays with id 1
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"replayed epoch must overwrite, not duplicate: $ids")
+  }
+
   test("RocksDB state store backend produces the same results") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -474,6 +474,39 @@ class StreamingSpec extends SparkTestBase {
     assert(total == 3L, s"backfill must process every queued event, got $total")
   }
 
+  test("per-batch throughput holds steady across a sustained run") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("noop").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val chunk = 4000
+    // 10 identical-size micro-batches; a state-size or planning regression
+    // shows up as later batches losing throughput (StreamBench records the
+    // absolute rows/sec for BASELINE.md — this asserts the SHAPE)
+    (0 until 10).foreach { b =>
+      ms.addData((0 until chunk).map { i =>
+        val n = b * chunk + i
+        Event(n.toLong, new java.sql.Timestamp(base + n.toLong * 500),
+              (n % 997).toLong, if (n % 3 == 0) "click" else "view",
+              1.0, "{}")
+      })
+      q.processAllAvailable()
+    }
+    val rps = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0).map(_.processedRowsPerSecond)
+    q.stop()
+    assert(rps.size >= 8, s"expected ~10 data batches, saw ${rps.size}")
+    val sorted = rps.drop(2).sorted // first batches pay codegen/JIT warmup
+    val median = sorted(sorted.size / 2)
+    val tail = rps.takeRight(3).sorted.apply(1)
+    info(f"per-batch rows/sec median $median%.0f, last-3 median $tail%.0f")
+    assert(tail >= median / 2.0,
+      f"throughput collapsed across the run: last-3 median $tail%.0f " +
+        f"vs run median $median%.0f")
+  }
+
   test("observe() exposes per-batch input metrics through query progress") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
