@@ -20,7 +20,8 @@ class OpsSpec extends SparkTestBase {
     // queries whose filters may legitimately select zero rows are exempted
     val mayBeEmpty = Set("q_join_full", "q_join_anti", "q_intersect", "q_except",
                          "q_dedup_simhash", "q_dedup_lsh", "q_sim_cosine_dup",
-                         "q_sim_cosine_dup_lsh", "q_dedup_semantic_lsh")
+                         "q_sim_cosine_dup_lsh", "q_dedup_semantic_lsh",
+                         "q_sim_cosine_dup_srp")
     queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0)
