@@ -17,7 +17,7 @@ object SparkEntry {
   val registry: Seq[OpDef] =
     Relational.ops ++ Aggregates.ops ++ Windows.ops ++ Functions.ops ++
       LlmOps.ops ++ Approx.ops ++ Extras.ops ++ Analytics.ops ++
-      Tpch.ops ++ Multimodal.ops ++ EventAnalytics.ops
+      Tpch.ops ++ Multimodal.ops ++ EventAnalytics.ops ++ Curation.ops
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate op names in registry")

@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.9 — corpus-curation operators a production training-data pipeline
+  * runs between "raw crawl" and "tokenizer": segment-level (paragraph)
+  * dedup, domain-mixture resampling, token-budget selection, soft dedup
+  * weighting, and model-score bucketing. All five are deterministic and
+  * oracle-checked; every shape is shuffle-bounded (no all-pairs, no global
+  * row-at-a-time sort over the corpus — see each scaladoc for the 100 TB
+  * argument).
+  */
+object Curation {
+  import Tables._
+
+  /** md5-derived uniform in [0,1) keyed on a column — the engine-portable
+    * deterministic RNG used by all sampling ops (same spelling as
+    * q_sample_hash / weightedSample). */
+  private def u(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substring(md5(CAST(${key.toString} AS STRING)), 1, 4), 16, 10) AS BIGINT)") /
+      lit(65536.0)
+
+  /** Corpus-level duplicate-segment removal (the CCNet/RefinedWeb
+    * paragraph-dedup pass, with fixed 8-token segments standing in for
+    * paragraphs since the fixture text has no line structure): split each
+    * doc into non-overlapping 8-token segments, keep only each segment's
+    * globally-first occurrence (min (doc_id, seg_idx)), and reassemble the
+    * surviving text per doc.
+    *
+    * Scale shape: first-occurrence is a groupBy(seg).min(struct) — partial
+    * aggregation combines map-side, so a boilerplate segment repeated 10⁹
+    * times at 100 TB reduces to one row per partition before the shuffle
+    * (a row_number window over the same key would funnel the hot segment
+    * through one task; the agg+join formulation is chosen for exactly that
+    * reason). Reassembly groups by doc_id — bounded by document size. */
+  def dedupSegments(docs: DataFrame, segTokens: Int): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+                   ceil(size(col("toks")) / lit(segTokens.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    val kept = col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx")
+    segs.join(first, Seq("seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+           count(when(kept, lit(1))).as("n_kept"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(when(kept, struct(col("seg_idx"), col("seg"))))),
+             x => x("seg"))).as("new_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture resampling — apply target mixture weights (the DoReMi /
+    * data-mixing step) by downsampling over-represented domains with the
+    * deterministic hash uniform: rate_d = min(1, w_d·N/n_d). The per-domain
+    * rate table is domain-count-sized (bounded by the number of domains,
+    * not the corpus) so broadcasting it is correct at any scale; the keep
+    * decision itself is map-only. */
+  def mixDomains(docs: DataFrame, weights: Seq[(String, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("lang", "w")
+    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = docs.agg(count(lit(1)).as("t"))
+    val rates = cnt.join(w, Seq("lang")).crossJoin(tot)
+      .select(col("lang"),
+              Det.r6(least(lit(1.0), col("w") * col("t") / col("n"))).as("rate"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(u(col("doc_id")) < col("rate"))
+      .select("doc_id", "lang", "rate")
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget corpus selection: greedily take whole quality-score
+    * groups from the highest score down while the running token total
+    * stays within the budget (¼ of corpus tokens). Selection granularity
+    * is the ROUNDED quality score, which makes the running-sum window
+    * operate on at most 10⁴+1 distinct-score rows regardless of corpus
+    * size — the partition-less window is bounded by construction, never
+    * corpus-sized (the naive per-doc running sum would be a global sort).
+    * The selected-scores table is likewise ≤10⁴ rows → broadcast join. */
+  def budgetSelect(docs: DataFrame, nStopwords: Int): DataFrame = {
+    val qual = LlmOps.qualityScores(docs, nStopwords)
+      .select("doc_id", "quality", "n_toks")
+    val g = qual.groupBy("quality").agg(sum(col("n_toks")).as("g_toks"))
+    val b = qual.agg(sum(col("n_toks")).as("t"))
+      .select(expr("t div 4").as("budget"))
+    val wq = Window.orderBy(col("quality").desc)
+    val sel = g.withColumn("cum", sum(col("g_toks")).over(wq))
+      .crossJoin(broadcast(b))
+      .filter(col("cum") <= col("budget"))
+      .select("quality")
+    qual.join(broadcast(sel), Seq("quality"))
+      .select("doc_id", "quality", "n_toks")
+      .orderBy("doc_id")
+  }
+
+  /** Soft dedup — the "keep everything, downweight duplicates" alternative
+    * to dropping: each doc's training weight is 1/n over its exact-dup
+    * group (on whitespace/punctuation-normalized text, same normalization
+    * as [[LlmOps.normalizedDedup]]). One groupBy + one join back, both on
+    * the normalized key; map-side combine bounds the hot-key cost the same
+    * way exact dedup does. */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val keyed = docs.select(col("doc_id"), norm.as("k"))
+    val groups = keyed.groupBy("k").agg(count(lit(1)).as("n_copies"))
+    keyed.join(groups, Seq("k"))
+      .select(col("doc_id"), col("n_copies"),
+              Det.r6(lit(1.0) / col("n_copies")).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** Model-score (perplexity-style) bucketing: histogram the corpus over
+    * 8 fixed-width buckets of the bigram LM score — the standard "what
+    * does the fluency distribution look like / where do we cut" curation
+    * diagnostic. The [lo, hi] range comes from one 1-row aggregate
+    * (broadcast); bucketing is then map-only and the final groupBy has ≤ 8
+    * groups. No global sort, no per-doc window — this is why fixed-width
+    * buckets (not ntile) are the 100 TB formulation. */
+  def lmScoreBuckets(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val scores = LlmOps.lmScores(docs).select("doc_id", "lm_score")
+    val range = scores.agg(min(col("lm_score")).as("lo"), max(col("lm_score")).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(nBuckets.toDouble)
+    val bucket = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit(nBuckets.toLong - 1),
+                       floor((col("lm_score") - col("lo")) / width)))
+    scores.crossJoin(broadcast(range))
+      .select(col("doc_id"), col("lm_score"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           Det.r6(avg(col("lm_score"))).as("avg_score"),
+           min(col("lm_score")).as("min_score"),
+           max(col("lm_score")).as("max_score"))
+      .orderBy("bucket")
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle CTE shared by budget_select (identical to q_sample_weighted's
+  // quality pipeline — same stopword top-5, same rounding spelling).
+  private val qualCte =
+    """bag AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |stop AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS cnt FROM bag GROUP BY tok) t
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 5),
+      |stopcnt AS (
+      |  SELECT b.doc_id, count(*) AS n_stop
+      |  FROM bag b JOIN stop s ON b.tok = s.tok GROUP BY b.doc_id),
+      |base AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),
+      |qual AS (
+      |  SELECT base.doc_id, base.n_toks,
+      |    floor((0.5 * least(base.n_toks / 50.0, 1.0)
+      |           + 0.5 * (1.0 - coalesce(sc.n_stop, 0) * 1.0 / base.n_toks))
+      |          * 10000.0 + 0.5) / 10000.0 AS quality
+      |  FROM base LEFT JOIN stopcnt sc ON base.doc_id = sc.doc_id)""".stripMargin
+
+  val ops: Seq[OpDef] = Seq(
+
+    OpDef(
+      "q_dedup_segments",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+        |  FROM t, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i) u),
+        |r AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY seg
+        |                            ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |  count(*) AS n_segs,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  coalesce(array_to_string(list(seg ORDER BY seg_idx)
+        |                             FILTER (WHERE rn = 1), ' '), '') AS new_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) => dedupSegments(documents(s, d), 8) },
+
+    OpDef(
+      "q_mix_domains",
+      """WITH w(lang, w) AS (VALUES
+        |  ('en', 0.4), ('fr', 0.2), ('es', 0.2), ('zh', 0.1), ('de', 0.1)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS t FROM documents),
+        |r AS (SELECT c.lang,
+        |        floor(least(1.0, CAST(w.w AS DOUBLE) * t.t / c.n)
+        |              * 1000000.0 + 0.5) / 1000000.0 AS rate
+        |      FROM c JOIN w ON c.lang = w.lang, t)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |      / 65536.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      mixDomains(documents(s, d),
+        Seq("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1, "de" -> 0.1))
+    },
+
+    OpDef(
+      "q_budget_select",
+      s"""WITH $qualCte,
+        |g AS (SELECT quality, sum(n_toks) AS g_toks FROM qual GROUP BY quality),
+        |b AS (SELECT CAST(sum(n_toks) AS BIGINT) // 4 AS budget FROM qual),
+        |rsum AS (SELECT quality,
+        |           sum(g_toks) OVER (ORDER BY quality DESC) AS cum FROM g),
+        |sel AS (SELECT quality FROM rsum, b WHERE cum <= b.budget)
+        |SELECT q.doc_id, q.quality, q.n_toks
+        |FROM qual q JOIN sel ON q.quality = sel.quality
+        |ORDER BY q.doc_id""".stripMargin
+    ) { (s, d) => budgetSelect(documents(s, d), 5) },
+
+    OpDef(
+      "q_dedup_soft",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                        ' +', ' ', 'g')) AS k
+        |  FROM documents),
+        |g AS (SELECT k, count(*) AS n_copies FROM n GROUP BY k)
+        |SELECT n.doc_id, g.n_copies,
+        |  floor((1.0 / g.n_copies) * 1000000.0 + 0.5) / 1000000.0 AS weight
+        |FROM n JOIN g ON n.k = g.k
+        |ORDER BY n.doc_id""".stripMargin
+    ) { (s, d) => softDedupWeights(documents(s, d)) },
+
+    OpDef(
+      "q_text_lmbuckets",
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM docs, unnest(range(1, len(toks))) AS t(i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY w1),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    floor((avg(ln(c2.c12 * 1.0 / c1.c1))) * 1000000.0 + 0.5) / 1000000.0
+        |      AS lm_score
+        |  FROM bg
+        |  JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |  JOIN c1 ON bg.w1 = c1.w1
+        |  GROUP BY bg.doc_id),
+        |rng AS (SELECT min(lm_score) AS lo, max(lm_score) AS hi FROM sc),
+        |bk AS (
+        |  SELECT sc.doc_id, sc.lm_score,
+        |    CASE WHEN rng.hi = rng.lo THEN 0
+        |         ELSE CAST(least(7, floor((sc.lm_score - rng.lo)
+        |                / ((rng.hi - rng.lo) / 8.0))) AS BIGINT)
+        |    END AS bucket
+        |  FROM sc, rng)
+        |SELECT bucket, count(*) AS n_docs,
+        |  floor((avg(lm_score)) * 1000000.0 + 0.5) / 1000000.0 AS avg_score,
+        |  min(lm_score) AS min_score, max(lm_score) AS max_score
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, d) => lmScoreBuckets(documents(s, d), 8) }
+  )
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{Curation, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the curation family (sf0.001) — properties the
+  * DuckDB hash-compare can't express: conservation laws, greedy maximality,
+  * and distributional sanity of the deterministic sampler. */
+class CurationSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("dedupSegments conserves distinct segments and keeps doc 0's head") {
+    val out = Curation.dedupSegments(docs, 8).cache()
+    // every output doc exists, n_kept never exceeds n_segs
+    assert(out.filter(col("n_kept") > col("n_segs")).count() == 0)
+    assert(out.count() == docs.count())
+    // conservation: exactly one surviving copy of each distinct segment
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(transform(
+        sequence(lit(0), ceil(size(col("toks")) / lit(8.0)).cast("int") - 1),
+        i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))).as("seg"))
+    val distinctSegs = segs.select("seg").distinct().count()
+    val totalKept = out.agg(sum("n_kept")).collect().head.getLong(0)
+    assert(totalKept == distinctSegs,
+      s"kept $totalKept != $distinctSegs distinct segments")
+    // the globally-first doc always keeps its first segment
+    val d0 = out.orderBy("doc_id").limit(1).collect().head
+    assert(d0.getAs[Long]("n_kept") >= 1L)
+    // reassembled text token count == 8·full kept segments (± short tail)
+    val bad = out.filter(col("n_kept") > 0 &&
+      size(split(col("new_text"), " ")) > col("n_kept") * 8).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("mixDomains: rates are min(1, w·N/n) and sampling tracks the rate") {
+    val weights = Seq("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1, "de" -> 0.1)
+    val out = Curation.mixDomains(docs, weights).cache()
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = n.values.sum
+    val kept = out.groupBy("lang").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, w) <- weights) {
+      val rate = math.min(1.0, w * total / n(lang))
+      val k = kept.getOrElse(lang, 0L)
+      assert(k <= n(lang))
+      // md5-uniform keep: observed fraction within ±0.15 of the rate
+      assert(math.abs(k.toDouble / n(lang) - rate) < 0.15,
+        s"$lang kept ${k.toDouble / n(lang)} vs rate $rate")
+    }
+    // a doc's keep decision is a pure function of doc_id + rate: rerunning
+    // yields the identical set (determinism)
+    val again = Curation.mixDomains(docs, weights)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").except(out.select("doc_id")).count() == 0)
+    out.unpersist()
+  }
+
+  test("budgetSelect: greedy quality-prefix within the token budget") {
+    val sel = Curation.budgetSelect(docs, 5).cache()
+    val qual = graft.ops.LlmOps.qualityScores(docs, 5)
+      .select("doc_id", "quality", "n_toks").cache()
+    val budget = qual.agg(sum("n_toks")).collect().head.getLong(0) / 4
+    val used = sel.agg(sum("n_toks")).collect().head.getLong(0)
+    assert(used <= budget, s"selected $used tokens > budget $budget")
+    // prefix property: every selected quality >= every unselected quality
+    val minSel = sel.agg(min("quality")).collect().head.getDouble(0)
+    val unsel = qual.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxUnsel = unsel.agg(max("quality")).collect().head.getDouble(0)
+    assert(minSel >= maxUnsel)
+    // maximality: adding the best unselected GROUP would break the budget
+    val nextTokens = unsel.filter(col("quality") === maxUnsel)
+      .agg(sum("n_toks")).collect().head.getLong(0)
+    assert(used + nextTokens > budget)
+    sel.unpersist(); qual.unpersist()
+  }
+
+  test("softDedupWeights: weights sum to 1 per duplicate group") {
+    val out = Curation.softDedupWeights(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("weight") <= 0 || col("weight") > 1).count() == 0)
+    // Σ weight == n_copies · (1/n_copies) ≈ 1 per group ⇒ corpus-wide sum
+    // equals the number of distinct normalized texts (within rounding)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val groups = docs.select(norm.as("k")).distinct().count()
+    val wsum = out.agg(sum("weight")).collect().head.getDouble(0)
+    assert(math.abs(wsum - groups) < 0.01 * groups + 1)
+  }
+
+  test("lmScoreBuckets: 8-way partition of scored docs") {
+    val out = Curation.lmScoreBuckets(docs, 8).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    assert(out.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b <= 7
+    })
+    val scored = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == scored)
+    // per-bucket ordering: min <= avg <= max, buckets ascending by range
+    assert(out.forall { r =>
+      r.getAs[Double]("min_score") <= r.getAs[Double]("avg_score") + 1e-6 &&
+      r.getAs[Double]("avg_score") <= r.getAs[Double]("max_score") + 1e-6
+    })
+    val byBucket = out.sortBy(_.getAs[Long]("bucket"))
+    assert(byBucket.sliding(2).forall {
+      case Array(a, b) =>
+        a.getAs[Double]("max_score") <= b.getAs[Double]("min_score") + 1e-6
+      case _ => true
+    })
+  }
+}
