@@ -305,6 +305,76 @@ object EventAnalytics {
         .orderBy("cur", "nxt")
     },
 
+    // Stationary distribution of the event-type Markov chain (the
+    // long-run "where do users end up" companion to q_events_transitions):
+    // 20 power-iteration steps v ← r6(vᵀP) from a uniform start, on the
+    // SAME rounded transition matrix the transitions op emits. The matrix
+    // is event-VOCABULARY-sized (k² ≤ a few thousand cells however big the
+    // corpus), so it is cached and broadcast into every step; each step is
+    // a k-row broadcast join + ≤k²-row aggregate — the only corpus-sized
+    // pass is building the matrix. Per-step r6 rounding pins both engines
+    // to identical intermediates (a 20-step unrounded float recurrence
+    // would let last-ulp sum-order differences compound); the oracle
+    // unrolls the same 20 steps as chained CTEs. States are those with
+    // outgoing transitions (on this fixture: all of them).
+    OpDef(
+      "q_events_stationary", {
+        val steps = (1 to 20).map { i =>
+          s"""v$i AS (
+             |  SELECT t.nxt AS st,
+             |    floor((sum(v.v * t.p)) * 1000000.0 + 0.5) / 1000000.0 AS v
+             |  FROM v${i - 1} v JOIN t ON v.st = t.cur
+             |  GROUP BY t.nxt)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH s AS (
+           |  SELECT user_id, event_type AS cur,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |                           ORDER BY CAST(ts AS TIMESTAMP) ASC,
+           |                                    event_id ASC) AS nxt
+           |  FROM events),
+           |c AS (SELECT cur, nxt, count(*) AS n FROM s
+           |      WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+           |t AS (
+           |  SELECT cur, nxt,
+           |    floor((n * 1.0 / sum(n) OVER (PARTITION BY cur)) * 1000000.0 + 0.5)
+           |      / 1000000.0 AS p
+           |  FROM c),
+           |states AS (SELECT DISTINCT cur AS st FROM t),
+           |k AS (SELECT count(*) AS k FROM states),
+           |v0 AS (
+           |  SELECT st, floor((CAST(1.0 AS DOUBLE) / k.k) * 1000000.0 + 0.5)
+           |               / 1000000.0 AS v
+           |  FROM states, k),
+           |$steps
+           |SELECT st AS event_type, v AS pi FROM v20 ORDER BY st""".stripMargin
+      }
+    ) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cur"))
+      val t = events(s, d)
+        .select(col("user_id"), col("event_type").as("cur"),
+                lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        .select(col("cur"), col("nxt"),
+                Det.r6(col("n") * lit(1.0) / sum(col("n")).over(wc)).as("p"))
+        .cache() // referenced by all 20 steps of one returned plan
+      val states = t.select(col("cur").as("st")).distinct()
+      val k = states.agg(count(lit(1)).as("k"))
+      var v = states.crossJoin(broadcast(k))
+        .select(col("st"), Det.r6(lit(1.0) / col("k")).as("v"))
+      for (_ <- 1 to 20) {
+        v = t.join(broadcast(v.select(col("st").as("x"), col("v"))),
+                   col("x") === col("cur"))
+          .groupBy(col("nxt"))
+          .agg(Det.r6(sum(col("v") * col("p"))).as("v"))
+          .select(col("nxt").as("st"), col("v"))
+      }
+      v.select(col("st").as("event_type"), col("v").as("pi"))
+        .orderBy("event_type")
+    },
+
     // volume anomaly detection: days whose event count deviates ≥ 1σ from
     // the corpus mean (z-score) — the monitoring query every ingestion
     // pipeline runs. The daily-count aggregate is the only corpus-sized

@@ -91,6 +91,31 @@ class CurationSpec extends SparkTestBase {
     assert(math.abs(wsum - groups) < 0.01 * groups + 1)
   }
 
+  test("q_events_stationary: converged probability vector") {
+    val pi = SparkEntry.queries("q_events_stationary")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a distribution: sums to 1 within per-step rounding slack, all > 0
+    assert(math.abs(pi.values.sum - 1.0) < 1e-3, s"sum ${pi.values.sum}")
+    assert(pi.values.forall(_ > 0))
+    // fixpoint: one more power step moves nothing beyond rounding noise
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cur"))
+    val t = ev.select(col("user_id"), col("event_type").as("cur"),
+                      lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      .select(col("cur"), col("nxt"),
+              (col("n") * lit(1.0) / sum(col("n")).over(wc)).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val next = pi.keys.map { y =>
+      y -> pi.keys.map(x => pi(x) * t.getOrElse((x, y), 0.0)).sum
+    }.toMap
+    val drift = pi.keys.map(k => math.abs(next(k) - pi(k))).max
+    assert(drift < 1e-4, s"power step still moves the vector by $drift")
+  }
+
   test("lmScoreBuckets: 8-way partition of scored docs") {
     val out = Curation.lmScoreBuckets(docs, 8).collect()
     assert(out.nonEmpty && out.length <= 8)
