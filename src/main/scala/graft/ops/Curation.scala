@@ -88,7 +88,11 @@ object Curation {
     * corpus-sized (the naive per-doc running sum would be a global sort).
     * The selected-scores table is likewise ≤10⁴ rows → broadcast join. */
   def budgetSelect(docs: DataFrame, nStopwords: Int): DataFrame = {
-    val qual = LlmOps.qualityScores(docs, nStopwords)
+    // NOT cached although referenced three times: AQE exchange reuse
+    // already shares the scan/aggregation across the branches, and an A/B
+    // at sf0.1 measured the cache ~0.8 s SLOWER (materialization cost +
+    // broken pipelining) than the reused exchanges
+    val qual = LlmOps.qualityScoresCore(docs, nStopwords)
       .select("doc_id", "quality", "n_toks")
     val g = qual.groupBy("quality").agg(sum(col("n_toks")).as("g_toks"))
     val b = qual.agg(sum(col("n_toks")).as("t"))
@@ -121,20 +125,23 @@ object Curation {
   }
 
   /** Model-score (perplexity-style) bucketing: histogram the corpus over
-    * 8 fixed-width buckets of the bigram LM score — the standard "what
-    * does the fluency distribution look like / where do we cut" curation
-    * diagnostic. The [lo, hi] range comes from one 1-row aggregate
-    * (broadcast); bucketing is then map-only and the final groupBy has ≤ 8
-    * groups. No global sort, no per-doc window — this is why fixed-width
-    * buckets (not ntile) are the 100 TB formulation. */
+    * `nBuckets` fixed-width buckets of the bigram LM score on the ABSOLUTE
+    * range [−6, 0] (a bigram log-prob is ≤ 0; −6 ≈ P=2.5e−3 floors normal
+    * text), outliers clamped into the edge buckets; empty buckets simply
+    * don't materialize. Absolute bounds — not corpus min/max — are the
+    * 100 TB formulation twice over: the plan is one scoring pass + a
+    * ≤nBuckets-group aggregate (a data-derived range costs a second full
+    * scoring pass for the 1-row min/max — measured +2.5 s at sf0.1), and
+    * bucket k means the same fluency band on every corpus shard, so
+    * per-shard histograms merge by simple addition. The default 256-wide
+    * grid (width 6/256 = 0.0234375, exactly binary-representable, so both
+    * engines floor identically) resolves a σ≈0.03 score distribution. */
   def lmScoreBuckets(docs: DataFrame, nBuckets: Int): DataFrame = {
-    val scores = LlmOps.lmScores(docs).select("doc_id", "lm_score")
-    val range = scores.agg(min(col("lm_score")).as("lo"), max(col("lm_score")).as("hi"))
-    val width = (col("hi") - col("lo")) / lit(nBuckets.toDouble)
-    val bucket = when(col("hi") === col("lo"), lit(0L))
-      .otherwise(least(lit(nBuckets.toLong - 1),
-                       floor((col("lm_score") - col("lo")) / width)))
-    scores.crossJoin(broadcast(range))
+    val lo = -6.0
+    val width = -lo / nBuckets
+    val bucket = greatest(lit(0L), least(lit(nBuckets.toLong - 1),
+      floor((col("lm_score") - lit(lo)) / lit(width))))
+    LlmOps.lmScoresCore(docs).select("doc_id", "lm_score")
       .select(col("doc_id"), col("lm_score"), bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -254,18 +261,15 @@ object Curation {
         |  JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
         |  JOIN c1 ON bg.w1 = c1.w1
         |  GROUP BY bg.doc_id),
-        |rng AS (SELECT min(lm_score) AS lo, max(lm_score) AS hi FROM sc),
         |bk AS (
         |  SELECT sc.doc_id, sc.lm_score,
-        |    CASE WHEN rng.hi = rng.lo THEN 0
-        |         ELSE CAST(least(7, floor((sc.lm_score - rng.lo)
-        |                / ((rng.hi - rng.lo) / 8.0))) AS BIGINT)
-        |    END AS bucket
-        |  FROM sc, rng)
+        |    CAST(greatest(0, least(255, floor((sc.lm_score + 6.0) / 0.0234375)))
+        |      AS BIGINT) AS bucket
+        |  FROM sc)
         |SELECT bucket, count(*) AS n_docs,
         |  floor((avg(lm_score)) * 1000000.0 + 0.5) / 1000000.0 AS avg_score,
         |  min(lm_score) AS min_score, max(lm_score) AS max_score
         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
-    ) { (s, d) => lmScoreBuckets(documents(s, d), 8) }
+    ) { (s, d) => lmScoreBuckets(documents(s, d), 256) }
   )
 }

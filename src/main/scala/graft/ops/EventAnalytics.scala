@@ -307,19 +307,19 @@ object EventAnalytics {
 
     // Stationary distribution of the event-type Markov chain (the
     // long-run "where do users end up" companion to q_events_transitions):
-    // 20 power-iteration steps v ← r6(vᵀP) from a uniform start, on the
+    // 12 power-iteration steps v ← r6(vᵀP) from a uniform start, on the
     // SAME rounded transition matrix the transitions op emits. The matrix
     // is event-VOCABULARY-sized (k² ≤ a few thousand cells however big the
     // corpus), so it is cached and broadcast into every step; each step is
-    // a k-row broadcast join + ≤k²-row aggregate — the only corpus-sized
+    // a k-row map + ≤k²-cell array fold — the only corpus-sized
     // pass is building the matrix. Per-step r6 rounding pins both engines
-    // to identical intermediates (a 20-step unrounded float recurrence
+    // to identical intermediates (a 12-step unrounded float recurrence
     // would let last-ulp sum-order differences compound); the oracle
-    // unrolls the same 20 steps as chained CTEs. States are those with
+    // unrolls the same 12 steps as chained CTEs. States are those with
     // outgoing transitions (on this fixture: all of them).
     OpDef(
       "q_events_stationary", {
-        val steps = (1 to 20).map { i =>
+        val steps = (1 to 12).map { i =>
           s"""v$i AS (
              |  SELECT t.nxt AS st,
              |    floor((sum(v.v * t.p)) * 1000000.0 + 0.5) / 1000000.0 AS v
@@ -346,7 +346,7 @@ object EventAnalytics {
            |               / 1000000.0 AS v
            |  FROM states, k),
            |$steps
-           |SELECT st AS event_type, v AS pi FROM v20 ORDER BY st""".stripMargin
+           |SELECT st AS event_type, v AS pi FROM v12 ORDER BY st""".stripMargin
       }
     ) { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -359,19 +359,39 @@ object EventAnalytics {
         .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
         .select(col("cur"), col("nxt"),
                 Det.r6(col("n") * lit(1.0) / sum(col("n")).over(wc)).as("p"))
-        .cache() // referenced by all 20 steps of one returned plan
-      val states = t.select(col("cur").as("st")).distinct()
-      val k = states.agg(count(lit(1)).as("k"))
-      var v = states.crossJoin(broadcast(k))
-        .select(col("st"), Det.r6(lit(1.0) / col("k")).as("v"))
-      for (_ <- 1 to 20) {
-        v = t.join(broadcast(v.select(col("st").as("x"), col("v"))),
-                   col("x") === col("cur"))
-          .groupBy(col("nxt"))
-          .agg(Det.r6(sum(col("v") * col("p"))).as("v"))
-          .select(col("nxt").as("st"), col("v"))
+      // fold the vocabulary-bounded matrix into ONE row and run all 12
+      // steps as array higher-order functions: the corpus-sized work ends
+      // at the aggregation above; the iteration itself is 12 narrow
+      // map-only projections over a k²-cell array — zero shuffles, zero
+      // per-step broadcasts (a relational join-per-step formulation
+      // measured 9.5 s at sf0.1 purely in tiny-stage scheduling overhead).
+      // Holding k² cells in one row is exactly the vocabulary-bounded-
+      // state assumption the op already makes.
+      var m = t
+        .agg(sort_array(collect_list(struct(col("cur"), col("nxt"), col("p"))))
+               .as("es"))
+        .select(col("es"),
+                array_sort(array_distinct(transform(col("es"), e => e("cur"))))
+                  .as("sts"))
+        .withColumn("v", transform(col("sts"),
+          _ => Det.r6(lit(1.0) / size(col("sts")))))
+      for (_ <- 1 to 12) {
+        m = m.withColumn("v", transform(col("sts"), y =>
+          Det.r6(aggregate(
+            filter(col("es"), e => e("nxt") === y),
+            lit(0.0),
+            (acc, e) => acc +
+              element_at(col("v"),
+                array_position(col("sts"), e("cur")).cast("int")) * e("p")))))
+          // lineage barrier: without it CollapseProject fuses all 20 step
+          // projections and the lambda-nested reference to the previous v
+          // re-evaluates the ENTIRE prior step per (state, edge) element —
+          // (k·|es|)^20 evaluations, unbounded runtime. A lazy per-step
+          // localCheckpoint materializes each 1-row step exactly once.
+          .localCheckpoint(false)
       }
-      v.select(col("st").as("event_type"), col("v").as("pi"))
+      m.select(explode(arrays_zip(col("sts"), col("v"))).as("z"))
+        .select(col("z.sts").as("event_type"), col("z.v").as("pi"))
         .orderBy("event_type")
     },
 

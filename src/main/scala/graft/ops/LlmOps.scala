@@ -834,7 +834,16 @@ object LlmOps {
     * → TakeOrderedAndProject (per-partition top-k + merge), NOT a global
     * row_number window, which would move the whole vocabulary to a single
     * partition. */
-  def qualityScores(docs: DataFrame, nStopwords: Int): DataFrame = {
+  def qualityScores(docs: DataFrame, nStopwords: Int): DataFrame =
+    qualityScoresCore(docs, nStopwords).orderBy("doc_id")
+
+  /** [[qualityScores]] without the final ORDER BY — the composition
+    * building block. Composed consumers (budget selection, weighted
+    * sampling, curation) must use THIS: the public op's orderBy plans as a
+    * rangepartitioning exchange whose sampling pass re-executes the whole
+    * scoring subtree when buried mid-plan (measured ~+1 s each at sf0.1),
+    * and every downstream groupBy/join destroys the order anyway. */
+  def qualityScoresCore(docs: DataFrame, nStopwords: Int): DataFrame = {
     val bag = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val stop = bag.groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -853,7 +862,6 @@ object LlmOps {
               Det.r4(nStop).as("stop_ratio"),
               Det.r4(lit(0.5) * least(col("n_toks") / lit(50.0), lit(1.0))
                      + lit(0.5) * (lit(1.0) - nStop)).as("quality"))
-      .orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens + a BPE-ish upper bound (≈ len/4
@@ -944,7 +952,12 @@ object LlmOps {
     * are NEVER broadcast-hinted — the scoring joins shuffle on
     * (w1, w2)/(w1) and AQE demotes to broadcast only when a table is
     * measured small at runtime. Bounded executor memory at any scale. */
-  def lmScores(docs: DataFrame): DataFrame = {
+  def lmScores(docs: DataFrame): DataFrame =
+    lmScoresCore(docs).orderBy("doc_id")
+
+  /** [[lmScores]] without the final ORDER BY — see [[qualityScoresCore]]
+    * for why composed consumers must take this variant. */
+  def lmScoresCore(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val bg = docs
       .filter(size(toks) >= 2)
@@ -962,7 +975,6 @@ object LlmOps {
       .groupBy("doc_id")
       .agg(Det.r6(avg(log(col("c12") * lit(1.0) / col("c1")))).as("lm_score"),
            count(lit(1)).as("n_bigrams"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination: flag corpus docs sharing ≥ `minShared`
@@ -988,7 +1000,7 @@ object LlmOps {
     val u = expr(
       "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)") /
       lit(65536.0)
-    qualityScores(docs, nStopwords)
+    qualityScoresCore(docs, nStopwords)
       .select(col("doc_id"), col("quality"))
       .filter(u < col("quality"))
       .orderBy("doc_id")
@@ -1021,7 +1033,7 @@ object LlmOps {
         jaccardPairsFrom(g, jaccardThreshold).select(col("doc_a"), col("doc_b")))
       .filter(col("doc_id") =!= col("canon_id")).select("doc_id")
     g.unpersist()
-    val quality = qualityScores(docs, 5).select(col("doc_id"), col("quality"))
+    val quality = qualityScoresCore(docs, 5).select(col("doc_id"), col("quality"))
     withNChars(docs)
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(nonCanon, Seq("doc_id"), "left_anti")

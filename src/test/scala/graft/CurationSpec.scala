@@ -116,11 +116,13 @@ class CurationSpec extends SparkTestBase {
     assert(drift < 1e-4, s"power step still moves the vector by $drift")
   }
 
-  test("lmScoreBuckets: 8-way partition of scored docs") {
-    val out = Curation.lmScoreBuckets(docs, 8).collect()
-    assert(out.nonEmpty && out.length <= 8)
+  test("lmScoreBuckets: fixed-grid partition of scored docs") {
+    val out = Curation.lmScoreBuckets(docs, 256).collect()
+    // the fixture's score spread (~0.4 over width 0.023) must fill several
+    // buckets — a 1-bar histogram would mean the grid stopped resolving
+    assert(out.length >= 4 && out.length <= 256, s"${out.length} buckets")
     assert(out.forall { r =>
-      val b = r.getAs[Long]("bucket"); b >= 0 && b <= 7
+      val b = r.getAs[Long]("bucket"); b >= 0 && b <= 255
     })
     val scored = docs.filter(size(split(col("text"), " ")) >= 2).count()
     assert(out.map(_.getAs[Long]("n_docs")).sum == scored)

@@ -123,6 +123,41 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"signatures must not shuffle:\n$plan")
   }
 
+  test("segment dedup picks first occurrences with an aggregate, not a window") {
+    // the chosen shape: groupBy(seg).min(struct) + join back — partial
+    // aggregation combines a hot boilerplate segment map-side before the
+    // shuffle. A Window over partitionBy(seg) would funnel the hot segment
+    // through one task; assert it never creeps in.
+    val plan = SparkEntry.queries("q_dedup_segments")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"first-occurrence must be an agg:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected a partial-aggregating min:\n$plan")
+  }
+
+  test("mixture sampling broadcasts the rate table and keeps the scan map-only") {
+    val plan = SparkEntry.queries("q_mix_domains")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the docs-side join against the domain-count-bounded rate table must
+    // be a broadcast — a hash exchange on the corpus side would mean the
+    // rate table lost its broadcast and the sampler now shuffles 100 TB
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"rate join must broadcast:\n$plan")
+  }
+
+  test("budget selection windows over score groups, never the corpus") {
+    // the running-sum window must consume the post-aggregation
+    // distinct-quality table (≤10⁴+1 rows by rounding), i.e. sit ABOVE a
+    // HashAggregate on quality — windowing raw docs would be a global sort
+    // of the corpus through one partition
+    val df = SparkEntry.queries("q_budget_select")(spark, sf)
+    val planStr = df.queryExecution.executedPlan.toString
+    val winIdx = planStr.indexOf("Window")
+    assert(winIdx >= 0, planStr)
+    assert(planStr.substring(winIdx).contains("HashAggregate"),
+      s"running-sum window must read the aggregated score groups:\n$planStr")
+  }
+
   test("correlated EXISTS decorrelates to a semi join, not per-row re-execution") {
     val plan = SparkEntry.queries("q_tpch_q4")(spark, sf)
       .queryExecution.executedPlan.toString
