@@ -236,6 +236,22 @@ object StreamOps {
       }
   }
 
+  /** Curation-at-ingest gate: apply batch-derived domain-mixture rates
+    * plus a minimum-length quality floor to a document stream — a
+    * stream–static broadcast join against the domain-count-bounded rate
+    * table and two map-only filters, so the gate carries NO streaming
+    * state. The keep decision uses the SAME md5 uniform as the batch
+    * `Curation.mixDomains`, so a doc admitted on ingest is exactly the doc
+    * a batch backfill over the same rows admits — streaming and batch
+    * curation can never disagree (StreamingSpec pins the equivalence). */
+  def streamingCurationGate(docs: DataFrame, rates: DataFrame,
+                            minToks: Int): DataFrame =
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), " +
+                   "16, 10) AS BIGINT)") / lit(65536.0) < col("rate"))
+      .filter(size(split(col("text"), " ")) >= minToks)
+      .select("doc_id", "ts", "lang", "rate", "text")
+
   /** Stream–static enrichment join (static side broadcast per micro-batch). */
   def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),

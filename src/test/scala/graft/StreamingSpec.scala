@@ -288,6 +288,37 @@ class StreamingSpec extends SparkTestBase {
     assert(flagged(1L) == 3L)
   }
 
+  test("streaming curation gate agrees with the batch mixture sampler") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // rates as the batch op would derive them; 'fr' fully suppressed
+    val rates = Seq(("en", 0.6), ("fr", 0.0)).toDF("lang", "rate")
+    val ms = MemoryStream[StreamOps.PackDoc]
+    val name = nextName()
+    val q = StreamOps.streamingCurationGate(ms.toDF(), rates, 3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val text = if (i % 10 == 0) "too short" // 2 toks: quality-floored
+                 else s"some tokens of document number $i"
+      StreamOps.PackDoc(i, ts("2024-01-01 10:00:00"), lang, text)
+    }
+    ms.addData(docs.take(20): _*)
+    q.processAllAvailable()
+    ms.addData(docs.drop(20): _*) // second micro-batch: same gate, no state
+    q.processAllAvailable()
+    val streamed = spark.table(name).collect().map(_.getLong(0)).toSet
+    q.stop()
+    // batch twin over the identical rows: same join + same md5 uniform
+    val batch = StreamOps.streamingCurationGate(
+      docs.toDF(), rates, 3).collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"ingest gate must equal batch backfill: $streamed vs $batch")
+    assert(streamed.nonEmpty && streamed.forall(_ % 2 == 0), "fr suppressed")
+    assert(!streamed.exists(_ % 10 == 0), "short docs quality-floored")
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
