@@ -457,6 +457,53 @@ object Extras {
                 when(b < 205, "train").when(b < 230, "val")
                   .otherwise("test").as("split"))
         .orderBy("doc_id")
+    },
+
+    // MERGE INTO / upsert semantics expressed relationally — the nightly
+    // warehouse apply-changes step (matched → update, not-matched →
+    // insert, untouched rows kept), as one full-outer join on the merge
+    // key: exactly the shuffle-on-key plan a MERGE executes inside Delta/
+    // Iceberg, minus their file-rewrite commit. Base = orders with key %
+    // 3 ≠ 0; change set = re-priced orders with key % 2 = 0, so the
+    // result exercises all three actions. One shuffle each side on the
+    // merge key at any scale; AQE broadcasts a small change set.
+    OpDef(
+      "q_merge_upsert",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice * CAST(1.1 AS DOUBLE) AS DOUBLE) AS new_price
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        |  floor((coalesce(c.new_price, b.o_totalprice)) * 100.0 + 0.5) / 100.0
+        |    AS price,
+        |  CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |         THEN 'updated'
+        |       WHEN c.o_orderkey IS NOT NULL THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val base = orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val chg = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("c_orderkey"),
+                col("o_custkey").as("c_custkey"),
+                (col("o_totalprice") * lit(1.1)).as("new_price"))
+      base.join(chg, col("o_orderkey") === col("c_orderkey"), "full")
+        .select(
+          coalesce(col("c_orderkey"), col("o_orderkey")).as("o_orderkey"),
+          coalesce(col("c_custkey"), col("o_custkey")).as("o_custkey"),
+          Det.r2(coalesce(col("new_price"), col("o_totalprice"))).as("price"),
+          when(col("c_orderkey").isNotNull && col("o_orderkey").isNotNull,
+               "updated")
+            .when(col("c_orderkey").isNotNull, "inserted")
+            .otherwise("kept").as("action"))
+        .orderBy("o_orderkey")
     }
   )
 }
