@@ -47,7 +47,7 @@ object Approx {
         .select(col("vec_id").as("qid"), col("features"))
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+        .setBucketLength(0.125).setNumHashTables(4).setSeed(42L)
       val model = lsh.fit(e)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("dist_r").asc, col("vec_id").asc)
@@ -77,7 +77,7 @@ object Approx {
         .cache() // both sides of the LSH self-join
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+        .setBucketLength(0.125).setNumHashTables(6).setSeed(42L)
       val model = lsh.fit(e)
       // computed, not hand-rounded: 1.0488 < √1.1 would systematically
       // reject true pairs with sim in [0.45, 0.4500093)
@@ -104,7 +104,7 @@ object Approx {
         .cache()
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+        .setBucketLength(0.125).setNumHashTables(6).setSeed(42L)
       val model = lsh.fit(e)
       val pairs = model.approxSimilarityJoin(e, e, math.sqrt(2 - 2 * 0.45), "dist")
         .select(col("datasetA.vec_id").as("vec_a"), col("datasetA.v").as("va"),
