@@ -62,7 +62,12 @@ object Curation {
     * deterministic hash uniform: rate_d = min(1, w_d·N/n_d). The per-domain
     * rate table is domain-count-sized (bounded by the number of domains,
     * not the corpus) so broadcasting it is correct at any scale; the keep
-    * decision itself is map-only. */
+    * decision itself is map-only.
+    *
+    * Domains NOT listed in `weights` are excluded entirely (inner join
+    * against the rate table) — the mixture definition is the allowlist.
+    * Pass an explicit weight-0 entry only for documentation value; both
+    * spellings drop the domain. */
   def mixDomains(docs: DataFrame, weights: Seq[(String, Double)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

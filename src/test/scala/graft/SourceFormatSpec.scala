@@ -7,6 +7,26 @@ import java.nio.file.Files
   * the data the engine computes on. */
 class SourceFormatSpec extends SparkTestBase {
 
+  test("parquet mergeSchema reads evolved schemas as their union") {
+    // schema evolution: a v2 writer adds a column; readers must see the
+    // union schema with NULLs for v1 rows — the property that lets a
+    // 100 TB table evolve without rewriting history
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val v1 = graft.ops.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name").limit(10)
+    v1.write.mode("overwrite").parquet(s"$dir/d=1")
+    val v2 = graft.ops.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+              lit("gold").as("tier")).limit(5)
+    v2.write.mode("overwrite").parquet(s"$dir/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("c_custkey", "c_name", "tier", "d"))
+    assert(merged.count() == 15)
+    // v1 rows surface with NULL tier; v2 rows keep their value
+    assert(merged.filter(col("d") === 1 && col("tier").isNull).count() == 10)
+    assert(merged.filter(col("d") === 2 && col("tier") === "gold").count() == 5)
+  }
+
   test("csv round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val li = graft.ops.Tables.lineitem(spark, sf)
