@@ -292,6 +292,47 @@ object Approx {
         .withColumn("rn", row_number().over(wTop).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    /** Element-wise vector aggregation as a first-class op: per-label
+      * centroid of the embedding column (the building block under IVF,
+      * k-means assignment, and class prototypes), summarized to scalars
+      * (count, L2 norm, first component) because the driver's comparator
+      * rejects array outputs. The explode→(label, pos) aggregation is the
+      * canonical distributed centroid: map-side partial sums shrink the
+      * corpus×dim row stream to k×dim per partition before the shuffle,
+      * and the result is bounded by k×dim at any corpus size. */
+    OpDef(
+      "q_vec_centroids",
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, i AS pos, avg(v[i]) AS cx
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i),
+        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT n.label, n.n_vecs,
+        |  floor((sqrt(sum(c.cx * c.cx))) * 1000000.0 + 0.5) / 1000000.0
+        |    AS cnorm,
+        |  floor((max(CASE WHEN c.pos = 1 THEN c.cx END)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS c1
+        |FROM c JOIN n ON c.label = n.label
+        |GROUP BY n.label, n.n_vecs
+        |ORDER BY n.label""".stripMargin
+    ) { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val c = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      val n = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      c.join(n, Seq("label"))
+        .groupBy("label", "n_vecs")
+        .agg(Det.r6(sqrt(sum(col("cx") * col("cx")))).as("cnorm"),
+             Det.r6(max(when(col("pos") === 0, col("cx")))).as("c1"))
+        .select("label", "n_vecs", "cnorm", "c1")
+        .orderBy("label")
     }
   )
 }

@@ -33,6 +33,21 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n"), col("total"))
 
+  /** Windowed approximate distinct users: HLL++ inside tumbling
+    * event-time windows. The sketch is mergeable streaming state —
+    * per-window memory is the HLL register array (KB), NOT the user-id
+    * set, so a window over 10⁹ distinct users costs the same state as
+    * one over 10³; exact distinct in a stream would buffer every id.
+    * Same watermark/eviction contract as [[tumblingCounts]]. */
+  def tumblingApproxUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"),
+              col("approx_users"), col("n_events"))
+
   /** Sliding 1-hour / 15-minute windows (each event in 4 windows). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -41,6 +41,35 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("windowed approx-distinct users tracks exact within HLL error") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.tumblingApproxUsers(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // window 10:00–11:00: 40 distinct users over 80 events, two batches
+    val batch1 = (1 to 40).map(i =>
+      ev(i, f"2024-01-01 10:${i % 60}%02d:00", i % 20 + 1, "click", 1.0))
+    val batch2 = (41 to 80).map(i =>
+      ev(i, f"2024-01-01 10:${i % 60}%02d:00", i % 40 + 1, "view", 1.0))
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*) // sketch state must merge across micro-batches
+    q.processAllAvailable()
+    ms.addData(ev(99, "2024-01-01 13:00:00", 1, "click", 1.0)) // close window
+    q.processAllAvailable()
+    val row = spark.table(name)
+      .filter(col("win_start") === ts("2024-01-01 10:00:00")).collect().head
+    q.stop()
+    val approx = row.getAs[Long]("approx_users")
+    assert(row.getAs[Long]("n_events") == 80L)
+    // HLL++ default rsd 5%: 40 distinct must estimate within ±15%
+    assert(math.abs(approx - 40.0) / 40.0 <= 0.15,
+      s"approx $approx vs exact 40")
+  }
+
   test("late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
