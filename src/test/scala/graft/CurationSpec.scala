@@ -35,6 +35,44 @@ class CurationSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("dedupSegments strips planted cross-doc boilerplate, first doc keeps it") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for updates every single day"
+    val rows = Seq(
+      (10L, s"$boiler unique alpha content first document body words here"),
+      (20L, s"$boiler unique beta content second document body words here"),
+      (30L, "entirely original gamma content third document body words done"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupSegments(rows, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("new_text"))).toMap
+    // the 8-token boilerplate segment survives ONLY in doc 10
+    assert(out(10L)._2.startsWith(boiler.split(" ").take(8).mkString(" ")))
+    assert(!out(20L)._2.contains("subscribe"),
+      s"doc 20 must lose the boilerplate: ${out(20L)._2}")
+    // non-boilerplate content always survives
+    assert(out(20L)._2.contains("beta"))
+    assert(out(30L)._1 == 2L, "untouched doc keeps all its segments")
+  }
+
+  test("merge upsert: action counts follow the key arithmetic") {
+    val out = SparkEntry.queries("q_merge_upsert")(spark, sf).cache()
+    val orders = Tables.orders(spark, sf)
+    val baseN = orders.filter(col("o_orderkey") % 3 =!= 0).count()
+    val chgN = orders.filter(col("o_orderkey") % 2 === 0).count()
+    val bothN = orders.filter(col("o_orderkey") % 3 =!= 0 &&
+                              col("o_orderkey") % 2 === 0).count()
+    val acts = out.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acts.getOrElse("updated", 0L) == bothN)
+    assert(acts.getOrElse("inserted", 0L) == chgN - bothN)
+    assert(acts.getOrElse("kept", 0L) == baseN - bothN)
+    // result keys = base ∪ change set, each exactly once
+    assert(out.count() == baseN + chgN - bothN)
+    assert(out.select("o_orderkey").distinct().count() == out.count())
+    out.unpersist()
+  }
+
   test("mixDomains: rates are min(1, w·N/n) and sampling tracks the rate") {
     val weights = Seq("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1, "de" -> 0.1)
     val out = Curation.mixDomains(docs, weights).cache()
