@@ -103,6 +103,31 @@ class GrowthSpec extends SparkTestBase {
     } finally { docs.unpersist(); () }
   }
 
+  test("segment dedup absorbs a mega duplicate cluster via map-side combine") {
+    spark.catalog.clearCache()
+    // 1500 identical boilerplate docs: every segment is a hot key repeated
+    // 1500×. The groupBy(seg).min(struct) first-occurrence formulation
+    // partial-aggregates the hot segment per partition BEFORE the shuffle
+    // (the reason ScaleSpec pins "agg, not window"); the cluster must
+    // neither explode nor skew-stall, and conservation must still hold:
+    // exactly ONE copy of each boilerplate segment survives, in the
+    // cluster's min-id doc.
+    val docs = Synth.synthDocs(spark, baseN, megaCluster = 1500L).cache()
+    try {
+      val (out, t) = timed(
+        graft.ops.Curation.dedupSegments(docs, 8).collect())
+      info(f"segment dedup over ${baseN + 1500} docs (1500 identical): $t%.1fs")
+      val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      val clusterIds = (baseN until baseN + 1500L)
+      // the min-id cluster member keeps all its segments…
+      assert(byId(baseN).getAs[Long]("n_kept") ==
+             byId(baseN).getAs[Long]("n_segs"))
+      // …every other member keeps none
+      assert(clusterIds.drop(1).forall(id => byId(id).getAs[Long]("n_kept") == 0L),
+        "non-first cluster members must lose every boilerplate segment")
+    } finally { docs.unpersist(); () }
+  }
+
   test("SRP cosine banding: linear pair growth, ~1.0 recall on planted dups") {
     // bits ≈ log₂(n) + margin keeps random-pair collisions (≈ L·n²/2^bits)
     // below the planted linear term — the documented SRP scaling rule

@@ -165,6 +165,17 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("merge upsert plans a keyed join, never a nested loop") {
+    val plan = SparkEntry.queries("q_merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // FULL OUTER on the merge key must be a hash/sort-merge equi-join; a
+    // BroadcastNestedLoopJoin would mean the ON condition stopped being
+    // an equi-key and the merge scans base×changes at 100 TB
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("FullOuter"), s"merge must stay a full join:\n$plan")
+  }
+
   test("salted skew join broadcasts the replicated dimension") {
     val plan = SparkEntry.queries("q_join_salted")(spark, sf)
       .queryExecution.executedPlan.toString
