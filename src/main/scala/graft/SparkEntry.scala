@@ -17,7 +17,8 @@ object SparkEntry {
   val registry: Seq[OpDef] =
     Relational.ops ++ Aggregates.ops ++ Windows.ops ++ Functions.ops ++
       LlmOps.ops ++ Approx.ops ++ Extras.ops ++ Analytics.ops ++
-      Tpch.ops ++ Multimodal.ops ++ EventAnalytics.ops ++ Curation.ops
+      Tpch.ops ++ Multimodal.ops ++ EventAnalytics.ops ++ Curation.ops ++
+      Graph.ops ++ Layout.ops
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate op names in registry")

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.11 addendum — distributed graph analytics over the purchase graph.
+  *
+  * [[EventAnalytics]]'s q_events_stationary deliberately folds its Markov
+  * matrix into ONE row — correct there because the event vocabulary is
+  * bounded. This family is the UNBOUNDED-node-count twin: the graph lives
+  * in a DataFrame of edges, every iteration is an equi-join + partial
+  * aggregation (both shuffle-bounded by |E| + |V|), and nothing is ever
+  * collected, folded into a single row, or broadcast except 1-row scalars.
+  * At 100 TB you would additionally bucket the edge table on `src` once so
+  * the per-iteration join reuses the layout; a checkpointed DataFrame loses
+  * its outputPartitioning in Spark, so that layout reuse is a storage-level
+  * (bucketed-table) concern, documented rather than simulated here.
+  */
+object Graph {
+  import Tables._
+
+  /** Damping factor and iteration count for q_graph_pagerank. 6 integer
+    * power steps: enough to differentiate hubs on the fixture while keeping
+    * the unrolled oracle CTE readable. */
+  private val D = 0.85
+  private val Steps = 6
+
+  /** Distributed weighted PageRank over the symmetrized customer–supplier
+    * purchase graph.
+    *
+    * Nodes are `c<custkey>` / `s<suppkey>`; an undirected edge (spelled as
+    * two directed edges) links a customer to every supplier it bought from,
+    * weighted by lineitem count. Out-weights are degree-normalized per
+    * source (a window over one node's edges — bounded by max degree, never
+    * corpus-wide). Iteration k: rank flows along out-edges
+    * (`ranks ⋈ edges ON node = src`, then `groupBy(dst).sum`), and every
+    * node gets `(1-d)/N + d·Σ contrib`. A lazy localCheckpoint per step
+    * truncates the 6-deep join lineage (same discipline as
+    * LlmOps.clusterPairs).
+    *
+    * Cross-engine determinism: the recurrence runs entirely in BIGINT
+    * micro-units (rank and edge weight scaled by 10⁶, per-edge contribution
+    * `(r·w + 5·10⁵) div 10⁶`, damping `(85·Σ + 50) div 100`). Integer sums
+    * are exact and ASSOCIATIVE, so Spark's partial-aggregation order and
+    * DuckDB's scan order cannot diverge — unlike the r6-rounded double
+    * recurrence q_events_stationary uses, which is safe only because its
+    * per-state fan-in is the tiny event vocabulary. Here a hub node sums
+    * thousands of contributions, where a double formulation measurably
+    * lands on .5-ulp rounding boundaries (seen at sf0.001 during
+    * development). Scalars (1/N, teleport) are one-shot double→floor on
+    * identical inputs, engine-safe.
+    *
+    * The symmetrized graph leaves no dangling nodes (every node has in- and
+    * out-edges), so no rank mass escapes; the left join + coalesce(0) is
+    * kept anyway so the shape stays correct on general edge sets. */
+  def pagerank(edgesIn: DataFrame): DataFrame = {
+    val wOut = Window.partitionBy(col("src"))
+    val edges = edgesIn
+      .select(col("src"), col("dst"),
+              floor(col("n") * lit(1000000.0) / sum(col("n")).over(wOut)
+                    + lit(0.5)).cast("long").as("w"))
+      .localCheckpoint(false) // reused every step: truncate + materialize once
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    val tele = nodes.agg(count(lit(1)).as("nn"))
+      .select(col("nn"),
+              floor(lit((1.0 - D) * 1000000.0) / col("nn") + lit(0.5))
+                .cast("long").as("t"))
+    var ranks = nodes.crossJoin(broadcast(tele))
+      .select(col("node"),
+              floor(lit(1000000.0) / col("nn") + lit(0.5)).cast("long").as("r"))
+    for (_ <- 1 to Steps) {
+      val contrib = ranks.join(edges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(r * w + 500000) div 1000000")).as("c"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(tele))
+        .select(col("node"),
+                (col("t") + expr("(85 * coalesce(c, 0L) + 50) div 100")).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("node"), (col("r") / lit(1000000.0)).as("pr"))
+      .orderBy("node")
+  }
+
+  /** The fixture edge list: customer↔supplier purchase counts, symmetrized.
+    * One corpus-sized join + aggregation; everything downstream is
+    * edge-table-sized. */
+  private def purchaseEdges(s: org.apache.spark.sql.SparkSession,
+                            d: String): DataFrame = {
+    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
+               concat(lit("s"), col("l_suppkey")).as("sn"))
+      .agg(count(lit(1)).as("n"))
+    pairs.select(col("cn").as("src"), col("sn").as("dst"), col("n"))
+      .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("n")))
+  }
+
+  private val pagerankSteps: String = (1 to Steps).map { i =>
+    s"""r$i AS (
+       |  SELECT nd.node,
+       |    tele.t + (85 * coalesce(c.c, 0) + 50) // 100 AS r
+       |  FROM nodes nd
+       |  LEFT JOIN (
+       |    SELECT e.dst, sum((p.r * e.w + 500000) // 1000000) AS c
+       |    FROM r${i - 1} p JOIN e ON p.node = e.src
+       |    GROUP BY e.dst) c ON nd.node = c.dst
+       |  CROSS JOIN tele)""".stripMargin
+  }.mkString(",\n")
+
+  def ops: Seq[OpDef] = Seq(
+
+    OpDef(
+      "q_graph_pagerank",
+      s"""WITH pe AS (
+         |  SELECT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn,
+         |         count(*) AS n
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT cn AS src, sn AS dst, n FROM pe
+         |  UNION ALL
+         |  SELECT sn AS src, cn AS dst, n FROM pe),
+         |e AS (
+         |  SELECT src, dst,
+         |    CAST(floor(n * 1000000.0 / sum(n) OVER (PARTITION BY src)
+         |               + 0.5) AS BIGINT) AS w
+         |  FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |tele AS (
+         |  SELECT count(*) AS nn,
+         |         CAST(floor(${(1.0 - D) * 1000000.0} / count(*) + 0.5)
+         |              AS BIGINT) AS t
+         |  FROM nodes),
+         |r0 AS (
+         |  SELECT node,
+         |         CAST(floor(1000000.0 / tele.nn + 0.5) AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN tele),
+         |$pagerankSteps
+         |SELECT node, r / 1000000.0 AS pr FROM r$Steps ORDER BY node""".stripMargin
+    ) { (s, d) => pagerank(purchaseEdges(s, d)) }
+  )
+}

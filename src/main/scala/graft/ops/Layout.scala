@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.11 addendum — data-layout operators for scan pruning at rest.
+  *
+  * At 100 TB the cheapest query is the one that never reads the file:
+  * multi-dimensional clustering (Z-ordering) sorts the fact table along a
+  * bit-interleaved curve so that EVERY interleaved dimension's per-file
+  * min/max footer range stays narrow, and a predicate on any of them
+  * skips most files. The key computation is a pure per-row integer
+  * expression (map-only, codegen'd, no shuffle); the layout itself is one
+  * `repartitionByRange(zkey)` — the same range-exchange a global sort
+  * pays, amortized once at write time. ScaleSpec measures the actual
+  * effect: post-layout per-partition extents shrink on BOTH dimensions
+  * vs a single-column sort, which narrows only its own.
+  */
+object Layout {
+  import Tables._
+
+  /** Bits interleaved per dimension. 16 covers every fixture key; at
+    * larger domains you interleave the high-order bits of the RANGE-RANK
+    * of each dimension (rank computed once per layout job), not the raw
+    * value — documented rather than simulated, since the fixture keys are
+    * already dense from 1. */
+  private val Bits = 16
+
+  /** The interleave as engine-portable integer SQL: Spark spells shifts as
+    * `shiftleft`/`shiftright`, DuckDB as `<<`/`>>`; both reduce to the
+    * same exact BIGINT arithmetic, so the oracle can hash-match. */
+  private def zSqlSpark(x: String, y: String): String =
+    (0 until Bits).flatMap { i =>
+      Seq(s"shiftleft(shiftright(CAST($x AS BIGINT), $i) & 1, ${2 * i})",
+          s"shiftleft(shiftright(CAST($y AS BIGINT), $i) & 1, ${2 * i + 1})")
+    }.mkString(" + ")
+
+  private def zSqlDuck(x: String, y: String): String =
+    (0 until Bits).flatMap { i =>
+      Seq(s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i})",
+          s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** Z-value of two dimension columns (low [[Bits]] bits each). */
+  def zval(x: String, y: String): Column = expr(zSqlSpark(x, y))
+
+  /** Lay a DataFrame out along the (x, y) Z-curve: range-partition by the
+    * interleaved key, sort within partitions. This is the write-side
+    * operator a table-format OPTIMIZE would run; downstream scans prune
+    * on either dimension's footer ranges.
+    *
+    * Interleaving is only effective when both dimensions contribute
+    * comparable bit widths — a 10-value dimension interleaved raw against
+    * a 10⁵-value one degenerates to a single-column sort (the wide
+    * dimension's bits dominate every range split). So the layout key
+    * min-max-scales each dimension onto a common 8-bit grid first (one
+    * 1-row stats pass, broadcast back); under heavy VALUE skew you would
+    * scale by range-rank instead — same shape, one extra window over each
+    * dimension's distinct values. */
+  def zorder(df: DataFrame, x: String, y: String, partitions: Int): DataFrame = {
+    val stats = df.agg(
+      min(col(x)).cast("double").as("zxmin"), max(col(x)).cast("double").as("zxmax"),
+      min(col(y)).cast("double").as("zymin"), max(col(y)).cast("double").as("zymax"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("zx",
+        ((col(x) - col("zxmin")) * lit(255.0) /
+          greatest(col("zxmax") - col("zxmin"), lit(1.0))).cast("long"))
+      .withColumn("zy",
+        ((col(y) - col("zymin")) * lit(255.0) /
+          greatest(col("zymax") - col("zymin"), lit(1.0))).cast("long"))
+      .withColumn("z", expr(zSqlSpark("zx", "zy")))
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions("z")
+      .drop("zx", "zy", "zxmin", "zxmax", "zymin", "zymax")
+  }
+
+  def ops: Seq[OpDef] = Seq(
+
+    // Z-order locality summary over lineitem's (part, supplier) plane:
+    // bucket the curve into 4096-key segments and report each bucket's
+    // row count and per-dimension extents — the min/max footer metadata a
+    // clustered file would carry. Map + one bounded groupBy (≤ 2^20
+    // buckets however large the corpus); the oracle runs the identical
+    // integer arithmetic so every value hash-matches.
+    OpDef(
+      "q_layout_zorder",
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         ${zSqlDuck("l_partkey", "l_suppkey")} AS z
+         |  FROM lineitem)
+         |SELECT z // 4096 AS z_bucket, count(*) AS n,
+         |       min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |       min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+                zval("l_partkey", "l_suppkey").as("z"))
+        .groupBy(expr("z div 4096").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+             min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+             min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+        .orderBy("z_bucket")
+    }
+  )
+}

@@ -38,6 +38,24 @@ class OpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("pagerank conserves rank mass and concentrates it on supplier hubs") {
+    val pr = queries("q_graph_pagerank")(spark, sf).collect()
+    // integer micro-unit recurrence: each of the 6 steps loses at most
+    // 0.5e-6 per node to div-rounding, so total mass stays within
+    // nodes·steps·1e-6 of 1.0
+    val total = pr.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < pr.length * 6 * 1e-6 + 1e-4,
+      s"rank mass drifted: $total over ${pr.length} nodes")
+    // the fixture has ~15× fewer suppliers than customers, so the
+    // symmetrized purchase graph concentrates rank on the supplier side
+    val (supp, cust) = pr.partition(_.getString(0).startsWith("s"))
+    assert(supp.nonEmpty && cust.nonEmpty)
+    val avgS = supp.map(_.getDouble(1)).sum / supp.length
+    val avgC = cust.map(_.getDouble(1)).sum / cust.length
+    assert(avgS > 2 * avgC,
+      f"supplier hubs should out-rank customers: s=$avgS%.6f c=$avgC%.6f")
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)

@@ -176,6 +176,71 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("FullOuter"), s"merge must stay a full join:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB lever behind semi-join reduction: a selective filter on
+    // the dim side gets turned into a bloom-filter predicate pushed into
+    // the FACT-side scan, so rows that cannot join die before the shuffle.
+    // Spark injects it (InjectRuntimeFilter) only for non-broadcast joins
+    // above the application-side size threshold — thresholds here are set
+    // to what a 100 TB fact table would trivially clear, and broadcast is
+    // disabled because a broadcastable dim needs no reduction.
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = graft.ops.Tables.lineitem(spark, sf)
+      val dim = graft.ops.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val opt = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(opt.contains("might_contain"),
+        s"expected an injected bloom-filter predicate on the fact side:\n$opt")
+      assert(j.count() == 1)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("z-order layout narrows per-partition extents on BOTH dimensions") {
+    // the footer-metadata effect z-ordering buys: after laying lineitem
+    // out along the (part, supplier) curve, each partition (stand-in for
+    // a file) covers a small rectangle of the key plane — so a filter on
+    // EITHER dimension can skip most partitions. A plain sort on partkey
+    // alone leaves the suppkey extent at ~full width in every file.
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    def extents(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val e = df
+        .groupBy(spark_partition_id().as("p"))
+        .agg((max("l_partkey") - min("l_partkey")).as("pw"),
+             (max("l_suppkey") - min("l_suppkey")).as("sw"))
+        .agg(avg("pw"), avg("sw")).collect().head
+      (e.getDouble(0), e.getDouble(1))
+    }
+    val bySingle = li.repartitionByRange(16, col("l_partkey"))
+    val byZ = graft.ops.Layout.zorder(li, "l_partkey", "l_suppkey", 16)
+    val (zP, zS) = extents(byZ)
+    val (sP, sS) = extents(bySingle)
+    val (fullP, fullS) = (
+      li.agg(max("l_partkey") - min("l_partkey")).collect().head.getLong(0).toDouble,
+      li.agg(max("l_suppkey") - min("l_suppkey")).collect().head.getLong(0).toDouble)
+    // single-column sort: near-perfect on its own key, useless on the other
+    assert(sP < fullP / 4, s"range layout should narrow partkey: $sP vs $fullP")
+    assert(sS > fullS * 0.8, s"single-key layout leaves suppkey wide: $sS vs $fullS")
+    // z-order: BOTH dimensions substantially narrower than full width
+    assert(zP < fullP * 0.6, s"z-order should narrow partkey: $zP vs $fullP")
+    assert(zS < fullS * 0.6, s"z-order should narrow suppkey: $zS vs $fullS")
+  }
+
   test("salted skew join broadcasts the replicated dimension") {
     val plan = SparkEntry.queries("q_join_salted")(spark, sf)
       .queryExecution.executedPlan.toString
