@@ -86,4 +86,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bigSketch.toMap.get(big).contains(8L),
            s"oversized token lost in serialization: ${bigSketch.map(t => (t._1.take(10), t._2)).toSeq}")
   }
+
+  test("graft_topk state merges across streaming micro-batches (complete mode)") {
+    // the heavy-hitters sketch as STREAMING state: a TypedImperativeAggregate
+    // buffer must serialize into the state store at each micro-batch boundary
+    // and merge with the next batch's partials — the shape a continuous
+    // trending-items pipeline runs. Capacity (16) > distinct items (4) keeps
+    // SpaceSaving exact here, so the streamed result must EQUAL the exact
+    // totals across both batches, proving no state was lost or double-counted.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-topk-stream-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[String]
+    val q = ms.toDF().toDF("tok")
+      .groupBy()
+      .agg(org.apache.spark.sql.functions.expr("graft_topk(tok, 16, 4)").as("tk"))
+      .writeStream.format("memory").queryName("graft_topk_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"): _*)
+      q.processAllAvailable()
+      ms.addData(Seq.fill(4)("beta") ++ Seq.fill(2)("delta") ++ Seq("alpha"): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT inline(tk) FROM graft_topk_stream")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("beta" -> 7L, "alpha" -> 6L, "delta" -> 2L, "gamma" -> 1L),
+             s"streamed sketch diverged from exact cross-batch totals: $got")
+    } finally q.stop()
+  }
 }

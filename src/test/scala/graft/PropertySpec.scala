@@ -113,6 +113,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("z-order interleave: exact de-interleave round-trip and monotonicity") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))
+    val pts = samples(gen, 300)
+    // round-trip: unpicking even/odd bits reconstructs both inputs exactly
+    // (the key property file-skipping relies on: the curve is a BIJECTION,
+    // so footer min/max z-ranges correspond to real key-plane rectangles)
+    val rows = pts.toDF("x", "y")
+      .withColumn("z", graft.ops.Layout.zval("x", "y"))
+      .selectExpr("x", "y", "z",
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
+          "shiftleft(shiftright(z, 2 * i) & 1, i)) AS x2",
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
+          "shiftleft(shiftright(z, 2 * i + 1) & 1, i)) AS y2")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(1),
+        s"de-interleave drift at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // monotone in the dominance order: growing either coordinate (the
+    // other fixed or growing) never decreases z
+    val zs = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (((x1, y1), z1) <- zs; ((x2, y2), z2) <- zs
+         if x1 <= x2 && y1 <= y2)
+      assert(z1 <= z2, s"z not monotone: ($x1,$y1)->$z1 vs ($x2,$y2)->$z2")
+  }
+
   test("conv(reverse(md5 prefix)) == little-endian nibble fold (simhash h)") {
     import spark.implicits._
     val toks = samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 300)
