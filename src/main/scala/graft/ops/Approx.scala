@@ -27,6 +27,15 @@ import org.apache.spark.ml.functions.array_to_vector
 object Approx {
   import Tables._
 
+  /** Fixed probe keys for q_agg_cmsketch (l_partkey values present at
+    * every fixture SF). */
+  private[graft] val CmsProbes: Seq[Int] =
+    Seq(1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+
+  /** Salted CMS bucket over the in-scope (dep_, item_) columns. */
+  private[graft] val CmsBucket: org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(md5(concat(CAST(dep_ AS STRING), ':', item_)), 1, 6), 16, 10) AS BIGINT) % 256")
+
   val ops: Seq[OpDef] = Seq(
 
     // q_dedup_lsh — the LSH near-dup scale path — lives in LlmOps: its
@@ -333,6 +342,67 @@ object Approx {
              Det.r6(max(when(col("pos") === 0, col("cx")))).as("c1"))
         .select("label", "n_vecs", "cnorm", "c1")
         .orderBy("label")
+    },
+
+    /** Count–Min sketch, fully deterministic and therefore oracle-checked
+      * (unlike the HLL/percentile sketches whose hash families DuckDB
+      * can't replay): depth 4 salted-md5 hash rows × width 256 counters.
+      * Construction is `explode(4) → groupBy(depth, bucket)` — the
+      * corpus-sized stream collapses to ≤ 1024 cells via map-side partial
+      * aggregation, and the counter table is MERGEABLE by cell-wise sum
+      * (the persist-partials incremental-stats pattern, proven for two
+      * shards in SourceFormatSpec's HLL twin and here in ApproxSpec).
+      * Probing joins the 40-row probe×depth table against the bounded
+      * counter table and takes min over depths; CMS guarantees
+      * est ≥ true ≥ est − εN, asserted in ApproxSpec. */
+    OpDef(
+      "q_agg_cmsketch", {
+        val probes = CmsProbes.map(p => s"($p)").mkString(", ")
+        s"""WITH it AS (
+           |  SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+           |cms AS (
+           |  SELECT dep,
+           |    CAST('0x' || substring(md5(CAST(dep AS VARCHAR) || ':' || item),
+           |                           1, 6) AS BIGINT) % 256 AS bucket,
+           |    count(*) AS c
+           |  FROM it CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dep)
+           |  GROUP BY 1, 2),
+           |p AS (SELECT CAST(pk AS VARCHAR) AS item
+           |      FROM (VALUES $probes) AS pv(pk)),
+           |pb AS (
+           |  SELECT p.item, d.dep,
+           |    CAST('0x' || substring(md5(CAST(d.dep AS VARCHAR) || ':' || p.item),
+           |                           1, 6) AS BIGINT) % 256 AS bucket
+           |  FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dep))
+           |SELECT pb.item, min(coalesce(cms.c, 0)) AS est
+           |FROM pb LEFT JOIN cms
+           |  ON pb.dep = cms.dep AND pb.bucket = cms.bucket
+           |GROUP BY pb.item
+           |ORDER BY item""".stripMargin
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val it = lineitem(s, d).select(col("l_partkey").cast("string").as("item_"))
+      val cms = cmSketch(it)
+      val pb = CmsProbes.map(_.toString).toDF("item_")
+        .crossJoin(Seq(0, 1, 2, 3).toDF("dep_"))
+        .select(col("item_"), col("dep_"), CmsBucket.as("bucket"))
+      pb.join(broadcast(cms), Seq("dep_", "bucket"), "left")
+        .groupBy(col("item_").as("item"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+        .select(col("item"), col("est"))
+        .orderBy("item")
     }
   )
+
+  /** CMS counter table (dep_, bucket, c) for an `item_` column: ≤ 4×256
+    * cells at any corpus size (map-side combine does the collapse).
+    * Mergeable: counters for a union of shards = cell-wise sum of the
+    * shards' counter tables (asserted in ApproxSpec). */
+  private[graft] def cmSketch(
+      items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    items
+      .select(explode(sequence(lit(0), lit(3))).as("dep_"), col("item_"))
+      .select(col("dep_"), CmsBucket.as("bucket"))
+      .groupBy("dep_", "bucket").agg(count(lit(1)).as("c"))
 }

@@ -180,4 +180,40 @@ class ApproxSpec extends SparkTestBase {
         s"$flag: sketch est $direct vs exact $e")
     }
   }
+
+  test("count-min sketch: overestimate-only bounds and shard mergeability") {
+    import org.apache.spark.sql.functions._
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    val est = queries("q_agg_cmsketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = li.groupBy(col("l_partkey").cast("string").as("item"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = li.count()
+    graft.ops.Approx.CmsProbes.map(_.toString).foreach { p =>
+      val t = truth.getOrElse(p, 0L)
+      val e = est(p)
+      assert(e >= t, s"CMS must never underestimate: item $p est=$e true=$t")
+      // deterministic-hash analogue of the εN bound: min over 4 depths of
+      // width-256 rows; 8×N/256 is far above any plausible collision mass
+      assert(e - t <= 8 * n / 256,
+        s"item $p overestimate ${e - t} exceeds the collision-mass bound")
+    }
+    // mergeability: counters for a union of shards == cell-wise sum of the
+    // shards' counters — the persist-partials pattern that lets 100 TB
+    // build per-partition sketches and merge them without re-scanning
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val items = li.select(col("l_partkey").cast("string").as("item_"),
+                          col("l_orderkey"))
+    val direct = cells(graft.ops.Approx.cmSketch(items.select("item_")))
+    val shardA = graft.ops.Approx.cmSketch(
+      items.filter(col("l_orderkey") % 2 === 0).select("item_"))
+    val shardB = graft.ops.Approx.cmSketch(
+      items.filter(col("l_orderkey") % 2 =!= 0).select("item_"))
+    val merged = cells(
+      shardA.unionAll(shardB)
+        .groupBy("dep_", "bucket").agg(sum(col("c")).as("c")))
+    assert(direct == merged,
+      "cell-wise sum of shard sketches must equal the direct sketch")
+  }
 }
