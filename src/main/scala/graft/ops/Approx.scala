@@ -36,6 +36,25 @@ object Approx {
   private[graft] val CmsBucket: org.apache.spark.sql.Column =
     expr("CAST(conv(substring(md5(concat(CAST(dep_ AS STRING), ':', item_)), 1, 6), 16, 10) AS BIGINT) % 256")
 
+  /** Probe keys for q_agg_bloom: the CMS probe mix (members at every SF)
+    * plus five keys beyond any fixture's p_partkey range (definite
+    * non-members, exercising the negative path). */
+  private[graft] val BloomProbes: Seq[Int] =
+    CmsProbes ++ Seq(1000001, 1000002, 1000003, 1000004, 1000005)
+
+  /** Salted k=4 Bloom bit over the in-scope (dep_, item_) columns —
+    * 'b'-prefixed salt decorrelates it from the CMS rows. */
+  private[graft] val BloomBit: org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(md5(concat('b', CAST(dep_ AS STRING), ':', item_)), 1, 6), 16, 10) AS BIGINT) % 1024")
+
+  /** The Bloom filter itself: DISTINCT set-bit table for an `item_`
+    * column — ≤ 1024 rows at any member count; union-mergeable. */
+  private[graft] def bloomBits(
+      items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    items
+      .select(explode(sequence(lit(0), lit(3))).as("dep_"), col("item_"))
+      .select(BloomBit.as("bit")).distinct()
+
   val ops: Seq[OpDef] = Seq(
 
     // q_dedup_lsh — the LSH near-dup scale path — lives in LlmOps: its
@@ -391,6 +410,61 @@ object Approx {
         .groupBy(col("item_").as("item"))
         .agg(min(coalesce(col("c"), lit(0L))).as("est"))
         .select(col("item"), col("est"))
+        .orderBy("item")
+    },
+
+    /** Bloom filter as data, deterministic and oracle-checked — the "seen"
+      * set behind crawl-frontier dedup, benchmark decontamination and
+      * semi-join reduction when the key set is too big to broadcast raw:
+      * k=4 salted-md5 hashes into a 1024-bit space, the filter is just the
+      * DISTINCT set-bit table (≤ 1024 rows at ANY member count — the
+      * aggregation collapses the corpus; mergeable by plain set union,
+      * asserted in ApproxSpec along with the no-false-negative guarantee).
+      * Probing: a key is 'maybe present' iff all 4 of its bit positions
+      * are set; reported here as (hits, maybe) per probe over a fixed
+      * member-and-absent probe mix. The plan-level twin — Spark's OWN
+      * runtime bloom pruning — is asserted separately in ScaleSpec. */
+    OpDef(
+      "q_agg_bloom", {
+        val probes = BloomProbes.map(p => s"($p)").mkString(", ")
+        s"""WITH m AS (
+           |  SELECT CAST(p_partkey AS VARCHAR) AS item FROM part
+           |  WHERE p_size <= 25),
+           |bits AS (
+           |  SELECT DISTINCT
+           |    CAST('0x' || substring(md5('b' || CAST(dep AS VARCHAR) || ':'
+           |                               || item), 1, 6) AS BIGINT) % 1024
+           |      AS bit
+           |  FROM m CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dep)),
+           |p AS (SELECT CAST(pk AS VARCHAR) AS item
+           |      FROM (VALUES $probes) AS pv(pk)),
+           |pb AS (
+           |  SELECT p.item,
+           |    CAST('0x' || substring(md5('b' || CAST(d.dep AS VARCHAR) || ':'
+           |                               || p.item), 1, 6) AS BIGINT) % 1024
+           |      AS bit
+           |  FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dep))
+           |SELECT pb.item,
+           |       CAST(sum(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END)
+           |            AS BIGINT) AS hits,
+           |       CAST(sum(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END)
+           |            AS BIGINT) = 4 AS maybe
+           |FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+           |GROUP BY pb.item
+           |ORDER BY item""".stripMargin
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val members = part(s, d).filter(col("p_size") <= 25)
+        .select(col("p_partkey").cast("string").as("item_"))
+      val bits = bloomBits(members)
+      val pb = BloomProbes.map(_.toString).toDF("item_")
+        .crossJoin(Seq(0, 1, 2, 3).toDF("dep_"))
+        .select(col("item_"), BloomBit.as("bit"))
+      pb.join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+        .groupBy(col("item_").as("item"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("item"), col("hits"), (col("hits") === 4).as("maybe"))
         .orderBy("item")
     }
   )

@@ -216,4 +216,33 @@ class ApproxSpec extends SparkTestBase {
     assert(direct == merged,
       "cell-wise sum of shard sketches must equal the direct sketch")
   }
+
+  test("bloom filter: no false negatives, absent keys rejected, union-merge") {
+    import org.apache.spark.sql.functions._
+    val members = graft.ops.Tables.part(spark, sf)
+      .filter(col("p_size") <= 25)
+      .select(col("p_partkey").cast("string").as("item_"))
+    val memberSet = members.collect().map(_.getString(0)).toSet
+    val got = queries("q_agg_bloom")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    graft.ops.Approx.BloomProbes.map(_.toString).foreach { p =>
+      if (memberSet(p))
+        assert(got(p), s"FALSE NEGATIVE on member $p — bloom guarantee broken")
+    }
+    // the five 1000001+ probes are outside every fixture's key range; with
+    // ~33% fill the per-key FP chance is ~1%, so at least 4 of 5 must miss
+    val absent = Seq("1000001", "1000002", "1000003", "1000004", "1000005")
+    assert(absent.count(p => !got(p)) >= 4,
+      s"absent keys mostly admitted: ${absent.map(p => p -> got(p))}")
+    // merge = plain set union of shard bit tables
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val direct = bits(graft.ops.Approx.bloomBits(members))
+    val a = graft.ops.Approx.bloomBits(
+      members.filter(col("item_").cast("long") % 2 === 0))
+    val b = graft.ops.Approx.bloomBits(
+      members.filter(col("item_").cast("long") % 2 =!= 0))
+    assert(bits(a.unionAll(b).distinct()) == direct,
+      "union of shard bloom filters must equal the direct filter")
+  }
 }
