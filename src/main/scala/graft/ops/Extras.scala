@@ -504,6 +504,50 @@ object Extras {
             .when(col("c_orderkey").isNotNull, "inserted")
             .otherwise("kept").as("action"))
         .orderBy("o_orderkey")
+    },
+
+    // table profiling — the data-catalog job every warehouse runs on
+    // landing: per-column row count, null count, exact distinct count and
+    // numeric min/max for lineitem's key/measure columns, ONE ROW PER
+    // COLUMN. One wide aggregation (Spark expands the multi-DISTINCT into
+    // its internal Expand — still a single corpus pass per distinct
+    // column group, no driver iteration) followed by a 6-way stack of the
+    // 1-row result: the corpus-sized work is the aggregation; everything
+    // after is constant-sized. Numeric-only column set keeps min/max
+    // engine-portable as doubles (string formatting of floats differs
+    // between engines; profiling string columns would report lengths
+    // instead).
+    OpDef(
+      "q_profile_table", {
+        def one(c: String) =
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS DOUBLE) AS vmin, CAST(max($c) AS DOUBLE) AS vmax
+             |FROM lineitem""".stripMargin
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+                             ")\nORDER BY column_name")
+      }
+    ) { (s, d) =>
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount")
+      val li = lineitem(s, d)
+      val agg = li.agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"${c}_null"),
+          countDistinct(col(c)).as(s"${c}_dist"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"))): _*)
+      val rows = cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows").as("n_rows"),
+        col(s"${c}_null").as("n_null"), col(s"${c}_dist").as("n_distinct"),
+        col(s"${c}_min").as("vmin"), col(s"${c}_max").as("vmax")))
+      agg.select(explode(array(rows: _*)).as("r"))
+        .select("r.*")
+        .orderBy("column_name")
     }
   )
 }
