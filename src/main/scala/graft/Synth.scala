@@ -89,6 +89,24 @@ object Synth {
               pmod(col("id"), lit(8)).cast("int").as("label"))
   }
 
+  /** n synthetic bipartite purchase edges for the graph family: customer
+    * `c<i>` buys from `degree` hash-chosen suppliers (duplicate draws fold
+    * into the weight), so |E| grows EXACTLY linearly with nCust at constant
+    * degree — the observable GrowthSpec pins for the distributed PageRank
+    * loop. Pure `spark.range` expressions, same determinism contract as
+    * [[synthDocs]]. Output (src, dst, n) is the directed half;
+    * symmetrization is the caller's choice (Graph.pagerank's fixture
+    * wrapper symmetrizes, and so does the GrowthSpec harness). */
+  def synthEdges(s: SparkSession, nCust: Long, nSupp: Long,
+                 degree: Int = 3): DataFrame =
+    s.range(nCust)
+      .select(col("id"), explode(sequence(lit(0), lit(degree - 1))).as("j"))
+      .select(concat(lit("c"), col("id")).as("src"),
+              concat(lit("s"),
+                     pmod(hash(col("id") * 31 + col("j") * 17), lit(nSupp)))
+                .as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+
   /** Materialize a fixture-layout directory (documents.parquet +
     * embeddings.parquet) so dir-parameterized ops run on it unchanged. */
   def write(s: SparkSession, dir: String, nDocs: Long, nVecs: Long,

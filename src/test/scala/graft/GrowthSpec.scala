@@ -128,6 +128,34 @@ class GrowthSpec extends SparkTestBase {
     } finally { docs.unpersist(); () }
   }
 
+  test("pagerank state grows linearly with the graph; mass conserved at both scales") {
+    // the graph-family growth observable: at constant degree, |E| and the
+    // rank table grow linearly with customer count, and the SAME 6
+    // iterations complete at every scale (iteration count is a constant of
+    // the op, not of n). Wall-clock is reported, not asserted (shared
+    // host); the asserted invariants are exact node-count linearity and
+    // rank-mass conservation — the properties that break first if the
+    // loop ever degenerates to folding state into one place.
+    spark.catalog.clearCache()
+    val results = Seq(1L, 4L).map { k =>
+      val e = graft.Synth.synthEdges(spark, 2000 * k, 100 * k)
+      val edges = e.unionAll(
+        e.select(col("dst").as("src"), col("src").as("dst"), col("n")))
+      val nodes = edges.select("src").distinct().count()
+      val (pr, t) = timed(graft.ops.Graph.pagerank(edges).collect())
+      info(f"pagerank ${k}x: $nodes nodes, ${pr.length} ranks, $t%.1fs")
+      val mass = pr.map(_.getDouble(1)).sum
+      assert(pr.length == nodes, s"${k}x: rank table must cover every node")
+      assert(math.abs(mass - 1.0) < pr.length * 6 * 1e-6 + 1e-4,
+        s"${k}x: mass drifted to $mass")
+      (k, nodes)
+    }
+    val Seq((_, n1), (_, n4)) = results
+    // suppliers saturate (every supplier is hit at degree 3), so node
+    // growth is customer-dominated: strictly linear in k
+    assert(n4 > 3 * n1, s"node table must grow ~linearly: $n1 -> $n4")
+  }
+
   test("SRP cosine banding: linear pair growth, ~1.0 recall on planted dups") {
     // bits ≈ log₂(n) + margin keeps random-pair collisions (≈ L·n²/2^bits)
     // below the planted linear term — the documented SRP scaling rule
