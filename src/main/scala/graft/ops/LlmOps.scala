@@ -246,6 +246,39 @@ object LlmOps {
       .distinct()
       .orderBy("doc_a", "doc_b")
 
+  /** xxhash64 signature twin of [[minhashSigs]] — the hash-cost operating
+    * point for 100 TB: each of the 16 permutations is one call to Spark's
+    * native codegen'd xxhash64(seed, gram) instead of a cryptographic md5
+    * + hex-substring + base-conversion chain (md5 work is the md5 family's
+    * documented per-gram cost floor; xxhash64 mixes equally well for
+    * banding at a fraction of the cost). A different hash family gives
+    * different — equally valid — permutations, so candidate sets differ
+    * in the borderline region; DuckDB has no xxhash64, making the
+    * consuming op the dedup family's one no-oracle member (recall vs the
+    * md5 operator and the planted-dup floor are pinned in ApproxSpec). */
+  def minhashSigsFast(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks")).as("gs"))
+      .select(col("doc_id") +:
+        (0 to 15).map(s => array_min(transform(col("gs"),
+          g => xxhash64(lit(s), g))).as(s"minh_$s")): _*)
+
+  /** [[minhashPairs]] over the xxhash64 signatures — identical banding,
+    * capping and pair generation; only the hash family changes. */
+  def minhashPairsFast(docs: DataFrame): DataFrame =
+    pairsWithin(
+      dropHotBuckets(minhashBands(minhashSigsFast(docs).cache()),
+                     Seq("band", "sig"))
+        .groupBy("band", "sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2),
+      "ids")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+
   /** The full LSH dedup pipeline — the designated 100 TB near-dup path:
     * banded minhash candidates (sub-quadratic: only same-bucket docs ever
     * meet) + signature-agreement Jaccard estimate (E[agree/16] = J), kept
@@ -1176,6 +1209,13 @@ object LlmOps {
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) => minhashPairs(documents(s, d)) },
+
+    // same banding over codegen'd xxhash64 permutations — the hash-cost
+    // scale twin (see minhashSigsFast); no-oracle because DuckDB cannot
+    // replay xxhash64, recall pinned in ApproxSpec
+    OpDef.noOracle("q_dedup_minhash_fast") { (s, d) =>
+      minhashPairsFast(documents(s, d))
+    },
 
     // ----------- near dedup at scale: banded LSH + signature estimate ---
     OpDef(

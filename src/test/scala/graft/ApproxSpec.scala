@@ -181,6 +181,26 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("xxhash64 minhash twin: high agreement with md5 banding, planted dups found") {
+    val md5Pairs = queries("q_dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastPairs = queries("q_dedup_minhash_fast")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(md5Pairs.nonEmpty)
+    // different (equally valid) hash families disagree only on borderline
+    // pairs: cross-family agreement must stay high both ways
+    val recall = md5Pairs.count(fastPairs.contains).toDouble / md5Pairs.size
+    assert(recall >= 0.8, s"fast twin recalls $recall of md5 candidates")
+    // and the actual planted near-dups (the exact operator's output) must
+    // be found by the fast family on its own merits
+    val exact = queries("q_dedup_near")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedRecall = exact.count(fastPairs.contains).toDouble / exact.size
+    assert(plantedRecall >= 0.8,
+      s"fast twin finds $plantedRecall of true near-dups")
+  }
+
   test("count-min sketch: overestimate-only bounds and shard mergeability") {
     import org.apache.spark.sql.functions._
     val li = graft.ops.Tables.lineitem(spark, sf)
