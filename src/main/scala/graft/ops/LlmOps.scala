@@ -288,7 +288,18 @@ object LlmOps {
     * per pair. Deterministic (md5 permutations), so unlike randomized-LSH
     * formulations it is oracle-checkable; recall vs the exact operator is
     * additionally property-tested (ApproxSpec). */
-  def lshDedupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def lshDedupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    lshDedupFromSigs(minhashSigs(docs), threshold)
+
+  /** [[lshDedupPairs]] over the xxhash64 signatures — the same estimate
+    * pipeline at the [[minhashSigsFast]] hash cost (the designated scale
+    * path minus its md5 floor). No-oracle like the other fast twin. */
+  def lshDedupPairsFast(docs: DataFrame, threshold: Double): DataFrame =
+    lshDedupFromSigs(minhashSigsFast(docs), threshold)
+
+  /** The signature-family-independent half of the LSH dedup pipeline:
+    * banding, hot-bucket capping, map-side pair + agreement estimate. */
+  private def lshDedupFromSigs(sigs: DataFrame, threshold: Double): DataFrame = {
     val sigArr = array((0 to 15).map(i => col(s"minh_$i")): _*)
     // bucket-groupBy like [[minhashPairs]]: one shuffle carries each
     // doc's 16-long signature once (the self-join formulation shuffled
@@ -296,7 +307,7 @@ object LlmOps {
     // map-side, and the duplicate-collapsing distinct then moves three
     // scalars per row — sig arrays never shuffle again.
     val buckets = dropHotBuckets(
-        minhashBands(minhashSigs(docs).withColumn("sig16", sigArr).cache(),
+        minhashBands(sigs.withColumn("sig16", sigArr).cache(),
                      col("sig16")),
         Seq("band", "sig"))
       .groupBy("band", "sig")
@@ -1215,6 +1226,13 @@ object LlmOps {
     // replay xxhash64, recall pinned in ApproxSpec
     OpDef.noOracle("q_dedup_minhash_fast") { (s, d) =>
       minhashPairsFast(documents(s, d))
+    },
+
+    // the designated scale path at the xxhash64 hash cost (same agreement
+    // estimate; see lshDedupPairsFast) — no-oracle, recall pinned with
+    // the other fast twin in ApproxSpec
+    OpDef.noOracle("q_dedup_lsh_fast") { (s, d) =>
+      lshDedupPairsFast(documents(s, d), 0.5)
     },
 
     // ----------- near dedup at scale: banded LSH + signature estimate ---

@@ -199,6 +199,19 @@ class ApproxSpec extends SparkTestBase {
     val plantedRecall = exact.count(fastPairs.contains).toDouble / exact.size
     assert(plantedRecall >= 0.8,
       s"fast twin finds $plantedRecall of true near-dups")
+    // the thresholded designated scale path: its fast twin must agree with
+    // the md5 form at the same 0.5 estimate threshold
+    val lshMd5 = queries("q_dedup_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshFast = queries("q_dedup_lsh_fast")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (lshMd5.nonEmpty) {
+      val lshRecall = lshMd5.count(lshFast.contains).toDouble / lshMd5.size
+      assert(lshRecall >= 0.7,
+        s"lsh fast twin recalls $lshRecall of md5 thresholded pairs")
+    }
   }
 
   test("count-min sketch: overestimate-only bounds and shard mergeability") {

@@ -19,7 +19,8 @@ class OpsSpec extends SparkTestBase {
     // every op must at least produce a schema and (for this fixture) rows;
     // queries whose filters may legitimately select zero rows are exempted
     val mayBeEmpty = Set("q_join_full", "q_join_anti", "q_intersect", "q_except",
-                         "q_dedup_simhash", "q_dedup_lsh", "q_sim_cosine_dup",
+                         "q_dedup_simhash", "q_dedup_lsh", "q_dedup_lsh_fast",
+                         "q_sim_cosine_dup",
                          "q_sim_cosine_dup_lsh", "q_dedup_semantic_lsh",
                          "q_sim_cosine_dup_srp")
     queries.foreach { case (name, fn) =>
