@@ -371,6 +371,63 @@ object Aggregates {
         .orderBy(col("g_flag"), col("g_status"),
                  col("l_returnflag").asc_nulls_first,
                  col("l_linestatus").asc_nulls_first)
+    },
+
+    /** Robust per-group outlier stats: exact median, MAD (median absolute
+      * deviation), and the count of |x − med| > 3·MAD outliers — the
+      * robust-z-score screen a data-quality pass runs where mean/stddev
+      * would be dragged by the very outliers it hunts.
+      *
+      * Two aggregation rounds are inherent (the deviation needs the
+      * median first); the 3-row median table broadcasts back onto
+      * lineitem. Determinism: the median/MAD are r4-rounded BEFORE the
+      * dependent arithmetic, so the deviation column and the 3·MAD
+      * threshold are identical IEEE doubles on both engines and the
+      * outlier comparison can never straddle a rounding boundary. Spark's
+      * exact `percentile` and DuckDB's `quantile_cont` both
+      * linear-interpolate at p·(n−1).
+      *
+      * Scale: exact percentile buffers each group's values — the honest
+      * cost of exact medians; at 100 TB swap in approx_percentile
+      * (q_agg_approx_pct is that twin) with everything else unchanged. */
+    OpDef(
+      "q_agg_mad",
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |    floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5)
+        |      / 10000.0 AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |dev AS (
+        |  SELECT l.l_returnflag, m.med,
+        |    abs(l.l_extendedprice - m.med) AS dev
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, med,
+        |    floor(quantile_cont(dev, 0.5) * 10000.0 + 0.5) / 10000.0 AS mad
+        |  FROM dev GROUP BY l_returnflag, med)
+        |SELECT d.l_returnflag, count(*) AS n, m.med, m.mad,
+        |  CAST(count(*) FILTER (WHERE d.dev > 3.0 * m.mad) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m
+        |  ON d.l_returnflag = m.l_returnflag
+        |GROUP BY d.l_returnflag, m.med, m.mad
+        |ORDER BY d.l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val li = lineitem(s, d)
+      val med = li.groupBy("l_returnflag")
+        .agg(Det.r4(expr("percentile(l_extendedprice, 0.5)")).as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med"),
+                abs(col("l_extendedprice") - col("med")).as("dev"))
+      val mad = dev.groupBy("l_returnflag", "med")
+        .agg(Det.r4(expr("percentile(dev, 0.5)")).as("mad"))
+      dev.join(broadcast(mad.drop("med")), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+             count(when(col("dev") > lit(3.0) * col("mad"), lit(1)))
+               .as("n_outliers"))
+        .select("l_returnflag", "n", "med", "mad", "n_outliers")
+        .orderBy("l_returnflag")
     }
   )
 }

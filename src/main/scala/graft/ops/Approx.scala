@@ -363,6 +363,80 @@ object Approx {
         .orderBy("label")
     },
 
+    /** Int8 scalar quantization of the embedding column — the standard
+      * 4× compression applied before storing/serving vectors at corpus
+      * scale. Two passes: (1) per-dimension global min/max — a 64-row
+      * aggregate folded into ONE (lo[], hi[]) stats row and broadcast
+      * (the same bounded-stats-frame pattern as q_events_anomaly); (2) a
+      * map-only encode/decode pass emitting, per vector, the exact
+      * integer code sum (a content checksum of the codes) and the r12
+      * reconstruction MSE. Nothing in pass 2 shuffles, so at 100 TB the
+      * cost is two scans and a 1-row broadcast — the shape a production
+      * embedding-compression job has.
+      *
+      * Determinism: codes are floor((x−lo)/(hi−lo)·255 + .5) clamped to
+      * [0,255] — identical IEEE double expressions on both engines, so
+      * the integer codes (and hence code_sum) are exact; the MSE sums
+      * squared per-position errors left-to-right in both engines and is
+      * r12-rounded (errors are ~1e-8, far above double noise at 1e-22,
+      * far below r6's grid — hence the finer scale). */
+    OpDef(
+      "q_vec_quantize",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (
+        |  SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY i),
+        |sa AS (
+        |  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+        |  FROM st),
+        |enc AS (
+        |  SELECT vec_id, v, lo, hi,
+        |    list_transform(range(1, 65), i ->
+        |      least(255, greatest(0, CAST(floor(
+        |        (v[i] - lo[i]) / (hi[i] - lo[i]) * 255.0 + 0.5) AS BIGINT))))
+        |      AS q
+        |  FROM e, sa),
+        |err AS (
+        |  SELECT vec_id, q,
+        |    list_transform(range(1, 65), i ->
+        |      v[i] - (lo[i] + q[i] * (hi[i] - lo[i]) / 255.0)) AS dv
+        |  FROM enc)
+        |SELECT vec_id,
+        |  CAST(list_sum(q) AS BIGINT) AS code_sum,
+        |  floor((list_sum(list_transform(dv, d -> d * d)) / 64.0)
+        |        * 1000000000000.0 + 0.5) / 1000000000000.0 AS mse
+        |FROM err
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val st = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val sa = st.agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+                  p => p.getField("lo")).as("lo"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+                  p => p.getField("hi")).as("hi"))
+      def loAt(i: org.apache.spark.sql.Column) = element_at(col("lo"), i + 1)
+      def hiAt(i: org.apache.spark.sql.Column) = element_at(col("hi"), i + 1)
+      e.crossJoin(broadcast(sa))
+        .withColumn("q", transform(col("v"), (x, i) =>
+          least(lit(255L), greatest(lit(0L),
+            floor((x - loAt(i)) / (hiAt(i) - loAt(i)) * lit(255.0) + lit(0.5))
+              .cast("long")))))
+        .withColumn("dv", transform(col("v"), (x, i) =>
+          x - (loAt(i) + element_at(col("q"), i + 1)
+                         * (hiAt(i) - loAt(i)) / lit(255.0))))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("code_sum"),
+          Det.r(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)
+                  / lit(64.0), 12).as("mse"))
+        .orderBy("vec_id")
+    },
+
     /** Count–Min sketch, fully deterministic and therefore oracle-checked
       * (unlike the HLL/percentile sketches whose hash families DuckDB
       * can't replay): depth 4 salted-md5 hash rows × width 256 counters.

@@ -275,6 +275,134 @@ object Curation {
         |  floor((avg(lm_score)) * 1000000.0 + 0.5) / 1000000.0 AS avg_score,
         |  min(lm_score) AS min_score, max(lm_score) AS max_score
         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
-    ) { (s, d) => lmScoreBuckets(documents(s, d), 256) }
+    ) { (s, d) => lmScoreBuckets(documents(s, d), 256) },
+
+    /** Gopher-style rule filter (Rae et al. 2021 §A1.1, adapted to the
+      * fixture's lowercase space-joined text): per-document word count,
+      * mean word length, type–token ratio, and single-character-word
+      * fraction, each gated by a fixed bound, conjoined into a keep flag.
+      * Entirely map-only — every signal is an in-row HOF over the token
+      * array (array_distinct is O(L) hashing, not a sort), so the filter
+      * runs at scan speed with zero shuffles at any corpus size: the
+      * shape a first-pass quality gate must have at 100 TB.
+      *
+      * Threshold compares happen on r4-ROUNDED signals, so both engines
+      * gate on the identical grid value and a boundary document cannot
+      * split the engines. */
+    OpDef(
+      "q_text_gopher",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    floor((list_sum(list_transform(toks, w -> length(w))) * 1.0
+        |           / len(toks)) * 10000.0 + 0.5) / 10000.0 AS mean_wlen,
+        |    floor((len(list_distinct(toks)) * 1.0 / len(toks))
+        |          * 10000.0 + 0.5) / 10000.0 AS ttr,
+        |    floor((len(list_filter(toks, w -> length(w) <= 1)) * 1.0
+        |           / len(toks)) * 10000.0 + 0.5) / 10000.0 AS short_frac
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_wlen, ttr, short_frac,
+        |  CAST((n_words BETWEEN 20 AND 2000)
+        |       AND (mean_wlen BETWEEN 3.0 AND 8.0)
+        |       AND (ttr >= 0.3) AND (short_frac <= 0.1) AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val t = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val n = size(col("toks"))
+      val m = t.select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        Det.r4(aggregate(transform(col("toks"), w => length(w)),
+                         lit(0L), (a, x) => a + x) * lit(1.0) / n)
+          .as("mean_wlen"),
+        Det.r4(size(array_distinct(col("toks"))) * lit(1.0) / n).as("ttr"),
+        Det.r4(size(filter(col("toks"), w => length(w) <= 1)) * lit(1.0) / n)
+          .as("short_frac"))
+      m.select(col("doc_id"), col("n_words"), col("mean_wlen"), col("ttr"),
+               col("short_frac"),
+               (col("n_words").between(20, 2000) &&
+                col("mean_wlen").between(3.0, 8.0) &&
+                col("ttr") >= 0.3 && col("short_frac") <= 0.1)
+                 .cast("long").as("keep"))
+        .orderBy("doc_id")
+    },
+
+    /** Cluster-stratified diversity sample: assign every vector to its
+      * nearest label-centroid (the q_sim_ann_ivf coarse quantizer), then
+      * keep the 2 hash-first vectors per cell — the "spread the sample
+      * across embedding space" selection a curation pipeline uses so a
+      * dominant mode can't monopolize the budget.
+      *
+      * Scale shape: the k×dim centroid table broadcasts; assignment is an
+      * argmax folded into groupBy(vec_id).max(struct(sim, −cell)) — the
+      * n×k candidate stream collapses map-side to one row per vector
+      * (generated and reduced inside the same task), so the only full
+      * shuffle carries n assignment rows into the per-cell top-2 window,
+      * which Spark executes as WindowGroupLimit (partial top-2 per
+      * partition before the exchange). Selection order is md5(vec_id) —
+      * the same engine-portable deterministic RNG as q_sample_hash. */
+    OpDef(
+      "q_sample_diverse",
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cpos AS (
+        |  SELECT label, i AS pos, avg(v[i]) AS cx
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS cell, list(cx ORDER BY pos) AS cv
+        |  FROM cpos GROUP BY label),
+        |sims AS (
+        |  SELECT e.vec_id, c.cell,
+        |    floor((list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM e, cent c),
+        |asg AS (
+        |  SELECT vec_id, cell, sim FROM (
+        |    SELECT vec_id, cell, sim,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |pick AS (
+        |  SELECT cell, vec_id, sim,
+        |    row_number() OVER (PARTITION BY cell
+        |                       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+        |                                vec_id ASC) AS pick
+        |  FROM asg)
+        |SELECT cell, CAST(pick AS BIGINT) AS pick, vec_id, sim
+        |FROM pick WHERE pick <= 2
+        |ORDER BY cell, pick""".stripMargin
+    ) { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = e
+        .select(col("label").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("cx"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                       p => p.getField("cx")).as("cv"))
+      val sims = e.join(broadcast(cent))
+        .select(col("vec_id"), col("cell"),
+                Det.r6(expr("graft_dot(v, cv)")).as("sim"))
+      // argmax as max(struct(sim, −cell)): highest sim, ties to the
+      // smallest cell — partial-aggregates map-side where a window would
+      // shuffle the full n×k candidate stream
+      val asg = sims
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cell")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).cast("int").as("cell"),
+                col("m.sim").as("sim"))
+      val wPick = Window.partitionBy(col("cell"))
+        .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      asg.withColumn("pick", row_number().over(wPick).cast("long"))
+        .filter(col("pick") <= 2)
+        .select("cell", "pick", "vec_id", "sim")
+        .orderBy("cell", "pick")
+    }
   )
 }

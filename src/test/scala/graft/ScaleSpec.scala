@@ -287,4 +287,42 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced") ||
            spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("gopher quality gate is map-only — every signal an in-row HOF") {
+    // a hashpartitioning exchange would mean a groupBy/join crept into
+    // what must run at scan speed; only the final ORDER BY's
+    // rangepartitioning is allowed
+    val plan = SparkEntry.queries("q_text_gopher")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"gopher gate must be map-only:\n$plan")
+  }
+
+  test("int8 quantization shuffles only the 64-row stats side; encode is map-only") {
+    // pass 1 (per-dimension min/max) is the single allowed hash exchange;
+    // the folded 1-row stats frame must broadcast back, and pass 2
+    // (encode/decode/error) adds no exchange of its own
+    val plan = SparkEntry.queries("q_vec_quantize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"only the per-dimension stats agg may hash-shuffle, got $hashEx:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"stats row must broadcast onto the corpus scan:\n$plan")
+    // reconstruction sanity: per-dim quantization error ≤ (step/2)² with
+    // step = range/255 ≈ 2.4e-3 on the unit-norm fixture → mse ≪ 1e-5
+    val mse = SparkEntry.queries("q_vec_quantize")(spark, sf)
+      .agg(max("mse"), min("mse")).head()
+    assert(mse.getDouble(1) >= 0.0 && mse.getDouble(0) <= 1e-5, mse.toString)
+  }
+
+  test("diversity sample: map-side argmax assignment, per-cell pick via WindowGroupLimit") {
+    val plan = SparkEntry.queries("q_sample_diverse")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // nearest-centroid argmax must be an aggregation (partial map-side
+    // collapse of the n×k candidate stream), never a window over it
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cell top-2 must push a partial group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
