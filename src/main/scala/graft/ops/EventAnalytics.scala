@@ -426,6 +426,93 @@ object EventAnalytics {
         .filter(col("sd") > 0 && abs(z) >= 1.0)
         .select(col("day"), col("n"), Det.r4(z).as("z"))
         .orderBy("day")
+    },
+
+    /** Time-series resample + gap-fill with linear interpolation: each
+      * user's daily purchase total becomes a dense per-day series over
+      * that user's own [first, last] purchase window, gaps filled by
+      * interpolating between the bracketing observed days — the
+      * regularization step before any sequence model sees the data.
+      *
+      * Scale shape: the spine explodes ≤ 30 rows per user (the fixture's
+      * event window) from the per-user min/max aggregate — row growth is
+      * bounded by users × span, never events × span; fills come from two
+      * ignore-nulls windows per user (prev/next observation), each
+      * partition bounded by one user's span. Determinism: daily totals
+      * are r4-rounded BEFORE interpolation, so the interpolation
+      * arithmetic (rounded endpoints, exact integer day offsets) is
+      * identical IEEE doubles on both engines, then r4 again on output. */
+    OpDef(
+      "q_events_interp",
+      """WITH du AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM du GROUP BY user_id HAVING count(*) >= 2),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span),
+        |j AS (
+        |  SELECT s.user_id, s.day, du.v FROM spine s
+        |  LEFT JOIN du ON s.user_id = du.user_id AND s.day = du.day),
+        |w AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, day,
+        |  CAST((v IS NULL) AS BIGINT) AS filled,
+        |  floor((CASE WHEN v IS NOT NULL THEN v
+        |         ELSE pv + (nv - pv) * (day - pd) * 1.0 / (nd - pd) END)
+        |        * 10000.0 + 0.5) / 10000.0 AS val
+        |FROM w ORDER BY user_id, day""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val du = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+                 to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(Det.r4(sum(col("value"))).as("v"))
+      val span = du.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+             count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+      val spine = span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+                         expr("INTERVAL 1 DAY"))).as("day"))
+      val j = spine.join(du, Seq("user_id", "day"), "left")
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("v").isNotNull, col("day"))
+      val w = j
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+      w.select(col("user_id"), col("day"),
+        col("v").isNull.cast("long").as("filled"),
+        Det.r4(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * datediff(col("day"), col("pd")) * lit(1.0)
+            / datediff(col("nd"), col("pd")))).as("val"))
+        .orderBy("user_id", "day")
     }
   )
 }

@@ -154,6 +154,66 @@ object Graph {
          |  FROM nodes CROSS JOIN tele),
          |$pagerankSteps
          |SELECT node, r / 1000000.0 AS pr FROM r$Steps ORDER BY node""".stripMargin
-    ) { (s, d) => pagerank(purchaseEdges(s, d)) }
+    ) { (s, d) => pagerank(purchaseEdges(s, d)) },
+
+    /** Supplier co-occurrence mining ("related items"): pairs of suppliers
+      * sharing customers, scored by Jaccard over their customer sets — the
+      * collaborative-filtering / market-basket primitive, and on a
+      * bipartite purchase graph the useful stand-in for triangle counting
+      * (the one-mode projection whose edge weights ARE the shared-neighbor
+      * counts).
+      *
+      * Scale shape is the same discipline as the gram-bucket dedup family:
+      * the quadratic step is C(degree, 2) WITHIN one customer, so a
+      * hot-customer cap (degree ≤ 100, dropped like hot grams — a customer
+      * connected to everything carries no similarity signal) bounds every
+      * bucket before the self-join, and the pair stream collapses via
+      * map-side partial counts. Degrees join back on the bounded supplier
+      * dimension; final output is a deterministic top-100
+      * (TakeOrderedAndProject, never a global sort). */
+    OpDef(
+      "q_graph_cooccur",
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT cust FROM cs GROUP BY cust HAVING count(*) <= 100),
+        |c2 AS (SELECT cs.cust, cs.supp FROM cs JOIN ok USING (cust)),
+        |deg AS (SELECT supp, count(*) AS d FROM c2 GROUP BY supp),
+        |p AS (
+        |  SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+        |  FROM c2 a JOIN c2 b ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY a.supp, b.supp HAVING count(*) >= 2)
+        |SELECT p.s1, p.s2, CAST(p.shared AS BIGINT) AS shared,
+        |  floor((p.shared * 1.0 / (d1.d + d2.d - p.shared))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS jacc
+        |FROM p
+        |JOIN deg d1 ON p.s1 = d1.supp
+        |JOIN deg d2 ON p.s2 = d2.supp
+        |ORDER BY jacc DESC, s1, s2 LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val ok = cs.groupBy("cust").agg(count(lit(1)).as("dc"))
+        .filter(col("dc") <= 100).select("cust")
+      val c2 = cs.join(ok, Seq("cust"))
+      val deg = c2.groupBy("supp").agg(count(lit(1)).as("d"))
+      val a = c2.select(col("cust"), col("supp").as("s1"))
+      val b = c2.select(col("cust"), col("supp").as("s2"))
+      val pairs = a.join(b, Seq("cust"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      pairs
+        .join(deg.select(col("supp").as("s1"), col("d").as("d1")), Seq("s1"))
+        .join(deg.select(col("supp").as("s2"), col("d").as("d2")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("shared"),
+          Det.r6(col("shared") * lit(1.0)
+                 / (col("d1") + col("d2") - col("shared"))).as("jacc"))
+        .orderBy(col("jacc").desc, col("s1"), col("s2"))
+        .limit(100)
+    }
   )
 }

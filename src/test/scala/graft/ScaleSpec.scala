@@ -316,6 +316,38 @@ class ScaleSpec extends SparkTestBase {
     assert(mse.getDouble(1) >= 0.0 && mse.getDouble(0) <= 1e-5, mse.toString)
   }
 
+  test("co-occurrence mining caps hot customers and takes a bounded top-k") {
+    val df = SparkEntry.queries("q_graph_cooccur")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the quadratic step must stay an equi-join on the customer bucket —
+    // never a nested-loop over supplier pairs
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"pair generation must shard by customer:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must not globally sort:\n$plan")
+    // the degree≤100 cap bounds within-customer pair fan-out
+    val pairs = df.collect()
+    assert(pairs.nonEmpty && pairs.forall(_.getLong(2) >= 2))
+  }
+
+  test("interp spine grows with users × span, not events × span") {
+    val df = SparkEntry.queries("q_events_interp")(spark, sf)
+    val rows = df.collect()
+    // every fill sits strictly between two observations of its user and
+    // within the per-user [first, last] window — no extrapolation
+    assert(rows.nonEmpty)
+    val perUser = rows.groupBy(_.getLong(0))
+    perUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate.toEpochDay).sorted
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+        "spine must be dense per user")
+      // endpoints are observed, never filled
+      val byDay = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      assert(byDay.head.getLong(2) == 0L && byDay.last.getLong(2) == 0L)
+    }
+  }
+
   test("diversity sample: map-side argmax assignment, per-cell pick via WindowGroupLimit") {
     val plan = SparkEntry.queries("q_sample_diverse")(spark, sf)
       .queryExecution.executedPlan.toString
