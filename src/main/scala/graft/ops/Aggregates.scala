@@ -428,6 +428,52 @@ object Aggregates {
                .as("n_outliers"))
         .select("l_returnflag", "n", "med", "mad", "n_outliers")
         .orderBy("l_returnflag")
+    },
+
+    /** Equal-depth (decile) histogram — the feature-binning twin of the
+      * fixed-width q_agg_histogram. NOT an ntile window: a global ntile
+      * is a corpus-wide total sort through effectively one task. Instead,
+      * the 9 decile boundaries come from ONE exact-percentile aggregate
+      * (1-row frame, broadcast), and bin assignment is a map-only
+      * count-of-boundaries-below per row — the shape that scales, since
+      * the sort is replaced by a bounded agg + scan. At 100 TB swap the
+      * exact percentile for approx_percentile, everything else unchanged.
+      *
+      * Determinism: boundaries are r4-rounded before the comparison, so
+      * both engines count `price > boundary` on identical doubles; bin
+      * populations then differ from n/10 only by genuine ties. */
+    OpDef(
+      "q_agg_eqdepth",
+      """WITH b AS (
+        |  SELECT list_transform(
+        |    quantile_cont(l_extendedprice,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    q -> floor(q * 10000.0 + 0.5) / 10000.0) AS bs
+        |  FROM lineitem),
+        |binned AS (
+        |  SELECT CAST(len(list_filter(b.bs, x -> l.l_extendedprice > x))
+        |              AS BIGINT) AS bin,
+        |         l.l_extendedprice AS price
+        |  FROM lineitem l, b)
+        |SELECT bin, count(*) AS n,
+        |  min(price) AS mn, max(price) AS mx,
+        |  floor((avg(price)) * 10000.0 + 0.5) / 10000.0 AS avg_price
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+    ) { (s, d) =>
+      val li = lineitem(s, d)
+      val b = li.agg(transform(
+        expr("percentile(l_extendedprice, " +
+             "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"),
+        q => Det.r4(q)).as("bs"))
+      li.crossJoin(broadcast(b))
+        .select(size(filter(col("bs"), x => col("l_extendedprice") > x))
+                  .cast("long").as("bin"),
+                col("l_extendedprice").as("price"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("price")).as("mn"),
+             max(col("price")).as("mx"),
+             Det.r4(avg(col("price"))).as("avg_price"))
+        .orderBy("bin")
     }
   )
 }

@@ -289,6 +289,34 @@ object Functions {
         from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
         (from_json(col("props"), lit("k INT")).getField("k") * 2).as("k_doubled"))
         .orderBy("event_id")
+    },
+
+    /** Regex function family: extract / extract-all count / replace-all /
+      * match test. All codegen'd string expressions — map-only. The
+      * patterns stay in the ASCII subset where Java's regex (Spark) and
+      * RE2 (DuckDB) agree; note DuckDB's regexp_replace needs the
+      * explicit 'g' flag to match Spark's replace-ALL default. */
+    OpDef(
+      "q_fn_regex",
+      """SELECT doc_id,
+        |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+        |    AS len_novowel,
+        |  CAST(regexp_matches(text, 'merge [a-z]+ sort') AS BIGINT)
+        |    AS has_pattern
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+        size(expr("regexp_extract_all(text, 'data', 0)")).cast("long")
+          .as("n_data"),
+        length(regexp_replace(col("text"), "[aeiou]", ""))
+          .cast("long").as("len_novowel"),
+        col("text").rlike("merge [a-z]+ sort").cast("long").as("has_pattern"))
+        .orderBy("doc_id")
     }
   )
 }

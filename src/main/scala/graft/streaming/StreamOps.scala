@@ -297,6 +297,16 @@ object StreamOps {
   def purchaseClickFullOuter(events: DataFrame): DataFrame =
     purchaseClickJoin(events, "fullOuter")
 
+  /** Stream–stream LEFT SEMI interval join: purchases that HAD a click in
+    * the window, emitted with only purchase columns and each at most once
+    * — the streaming existence filter (vs the inner join, which emits one
+    * row per matching click). Same bounded-state argument: the interval
+    * condition plus both watermarks purge join state; a semi match can
+    * emit as soon as any click arrives, with no duplicate on later
+    * clicks. */
+  def purchaseHavingClick(events: DataFrame): DataFrame =
+    purchaseClickJoin(events, "leftSemi")
+
   private def purchaseClickJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),

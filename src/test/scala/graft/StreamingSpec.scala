@@ -416,6 +416,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((4L, -1L)), s"unmatched purchase must emit with NULL click: $rows")
   }
 
+  test("stream-stream LEFT SEMI join emits each clicked purchase exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.purchaseHavingClick(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      ev(2, "2024-01-01 10:05:00", 1, "click", 0.0), // second matching click
+      ev(3, "2024-01-01 10:10:00", 1, "purchase", 9.99),
+      ev(4, "2024-01-01 10:10:00", 2, "purchase", 5.0)) // user 2 never clicked
+    q.processAllAvailable()
+    ms.addData(ev(9, "2024-01-01 15:00:00", 3, "click", 0.0),
+               ev(10, "2024-01-01 15:00:01", 3, "purchase", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table(name).select("p_id")
+      .collect().map(_.getLong(0)).toList
+    q.stop()
+    // semi join: existence only — one row despite TWO matching clicks,
+    // and only purchase-side columns in the schema
+    assert(rows.count(_ == 3L) == 1,
+      s"clicked purchase must emit exactly once: $rows")
+    assert(!rows.contains(4L), s"clickless purchase must not emit: $rows")
+    assert(!spark.table(name).columns.contains("c_id"))
+  }
+
   test("stream-stream FULL OUTER join emits unmatched rows from both sides") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
