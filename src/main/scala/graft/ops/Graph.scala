@@ -196,24 +196,45 @@ object Graph {
               col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
-      val ok = cs.groupBy("cust").agg(count(lit(1)).as("dc"))
-        .filter(col("dc") <= 100).select("cust")
-      val c2 = cs.join(ok, Seq("cust"))
-      val deg = c2.groupBy("supp").agg(count(lit(1)).as("d"))
-      val a = c2.select(col("cust"), col("supp").as("s1"))
-      val b = c2.select(col("cust"), col("supp").as("s2"))
-      val pairs = a.join(b, Seq("cust"))
-        .filter(col("s1") < col("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-      pairs
-        .join(deg.select(col("supp").as("s1"), col("d").as("d1")), Seq("s1"))
-        .join(deg.select(col("supp").as("s2"), col("d").as("d2")), Seq("s2"))
-        .select(col("s1"), col("s2"), col("shared"),
-          Det.r6(col("shared") * lit(1.0)
-                 / (col("d1") + col("d2") - col("shared"))).as("jacc"))
+      cooccur(cs, degCap = 100, minShared = 2)
         .orderBy(col("jacc").desc, col("s1"), col("s2"))
         .limit(100)
     }
   )
+
+  /** Jaccard-scored co-occurring item pairs from a distinct (cust, supp)
+    * membership table — the reusable core of q_graph_cooccur (and the
+    * GrowthSpec scale harness). Customers above `degCap` distinct items
+    * are DROPPED before pair generation (a customer connected to
+    * everything carries no similarity signal and would alone emit
+    * C(degree, 2) pairs), so per-customer fan-out is bounded by
+    * C(degCap, 2) at any corpus size. */
+  def cooccur(cs: DataFrame, degCap: Int, minShared: Long): DataFrame = {
+    // count-first cap (the dropHotBuckets discipline): no customer's
+    // supplier set is ever collected before its size is known ≤ degCap,
+    // so the bucket row is bounded even if a pathological key appears
+    val ok = cs.groupBy("cust").agg(count(lit(1)).as("dc"))
+      .filter(col("dc") <= degCap).select("cust")
+    val c2 = cs.join(ok, Seq("cust"))
+    val deg = c2.groupBy("supp").agg(count(lit(1)).as("d"))
+    // pairs expand MAP-SIDE from each customer's sorted in-row supplier
+    // array (posexplode picks the left element, slice takes everything
+    // after it — s1 < s2 by sortedness) instead of a corpus self-join:
+    // one groupBy replaces the join's double shuffle of the big side,
+    // and the C(degree, 2) fan-out happens inside the scan task
+    val buckets = c2.groupBy("cust")
+      .agg(sort_array(collect_list(col("supp"))).as("ss"))
+    buckets
+      .select(posexplode(col("ss")).as(Seq("i", "s1")), col("ss"))
+      .select(col("s1"),
+              explode(slice(col("ss"), col("i") + lit(2), size(col("ss"))))
+                .as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(deg.select(col("supp").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("supp").as("s2"), col("d").as("d2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("shared"),
+        Det.r6(col("shared") * lit(1.0)
+               / (col("d1") + col("d2") - col("shared"))).as("jacc"))
+  }
 }

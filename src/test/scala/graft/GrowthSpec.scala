@@ -156,6 +156,37 @@ class GrowthSpec extends SparkTestBase {
     assert(n4 > 3 * n1, s"node table must grow ~linearly: $n1 -> $n4")
   }
 
+  test("co-occurrence pairs grow with customers, and a mega customer caps out") {
+    // constant-degree membership: each customer hits 3 suppliers, so the
+    // pair stream is ≤ C(3,2)=3 candidates per customer — linear in
+    // customers by construction. 4× customers must NOT approach the 16×
+    // a quadratic (uncapped) projection would produce.
+    def members(nCust: Long, nSupp: Long) =
+      spark.range(nCust)
+        .select(col("id").as("cust"),
+                explode(sequence(lit(0), lit(2))).as("j"))
+        .select(col("cust"),
+                pmod(hash(col("cust") * 31 + col("j") * 17), lit(nSupp))
+                  .cast("long").as("supp"))
+        .distinct()
+    val p1 = graft.ops.Graph.cooccur(members(3000, 150), 100, 1L).count()
+    val p4 = graft.ops.Graph.cooccur(members(12000, 600), 100, 1L).count()
+    info(s"cooccur pairs 1x=$p1 4x=$p4")
+    assert(p1 > 0 && p4 > 1.5 * p1 && p4 < 6.0 * p1,
+      s"pair growth must track customers, not their square: $p1 -> $p4")
+    // the hot-customer cap: one customer buying from 150 suppliers would
+    // alone emit C(150,2) ≈ 11k pairs and perturb every Jaccard via its
+    // degree contributions — it must be dropped, leaving the result
+    // IDENTICAL to the corpus without it
+    val base = members(3000, 150)
+    val mega = spark.range(150)
+      .select(lit(999999L).as("cust"), col("id").as("supp"))
+    val pb = graft.ops.Graph.cooccur(base, 100, 2L).collect().toSet
+    val pm = graft.ops.Graph.cooccur(base.unionByName(mega), 100, 2L)
+      .collect().toSet
+    assert(pm == pb, "mega customer must cap out without touching scores")
+  }
+
   test("SRP cosine banding: linear pair growth, ~1.0 recall on planted dups") {
     // bits ≈ log₂(n) + margin keeps random-pair collisions (≈ L·n²/2^bits)
     // below the planted linear term — the documented SRP scaling rule
