@@ -513,6 +513,62 @@ object EventAnalytics {
             * datediff(col("day"), col("pd")) * lit(1.0)
             / datediff(col("nd"), col("pd")))).as("val"))
         .orderBy("user_id", "day")
+    },
+
+    /** RFM segmentation: recency / frequency / monetary scores per user
+      * (fixed calibrated thresholds — NOT quintile windows, so scoring is
+      * a map-only projection after one bounded per-user aggregate; see
+      * q_agg_eqdepth for the boundary-broadcast way to derive data-driven
+      * cuts at scale). Monetary totals are r4-rounded BEFORE the
+      * threshold compare so a float-sum ordering difference can never
+      * flip a segment between engines. Output is one row per RFM segment
+      * — bounded by 27 — with its population and the average raw
+      * signals. */
+    OpDef(
+      "q_events_rfm",
+      """WITH p AS (
+        |  SELECT user_id,
+        |    DATE '2024-01-31'
+        |      - CAST(date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS DATE)
+        |      AS rec,
+        |    count(*) AS freq,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS mon
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, rec, freq, mon,
+        |    (CASE WHEN rec <= 2 THEN 3 WHEN rec <= 5 THEN 2 ELSE 1 END)
+        |      * 100
+        |    + (CASE WHEN freq >= 16 THEN 3 WHEN freq >= 10 THEN 2 ELSE 1
+        |       END) * 10
+        |    + (CASE WHEN mon >= 750.0 THEN 3 WHEN mon >= 400.0 THEN 2
+        |       ELSE 1 END) AS segment
+        |  FROM p)
+        |SELECT CAST(segment AS BIGINT) AS segment, count(*) AS n_users,
+        |  floor((avg(rec * 1.0)) * 10000.0 + 0.5) / 10000.0 AS avg_rec,
+        |  floor((avg(freq * 1.0)) * 10000.0 + 0.5) / 10000.0 AS avg_freq,
+        |  floor((avg(mon)) * 10000.0 + 0.5) / 10000.0 AS avg_mon
+        |FROM s GROUP BY segment ORDER BY segment""".stripMargin
+    ) { (s, d) =>
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(datediff(lit("2024-01-31").cast("date"),
+                      to_date(date_trunc("day", max(col("ts"))))).as("rec"),
+             count(lit(1)).as("freq"), Det.r4(sum(col("value"))).as("mon"))
+      val seg =
+        (when(col("rec") <= 2, 3).when(col("rec") <= 5, 2).otherwise(1)
+           * 100
+         + when(col("freq") >= 16, 3).when(col("freq") >= 10, 2).otherwise(1)
+           * 10
+         + when(col("mon") >= 750.0, 3).when(col("mon") >= 400.0, 2)
+             .otherwise(1)).cast("long")
+      p.select(seg.as("segment"), col("rec"), col("freq"), col("mon"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"),
+             Det.r4(avg(col("rec") * lit(1.0))).as("avg_rec"),
+             Det.r4(avg(col("freq") * lit(1.0))).as("avg_freq"),
+             Det.r4(avg(col("mon"))).as("avg_mon"))
+        .orderBy("segment")
     }
   )
 }

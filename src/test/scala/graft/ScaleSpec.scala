@@ -288,6 +288,29 @@ class ScaleSpec extends SparkTestBase {
            spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
+  test("dynamic partition pruning injects a runtime filter into the fact scan") {
+    // the 100 TB lever beyond static pruning: a filter on the DIM side
+    // prunes FACT partitions at runtime via a DPP subquery (reusing the
+    // join's broadcast). Static PartitionFilters can't see through the
+    // join; the dynamicpruning expression is what keeps a
+    // dim-filtered join from scanning every fact partition.
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    graft.ops.Tables.orders(spark, sf)
+      .withColumn("bucket", pmod(col("o_custkey"), lit(10)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = graft.ops.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"),
+              pmod(col("c_custkey"), lit(10)).as("bucket"))
+      .filter(col("bucket") === 3)
+    val joined = fact.join(dim, Seq("bucket"))
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a DPP subquery filter:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("gopher quality gate is map-only — every signal an in-row HOF") {
     // a hashpartitioning exchange would mean a groupBy/join crept into
     // what must run at scan speed; only the final ORDER BY's
