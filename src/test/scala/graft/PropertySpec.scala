@@ -153,4 +153,47 @@ class PropertySpec extends SparkTestBase {
       assert(r.getLong(0) == r.getLong(1), s"nibble-fold drift on '$t'")
     }
   }
+
+  test("equal-depth bins partition the value range: disjoint, ordered, complete") {
+    val bins = SparkEntry.queries("q_agg_eqdepth")(spark, sf).collect()
+    val n = bins.map(_.getLong(1)).sum
+    val total = graft.ops.Tables.lineitem(spark, sf).count()
+    assert(n == total, "every row must land in exactly one bin")
+    assert(bins.map(_.getLong(0)).toSeq == bins.indices.map(_.toLong),
+      "bins must be 0..k dense")
+    // value ranges must be ordered and non-overlapping across bins
+    bins.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(3) <= hi.getDouble(2),
+        s"bin ranges overlap: ${lo.getDouble(3)} > ${hi.getDouble(2)}")
+    case _ => ()
+    }
+    // roughly equal depth: no bin more than 2x the ideal share (ties and
+    // boundary rounding cause drift, not imbalance)
+    assert(bins.map(_.getLong(1)).max <= 2 * total / 10 + 1)
+  }
+
+  test("int8 quantizer is monotone per dimension and exact at the grid edges") {
+    // monotone: x <= y per-dimension implies code(x) <= code(y) — the
+    // property that makes quantized comparisons order-safe. Exact edges:
+    // the per-dimension min maps to code 0 and the max to 255, so the
+    // code range is fully used.
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+    val st = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
+      .toMap
+    def code(x: Double, lo: Double, hi: Double): Long =
+      math.max(0L, math.min(255L,
+        math.floor((x - lo) / (hi - lo) * 255.0 + 0.5).toLong))
+    st.foreach { case (_, (lo, hi)) =>
+      assert(code(lo, lo, hi) == 0L && code(hi, lo, hi) == 255L)
+      val xs = (0 to 50).map(i => lo + (hi - lo) * i / 50.0)
+      xs.sliding(2).foreach { case Seq(a, b) =>
+        assert(code(a, lo, hi) <= code(b, lo, hi), "quantizer must be monotone")
+      case _ => ()
+      }
+    }
+  }
 }
