@@ -15,6 +15,35 @@ import org.apache.spark.sql.functions._
 object Curation {
   import Tables._
 
+  /** Seen-set Bloom probe of `nd` (new docs) against `cp` (corpus) — the
+    * reusable core of q_dedup_seen. Both inputs need (doc_id, text);
+    * doc_id must be unique within nd. Returns (doc_id, candidate,
+    * actual_dup) with the no-false-negative guarantee actual ⇒ candidate
+    * (pinned on planted dups in CurationSpec). */
+  def seenBloom(nd: DataFrame, cp: DataFrame): DataFrame = {
+    val bit = expr("CAST(conv(substring(md5(concat('sb', " +
+      "CAST(dep AS STRING), ':', text)), 1, 6), 16, 10) AS BIGINT) % 65536")
+    val bits = cp
+      .select(explode(sequence(lit(0), lit(3))).as("dep"), col("text"))
+      .select(bit.as("bit")).distinct()
+    val pr = nd
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("dep"),
+              col("text"))
+      .select(col("doc_id"), bit.as("bit"))
+    val hits = pr
+      .join(broadcast(bits.withColumn("m", lit(1))), Seq("bit"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("m"), lit(0))).as("h"))
+    val tr = nd
+      .join(cp.select(col("text")).distinct().withColumn("t", lit(1)),
+            Seq("text"), "left")
+      .select(col("doc_id"), coalesce(col("t"), lit(0)).as("actual_dup"))
+    hits.join(tr, Seq("doc_id"))
+      .select(col("doc_id"), (col("h") === 4).cast("long").as("candidate"),
+              col("actual_dup").cast("long").as("actual_dup"))
+      .orderBy("doc_id")
+  }
+
   /** md5-derived uniform in [0,1) keyed on a column — the engine-portable
     * deterministic RNG used by all sampling ops (same spelling as
     * q_sample_hash / weightedSample). */
@@ -327,6 +356,56 @@ object Curation {
                 col("ttr") >= 0.3 && col("short_frac") <= 0.1)
                  .cast("long").as("keep"))
         .orderBy("doc_id")
+    },
+
+    /** Incremental crawl dedup against a SEEN-SET BLOOM FILTER — the
+      * pattern that replaces a new-batch ⋈ full-corpus join when the
+      * corpus no longer fits a join build side: the corpus compresses to
+      * a ≤ 65536-row distinct set-bit table (k=4 salted-md5 bits over the
+      * text, same construction as q_agg_bloom), which BROADCASTS — its
+      * size is bounded by the filter geometry, never the corpus — and
+      * each new doc probes its 4 bits map-side. all-bits-set ⇒ candidate
+      * duplicate (false positives possible at the filter's ~0.3% rate;
+      * verify only those against storage); any bit clear ⇒ PROVABLY new,
+      * no corpus lookup at all. The output carries the exact-match truth
+      * column so the oracle hash itself pins the no-false-negative
+      * guarantee (actual_dup = 1 ⇒ candidate = 1); a production pipeline
+      * would run the truth join only for the candidate slice. */
+    OpDef(
+      "q_dedup_seen",
+      """WITH nd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |cp AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substring(md5('sb' || CAST(d.dep AS VARCHAR)
+        |                                || ':' || cp.text), 1, 6) AS BIGINT)
+        |      % 65536 AS bit
+        |  FROM cp CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dep)),
+        |pr AS (
+        |  SELECT nd.doc_id,
+        |    CAST('0x' || substring(md5('sb' || CAST(d.dep AS VARCHAR)
+        |                                || ':' || nd.text), 1, 6) AS BIGINT)
+        |      % 65536 AS bit
+        |  FROM nd CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dep)),
+        |hits AS (
+        |  SELECT pr.doc_id, count(b.bit) AS h
+        |  FROM pr LEFT JOIN bits b ON pr.bit = b.bit
+        |  GROUP BY pr.doc_id),
+        |tr AS (
+        |  SELECT nd.doc_id,
+        |    CASE WHEN EXISTS (SELECT 1 FROM cp WHERE cp.text = nd.text)
+        |         THEN 1 ELSE 0 END AS actual_dup
+        |  FROM nd)
+        |SELECT h.doc_id, CAST(h.h = 4 AS BIGINT) AS candidate,
+        |       CAST(tr.actual_dup AS BIGINT) AS actual_dup
+        |FROM hits h JOIN tr ON h.doc_id = tr.doc_id
+        |ORDER BY h.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      seenBloom(docs.filter(col("doc_id") % 10 === 0),
+                docs.filter(col("doc_id") % 10 =!= 0))
     },
 
     /** Cluster-stratified diversity sample: assign every vector to its

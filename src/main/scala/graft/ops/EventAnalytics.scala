@@ -515,6 +515,69 @@ object EventAnalytics {
         .orderBy("user_id", "day")
     },
 
+    /** 7-tap exponentially-weighted moving average over the daily volume
+      * series — the time-series smoother, spelled as a FIXED-DEPTH lag
+      * kernel (Σ 0.5^k·lag(v,k) / Σ available weights) rather than the
+      * textbook recurrence: a recurrence is inherently sequential, while
+      * the kernel form is one window pass with 7 lags, identical algebra
+      * on both engines (weights are exact powers of two; daily totals are
+      * r4-rounded before the kernel so both engines convolve the same
+      * doubles). The window input is the bounded DAILY table — the
+      * corpus-sized stream is reduced by groupBy first, so the
+      * unpartitioned window never sees raw events. */
+    OpDef(
+      "q_win_ewma",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, v,
+        |    lag(v, 1) OVER (ORDER BY day) AS v1,
+        |    lag(v, 2) OVER (ORDER BY day) AS v2,
+        |    lag(v, 3) OVER (ORDER BY day) AS v3,
+        |    lag(v, 4) OVER (ORDER BY day) AS v4,
+        |    lag(v, 5) OVER (ORDER BY day) AS v5,
+        |    lag(v, 6) OVER (ORDER BY day) AS v6
+        |  FROM d)
+        |SELECT day, v,
+        |  floor(((v
+        |    + CASE WHEN v1 IS NULL THEN 0.0 ELSE 0.5 * v1 END
+        |    + CASE WHEN v2 IS NULL THEN 0.0 ELSE 0.25 * v2 END
+        |    + CASE WHEN v3 IS NULL THEN 0.0 ELSE 0.125 * v3 END
+        |    + CASE WHEN v4 IS NULL THEN 0.0 ELSE 0.0625 * v4 END
+        |    + CASE WHEN v5 IS NULL THEN 0.0 ELSE 0.03125 * v5 END
+        |    + CASE WHEN v6 IS NULL THEN 0.0 ELSE 0.015625 * v6 END)
+        |   / (1.0
+        |    + CASE WHEN v1 IS NULL THEN 0.0 ELSE 0.5 END
+        |    + CASE WHEN v2 IS NULL THEN 0.0 ELSE 0.25 END
+        |    + CASE WHEN v3 IS NULL THEN 0.0 ELSE 0.125 END
+        |    + CASE WHEN v4 IS NULL THEN 0.0 ELSE 0.0625 END
+        |    + CASE WHEN v5 IS NULL THEN 0.0 ELSE 0.03125 END
+        |    + CASE WHEN v6 IS NULL THEN 0.0 ELSE 0.015625 END))
+        |   * 10000.0 + 0.5) / 10000.0 AS ewma
+        |FROM w ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(Det.r4(sum(col("value"))).as("v"))
+      val w = Window.orderBy(col("day"))
+      val lags = (1 to 6).map(k => lag(col("v"), k).over(w).as(s"v$k"))
+      val d2 = daily.select(col("day") +: col("v") +: lags: _*)
+      val ws = Seq(0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625)
+      val num = (1 to 6).foldLeft(col("v")) { (acc, k) =>
+        acc + when(col(s"v$k").isNull, lit(0.0))
+                .otherwise(lit(ws(k - 1)) * col(s"v$k"))
+      }
+      val den = (1 to 6).foldLeft(lit(1.0)) { (acc, k) =>
+        acc + when(col(s"v$k").isNull, lit(0.0)).otherwise(lit(ws(k - 1)))
+      }
+      d2.select(col("day"), col("v"), Det.r4(num / den).as("ewma"))
+        .orderBy("day")
+    },
+
     /** RFM segmentation: recency / frequency / monetary scores per user
       * (fixed calibrated thresholds — NOT quintile windows, so scoring is
       * a map-only projection after one bounded per-user aggregate; see

@@ -176,4 +176,30 @@ class CurationSpec extends SparkTestBase {
       case _ => true
     })
   }
+
+  test("seenBloom: planted dups never miss; FP rate stays near the filter's design") {
+    import org.apache.spark.sql.functions._
+    // corpus of 2000 unique texts; a new batch of 500 where every 5th doc
+    // is an EXACT copy of a corpus text (100 planted dups, 400 novel)
+    val cp = spark.range(2000)
+      .select(col("id").as("doc_id"),
+              concat(lit("corpus text block "), col("id"),
+                     lit(" with filler words")).as("text"))
+    val nd = spark.range(500)
+      .select((col("id") + 10000).as("doc_id"),
+        when(col("id") % 5 === 0,
+             concat(lit("corpus text block "), col("id") * 4,
+                    lit(" with filler words")))
+          .otherwise(concat(lit("novel text block "), col("id"),
+                            lit(" nothing like corpus"))).as("text"))
+    val r = graft.ops.Curation.seenBloom(nd, cp).collect()
+    val dups = r.filter(_.getLong(2) == 1)
+    assert(dups.length == 100, s"expected 100 planted dups, got ${dups.length}")
+    // Bloom guarantee: NO false negative, ever
+    assert(dups.forall(_.getLong(1) == 1), "an actual dup was not flagged")
+    // false positives bounded: 2000 docs × 4 bits in 65536 → fill ≈ 11.5%,
+    // FP ≈ fill⁴ ≈ 0.02% — allow generous headroom for hash clumping
+    val fps = r.count(x => x.getLong(1) == 1 && x.getLong(2) == 0)
+    assert(fps <= 5, s"false-positive count $fps exceeds the design rate")
+  }
 }
