@@ -230,4 +230,21 @@ class ApiSpec extends SparkTestBase {
     assert(rep(2L) > 0.9, s"pure loop must score ~1: $rep")
     assert(rep(0L) < 0.9, s"non-repetitive doc must not: $rep")
   }
+
+  test("cooccur and seenBloom run on hand-built tables with the documented shapes") {
+    import spark.implicits._
+    // cooccur: (cust, supp) membership — items 10 and 11 share 2 customers
+    val m = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 12L))
+      .toDF("cust", "supp")
+    val pairs = graft.ops.Graph.cooccur(m, degCap = 100, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((10L, 11L, 2L)), pairs.mkString(","))
+    // seenBloom: (doc_id, text) on both sides
+    val cp = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    val nd = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    val sb = graft.ops.Curation.seenBloom(nd, cp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sb(10L) == ((1L, 1L)), "exact copy must be candidate + actual")
+    assert(sb(11L)._2 == 0L, "novel doc is not an actual dup")
+  }
 }
