@@ -164,6 +164,35 @@ object Multimodal {
     },
     OpDef.noOracle("q_multimodal_infer") { (s, d) =>
       scoreDocuments(s, Tables.documents(s, d), 32).toDF().orderBy("doc_id")
+    },
+
+    /** Binary-content exact dedup — the image/audio dedup primitive: hash
+      * the opaque payload bytes, group, keep the min-id copy. Unlike the
+      * decode ops this IS oracle-checked: the fixture payload is the
+      * UTF-8 encoding of `text`, and md5 over those bytes is the same
+      * hex string whether computed on Spark's BINARY or DuckDB's VARCHAR
+      * — so the driver hash-verifies the exact pipeline a real corpus
+      * would run on image bytes. Scale: map-only hashing, then a groupBy
+      * on the 32-hex-char digest — partial aggregation collapses every
+      * duplicate cluster map-side (same argument as exactDedup, but the
+      * shuffle key is a fixed 32-byte hash instead of the full payload —
+      * the reason content-addressed dedup is THE way to dedup 100 TB of
+      * media). */
+    OpDef(
+      "q_mm_dedup_binary",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), md5(col("payload")).as("content_hash"))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("content_hash", "keep_id", "n_copies")
+        .orderBy("keep_id")
     }
   )
 }
