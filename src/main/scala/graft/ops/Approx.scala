@@ -27,6 +27,11 @@ import org.apache.spark.ml.functions.array_to_vector
 object Approx {
   import Tables._
 
+  /** Power-iteration depth for q_vec_pca_power — enough to separate the
+    * leading direction on the fixture cloud while keeping the unrolled
+    * oracle CTE readable (same trade-off as Graph.Steps). */
+  private val PcaSteps = 8
+
   /** Fixed probe keys for q_agg_cmsketch (l_partkey values present at
     * every fixture SF). */
   private[graft] val CmsProbes: Seq[Int] =
@@ -540,6 +545,104 @@ object Approx {
         .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
         .select(col("item"), col("hits"), (col("hits") === 4).as("maybe"))
         .orderBy("item")
+    },
+
+    /** Distributed PCA, top component by power iteration — the
+      * dimensionality-reduction / whitening primitive of an embedding
+      * pipeline, run entirely as DataFrame aggregations: (1) the 64×64
+      * second-moment matrix as a flattened outer-product aggregation —
+      * the n·d² element stream is generated AND collapsed inside each
+      * scan task (hash partial-agg over d² = 4096 keys), so the shuffle
+      * carries ≤ 4096 rows per partition, never the corpus; (2) 8 power
+      * steps over the d²-cell matrix folded into ONE row, as array HOFs
+      * with the same per-step lazy localCheckpoint lineage barrier as
+      * q_events_stationary (zero shuffles in the loop); (3) a map-only
+      * projection of every vector onto the resulting component.
+      *
+      * Determinism: inputs are pre-quantized to BIGINT micro-units, so
+      * every corpus-sized sum is exact integer arithmetic (immune to
+      * partial-agg order); matrix cells convert to doubles once, and all
+      * 64-term iteration dots are sequential folds (graft_dot ==
+      * DuckDB's list_sum — the bit-identity the cosine family already
+      * hash-matches with), with per-step r6 re-gridding of the iterate.
+      * Overflow bound: |x| ≤ 1 ⇒ cell sums ≤ n·10¹² — exact to n ≈ 9·10⁶
+      * per aggregation; past that, shard the corpus and MERGE per-shard
+      * moment matrices by cell-wise addition (same mergeability as the
+      * CMS/Bloom sketches, and the reason the quantized formulation is
+      * the right 100 TB shape). */
+    OpDef(
+      "q_vec_pca_power", {
+        val steps = (1 to PcaSteps).map { i =>
+          s"""it$i AS (
+             |  SELECT md, list_transform(y, x ->
+             |      floor(x / sqrt(list_sum(list_transform(y, z -> z * z)))
+             |            * 1000000.0 + 0.5) / 1000000.0) AS w
+             |  FROM (SELECT md, list_transform(range(0, 64), i ->
+             |          list_sum(list_transform(range(1, 65), j ->
+             |            md[i*64 + j] * w[j]))) AS y
+             |        FROM it${i - 1}) s$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |q AS (
+           |  SELECT list_transform(v, x ->
+           |    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv FROM e),
+           |op AS (
+           |  SELECT (ti.i - 1) * 64 + (tj.j - 1) AS idx,
+           |         CAST(sum(qv[ti.i] * qv[tj.j]) AS BIGINT) AS c
+           |  FROM q, (SELECT unnest(range(1, 65)) AS i) ti,
+           |       (SELECT unnest(range(1, 65)) AS j) tj
+           |  GROUP BY 1),
+           |m AS (
+           |  SELECT list_transform(list(c ORDER BY idx), x ->
+           |    CAST(x AS DOUBLE) / 1000000000000.0) AS md FROM op),
+           |it0 AS (
+           |  SELECT md, list_transform(range(0, 64), i ->
+           |    CAST(0.125 AS DOUBLE)) AS w FROM m),
+           |$steps
+           |SELECT e.vec_id,
+           |  floor(list_sum(list_transform(range(1, 65), k -> e.v[k] * f.w[k]))
+           |        * 1000000.0 + 0.5) / 1000000.0 AS pc1
+           |FROM e, it$PcaSteps f ORDER BY e.vec_id""".stripMargin
+      }
+    ) { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.select(
+        expr("transform(v, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
+          .as("qv"))
+      val flat = q
+        .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
+        .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+        .groupBy((col("i") * 64 + col("j")).as("idx"))
+        .agg(sum(col("qi") * col("qj")).as("c"))
+      val m = flat
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
+               x => x.getField("c").cast("double") / lit(1000000000000.0))
+               .as("md"))
+      var it = m.select(col("md"),
+        expr("transform(sequence(0, 63), i -> CAST(0.125 AS DOUBLE))").as("w"))
+      for (_ <- 1 to PcaSteps) {
+        it = it
+          .select(col("md"),
+            expr("transform(sequence(0, 63), i -> " +
+                 "graft_dot(slice(md, i*64 + 1, 64), w))").as("y"))
+          // same lineage barrier as q_events_stationary: without it the
+          // nested lambda reference to the previous w re-evaluates the
+          // whole prior step per element
+          // D-suffixed literals: a bare 1000000.0 parses as DECIMAL in
+          // SQL-string form, and long/decimal division would leave the
+          // iterate DECIMAL(30,9) instead of DOUBLE
+          .select(col("md"),
+            expr("transform(y, x -> floor(x / sqrt(graft_dot(y, y)) " +
+                 "* 1000000.0D + 0.5D) / 1000000.0D)").as("w"))
+          .localCheckpoint(false)
+      }
+      e.crossJoin(broadcast(it.select(col("w"))))
+        .select(col("vec_id"), Det.r6(expr("graft_dot(v, w)")).as("pc1"))
+        .orderBy("vec_id")
     }
   )
 

@@ -185,6 +185,39 @@ object Curation {
       .orderBy("bucket")
   }
 
+  /** DSIR hashed-importance weights — the reusable core of q_sample_dsir.
+    * `docs` needs (doc_id, lang, text); the target distribution is the
+    * `targetLang` slice. Both bucket tables are ≤ `nBuckets` rows →
+    * broadcast; per-bucket log-ratios are pre-floored to BIGINT
+    * micro-units so the per-doc sum is exact and associative. */
+  def dsirWeights(docs: DataFrame, targetLang: String, nBuckets: Int): DataFrame = {
+    val fb = docs
+      .select(col("doc_id"), col("lang"),
+              explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(conv(substring(md5(concat('ds', tok)), 1, 4), 16, 10) AS BIGINT) % $nBuckets")
+          .as("b"))
+    val tgt = fb.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = fb.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tot = fb.agg(count(lit(1)).as("r_tot"),
+                     count(when(col("lang") === targetLang, 1)).as("t_tot"))
+    val nb = nBuckets.toDouble
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("t_tot") + lit(nb)))
+             - log((col("cr") + lit(1.0)) / (col("r_tot") + lit(nb))))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("lr"))
+    fb.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_toks"), sum(col("lr")).as("wsum"))
+      .select(col("doc_id"), col("n_toks"),
+              (col("wsum") / lit(1000000.0)).as("logw"),
+              (col("wsum") > 0).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
   // Oracle CTE shared by budget_select (identical to q_sample_weighted's
   // quality pipeline — same stopword top-5, same rounding spelling).
@@ -407,6 +440,101 @@ object Curation {
       seenBloom(docs.filter(col("doc_id") % 10 === 0),
                 docs.filter(col("doc_id") % 10 =!= 0))
     },
+
+      /** Temperature-based mixture rates (the multilingual-sampling step of
+      * XLM-R / mT5): per-language empirical share p_l is flattened to
+      * q_l ∝ p_l^α (α = 0.3), boosting low-resource languages, and the
+      * table reports the resampling boost q/p plus the expected post-mix
+      * doc count. One corpus pass (the per-language count) feeds a
+      * languages-sized table — every downstream step is bounded by the
+      * number of languages, never the corpus, so the op costs one
+      * aggregation at any scale.
+      *
+      * Determinism: p^α is spelled exp(α·ln p) on BOTH engines (the ln/exp
+      * pair the lmscore family already hash-matches with), immediately
+      * floored to integer micro-units; the mixture normalizer is then an
+      * exact BIGINT sum, so no cross-engine float-sum-order hazard exists
+      * anywhere in the chain. */
+    OpDef(
+      "q_mix_temperature",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS t FROM documents),
+        |p AS (
+        |  SELECT lang, n, t.t,
+        |    floor((n * 1.0 / t.t) * 1000000.0 + 0.5) / 1000000.0 AS p
+        |  FROM c, t),
+        |a AS (
+        |  SELECT lang, n, t, p,
+        |    CAST(floor(exp(0.3 * ln(p)) * 1000000.0 + 0.5) AS BIGINT) AS pai
+        |  FROM p),
+        |s AS (SELECT CAST(sum(pai) AS BIGINT) AS s FROM a),
+        |q AS (
+        |  SELECT lang, n, p,
+        |    floor((pai * 1.0 / s.s) * 1000000.0 + 0.5) / 1000000.0 AS q, t
+        |  FROM a, s)
+        |SELECT lang, CAST(n AS BIGINT) AS n, p, q,
+        |  floor((q / p) * 1000000.0 + 0.5) / 1000000.0 AS boost,
+        |  CAST(floor(q * t + 0.5) AS BIGINT) AS exp_n
+        |FROM q ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val t = docs.agg(count(lit(1)).as("t"))
+      val p = c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n"), col("t"),
+                Det.r6(col("n") * lit(1.0) / col("t")).as("p"))
+      val a = p.withColumn("pai",
+        floor(exp(lit(0.3) * log(col("p"))) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      val sm = a.agg(sum(col("pai")).as("s"))
+      a.crossJoin(broadcast(sm))
+        .select(col("lang"), col("n").cast("long").as("n"), col("p"),
+                Det.r6(col("pai") * lit(1.0) / col("s")).as("q"), col("t"))
+        .select(col("lang"), col("n"), col("p"), col("q"),
+                Det.r6(col("q") / col("p")).as("boost"),
+                floor(col("q") * col("t") + lit(0.5)).cast("long").as("exp_n"))
+        .orderBy("lang")
+    },
+
+    /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+      * for Language Models via Importance Resampling"), fixture-adapted:
+      * the target distribution is the corpus's `en` slice, features are
+      * unigrams HASHED into 1024 buckets, and each document's weight is
+      * the summed log-likelihood ratio of its tokens under the
+      * add-1-smoothed target vs raw bucket distributions.
+      *
+      * The hashing is the entire 100 TB story: both feature tables are
+      * bounded by the 1024-bucket geometry — never by vocabulary or corpus
+      * — so they BROADCAST, the per-token lookup is map-side, and the only
+      * shuffle is the per-doc aggregation. Per-bucket log-ratios are
+      * floored to BIGINT micro-units before the per-doc sum, so the
+      * many-term sum is exact integer arithmetic on both engines (the
+      * double formulation would hash-diverge on partial-agg order). */
+    OpDef(
+      "q_sample_dsir",
+      """WITH bag AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5('ds' || tok), 1, 4) AS BIGINT) % 1024 AS b
+        |  FROM bag),
+        |tgt AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+        |raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+        |tot AS (SELECT count(*) AS r_tot,
+        |               count(*) FILTER (WHERE lang = 'en') AS t_tot FROM fb),
+        |lr AS (
+        |  SELECT raw.b,
+        |    CAST(floor((ln((coalesce(tgt.ct, 0) + 1.0) / (tot.t_tot + 1024.0))
+        |              - ln((raw.cr + 1.0) / (tot.r_tot + 1024.0)))
+        |         * 1000000.0 + 0.5) AS BIGINT) AS lr
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+        |SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(lr.lr) AS BIGINT) / 1000000.0 AS logw,
+        |  CAST(CAST(sum(lr.lr) AS BIGINT) > 0 AS BIGINT) AS keep
+        |FROM fb JOIN lr ON fb.b = lr.b
+        |GROUP BY fb.doc_id ORDER BY fb.doc_id""".stripMargin
+    ) { (s, d) => dsirWeights(documents(s, d), "en", 1024) },
 
     /** Cluster-stratified diversity sample: assign every vector to its
       * nearest label-centroid (the q_sim_ann_ivf coarse quantizer), then

@@ -199,6 +199,42 @@ object Graph {
       cooccur(cs, degCap = 100, minShared = 2)
         .orderBy(col("jacc").desc, col("s1"), col("s2"))
         .limit(100)
+    },
+
+    /** Degree distribution of the bipartite purchase graph, per side —
+      * the first diagnostic run on any large graph (skew detection: the
+      * hot-key histogram that tells you whether the pagerank/cooccur caps
+      * will bind). Two groupBy chains, each with map-side combine; the
+      * histogram itself is bounded by the distinct degree count, never
+      * |V| or |E|. */
+    OpDef(
+      "q_graph_degree",
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |dc AS (SELECT cust, count(*) AS deg FROM cs GROUP BY cust),
+        |ds AS (SELECT supp, count(*) AS deg FROM cs GROUP BY supp),
+        |h AS (
+        |  SELECT 'c' AS side, deg, count(*) AS n_nodes FROM dc GROUP BY deg
+        |  UNION ALL
+        |  SELECT 's' AS side, deg, count(*) AS n_nodes FROM ds GROUP BY deg)
+        |SELECT side, CAST(deg AS BIGINT) AS degree,
+        |       CAST(n_nodes AS BIGINT) AS n_nodes
+        |FROM h ORDER BY side, degree""".stripMargin
+    ) { (s, d) =>
+      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      def hist(key: String, side: String): DataFrame =
+        cs.groupBy(key).agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .select(lit(side).as("side"), col("deg").cast("long").as("degree"),
+                  col("n_nodes").cast("long").as("n_nodes"))
+      hist("cust", "c")
+        .unionAll(hist("supp", "s"))
+        .orderBy("side", "degree")
     }
   )
 

@@ -177,6 +177,41 @@ class CurationSpec extends SparkTestBase {
     })
   }
 
+  test("q_mix_temperature: a distribution that flattens toward uniform") {
+    val out = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+    val byLang = out.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("p"), r.getAs[Double]("q"),
+       r.getAs[Double]("boost"))).toMap
+    // q is a distribution (within per-lang rounding slack)
+    assert(math.abs(byLang.values.map(_._3).sum - 1.0) < 1e-3)
+    // temperature < 1 flattens: every lang's q sits between p and uniform,
+    // so low-resource langs get boost > 1 and the top lang boost < 1
+    val top = byLang.maxBy(_._2._1)._1
+    val bottom = byLang.minBy(_._2._1)._1
+    assert(byLang(top)._4 < 1.0, s"top lang $top boost ${byLang(top)._4}")
+    assert(byLang(bottom)._4 > 1.0)
+    // order-preserving: flattened shares never invert the raw ranking
+    val sorted = byLang.values.toSeq.sortBy(_._2)
+    assert(sorted.map(_._3) == sorted.map(_._3).sorted,
+      "q must be monotone in p")
+  }
+
+  test("q_sample_dsir: weights separate target-language docs from the rest") {
+    val out = SparkEntry.queries("q_sample_dsir")(spark, sf).cache()
+    assert(out.count() == docs.count())
+    val j = out.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val avg = j.groupBy((col("lang") === "en").as("is_en"))
+      .agg(org.apache.spark.sql.functions.avg(col("logw") / col("n_toks")).as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the importance weight is a log-likelihood ratio toward the en slice:
+    // en docs must average strictly higher per-token than non-en docs
+    assert(avg(true) > avg(false),
+      s"en ${avg(true)} !> other ${avg(false)}")
+    // keep flag is exactly the sign of the weight
+    assert(out.filter((col("logw") > 0) =!= (col("keep") === 1)).count() == 0)
+    out.unpersist()
+  }
+
   test("seenBloom: planted dups never miss; FP rate stays near the filter's design") {
     import org.apache.spark.sql.functions._
     // corpus of 2000 unique texts; a new batch of 500 where every 5th doc

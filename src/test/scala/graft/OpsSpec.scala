@@ -57,6 +57,51 @@ class OpsSpec extends SparkTestBase {
       f"supplier hubs should out-rank customers: s=$avgS%.6f c=$avgC%.6f")
   }
 
+  test("degree histogram conserves nodes and edges on both sides") {
+    val cs = graft.ops.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.ops.Tables.orders(spark, sf)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct().cache()
+    val edges = cs.count()
+    val h = queries("q_graph_degree")(spark, sf).collect()
+    def side(s: String) = h.filter(_.getString(0) == s)
+    // Σ n_nodes per side = distinct node count on that side
+    assert(side("c").map(_.getLong(2)).sum == cs.select("cust").distinct().count())
+    assert(side("s").map(_.getLong(2)).sum == cs.select("supp").distinct().count())
+    // Σ degree·n_nodes per side = |E| (each edge counted once per side)
+    assert(side("c").map(r => r.getLong(1) * r.getLong(2)).sum == edges)
+    assert(side("s").map(r => r.getLong(1) * r.getLong(2)).sum == edges)
+    cs.unpersist()
+  }
+
+  test("pca power component captures at least any single axis's energy") {
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .cache()
+    // E[pc1²] of the projection vs the strongest coordinate axis: after 8
+    // power steps the learned direction must dominate every axis-aligned
+    // one (the Rayleigh quotient is maximal at the top eigenvector; slack
+    // covers the per-step r6 re-gridding)
+    val pc = queries("q_vec_pca_power")(spark, sf)
+      .agg(avg(col("pc1") * col("pc1"))).collect().head.getDouble(0)
+    val axisMax = e
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x") * col("x")).as("m2"))
+      .agg(max("m2")).collect().head.getDouble(0)
+    assert(pc >= axisMax * 0.98,
+      f"pc1 energy $pc%.6f below best axis $axisMax%.6f")
+    // projections are bounded by the max vector norm (w has unit norm)
+    val maxNorm = e.select(sqrt(aggregate(col("v"), lit(0.0),
+      (a, x) => a + x * x)).as("n")).agg(max("n")).collect().head.getDouble(0)
+    val maxProj = queries("q_vec_pca_power")(spark, sf)
+      .agg(max(abs(col("pc1")))).collect().head.getDouble(0)
+    assert(maxProj <= maxNorm * (1.0 + 1e-4))
+    e.unpersist()
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
