@@ -536,6 +536,62 @@ object Curation {
         |GROUP BY fb.doc_id ORDER BY fb.doc_id""".stripMargin
     ) { (s, d) => dsirWeights(documents(s, d), "en", 1024) },
 
+    /** URL canonicalization dedup — the crawl-frontier normalization pass
+      * (RFC 3986 §6 plus the tracking-param strip every production crawler
+      * applies): lowercase the host, drop the trailing slash, remove
+      * `utm_*` query params, then exact-dedup on the canonical form. The
+      * fixture has no URL column, so the op plants the noise
+      * deterministically (case/slash/utm variants keyed off doc_id) and
+      * the dedup must collapse exactly the planted groups. Canonicalize
+      * is map-only regex work; the dedup is one groupBy on the canonical
+      * key with map-side combine — the same shuffle-bounded shape as
+      * q_dedup_exact, with the (short) canonical URL as the key. */
+    OpDef(
+      "q_dedup_url",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END ||
+        |    '.example.com/page/' || (doc_id % 100) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |    '?id=' || (doc_id % 100) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '&utm_campaign=x' ELSE '' END
+        |      AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    'https://' || lower(regexp_extract(url, '^https://([^/?]+)', 1))
+        |      || rtrim(regexp_extract(url, '^https://[^/?]+([^?]*)', 1), '/')
+        |      || '?'
+        |      || regexp_replace(regexp_extract(url, '\?(.*)$', 1),
+        |                        '&utm_[a-z_]+=[^&]*', '', 'g') AS canon
+        |  FROM u)
+        |SELECT canon, CAST(count(*) AS BIGINT) AS n_variants,
+        |       min(doc_id) AS keep_id
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin
+    ) { (s, d) =>
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 5 === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".example.com/page/"), col("doc_id") % 100,
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), col("doc_id") % 100,
+        when(col("doc_id") % 3 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("&utm_campaign=x")).otherwise(lit("")))
+      val canon = concat(lit("https://"),
+        lower(regexp_extract(col("url"), "^https://([^/?]+)", 1)),
+        rtrim(regexp_extract(col("url"), "^https://[^/?]+([^?]*)", 1), "/"),
+        lit("?"),
+        regexp_replace(regexp_extract(col("url"), "\\?(.*)$", 1),
+                       "&utm_[a-z_]+=[^&]*", ""))
+      documents(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), canon.as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
+        .orderBy("canon")
+    },
+
     /** Cluster-stratified diversity sample: assign every vector to its
       * nearest label-centroid (the q_sim_ann_ivf coarse quantizer), then
       * keep the 2 hash-first vectors per cell — the "spread the sample

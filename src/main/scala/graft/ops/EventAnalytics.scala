@@ -632,6 +632,164 @@ object EventAnalytics {
              Det.r4(avg(col("freq") * lit(1.0))).as("avg_freq"),
              Det.r4(avg(col("mon"))).as("avg_mon"))
         .orderBy("segment")
+    },
+
+    /** Daily-volume trend + 3-day forecast by ordinary least squares —
+      * the capacity-planning regression every ingestion dashboard runs.
+      * The corpus-sized work is ONE daily-count aggregate (map-side
+      * combine); the OLS moments (n, Σx, Σy, Σxy, Σx²) reduce the
+      * day-table to a 1-row broadcast frame, fitted values are map-only,
+      * and the 3 forecast rows explode from the same stats row. Days are
+      * indexed from the observed min date so x stays small.
+      *
+      * Determinism: x and y are integers, so every OLS moment is an
+      * EXACT BIGINT sum; slope/intercept are one-shot double expressions
+      * on identical integer inputs, r6-rounded, and fitted values use the
+      * ROUNDED coefficients (round-before-dependent-arithmetic). */
+    OpDef(
+      "q_events_trend",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |dm AS (SELECT min(day) AS d0 FROM d),
+        |dx AS (SELECT day, CAST(day - dm.d0 AS BIGINT) AS x, y FROM d, dm),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(max(x) AS BIGINT) AS xmax
+        |  FROM dx),
+        |co AS (
+        |  SELECT n, sx, sy, xmax,
+        |    floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS slope
+        |  FROM st),
+        |co2 AS (
+        |  SELECT xmax, slope,
+        |    floor((sy * 1.0 / n - slope * (sx * 1.0 / n))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS icept
+        |  FROM co),
+        |fit AS (
+        |  SELECT dx.day, dx.x, CAST(dx.y AS BIGINT) AS y,
+        |    floor((c.icept + c.slope * dx.x) * 1000000.0 + 0.5) / 1000000.0
+        |      AS yhat,
+        |    CAST(0 AS BIGINT) AS is_fc
+        |  FROM dx, co2 c),
+        |fc AS (
+        |  SELECT dm.d0 + CAST(c.xmax + k.k AS INTEGER) AS day,
+        |    c.xmax + k.k AS x, CAST(NULL AS BIGINT) AS y,
+        |    floor((c.icept + c.slope * (c.xmax + k.k)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS yhat,
+        |    CAST(1 AS BIGINT) AS is_fc
+        |  FROM co2 c, dm, (SELECT unnest(range(1, 4)) AS k) k)
+        |SELECT day, x, y, yhat, is_fc FROM fit
+        |UNION ALL
+        |SELECT day, x, y, yhat, is_fc FROM fc
+        |ORDER BY x""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val dm = daily.agg(min(col("day")).as("d0"))
+      val dx = daily.crossJoin(broadcast(dm))
+        .select(col("day"), datediff(col("day"), col("d0")).cast("long").as("x"),
+                col("y"))
+      val st = dx.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+                      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+                      sum(col("x") * col("x")).as("sxx"), max(col("x")).as("xmax"))
+      val co = st.select(col("n"), col("sx"), col("sy"), col("xmax"),
+        Det.r6((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
+               / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      val co2 = co.select(col("xmax"), col("slope"),
+        Det.r6(col("sy") * lit(1.0) / col("n")
+               - col("slope") * (col("sx") * lit(1.0) / col("n"))).as("icept"))
+        .crossJoin(broadcast(dm))
+      val fit = dx.crossJoin(broadcast(co2.select("slope", "icept")))
+        .select(col("day"), col("x"), col("y").cast("long").as("y"),
+                Det.r6(col("icept") + col("slope") * col("x")).as("yhat"),
+                lit(0L).as("is_fc"))
+      val fc = co2
+        .select(col("d0"), col("xmax"), col("slope"), col("icept"),
+                explode(sequence(lit(1L), lit(3L))).as("k"))
+        .select(date_add(col("d0"), (col("xmax") + col("k")).cast("int")).as("day"),
+                (col("xmax") + col("k")).as("x"),
+                lit(null).cast("long").as("y"),
+                Det.r6(col("icept") + col("slope") * (col("xmax") + col("k")))
+                  .as("yhat"),
+                lit(1L).as("is_fc"))
+      fit.unionByName(fc).orderBy("x")
+    },
+
+    /** Welch's two-sample t-test between experiment cohorts (user_id
+      * parity over purchase values) — the A/B significance primitive.
+      * One corpus pass reduces each cohort to (n, Σv, Σv²) with values
+      * pre-quantized to BIGINT centi-units, so the moments are EXACT
+      * integer sums (the double formulation would hash-diverge on
+      * partial-agg order; Σv² stays exact to ~4·10⁹ rows at this value
+      * range). Means/variances are one-shot double expressions on the
+      * integer moments, r4-rounded BEFORE the t/df arithmetic. Output is
+      * one bounded row — the shape a 100 TB A/B readout must have. */
+    OpDef(
+      "q_agg_ttest",
+      """WITH p AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT variant, count(*) AS n, CAST(sum(vi) AS BIGINT) AS sv,
+        |         CAST(sum(vi * vi) AS BIGINT) AS sq
+        |  FROM p GROUP BY variant),
+        |m AS (
+        |  SELECT variant, n,
+        |    floor((sv * 1.0 / n / 100.0) * 10000.0 + 0.5) / 10000.0 AS mean,
+        |    floor(((sq - sv * 1.0 * sv / n) / (n - 1) / 10000.0)
+        |          * 10000.0 + 0.5) / 10000.0 AS var
+        |  FROM g),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    max(CASE WHEN variant = 0 THEN mean END) AS mean0,
+        |    max(CASE WHEN variant = 1 THEN mean END) AS mean1,
+        |    max(CASE WHEN variant = 0 THEN var END) AS var0,
+        |    max(CASE WHEN variant = 1 THEN var END) AS var1
+        |  FROM m)
+        |SELECT n0, n1, mean0, mean1, var0, var1,
+        |  floor(((mean0 - mean1) / sqrt(var0 / n0 + var1 / n1))
+        |        * 10000.0 + 0.5) / 10000.0 AS t_stat,
+        |  floor(((var0 / n0 + var1 / n1) * (var0 / n0 + var1 / n1)
+        |         / ((var0 / n0) * (var0 / n0) / (n0 - 1)
+        |            + (var1 / n1) * (var1 / n1) / (n1 - 1)))
+        |        * 100.0 + 0.5) / 100.0 AS df
+        |FROM w""".stripMargin
+    ) { (s, d) =>
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vi"))
+      val g = p.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
+             sum(col("vi") * col("vi")).as("sq"))
+      val m = g.select(col("variant"), col("n"),
+        Det.r4(col("sv") * lit(1.0) / col("n") / lit(100.0)).as("mean"),
+        Det.r4((col("sq") - col("sv") * lit(1.0) * col("sv") / col("n"))
+               / (col("n") - 1) / lit(10000.0)).as("var"))
+      val w = m.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("mean"))).as("mean0"),
+        max(when(col("variant") === 1, col("mean"))).as("mean1"),
+        max(when(col("variant") === 0, col("var"))).as("var0"),
+        max(when(col("variant") === 1, col("var"))).as("var1"))
+      val se0 = col("var0") / col("n0")
+      val se1 = col("var1") / col("n1")
+      w.select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        col("var0"), col("var1"),
+        Det.r4((col("mean0") - col("mean1")) / sqrt(se0 + se1)).as("t_stat"),
+        Det.r((se0 + se1) * (se0 + se1)
+              / (se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1)), 2)
+          .as("df"))
     }
   )
 }

@@ -317,6 +317,48 @@ object Functions {
           .cast("long").as("len_novowel"),
         col("text").rlike("merge [a-z]+ sort").cast("long").as("has_pattern"))
         .orderBy("doc_id")
+    },
+
+    /** URL function family over deterministically constructed crawl-style
+      * URLs (the fixture has no URL column, so the op builds one from
+      * source/doc_id/lang — the extraction surface is what's under test):
+      * protocol / host / path / query / per-key query-param extraction,
+      * all via Spark's codegen'd `parse_url`. DuckDB has no parse_url, so
+      * the oracle spells the identical extractions as RE2 regexes —
+      * equality on well-formed URLs is exactly the contract. Map-only. */
+    OpDef(
+      "q_fn_url",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || doc_id ||
+        |    '?lang=' || lang || '&ref=' || (doc_id % 7) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang,
+        |  regexp_extract(url, '[?&]ref=([^&]*)', 1) AS q_ref,
+        |  string_split(regexp_extract(url, '^[a-z]+://([^/?]+)', 1), '.')[2]
+        |    AS domain
+        |FROM u ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id"), lit("?lang="), col("lang"), lit("&ref="),
+        col("doc_id") % 7)
+      documents(s, d).select(col("doc_id"), url.as("url"))
+        .select(
+          col("doc_id"), col("url"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("q_ref"),
+          element_at(split(parse_url(col("url"), lit("HOST")), "\\."), 2)
+            .as("domain"))
+        .orderBy("doc_id")
     }
   )
 }

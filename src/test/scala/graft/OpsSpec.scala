@@ -102,6 +102,78 @@ class OpsSpec extends SparkTestBase {
     e.unpersist()
   }
 
+  test("url dedup collapses exactly the planted variant groups") {
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val out = queries("q_dedup_url")(spark, sf).collect()
+    // canonicalization is total: every doc lands in exactly one group
+    assert(out.map(_.getAs[Long]("n_variants")).sum == docs.count())
+    // the noise axes (case/slash/utm) are keyed off doc_id but the
+    // canonical identity is doc_id % 100 — so exactly that many groups
+    val expected = docs.select((col("doc_id") % 100).as("g"))
+      .distinct().count()
+    assert(out.length == expected, s"${out.length} groups != $expected")
+    // no canonical form retains tracking params, uppercase, or a
+    // pre-query trailing slash
+    out.foreach { r =>
+      val c = r.getString(0)
+      assert(!c.contains("utm_") && c == c.toLowerCase)
+      assert(!c.contains("/?"), s"trailing slash survived: $c")
+    }
+  }
+
+  test("trend fit satisfies OLS normal equations; forecast extends the index") {
+    val rows = queries("q_events_trend")(spark, sf).collect()
+    val (fc, fit) = rows.partition(_.getAs[Long]("is_fc") == 1)
+    assert(fc.length == 3)
+    // residual orthogonality (Σr = 0, Σr·x = 0) within coefficient
+    // rounding slack — the defining property of the least-squares fit
+    val resid = fit.map(r => (r.getAs[Long]("x").toDouble,
+      r.getAs[Long]("y") - r.getAs[Double]("yhat")))
+    val n = fit.length
+    assert(math.abs(resid.map(_._2).sum) < 1e-3 * n * 30,
+      s"sum resid = ${resid.map(_._2).sum}")
+    assert(math.abs(resid.map(t => t._1 * t._2).sum) < 1e-3 * n * n * 30)
+    // forecast days continue the index with null observations
+    val xs = rows.map(_.getAs[Long]("x")).sorted
+    assert(xs.zip(xs.tail).forall { case (a, b) => b == a + 1 })
+    assert(fc.forall(r => r.isNullAt(r.fieldIndex("y"))))
+  }
+
+  test("welch t-test matches a direct double-precision computation") {
+    val r = queries("q_agg_ttest")(spark, sf).collect().head
+    val vals = graft.ops.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("v"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    def stats(v: Long) = {
+      val xs = vals.filter(_._1 == v).map(_._2)
+      val m = xs.sum / xs.length
+      (xs.length, m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (n0, m0, s0) = stats(0); val (n1, m1, s1) = stats(1)
+    assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1)
+    // centi-quantization + r4 rounding keep the op within tight tolerance
+    // of the exact double computation
+    assert(math.abs(r.getAs[Double]("mean0") - m0) < 0.02)
+    assert(math.abs(r.getAs[Double]("mean1") - m1) < 0.02)
+    val t = (m0 - m1) / math.sqrt(s0 / n0 + s1 / n1)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 0.01,
+      s"t ${r.getAs[Double]("t_stat")} vs exact $t")
+    val df = r.getAs[Double]("df")
+    assert(df >= math.min(n0, n1) - 1 && df <= n0 + n1 - 2)
+  }
+
+  test("parse_url family inverts the constructed url") {
+    val out = queries("q_fn_url")(spark, sf)
+    // extraction is exact: host/path/query reassemble the original url
+    val bad = out.filter(
+      concat(col("proto"), lit("://"), col("host"), col("path"),
+             lit("?"), col("query")) =!= col("url")).count()
+    assert(bad == 0)
+    assert(out.filter(col("domain") =!= "example").count() == 0)
+    assert(out.filter(col("q_lang").isNull || col("q_ref").isNull).count() == 0)
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
