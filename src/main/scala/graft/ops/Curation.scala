@@ -536,6 +536,97 @@ object Curation {
         |GROUP BY fb.doc_id ORDER BY fb.doc_id""".stripMargin
     ) { (s, d) => dsirWeights(documents(s, d), "en", 1024) },
 
+    /** Per-document novelty scoring — the redundancy signal a curation
+      * pipeline uses to downweight content already covered by EARLIER
+      * documents (crawl order = doc_id): each doc's distinct word-3-grams
+      * are split into first-occurrences (this doc has the corpus-minimum
+      * doc_id for the gram) vs already-seen, and novelty = the
+      * first-occurrence fraction. Reuses [[LlmOps.grams]], the same
+      * shingle construction as the whole dedup family.
+      *
+      * Scale shape: first-occurrence is groupBy(gram).min(doc_id) — the
+      * identical map-side-combining shape as dedupSegments, so a
+      * boilerplate gram repeated 10⁹ times collapses per-partition before
+      * the shuffle; the join back is on the gram key; the per-doc rollup
+      * is bounded by document size. */
+    OpDef(
+      "q_text_novelty",
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |    FROM docs WHERE len(toks) >= 3)),
+        |f AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g)
+        |SELECT grams.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE f.first_id = grams.doc_id) AS BIGINT)
+        |    AS n_novel,
+        |  floor((count(*) FILTER (WHERE f.first_id = grams.doc_id) * 1.0
+        |         / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+        |FROM grams JOIN f ON grams.g = f.g
+        |GROUP BY grams.doc_id ORDER BY grams.doc_id""".stripMargin
+    ) { (s, d) =>
+      val g = LlmOps.grams(documents(s, d))
+      val first = g.groupBy("g").agg(min(col("doc_id")).as("first_id"))
+      g.join(first, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             count(when(col("first_id") === col("doc_id"), 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+                Det.r6(col("n_novel") * lit(1.0) / col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    /** Chi-square test of independence over the lang × source
+      * contingency table — the "is my corpus mix confounded?" diagnostic
+      * (are languages distributed evenly across sources, or does one
+      * source dominate a language?). Three bounded aggregations (cells,
+      * row totals, column totals) + a 1-row N; the cell table is bounded
+      * by |langs|·|sources|, never the corpus. Per-cell (O−E)²/E terms
+      * are floored to BIGINT micro-units before the statistic sum, so the
+      * many-cell total is exact integer arithmetic on both engines (the
+      * same discipline as q_agg_ttest's moments). */
+    OpDef(
+      "q_agg_chisq",
+      """WITH o AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS rl FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |cells AS (
+        |  SELECT o.lang, o.source,
+        |    CAST(floor(((o.o - (r.rl * 1.0 * c.cs / n.n))
+        |                * (o.o - (r.rl * 1.0 * c.cs / n.n))
+        |                / (r.rl * 1.0 * c.cs / n.n))
+        |               * 1000000.0 + 0.5) AS BIGINT) AS ci
+        |  FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        |       AS BIGINT) AS df,
+        |  CAST(sum(ci) AS BIGINT) / 1000000.0 AS chi2
+        |FROM cells""".stripMargin
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val o = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val r = docs.groupBy("lang").agg(count(lit(1)).as("rl"))
+      val c = docs.groupBy("source").agg(count(lit(1)).as("cs"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val e = col("rl") * lit(1.0) * col("cs") / col("n")
+      val cells = o.join(r, Seq("lang")).join(c, Seq("source"))
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"),
+          floor(((col("o") - e) * (col("o") - e) / e) * lit(1000000.0)
+                + lit(0.5)).cast("long").as("ci"))
+      cells.agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1))
+          .cast("long").as("df"),
+        sum(col("ci")).as("cisum"))
+        .select(col("n_cells"), col("df"),
+                (col("cisum") / lit(1000000.0)).as("chi2"))
+    },
+
     /** URL canonicalization dedup — the crawl-frontier normalization pass
       * (RFC 3986 §6 plus the tracking-param strip every production crawler
       * applies): lowercase the host, drop the trailing slash, remove

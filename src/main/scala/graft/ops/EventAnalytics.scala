@@ -722,6 +722,58 @@ object EventAnalytics {
       fit.unionByName(fc).orderBy("x")
     },
 
+    /** Day-of-week seasonal decomposition of daily event volume — the
+      * classical-decomposition companion to q_events_trend (trend) and
+      * q_win_ewma (smoothing): seasonal component = that weekday's mean
+      * minus the overall mean, deseasonalized series = observed minus
+      * seasonal. One daily aggregate; the overall mean is a 1-row
+      * broadcast, the weekday means a ≤7-row broadcast — nothing
+      * downstream of the first aggregate scales with the corpus.
+      *
+      * Determinism: daily counts are integers, so the mean's internal
+      * double sums are integer-valued — exact at any accumulation order
+      * (the q_events_anomaly argument); means are r4-rounded before the
+      * subtraction chain. DuckDB's Sunday=0 `dayofweek` is shifted +1 to
+      * Spark's Sunday=1 convention in the oracle. */
+    OpDef(
+      "q_win_seasonal",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |mu AS (
+        |  SELECT floor((sum(y * 1.0) / count(*)) * 10000.0 + 0.5) / 10000.0
+        |           AS mu
+        |  FROM d),
+        |dw AS (
+        |  SELECT dayofweek(day) + 1 AS dow,
+        |    floor((sum(y * 1.0) / count(*)) * 10000.0 + 0.5) / 10000.0
+        |      AS dow_avg
+        |  FROM d GROUP BY 1)
+        |SELECT d.day, CAST(dw.dow AS BIGINT) AS dow, CAST(d.y AS BIGINT) AS y,
+        |  dw.dow_avg,
+        |  dw.dow_avg - mu.mu AS seasonal,
+        |  d.y - (dw.dow_avg - mu.mu) AS deseason
+        |FROM d JOIN dw ON dayofweek(d.day) + 1 = dw.dow CROSS JOIN mu
+        |ORDER BY d.day""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val mu = daily.agg(
+        Det.r4(sum(col("y") * lit(1.0)) / count(lit(1))).as("mu"))
+      val dw = daily.groupBy(dayofweek(col("day")).as("dow"))
+        .agg(Det.r4(sum(col("y") * lit(1.0)) / count(lit(1))).as("dow_avg"))
+      daily.select(col("day"), dayofweek(col("day")).as("dow"), col("y"))
+        .join(broadcast(dw), Seq("dow"))
+        .crossJoin(broadcast(mu))
+        .select(col("day"), col("dow").cast("long").as("dow"),
+                col("y").cast("long").as("y"), col("dow_avg"),
+                (col("dow_avg") - col("mu")).as("seasonal"),
+                (col("y") - (col("dow_avg") - col("mu"))).as("deseason"))
+        .orderBy("day")
+    },
+
     /** Welch's two-sample t-test between experiment cohorts (user_id
       * parity over purchase values) — the A/B significance primitive.
       * One corpus pass reduces each cohort to (n, Σv, Σv²) with values

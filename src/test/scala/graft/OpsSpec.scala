@@ -174,6 +174,55 @@ class OpsSpec extends SparkTestBase {
     assert(out.filter(col("q_lang").isNull || col("q_ref").isNull).count() == 0)
   }
 
+  test("novelty: first doc scores 1.0 and novel-gram counts conserve") {
+    val out = queries("q_text_novelty")(spark, sf).cache()
+    // the earliest doc has no predecessors: everything it says is novel
+    val first = out.orderBy("doc_id").limit(1).collect().head
+    assert(first.getAs[Double]("novelty") == 1.0)
+    // each distinct gram is novel in exactly one doc (its first)
+    val g = graft.ops.LlmOps.grams(graft.ops.Tables.documents(spark, sf))
+    assert(out.agg(sum("n_novel")).collect().head.getLong(0)
+           == g.select("g").distinct().count())
+    assert(out.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("chi-square matches the direct computation; df from table shape") {
+    val r = queries("q_agg_chisq")(spark, sf).collect().head
+    val cells = graft.ops.Tables.documents(spark, sf)
+      .groupBy("lang", "source").count().collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val langs = cells.keys.map(_._1).toSeq.distinct
+    val srcs = cells.keys.map(_._2).toSeq.distinct
+    val n = cells.values.sum.toDouble
+    val chi2 = (for { l <- langs; s <- srcs
+                      o = cells.getOrElse((l, s), 0L).toDouble
+                      e = cells.filter(_._1._1 == l).values.sum *
+                          cells.filter(_._1._2 == s).values.sum / n
+                      if o > 0 } yield (o - e) * (o - e) / e).sum
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 0.01,
+      s"chi2 ${r.getAs[Double]("chi2")} vs exact $chi2")
+    assert(r.getAs[Long]("df") == (langs.size - 1L) * (srcs.size - 1L))
+    // only observed cells enter the op (zero cells contribute E, not 0):
+    // the op counts observed cells, the full-grid df comes from distincts
+    assert(r.getAs[Long]("n_cells") == cells.size)
+  }
+
+  test("seasonal decomposition: additive identity and near-zero mean effect") {
+    val rows = queries("q_win_seasonal")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dow") >= 1 && r.getAs[Long]("dow") <= 7)
+      // y == deseason + seasonal exactly (one subtraction, no rounding)
+      assert(math.abs(r.getAs[Long]("y") -
+        (r.getAs[Double]("deseason") + r.getAs[Double]("seasonal"))) < 1e-9)
+    }
+    // day-weighted seasonal effects cancel by construction (each day
+    // carries its dow's mean-vs-overall offset; weighting by the dow's
+    // day count recovers Σ(dow_mean − mu)·n_dow ≈ 0 within r4 slack)
+    val s = rows.map(_.getAs[Double]("seasonal")).sum
+    assert(math.abs(s) < rows.length * 2e-4 + 0.02, s"seasonal sum $s")
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
