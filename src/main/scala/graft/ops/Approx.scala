@@ -547,6 +547,85 @@ object Approx {
         .orderBy("item")
     },
 
+    /** Product quantization (PQ) — the memory layout behind every serious
+      * ANN index (IVF-PQ): the 64-dim space splits into 8 subspaces of 8
+      * dims; each subvector is coded as its nearest subspace centroid
+      * (label centroids, the same deterministic coarse codebook as
+      * q_sim_ann_ivf), compressing a vector to 8 small codes plus a
+      * reconstruction error. 64 floats → 8 codes is the 32× compression
+      * that lets a 100 TB corpus's index fit in executor memory.
+      *
+      * Scale shape: the codebook is k×dim → broadcast; the n×k×8
+      * candidate-distance stream is generated and argmin-collapsed
+      * (groupBy(vec, subspace).min(struct)) inside the scan task before
+      * the shuffle, exactly like q_sample_diverse's assignment; the final
+      * code assembly is a bounded 8-way conditional aggregation.
+      * Determinism: subspace distances are r6-rounded before the argmin
+      * (ties broken by smallest centroid id) and the per-vector error sum
+      * runs in exact BIGINT micro-units. */
+    OpDef(
+      "q_vec_pq", {
+        val codeCat = (0 to 7)
+          .map(k => s"max(CASE WHEN s = $k THEN CAST(code AS VARCHAR) END)")
+          .mkString(" || '-' || ")
+        s"""WITH e AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |cpos AS (
+           |  SELECT label AS cl, i AS pos, avg(v[i]) AS cx
+           |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY 1, 2),
+           |cent AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM cpos GROUP BY cl),
+           |sub AS (
+           |  SELECT e.vec_id, c.cl, ss.s,
+           |    floor((list_sum(list_transform(range(ss.s * 8 + 1, ss.s * 8 + 9),
+           |            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS dist
+           |  FROM e, cent c, (SELECT unnest(range(0, 8)) AS s) ss),
+           |best AS (
+           |  SELECT vec_id, s, cl AS code,
+           |    CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS di
+           |  FROM (SELECT vec_id, s, cl, dist,
+           |          row_number() OVER (PARTITION BY vec_id, s
+           |                             ORDER BY dist ASC, cl ASC) AS rn
+           |        FROM sub) r WHERE rn = 1)
+           |SELECT vec_id, $codeCat AS code,
+           |  CAST(sum(di) AS BIGINT) / 1000000.0 AS err
+           |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val el = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = el
+        .select(col("label").as("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(avg(col("x")).as("cx"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+               p => p.getField("cx")).as("cv"))
+      val sub = el.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cl"), col("v"), col("cv"),
+                explode(sequence(lit(0), lit(7))).as("s"))
+        .select(col("vec_id"), col("s"), col("cl"),
+          Det.r6(expr(
+            "aggregate(sequence(s*8 + 1, s*8 + 8), CAST(0.0 AS DOUBLE), " +
+            "(acc, i) -> acc + (element_at(v, i) - element_at(cv, i)) " +
+            "* (element_at(v, i) - element_at(cv, i)))")).as("dist"))
+      val best = sub.groupBy("vec_id", "s")
+        .agg(min(struct(col("dist"), col("cl"))).as("b"))
+        .select(col("vec_id"), col("s"), col("b.cl").as("code"),
+                floor(col("b.dist") * lit(1000000.0) + lit(0.5)).cast("long")
+                  .as("di"))
+      best.groupBy("vec_id")
+        .agg(concat_ws("-", (0 to 7).map(k =>
+               max(when(col("s") === k, col("code"))).cast("string")): _*)
+               .as("code"),
+             sum(col("di")).as("disum"))
+        .select(col("vec_id"), col("code"),
+                (col("disum") / lit(1000000.0)).as("err"))
+        .orderBy("vec_id")
+    },
+
     /** Distributed PCA, top component by power iteration — the
       * dimensionality-reduction / whitening primitive of an embedding
       * pipeline, run entirely as DataFrame aggregations: (1) the 64×64

@@ -627,6 +627,58 @@ object Curation {
                 (col("cisum") / lit(1000000.0)).as("chi2"))
     },
 
+    /** Cluster topic labeling — the "what is this embedding cluster
+      * about?" readout of a semantic-dedup/diversity pipeline: join docs
+      * to their embedding labels, score tokens per cluster by TF·IDF
+      * (IDF over clusters, not docs — a topic term is one concentrated in
+      * few clusters), keep the top 3 per cluster.
+      *
+      * Scale shape: token TF is a groupBy with map-side combine; the
+      * cluster-DF table is vocabulary-bounded and never joins the corpus
+      * (it joins the TF table); the 1-row cluster count broadcasts; the
+      * per-cluster top-3 is WindowGroupLimit — partial top-k per
+      * partition before the exchange, never a global sort. */
+    OpDef(
+      "q_text_cluster_topics",
+      """WITH dl AS (
+        |  SELECT d.text, e.label
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |bag AS (
+        |  SELECT label, unnest(string_split(text, ' ')) AS tok FROM dl),
+        |tf AS (SELECT label, tok, count(*) AS tf FROM bag GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |k AS (SELECT count(DISTINCT label) AS k FROM tf),
+        |sc AS (
+        |  SELECT tf.label, tf.tok,
+        |    floor((tf.tf * ln((k.k + 1.0) / (df.df + 1.0)))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN k)
+        |SELECT label, CAST(rnk AS BIGINT) AS rnk, tok, score FROM (
+        |  SELECT label, tok, score,
+        |    row_number() OVER (PARTITION BY label
+        |                       ORDER BY score DESC, tok ASC) AS rnk
+        |  FROM sc) r
+        |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
+    ) { (s, d) =>
+      val dl = documents(s, d)
+        .join(embeddings(s, d).select(col("vec_id"), col("label")),
+              col("doc_id") === col("vec_id"))
+      val tf = dl.select(col("label"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("label", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val k = tf.agg(countDistinct(col("label")).as("k"))
+      val sc = tf.join(dfT, Seq("tok")).crossJoin(broadcast(k))
+        .select(col("label"), col("tok"),
+          Det.r6(col("tf") * log((col("k") + lit(1.0)) / (col("df") + lit(1.0))))
+            .as("score"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("score").desc, col("tok").asc)
+      sc.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("label"), col("rnk"), col("tok"), col("score"))
+        .orderBy("label", "rnk")
+    },
+
     /** URL canonicalization dedup — the crawl-frontier normalization pass
       * (RFC 3986 §6 plus the tracking-param strip every production crawler
       * applies): lowercase the host, drop the trailing slash, remove

@@ -722,6 +722,59 @@ object EventAnalytics {
       fit.unionByName(fc).orderBy("x")
     },
 
+    /** Time-constrained conversion funnel — q_events_funnel counts users
+      * who EVER advanced; real funnel analysis bounds each step by a
+      * window (here: first purchase within 24 HOURS of the user's first
+      * click), which is what separates attribution from coincidence. Two
+      * per-user aggregates joined on user_id, then two 1-row frames cross
+      * joined — everything after the scans is user-bounded.
+      *
+      * Determinism: timestamps are µs-exact on both engines (the Tables
+      * loader contract), so delays are exact BIGINT µs and their sums
+      * are associative; rates and mean delay round once at the end. */
+    OpDef(
+      "q_events_window_funnel",
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ct
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p0 AS (
+        |  SELECT e.user_id,
+        |    epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(c.ct) AS delay_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) > c.ct
+        |    AND CAST(e.ts AS TIMESTAMP) <= c.ct + INTERVAL 24 HOUR),
+        |p AS (SELECT user_id, min(delay_us) AS delay_us FROM p0 GROUP BY 1),
+        |s1 AS (SELECT count(*) AS n_click FROM c),
+        |s2 AS (SELECT count(*) AS n_conv,
+        |              CAST(sum(delay_us) AS BIGINT) AS sdelay FROM p)
+        |SELECT n_click, n_conv,
+        |  floor((n_conv * 1.0 / n_click) * 1000000.0 + 0.5) / 1000000.0
+        |    AS conv_rate,
+        |  floor((sdelay * 1.0 / n_conv / 1000000.0) * 10000.0 + 0.5) / 10000.0
+        |    AS avg_delay_s
+        |FROM s1, s2""".stripMargin
+    ) { (s, d) =>
+      val ev = events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pt"))
+        .join(c, Seq("user_id"))
+        .filter(col("pt") > col("ct") &&
+                col("pt") <= col("ct") + expr("INTERVAL 24 HOUR"))
+        .select(col("user_id"),
+                (unix_micros(col("pt")) - unix_micros(col("ct"))).as("delay_us"))
+        .groupBy("user_id").agg(min(col("delay_us")).as("delay_us"))
+      c.agg(count(lit(1)).as("n_click"))
+        .crossJoin(p.agg(count(lit(1)).as("n_conv"),
+                         sum(col("delay_us")).as("sdelay")))
+        .select(col("n_click"), col("n_conv"),
+          Det.r6(col("n_conv") * lit(1.0) / col("n_click")).as("conv_rate"),
+          Det.r4(col("sdelay") * lit(1.0) / col("n_conv") / lit(1000000.0))
+            .as("avg_delay_s"))
+    },
+
     /** Day-of-week seasonal decomposition of daily event volume — the
       * classical-decomposition companion to q_events_trend (trend) and
       * q_win_ewma (smoothing): seasonal component = that weekday's mean

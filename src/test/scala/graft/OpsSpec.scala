@@ -223,6 +223,63 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(s) < rows.length * 2e-4 + 0.02, s"seasonal sum $s")
   }
 
+  test("pq: 8-field codes and subspace-wise coding dominates whole-vector coding") {
+    val out = queries("q_vec_pq")(spark, sf).cache()
+    out.collect().foreach { r =>
+      val parts = r.getAs[String]("code").split("-")
+      assert(parts.length == 8 && parts.forall(p => p.toInt >= 0))
+      assert(r.getAs[Double]("err") >= 0.0)
+    }
+    // Σ_s min_c d_s(c) ≤ min_c Σ_s d_s(c): per-subspace free choice can
+    // never lose to forcing one centroid for the whole vector — compare
+    // against the single-nearest-full-centroid error (rounding slack 8e-6)
+    val el = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = el
+      .select(col("label").as("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cl", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("cl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+             p => p.getField("cx")).as("cv"))
+    val full = el.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        expr("aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) -> " +
+             "acc + (element_at(v, i) - element_at(cv, i)) " +
+             "* (element_at(v, i) - element_at(cv, i)))").as("d"))
+      .groupBy("vec_id").agg(min(col("d")).as("best_full"))
+    val viol = out.join(full, Seq("vec_id"))
+      .filter(col("err") > col("best_full") + 8e-6).count()
+    assert(viol == 0, s"$viol vectors where PQ lost to whole-vector coding")
+    out.unpersist()
+  }
+
+  test("windowed funnel: rate arithmetic and delay bounds hold") {
+    val r = queries("q_events_window_funnel")(spark, sf).collect().head
+    val (nc, nv) = (r.getAs[Long]("n_click"), r.getAs[Long]("n_conv"))
+    assert(nv <= nc && nv > 0)
+    assert(math.abs(r.getAs[Double]("conv_rate") - nv.toDouble / nc) < 1e-5)
+    val delay = r.getAs[Double]("avg_delay_s")
+    assert(delay > 0 && delay <= 86400, s"mean delay $delay outside (0, 24h]")
+    // the windowed funnel can never out-convert the unconstrained one
+    val anyPurchase = graft.ops.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(nv <= anyPurchase)
+  }
+
+  test("cluster topics: top-3 per cluster, ranked by score") {
+    val rows = queries("q_text_cluster_topics")(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.size == 10, s"${byLabel.size} clusters")
+    byLabel.values.foreach { rs =>
+      assert(rs.length == 3)
+      val ordered = rs.sortBy(_.getAs[Long]("rnk"))
+      val scores = ordered.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)

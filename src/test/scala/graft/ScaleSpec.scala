@@ -371,6 +371,63 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("dsir weights broadcast the bucket-bounded feature tables") {
+    // both the log-ratio table (≤1024 rows by hash geometry) and the
+    // 1-row totals must broadcast; a SortMergeJoin would mean the
+    // corpus-sized token stream shuffles against a table that can never
+    // exceed the bucket count
+    val plan = SparkEntry.queries("q_sample_dsir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"feature lookup must broadcast:\n$plan")
+  }
+
+  test("pca covariance collapses map-side; iteration adds no shuffles") {
+    // the n·d² outer-product stream must partial-aggregate inside the
+    // scan stage (partial_sum under the idx-keyed HashAggregate), so the
+    // exchange carries ≤4096 rows per partition — a window or non-partial
+    // shape would shuffle the full expanded stream
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.select(
+      expr("transform(v, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
+        .as("qv"))
+    val flat = q.select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .groupBy((col("i") * 64 + col("j")).as("idx"))
+      .agg(sum(col("qi") * col("qj")).as("c"))
+    val plan = flat.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"outer-product must partial-aggregate map-side:\n$plan")
+    // exactly 4096 cells leave the aggregation regardless of corpus size
+    assert(flat.count() == 4096)
+  }
+
+  test("novelty first-occurrence is an aggregate join, not a window") {
+    // same discipline as segment dedup: a hot boilerplate gram must
+    // collapse map-side in groupBy(g).min, never funnel through one
+    // window task
+    val plan = SparkEntry.queries("q_text_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"first-occurrence must be an agg:\n$plan")
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("trend/seasonal/ttest reduce to bounded broadcast frames") {
+    // each stats op's only corpus-sized work is the first aggregate; the
+    // coefficient/mean/moment frames join back by broadcast (trend,
+    // seasonal) or collapse to one row (ttest) — a SortMergeJoin anywhere
+    // means a bounded frame shuffled the corpus
+    Seq("q_events_trend", "q_win_seasonal", "q_agg_ttest").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: bounded frames must broadcast:\n$plan")
+    }
+  }
+
   test("diversity sample: map-side argmax assignment, per-cell pick via WindowGroupLimit") {
     val plan = SparkEntry.queries("q_sample_diverse")(spark, sf)
       .queryExecution.executedPlan.toString
