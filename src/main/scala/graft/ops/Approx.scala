@@ -626,6 +626,156 @@ object Approx {
         .orderBy("vec_id")
     },
 
+    /** IVF-PQ search — the full composition of the coarse quantizer
+      * (q_sim_ann_ivf) and the PQ codebook (q_vec_pq), i.e. how a real
+      * 100 TB ANN index answers a query: (1) probe the 6 nearest coarse
+      * cells, (2) score ONLY vectors in probed cells by asymmetric
+      * distance computation — the query's 8×k subspace-distance table
+      * (640 rows, broadcast) looked up per stored CODE, never touching
+      * stored vectors, (3) exact re-rank of the 64-deep shortlist. The
+      * 6/64 operating point holds top-8 recall ≈ 0.6 on the fixture's
+      * NEAR-UNIFORM embedding cloud (a recall sweep showed shortlist
+      * depth, i.e. PQ resolution, is the binding constraint there —
+      * label-clustered real embeddings quantize far better); ApproxSpec
+      * pins the recall floor. The
+      * only corpus-sized joins key on cell/code ids; the ADC lookup table
+      * is bounded by queries × subspaces × codebook, and per-candidate PQ
+      * distances sum in exact BIGINT micro-units.
+      *
+      * Fully deterministic (label centroids, r6-before-rank, id
+      * tie-breaks) ⇒ oracle-checked, like q_sim_ann_ivf and unlike the
+      * MLlib BRP family. */
+    OpDef(
+      "q_sim_ivfpq", {
+        def l2(a: String, b: String, lo: String, hi: String) =
+          s"floor((list_sum(list_transform(range($lo, $hi), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) * 1000000.0 + 0.5) / 1000000.0"
+        s"""WITH e AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |cpos AS (
+           |  SELECT label AS cl, i AS pos, avg(v[i]) AS cx
+           |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY 1, 2),
+           |cent AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM cpos GROUP BY cl),
+           |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+           |probes AS (
+           |  SELECT qid, cl FROM (
+           |    SELECT q.qid, c.cl,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY ${l2("q.qv", "c.cv", "1", "65")} ASC, c.cl ASC) AS rn
+           |    FROM qs q, cent c) r WHERE rn <= 6),
+           |asg AS (
+           |  SELECT vec_id, cl AS cell FROM (
+           |    SELECT e.vec_id, c.cl,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2("e.v", "c.cv", "1", "65")} ASC, c.cl ASC) AS rn
+           |    FROM e, cent c) r WHERE rn = 1),
+           |sub AS (
+           |  SELECT e.vec_id, c.cl, ss.s,
+           |    ${l2("e.v", "c.cv", "ss.s * 8 + 1", "ss.s * 8 + 9")} AS dist
+           |  FROM e, cent c, (SELECT unnest(range(0, 8)) AS s) ss),
+           |codes AS (
+           |  SELECT vec_id, s, cl AS code FROM (
+           |    SELECT vec_id, s, cl,
+           |      row_number() OVER (PARTITION BY vec_id, s
+           |                         ORDER BY dist ASC, cl ASC) AS rn
+           |    FROM sub) r WHERE rn = 1),
+           |adc AS (
+           |  SELECT q.qid, ss.s, c.cl AS code,
+           |    CAST(floor((${l2("q.qv", "c.cv", "ss.s * 8 + 1", "ss.s * 8 + 9")})
+           |         * 1000000.0 + 0.5) AS BIGINT) AS dqi
+           |  FROM qs q, cent c, (SELECT unnest(range(0, 8)) AS s) ss),
+           |cand AS (
+           |  SELECT p.qid, a.vec_id, CAST(sum(ad.dqi) AS BIGINT) AS dpq
+           |  FROM asg a JOIN probes p ON a.cell = p.cl
+           |  JOIN codes cd ON cd.vec_id = a.vec_id
+           |  JOIN adc ad ON ad.qid = p.qid AND ad.s = cd.s AND ad.code = cd.code
+           |  WHERE p.qid <> a.vec_id
+           |  GROUP BY p.qid, a.vec_id),
+           |short AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid
+           |                         ORDER BY dpq ASC, vec_id ASC) AS rn
+           |    FROM cand) r WHERE rn <= 64),
+           |rr AS (
+           |  SELECT sh.qid, sh.vec_id, ${l2("q.qv", "e.v", "1", "65")} AS dist
+           |  FROM short sh JOIN qs q ON sh.qid = q.qid
+           |  JOIN e ON sh.vec_id = e.vec_id)
+           |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist FROM (
+           |  SELECT qid, vec_id, dist,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY dist ASC, vec_id ASC) AS rnk
+           |  FROM rr) f
+           |WHERE rnk <= 8 ORDER BY qid, rnk""".stripMargin
+      }
+    ) { (s, d) =>
+      val el = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = el
+        .select(col("label").as("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(avg(col("x")).as("cx"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+               p => p.getField("cx")).as("cv"))
+      def l2(a: String, b: String) = Det.r6(expr(
+        s"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) -> " +
+        s"acc + (element_at($a, i) - element_at($b, i)) " +
+        s"* (element_at($a, i) - element_at($b, i)))"))
+      def l2sub(a: String, b: String) = Det.r6(expr(
+        s"aggregate(sequence(s*8 + 1, s*8 + 8), CAST(0.0 AS DOUBLE), (acc, i) -> " +
+        s"acc + (element_at($a, i) - element_at($b, i)) " +
+        s"* (element_at($a, i) - element_at($b, i)))"))
+      val qs = el.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("dc").asc, col("cl").asc)
+      val probes = qs.crossJoin(broadcast(cent))
+        .select(col("qid"), col("cl"), l2("qv", "cv").as("dc"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 6)
+        .select(col("qid"), col("cl").as("cell"))
+      val asg = el.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cl"), l2("v", "cv").as("dv"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dv"), col("cl"))).as("m"))
+        .select(col("vec_id"), col("m.cl").as("cell"))
+      val codes = el.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cl"), col("v"), col("cv"),
+                explode(sequence(lit(0), lit(7))).as("s"))
+        .select(col("vec_id"), col("s"), col("cl"), l2sub("v", "cv").as("dist"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("dist"), col("cl"))).as("b"))
+        .select(col("vec_id"), col("s"), col("b.cl").as("code"))
+      val adc = qs.crossJoin(broadcast(cent))
+        .select(col("qid"), col("cl").as("code"), col("qv"), col("cv"),
+                explode(sequence(lit(0), lit(7))).as("s"))
+        .select(col("qid"), col("s"), col("code"),
+          floor(l2sub("qv", "cv") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("dqi"))
+      val cand = asg.join(broadcast(probes), Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(adc), Seq("qid", "s", "code"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(col("dqi")).as("dpq"))
+      val w16 = Window.partitionBy(col("qid"))
+        .orderBy(col("dpq").asc, col("vec_id").asc)
+      val short = cand.withColumn("rn", row_number().over(w16))
+        .filter(col("rn") <= 64).select("qid", "vec_id")
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      short.join(qs, Seq("qid"))
+        .join(el.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), l2("qv", "v").as("dist"))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 8)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+        .orderBy("qid", "rnk")
+    },
+
     /** Distributed PCA, top component by power iteration — the
       * dimensionality-reduction / whitening primitive of an embedding
       * pipeline, run entirely as DataFrame aggregations: (1) the 64×64

@@ -722,6 +722,40 @@ object EventAnalytics {
       fit.unionByName(fc).orderBy("x")
     },
 
+    /** Top common 3-step event paths — the sequence-mining primitive
+      * behind "how do users actually reach checkout?": consecutive
+      * event-type triples per user (two leads over one per-user window),
+      * counted and top-10'd. The window is bounded by per-user history;
+      * the path table is bounded by |event types|³; the top-10 is
+      * TakeOrderedAndProject, never a global sort. */
+    OpDef(
+      "q_events_paths",
+      """WITH s AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)),
+        |p AS (
+        |  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM p ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_type").as("e1"),
+                lead(col("event_type"), 1).over(w).as("e2"),
+                lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
+    },
+
     /** Time-constrained conversion funnel — q_events_funnel counts users
       * who EVER advanced; real funnel analysis bounds each step by a
       * window (here: first purchase within 24 HOURS of the user's first

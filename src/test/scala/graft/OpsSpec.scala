@@ -280,6 +280,24 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("path mining: triple counts conserve against per-user history lengths") {
+    val rows = queries("q_events_paths")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[String]("path").split(">").length == 3)
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // counts descend (deterministic top-10 ordering)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // total triples across ALL paths = Σ_user max(0, |history| − 2); the
+    // top-10 can't exceed that
+    val total = graft.ops.Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .agg(sum(greatest(col("count") - 2, lit(0L)))).collect().head.getLong(0)
+    assert(ns.sum <= total)
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
