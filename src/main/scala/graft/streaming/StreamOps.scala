@@ -267,6 +267,23 @@ object StreamOps {
       .filter(size(split(col("text"), " ")) >= minToks)
       .select("doc_id", "ts", "lang", "rate", "text")
 
+  /** Stateless streaming anomaly gate — q_events_anomaly's monitoring
+    * shape applied at INGEST: each event joins the per-type (mean,
+    * stddev) baseline — broadcast, since the baseline is bounded by the
+    * event-type vocabulary, never by history — and is flagged when its
+    * value sits more than `z`·σ from the baseline mean. Zero-variance
+    * types are unjudgeable and pass through unflagged (same guard as the
+    * batch op). Entirely map-only ⇒ NO streaming state, and a batch
+    * backfill over the identical rows produces the identical flags
+    * (StreamingSpec pins the equivalence). */
+  def streamingAnomalyGate(events: DataFrame, baseline: DataFrame,
+                           z: Double): DataFrame =
+    events.join(broadcast(baseline), Seq("event_type"))
+      .filter(col("sd") > 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              ((col("value") - col("mu")) / col("sd")).as("zscore"))
+      .filter(abs(col("zscore")) > z)
+
   /** Stream–static enrichment join (static side broadcast per micro-batch). */
   def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),

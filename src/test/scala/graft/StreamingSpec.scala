@@ -348,6 +348,37 @@ class StreamingSpec extends SparkTestBase {
     assert(!streamed.exists(_ % 10 == 0), "short docs quality-floored")
   }
 
+  test("streaming anomaly gate flags exactly what the batch twin flags") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val baseline = Seq(("purchase", 100.0, 10.0), ("click", 1.0, 0.0))
+      .toDF("event_type", "mu", "sd")
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.streamingAnomalyGate(ms.toDF(), baseline, 2.0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", 3, "purchase", 100.0), // z = 0
+      ev(2, "2024-01-01 10:00:01", 3, "purchase", 135.0), // z = 3.5 → flag
+      ev(3, "2024-01-01 10:00:02", 4, "purchase", 75.0),  // z = −2.5 → flag
+      ev(4, "2024-01-01 10:00:03", 4, "purchase", 119.0), // z = 1.9
+      ev(5, "2024-01-01 10:00:04", 5, "click", 9999.0),   // sd = 0: passes
+      ev(6, "2024-01-01 10:00:05", 5, "view", 1.0))       // no baseline row
+    ms.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(evs.drop(3): _*) // second micro-batch: stateless gate
+    q.processAllAvailable()
+    val streamed = spark.table(name).collect()
+      .map(r => r.getAs[Long]("event_id")).toSet
+    q.stop()
+    assert(streamed == Set(2L, 3L), s"got $streamed")
+    // batch backfill over the identical rows flags the identical events
+    val batch = StreamOps.streamingAnomalyGate(evs.toDF(), baseline, 2.0)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(batch == streamed)
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
