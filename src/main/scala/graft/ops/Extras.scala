@@ -548,6 +548,127 @@ object Extras {
       agg.select(explode(array(rows: _*)).as("r"))
         .select("r.*")
         .orderBy("column_name")
+    },
+
+    /** 2-D skyline (Pareto frontier): parts dominated by no other part
+      * that is both strictly cheaper AND strictly bigger. NOT the naive
+      * O(n²) anti-join: group to the distinct-price table, cummax the
+      * per-price max size over a rows-frame of strictly-cheaper prices
+      * (distinctness makes the rows-frame exactly "price < current"),
+      * and a part survives iff that cummax doesn't exceed its size. The
+      * ordered pass runs over DISTINCT prices — at 100 TB the range
+      * partitioner shards that sort; everything else is groupBy/join on
+      * the price key. */
+    OpDef(
+      "q_agg_skyline",
+      """WITH ps AS (
+        |  SELECT p_retailprice AS price, max(p_size) AS ms
+        |  FROM part GROUP BY 1),
+        |cm AS (
+        |  SELECT price,
+        |    max(ms) OVER (ORDER BY price ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS cheaper_max
+        |  FROM ps)
+        |SELECT p.p_partkey, p.p_retailprice AS price,
+        |       CAST(p.p_size AS BIGINT) AS psize
+        |FROM part p JOIN cm ON p.p_retailprice = cm.price
+        |WHERE cm.cheaper_max IS NULL OR cm.cheaper_max <= p.p_size
+        |ORDER BY price, p_partkey""".stripMargin
+    ) { (s, d) =>
+      val ps = part(s, d).groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("ms"))
+      val w = Window.orderBy(col("price").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cm = ps.select(col("price"), max(col("ms")).over(w).as("cheaper_max"))
+      part(s, d).join(cm, col("p_retailprice") === col("price"))
+        .filter(col("cheaper_max").isNull || col("cheaper_max") <= col("p_size"))
+        .select(col("p_partkey"), col("price"),
+                col("p_size").cast("long").as("psize"))
+        .orderBy("price", "p_partkey")
+    },
+
+    /** Benford first-digit audit — the fraud/synthetic-data screen every
+      * financial DQ suite runs: observed first-digit frequencies of order
+      * totals vs Benford's log₁₀(1 + 1/d), with per-digit χ²-style
+      * deviation terms. One 9-group aggregation; digit extraction is a
+      * map-only string op (identical on both engines, unlike float
+      * log-arithmetic on the value itself). */
+    OpDef(
+      "q_dq_benford",
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  floor((n * 1.0 / total) * 1000000.0 + 0.5) / 1000000.0 AS obs,
+        |  floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5) / 1000000.0
+        |    AS expected,
+        |  floor((((n * 1.0 / total) - log10(1.0 + 1.0 / digit))
+        |         * ((n * 1.0 / total) - log10(1.0 + 1.0 / digit))
+        |         / log10(1.0 + 1.0 / digit)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS dev
+        |FROM c, t ORDER BY digit""".stripMargin
+    ) { (s, d) =>
+      val dg = orders(s, d).filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+                          1, 1).cast("long").as("digit"))
+      val c = dg.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"))
+      val obs = col("n") * lit(1.0) / col("total")
+      val ben = log10(lit(1.0) + lit(1.0) / col("digit"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n").cast("long").as("n"),
+                Det.r6(obs).as("obs"), Det.r6(ben).as("expected"),
+                Det.r6((obs - ben) * (obs - ben) / ben).as("dev"))
+        .orderBy("digit")
+    },
+
+    /** Per-nation Gini coefficient of customer spend — the inequality /
+      * concentration metric (is revenue dominated by a few accounts?).
+      * Spend is centi-quantized so the rank-weighted sums are EXACT
+      * BIGINTs (Σi·xᵢ with i from a per-nation row_number window —
+      * bounded by nation size, never corpus-wide), then
+      * G = (2Σi·xᵢ − (n+1)Σxᵢ) / (n·Σxᵢ) rounds once. */
+    OpDef(
+      "q_agg_gini",
+      """WITH sp AS (
+        |  SELECT c.c_nationkey AS nation, c.c_custkey,
+        |    CAST(floor(sum(o.o_totalprice) * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nation, x,
+        |    row_number() OVER (PARTITION BY nation
+        |                       ORDER BY x ASC, c_custkey ASC) AS i
+        |  FROM sp),
+        |g AS (
+        |  SELECT nation, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM r GROUP BY nation)
+        |SELECT nation, CAST(n AS BIGINT) AS n_cust,
+        |  floor(((2.0 * six - (n + 1.0) * sx) / (n * 1.0 * sx))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS gini
+        |FROM g WHERE sx > 0 ORDER BY nation""".stripMargin
+    ) { (s, d) =>
+      val sp = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("nation"), col("c_custkey"))
+        .agg(floor(sum(col("o_totalprice")) * lit(100.0) + lit(0.5))
+               .cast("long").as("x"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("x").asc, col("c_custkey").asc)
+      val r = sp.withColumn("i", row_number().over(w))
+      r.groupBy("nation")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("i") * col("x")).as("six"))
+        .filter(col("sx") > 0)
+        .select(col("nation"), col("n").cast("long").as("n_cust"),
+          Det.r6((lit(2.0) * col("six") - (col("n") + lit(1.0)) * col("sx"))
+                 / (col("n") * lit(1.0) * col("sx"))).as("gini"))
+        .orderBy("nation")
     }
   )
 }

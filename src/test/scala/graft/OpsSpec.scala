@@ -298,6 +298,59 @@ class OpsSpec extends SparkTestBase {
     assert(ns.sum <= total)
   }
 
+  test("skyline: no internal dominance; every excluded part is dominated") {
+    val sky = queries("q_agg_skyline")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"),
+                 r.getAs[Double]("price"), r.getAs[Long]("psize")))
+    // no skyline member dominates another (strictly cheaper AND bigger)
+    for (a <- sky; b <- sky if a._1 != b._1)
+      assert(!(a._2 < b._2 && a._3 > b._3),
+        s"${a._1} dominates ${b._1} inside the skyline")
+    // completeness: strict 2-D dominance chains terminate on the frontier,
+    // so every non-member must be dominated by some skyline member
+    val all = graft.ops.Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+    val skyIds = sky.map(_._1).toSet
+    all.filterNot(p => skyIds(p._1)).foreach { p =>
+      assert(sky.exists(s => s._2 < p._2 && s._3 > p._3),
+        s"excluded part ${p._1} is not dominated")
+    }
+  }
+
+  test("benford: digit totals conserve and both distributions sum to 1") {
+    val rows = queries("q_dq_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    val orders = graft.ops.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 1.0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == orders)
+    assert(math.abs(rows.map(_.getAs[Double]("obs")).sum - 1.0) < 1e-4)
+    // Benford masses for digits PRESENT sum to ≤ 1 (== 1 when all 9 occur)
+    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(expSum <= 1.0 + 1e-4)
+    if (rows.length == 9) assert(math.abs(expSum - 1.0) < 1e-4)
+  }
+
+  test("gini matches a direct computation and stays in [0, 1)") {
+    val out = queries("q_agg_gini")(spark, sf).collect()
+      .map(r => r.getAs[Int]("nation") -> r.getAs[Double]("gini")).toMap
+    assert(out.values.forall(g => g >= 0.0 && g < 1.0))
+    // direct recomputation for the largest nation
+    val sp = graft.ops.Tables.customer(spark, sf)
+      .join(graft.ops.Tables.orders(spark, sf),
+            col("c_custkey") === col("o_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(sum("o_totalprice").as("x")).collect()
+      .map(r => (r.getInt(0), r.getDouble(2)))
+    val (nation, xs0) = sp.groupBy(_._1).maxBy(_._2.length)
+    val xs = xs0.map(_._2).sorted
+    val n = xs.length
+    val direct = (2.0 * xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+                  - (n + 1) * xs.sum) / (n * xs.sum)
+    assert(math.abs(out(nation) - direct) < 1e-3,
+      s"nation $nation gini ${out(nation)} vs direct $direct")
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
