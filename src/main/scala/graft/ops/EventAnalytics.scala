@@ -722,6 +722,51 @@ object EventAnalytics {
       fit.unionByName(fc).orderBy("x")
     },
 
+    /** Full cohort retention matrix — q_events_retention generalized from
+      * the single day-7 column to the standard triangle artifact: for
+      * each first-seen cohort, the distinct users active at every offset
+      * 0..7 days, with rates against the cohort's own day-0 size. One
+      * distinct-(user, day) pass; the per-cohort size table is bounded by
+      * the number of cohorts → broadcast join for the rate column. */
+    OpDef(
+      "q_events_cohort_matrix",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+        |m AS (
+        |  SELECT f.cohort_day, act.day - f.cohort_day AS off,
+        |         count(*) AS n_users
+        |  FROM act JOIN f ON act.user_id = f.user_id
+        |  WHERE act.day - f.cohort_day BETWEEN 0 AND 7
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, n_users AS base FROM m WHERE off = 0)
+        |SELECT m.cohort_day, CAST(m.off AS BIGINT) AS off,
+        |  CAST(m.n_users AS BIGINT) AS n_users,
+        |  floor((m.n_users * 1.0 / sz.base) * 10000.0 + 0.5) / 10000.0
+        |    AS retention
+        |FROM m JOIN sz ON m.cohort_day = sz.cohort_day
+        |ORDER BY m.cohort_day, off""".stripMargin
+    ) { (s, d) =>
+      val act = events(s, d)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      val f = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val m = act.join(f, Seq("user_id"))
+        .select(col("cohort_day"),
+                datediff(col("day"), col("cohort_day")).cast("long").as("off"))
+        .filter(col("off").between(0, 7))
+        .groupBy("cohort_day", "off").agg(count(lit(1)).as("n_users"))
+      val sz = m.filter(col("off") === 0)
+        .select(col("cohort_day"), col("n_users").as("base"))
+      m.join(broadcast(sz), Seq("cohort_day"))
+        .select(col("cohort_day"), col("off"),
+                col("n_users").cast("long").as("n_users"),
+                Det.r4(col("n_users") * lit(1.0) / col("base")).as("retention"))
+        .orderBy("cohort_day", "off")
+    },
+
     /** Top common 3-step event paths — the sequence-mining primitive
       * behind "how do users actually reach checkout?": consecutive
       * event-type triples per user (two leads over one per-user window),

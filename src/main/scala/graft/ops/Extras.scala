@@ -626,6 +626,82 @@ object Extras {
         .orderBy("digit")
     },
 
+    /** Population Stability Index between time halves of the order stream
+      * — the canonical ML-monitoring drift metric (has the price
+      * distribution shifted since the reference window?): decile
+      * boundaries from the BASELINE half (broadcast, the q_agg_eqdepth
+      * route — no global ntile sort), map-only bucket assignment for both
+      * halves, add-1-smoothed shares, per-bucket (pA−pB)·ln(pA/pB)
+      * contributions. Everything after the two bucket aggregates is
+      * 10-row arithmetic. Shares are r6-rounded BEFORE the log-ratio so
+      * both engines feed ln identical doubles. */
+    OpDef(
+      "q_dq_psi",
+      """WITH a AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |bt AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |bo AS (
+        |  SELECT list_transform(
+        |    quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    q -> floor(q * 10000.0 + 0.5) / 10000.0) AS bs
+        |  FROM a),
+        |ca AS (
+        |  SELECT CAST(len(list_filter(bo.bs, x -> a.v > x)) AS BIGINT) AS bin,
+        |         count(*) AS n_a
+        |  FROM a, bo GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(len(list_filter(bo.bs, x -> bt.v > x)) AS BIGINT) AS bin,
+        |         count(*) AS n_b
+        |  FROM bt, bo GROUP BY 1),
+        |t AS (SELECT (SELECT count(*) FROM a) AS ta,
+        |             (SELECT count(*) FROM bt) AS tb),
+        |j AS (
+        |  SELECT coalesce(ca.bin, cb.bin) AS bin,
+        |    coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+        |  FROM ca FULL JOIN cb ON ca.bin = cb.bin),
+        |p AS (
+        |  SELECT bin, n_a, n_b,
+        |    floor(((n_a + 1.0) / (t.ta + 10.0)) * 1000000.0 + 0.5) / 1000000.0
+        |      AS pa,
+        |    floor(((n_b + 1.0) / (t.tb + 10.0)) * 1000000.0 + 0.5) / 1000000.0
+        |      AS pb
+        |  FROM j, t)
+        |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  pa, pb,
+        |  floor(((pa - pb) * ln(pa / pb)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS contrib
+        |FROM p ORDER BY bin""".stripMargin
+    ) { (s, d) =>
+      val cut = lit("1998-01-01").cast("timestamp")
+      val o = orders(s, d)
+      val a = o.filter(col("o_orderdate") < cut).select(col("o_totalprice").as("v"))
+      val bt = o.filter(col("o_orderdate") >= cut).select(col("o_totalprice").as("v"))
+      val bounds = a.agg(transform(
+        expr("percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"),
+        q => Det.r4(q)).as("bs"))
+      def binCounts(df: org.apache.spark.sql.DataFrame, cn: String) =
+        df.crossJoin(broadcast(bounds))
+          .select(size(filter(col("bs"), x => col("v") > x)).cast("long").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as(cn))
+      val t = a.agg(count(lit(1)).as("ta"))
+        .crossJoin(bt.agg(count(lit(1)).as("tb")))
+      val j = binCounts(a, "n_a").join(binCounts(bt, "n_b"), Seq("bin"), "full")
+        .select(col("bin"),
+                coalesce(col("n_a"), lit(0L)).as("n_a"),
+                coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .crossJoin(broadcast(t))
+      val pa = Det.r6((col("n_a") + lit(1.0)) / (col("ta") + lit(10.0)))
+      val pb = Det.r6((col("n_b") + lit(1.0)) / (col("tb") + lit(10.0)))
+      j.select(col("bin"), col("n_a"), col("n_b"), pa.as("pa"), pb.as("pb"))
+        .select(col("bin"), col("n_a"), col("n_b"), col("pa"), col("pb"),
+                Det.r6((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+                  .as("contrib"))
+        .orderBy("bin")
+    },
+
     /** Per-nation Gini coefficient of customer spend — the inequality /
       * concentration metric (is revenue dominated by a few accounts?).
       * Spend is centi-quantized so the rank-weighted sums are EXACT

@@ -351,6 +351,39 @@ class OpsSpec extends SparkTestBase {
       s"nation $nation gini ${out(nation)} vs direct $direct")
   }
 
+  test("psi: buckets conserve, shares normalize, contributions non-negative") {
+    val rows = queries("q_dq_psi")(spark, sf).collect()
+    val cut = lit("1998-01-01").cast("timestamp")
+    val o = graft.ops.Tables.orders(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_a")).sum
+           == o.filter(col("o_orderdate") < cut).count())
+    assert(rows.map(_.getAs[Long]("n_b")).sum
+           == o.filter(col("o_orderdate") >= cut).count())
+    // smoothed shares normalize (10 buckets × add-1 over total+10)
+    assert(math.abs(rows.map(_.getAs[Double]("pa")).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getAs[Double]("pb")).sum - 1.0) < 1e-3)
+    // (pa−pb) and ln(pa/pb) always share sign ⇒ contrib ≥ 0
+    assert(rows.forall(_.getAs[Double]("contrib") >= -1e-6))
+  }
+
+  test("cohort matrix: day-0 identity and day-7 column equals q_events_retention") {
+    val m = queries("q_events_cohort_matrix")(spark, sf).collect()
+    m.filter(_.getAs[Long]("off") == 0)
+      .foreach(r => assert(r.getAs[Double]("retention") == 1.0))
+    assert(m.forall(r => r.getAs[Double]("retention") <= 1.0))
+    // cross-operator consistency: the matrix's day-7 user counts must be
+    // exactly the day-7 retention op's n_retained per cohort
+    val day7 = m.filter(_.getAs[Long]("off") == 7)
+      .map(r => r.getAs[java.sql.Date]("cohort_day").toString
+             -> r.getAs[Long]("n_users")).toMap
+    queries("q_events_retention")(spark, sf).collect().foreach { r =>
+      val c = r.getAs[java.sql.Date]("cohort_day").toString
+      val ret = r.getAs[Long]("n_retained")
+      assert(day7.getOrElse(c, 0L) == ret,
+        s"cohort $c: matrix ${day7.getOrElse(c, 0L)} != retention op $ret")
+    }
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
