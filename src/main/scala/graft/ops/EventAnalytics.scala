@@ -722,6 +722,98 @@ object EventAnalytics {
       fit.unionByName(fc).orderBy("x")
     },
 
+    /** 7-day rolling correlation between the purchase and error daily
+      * series — the "do failures track load?" ops metric. NOT the
+      * engine-native corr-over-window (whose internal accumulation order
+      * differs between engines): the five moment sums are window sums of
+      * INTEGERS (exact at any order), and the correlation formula runs
+      * once per row on identical inputs, NULL-guarded for zero-variance
+      * windows (the q_agg_moments discipline). The window is over the
+      * bounded daily table, never raw events. */
+    OpDef(
+      "q_win_rolling_corr",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS x,
+        |    count(*) FILTER (WHERE event_type = 'error') AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, x, y,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ASC
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    floor(((n * sxy - sx * sy) * 1.0
+        |           / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)))
+        |          * 10000.0 + 0.5) / 10000.0 END AS corr7
+        |FROM m ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(when(col("event_type") === "purchase", 1)).as("x"),
+             count(when(col("event_type") === "error", 1)).as("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day").asc).rowsBetween(-6, 0)
+      val m = daily.select(col("day"), col("x"), col("y"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("day"), col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        when(vx > 0 && vy > 0,
+          Det.r4((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
+                 / sqrt(vx * lit(1.0) * vy))).as("corr7"))
+        .orderBy("day")
+    },
+
+    /** Maximum-drawdown profile of daily event volume — the
+      * peak-to-trough resilience metric (how far below its historical
+      * peak is today's traffic?): running cummax over the bounded daily
+      * series, per-day drawdown fraction. Integer peak/value ⇒ the only
+      * float op is one rounded division per row. */
+    OpDef(
+      "q_win_drawdown",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day, count(*) AS v
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT day, v,
+        |    CAST(max(v) OVER (ORDER BY day ASC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND CURRENT ROW) AS BIGINT) AS peak
+        |  FROM d)
+        |SELECT day, CAST(v AS BIGINT) AS v, peak,
+        |  floor(((peak - v) * 1.0 / peak) * 1000000.0 + 0.5) / 1000000.0
+        |    AS drawdown
+        |FROM p ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.select(col("day"), col("v"),
+                   max(col("v")).over(w).cast("long").as("peak"))
+        .select(col("day"), col("v").cast("long").as("v"), col("peak"),
+          Det.r6((col("peak") - col("v")) * lit(1.0) / col("peak"))
+            .as("drawdown"))
+        .orderBy("day")
+    },
+
     /** Full cohort retention matrix — q_events_retention generalized from
       * the single day-7 column to the standard triangle artifact: for
       * each first-seen cohort, the distinct users active at every offset

@@ -384,6 +384,43 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("rolling correlation bounded in [-1, 1] and matches a direct window calc") {
+    val rows = queries("q_win_rolling_corr")(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("corr7")))
+        assert(math.abs(r.getAs[Double]("corr7")) <= 1.0 + 1e-9)
+    }
+    // recompute the last day's trailing-7 correlation directly
+    val tail = rows.takeRight(7).map(r =>
+      (r.getAs[Long]("x").toDouble, r.getAs[Long]("y").toDouble))
+    val n = tail.length
+    val (sx, sy) = (tail.map(_._1).sum, tail.map(_._2).sum)
+    val sxy = tail.map(t => t._1 * t._2).sum
+    val sxx = tail.map(t => t._1 * t._1).sum
+    val syy = tail.map(t => t._2 * t._2).sum
+    val den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    if (den > 0) {
+      val direct = (n * sxy - sx * sy) / den
+      assert(math.abs(rows.last.getAs[Double]("corr7") - direct) < 1e-3)
+    }
+  }
+
+  test("drawdown: peak is a running max, drawdown zero exactly at new peaks") {
+    val rows = queries("q_win_drawdown")(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    var peak = Long.MinValue
+    rows.foreach { r =>
+      val v = r.getAs[Long]("v")
+      peak = math.max(peak, v)
+      assert(r.getAs[Long]("peak") == peak)
+      val dd = r.getAs[Double]("drawdown")
+      assert(dd >= 0.0 && dd < 1.0)
+      if (v == peak) assert(dd == 0.0)
+      else assert(math.abs(dd - (peak - v).toDouble / peak) < 1e-5)
+    }
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
