@@ -872,6 +872,68 @@ object Approx {
       e.crossJoin(broadcast(it.select(col("w"))))
         .select(col("vec_id"), Det.r6(expr("graft_dot(v, w)")).as("pc1"))
         .orderBy("vec_id")
+    },
+
+    /** k-NN majority-vote label classification — the eval-time primitive
+      * behind embedding-space labeling (quality-tier propagation, topic
+      * assignment, weak supervision): each query vector takes the
+      * majority label of its 5 exact nearest neighbors, ties broken to
+      * the smallest label. Reuses cosineTopK's broadcast-query linear
+      * scan (8 queries × corpus through the codegen'd graft_dot — the
+      * per-query cost is one pass, never a self-join); the vote table is
+      * bounded by queries × labels, so everything after the scan is
+      * constant-sized. The ANN ops are the drop-in scale path for the
+      * neighbor stage. Deterministic (r6 sims, full tie-breaks) ⇒
+      * oracle-checked. */
+    OpDef(
+      "q_vec_knn_classify",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv
+        |      FROM e WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT qid, e.vec_id, e.label AS nlabel,
+        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM q JOIN e ON qid <> e.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, nlabel, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM sims),
+        |votes AS (
+        |  SELECT qid, nlabel, count(*) AS votes, max(sim) AS best_sim
+        |  FROM ranked WHERE rn <= 5 GROUP BY qid, nlabel),
+        |pick AS (
+        |  SELECT qid, nlabel, votes, best_sim,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY votes DESC, nlabel ASC) AS vrn
+        |  FROM votes)
+        |SELECT p.qid, q.true_label, p.nlabel AS pred_label,
+        |  CAST(p.votes AS BIGINT) AS votes, p.best_sim,
+        |  CAST(CASE WHEN p.nlabel = q.true_label THEN 1 ELSE 0 END AS BIGINT)
+        |    AS correct
+        |FROM pick p JOIN q ON p.qid = q.qid
+        |WHERE p.vrn = 1 ORDER BY p.qid""".stripMargin
+    ) { (s, d) =>
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val nb = LlmOps.cosineTopK(embeddings(s, d), col("vec_id") < 8, 5)
+        .join(lab, Seq("vec_id"))
+        .select(col("qid"), col("label").as("nlabel"), col("sim"))
+      val votes = nb.groupBy("qid", "nlabel")
+        .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("nlabel").asc)
+      val truth = embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"))
+      votes.withColumn("vrn", row_number().over(w))
+        .filter(col("vrn") === 1)
+        .join(broadcast(truth), Seq("qid"))
+        .select(col("qid"), col("true_label"), col("nlabel").as("pred_label"),
+                col("votes"), col("best_sim"),
+                when(col("nlabel") === col("true_label"), 1L).otherwise(0L)
+                  .as("correct"))
+        .orderBy("qid")
     }
   )
 

@@ -1066,6 +1066,162 @@ object EventAnalytics {
         Det.r((se0 + se1) * (se0 + se1)
               / (se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1)), 2)
           .as("df"))
+    },
+
+    /** CUSUM change-point detection over daily event volume — the
+      * sequential monitoring twin to q_events_anomaly's pointwise z-score:
+      * a z-score misses a sustained small shift, CUSUM accumulates it.
+      * The recurrence S_t = max(0, S_{t-1} + (v_t − target)) has the
+      * closed form S_t = R_t − min(0, min_{j≤t} R_j) over the running
+      * residual sum R, so it runs as two stacked windows instead of a
+      * sequential loop. The residuals are exact BIGINT micro-units
+      * (target = mean daily volume, floor-quantized once), so every
+      * window sum is order-exact and the only float op is the final
+      * rounded division. Both windows are over the bounded DAILY table
+      * (≤ days-of-history rows), never raw events — the unpartitioned
+      * window is safe at any corpus size. */
+    OpDef(
+      "q_win_cusum",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day, count(*) AS v
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(floor(avg(v) * 1000000.0 + 0.5) AS BIGINT) AS tgt
+        |      FROM d),
+        |r AS (
+        |  SELECT day, v, tgt, CAST(v AS BIGINT) * 1000000 - tgt AS resid
+        |  FROM d, t),
+        |c AS (
+        |  SELECT day, v, tgt,
+        |    CAST(sum(resid) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS run
+        |  FROM r),
+        |s AS (
+        |  SELECT day, v, tgt, run,
+        |    least(CAST(0 AS BIGINT),
+        |          CAST(min(run) OVER (ORDER BY day ASC
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT))
+        |      AS lo
+        |  FROM c)
+        |SELECT day, CAST(v AS BIGINT) AS v,
+        |  floor(((run - lo) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0
+        |    AS cusum,
+        |  CAST(CASE WHEN run - lo > 2 * tgt THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_change
+        |FROM s ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("v"))
+      val tgt = daily.agg(
+        floor(avg(col("v")) * lit(1000000.0) + lit(0.5)).cast("long").as("tgt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.crossJoin(broadcast(tgt))
+        .select(col("day"), col("v"), col("tgt"),
+                (col("v").cast("long") * lit(1000000L) - col("tgt")).as("resid"))
+        .withColumn("run", sum(col("resid")).over(w).cast("long"))
+        .withColumn("lo", least(lit(0L), min(col("run")).over(w).cast("long")))
+        .select(col("day"), col("v").cast("long").as("v"),
+          Det.r6((col("run") - col("lo")) / lit(1000000.0)).as("cusum"),
+          when(col("run") - col("lo") > lit(2) * col("tgt"), 1L).otherwise(0L)
+            .as("is_change"))
+        .orderBy("day")
+    },
+
+    /** CUPED variance-reduced A/B readout (Deng et al. 2013, WSDM) — the
+      * experimentation-platform standard: adjust each user's in-experiment
+      * metric by their PRE-period covariate (y′ = y − θ(x − x̄)), which
+      * removes the between-user variance the pre-period explains without
+      * biasing the treatment contrast. Pre/post split at the corpus
+      * time-range midpoint (1-row broadcast); x = pre-period activity
+      * count, y = post-period purchase count — both exact integers, so
+      * every moment sum (n, Σx, Σy, Σxy, Σx², Σy²) is order-exact BIGINT.
+      * θ = cov(x,y)/var(x) and x̄ round once BEFORE the per-cohort
+      * formulas (the q_agg_moments discipline), then raw/adjusted means
+      * and variances derive from cohort-level integer sums only. Output
+      * is 2 rows; everything after the per-user aggregate is
+      * cohort-bounded. */
+    OpDef(
+      "q_agg_cuped",
+      """WITH b AS (
+        |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+        |          + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+        |    CAST(count(*) FILTER (WHERE epoch_us(CAST(ts AS TIMESTAMP)) < mid)
+        |         AS BIGINT) AS x,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase'
+        |                          AND epoch_us(CAST(ts AS TIMESTAMP)) >= mid)
+        |         AS BIGINT) AS y
+        |  FROM events, b GROUP BY user_id, mid),
+        |g AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM u),
+        |th AS (
+        |  SELECT
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+        |            * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS theta,
+        |    floor((sx * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS mx
+        |  FROM g),
+        |c AS (
+        |  SELECT variant, count(*) AS nc, sum(x) AS sxc, sum(y) AS syc,
+        |         sum(y * y) AS syyc, sum(x * y) AS sxyc, sum(x * x) AS sxxc
+        |  FROM u GROUP BY variant)
+        |SELECT variant, CAST(nc AS BIGINT) AS n_users,
+        |  floor((syc * 1.0 / nc) * 10000.0 + 0.5) / 10000.0 AS mean_raw,
+        |  floor(((syc * 1.0 - theta * (sxc - nc * mx)) / nc) * 10000.0 + 0.5)
+        |    / 10000.0 AS mean_adj,
+        |  floor(((syyc - syc * 1.0 * syc / nc) / (nc - 1)) * 10000.0 + 0.5)
+        |    / 10000.0 AS var_raw,
+        |  floor(((syyc - 2.0 * theta * sxyc + theta * theta * sxxc
+        |          - (syc - theta * sxc) * (syc - theta * sxc) / nc) / (nc - 1))
+        |        * 10000.0 + 0.5) / 10000.0 AS var_adj
+        |FROM c, th ORDER BY variant""".stripMargin
+    ) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      // integer `div`, not `/`: epoch-µs sums (~3.5e18) exceed double's
+      // 2^53 exact range, and DuckDB's `//` is exact integer division
+      val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx_"))
+        .select(expr("(mn + mx_) div 2").as("mid"))
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"), (col("user_id") % 2).cast("long").as("variant"))
+        .agg(count(when(col("us") < col("mid"), 1)).as("x"),
+             count(when(col("event_type") === "purchase"
+                        && col("us") >= col("mid"), 1)).as("y"))
+      val g = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+                    sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+                    sum(col("x") * col("x")).as("sxx"))
+      val th = g.select(
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          Det.r6((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
+                 / (col("n") * col("sxx") - col("sx") * col("sx"))))
+          .otherwise(lit(0.0)).as("theta"),
+        Det.r6(col("sx") * lit(1.0) / col("n")).as("mx"))
+      val c = u.groupBy("variant")
+        .agg(count(lit(1)).as("nc"), sum(col("x")).as("sxc"),
+             sum(col("y")).as("syc"), sum(col("y") * col("y")).as("syyc"),
+             sum(col("x") * col("y")).as("sxyc"),
+             sum(col("x") * col("x")).as("sxxc"))
+      c.crossJoin(broadcast(th))
+        .select(col("variant"), col("nc").as("n_users"),
+          Det.r4(col("syc") * lit(1.0) / col("nc")).as("mean_raw"),
+          Det.r4((col("syc") * lit(1.0)
+                  - col("theta") * (col("sxc") - col("nc") * col("mx")))
+                 / col("nc")).as("mean_adj"),
+          Det.r4((col("syyc") - col("syc") * lit(1.0) * col("syc") / col("nc"))
+                 / (col("nc") - 1)).as("var_raw"),
+          Det.r4((col("syyc") - lit(2.0) * col("theta") * col("sxyc")
+                  + col("theta") * col("theta") * col("sxxc")
+                  - (col("syc") - col("theta") * col("sxc"))
+                    * (col("syc") - col("theta") * col("sxc")) / col("nc"))
+                 / (col("nc") - 1)).as("var_adj"))
+        .orderBy("variant")
     }
   )
 }

@@ -576,6 +576,58 @@ object Relational {
            |         ORDER BY o_totalprice DESC, o_orderkey ASC
            |         LIMIT 2)
            |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
+    /** Point-in-time feature join with a staleness bound — the
+      * feature-store training-set join: each purchase (label row) picks
+      * the user's latest click feature at-or-before the label time AND no
+      * older than 24 h; a missing or stale feature surfaces as NULL
+      * rather than silently reaching forward in time (leakage) or
+      * arbitrarily far back (stale serving skew). q_join_asof is the
+      * unbounded backward variant; the staleness predicate is what makes
+      * this the PIT shape. Same scale design: user_id equi key carries
+      * the shuffle (sort-merge at 100 TB), the time predicates are
+      * residual filters, one per-label window over the match set picks
+      * rn = 1 — an unmatched label carries exactly one null row. Feature
+      * age is exact integer µs → minutes (no float). */
+    OpDef(
+      "q_join_pit",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, c.click_id, p.pus - c.cus AS age_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.cus DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id
+        |   AND c.cus <= p.pus
+        |   AND c.cus >= p.pus - 86400000000)
+        |SELECT event_id, user_id, click_id,
+        |  CAST(age_us // 60000000 AS BIGINT) AS feat_age_min
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pus"))
+      val c = events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+                unix_micros(col("ts")).as("cus"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("cus").desc, col("click_id").desc)
+      p.join(c,
+             col("user_id") === col("c_uid")
+               && col("cus") <= col("pus")
+               && col("cus") >= col("pus") - lit(86400000000L),
+             "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+                expr("(pus - cus) div 60000000").as("feat_age_min"))
+        .orderBy("event_id")
     }
   )
 }

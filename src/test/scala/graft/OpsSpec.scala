@@ -421,6 +421,94 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cusum: closed form equals the sequential recurrence replay") {
+    val rows = queries("q_win_cusum")(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    val vs = rows.map(_.getAs[Long]("v"))
+    val tgt = math.floor(vs.sum.toDouble / vs.length * 1e6 + 0.5).toLong
+    var s = 0L // S_t = max(0, S_{t-1} + resid_t) in exact micro-units
+    rows.zip(vs).foreach { case (r, v) =>
+      s = math.max(0L, s + v * 1000000L - tgt)
+      assert(math.abs(r.getAs[Double]("cusum") - s / 1e6) < 1e-4)
+      assert(r.getAs[Long]("is_change") == (if (s > 2 * tgt) 1L else 0L))
+    }
+  }
+
+  test("cuped: cohorts partition users, raw means match, variance shrinks") {
+    val rows = queries("q_agg_cuped")(spark, sf).collect()
+    assert(rows.length == 2)
+    // per-user pre/post recomputation with the same midpoint split
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val Array(mn, mx) =
+      ev.agg(min("us"), max("us")).collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (mn + mx) / 2
+    val perUser = ev.groupBy("user_id")
+      .agg(count(when(col("us") < mid, 1)).as("x"),
+           count(when(col("event_type") === "purchase" && col("us") >= mid, 1))
+             .as("y"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+                           r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(rows.map(_.getAs[Long]("n_users")).sum == perUser.length)
+    rows.foreach { r =>
+      val cohort = perUser.filter(_._1 % 2 == r.getAs[Long]("variant"))
+      val direct = cohort.map(_._3).sum.toDouble / cohort.length
+      assert(math.abs(r.getAs[Double]("mean_raw") - direct) < 1e-3)
+      // the CUPED point: the pre-period covariate explains variance
+      assert(r.getAs[Double]("var_adj") <= r.getAs[Double]("var_raw") + 1e-9)
+    }
+  }
+
+  test("pit join: one row per purchase, age bounded, agrees with asof <= 24h") {
+    val pit = queries("q_join_pit")(spark, sf).collect()
+    val nPurchases = graft.ops.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(pit.length == nPurchases)
+    pit.filter(!_.isNullAt(3)).foreach { r =>
+      val age = r.getAs[Long]("feat_age_min")
+      assert(age >= 0 && age <= 1440)
+    }
+    // where the unbounded asof match is within 24 h, pit must agree;
+    // where pit is NULL, any asof match must be older than 24 h
+    val asof = queries("q_join_asof")(spark, sf)
+      .select(col("event_id"), col("click_id"),
+              unix_micros(col("click_ts")).as("cus"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("click_id"), r.getAs[Long]("cus"))).toMap
+    val pts = graft.ops.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pus"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("pus")).toMap
+    pit.foreach { r =>
+      val eid = r.getAs[Long]("event_id")
+      asof.get(eid).foreach { case (clickId, cus) =>
+        val fresh = pts(eid) - cus <= 86400000000L
+        if (fresh) assert(!r.isNullAt(2) && r.getAs[Long]("click_id") == clickId)
+        else assert(r.isNullAt(2), s"stale feature served for purchase $eid")
+      }
+    }
+  }
+
+  test("knn classify: prediction is the mode of sim_topk neighbor labels") {
+    val cls = queries("q_vec_knn_classify")(spark, sf).collect()
+    assert(cls.length == 8)
+    val labels = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val nb = queries("q_sim_topk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    cls.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val votes = nb(qid).map(x => labels(x.getAs[Long]("vec_id")))
+        .groupBy(identity).map { case (l, v) => (l, v.length) }
+      val (expLabel, expVotes) = votes.toSeq.maxBy { case (l, n) => (n, -l) }
+      assert(r.getAs[Int]("pred_label") == expLabel)
+      assert(r.getAs[Long]("votes") == expVotes)
+      assert(r.getAs[Int]("true_label") == labels(qid))
+      assert(r.getAs[Long]("votes") >= 1 && r.getAs[Long]("votes") <= 5)
+    }
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
