@@ -809,6 +809,46 @@ object Curation {
         .filter(col("pick") <= 2)
         .select("cell", "pick", "vec_id", "sim")
         .orderBy("cell", "pick")
+    },
+
+    /** Data-constrained repetition schedule (Muennighoff et al. 2023,
+      * "Scaling Data-Constrained Language Models") — when the token
+      * budget exceeds what a domain holds, you repeat it, but returns
+      * decay fast past ~4 epochs. Budget = 2× total corpus tokens, split
+      * uniformly across languages; each language's plan is
+      * epochs = min(4, ceil(target / available)) and the tokens actually
+      * served = min(target, epochs × available) — a shortfall on tiny
+      * domains is surfaced, not silently backfilled. Pure integer
+      * arithmetic (ceil-div spelled (t + a − 1) div a) on one bounded
+      * per-language aggregate + a 1-row budget broadcast. */
+    OpDef(
+      "q_mix_epochs",
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(2 * sum(avail) AS BIGINT) AS budget,
+        |             count(*) AS nl FROM t),
+        |a AS (SELECT lang, avail, budget // nl AS target FROM t, g)
+        |SELECT lang, avail, CAST(target AS BIGINT) AS target_toks,
+        |  CAST(least(4, (target + avail - 1) // avail) AS BIGINT) AS epochs,
+        |  CAST(least(target, least(4, (target + avail - 1) // avail) * avail)
+        |       AS BIGINT) AS eff_toks
+        |FROM a ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val t = documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))
+      val g = t.agg((lit(2) * sum(col("avail"))).cast("long").as("budget"),
+                    count(lit(1)).as("nl"))
+      t.crossJoin(broadcast(g))
+        .select(col("lang"), col("avail"),
+                expr("budget div nl").as("target_toks"))
+        .withColumn("epochs",
+          least(lit(4L), expr("(target_toks + avail - 1) div avail")))
+        .withColumn("eff_toks",
+          least(col("target_toks"), col("epochs") * col("avail")))
+        .orderBy("lang")
     }
   )
 }

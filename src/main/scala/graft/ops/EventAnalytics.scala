@@ -1222,6 +1222,104 @@ object EventAnalytics {
                     * (col("syc") - col("theta") * col("sxc")) / col("nc"))
                  / (col("nc") - 1)).as("var_adj"))
         .orderBy("variant")
+    },
+
+    /** Kaplan–Meier survival curve for time-to-first-purchase after
+      * signup — the churn/conversion time-to-event readout, with users
+      * who never purchase RIGHT-CENSORED at the observation horizon
+      * (dropping them would bias survival down; KM is the standard
+      * estimator that doesn't). Per-user durations in exact integer days;
+      * the lifetable is bounded by distinct duration days, at_risk is a
+      * reverse running INTEGER sum, and the cumulative product runs in
+      * log space with each per-day ln(factor) floor-quantized to nano
+      * units BEFORE the window sum — float window sums are
+      * accumulation-order-fragile across engines (the q_win_rolling_corr
+      * lesson), integer ones are exact. Factors are r6-rounded before ln
+      * (the Det discipline); exp/ln cross-engine parity is already load-
+      * bearing for q_agg_geomean and q_mix_temperature. */
+    OpDef(
+      "q_events_survival",
+      """WITH g AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS gmax
+        |           FROM events),
+        |su AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts0
+        |       FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id,
+        |              min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS tp
+        |       FROM events e JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= su.ts0
+        |       GROUP BY 1),
+        |dur AS (
+        |  SELECT su.user_id,
+        |    CASE WHEN pu.tp IS NOT NULL
+        |         THEN (pu.tp - su.ts0) // 86400000000
+        |         ELSE (g.gmax - su.ts0) // 86400000000 END AS dday,
+        |    CASE WHEN pu.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id, g),
+        |d AS (
+        |  SELECT dday, count(*) AS n_total, sum(ev) AS n_event,
+        |         count(*) - sum(ev) AS n_censor
+        |  FROM dur GROUP BY 1),
+        |r AS (
+        |  SELECT dday, n_event, n_censor,
+        |    CAST(sum(n_total) OVER (ORDER BY dday DESC
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS at_risk
+        |  FROM d),
+        |f AS (
+        |  SELECT dday, at_risk, n_event, n_censor,
+        |    CAST(floor(ln(greatest(
+        |           floor((1.0 - n_event * 1.0 / at_risk) * 1000000.0 + 0.5)
+        |             / 1000000.0, 1e-12)) * 1000000000.0 + 0.5) AS BIGINT)
+        |      AS lnf
+        |  FROM r),
+        |s AS (
+        |  SELECT dday, at_risk, n_event, n_censor,
+        |    CAST(sum(lnf) OVER (ORDER BY dday ASC ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS lsum
+        |  FROM f)
+        |SELECT CAST(dday AS BIGINT) AS dday, at_risk,
+        |  CAST(n_event AS BIGINT) AS n_event,
+        |  CAST(n_censor AS BIGINT) AS n_censor,
+        |  floor(exp(lsum / 1000000000.0) * 10000.0 + 0.5) / 10000.0
+        |    AS survival
+        |FROM s ORDER BY dday""".stripMargin
+    ) { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val g = ev.agg(max(col("us")).as("gmax"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("ts0"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("us"))
+        .join(su, col("p_uid") === col("user_id"))
+        .filter(col("us") >= col("ts0"))
+        .groupBy("p_uid").agg(min(col("us")).as("tp"))
+      val dur = su.join(pu, col("user_id") === col("p_uid"), "left")
+        .crossJoin(broadcast(g))
+        .select(
+          when(col("tp").isNotNull, expr("(tp - ts0) div 86400000000"))
+            .otherwise(expr("(gmax - ts0) div 86400000000")).as("dday"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+      val dd = dur.groupBy("dday")
+        .agg(count(lit(1)).as("n_total"), sum(col("ev")).as("n_event"),
+             (count(lit(1)) - sum(col("ev"))).as("n_censor"))
+      val wDesc = W.orderBy(col("dday").desc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wAsc = W.orderBy(col("dday").asc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      dd.withColumn("at_risk", sum(col("n_total")).over(wDesc).cast("long"))
+        .withColumn("lnf",
+          floor(log(greatest(
+            Det.r6(lit(1.0) - col("n_event") * lit(1.0) / col("at_risk")),
+            lit(1e-12))) * lit(1000000000.0) + lit(0.5)).cast("long"))
+        .withColumn("lsum", sum(col("lnf")).over(wAsc).cast("long"))
+        .select(col("dday").cast("long").as("dday"), col("at_risk"),
+                col("n_event").cast("long").as("n_event"),
+                col("n_censor").cast("long").as("n_censor"),
+                Det.r4(exp(col("lsum") / lit(1000000000.0))).as("survival"))
+        .orderBy("dday")
     }
   )
 }

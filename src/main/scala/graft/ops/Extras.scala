@@ -745,6 +745,39 @@ object Extras {
           Det.r6((lit(2.0) * col("six") - (col("n") + lit(1.0)) * col("sx"))
                  / (col("n") * lit(1.0) * col("sx"))).as("gini"))
         .orderBy("nation")
+    },
+
+    /** Per-source ingestion freshness audit — the first page of every
+      * pipeline dashboard: how far behind the most-recent record is each
+      * source (event type), and which sources have gone quiet? One
+      * bounded per-type aggregate + a 1-row global-max broadcast; lag is
+      * exact integer µs → minutes (no float), stale = lag > 60 min. At
+      * 100 TB the per-type max comes from partition-pruned metadata scans
+      * — the query shape (bounded agg + scalar broadcast) is the same. */
+    OpDef(
+      "q_dq_freshness",
+      """WITH g AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS gmax
+        |           FROM events),
+        |t AS (SELECT event_type, count(*) AS n,
+        |             max(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+        |      FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST((gmax - tmax) // 60000000 AS BIGINT) AS lag_min,
+        |  CAST(CASE WHEN gmax - tmax > 3600000000 THEN 1 ELSE 0 END
+        |       AS BIGINT) AS is_stale
+        |FROM t, g ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val g = ev.agg(max(col("us")).as("gmax"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max(col("us")).as("tmax"))
+        .crossJoin(broadcast(g))
+        .select(col("event_type"), col("n_events"),
+                expr("(gmax - tmax) div 60000000").as("lag_min"),
+                when(col("gmax") - col("tmax") > lit(3600000000L), 1L)
+                  .otherwise(0L).as("is_stale"))
+        .orderBy("event_type")
     }
   )
 }

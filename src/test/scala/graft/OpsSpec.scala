@@ -509,6 +509,95 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("freshness: freshest source lags zero, counts total, stale flag consistent") {
+    val rows = queries("q_dq_freshness")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag_min")).min == 0L)
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      graft.ops.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag_min")
+      assert(r.getAs[Long]("is_stale") == (if (lag > 60) 1L else 0L))
+    }
+  }
+
+  test("mix epochs: bounds and the served-tokens identity hold") {
+    val rows = queries("q_mix_epochs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = 2 * rows.map(_.getAs[Long]("avail")).sum
+    rows.foreach { r =>
+      val (avail, target, ep, eff) = (r.getAs[Long]("avail"),
+        r.getAs[Long]("target_toks"), r.getAs[Long]("epochs"),
+        r.getAs[Long]("eff_toks"))
+      assert(target == budget / rows.length)
+      assert(ep >= 1 && ep <= 4)
+      assert(ep == math.min(4L, (target + avail - 1) / avail))
+      assert(eff == math.min(target, ep * avail))
+    }
+  }
+
+  test("triangles: corner sum divisible by 3 and equals brute force on sf0.001") {
+    val rows = queries("q_graph_triangles")(spark, sf).collect()
+    assert(rows.length ==
+      graft.ops.Tables.supplier(spark, sf).select("s_suppkey").distinct().count())
+    val cornerSum = rows.map(_.getAs[Long]("n_triangles")).sum
+    assert(cornerSum % 3 == 0)
+    // brute force: rebuild the thresholded edge set independently and count
+    val ps = graft.ops.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+    val byPart = ps.groupBy(_._1).filter(_._2.length <= 64)
+      .mapValues(_.map(_._2).sorted)
+    val support = scala.collection.mutable.Map[(Long, Long), Long]()
+    byPart.values.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        support((ss(i), ss(j))) = support.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    val n = support.size.toLong
+    val s = support.values.sum
+    val sq = support.values.map(v => v * v).sum
+    val thr = math.floor((s.toDouble / n
+      + 2 * math.sqrt((sq - s.toDouble * s / n) / n)) * 1e6 + 0.5).toLong
+    // NOT `support.collect { ... => pair }` — a tuple-returning partial
+    // function on a Map rebuilds a Map, silently overwriting edges that
+    // share a source node
+    val edges = support.filter { case (_, sup) => sup * 1000000L > thr }
+      .keySet.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var tris = 0L
+    for (i <- nodes.indices; j <- i + 1 until nodes.length;
+         k <- j + 1 until nodes.length) {
+      val (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if (edges(a -> b) && edges(a -> c) && edges(b -> c)) tris += 1
+    }
+    assert(cornerSum == 3 * tris)
+  }
+
+  test("survival: starts at first-factor, monotone, at-risk accounts everyone") {
+    val rows = queries("q_events_survival")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("dday"))
+    assert(rows.nonEmpty)
+    val nSignup = graft.ops.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("at_risk") == nSignup)
+    // replay the KM product from the lifetable itself
+    var sPrev = 1.0
+    rows.foreach { r =>
+      val factor = 1.0 - r.getAs[Long]("n_event").toDouble / r.getAs[Long]("at_risk")
+      sPrev = sPrev * factor
+      val got = r.getAs[Double]("survival")
+      assert(math.abs(got - sPrev) < 1e-3)
+      assert(got >= 0.0 && got <= 1.0)
+    }
+    // monotone non-increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("survival") <= a.getAs[Double]("survival") + 1e-9)
+    }
+    // everyone leaves the risk set exactly once
+    assert(rows.map(r => r.getAs[Long]("n_event") + r.getAs[Long]("n_censor")).sum
+      == nSignup)
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
