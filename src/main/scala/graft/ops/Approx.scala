@@ -934,6 +934,78 @@ object Approx {
                 when(col("nlabel") === col("true_label"), 1L).otherwise(0L)
                   .as("correct"))
         .orderBy("qid")
+    },
+
+    /** Embedding outlier screen — the vector-data-quality gate before any
+      * index build or semantic dedup: a corrupt/degenerate vector (bad
+      * decode, wrong modality, truncation) sits far from its label's
+      * centroid and poisons ANN cells and dedup clusters. Per-label
+      * centroids (k×dim, broadcast; components r6-rounded BEFORE the
+      * distance so the centroid is a cross-engine constant), squared
+      * distance per vector via one codegen'd pass, then the mean+2σ flag
+      * with distances floor-quantized to micro BIGINT — per-label moment
+      * sums are exact integers (the q_graph_triangles threshold
+      * discipline). Everything after the scan is label-bounded; the scan
+      * itself is map-only against broadcast centroids. */
+    OpDef(
+      "q_vec_outliers",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cpos AS (
+        |  SELECT label, i AS pos,
+        |    floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 AS cx
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv
+        |         FROM cpos GROUP BY label),
+        |d AS (
+        |  SELECT vec_id, e.label,
+        |    CAST(floor(list_sum(list_transform(range(1, 65),
+        |           i -> (v[i] - cv[i]) * (v[i] - cv[i])))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS di
+        |  FROM e JOIN cent ON e.label = cent.label),
+        |st AS (SELECT label, count(*) AS n, sum(di) AS s,
+        |              sum(di * di) AS sq
+        |       FROM d GROUP BY label),
+        |thr AS (SELECT label,
+        |  CAST(floor(s * 1.0 / n
+        |             + 2 * sqrt((sq - s * 1.0 * s / n) / n) + 0.5) AS BIGINT)
+        |    AS t
+        |  FROM st)
+        |SELECT d.vec_id, d.label, d.di / 1000000.0 AS dist2,
+        |  CAST(CASE WHEN d.di > thr.t THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_outlier
+        |FROM d JOIN thr ON d.label = thr.label
+        |ORDER BY d.vec_id""".stripMargin
+    ) { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(Det.r6(avg(col("x"))).as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                       p => p.getField("cx")).as("cv"))
+      val di = e.join(broadcast(cent), Seq("label"))
+        .withColumn("w", expr("zip_with(v, cv, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("label"),
+                floor(expr("graft_dot(w, w)") * lit(1000000.0) + lit(0.5))
+                  .cast("long").as("di"))
+      val thr = di.groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(col("di")).as("s_"),
+             sum(col("di") * col("di")).as("sq"))
+        .select(col("label"),
+          floor(col("s_") * lit(1.0) / col("n")
+                + lit(2) * sqrt((col("sq") - col("s_") * lit(1.0) * col("s_")
+                                 / col("n")) / col("n")) + lit(0.5))
+            .cast("long").as("t"))
+      di.join(broadcast(thr), Seq("label"))
+        .select(col("vec_id"), col("label"),
+                (col("di") / lit(1000000.0)).as("dist2"),
+                when(col("di") > col("t"), 1L).otherwise(0L).as("is_outlier"))
+        .orderBy("vec_id")
     }
   )
 

@@ -778,6 +778,69 @@ object Extras {
                 when(col("gmax") - col("tmax") > lit(3600000000L), 1L)
                   .otherwise(0L).as("is_stale"))
         .orderBy("event_type")
+    },
+
+    /** Snapshot diff / CDC reconciliation — the "did the backfill change
+      * anything it shouldn't have?" audit run between two versions of a
+      * keyed aggregate: per-key full-outer join of the old snapshot
+      * (orders before 1999) against the new (all orders), each key
+      * classified added / changed / unchanged (removed is the fourth
+      * class; append-only fixtures cannot produce it, a real CDC feed
+      * can). Totals are centi-quantized BIGINT so equality is exact, not
+      * float-fuzzy. One shuffle per side on the key, AQE broadcasts
+      * whichever side is small; output is key-bounded. */
+    OpDef(
+      "q_dq_snapshot_diff",
+      """WITH snap_old AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1),
+        |snap_new AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(snap_old.o_custkey, snap_new.o_custkey) AS custkey,
+        |  CAST(coalesce(snap_old.n, 0) AS BIGINT) AS old_n,
+        |  CAST(coalesce(snap_new.n, 0) AS BIGINT) AS new_n,
+        |  coalesce(snap_old.cents, 0) AS old_cents,
+        |  coalesce(snap_new.cents, 0) AS new_cents,
+        |  CASE WHEN snap_old.o_custkey IS NULL THEN 'added'
+        |       WHEN snap_new.o_custkey IS NULL THEN 'removed'
+        |       WHEN snap_old.n = snap_new.n
+        |            AND snap_old.cents = snap_new.cents THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM snap_old FULL JOIN snap_new
+        |  ON snap_old.o_custkey = snap_new.o_custkey
+        |ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      def snap(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      val old_ = snap(orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")))
+        .select(col("o_custkey").as("ok"), col("n").as("old_n"),
+                col("cents").as("old_cents"))
+      val new_ = snap(orders(s, d))
+        .select(col("o_custkey").as("nk"), col("n").as("new_n"),
+                col("cents").as("new_cents"))
+      old_.join(new_, col("ok") === col("nk"), "full")
+        .select(
+          coalesce(col("ok"), col("nk")).as("custkey"),
+          coalesce(col("old_n"), lit(0L)).as("old_n"),
+          coalesce(col("new_n"), lit(0L)).as("new_n"),
+          coalesce(col("old_cents"), lit(0L)).as("old_cents"),
+          coalesce(col("new_cents"), lit(0L)).as("new_cents"),
+          when(col("ok").isNull, "added")
+            .when(col("nk").isNull, "removed")
+            .when(col("old_n") === col("new_n")
+                  && col("old_cents") === col("new_cents"), "unchanged")
+            .otherwise("changed").as("status"))
+        .orderBy("custkey")
     }
   )
 }

@@ -449,6 +449,44 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("shared_grams"))
   }
 
+  /** Running CUSUM state per event type emitted by [[streamingCusum]]. */
+  case class CusumRow(event_type: String, n_seen: Long, cusum_centi: Long,
+                      is_change: Long)
+
+  /** Streaming CUSUM change-point gate — the sequential-monitoring twin
+    * to the batch q_win_cusum, run AT INGEST: per event type, the
+    * recurrence S ← max(0, S + (value − target)) accumulates small
+    * sustained shifts a pointwise z-gate (streamingAnomalyGate) misses.
+    * State is ONE counter pair per event type (vocabulary-bounded, like
+    * the anomaly gate's baseline — never grows with history); values are
+    * centi-quantized so the recurrence is exact integer arithmetic and
+    * the streamed result is bit-equal to a batch replay (StreamingSpec
+    * pins it). Rows within each micro-batch are folded in (ts, event_id)
+    * order so redelivery order inside a batch cannot change the fold.
+    * `target` is the per-type baseline (bounded map, closure-captured —
+    * the broadcast-baseline pattern); `threshold` flags the drift. */
+  def streamingCusum(spark: SparkSession, events: DataFrame,
+                     targetCenti: Map[String, Long],
+                     thresholdCenti: Long): Dataset[CusumRow] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Long), CusumRow](GroupStateTimeout.NoTimeout) {
+        (tpe, rows, state) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          val tgt = targetCenti.getOrElse(tpe, 0L)
+          var s = s0
+          var n = n0
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val v = math.floor(e.value * 100.0 + 0.5).toLong
+            s = math.max(0L, s + v - tgt)
+            n += 1
+          }
+          state.update((n, s))
+          CusumRow(tpe, n, s, if (s > thresholdCenti) 1L else 0L)
+      }
+  }
+
   /** Idempotent per-epoch write — the exactly-once half of the delivery
     * story for sinks that cannot join Spark's commit protocol (Kafka
     * without read_committed consumers, JDBC, object stores): Structured

@@ -598,6 +598,42 @@ class OpsSpec extends SparkTestBase {
       == nSignup)
   }
 
+  test("snapshot diff: append-only classes are consistent") {
+    val rows = queries("q_dq_snapshot_diff")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("status")).toSet.subsetOf(
+      Set("added", "changed", "unchanged")), "append-only input cannot remove")
+    rows.foreach { r =>
+      val (on, nn) = (r.getAs[Long]("old_n"), r.getAs[Long]("new_n"))
+      val (oc, nc) = (r.getAs[Long]("old_cents"), r.getAs[Long]("new_cents"))
+      assert(on <= nn && oc <= nc, "append-only snapshots only grow")
+      r.getAs[String]("status") match {
+        case "added"     => assert(on == 0L)
+        case "unchanged" => assert(on == nn && oc == nc)
+        case "changed"   => assert(on > 0 && (on != nn || oc != nc))
+      }
+    }
+  }
+
+  test("vec outliers: threshold replays from the output's own distances") {
+    val rows = queries("q_vec_outliers")(spark, sf).collect()
+    assert(rows.length ==
+      graft.ops.Tables.embeddings(spark, sf).count())
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      val di = rs.map(r => math.floor(r.getAs[Double]("dist2") * 1e6 + 0.5).toLong)
+      val n = di.length.toLong
+      val s = di.sum
+      val sq = di.map(v => v * v).sum
+      val thr = math.floor(s.toDouble / n
+        + 2 * math.sqrt((sq - s.toDouble * s / n) / n) + 0.5).toLong
+      rs.zip(di).foreach { case (r, d) =>
+        assert(r.getAs[Long]("is_outlier") == (if (d > thr) 1L else 0L))
+        assert(r.getAs[Double]("dist2") >= 0.0)
+      }
+      // mean+2σ can flag at most 25% of any distribution (Chebyshev: 1/k²)
+      assert(rs.count(_.getAs[Long]("is_outlier") == 1L) <= rs.length / 4.0)
+    }
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)

@@ -80,7 +80,10 @@ class ScaleSpec extends SparkTestBase {
     // plan crept back in
     for (q <- Seq("q_dedup_simhash", "q_sim_cosine_dup_lsh", "q_dedup_minhash",
                   "q_dedup_lsh", "q_dedup_incremental", "q_join_range",
-                  "q_sim_knn_lsh")) {
+                  "q_sim_knn_lsh",
+                  // the PIT feature join carries a user_id equi key — a
+                  // nested loop would be the quadratic plan creeping in
+                  "q_join_pit")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -88,6 +91,25 @@ class ScaleSpec extends SparkTestBase {
       assert(!plan.contains("CartesianProduct"),
         s"$q must shard candidates by bucket, not cross-join:\n$plan")
     }
+  }
+
+  test("triangle wedge/closing joins are equi joins; only the 1-row threshold broadcasts") {
+    val plan = SparkEntry.queries("q_graph_triangles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle counting must never cross-join the corpus:\n$plan")
+    // the only sanctioned nested-loop join is the 1-row mean+2σ threshold
+    // frame broadcast against the pair table (its condition references
+    // `support`). The wedge join (on the oriented source) and the closing
+    // join (on the target pair) must both be hash/sort-merge equi joins.
+    // (Count lines, not occurrences — the plan STRING duplicates shared
+    // subtrees per reference, so the one BNLJ prints many times.)
+    val rogue = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains("support"))
+      .toSeq
+    assert(rogue.isEmpty,
+      s"non-threshold nested-loop join in triangle plan:\n${rogue.mkString("\n")}")
   }
 
   test("lateral join decorrelates to a rank-limit window, not per-row re-execution") {

@@ -379,6 +379,46 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == streamed)
   }
 
+  test("streaming CUSUM gate: cross-batch state equals an exact batch replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val target = Map("purchase" -> 10000L, "click" -> 100L) // centi-units
+    val ms = MemoryStream[Event]
+    val name = nextName()
+    val q = StreamOps.streamingCusum(spark, ms.toDF(), target, 5000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 120.0), // +2000
+      ev(2, "2024-01-01 10:00:01", 1, "purchase", 90.0),  // -1000 → 1000
+      ev(3, "2024-01-01 10:00:02", 2, "click", 1.0),      // 0
+      ev(4, "2024-01-01 10:01:00", 2, "purchase", 130.0), // +3000 → 4000
+      ev(5, "2024-01-01 10:01:30", 3, "purchase", 125.0), // +2500 → 6500 flag
+      ev(6, "2024-01-01 10:02:00", 3, "click", 0.2))      // clamp at 0
+    ms.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(evs.drop(3): _*)
+    q.processAllAvailable()
+    // update mode emits one row per key per batch — keep the final state
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_seen"),
+                 r.getAs[Long]("cusum_centi"), r.getAs[Long]("is_change")))
+      .groupBy(_._1).map { case (t, rs) => rs.maxBy(_._2) }.toSet
+    q.stop()
+    // exact integer replay over the full ordered history
+    val replay = evs.groupBy(_.event_type).map { case (t, es) =>
+      var s = 0L
+      es.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        s = math.max(0L, s + math.floor(e.value * 100.0 + 0.5).toLong
+                          - target.getOrElse(t, 0L))
+      }
+      (t, es.size.toLong, s, if (s > 5000L) 1L else 0L)
+    }.toSet
+    assert(streamed == replay, s"streamed=$streamed replay=$replay")
+    // the sustained upward drift in purchases must be flagged
+    assert(streamed.exists(r => r._1 == "purchase" && r._4 == 1L))
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
