@@ -1006,6 +1006,79 @@ object Approx {
                 (col("di") / lit(1000000.0)).as("dist2"),
                 when(col("di") > col("t"), 1L).otherwise(0L).as("is_outlier"))
         .orderBy("vec_id")
+    },
+
+    /** Matryoshka / dimension-truncation recall audit — before shipping
+      * truncated embeddings (the 4× index-shrink lever MRL training
+      * promises), measure what retrieval actually loses: exact top-5 by
+      * full 64-dim similarity vs top-5 using only the FIRST 16
+      * dimensions, per query — recall@5 plus whether the top-1 neighbor
+      * survives. Both rankings are the broadcast-query linear scan
+      * (codegen'd dot over a sliced array); the overlap join is bounded
+      * by queries × k. Fully deterministic ⇒ oracle-checked. On this
+      * near-uniform fixture the audit shows heavy loss — exactly the
+      * decision signal the op exists to produce (MRL-trained embeddings
+      * would score high; these aren't). */
+    OpDef(
+      "q_vec_matryoshka",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |full_r AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65),
+        |            i -> qv[i] * v[i]))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+        |      vec_id ASC) AS rn
+        |  FROM q JOIN e ON qid <> vec_id),
+        |trunc_r AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      floor((list_sum(list_transform(range(1, 17),
+        |            i -> qv[i] * v[i]))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+        |      vec_id ASC) AS rn
+        |  FROM q JOIN e ON qid <> vec_id)
+        |SELECT f.qid,
+        |  CAST(count(t.vec_id) AS BIGINT) AS n_kept,
+        |  floor((count(t.vec_id) * 1.0 / 5) * 10000.0 + 0.5) / 10000.0
+        |    AS recall5,
+        |  CAST(max(CASE WHEN f.rn = 1 AND t.rn IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS top1_kept
+        |FROM (SELECT * FROM full_r WHERE rn <= 5) f
+        |LEFT JOIN (SELECT * FROM trunc_r WHERE rn <= 5) t
+        |  ON f.qid = t.qid AND f.vec_id = t.vec_id
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin
+    ) { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      def ranked(dims: Int) = {
+        val dot =
+          if (dims == 64) expr("graft_dot(qv, v)")
+          else expr(s"graft_dot(slice(qv, 1, $dims), slice(v, 1, $dims))")
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        broadcast(q).join(e, col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"), Det.r6(dot).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("qid", "vec_id", "rn")
+      }
+      val f = ranked(64)
+      val t = ranked(16)
+        .select(col("qid").as("tq"), col("vec_id").as("tv"),
+                col("rn").as("trn"))
+      f.join(t, col("qid") === col("tq") && col("vec_id") === col("tv"),
+             "left")
+        .groupBy("qid")
+        .agg(count(col("tv")).as("n_kept"),
+             Det.r4(count(col("tv")) * lit(1.0) / lit(5)).as("recall5"),
+             max(when(col("rn") === 1 && col("trn").isNotNull, 1L)
+                 .otherwise(0L)).as("top1_kept"))
+        .orderBy("qid")
     }
   )
 

@@ -849,6 +849,56 @@ object Curation {
         .withColumn("eff_toks",
           least(col("target_toks"), col("epochs") * col("avail")))
         .orderBy("lang")
+    },
+
+    /** Code-vs-prose routing signals — pretraining corpora route code and
+      * natural language to different tokenizers/mixtures, and the first
+      * pass is a cheap scan-speed heuristic, not a model: per-doc symbol
+      * density (brackets/operators), digit density, and uppercase density
+      * as character-count fractions, conjoined into an is_codelike flag.
+      * Every signal is codegen'd string arithmetic (length minus length-
+      * after-strip), fully map-only — zero shuffles at any corpus size
+      * (the q_text_gopher discipline). Patterns stay in the ASCII subset
+      * where Java regex and RE2 agree; fractions r6-round before the
+      * threshold compare. */
+    OpDef(
+      "q_text_code_detect",
+      """WITH s AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[=;<>(){}\[\]]', '',
+        |                                         'g')) AS n_sym,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS n_dig,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |      AS n_up
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  floor((n_sym * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS sym_frac,
+        |  floor((n_dig * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS dig_frac,
+        |  floor((n_up * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS up_frac,
+        |  CAST(CASE WHEN floor((n_sym * 1.0 / n) * 1000000.0 + 0.5)
+        |                 / 1000000.0 > 0.02
+        |             OR floor((n_dig * 1.0 / n) * 1000000.0 + 0.5)
+        |                 / 1000000.0 > 0.15
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_codelike
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      def stripped(pat: String) =
+        length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+      val sig = documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).as("n"),
+                stripped("[=;<>(){}\\[\\]]").as("n_sym"),
+                stripped("[0-9]").as("n_dig"),
+                stripped("[A-Z]").as("n_up"))
+      sig.select(col("doc_id"),
+          Det.r6(col("n_sym") * lit(1.0) / col("n")).as("sym_frac"),
+          Det.r6(col("n_dig") * lit(1.0) / col("n")).as("dig_frac"),
+          Det.r6(col("n_up") * lit(1.0) / col("n")).as("up_frac"))
+        .withColumn("is_codelike",
+          when(col("sym_frac") > 0.02 || col("dig_frac") > 0.15, 1L)
+            .otherwise(0L))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1320,6 +1320,52 @@ object EventAnalytics {
                 col("n_censor").cast("long").as("n_censor"),
                 Det.r4(exp(col("lsum") / lit(1000000000.0))).as("survival"))
         .orderBy("dday")
+    },
+
+    /** DAU / WAU / stickiness — the product-analytics headline series.
+      * WAU is a 7-day DISTINCT count, which has no distributive window
+      * form; the distributed trick is coverage expansion: each distinct
+      * (user, day) activity row contributes to the 7 window-end days it
+      * covers (a bounded ×7 map-side explode), after which WAU is a
+      * plain per-day distinct count — shuffle-bounded, no repeated
+      * 7-day re-scans, the same shape at any history length. Counts are
+      * exact integers; the stickiness ratio rounds once. */
+    OpDef(
+      "q_events_dau_wau",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |cover AS (
+        |  SELECT user_id, day + CAST(i AS INTEGER) AS wday
+        |  FROM ud, UNNEST(range(0, 7)) AS t(i)),
+        |wau AS (
+        |  SELECT wday AS day, count(DISTINCT user_id) AS wau
+        |  FROM cover WHERE wday IN (SELECT day FROM days) GROUP BY 1),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS wau,
+        |  floor((dau.dau * 1.0 / wau.wau) * 10000.0 + 0.5) / 10000.0
+        |    AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin
+    ) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("spine_day")).distinct()
+      val cover = ud
+        .select(col("user_id"),
+                explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("wday"))
+      val wau = cover.join(days, col("wday") === col("spine_day"), "left_semi")
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+                Det.r4(col("dau") * lit(1.0) / col("wau")).as("stickiness"))
+        .orderBy("day")
     }
   )
 }

@@ -634,6 +634,52 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("dau/wau: weekly dominates daily and replays from user-days") {
+    val rows = queries("q_events_dau_wau")(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    val ud = graft.ops.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toLocalDate))
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau)
+      assert(r.getAs[Long]("wau") == wau)
+      assert(wau >= dau)
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("code detect: fractions bounded, flag replays from its own signals") {
+    val rows = queries("q_text_code_detect")(spark, sf).collect()
+    assert(rows.length == graft.ops.Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0).count())
+    rows.foreach { r =>
+      Seq("sym_frac", "dig_frac", "up_frac").foreach { c =>
+        val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0)
+      }
+      val expect = if (r.getAs[Double]("sym_frac") > 0.02
+                       || r.getAs[Double]("dig_frac") > 0.15) 1L else 0L
+      assert(r.getAs[Long]("is_codelike") == expect)
+    }
+  }
+
+  test("matryoshka: recall identity and agreement with sim_topk's full ranking") {
+    val rows = queries("q_vec_matryoshka")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 0 && kept <= 5)
+      assert(math.abs(r.getAs[Double]("recall5") - kept / 5.0) < 1e-9)
+      assert(Set(0L, 1L)(r.getAs[Long]("top1_kept")))
+    }
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
