@@ -899,6 +899,53 @@ object Curation {
           when(col("sym_frac") > 0.02 || col("dig_frac") > 0.15, 1L)
             .otherwise(0L))
         .orderBy("doc_id")
+    },
+
+    /** Quality-vs-tokens Pareto curve — q_budget_select answers "what
+      * fits THIS budget"; planning needs the whole trade-off artifact:
+      * for every quality-sorted prefix (at ROUNDED-score-group
+      * granularity, the budget_select discipline that keeps the window
+      * over ≤ 10⁴+1 rows at any corpus size), the cumulative docs,
+      * cumulative tokens, and token-weighted mean quality of the prefix.
+      * Quality sits on the r4 grid, so score×tokens products are exact
+      * BIGINT and every cumulative sum is order-exact; one rounded
+      * division per output row. */
+    OpDef(
+      "q_budget_pareto",
+      s"""WITH $qualCte,
+        |g AS (SELECT quality, count(*) AS n_docs,
+        |             CAST(sum(n_toks) AS BIGINT) AS g_toks
+        |      FROM qual GROUP BY quality),
+        |r AS (
+        |  SELECT quality, n_docs, g_toks,
+        |    CAST(sum(n_docs) OVER wq AS BIGINT) AS cum_docs,
+        |    CAST(sum(g_toks) OVER wq AS BIGINT) AS cum_toks,
+        |    CAST(sum(CAST(floor(quality * 10000.0 + 0.5) AS BIGINT) * g_toks)
+        |         OVER wq AS BIGINT) AS cum_qtoks
+        |  FROM g
+        |  WINDOW wq AS (ORDER BY quality DESC ROWS UNBOUNDED PRECEDING))
+        |SELECT quality, CAST(n_docs AS BIGINT) AS n_docs, cum_docs, cum_toks,
+        |  floor((cum_qtoks * 1.0 / cum_toks / 10000.0) * 10000.0 + 0.5)
+        |    / 10000.0 AS prefix_quality
+        |FROM r ORDER BY quality DESC""".stripMargin
+    ) { (s, d) =>
+      val qual = LlmOps.qualityScoresCore(documents(s, d), 5)
+        .select("doc_id", "quality", "n_toks")
+      val g = qual.groupBy("quality")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).cast("long").as("g_toks"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      g.select(col("quality"), col("n_docs"), col("g_toks"),
+          sum(col("n_docs")).over(wq).cast("long").as("cum_docs"),
+          sum(col("g_toks")).over(wq).cast("long").as("cum_toks"),
+          sum(floor(col("quality") * lit(10000.0) + lit(0.5)).cast("long")
+              * col("g_toks")).over(wq).cast("long").as("cum_qtoks"))
+        .select(col("quality"), col("n_docs"), col("cum_docs"), col("cum_toks"),
+          Det.r4(col("cum_qtoks") * lit(1.0) / col("cum_toks") / lit(10000.0))
+            .as("prefix_quality"))
+        .orderBy(col("quality").desc)
     }
   )
 }

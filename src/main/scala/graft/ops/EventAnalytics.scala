@@ -1366,6 +1366,90 @@ object EventAnalytics {
         .select(col("day"), col("dau"), col("wau"),
                 Det.r4(col("dau") * lit(1.0) / col("wau")).as("stickiness"))
         .orderBy("day")
+    },
+
+    /** Hour-of-day × day-of-week activity heatmap — the capacity/on-call
+      * planning artifact (when does traffic actually arrive?). One
+      * corpus aggregation into a ≤ 168-cell matrix + a 1-row total
+      * broadcast for the share column. DuckDB numbers Sunday 0 where
+      * Spark numbers it 1, so the oracle shifts (+1) — the
+      * q_win_seasonal dialect note. */
+    OpDef(
+      "q_events_heatmap",
+      """WITH h AS (
+        |  SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |         hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+        |  CAST(n AS BIGINT) AS n,
+        |  floor((n * 1.0 / tot) * 1000000.0 + 0.5) / 1000000.0 AS share
+        |FROM h, t ORDER BY dow, hod""".stripMargin
+    ) { (s, d) =>
+      val h = events(s, d)
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+                 hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val t = h.agg(sum(col("n")).cast("long").as("tot"))
+      h.crossJoin(broadcast(t))
+        .select(col("dow"), col("hod"), col("n"),
+                Det.r6(col("n") * lit(1.0) / col("tot")).as("share"))
+        .orderBy("dow", "hod")
+    },
+
+    /** Rolling-baseline z-score anomalies — q_events_anomaly scores each
+      * day against the GLOBAL mean, which drifts with the series itself;
+      * the production monitor compares against a trailing window (28
+      * days here, current day excluded — the day being judged must not
+      * contaminate its own baseline). Window moments are INTEGER sums
+      * (order-exact); z is NULL until 7 baseline days exist and for
+      * zero-variance baselines (the moments guard); the flag compares on
+      * the ROUNDED z. Windows run over the bounded daily table. */
+    OpDef(
+      "q_win_zscore_roll",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day, count(*) AS v
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, CAST(v AS BIGINT) AS v,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(v) OVER w AS BIGINT) AS s,
+        |    CAST(sum(v * v) OVER w AS BIGINT) AS sq
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ASC
+        |               ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT day, v,
+        |    CASE WHEN n >= 7 AND n * sq - s * s > 0 THEN
+        |      floor(((v - s * 1.0 / n)
+        |             / sqrt((sq - s * 1.0 * s / n) / (n - 1)))
+        |            * 10000.0 + 0.5) / 10000.0 END AS zscore
+        |  FROM m)
+        |SELECT day, v, zscore,
+        |  CAST(CASE WHEN zscore IS NOT NULL AND abs(zscore) > 3.0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+        |FROM z ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day").asc).rowsBetween(-28, -1)
+      val m = daily.select(col("day"), col("v").cast("long").as("v"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("v")).over(w).cast("long").as("s"),
+        sum(col("v") * col("v")).over(w).cast("long").as("sq"))
+      val varOk = col("n") >= 7 && col("n") * col("sq") - col("s") * col("s") > 0
+      m.select(col("day"), col("v"),
+          when(varOk,
+            Det.r4((col("v") - col("s") * lit(1.0) / col("n"))
+                   / sqrt((col("sq") - col("s") * lit(1.0) * col("s") / col("n"))
+                          / (col("n") - 1)))).as("zscore"))
+        .withColumn("is_anom",
+          when(col("zscore").isNotNull && abs(col("zscore")) > 3.0, 1L)
+            .otherwise(0L))
+        .orderBy("day")
     }
   )
 }

@@ -680,6 +680,58 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("pareto curve: monotone prefixes, totals close, agrees with budget_select") {
+    val rows = queries("q_budget_pareto")(spark, sf).collect()
+      .sortBy(-_.getAs[Double]("quality"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("cum_docs") > a.getAs[Long]("cum_docs"))
+      assert(b.getAs[Long]("cum_toks") > a.getAs[Long]("cum_toks"))
+      // adding lower-quality groups can only drag the prefix mean down
+      assert(b.getAs[Double]("prefix_quality")
+        <= a.getAs[Double]("prefix_quality") + 1e-4)
+    }
+    assert(rows.last.getAs[Long]("cum_docs") ==
+      graft.ops.Tables.documents(spark, sf).count())
+    // the budget_select prefix is exactly this curve cut at tokens/4
+    val budget = rows.last.getAs[Long]("cum_toks") / 4
+    val expectSel = rows.filter(_.getAs[Long]("cum_toks") <= budget)
+      .map(_.getAs[Double]("quality")).toSet
+    val gotSel = queries("q_budget_select")(spark, sf).collect()
+      .map(_.getAs[Double]("quality")).toSet
+    assert(gotSel == expectSel)
+  }
+
+  test("heatmap: cells bounded, counts and shares total") {
+    val rows = queries("q_events_heatmap")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.ops.Tables.events(spark, sf).count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dow") >= 1 && r.getAs[Long]("dow") <= 7)
+      assert(r.getAs[Long]("hod") >= 0 && r.getAs[Long]("hod") <= 23)
+    }
+  }
+
+  test("rolling z-score: baseline excludes the judged day and replays exactly") {
+    val rows = queries("q_win_zscore_roll")(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    val vs = rows.map(_.getAs[Long]("v"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val base = vs.slice(math.max(0, i - 28), i) // 28 preceding, current excluded
+      val n = base.length
+      if (n >= 7) {
+        val s = base.sum; val sq = base.map(x => x * x).sum
+        if (n.toLong * sq - s * s > 0) {
+          val mean = s.toDouble / n
+          val sd = math.sqrt((sq - s.toDouble * s / n) / (n - 1))
+          val z = math.floor((vs(i) - mean) / sd * 1e4 + 0.5) / 1e4
+          assert(math.abs(r.getAs[Double]("zscore") - z) < 1e-9)
+          assert(r.getAs[Long]("is_anom") == (if (math.abs(z) > 3.0) 1L else 0L))
+        }
+      } else assert(r.isNullAt(2) && r.getAs[Long]("is_anom") == 0L)
+    }
+  }
+
   test("exact dedup is idempotent and total") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val deduped = queries("q_dedup_exact")(spark, sf)
