@@ -946,6 +946,44 @@ object Curation {
           Det.r4(col("cum_qtoks") * lit(1.0) / col("cum_toks") / lit(10000.0))
             .as("prefix_quality"))
         .orderBy(col("quality").desc)
+    },
+
+    /** Blocklist safety gate — the term-level content filter every crawl
+      * pipeline runs before training (the C4 badwords pass). The list is a
+      * compile-time constant here; in production it is a few thousand terms
+      * — either way it is BOUNDED and travels to every task as part of the
+      * codegen'd expression (or a broadcast array), so the gate is MAP-ONLY:
+      * no shuffle, no join, linear in corpus bytes at any scale. Matching is
+      * token-exact (not substring — "scunthorpe" must not trip a "thorpe"
+      * entry): per doc, the count of blocklist TERMS present, the count of
+      * token OCCURRENCES matching the list, and the resulting gate flag.
+      * Iterating the 3-term list per row (terms × tokens) is the right
+      * asymmetry: the list is O(1) per row; building tokens-as-set instead
+      * would hash the whole document per row for the same answer. */
+    OpDef(
+      "q_text_blocklist",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(['slow', 'big', 'hash'],
+        |         t -> list_contains(string_split(text, ' '), t)))
+        |       AS BIGINT) AS n_terms,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('slow', 'big', 'hash'))) AS BIGINT) AS n_occ,
+        |  CAST(CASE WHEN len(list_filter(['slow', 'big', 'hash'],
+        |         t -> list_contains(string_split(text, ' '), t))) > 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          expr("CAST(size(filter(array('slow', 'big', 'hash'), " +
+               "t -> array_contains(split(text, ' '), t))) AS BIGINT)")
+            .as("n_terms"),
+          expr("CAST(size(filter(split(text, ' '), " +
+               "t -> t IN ('slow', 'big', 'hash'))) AS BIGINT)")
+            .as("n_occ"))
+        .withColumn("blocked",
+          when(col("n_terms") > 0, 1L).otherwise(0L))
+        .orderBy("doc_id")
     }
   )
 }

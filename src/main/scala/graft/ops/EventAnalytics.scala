@@ -1450,6 +1450,75 @@ object EventAnalytics {
           when(col("zscore").isNotNull && abs(col("zscore")) > 3.0, 1L)
             .otherwise(0L))
         .orderBy("day")
+    },
+
+    /** Customer-lifetime-value curve — the acquisition-economics view the
+      * retention matrix doesn't give: cumulative revenue per acquired
+      * customer as a function of account age. Age is quarters since each
+      * customer's FIRST order (one partitioned min-window over orders);
+      * revenue sums run in exact BIGINT cents so cross-engine accumulation
+      * order cannot perturb the total (o_totalprice epoch-cent sums exceed
+      * double's contiguous-integer range at warehouse scale — the CUPED
+      * lesson). The curve itself lives on the bounded quarter axis (≤ a few
+      * dozen rows at any corpus size): one shuffle to the per-customer
+      * window, one bounded groupBy, one window over quarters, and the
+      * cohort denominator travels as a broadcast 1-row frame. */
+    OpDef(
+      "q_events_ltv",
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+        |      AS day,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |aged AS (
+        |  SELECT cents,
+        |    CAST(datediff('day', min(day) OVER (PARTITION BY o_custkey), day)
+        |         AS BIGINT) // 90 AS age_q
+        |  FROM o),
+        |byq AS (
+        |  SELECT age_q, count(*) AS n_orders, CAST(sum(cents) AS BIGINT)
+        |    AS cents
+        |  FROM aged GROUP BY age_q),
+        |cum AS (
+        |  SELECT age_q, CAST(n_orders AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) OVER (ORDER BY age_q ASC ROWS UNBOUNDED
+        |         PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM byq),
+        |nc AS (SELECT count(DISTINCT o_custkey) AS n_customers FROM orders)
+        |SELECT age_q, n_orders,
+        |  cum_cents / 100.0 AS cum_rev,
+        |  floor((cum_cents / 100.0 / n_customers) * 10000.0 + 0.5) / 10000.0
+        |    AS ltv
+        |FROM cum, nc ORDER BY age_q""".stripMargin
+    ) { (s, d) =>
+      val o = orders(s, d).select(
+        col("o_custkey"),
+        to_date(date_trunc("day", col("o_orderdate"))).as("day"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      val perCust = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+      val aged = o
+        .withColumn("first_day", min(col("day")).over(perCust))
+        .select(col("cents"),
+                expr("CAST(datediff(day, first_day) AS BIGINT) div 90")
+                  .as("age_q"))
+      val byq = aged.groupBy("age_q")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(col("cents")).cast("long").as("cents"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("age_q").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val nc = orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      byq
+        .withColumn("cum_cents", sum(col("cents")).over(wq).cast("long"))
+        .crossJoin(broadcast(nc))
+        .select(col("age_q"), col("n_orders"),
+          (col("cum_cents") / lit(100.0)).as("cum_rev"),
+          Det.r4(col("cum_cents") / lit(100.0) / col("n_customers"))
+            .as("ltv"))
+        .orderBy("age_q")
     }
   )
 }

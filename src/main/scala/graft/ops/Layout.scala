@@ -101,6 +101,56 @@ object Layout {
              min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
              min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
         .orderBy("z_bucket")
+    },
+
+    /** Small-file compaction planner — the OPTIMIZE/bin-packing pass every
+      * table format (Delta/Iceberg/Hudi) runs against a 100 TB table that
+      * ingests thousands of small files a day. "Files" here are the daily
+      * write partitions of `orders` (one per o_orderdate day, carrying its
+      * row count); the planner assigns date-adjacent files to target-size
+      * compaction bins by exclusive-prefix-sum streaming binning — bin =
+      * prior_rows div target — which is deterministic, one-pass, and keeps
+      * each bin within one file of the target (the greedy first-fit result
+      * on an ordered stream). The windows run over the FILE-METADATA table
+      * (≤ one row per day/file), which is millions of rows when the data is
+      * 100 TB — planner input scales with file count, not data volume, so a
+      * single-partition running sum is the right tool here even though it
+      * would be wrong over the fact table itself. Output is the compaction
+      * manifest: per bin, how many files merge, total rows, and the date
+      * range the rewritten file will cover (its new min/max footer). */
+    OpDef(
+      "q_layout_compaction",
+      """WITH files AS (
+        |  SELECT CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+        |              AS DATE) AS day,
+        |         count(*) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |binned AS (
+        |  SELECT day, CAST(n_rows AS BIGINT) AS n_rows,
+        |    CAST(coalesce(sum(n_rows) OVER (ORDER BY day ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) // 400 AS bin
+        |  FROM files)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  min(day) AS day_first, max(day) AS day_last
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+    ) { (s, d) =>
+      val files = orders(s, d)
+        .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val prior = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      files
+        .withColumn("prior",
+          coalesce(sum(col("n_rows")).over(prior), lit(0L)).cast("long"))
+        .withColumn("bin", expr("prior div 400"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+             sum(col("n_rows")).cast("long").as("n_rows"),
+             min("day").as("day_first"), max("day").as("day_last"))
+        .orderBy("bin")
     }
   )
 }

@@ -788,4 +788,50 @@ class OpsSpec extends SparkTestBase {
       assert(a == b, s"$n not deterministic")
     }
   }
+
+  test("compaction plan: conserves rows, contiguous ranges, bins close full") {
+    val rows = queries("q_layout_compaction")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val total = graft.ops.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach(r => assert(r.getAs[Long]("n_files") >= 1))
+    // bins tile the date axis in order, never overlapping
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0).getAs[java.sql.Date]("day_last").getTime <
+             w(1).getAs[java.sql.Date]("day_first").getTime)
+    }
+    // every bin except the last closed because the running total crossed
+    // its boundary: cum rows through bin b must reach 400*(b+1)
+    val cum = rows.map(_.getAs[Long]("n_rows")).scanLeft(0L)(_ + _).drop(1)
+    rows.init.zip(cum.init).foreach { case (r, c) =>
+      assert(c >= 400L * (r.getAs[Long]("bin") + 1),
+        s"bin ${r.getAs[Long]("bin")} closed early at cum=$c")
+    }
+  }
+
+  test("ltv curve: monotone, lands on total revenue, conserves orders") {
+    val rows = queries("q_events_ltv")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("age_q"))
+    val ltv = rows.map(_.getAs[Double]("ltv"))
+    ltv.sliding(2).filter(_.length == 2).foreach(w => assert(w(1) >= w(0)))
+    val o = graft.ops.Tables.orders(spark, sf)
+    val totalCents = o.selectExpr(
+      "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))")
+      .head.getLong(0)
+    assert(rows.last.getAs[Double]("cum_rev") == totalCents / 100.0)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == o.count())
+  }
+
+  test("blocklist gate: flag consistent, occurrences dominate terms") {
+    val rows = queries("q_text_blocklist")(spark, sf).collect()
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_terms"); val occ = r.getAs[Long]("n_occ")
+      assert(t >= 0 && t <= 3)
+      assert(occ >= t)
+      assert(r.getAs[Long]("blocked") == (if (t > 0) 1L else 0L))
+    }
+    // the fixture vocabulary makes both outcomes non-empty
+    assert(rows.exists(_.getAs[Long]("blocked") == 1L))
+    assert(rows.exists(_.getAs[Long]("blocked") == 0L))
+  }
 }

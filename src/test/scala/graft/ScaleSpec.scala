@@ -333,6 +333,16 @@ class ScaleSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("blocklist gate is map-only — the term list rides the expression") {
+    // the bounded blocklist is a literal array inside the codegen'd
+    // filter, so the gate must run at scan speed: no groupBy/join
+    // exchange; only the final ORDER BY's rangepartitioning is allowed
+    val plan = SparkEntry.queries("q_text_blocklist")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"blocklist gate must be map-only:\n$plan")
+  }
+
   test("gopher quality gate is map-only — every signal an in-row HOF") {
     // a hashpartitioning exchange would mean a groupBy/join crept into
     // what must run at scan speed; only the final ORDER BY's
