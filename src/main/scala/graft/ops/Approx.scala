@@ -1079,8 +1079,79 @@ object Approx {
              max(when(col("rn") === 1 && col("trn").isNotNull, 1L)
                  .otherwise(0L)).as("top1_kept"))
         .orderBy("qid")
+    },
+
+    /** KMV (k-minimum-values) distinct-count sketch — the third classic
+      * stream summary alongside q_agg_cmsketch / q_agg_bloom, and like
+      * them DETERMINISTIC (md5 hash) and therefore oracle-checked, unlike
+      * the engine-native HLL ops whose hash family DuckDB can't replay.
+      * Keep the k=64 smallest hash values of the distinct stream per
+      * group; if fewer than k survive the count is exact, otherwise
+      * estimate (k−1)/h_(k) with the hash scaled into [0,1) by 16^12
+      * (= 2^48, so the constant and every surviving hash are exact
+      * doubles and both engines divide bit-identically).
+      *
+      * Scale shape: distinct() collapses map-side before its shuffle;
+      * the per-group k-smallest is a rank window that WindowGroupLimit
+      * turns into a per-partition top-k push-down (same plan shape
+      * asserted for q_topk / q_win_topk_group in ScaleSpec), so the
+      * sketch state is k rows per group no matter the corpus size.
+      * Mergeable: k-smallest of a union == k-smallest of the
+      * concatenated shard sketches (asserted in ApproxSpec). */
+    OpDef(
+      "q_agg_kmv",
+      """WITH dv AS (
+        |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |h AS (
+        |  SELECT l_returnflag, l_partkey,
+        |    CAST('0x' || substring(md5('kmv' || CAST(l_partkey AS VARCHAR)),
+        |                           1, 12) AS BIGINT) AS h
+        |  FROM dv),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY h ASC, l_partkey ASC) AS rn
+        |  FROM h)
+        |SELECT l_returnflag, count(*) AS n_kept,
+        |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE floor((CAST(17732923532771328 AS DOUBLE) / max(h))
+        |                   * 10000.0 + 0.5) / 10000.0 END AS est_distinct
+        |FROM r WHERE rn <= 64
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val k = 64
+      kmvKept(
+          lineitem(s, d).select(col("l_returnflag").as("grp_"),
+                                col("l_partkey").as("item_")).distinct(), k)
+        .groupBy("grp_")
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+        .select(col("grp_").as("l_returnflag"), col("n_kept"),
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(Det.r4(lit(1.7732923532771328e16) / col("hk")))
+            .as("est_distinct"))
+        .orderBy("l_returnflag")
     }
   )
+
+  /** KMV sketch state for a (grp_, item_) stream: the k smallest 48-bit
+    * md5 hash values of the DISTINCT items per group — k rows per group at
+    * any corpus size. Mergeable: re-ranking the union of shard sketches
+    * and keeping the k smallest equals the direct sketch, because each
+    * shard's kept set contains every hash that can be globally among the
+    * k smallest (asserted in ApproxSpec). */
+  private[graft] def kmvKept(
+      dv: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val h = expr("CAST(conv(substring(md5(concat('kmv', " +
+      "CAST(item_ AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy(col("grp_"))
+      .orderBy(col("h").asc, col("item_").asc)
+    dv.select(col("grp_"), col("item_"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("grp_", "item_", "h")
+  }
 
   /** CMS counter table (dep_, bucket, c) for an `item_` column: ≤ 4×256
     * cells at any corpus size (map-side combine does the collapse).

@@ -984,6 +984,53 @@ object Curation {
         .withColumn("blocked",
           when(col("n_terms") > 0, 1L).otherwise(0L))
         .orderBy("doc_id")
+    },
+
+    /** Deterministic negative sampling — the contrastive-training data
+      * prep step: each anchor doc draws 4 pseudo-random peers via the
+      * md5 uniform (neg_id = hash(anchor, j) mod N), accidental
+      * self-draws dropped (so a row can have < 4 negatives — documented,
+      * not padded). Because doc_ids are dense 0..N−1 in the fixture, the
+      * modulus always lands on a real doc; a sparse-id corpus would first
+      * build the same dense index with a rank window.
+      *
+      * Scale shape: the corpus count is a 1-row broadcast; draw
+      * generation is map-only (bounded ×4 explode); resolving the
+      * negative's attributes is one equi-join on neg_id — shuffle-bounded,
+      * never quadratic, and uniformity of the md5 draw is asserted in
+      * CurationSpec. */
+    OpDef(
+      "q_sample_negatives",
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |draws AS (
+        |  SELECT d.doc_id, CAST(j AS BIGINT) AS j,
+        |    CAST('0x' || substring(md5('neg' || CAST(d.doc_id AS VARCHAR)
+        |                                || ':' || CAST(j AS VARCHAR)), 1, 12)
+        |         AS BIGINT) % n.n AS neg_id
+        |  FROM documents d, n, UNNEST(range(0, 4)) AS t(j))
+        |SELECT dr.doc_id, dr.j, dr.neg_id, doc.lang AS neg_lang,
+        |       doc.source AS neg_source
+        |FROM draws dr JOIN documents doc ON dr.neg_id = doc.doc_id
+        |WHERE dr.neg_id <> dr.doc_id
+        |ORDER BY dr.doc_id, dr.j""".stripMargin
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val draws = docs.select(col("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"),
+                col("n"))
+        .select(col("doc_id"), col("j"),
+          (expr("CAST(conv(substring(md5(concat('neg', CAST(doc_id AS STRING)," +
+             " ':', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+             % col("n")).as("neg_id"))
+        .filter(col("neg_id") =!= col("doc_id"))
+      draws.join(
+          docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang"),
+                      col("source").as("neg_source")),
+          Seq("neg_id"))
+        .select("doc_id", "j", "neg_id", "neg_lang", "neg_source")
+        .orderBy("doc_id", "j")
     }
   )
 }

@@ -1519,6 +1519,71 @@ object EventAnalytics {
           Det.r4(col("cum_cents") / lit(100.0) / col("n_customers"))
             .as("ltv"))
         .orderBy("age_q")
+    },
+
+    /** 30-minute-gap sessionization + per-user session stats — the batch
+      * twin of the streaming flatMapGroupsWithState sessionizer (S:209):
+      * a new session starts where the gap to the previous event exceeds
+      * 1800 s; session ids are the running sum of start flags (two stacked
+      * windows per user, the q_win_islands construction on event time
+      * instead of days). Durations accumulate in exact epoch-µs BIGINTs;
+      * only the final averages divide in floating point.
+      *
+      * Scale shape: both windows and both groupBys key on user_id — one
+      * shuffle partitioning reused end-to-end, no global sort; per-user
+      * event counts bound every window. */
+    OpDef(
+      "q_events_sessions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER w > 1800000000 OR
+        |              lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS start
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY us ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    sum(start) OVER (PARTITION BY user_id
+        |                     ORDER BY us ASC, event_id ASC) AS sess
+        |  FROM f),
+        |per AS (
+        |  SELECT user_id, sess, count(*) AS n_events,
+        |         max(us) - min(us) AS dur_us
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  floor((sum(n_events) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0
+        |    AS avg_events,
+        |  floor((sum(dur_us) / count(*) / 1000000.0) * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_secs,
+        |  CAST(max(dur_us) // 1000000 AS BIGINT) AS max_secs
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("start",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L
+               || lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("start")).over(run))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("us")) - min(col("us"))).as("dur_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_events")).cast("long").as("n_events"),
+             Det.r4(sum(col("n_events")) * lit(1.0) / count(lit(1)))
+               .as("avg_events"),
+             Det.r4(sum(col("dur_us")) / count(lit(1)) / lit(1000000.0))
+               .as("avg_secs"),
+             (max(col("dur_us")) / 1000000L).cast("long").as("max_secs"))
+        .orderBy("user_id")
     }
   )
 }

@@ -841,6 +841,79 @@ object Extras {
                   && col("old_cents") === col("new_cents"), "unchanged")
             .otherwise("changed").as("status"))
         .orderBy("custkey")
+    },
+
+    /** Robust location estimates — 10%-trimmed and winsorized mean of
+      * order value per priority, the outlier-resistant KPI pair. Exact
+      * per-group ranks define the cut points (lo = floor(n/10) dropped /
+      * clamped on each side); all summation runs in BIGINT cents
+      * (prices quantized once, up front) because a double sum's value
+      * depends on accumulation order — the q_events_ltv discipline — and
+      * only the final mean division happens in floating point.
+      *
+      * Scale shape: one rank window per priority (5 groups) + one
+      * aggregate + a broadcast join of the 5-row boundary table back onto
+      * the ranked rows for the winsor clamp. The exact global-rank sort
+      * per group is the oracle-checkable baseline; at 100 TB the same
+      * shape runs off approx-quantile cut points instead (q_agg_eqdepth's
+      * broadcast-boundary pattern) without changing the downstream
+      * arithmetic. */
+    OpDef(
+      "q_agg_trimmed",
+      """WITH r AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |c AS (SELECT pri, CAST(n // 10 AS BIGINT) AS lo, n FROM r
+        |      GROUP BY pri, n),
+        |b AS (
+        |  SELECT r.pri,
+        |    max(CASE WHEN r.rn = c.lo + 1 THEN r.cents END) AS lo_cents,
+        |    max(CASE WHEN r.rn = c.n - c.lo THEN r.cents END) AS hi_cents
+        |  FROM r JOIN c ON r.pri = c.pri GROUP BY r.pri)
+        |SELECT r.pri,
+        |  CAST(max(c.n) AS BIGINT) AS n,
+        |  floor((sum(CASE WHEN r.rn > c.lo AND r.rn <= c.n - c.lo
+        |                  THEN r.cents END)
+        |           / (100.0 * max(c.n - 2 * c.lo))) * 10000.0 + 0.5) / 10000.0
+        |    AS trimmed_mean,
+        |  floor((sum(greatest(least(r.cents, b.hi_cents), b.lo_cents))
+        |           / (100.0 * max(c.n))) * 10000.0 + 0.5) / 10000.0
+        |    AS winsor_mean
+        |FROM r JOIN c ON r.pri = c.pri JOIN b ON r.pri = b.pri
+        |GROUP BY r.pri
+        |ORDER BY r.pri""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("pri"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wn = Window.partitionBy(col("pri"))
+      val r = orders(s, d)
+        .select(col("o_orderpriority").as("pri"), col("o_totalprice"),
+                col("o_orderkey"),
+                floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                  .cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("lo", (col("n") / 10).cast("long"))
+      val b = r.groupBy("pri")
+        .agg(max(when(col("rn") === col("lo") + 1, col("cents"))).as("lo_cents"),
+             max(when(col("rn") === col("n") - col("lo"), col("cents")))
+               .as("hi_cents"))
+      r.join(broadcast(b), Seq("pri"))
+        .groupBy("pri")
+        .agg(
+          max(col("n")).as("n"),
+          Det.r4(sum(when(col("rn") > col("lo")
+                          && col("rn") <= col("n") - col("lo"), col("cents")))
+                   / (lit(100.0) * max(col("n") - lit(2) * col("lo"))))
+            .as("trimmed_mean"),
+          Det.r4(sum(greatest(least(col("cents"), col("hi_cents")),
+                              col("lo_cents")))
+                   / (lit(100.0) * max(col("n")))).as("winsor_mean"))
+        .orderBy("pri")
     }
   )
 }

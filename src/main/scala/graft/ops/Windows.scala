@@ -254,6 +254,78 @@ object Windows {
         .agg(count(lit(1)).as("n"), Det.r4(sum(col("value"))).as("total"))
         .select(col("window.start").as("win_start"), col("n"), col("total"))
         .orderBy("win_start")
+    },
+
+    /** Hampel filter — rolling-median/MAD outlier flag over each user's
+      * event values (±3-row window): robust to the very outliers a rolling
+      * mean/stddev would absorb (the q_win_zscore_roll failure mode on
+      * heavy tails). The window list is bounded (≤ 7 elements) so the
+      * exact median runs as array HOFs on the sorted frame — no
+      * percentile aggregate, whose accumulation DuckDB and Spark
+      * interpolate differently. Median/MAD/flag arithmetic is spelled
+      * identically on both sides (sorted-array picks, (a+b)/2.0, literal
+      * 4.4478 = 3·1.4826 as one constant) so every intermediate double is
+      * bit-identical and the unrounded comparison agrees cross-engine;
+      * only the reported med/mad columns are display-rounded.
+      *
+      * Scale shape: one per-user window sort (hash shuffle on user_id),
+      * frame bounded by ±3 rows — map-local per partition after the
+      * shuffle, any corpus size. */
+    OpDef(
+      "q_win_hampel",
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS s
+        |  FROM e),
+        |m AS (
+        |  SELECT event_id, user_id, value, s,
+        |    CASE WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
+        |         ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2.0 END AS med
+        |  FROM l),
+        |d AS (
+        |  SELECT event_id, user_id, value, med,
+        |    list_sort(list_transform(s, x -> abs(x - med))) AS ds
+        |  FROM m)
+        |SELECT event_id, user_id, value,
+        |  floor(med * 10000.0 + 0.5) / 10000.0 AS med,
+        |  floor((CASE WHEN len(ds) % 2 = 1 THEN ds[(len(ds) + 1) // 2]
+        |         ELSE (ds[len(ds) // 2] + ds[len(ds) // 2 + 1]) / 2.0 END)
+        |        * 10000.0 + 0.5) / 10000.0 AS mad,
+        |  abs(value - med) > 4.4478 *
+        |    (CASE WHEN len(ds) % 2 = 1 THEN ds[(len(ds) + 1) // 2]
+        |     ELSE (ds[len(ds) // 2] + ds[len(ds) // 2 + 1]) / 2.0 END)
+        |    AS is_outlier
+        |FROM d ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.Column
+      def pick(a: Column): Column = {
+        val n = size(a)
+        when(n % 2 === 1, element_at(a, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(a, (n / 2).cast("int"))
+                        + element_at(a, (n / 2 + 1).cast("int"))) / lit(2.0))
+      }
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(-3, 3)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+                unix_micros(col("ts")).as("us"))
+        .withColumn("s", array_sort(collect_list(col("value")).over(w)))
+        .withColumn("med", pick(col("s")))
+        .withColumn("ds",
+          array_sort(transform(col("s"), x => abs(x - col("med")))))
+        .select(col("event_id"), col("user_id"), col("value"),
+                Det.r4(col("med")).as("med"),
+                Det.r4(pick(col("ds"))).as("mad"),
+                (abs(col("value") - col("med"))
+                   > lit(4.4478) * pick(col("ds"))).as("is_outlier"))
+        .orderBy("event_id")
     }
   )
 }

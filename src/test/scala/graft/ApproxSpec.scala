@@ -314,4 +314,35 @@ class ApproxSpec extends SparkTestBase {
     assert(bits(a.unionAll(b).distinct()) == direct,
       "union of shard bloom filters must equal the direct filter")
   }
+
+  test("KMV sketch: estimate within the k=64 error envelope, shard-mergeable") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    val dv = li.select(col("l_returnflag").as("grp_"),
+                       col("l_partkey").as("item_")).distinct()
+    val truth = dv.groupBy("grp_").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    queries("q_agg_kmv")(spark, sf).collect().foreach { r =>
+      val (grp, est) = (r.getString(0), r.getDouble(2))
+      val t = truth(grp).toDouble
+      // KMV relative std error ≈ 1/sqrt(k−2) ≈ 12.7% at k=64; 3σ bound
+      assert(math.abs(est - t) / t <= 0.38,
+        s"KMV estimate $est for group $grp vs exact $t outside 3σ")
+    }
+    // mergeability: k-smallest of the union of per-shard k-smallest lists
+    // == the direct sketch (every globally-kept hash survives its shard)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val direct = kept(graft.ops.Approx.kmvKept(dv, 64))
+    val a = graft.ops.Approx.kmvKept(dv.filter(col("item_") % 2 === 0), 64)
+    val b = graft.ops.Approx.kmvKept(dv.filter(col("item_") % 2 =!= 0), 64)
+    val w = Window.partitionBy(col("grp_"))
+      .orderBy(col("h").asc, col("item_").asc)
+    val merged = kept(
+      a.unionAll(b).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 64).select("grp_", "item_", "h"))
+    assert(merged == direct,
+      "re-ranked union of shard KMV sketches must equal the direct sketch")
+  }
 }

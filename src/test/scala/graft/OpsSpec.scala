@@ -834,4 +834,92 @@ class OpsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("blocked") == 1L))
     assert(rows.exists(_.getAs[Long]("blocked") == 0L))
   }
+
+  test("sessions: event conservation, durations need >= 2 events, gaps split") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_events_sessions")(spark, sf).collect()
+    val totalEvents = graft.ops.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == totalEvents,
+      "every event must land in exactly one session")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1)
+      assert(r.getAs[Double]("avg_events") >= 1.0)
+      assert(r.getAs[Long]("max_secs") >= 0)
+    }
+    // the fixture spans a month of sparse per-user activity, so a 30-min
+    // gap rule must split every user into many sessions
+    assert(rows.forall(_.getAs[Long]("n_sessions") > 1))
+  }
+
+  test("trimmed/winsorized means: bounded by group extremes, robust ordering") {
+    import org.apache.spark.sql.functions._
+    val o = graft.ops.Tables.orders(spark, sf)
+    val ext = o.groupBy(col("o_orderpriority").as("pri"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+           avg("o_totalprice").as("mean"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    SparkEntry.queries("q_agg_trimmed")(spark, sf).collect().foreach { r =>
+      val (lo, hi, _) = ext(r.getAs[String]("pri"))
+      val (tm, wm) = (r.getAs[Double]("trimmed_mean"),
+                      r.getAs[Double]("winsor_mean"))
+      assert(tm >= lo && tm <= hi, s"trimmed mean $tm outside [$lo,$hi]")
+      assert(wm >= lo && wm <= hi, s"winsor mean $wm outside [$lo,$hi]")
+      // both drop the same tail mass from each side of the same sample, so
+      // they can only diverge by the clamped tails' pull
+      assert(math.abs(tm - wm) <= (hi - lo),
+        "trimmed and winsorized means diverged beyond the value range")
+    }
+  }
+
+  test("hampel: total rows, median within window extremes, flag replays") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_win_hampel")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == graft.ops.Tables.events(spark, sf).count())
+    // replay one user's flags from scratch in memory
+    val ev = graft.ops.Tables.events(spark, sf)
+      .filter(col("user_id") === 3)
+      .select(col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect().sortBy(r => (r.getLong(2), r.getLong(0)))
+    val vals = ev.map(_.getDouble(1))
+    def med(a: Array[Double]): Double = {
+      val s = a.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val flags = vals.indices.map { i =>
+      val w = vals.slice(math.max(0, i - 3), math.min(vals.length, i + 4))
+      val m = med(w)
+      val mad = med(w.map(x => math.abs(x - m)))
+      math.abs(vals(i) - m) > 4.4478 * mad
+    }
+    val got = rows.filter(_.getAs[Long]("user_id") == 3)
+      .sortBy(_.getAs[Long]("event_id"))
+    val expByEvent = ev.map(_.getLong(0)).zip(flags).toMap
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("is_outlier")
+               == expByEvent(r.getAs[Long]("event_id")),
+        s"hampel flag mismatch at event ${r.getAs[Long]("event_id")}")
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_outlier")),
+      "fixture values are heavy-tailed enough to trip the filter somewhere")
+  }
+
+  test("negative sampling: no self-draws, near-complete fill, uniform spread") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_sample_negatives")(spark, sf).collect()
+    val n = graft.ops.Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("doc_id"))
+    }
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    // self-collision chance is 1/N per draw — a handful of 3s at most
+    assert(perDoc.values.forall(c => c >= 3 && c <= 4))
+    assert(perDoc.values.count(_ == 4) >= (n * 0.95).toInt,
+      "almost every anchor keeps all 4 draws")
+    // uniformity proxy: the md5 draw must touch a large share of the corpus
+    val distinctNegs = rows.map(_.getAs[Long]("neg_id")).distinct.length
+    assert(distinctNegs >= n * 0.9,
+      s"only $distinctNegs of $n docs drawn — hash spread too narrow")
+  }
 }

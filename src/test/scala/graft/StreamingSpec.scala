@@ -742,17 +742,20 @@ class StreamingSpec extends SparkTestBase {
     // the streaming path; replaying the static events file through the
     // parquet file source must reproduce the batch result exactly
     import org.apache.spark.sql.functions._
-    val eventsBatch = graft.ops.Tables.events(spark, sf) // also sets nanosAsLong
+    val eventsBatch = graft.ops.Tables.events(spark, sf)
     import org.apache.spark.sql.types._
+    // Spark 4.1.2 reads the parquet TIMESTAMP(NANOS) column as
+    // TIMESTAMP_NTZ (truncated to µs); normalize to the UTC session TZ
+    // exactly like Tables.events so stream == batch bit-for-bit
     val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
     val name = nextName()
     // no watermark: complete replay, complete mode — we want exact equality
     val q = stream
