@@ -474,6 +474,43 @@ object Aggregates {
              max(col("price")).as("mx"),
              Det.r4(avg(col("price"))).as("avg_price"))
         .orderBy("bin")
+    },
+
+    /** Weighted mean — revenue per unit by brand: sum(price·qty)/sum(qty)
+      * against the naive avg of per-line unit prices, the classic
+      * aggregation-bias contrast. Both moments accumulate as exact BIGINTs
+      * (prices pre-quantized to cents, quantities integral by fixture
+      * domain) so accumulation order cannot perturb the result; one
+      * map-side-combined aggregation at any scale. */
+    OpDef(
+      "q_agg_weighted",
+      """WITH l AS (
+        |  SELECT p.p_brand,
+        |    CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT p_brand,
+        |  CAST(sum(qty) AS BIGINT) AS units,
+        |  floor((sum(cents) / (100.0 * count(*))) * 10000.0 + 0.5) / 10000.0
+        |    AS naive_avg_price,
+        |  floor((sum(cents * qty) / (100.0 * sum(qty))) * 10000.0 + 0.5)
+        |    / 10000.0 AS weighted_unit_price
+        |FROM l GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+                floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+                  .cast("long").as("cents"),
+                floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"))
+        .groupBy("p_brand")
+        .agg(sum(col("qty")).cast("long").as("units"),
+             Det.r4(sum(col("cents")) / (lit(100.0) * count(lit(1))))
+               .as("naive_avg_price"),
+             Det.r4(sum(col("cents") * col("qty"))
+                      / (lit(100.0) * sum(col("qty"))))
+               .as("weighted_unit_price"))
+        .orderBy("p_brand")
     }
   )
 }

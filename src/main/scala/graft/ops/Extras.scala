@@ -914,6 +914,73 @@ object Extras {
                               col("lo_cents")))
                    / (lit(100.0) * max(col("n")))).as("winsor_mean"))
         .orderBy("pri")
+    },
+
+    /** Tukey-fence outlier audit — per-event-type IQR bounds and the count
+      * of values outside q1 − 1.5·IQR / q3 + 1.5·IQR. Quartiles are
+      * type-1 (exact ranked elements, idx = ⌊(n−1)/4⌋+1 — no
+      * interpolation, so no cross-engine float arithmetic), and the fence
+      * comparison is scaled ×2 (2c < 2q1 − 3·IQR) so the whole predicate
+      * stays in exact BIGINT cents. Complements the model-based screens
+      * (q_win_zscore_roll, q_win_hampel, q_vec_outliers) with the
+      * distribution-free battery a DQ gate runs first.
+      *
+      * Scale: one rank window per group + one aggregate; at 100 TB the
+      * same fences come from approx quantiles (q_agg_eqdepth's broadcast
+      * pattern) with this exact form as the auditable baseline. */
+    OpDef(
+      "q_dq_outlier_iqr",
+      """WITH r AS (
+        |  SELECT event_type AS flag,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |q AS (
+        |  SELECT flag,
+        |    max(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS q1c,
+        |    max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END) AS q3c
+        |  FROM r GROUP BY flag)
+        |SELECT r.flag, CAST(max(r.n) AS BIGINT) AS n,
+        |  floor((max(q.q1c) / 100.0) * 10000.0 + 0.5) / 10000.0 AS q1,
+        |  floor((max(q.q3c) / 100.0) * 10000.0 + 0.5) / 10000.0 AS q3,
+        |  CAST(count(CASE WHEN 2 * r.cents < 2 * q.q1c - 3 * (q.q3c - q.q1c)
+        |               OR 2 * r.cents > 2 * q.q3c + 3 * (q.q3c - q.q1c)
+        |             THEN 1 END) AS BIGINT) AS n_outliers,
+        |  floor((count(CASE WHEN 2 * r.cents < 2 * q.q1c - 3 * (q.q3c - q.q1c)
+        |                 OR 2 * r.cents > 2 * q.q3c + 3 * (q.q3c - q.q1c)
+        |               THEN 1 END) * 1.0 / max(r.n)) * 10000.0 + 0.5)
+        |    / 10000.0 AS outlier_rate
+        |FROM r JOIN q ON r.flag = q.flag
+        |GROUP BY r.flag ORDER BY r.flag""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("flag"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      val wn = Window.partitionBy(col("flag"))
+      val r = events(s, d)
+        .select(col("event_type").as("flag"),
+                floor(col("value") * lit(100.0) + lit(0.5))
+                  .cast("long").as("cents"),
+                col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      val q = r.groupBy("flag")
+        .agg(max(when(col("rn") === expr("(n - 1) div 4") + 1, col("cents")))
+               .as("q1c"),
+             max(when(col("rn") === expr("(3 * (n - 1)) div 4") + 1,
+                      col("cents"))).as("q3c"))
+      val out = col("cents") * 2 < col("q1c") * 2 - (col("q3c") - col("q1c")) * 3 ||
+        col("cents") * 2 > col("q3c") * 2 + (col("q3c") - col("q1c")) * 3
+      r.join(broadcast(q), Seq("flag"))
+        .groupBy("flag")
+        .agg(max(col("n")).as("n"),
+             Det.r4(max(col("q1c")) / lit(100.0)).as("q1"),
+             Det.r4(max(col("q3c")) / lit(100.0)).as("q3"),
+             count(when(out, lit(1))).as("n_outliers"),
+             Det.r4(count(when(out, lit(1))) * lit(1.0) / max(col("n")))
+               .as("outlier_rate"))
+        .orderBy("flag")
     }
   )
 }

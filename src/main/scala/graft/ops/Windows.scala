@@ -326,6 +326,71 @@ object Windows {
                 (abs(col("value") - col("med"))
                    > lit(4.4478) * pick(col("ds"))).as("is_outlier"))
         .orderBy("event_id")
+    },
+
+    /** Sweep-line interval concurrency — peak number of simultaneously
+      * open orders (30-day fulfillment windows) per customer nation: the
+      * classic max-overlap question (sessions in flight, concurrent
+      * rentals, active connections) answered without interval self-joins.
+      * Each interval becomes a +1/−1 event pair and one running-sum
+      * window per nation replays the timeline; half-open semantics order
+      * the −1 before the +1 at equal timestamps (delta ASC tie-break),
+      * with the order key completing a total order so every running value
+      * is deterministic.
+      *
+      * Scale shape: O(2n) events, one hash shuffle on the partition key
+      * and a per-group sort — never the O(n²) interval join; the key
+      * (here nation) is whatever dimension bounds a group's event count
+      * at 100 TB (day-sharded keys compose the same way as
+      * q_pack_sequences documents). */
+    OpDef(
+      "q_win_sweepline",
+      """WITH o AS (
+        |  SELECT c.c_nationkey AS nk, o.o_orderkey, o.o_orderdate
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |pts AS (
+        |  SELECT nk, o_orderkey, o_orderdate AS t, 1 AS delta FROM o
+        |  UNION ALL
+        |  SELECT nk, o_orderkey, o_orderdate + INTERVAL 30 DAY, -1 FROM o),
+        |r AS (
+        |  SELECT nk, t,
+        |    sum(delta) OVER (PARTITION BY nk
+        |                     ORDER BY t ASC, delta ASC, o_orderkey ASC)
+        |      AS run
+        |  FROM pts),
+        |p AS (SELECT nk, max(run) AS peak FROM r GROUP BY nk),
+        |n AS (SELECT nk, count(*) AS n_orders FROM o GROUP BY nk)
+        |SELECT r.nk, CAST(max(n.n_orders) AS BIGINT) AS n_orders,
+        |       CAST(p.peak AS BIGINT) AS peak, min(r.t) AS peak_at
+        |FROM r JOIN p ON r.nk = p.nk AND r.run = p.peak
+        |     JOIN n ON r.nk = n.nk
+        |GROUP BY r.nk, p.peak ORDER BY r.nk""".stripMargin
+    ) { (s, d) =>
+      val o = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("o_orderkey"),
+                col("o_orderdate"))
+      val pts = o.select(col("nk"), col("o_orderkey"),
+                         col("o_orderdate").as("t"), lit(1).as("delta"))
+        .unionAll(o.select(col("nk"), col("o_orderkey"),
+                           (col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+                             .as("t"),
+                           lit(-1).as("delta")))
+      val w = Window.partitionBy(col("nk"))
+        .orderBy(col("t").asc, col("delta").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val r = pts.select(col("nk"), col("t"),
+                         sum(col("delta")).over(w).as("run"))
+      val p = r.groupBy("nk").agg(max(col("run")).as("peak"))
+      val n = o.groupBy("nk").agg(count(lit(1)).as("n_orders"))
+      r.join(p, Seq("nk")).filter(col("run") === col("peak"))
+        .join(n, Seq("nk"))
+        .groupBy("nk", "peak")
+        .agg(max(col("n_orders")).cast("long").as("n_orders"),
+             min(col("t")).as("peak_at"))
+        .select(col("nk"), col("n_orders"), col("peak").cast("long").as("peak"),
+                col("peak_at"))
+        .orderBy("nk")
     }
   )
 }

@@ -922,4 +922,71 @@ class OpsSpec extends SparkTestBase {
     assert(distinctNegs >= n * 0.9,
       s"only $distinctNegs of $n docs drawn — hash spread too narrow")
   }
+
+  test("sweepline: peak bounded by interval count, replay matches one nation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_win_sweepline")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("peak") >= 1L)
+      assert(r.getAs[Long]("peak") <= r.getAs[Long]("n_orders"))
+    }
+    // replay nation 0's timeline in memory
+    val iv = graft.ops.Tables.orders(spark, sf)
+      .join(graft.ops.Tables.customer(spark, sf),
+            col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 0)
+      .select(col("o_orderdate").cast("timestamp").cast("long").as("start"),
+              col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 30L * 86400))
+    val pts = iv.flatMap { case (a, b) => Seq((a, 1), (b, -1)) }
+      .sortBy { case (t, d) => (t, d) }
+    val peak = pts.scanLeft(0) { case (acc, (_, d)) => acc + d }.max
+    val got = rows.find(_.getAs[Int]("nk") == 0).get.getAs[Long]("peak")
+    assert(got == peak, s"sweepline peak $got != replay $peak for nation 0")
+  }
+
+  test("iqr audit: quartiles ordered, outliers counted outside exact fences") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_dq_outlier_iqr")(spark, sf).collect()
+    assert(rows.length == 5)
+    val vals = graft.ops.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (q1, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("q3"))
+      assert(q1 <= q3)
+      val cents = vals(r.getAs[String]("flag"))
+        .map(x => math.floor(x.getDouble(1) * 100.0 + 0.5).toLong)
+      val n = cents.length
+      val sorted = cents.sorted
+      val q1c = sorted((n - 1) / 4)
+      val q3c = sorted(3 * (n - 1) / 4)
+      val exp = cents.count(c =>
+        2 * c < 2 * q1c - 3 * (q3c - q1c) || 2 * c > 2 * q3c + 3 * (q3c - q1c))
+      assert(r.getAs[Long]("n_outliers") == exp,
+        s"${r.getAs[String]("flag")}: fence count drift")
+    }
+    assert(rows.map(_.getAs[Long]("n_outliers")).sum > 0,
+      "heavy-tailed fixture values must trip some fence")
+  }
+
+  test("weighted mean: replays exactly from cents/qty moments for one brand") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_agg_weighted")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val brand = rows.head.getAs[String]("p_brand")
+    val li = graft.ops.Tables.lineitem(spark, sf)
+      .join(graft.ops.Tables.part(spark, sf),
+            col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === brand)
+      .select(col("l_extendedprice"), col("l_quantity"))
+      .collect()
+    val cents = li.map(r => math.floor(r.getDouble(0) * 100.0 + 0.5).toLong)
+    val qty = li.map(r => math.floor(r.getDouble(1) + 0.5).toLong)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val exp = r4(cents.zip(qty).map { case (c, q) => c * q }.sum
+                   / (100.0 * qty.sum))
+    assert(rows.head.getAs[Long]("units") == qty.sum)
+    assert(rows.head.getAs[Double]("weighted_unit_price") == exp)
+  }
 }
