@@ -1584,6 +1584,44 @@ object EventAnalytics {
                .as("avg_secs"),
              (max(col("dur_us")) / 1000000L).cast("long").as("max_secs"))
         .orderBy("user_id")
+    },
+
+    /** OHLC candles — the canonical time-series downsample (metrics
+      * dashboards, market data): per-day open/high/low/close of the event
+      * value stream in ONE aggregation pass via min_by/max_by. First/last
+      * need a total order; ties in event time are broken by event_id
+      * through a zero-padded fixed-width string key (lexicographic ==
+      * numeric), the only composite-key spelling both engines' arg-min
+      * aggregates accept. Map-side partials carry one candle per (task,
+      * day) — no window, no sort, any scale; the streaming twin (tumbling
+      * window, same min_by/max_by) is pinned equal in StreamingSpec. */
+    OpDef(
+      "q_events_ohlc",
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |         lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+        |              20, '0')
+        |           || lpad(CAST(event_id AS VARCHAR), 10, '0') AS k,
+        |         value
+        |  FROM events)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |  arg_min(value, k) AS open, max(value) AS high,
+        |  min(value) AS low, arg_max(value, k) AS close
+        |FROM e GROUP BY day ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .select(to_date(date_trunc("day", col("ts"))).as("day"),
+                concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+                       lpad(col("event_id").cast("string"), 10, "0")).as("k"),
+                col("value"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+             min_by(col("value"), col("k")).as("open"),
+             max(col("value")).as("high"),
+             min(col("value")).as("low"),
+             max_by(col("value"), col("k")).as("close"))
+        .orderBy("day")
     }
   )
 }

@@ -48,6 +48,28 @@ object StreamOps {
       .select(col("window.start").as("win_start"),
               col("approx_users"), col("n_events"))
 
+  /** Tumbling 1-hour OHLC candles — the streaming twin of q_events_ohlc's
+    * daily candles: one min_by/max_by aggregation per event-time window,
+    * ties broken by the same zero-padded (µs, event_id) string key, so a
+    * replay of the batch fixture through this op must EQUAL the batch
+    * formulation bit-for-bit (pinned in StreamingSpec). State per window
+    * is one candle — O(1) regardless of event volume. */
+  def tumblingOhlc(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"),
+              concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+                     lpad(col("event_id").cast("string"), 10, "0")).as("k"),
+              col("value"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+           min_by(col("value"), col("k")).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max_by(col("value"), col("k")).as("close"))
+      .select(col("window.start").as("win_start"), col("n"),
+              col("open"), col("high"), col("low"), col("close"))
+
   /** Sliding 1-hour / 15-minute windows (each event in 4 windows). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

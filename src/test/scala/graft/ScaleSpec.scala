@@ -469,4 +469,28 @@ class ScaleSpec extends SparkTestBase {
       s"per-cell top-2 must push a partial group limit:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("KMV sketch state is a pushed per-group limit, k rows per group") {
+    val plan = SparkEntry.queries("q_agg_kmv")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // rn <= 64 must become a partial WindowGroupLimit before the shuffle —
+    // the sketch never materializes the full distinct stream post-sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"k-smallest must push a group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("negative sampling: 1-row count broadcast, equi-join resolution only") {
+    val plan = SparkEntry.queries("q_sample_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the corpus count rides a broadcast; resolving draws is an equi join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"count/draw resolution must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the sanctioned 1-row count attach
+    val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected nested loops ($bnlj):\n$plan")
+  }
 }

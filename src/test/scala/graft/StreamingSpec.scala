@@ -776,6 +776,45 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch, s"stream/batch divergence: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming OHLC candles equal the batch formulation over the fixture") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+    val name = nextName()
+    val q = StreamOps.tumblingOhlc(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+       r.getDouble(4), r.getDouble(5))
+    val streamed = spark.table(name).collect().map(key).toSet
+    q.stop()
+    val ev = graft.ops.Tables.events(spark, sf)
+    val batch = ev
+      .select(col("ts"),
+              concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+                     lpad(col("event_id").cast("string"), 10, "0")).as("k"),
+              col("value"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), min_by(col("value"), col("k")).as("open"),
+           max(col("value")).as("high"), min(col("value")).as("low"),
+           max_by(col("value"), col("k")).as("close"))
+      .select(col("window.start").as("win_start"), col("n"), col("open"),
+              col("high"), col("low"), col("close"))
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream/batch OHLC divergence: ${streamed.size} vs ${batch.size}")
+  }
+
   test("complete output mode re-emits full aggregate") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
