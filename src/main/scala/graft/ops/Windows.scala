@@ -370,27 +370,38 @@ object Windows {
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey").as("nk"), col("o_orderkey"),
                 col("o_orderdate"))
-      val pts = o.select(col("nk"), col("o_orderkey"),
-                         col("o_orderdate").as("t"), lit(1).as("delta"))
-        .unionAll(o.select(col("nk"), col("o_orderkey"),
-                           (col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-                             .as("t"),
-                           lit(-1).as("delta")))
-      val w = Window.partitionBy(col("nk"))
-        .orderBy(col("t").asc, col("delta").asc, col("o_orderkey").asc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val r = pts.select(col("nk"), col("t"),
-                         sum(col("delta")).over(w).as("run"))
-      val p = r.groupBy("nk").agg(max(col("run")).as("peak"))
-      val n = o.groupBy("nk").agg(count(lit(1)).as("n_orders"))
-      r.join(p, Seq("nk")).filter(col("run") === col("peak"))
-        .join(n, Seq("nk"))
-        .groupBy("nk", "peak")
-        .agg(max(col("n_orders")).cast("long").as("n_orders"),
-             min(col("t")).as("peak_at"))
-        .select(col("nk"), col("n_orders"), col("peak").cast("long").as("peak"),
-                col("peak_at"))
+      val peaks = sweepline(o.select(
+        col("nk").as("k"), col("o_orderkey").as("id"),
+        col("o_orderdate").as("s"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("e")))
+      val n = o.groupBy(col("nk")).agg(count(lit(1)).as("n_orders"))
+      peaks.join(n, peaks("k") === n("nk"))
+        .select(col("nk"), col("n_orders").cast("long").as("n_orders"),
+                col("peak").cast("long").as("peak"), col("peak_at"))
         .orderBy("nk")
     }
   )
+
+  /** Sweep-line peak concurrency for half-open intervals: input columns
+    * (k, id, s, e) with id unique per key; returns (k, peak, peak_at)
+    * where peak_at is the earliest instant the peak is reached. −1 events
+    * sort before +1 at equal time (half-open [s, e)), and id completes
+    * the total order so every intermediate running value — and therefore
+    * the max — is deterministic. One shuffle on k, per-group sort,
+    * nothing quadratic (property-tested vs brute force in PropertySpec,
+    * fixture-replayed in OpsSpec). */
+  def sweepline(iv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pts = iv.select(col("k"), col("id"), col("s").as("t"),
+                        lit(1).as("delta"))
+      .unionAll(iv.select(col("k"), col("id"), col("e").as("t"),
+                          lit(-1).as("delta")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("delta").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val r = pts.select(col("k"), col("t"), sum(col("delta")).over(w).as("run"))
+    val p = r.groupBy("k").agg(max(col("run")).as("peak"))
+    r.join(p, Seq("k")).filter(col("run") === col("peak"))
+      .groupBy("k", "peak").agg(min(col("t")).as("peak_at"))
+      .select("k", "peak", "peak_at")
+  }
 }

@@ -196,4 +196,44 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("sweepline == brute-force max overlap on scalacheck interval sets") {
+    import spark.implicits._
+    val genIv = for {
+      k <- Gen.choose(0, 3)
+      s <- Gen.choose(0L, 100L)
+      len <- Gen.choose(1L, 30L)
+    } yield (k, s, s + len)
+    val ivs = samples(genIv, 300).zipWithIndex
+      .map { case ((k, s, e), id) => (k, id.toLong, s, e) }
+    val got = graft.ops.Windows.sweepline(
+        ivs.toDF("k", "id", "s", "e"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute force: half-open [s,e) concurrency evaluated at every start
+    ivs.groupBy(_._1).foreach { case (k, xs) =>
+      val peaks = xs.map { case (_, _, t, _) =>
+        (t, xs.count { case (_, _, s, e) => s <= t && t < e })
+      }
+      val bfPeak = peaks.map(_._2).max
+      val bfAt = peaks.filter(_._2 == bfPeak).map(_._1).min
+      val (gp, gat) = got(k)
+      assert(gp == bfPeak, s"key $k: peak $gp != brute $bfPeak")
+      assert(gat == bfAt, s"key $k: peak_at $gat != brute $bfAt")
+    }
+  }
+
+  test("KMV below capacity keeps every distinct item (estimate turns exact)") {
+    import spark.implicits._
+    val gen = for {
+      g <- Gen.oneOf("a", "b")
+      item <- Gen.choose(0L, 40L) // <= 41 distinct per group, under k=64
+    } yield (g, item)
+    val rows = samples(gen, 400)
+    val dv = rows.toDF("grp_", "item_").distinct()
+    val kept = graft.ops.Approx.kmvKept(dv, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val truth = rows.distinct.toSet
+    assert(kept == truth,
+      "below k the sketch must retain the exact distinct set")
+  }
 }
