@@ -65,6 +65,11 @@ object StreamBench {
     val tumbling = drive("tumbling_agg", events.grouped(nEvents / 10).toSeq,
       (ms: MemoryStream[StreamOps.Event]) => StreamOps.tumblingCounts(ms.toDF()))
 
+    // per-window OHLC candle state (min_by/max_by with string tie keys):
+    // heavier per-row expression work than tumbling_agg, same O(1) state
+    val ohlc = drive("tumbling_ohlc", events.grouped(nEvents / 10).toSeq,
+      (ms: MemoryStream[StreamOps.Event]) => StreamOps.tumblingOhlc(ms.toDF()))
+
     // stateful banded near-dup: every 10th doc mutates the previous one
     val docs = (0 until nDocs).map { i =>
       val base = if (i % 10 == 9) i - 1 else i
@@ -92,7 +97,7 @@ object StreamBench {
         StreamOps.purchaseAfterClick(ms.toDF()))
 
     println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
-      s""""ops":{$tumbling,$nearDup,$ssJoin}}""")
+      s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin}}""")
     spark.stop()
   }
 }

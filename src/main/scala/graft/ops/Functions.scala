@@ -359,6 +359,38 @@ object Functions {
           element_at(split(parse_url(col("url"), lit("HOST")), "\\."), 2)
             .as("domain"))
         .orderBy("doc_id")
+    },
+
+    /** Error-safe ("try") function family — ANSI-mode error handling as
+      * data: division by zero, unparseable casts, invalid calendar dates
+      * and out-of-bounds element access all yield NULL instead of failing
+      * the job (the semantics a 100 TB batch needs — one malformed row
+      * must never kill a 10-hour job). Spark's try_* builtins map to
+      * DuckDB TRY_CAST / nullif-guarded division / native NULL-on-OOB
+      * list indexing; each column mixes success and failure rows so both
+      * paths are hash-verified. Map-only, whole-stage codegen. */
+    OpDef(
+      "q_fn_try",
+      """SELECT doc_id,
+        |  floor((n_chars / nullif(doc_id % 5, 0)) * 10000.0 + 0.5) / 10000.0
+        |    AS safe_div,
+        |  TRY_CAST(CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id AS VARCHAR)
+        |                ELSE string_split(text, ' ')[1] END AS INTEGER)
+        |    AS maybe_num,
+        |  TRY_CAST('2024-01-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+        |           AS TIMESTAMP) AS ts_parsed,
+        |  string_split(text, ' ')[75] AS tok75
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          Det.r4(expr("try_divide(n_chars, doc_id % 5)")).as("safe_div"),
+          expr("try_cast(CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id AS STRING)" +
+               " ELSE split(text, ' ')[0] END AS INT)").as("maybe_num"),
+          expr("try_to_timestamp(concat('2024-01-', " +
+               "lpad(CAST(doc_id % 40 AS STRING), 2, '0')))").as("ts_parsed"),
+          expr("try_element_at(split(text, ' '), 75)").as("tok75"))
+        .orderBy("doc_id")
     }
   )
 }
