@@ -916,6 +916,44 @@ object Extras {
         .orderBy("pri")
     },
 
+    /** Point-in-time snapshot of the SCD2 dimension — the query half of
+      * the q_scd2_build pair: the state valid AT a timestamp is the row
+      * whose half-open [valid_from, valid_to) contains it (open latest row
+      * = NULL valid_to). Same-day state changes collapse correctly: the
+      * superseded row's valid_to equals its valid_from, so the interval is
+      * empty and only the survivor matches. One window + a map-only
+      * filter; at 100 TB the dim is partitioned by key and the filter
+      * prunes on valid_from. */
+    OpDef(
+      "q_scd2_snapshot",
+      """WITH dim AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS state_cents,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, state_cents, valid_from
+        |FROM dim
+        |WHERE valid_from <= TIMESTAMP '1998-06-01'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-01')
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val at = lit("1998-06-01").cast("timestamp")
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                  .cast("long").as("state_cents"),
+                col("o_orderdate").as("valid_from"),
+                lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .filter(col("valid_from") <= at
+                && (col("valid_to").isNull || col("valid_to") > at))
+        .select("o_custkey", "o_orderkey", "state_cents", "valid_from")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     /** Tukey-fence outlier audit — per-event-type IQR bounds and the count
       * of values outside q1 − 1.5·IQR / q3 + 1.5·IQR. Quartiles are
       * type-1 (exact ranked elements, idx = ⌊(n−1)/4⌋+1 — no

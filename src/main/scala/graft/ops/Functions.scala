@@ -391,6 +391,43 @@ object Functions {
                "lpad(CAST(doc_id % 40 AS STRING), 2, '0')))").as("ts_parsed"),
           expr("try_element_at(split(text, ' '), 75)").as("tok75"))
         .orderBy("doc_id")
+    },
+
+    /** Higher-order-function family beyond q_fn_array's basics: lambda
+      * fold (aggregate), existential / universal predicates, nested-array
+      * flatten and sequence folding — the in-row compute surface that
+      * keeps per-element logic inside whole-stage codegen instead of a
+      * UDF or an explode→groupBy round trip. DuckDB lacks an initial-
+      * value fold, so the oracle spells aggregate as
+      * list_reduce(list_prepend(0, ...)) — same left fold, same values. */
+    OpDef(
+      "q_fn_hof",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(0, list_transform(toks,
+        |         x -> length(x))), (a, b) -> a + b) AS BIGINT) AS fold_chars,
+        |  len(list_filter(toks, x -> length(x) > 7)) > 0 AS has_long,
+        |  len(list_filter(toks, x -> length(x) >= 10)) = 0 AS all_short,
+        |  CAST(len(flatten([toks[1:3], toks[-3:]])) AS BIGINT) AS ends_len,
+        |  CAST(list_reduce(list_prepend(0,
+        |         range(1, CAST(doc_id % 10 AS BIGINT) + 2)),
+        |         (a, b) -> a + b) AS BIGINT) AS tri_sum
+        |FROM t ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          expr("CAST(aggregate(transform(toks, x -> length(x)), 0, " +
+               "(a, b) -> a + b) AS BIGINT)").as("fold_chars"),
+          expr("exists(toks, x -> length(x) > 7)").as("has_long"),
+          expr("forall(toks, x -> length(x) < 10)").as("all_short"),
+          expr("CAST(size(flatten(array(slice(toks, 1, 3), " +
+               "slice(toks, -3, 3)))) AS BIGINT)").as("ends_len"),
+          expr("CAST(aggregate(sequence(1L, doc_id % 10 + 1), 0L, " +
+               "(a, b) -> a + b) AS BIGINT)").as("tri_sum"))
+        .orderBy("doc_id")
     }
   )
 }
