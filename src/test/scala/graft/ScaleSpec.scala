@@ -493,4 +493,24 @@ class ScaleSpec extends SparkTestBase {
     val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"unexpected nested loops ($bnlj):\n$plan")
   }
+
+  test("OHLC candles are ONE aggregation pass with map-side partials, no window") {
+    val plan = SparkEntry.queries("q_events_ohlc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"first/last must not become windows:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_max_by")
+             || plan.contains("partial_count"),
+      s"candle state must combine map-side before the shuffle:\n$plan")
+  }
+
+  test("hampel filter shuffles once on user_id; the frame stays bounded") {
+    val plan = SparkEntry.queries("q_win_hampel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"one user_id shuffle expected, found $exchanges:\n$plan")
+    assert(plan.contains("specifiedwindowframe(RowFrame, -3, 3)"),
+      s"frame must stay the bounded +/-3 rows:\n$plan")
+  }
 }
