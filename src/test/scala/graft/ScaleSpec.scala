@@ -513,4 +513,47 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("specifiedwindowframe(RowFrame, -3, 3)"),
       s"frame must stay the bounded +/-3 rows:\n$plan")
   }
+
+  // Registry-wide plan ratchet (graft.PlanAudit is the eyeball twin): every
+  // query whose physical plan contains a BroadcastNestedLoopJoin line is
+  // enumerated here, and each is one of (a) a 1-row/bounded broadcast
+  // stats-or-threshold attach (the sanctioned crossJoin(broadcast(agg))
+  // pattern — constant-size build side at any corpus size), (b) a
+  // documented exact all-pairs baseline whose banded/LSH twin is the scale
+  // path, or (c) the tiny region×nation fixture cross. A query OUTSIDE
+  // this list planning a nested loop — or ANY query planning a
+  // CartesianProduct — fails the suite, so a join-key typo in a future op
+  // can't silently ship an O(n²) plan.
+  private val bnljAllowed: Set[String] = Set(
+    // (a) 1-row / bounded broadcast attaches
+    "q_agg_bloom", "q_agg_chisq", "q_agg_cmsketch", "q_agg_cuped",
+    "q_agg_eqdepth", "q_budget_select", "q_dq_benford", "q_dq_freshness",
+    "q_dq_psi", "q_events_anomaly", "q_events_heatmap", "q_events_ltv",
+    "q_events_survival", "q_events_trend", "q_events_window_funnel",
+    "q_graph_pagerank", "q_graph_triangles", "q_mix_domains", "q_mix_epochs",
+    "q_mix_temperature", "q_sample_diverse", "q_sample_dsir",
+    "q_sample_negatives", "q_sample_stratified", "q_sim_ann_ivf",
+    "q_sim_ann_ivf_kmeans", "q_sim_ivfpq", "q_text_cluster_topics",
+    "q_text_containment_pairs", "q_text_keywords", "q_text_tfidf",
+    "q_tpch_q11", "q_tpch_q22", "q_vec_pca_power", "q_vec_pq",
+    "q_vec_quantize", "q_win_cusum", "q_win_seasonal", "q_dedup_near",
+    // (b) documented exact baselines (ANN/banded twins are the scale path)
+    "q_sim_knn", "q_sim_topk", "q_sim_cosine_dup", "q_vec_knn_classify",
+    "q_vec_matryoshka",
+    // (c) tiny-fixture cross
+    "q_join_cross")
+
+  test("registry-wide ratchet: no undeclared nested-loop joins, no cartesians") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (n, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin")
+        if (cart) Some(s"$n: CartesianProduct")
+        else if (bnlj && !bnljAllowed(n)) Some(s"$n: undeclared BNLJ")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"scale anti-patterns outside the allowlist:\n${offenders.mkString("\n")}")
+  }
 }
