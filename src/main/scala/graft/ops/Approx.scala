@@ -1131,8 +1131,94 @@ object Approx {
             .otherwise(Det.r4(lit(1.7732923532771328e16) / col("hk")))
             .as("est_distinct"))
         .orderBy("l_returnflag")
+    },
+
+    /** See [[hllRegisters]] — the deterministic, hash-verified HLL. */
+    OpDef(
+      "q_agg_hll_det",
+      """WITH dv AS (
+        |  SELECT DISTINCT l_returnflag AS g, l_partkey AS item
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT g, CAST('0x' || substring(md5('hll' || CAST(item AS VARCHAR)),
+        |                                   1, 12) AS BIGINT) AS h
+        |  FROM dv),
+        |parts AS (SELECT g, h % 64 AS b, h // 64 AS rest FROM h),
+        |rk AS (
+        |  SELECT g, b, CASE WHEN rest > 0
+        |                    THEN 43 - length(ltrim(bin(rest), '0'))
+        |                    ELSE 43 END AS rank
+        |  FROM parts),
+        |reg AS (SELECT g, b, max(rank) AS m FROM rk GROUP BY g, b),
+        |agg AS (
+        |  SELECT g, count(*) AS nb,
+        |    CAST(sum(CAST(1 AS BIGINT) << (43 - m)) AS BIGINT) AS s_int
+        |  FROM reg GROUP BY g),
+        |est AS (
+        |  SELECT g, CAST(64 - nb AS BIGINT) AS v,
+        |    (CAST(s_int AS DOUBLE) + CAST(64 - nb AS DOUBLE) * 8796093022208.0)
+        |      / 8796093022208.0 AS denom
+        |  FROM agg)
+        |SELECT g AS l_returnflag, v AS empty_buckets,
+        |  CASE WHEN 2904.064 / denom <= 160.0 AND v > 0
+        |       THEN floor((64.0 * ln(64.0 / v)) * 10000.0 + 0.5) / 10000.0
+        |       ELSE floor((2904.064 / denom) * 10000.0 + 0.5) / 10000.0
+        |       END AS est_distinct
+        |FROM est ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val reg = hllRegisters(
+        lineitem(s, d).select(col("l_returnflag").as("grp_"),
+                              col("l_partkey").as("item_")).distinct())
+      reg.groupBy("grp_")
+        .agg(count(lit(1)).as("nb"),
+             sum(expr("shiftleft(CAST(1 AS BIGINT), 43 - m)"))
+               .cast("long").as("s_int"))
+        .select(col("grp_"), (lit(64) - col("nb")).cast("long").as("v"),
+                ((col("s_int").cast("double")
+                    + (lit(64) - col("nb")).cast("double")
+                      * lit(8796093022208.0))
+                   / lit(8796093022208.0)).as("denom"))
+        .select(col("grp_").as("l_returnflag"),
+                col("v").as("empty_buckets"),
+                when(lit(2904.064) / col("denom") <= 160.0
+                     && col("v") > 0,
+                     Det.r4(lit(64.0) * log(lit(64.0) / col("v"))))
+                  .otherwise(Det.r4(lit(2904.064) / col("denom")))
+                  .as("est_distinct"))
+        .orderBy("l_returnflag")
     }
   )
+
+  /** Deterministic HyperLogLog, oracle-checked — completes the sketch
+    * quartet's merge-semantics matrix: CMS sum-merges, Bloom unions, KMV
+    * re-ranks, and HLL MAX-merges its registers (the register table from
+    * a union of shards is the cell-wise max of the shards' tables,
+    * asserted in ApproxSpec). m=64 buckets from the low 6 md5 bits; rank
+    * = leading-zero count of the remaining 42 bits + 1, computed as
+    * 43 − bitlength via base-2 string conversion (exact integer, no
+    * libm). The 2^−M register sum runs as an EXACT BIGINT sum of
+    * 2^(43−M) terms scaled by 2^43 — float summation order can never
+    * perturb the estimate (the rolling_corr lesson applied to HLL), and
+    * the fixture path never evaluates ln (raw > 2.5m), so both engines'
+    * arithmetic is bit-identical end to end. Estimate error ~1.04/√64 ≈
+    * 13% 1σ; the engine-native HLL++ (q_agg_hll) remains the production
+    * twin, this one is the hash-verified teaching spelling.
+    *
+    * Scale: distinct → ≤ 64 register rows per group via map-side
+    * partial max — constant state at any corpus size. */
+  private[graft] def hllRegisters(
+      dv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = expr("CAST(conv(substring(md5(concat('hll', " +
+      "CAST(item_ AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+    dv.select(col("grp_"), h.as("h"))
+      .select(col("grp_"), (col("h") % 64).as("b"),
+              expr("h div 64").as("rest"))
+      .select(col("grp_"), col("b"),
+              when(col("rest") > 0,
+                   lit(43) - length(expr("conv(rest, 10, 2)")))
+                .otherwise(lit(43)).as("rank"))
+      .groupBy("grp_", "b").agg(max(col("rank")).as("m"))
+  }
 
   /** KMV sketch state for a (grp_, item_) stream: the k smallest 48-bit
     * md5 hash values of the DISTINCT items per group — k rows per group at

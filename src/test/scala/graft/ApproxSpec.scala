@@ -345,4 +345,30 @@ class ApproxSpec extends SparkTestBase {
     assert(merged == direct,
       "re-ranked union of shard KMV sketches must equal the direct sketch")
   }
+
+  test("deterministic HLL: estimate in the m=64 envelope, registers max-merge") {
+    import org.apache.spark.sql.functions._
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    val dv = li.select(col("l_returnflag").as("grp_"),
+                       col("l_partkey").as("item_")).distinct()
+    val truth = dv.groupBy("grp_").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    queries("q_agg_hll_det")(spark, sf).collect().foreach { r =>
+      val (grp, est) = (r.getString(0), r.getDouble(2))
+      val t = truth(grp).toDouble
+      // HLL relative std error ≈ 1.04/sqrt(64) ≈ 13%; 3σ bound
+      assert(math.abs(est - t) / t <= 0.39,
+        s"HLL estimate $est for group $grp vs exact $t outside 3σ")
+    }
+    // max-merge: registers of the union == cell-wise max of shard registers
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val direct = regs(graft.ops.Approx.hllRegisters(dv))
+    val a = graft.ops.Approx.hllRegisters(dv.filter(col("item_") % 2 === 0))
+    val b = graft.ops.Approx.hllRegisters(dv.filter(col("item_") % 2 =!= 0))
+    val merged = regs(
+      a.unionAll(b).groupBy("grp_", "b").agg(max(col("m")).as("m")))
+    assert(merged == direct,
+      "cell-wise max of shard HLL registers must equal the direct registers")
+  }
 }
