@@ -1555,6 +1555,64 @@ object LlmOps {
         |ORDER BY lang, doc_id""".stripMargin
     ) { (s, d) => packSequences(documents(s, d), 2048) },
 
+    /** Block-diagonal attention-mask metadata for the packed bins: per
+      * (lang, bin), every document segment's [start, end) token span
+      * inside the bin — straddling documents contribute a clipped
+      * continuation segment to each bin they touch, which is exactly the
+      * boundary list a pretraining loader needs to keep attention from
+      * crossing document joints. The per-doc bin fan-out is bounded by
+      * ⌈doc_len/ctx⌉ + 1 (map-side explode over the touched-bin range),
+      * and the mask assembly is one groupBy on the pack key — same
+      * shuffle the packing itself uses. Fill == ctx for every bin except
+      * each language's tail (asserted in OpsSpec). */
+    OpDef(
+      "q_pack_mask",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) - n_toks
+        |         AS BIGINT) AS start_tok
+        |  FROM t),
+        |segs AS (
+        |  SELECT lang, CAST(j AS BIGINT) AS bin_id,
+        |    greatest(CAST(0 AS BIGINT), start_tok - j * 2048) AS s,
+        |    least(CAST(2048 AS BIGINT), start_tok + n_toks - j * 2048) AS e
+        |  FROM c, UNNEST(range(start_tok // 2048,
+        |                       (start_tok + n_toks - 1) // 2048 + 1)) AS u(j))
+        |SELECT lang, bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  array_to_string(list_transform(
+        |    list_sort(list(ROW(s, e))),
+        |    x -> CAST(x[1] AS VARCHAR) || '-' || CAST(x[2] AS VARCHAR)), ',')
+        |    AS mask,
+        |  CAST(sum(e - s) AS BIGINT) AS fill
+        |FROM segs GROUP BY lang, bin_id
+        |ORDER BY lang, bin_id""".stripMargin
+    ) { (s, d) =>
+      val L = 2048L
+      val p = packSequences(documents(s, d), 2048)
+        .withColumn("start_tok", col("bin_id") * L + col("bin_off"))
+      p.select(col("lang"), col("start_tok"), col("n_toks"),
+               explode(sequence(col("bin_id"),
+                 expr("(start_tok + n_toks - 1) div 2048"))).as("j"))
+        .select(col("lang"), col("j").as("bin_id"),
+                greatest(lit(0L), col("start_tok") - col("j") * L).as("s"),
+                least(lit(L), col("start_tok") + col("n_toks")
+                                - col("j") * L).as("e"))
+        .groupBy("lang", "bin_id")
+        .agg(count(lit(1)).as("n_segments"),
+             concat_ws(",", transform(
+               array_sort(collect_list(struct(col("s"), col("e")))),
+               x => concat(x("s").cast("string"), lit("-"),
+                           x("e").cast("string")))).as("mask"),
+             sum(col("e") - col("s")).cast("long").as("fill"))
+        .orderBy("lang", "bin_id")
+    },
+
     // --------------------------- similarity: exact cosine top-k ---------
     OpDef(
       "q_sim_topk",

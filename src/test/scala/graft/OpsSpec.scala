@@ -923,6 +923,29 @@ class OpsSpec extends SparkTestBase {
       s"only $distinctNegs of $n docs drawn — hash spread too narrow")
   }
 
+  test("pack mask: spans tile each bin contiguously; only tail bins underfill") {
+    val rows = SparkEntry.queries("q_pack_mask")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val spans = r.getString(3).split(",").map { t =>
+          val Array(a, b) = t.split("-"); (a.toLong, b.toLong)
+        }
+        assert(spans.length == r.getLong(2), s"$lang: segment count drift")
+        assert(spans.head._1 == 0L, s"$lang bin $i must start at 0")
+        spans.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) =>
+            assert(e1 == s2, s"$lang bin $i: gap between segments")
+          case _ => ()
+        }
+        assert(spans.last._2 == r.getLong(4), s"$lang bin $i fill mismatch")
+        if (i < sorted.length - 1)
+          assert(r.getLong(4) == 2048L, s"$lang non-tail bin $i underfull")
+      }
+    }
+  }
+
   test("sweepline: peak bounded by interval count, replay matches one nation") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_win_sweepline")(spark, sf).collect()
