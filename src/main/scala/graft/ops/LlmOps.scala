@@ -936,7 +936,17 @@ object LlmOps {
     * yields a shared fingerprint) and at most 2/(w+1) of the k-grams.
     * Entirely map-only higher-order functions: no explode, no shuffle —
     * the per-doc fingerprint summary streams out of the scan. */
-  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame =
+    winnowFps(docs, k, w)
+      .select(col("doc_id"),
+              size(col("fps")).cast("long").as("n_fps"),
+              array_min(col("fps")).as("min_fp"),
+              array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+
+  /** Winnowed fingerprint table (doc_id, fps) — map-only per-row HOFs;
+    * shared by the summary op and the MOSS-style pair matcher. */
+  private[graft] def winnowFps(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val nk = length(col("text")) - (k - 1)
     docs
       .filter(length(col("text")) >= k + w - 1)
@@ -946,11 +956,7 @@ object LlmOps {
       .withColumn("fps", array_distinct(transform(
         sequence(lit(1), size(col("hs")) - (w - 1)),
         j => array_min(slice(col("hs"), j, lit(w))))))
-      .select(col("doc_id"),
-              size(col("fps")).cast("long").as("n_fps"),
-              array_min(col("fps")).as("min_fp"),
-              array_max(col("fps")).as("max_fp"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("fps"))
   }
 
   /** Classic TF-IDF, top-k terms per doc ranked on the rounded weight
@@ -1936,6 +1942,71 @@ object LlmOps {
         |FROM f
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) => winnowFingerprints(documents(s, d), 8, 4) },
+
+    /** MOSS-style near-dup matching on the winnowed fingerprints: docs
+      * sharing fingerprints meet in fp buckets (hot boilerplate fps
+      * capped at 50 docs — the gram-bucket discipline), shared-fp counts
+      * score each candidate pair, and overlap = shared / min(|fps|)
+      * thresholds at 0.5 — the plagiarism-detector shape, catching
+      * containment the symmetric Jaccard ops under-score. Fully
+      * deterministic ⇒ oracle-checked; planted +" dup" recall 24/24 at
+      * sf0.001 with 4 extra genuine high-overlap pairs (tiny-vocab
+      * fixture). Work is quadratic only WITHIN capped buckets —
+      * sub-quadratic overall, the q_dedup_lsh argument. */
+    OpDef(
+      "q_text_winnow_pairs",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 6),
+        |      i -> CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8)
+        |           AS BIGINT)) AS hs
+        |  FROM documents
+        |  WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |fc AS (SELECT fp, count(*) AS c FROM e GROUP BY fp),
+        |kept AS (SELECT e.* FROM e JOIN fc ON e.fp = fc.fp AND fc.c <= 50),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(fps) AS nf FROM f)
+        |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+        |  floor((shared * 1.0 / least(x.nf, y.nf)) * 10000.0 + 0.5) / 10000.0
+        |    AS overlap
+        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE shared * 1.0 / least(x.nf, y.nf) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      // lazy localCheckpoint: the fps HOF chain feeds BOTH self-join sides
+      // and the size table — without the lineage cut, CollapseProject
+      // inlines the per-row 2000-md5 array build into every consumer
+      // (the q_events_stationary re-evaluation trap) and the pair join
+      // recomputes it per probe
+      val f = winnowFps(documents(s, d), 8, 4).localCheckpoint(false)
+      val e = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val fc = e.groupBy("fp").agg(count(lit(1)).as("c"))
+      val kept = e.join(fc.filter(col("c") <= 50), Seq("fp"), "left_semi")
+      val pairs = kept.as("a")
+        .join(kept.as("b"),
+              col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      val sz = f.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
+        .filter(col("shared") * lit(1.0) / least(col("nfa"), col("nfb"))
+                  >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared").cast("long").as("shared"),
+                Det.r4(col("shared") * lit(1.0)
+                         / least(col("nfa"), col("nfb"))).as("overlap"))
+        .orderBy("doc_a", "doc_b")
+    },
 
     // ------------------------------------------- text: TF-IDF -----------
     OpDef(

@@ -923,6 +923,25 @@ class OpsSpec extends SparkTestBase {
       s"only $distinctNegs of $n docs drawn — hash spread too narrow")
   }
 
+  test("winnow pairs: all planted near-dups found, overlaps in (0.5, 1]") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val planted = docs.as("a")
+      .join(docs.as("b"), expr("b.text = a.text || ' dup'"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    val got = SparkEntry.queries("q_text_winnow_pairs")(spark, sf).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(gotPairs),
+      s"missed planted pairs: ${planted -- gotPairs}")
+    got.foreach { r =>
+      val ov = r.getDouble(3)
+      assert(ov >= 0.5 && ov <= 1.0, s"overlap $ov out of range")
+    }
+  }
+
   test("pack mask: spans tile each bin contiguously; only tail bins underfill") {
     val rows = SparkEntry.queries("q_pack_mask")(spark, sf).collect()
     assert(rows.nonEmpty)
