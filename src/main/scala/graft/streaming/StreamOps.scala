@@ -509,6 +509,27 @@ object StreamOps {
       }
   }
 
+  /** Dead-letter split — the production error-quarantine pattern: rows
+    * whose payload fails the try-cast contract route to a quarantine
+    * frame (with the raw payload and a reason) instead of failing the
+    * query or silently dropping; clean rows continue typed. One
+    * foreachBatch writes both splits per epoch (same idempotent
+    * batch-partition discipline as [[writeBatchIdempotent]]), so the
+    * conservation invariant clean + quarantined == input holds across
+    * replays — asserted in StreamingSpec with planted malformed rows.
+    * Both branches are map-only column expressions over one pass. */
+  def deadLetterSplit(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = raw.withColumn("k_parsed",
+      expr("try_cast(get_json_object(props, '$.k') AS INT)"))
+    val clean = parsed.filter(col("k_parsed").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"), col("k_parsed").as("k"))
+    val quarantine = parsed.filter(col("k_parsed").isNull)
+      .select(col("event_id"), col("ts"), col("props").as("raw_payload"),
+              lit("unparseable props.k").as("reason"))
+    (clean, quarantine)
+  }
+
   /** Idempotent per-epoch write — the exactly-once half of the delivery
     * story for sinks that cannot join Spark's commit protocol (Kafka
     * without read_committed consumers, JDBC, object stores): Structured

@@ -815,6 +815,42 @@ class StreamingSpec extends SparkTestBase {
       s"stream/batch OHLC divergence: ${streamed.size} vs ${batch.size}")
   }
 
+  test("dead-letter split: malformed rows quarantined, clean rows typed, total conserved") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val cleanRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val badRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (clean, quarantine) = StreamOps.deadLetterSplit(batch)
+        clean.collect().foreach(r =>
+          cleanRows.add((r.getAs[Long]("event_id"), r.getAs[Int]("k"))))
+        quarantine.collect().foreach(r =>
+          badRows.add((r.getAs[Long]("event_id"), r.getAs[String]("reason"))))
+        ()
+      }
+      .start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "click", 1.0, """{"k": "oops"}"""),
+      Event(3, ts("2024-01-01 10:02:00"), 2, "view", 2.0, """not json at all"""),
+      ev(4, "2024-01-01 10:03:00", 2, "view", 2.0))
+    q.processAllAvailable()
+    ms.addData(Event(5, ts("2024-01-01 10:04:00"), 3, "click", 1.0, """{"j": 9}"""),
+               ev(6, "2024-01-01 10:05:00", 3, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val clean = cleanRows.asScala.toSet
+    val bad = badRows.asScala.toSet
+    assert(clean.map(_._1) == Set(1L, 4L, 6L), s"clean routing: $clean")
+    assert(clean.forall(_._2 == 1), "typed k must parse to 1")
+    assert(bad.map(_._1) == Set(2L, 3L, 5L), s"quarantine routing: $bad")
+    assert(bad.forall(_._2 == "unparseable props.k"))
+    assert(clean.size + bad.size == 6, "conservation: every row lands once")
+  }
+
   test("complete output mode re-emits full aggregate") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
