@@ -1829,6 +1829,83 @@ object LlmOps {
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, d) => languageId(documents(s, d), 10) },
 
+    /** Classifier evaluation — per-class precision/recall/F1 of the
+      * langid heuristic against ground truth: the model-eval artifact
+      * every labeling pipeline publishes next to its predictions. All
+      * counts are exact integers from two bounded aggregations over the
+      * prediction table (support = TP+FN, predicted_n = TP+FP); F1 is
+      * spelled as 2·TP/(predicted_n+support) so no intermediate P/R
+      * rounding compounds, and a class never predicted yields NULL
+      * precision rather than a fake 0 (nullif guard on both engines).
+      * Output is label-domain-bounded (≤ |langs| rows) at any corpus
+      * size. */
+    OpDef(
+      "q_eval_langid",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |df AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok),
+        |markers AS (
+        |  SELECT lang AS mlang, tok FROM (
+        |    SELECT lang, tok,
+        |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn
+        |    FROM df) WHERE rn <= 10),
+        |scores AS (
+        |  SELECT t.doc_id, m.mlang, count(*) AS score
+        |  FROM toks t JOIN markers m ON t.tok = m.tok
+        |  GROUP BY t.doc_id, m.mlang),
+        |best AS (
+        |  SELECT doc_id, mlang AS pred, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, mlang ASC) AS rn
+        |  FROM scores),
+        |p AS (
+        |  SELECT d.lang AS actual, b.pred
+        |  FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+        |sup AS (SELECT actual AS lang, count(*) AS support FROM p GROUP BY 1),
+        |prd AS (SELECT pred AS lang, count(*) AS predicted_n FROM p GROUP BY 1),
+        |tp AS (SELECT actual AS lang, count(*) AS tp FROM p
+        |       WHERE actual = pred GROUP BY 1)
+        |SELECT s.lang, CAST(s.support AS BIGINT) AS support,
+        |  CAST(coalesce(prd.predicted_n, 0) AS BIGINT) AS predicted_n,
+        |  CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+        |  floor((coalesce(tp.tp, 0) * 1.0
+        |           / nullif(coalesce(prd.predicted_n, 0), 0))
+        |        * 10000.0 + 0.5) / 10000.0 AS precision,
+        |  floor((coalesce(tp.tp, 0) * 1.0 / s.support) * 10000.0 + 0.5)
+        |    / 10000.0 AS recall,
+        |  floor((2.0 * coalesce(tp.tp, 0)
+        |           / (coalesce(prd.predicted_n, 0) + s.support))
+        |        * 10000.0 + 0.5) / 10000.0 AS f1
+        |FROM sup s
+        |LEFT JOIN prd ON prd.lang = s.lang
+        |LEFT JOIN tp ON tp.lang = s.lang
+        |ORDER BY s.lang""".stripMargin
+    ) { (s, d) =>
+      val p = languageId(documents(s, d), 10)
+        .select(col("lang").as("actual"), col("pred_lang").as("pred"))
+      val sup = p.groupBy(col("actual").as("lang"))
+        .agg(count(lit(1)).as("support"))
+      val prd = p.groupBy(col("pred").as("lang"))
+        .agg(count(lit(1)).as("predicted_n"))
+      val tp = p.filter(col("actual") === col("pred"))
+        .groupBy(col("actual").as("lang")).agg(count(lit(1)).as("tp"))
+      sup.join(prd, Seq("lang"), "left").join(tp, Seq("lang"), "left")
+        .select(col("lang"), col("support").cast("long").as("support"),
+          coalesce(col("predicted_n"), lit(0L)).cast("long").as("predicted_n"),
+          coalesce(col("tp"), lit(0L)).cast("long").as("tp"),
+          Det.r4(coalesce(col("tp"), lit(0L)) * lit(1.0)
+                   / nullif(coalesce(col("predicted_n"), lit(0L)), lit(0L)))
+            .as("precision"),
+          Det.r4(coalesce(col("tp"), lit(0L)) * lit(1.0) / col("support"))
+            .as("recall"),
+          Det.r4(lit(2.0) * coalesce(col("tp"), lit(0L))
+                   / (coalesce(col("predicted_n"), lit(0L)) + col("support")))
+            .as("f1"))
+        .orderBy("lang")
+    },
+
     // ------------------------------------------- text: quality score ----
     OpDef(
       "q_text_quality",

@@ -923,6 +923,23 @@ class OpsSpec extends SparkTestBase {
       s"only $distinctNegs of $n docs drawn — hash spread too narrow")
   }
 
+  test("langid eval: counts balance and micro-average equals raw accuracy") {
+    val rows = SparkEntry.queries("q_eval_langid")(spark, sf).collect()
+    assert(rows.length == 5)
+    val support = rows.map(_.getAs[Long]("support")).sum
+    val predicted = rows.map(_.getAs[Long]("predicted_n")).sum
+    assert(support == predicted,
+      "every prediction has exactly one actual class and vice versa")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("support"))
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("predicted_n"))
+    }
+    val correct = SparkEntry.queries("q_text_langid")(spark, sf)
+      .collect().count(_.getAs[Boolean]("correct"))
+    assert(rows.map(_.getAs[Long]("tp")).sum == correct,
+      "per-class TPs must sum to the prediction table's correct count")
+  }
+
   test("winnow pairs: all planted near-dups found, overlaps in (0.5, 1]") {
     import org.apache.spark.sql.functions._
     val docs = graft.ops.Tables.documents(spark, sf)
