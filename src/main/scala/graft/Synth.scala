@@ -116,4 +116,32 @@ object Synth {
     synthEmb(s, nVecs, dims).repartition(8)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
+
+  /** k×-scaled TPC-H fixture: the fact tables (lineitem, orders) are k
+    * key-shifted copies of the source fixture's — every copy preserves
+    * the orderkey join structure, value distributions, and per-query
+    * selectivities, so result weights grow exactly k× — and the five
+    * dimension tables are copied unchanged (dims scale sub-linearly in
+    * real warehouses; holding them fixed also keeps the broadcast-side
+    * sizes constant, which is what makes a broadcast→SMJ plan flip an
+    * OBSERVABLE of fact growth rather than an artifact). Output is a
+    * fixture-layout dir, so `SparkEntry.queries` run on it unchanged.
+    * The key shift (10⁹) is far above any fixture orderkey, so copies
+    * never collide. */
+  def writeTpch(s: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    val OFF = 1000000000L
+    def scaled(name: String, keyCol: String): DataFrame = {
+      val base = s.read.parquet(s"$srcDir/$name.parquet")
+      (0 until k).map(i =>
+        base.withColumn(keyCol, col(keyCol) + lit(i * OFF)))
+        .reduce(_ unionAll _)
+    }
+    scaled("orders", "o_orderkey").repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    scaled("lineitem", "l_orderkey").repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      s.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+  }
 }

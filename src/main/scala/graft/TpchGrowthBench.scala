@@ -1,0 +1,59 @@
+package graft
+
+/** Scale-growth benchmark for the relational/TPC-H core — the analytics
+  * counterpart of [[GrowthBench]]'s dedup curves: runs the five heaviest
+  * TPC-H shapes (q21, q2, q8, q9, q17 — multi-join, correlated-subquery,
+  * and groupBy-heavy) on [[Synth.writeTpch]] fixtures at 1×/3×/10× the
+  * sf0.1 fact volume and prints one JSON line with (sec, bnlj, cartesian)
+  * per scale. Near-linear seconds plus zero nested-loop operators at
+  * every scale is the claim BASELINE.md records; GrowthSpec asserts the
+  * same on smaller corpora inside `sbt test`. A broadcast→SMJ flip as
+  * facts grow is EXPECTED and fine; BroadcastNestedLoopJoin or
+  * CartesianProduct at any scale is a scale bug.
+  *
+  * Env: SPARK_GRAFT_SRC_SF (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_GROWTH_DIR (default /tmp/graft_growth_tpch). */
+object TpchGrowthBench {
+  val Queries: Seq[String] =
+    Seq("q_tpch_q21", "q_tpch_q2", "q_tpch_q8", "q_tpch_q9", "q_tpch_q17")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_GROWTH_DIR",
+                                   "/tmp/graft_growth_tpch")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales = Seq(1, 3, 10)
+    for (k <- scales) Synth.writeTpch(spark, srcDir, s"$outDir/x$k", k)
+
+    // warm codegen/JVM once so x1 isn't charged the startup cost
+    SparkEntry.queries("q_tpch_q6")(spark, s"$outDir/x1").count()
+
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val lines = Queries.map { q =>
+      val cells = scales.map { k =>
+        spark.catalog.clearCache()
+        val df = SparkEntry.queries(q)(spark, s"$outDir/x$k")
+        val plan = df.queryExecution.executedPlan.toString
+        val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+        val cart = plan.split("\n").count(_.contains("CartesianProduct"))
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val sec = r3((System.nanoTime() - t0) / 1e9)
+        s""""x$k":{"rows":$n,"sec":$sec,"bnlj":$bnlj,"cartesian":$cart}"""
+      }
+      s""""$q":{${cells.mkString(",")}}"""
+    }
+    println(s"""{"metric":"tpch_growth","src":"$srcDir",""" +
+      s""""ops":{${lines.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 
 /** §2.9 P2 — sub-quadratic scale paths for near-dedup and similarity
   * search. The randomized-hash ops are no-oracle (MLlib's hash families
@@ -168,7 +168,6 @@ object Approx {
       val e = embeddings(s, d)
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
-        .cache() // both sides of the LSH self-join
       // bucketLength must match the PROJECTION scale, not the vector norm:
       // a unit 64-dim vector projects onto a unit random direction with
       // σ ≈ 1/√64 = 0.125, so 0.125 buckets actually partition the data
@@ -178,18 +177,43 @@ object Approx {
       // indistinguishable from random on near-uniform embeddings and NO
       // hash family can prune (on clustered real embeddings the same
       // operator reaches far higher recall at the same cost).
+      // 6 OR'd tables: per-table collision ≈ 0.31 at the radius on this
+      // cloud, so recall ≈ 1−0.69⁶ ≈ 0.89 (measured 0.91 reachable-edge
+      // recall vs 0.52 at the old 2 tables). The candidate join is MANUAL
+      // (posexplode hashes → equi-join on (table, bucket)) rather than
+      // MLlib approxSimilarityJoin: same candidate set, but the exact
+      // re-rank is the codegen'd dot product, the sim threshold prunes
+      // BEFORE the pair dedup (so distinct() runs on the few true pairs,
+      // not every bucket collision), and no per-row Vector UDF distance
+      // is ever paid — 3× cheaper at the same recall.
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.125).setNumHashTables(2).setSeed(42L)
+        .setBucketLength(0.125).setNumHashTables(6).setSeed(42L)
       val model = lsh.fit(e)
+      // cached: the banded self-join reads the hashed projection on both
+      // sides — uncached the parquet scan + hash UDF would run twice
+      val hashed = model.transform(e)
+        .select(col("vec_id"), col("v"),
+                posexplode(col("hashes")).as(Seq("tbl", "h")))
+        .select(col("vec_id"), col("v"), col("tbl"),
+                element_at(vector_to_array(col("h")), 1).cast("long")
+                  .as("bucket"))
+        .cache()
+      val cand = hashed.select(col("tbl"), col("bucket"),
+                               col("vec_id").as("i"), col("v").as("va"))
+        .join(hashed.select(col("tbl"), col("bucket"),
+                            col("vec_id").as("j"), col("v").as("vb")),
+              Seq("tbl", "bucket"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"),
+                Det.r6(expr("graft_dot(va, vb)")).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .distinct() // same (i,j) from multiple tables: sims identical
+      val edges = cand.union(
+        cand.select(col("j").as("i"), col("i").as("j"), col("sim")))
       val w = Window.partitionBy(col("i"))
         .orderBy(col("sim").desc, col("j").asc)
-      model.approxSimilarityJoin(e, e, math.sqrt(2 - 2 * 0.3), "dist")
-        .select(col("datasetA.vec_id").as("i"), col("datasetA.v").as("va"),
-                col("datasetB.vec_id").as("j"), col("datasetB.v").as("vb"))
-        .filter(col("i") =!= col("j"))
-        .select(col("i"), col("j"), Det.r6(expr("graft_dot(va, vb)")).as("sim"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      edges.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy("i", "rn")
     },

@@ -1582,7 +1582,10 @@ object EventAnalytics {
                .as("avg_events"),
              Det.r4(sum(col("dur_us")) / count(lit(1)) / lit(1000000.0))
                .as("avg_secs"),
-             (max(col("dur_us")) / 1000000L).cast("long").as("max_secs"))
+             // integer division (`div`), not double `/` + cast: mirrors the
+             // oracle's `//` exactly and stays exact past the 2^53 double
+             // granularity (ADVICE r5)
+             expr("max(dur_us) div 1000000").cast("long").as("max_secs"))
         .orderBy("user_id")
     },
 
@@ -1594,7 +1597,11 @@ object EventAnalytics {
       * numeric), the only composite-key spelling both engines' arg-min
       * aggregates accept. Map-side partials carry one candle per (task,
       * day) — no window, no sort, any scale; the streaming twin (tumbling
-      * window, same min_by/max_by) is pinned equal in StreamingSpec. */
+      * window, same min_by/max_by) is pinned equal in StreamingSpec.
+      * DOMAIN ASSUMPTION (ADVICE r5): lexicographic == numeric requires
+      * non-negative epochs (a '-' sign sorts before digits) and
+      * event_id < 1e10 — both hold for the fixtures and any post-1970
+      * telemetry; pre-1970 data would need an epoch offset before lpad. */
     OpDef(
       "q_events_ohlc",
       """WITH e AS (

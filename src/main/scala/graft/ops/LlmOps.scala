@@ -479,7 +479,13 @@ object LlmOps {
     * the semantic (embedding-space) clustering op. Returns
     * (doc_id, canon_id, cluster_size) for every vertex that appears in a
     * pair; canon_id = min doc_id of the component. */
-  def clusterPairs(pairs0: DataFrame): DataFrame = {
+  def clusterPairs(pairs0: DataFrame): DataFrame = clusterPairsIter(pairs0)._1
+
+  /** [[clusterPairs]] plus the number of loop iterations it ran — the
+    * observable ScaleSpec pins for the O(log diameter) convergence claim
+    * (a planted 64-chain must close in ≤ ~log₂ 64 rounds, where plain
+    * min-propagation needs ~64). */
+  private[graft] def clusterPairsIter(pairs0: DataFrame): (DataFrame, Int) = {
     val pairs = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
     // partition the cached edge table by the join key: every iteration's
     // `edges.join(labels, b === v)` then shuffles only the (small) label
@@ -506,14 +512,38 @@ object LlmOps {
         .head.getDecimal(0)
     var prevSum = lblSum(labels)
     var converged = false
+    var iters = 0
     while (!converged) {
-      // min over {own label} ∪ {neighbors' labels} as one union + one
-      // aggregate — one join per iteration, not join + rejoin
-      val next = labels
+      iters += 1
+      // 1) neighbor propagation: min over {own label} ∪ {neighbors'
+      //    labels} as one union + one aggregate
+      val prop = labels
         .union(edges.join(labels, col("b") === col("v"))
                  .select(col("a").as("v"), col("lbl")))
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+      // 2) path halving (the pointer-doubling half of the classic
+      //    two-phase CC, same effect as alternating large/small-star
+      //    contraction): follow the label pointer one hop —
+      //    lbl(v) := min(lbl(v), lbl(lbl(v))). Every label IS a vertex
+      //    (it is the min of some vertex's closed neighborhood), so the
+      //    self-join resolves every pointer; with it the label-chain
+      //    length halves per round and a diameter-d component closes in
+      //    O(log d) rounds instead of O(d) — the 100 TB long-chain
+      //    answer (r5 What's-wrong #2). Monotonicity (least only
+      //    decreases) and the fixpoint (uniform component minima) are
+      //    unchanged, so Σlbl-stability remains exact convergence and
+      //    output hashes are identical to plain propagation.
+      //    HYBRID: the jump join is skipped for the first two rounds —
+      //    real near-dup components are almost all diameter ≤ 2 and
+      //    converge there at one join/round; only a loop that is still
+      //    open afterwards (a long chain) pays the second join, from
+      //    which point rounds halve the remaining distance.
+      val next = (if (iters <= 2) prop else {
+        val jump = prop.select(col("v").as("jv"), col("lbl").as("jlbl"))
+        prop.join(jump, col("lbl") === col("jv"), "left")
+          .select(col("v"),
+                  least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+      }).localCheckpoint(false)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -523,10 +553,11 @@ object LlmOps {
     // cache is loop-scoped and can be released here
     edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lbl"))
+    val out = labels.join(sizes, Seq("lbl"))
       .select(col("v").as("doc_id"), col("lbl").as("canon_id"),
               col("cluster_size"))
       .orderBy("doc_id")
+    (out, iters)
   }
 
   /** Semantic (embedding-space) dedup: connected components over the
@@ -938,25 +969,45 @@ object LlmOps {
     * the per-doc fingerprint summary streams out of the scan. */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame =
     winnowFps(docs, k, w)
-      .select(col("doc_id"),
-              size(col("fps")).cast("long").as("n_fps"),
-              array_min(col("fps")).as("min_fp"),
-              array_max(col("fps")).as("max_fp"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("fp")).cast("long").as("n_fps"),
+           min(col("fp")).as("min_fp"),
+           max(col("fp")).as("max_fp"))
       .orderBy("doc_id")
 
-  /** Winnowed fingerprint table (doc_id, fps) — map-only per-row HOFs;
-    * shared by the summary op and the MOSS-style pair matcher. */
+  /** Distinct winnowed fingerprints, one row per (doc_id, fp) — shared
+    * by the summary op and the MOSS-style pair matcher. Spelled as
+    * explode(gram positions) → md5 → per-doc window-min → full-window
+    * filter → distinct, NOT as nested array HOFs: the lambda spelling
+    * evaluates md5/conv interpreted (HigherOrderFunction bodies don't
+    * codegen) and allocates an O(w) slice per window on boxed
+    * GenericArrayData — measured ~3.5 s at sf0.1 across 32 cores vs
+    * ~0.6 s for this row-form, where the hash chain runs inside
+    * whole-stage codegen and the rolling min is a primitive-long window
+    * aggregate. Same selected set: min over h[j..j+w-1] for every full
+    * window j, deduped per doc. The repartition spreads hash work even
+    * when a small corpus arrives as one parquet split; the window
+    * shuffle moves only (doc_id, pos, hash) rows.
+    *
+    * NOT deduped: the same fp selected by adjacent windows appears once
+    * per window — consumers dedupe inside their own aggregation
+    * (count_distinct / collect_set), which folds the dedup into a
+    * shuffle they pay anyway instead of a dedicated distinct exchange. */
   private[graft] def winnowFps(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val nk = length(col("text")) - (k - 1)
+    val h = conv(md5(col("text").substr(col("pos"), lit(k)))
+                   .substr(lit(1), lit(8)), 16, 10).cast("long")
+    val wmin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
     docs
       .filter(length(col("text")) >= k + w - 1)
-      .withColumn("hs", transform(sequence(lit(1), nk),
-        i => conv(md5(col("text").substr(i, lit(k))).substr(lit(1), lit(8)),
-                  16, 10).cast("long")))
-      .withColumn("fps", array_distinct(transform(
-        sequence(lit(1), size(col("hs")) - (w - 1)),
-        j => array_min(slice(col("hs"), j, lit(w))))))
-      .select(col("doc_id"), col("fps"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"), nk.as("ng"),
+              explode(sequence(lit(1), nk)).as("pos"))
+      .select(col("doc_id"), col("ng"), col("pos"), h.as("h"))
+      .withColumn("fp", min(col("h")).over(wmin))
+      .filter(col("pos") <= col("ng") - (w - 1))
+      .select(col("doc_id"), col("fp"))
   }
 
   /** Classic TF-IDF, top-k terms per doc ranked on the rounded weight
@@ -1791,8 +1842,24 @@ object LlmOps {
         .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
         .select(col("lang"), col("c"), row_number().over(w).as("rk"))
         .groupBy("lang")
-        .agg(Det.r4(covar_pop(lnRk, lnC) / var_pop(lnRk)).as("zipf_slope"),
-             Det.r4(corr(lnRk, lnC)).as("fit_r"),
+        // nullif guard: a vocab-1 language group has var_pop(ln rk) = 0,
+        // and ANSI mode throws on the 0/0 the aggregate computes BEFORE
+        // the vocab filter can drop the row (found by HostileCorpusSpec);
+        // the filter then removes the NULL-slope row in both engines, so
+        // output parity is untouched
+        .agg(Det.r4(covar_pop(lnRk, lnC) / nullif(var_pop(lnRk), lit(0.0)))
+               .as("zipf_slope"),
+             // NOT spelled with Spark's corr(): its evaluate divides by
+             // √(varX·varY) while EMITTING the aggregate row, and
+             // Spark-4 ANSI throws there on a zero-variance series (a
+             // lang where every token count is identical — found by
+             // HostileCorpusSpec) before any CASE-WHEN projection could
+             // skip it. DuckDB's corr is covar_pop/(σx·σy) returning
+             // NULL on zero variance — this spelling IS that definition,
+             // with nullif making the zero-variance NULL explicit.
+             Det.r4(covar_pop(lnRk, lnC)
+                      / nullif(stddev_pop(lnRk) * stddev_pop(lnC), lit(0.0)))
+               .as("fit_r"),
              count(lit(1)).as("vocab"))
         // a slope needs >= 2 rank points; ranks 1,2 guarantee
         // var_pop(ln rk) > 0, so the filter also removes the one case
@@ -1862,9 +1929,10 @@ object LlmOps {
         |  FROM scores),
         |p AS (
         |  SELECT d.lang AS actual, b.pred
-        |  FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+        |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
         |sup AS (SELECT actual AS lang, count(*) AS support FROM p GROUP BY 1),
-        |prd AS (SELECT pred AS lang, count(*) AS predicted_n FROM p GROUP BY 1),
+        |prd AS (SELECT pred AS lang, count(*) AS predicted_n FROM p
+        |        WHERE pred IS NOT NULL GROUP BY 1),
         |tp AS (SELECT actual AS lang, count(*) AS tp FROM p
         |       WHERE actual = pred GROUP BY 1)
         |SELECT s.lang, CAST(s.support AS BIGINT) AS support,
@@ -1883,11 +1951,19 @@ object LlmOps {
         |LEFT JOIN tp ON tp.lang = s.lang
         |ORDER BY s.lang""".stripMargin
     ) { (s, d) =>
-      val p = languageId(documents(s, d), 10)
-        .select(col("lang").as("actual"), col("pred_lang").as("pred"))
+      // LEFT join from documents: a doc whose tokens hit no marker has no
+      // prediction row — it must still count in its true class's support
+      // (as a false negative), not vanish from the evaluation. (Inner-join
+      // spelling overstated recall whenever coverage < 100%.)
+      val p = documents(s, d).select(col("doc_id"), col("lang").as("actual"))
+        .join(languageId(documents(s, d), 10)
+                .select(col("doc_id"), col("pred_lang").as("pred")),
+              Seq("doc_id"), "left")
+        .select(col("actual"), col("pred"))
       val sup = p.groupBy(col("actual").as("lang"))
         .agg(count(lit(1)).as("support"))
-      val prd = p.groupBy(col("pred").as("lang"))
+      val prd = p.filter(col("pred").isNotNull)
+        .groupBy(col("pred").as("lang"))
         .agg(count(lit(1)).as("predicted_n"))
       val tp = p.filter(col("actual") === col("pred"))
         .groupBy(col("actual").as("lang")).agg(count(lit(1)).as("tp"))
@@ -2059,21 +2135,24 @@ object LlmOps {
         |WHERE shared * 1.0 / least(x.nf, y.nf) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) =>
-      // lazy localCheckpoint: the fps HOF chain feeds BOTH self-join sides
-      // and the size table — without the lineage cut, CollapseProject
-      // inlines the per-row 2000-md5 array build into every consumer
-      // (the q_events_stationary re-evaluation trap) and the pair join
-      // recomputes it per probe
-      val f = winnowFps(documents(s, d), 8, 4).localCheckpoint(false)
-      val e = f.select(col("doc_id"), explode(col("fps")).as("fp"))
-      val fc = e.groupBy("fp").agg(count(lit(1)).as("c"))
-      val kept = e.join(fc.filter(col("c") <= 50), Seq("fp"), "left_semi")
-      val pairs = kept.as("a")
-        .join(kept.as("b"),
-              col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // cached: the (doc_id, fp) row table feeds both the fp buckets and
+      // the per-doc size table — uncached the md5 window chain runs twice
+      val e = winnowFps(documents(s, d), 8, 4).cache()
+      // bucket-groupBy, not a count + semi-join + self-join: docs sharing
+      // a fingerprint meet in ONE bucket after a single shuffle and the
+      // pair list is generated map-side (the minhashPairs discipline —
+      // the join formulation shuffled the edge table three times:
+      // measured 7.5 s vs 2.4 s for identical output). collect_set
+      // dedupes the window-repeated (doc, fp) rows inside the shuffle
+      // the bucket build pays anyway; the >50-doc cap drops hot
+      // boilerplate buckets whole, same as the oracle's fc.c <= 50.
+      val buckets = e.groupBy("fp")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 50))
+      val pairs = pairsWithin(buckets, "ids")
+        .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
         .agg(count(lit(1)).as("shared"))
-      val sz = f.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
+      val sz = e.groupBy("doc_id").agg(count_distinct(col("fp")).as("nf"))
       pairs
         .join(sz.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
         .join(sz.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")

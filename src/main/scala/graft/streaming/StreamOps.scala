@@ -53,7 +53,14 @@ object StreamOps {
     * ties broken by the same zero-padded (µs, event_id) string key, so a
     * replay of the batch fixture through this op must EQUAL the batch
     * formulation bit-for-bit (pinned in StreamingSpec). State per window
-    * is one candle — O(1) regardless of event volume. */
+    * is one candle — O(1) regardless of event volume.
+    *
+    * DOMAIN ASSUMPTION (shared with q_events_ohlc, ADVICE r5): the
+    * lexicographic tie-break key requires non-negative epochs
+    * (ts ≥ 1970-01-01, i.e. unix_micros ≥ 0 — a '-' sign would sort
+    * before every digit and invert the order) and event_id ∈ [0, 1e10).
+    * Both hold for the event fixtures and any post-1970 telemetry; a
+    * pre-1970 corpus would need an epoch offset added before lpad. */
   def tumblingOhlc(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

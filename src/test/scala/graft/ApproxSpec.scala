@@ -82,26 +82,32 @@ class ApproxSpec extends SparkTestBase {
   }
 
   test("LSH full k-NN graph recovers exact edges above the radius floor") {
-    val exactRows = queries("q_sim_knn")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lshRows = queries("q_sim_knn_lsh")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(exactRows.nonEmpty, "exact kNN graph must be non-empty")
-    // edges with sim < 0.3 are OUTSIDE the LSH radius by construction —
-    // recall is defined over the reachable edges (the operator's contract);
-    // overall recall is reported for context
-    val reachable = exactRows.filter(_._2 >= 0.3)
-    val recallReach = reachable.keys.count(lshRows.contains).toDouble /
-      math.max(reachable.size, 1)
-    val recallAll = exactRows.keys.count(lshRows.contains).toDouble / exactRows.size
-    info(s"knn-LSH recall: reachable $recallReach, overall $recallAll " +
-      s"(${exactRows.size} exact edges, ${reachable.size} reachable)")
-    assert(recallReach >= 0.5,
-      s"knn-LSH reachable-edge recall $recallReach over ${reachable.size} edges")
-    // surfaced edges carry the EXACT re-ranked similarity
-    lshRows.foreach { case (k, sim) =>
-      exactRows.get(k).foreach(e =>
-        assert(e == sim, s"edge $k: lsh sim $sim != exact $e"))
+    // 6 OR'd BRP tables (per-table collision ≈ 0.31 at the sim-0.3 radius
+    // on the near-uniform cloud ⇒ expected recall ≈ 1−0.69⁶ ≈ 0.89);
+    // asserted at both fixture SFs per the r5 done-criteria
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val exactRows = queries("q_sim_knn")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val lshRows = queries("q_sim_knn_lsh")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(exactRows.nonEmpty, "exact kNN graph must be non-empty")
+      // edges with sim < 0.3 are OUTSIDE the LSH radius by construction —
+      // recall is defined over the reachable edges (the operator's
+      // contract); overall recall is reported for context
+      val reachable = exactRows.filter(_._2 >= 0.3)
+      val recallReach = reachable.keys.count(lshRows.contains).toDouble /
+        math.max(reachable.size, 1)
+      val recallAll = exactRows.keys.count(lshRows.contains).toDouble / exactRows.size
+      info(s"knn-LSH recall @$sfDir: reachable $recallReach, overall $recallAll " +
+        s"(${exactRows.size} exact edges, ${reachable.size} reachable)")
+      assert(recallReach >= 0.8,
+        s"knn-LSH reachable-edge recall $recallReach over ${reachable.size} edges @$sfDir")
+      // surfaced edges carry the EXACT re-ranked similarity
+      lshRows.foreach { case (k, sim) =>
+        exactRows.get(k).foreach(e =>
+          assert(e == sim, s"edge $k: lsh sim $sim != exact $e"))
+      }
+      spark.catalog.clearCache() // the op caches its hashed projection
     }
   }
 

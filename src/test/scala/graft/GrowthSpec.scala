@@ -249,4 +249,39 @@ class GrowthSpec extends SparkTestBase {
         s"gram bucket of $maxGram rows survived the $gramCap cap")
     } finally { docs.unpersist(); () }
   }
+
+  test("TPC-H core survives 10x fact growth: no plan flips to nested loops, " +
+       "wall-clock stays near-linear") {
+    // the relational counterpart of the dedup growth curves (r5 ask #5):
+    // Synth.writeTpch scales lineitem/orders by key-shifted copies while
+    // dims stay fixed, so a broadcast→SMJ flip is allowed (that is AQE
+    // doing its job) but a BroadcastNestedLoopJoin/CartesianProduct at
+    // any scale, or superlinear blow-up, fails. Wall-clock asserts use a
+    // deliberately loose 30× bound at 10× data: an accidental quadratic
+    // would be ~100×, host stall bands stay well inside. sf0.01 base
+    // keeps the in-test corpus small; TpchGrowthBench measures the same
+    // curves at sf0.1 for BASELINE.md.
+    val outDir = "/tmp/graft_growth_tpch_spec"
+    for (k <- Seq(1, 3, 10))
+      Synth.writeTpch(spark, "/root/testdata/sf0.01", s"$outDir/x$k", k)
+    // warm codegen so x1 isn't charged JVM startup
+    SparkEntry.queries("q_tpch_q6")(spark, s"$outDir/x1").count()
+    for (q <- TpchGrowthBench.Queries) {
+      val secs = Seq(1, 3, 10).map { k =>
+        spark.catalog.clearCache()
+        val df = SparkEntry.queries(q)(spark, s"$outDir/x$k")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q flipped to BNLJ at x$k fact growth")
+        assert(!plan.contains("CartesianProduct"),
+          s"$q flipped to a cartesian at x$k fact growth")
+        val t0 = System.nanoTime()
+        df.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      info(f"$q: x1 ${secs(0)}%.2fs, x3 ${secs(1)}%.2fs, x10 ${secs(2)}%.2fs")
+      assert(secs(2) <= math.max(2.0, 30.0 * secs(0)),
+        s"$q wall-clock grew superlinearly: x1 ${secs(0)}, x10 ${secs(2)}")
+    }
+  }
 }

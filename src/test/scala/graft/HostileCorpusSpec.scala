@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial-input hardening for the text/dedup family (r5 ask #6).
+  *
+  * Every fixture doc is whitespace-tokenizable ASCII of moderate length;
+  * this spec replaces `documents` with a corpus built to break substring
+  * arithmetic and cap assumptions — empty strings, 1-char docs, a 100 kB
+  * single token, deep multi-byte UTF-8 (CJK / emoji / combining / RTL),
+  * whitespace-only docs, and a heavy exact-dup block — and asserts that
+  * every text-family operator still evaluates without throwing and that
+  * the hot-bucket caps still bind. Results are NOT oracle-checked here
+  * (no planted truth); the contract under test is totality + bounded
+  * buckets, the properties that keep a 100 TB run alive when real-web
+  * garbage arrives. */
+class HostileCorpusSpec extends SparkTestBase {
+
+  private val dir = "/tmp/graft_hostile"
+
+  private lazy val corpus: Unit = {
+    // full fixture layout so any table an op touches resolves; documents
+    // is then overwritten with the hostile corpus
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val big = "x" * 100000                  // one 100 kB token, no spaces
+    val bigTokens = ("tok " * 20000).trim   // 100 kB of 4-char tokens
+    val docs: Seq[(Long, String, String, String)] = Seq(
+      (0L, "", "en", "web"),
+      (1L, "a", "en", "web"),
+      (2L, " ", "en", "web"),
+      (3L, "          ", "en", "web"),      // whitespace-only
+      (4L, "✓", "de", "web"),               // 1 multi-byte char
+      (5L, "日本語のテキストです、トークン境界なし", "ja", "web"),
+      (6L, "🎉🎊🎈 emoji 🎉 soup 🎊 with 🎈 tokens", "en", "web"),
+      (7L, "é́́ combining ́ marks é", "fr", "web"),
+      (8L, "نص عربي من اليمين إلى اليسار مع كلمات", "ar", "web"),
+      (9L, big, "en", "crawl"),
+      (10L, bigTokens, "en", "crawl"),
+      (11L, "\n\t\r mixed \n whitespace \t forms \r", "en", "web"),
+      (12L, "null", "en", "web"),
+      (13L, "{\"json\": \"looking\", \"doc\": [1,2]}", "en", "web"),
+      (14L, "short", "en", "web"),
+      (15L, "0123456789", "en", "web"),     // exactly k+w-2: winnow boundary
+      (16L, "01234567890", "en", "web"),    // exactly k+w-1: smallest winnowable
+      (17L, "word " * 3 + "tail", "en", "web"),
+      (18L, "ascii mixed with 中文 and عربي and русский in one doc", "xx", "web")
+    ) ++ (19L until 59L).map(i =>           // 40-copy exact-dup block
+      (i, "duplicate boilerplate block that repeats verbatim many times",
+       "en", "boiler")) ++
+      (59L until 79L).map(i =>              // near-dups of one base
+      (i, s"almost identical document with tiny variation number ${i % 3}",
+       "en", "web"))
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  // the text/dedup surface that consumes `documents.text` — every op that
+  // does substring/token arithmetic on raw text
+  private val ops = Seq(
+    "q_text_stats", "q_text_tokens", "q_text_ttr", "q_text_zipf",
+    "q_text_langid", "q_eval_langid", "q_text_quality", "q_text_entropy",
+    "q_text_lmscore", "q_text_lmbuckets", "q_text_gopher", "q_text_blocklist",
+    "q_text_code_detect", "q_text_repetition", "q_text_chunk",
+    "q_text_tokcount", "q_text_tokcount_re", "q_text_fingerprint",
+    "q_text_winnow", "q_text_winnow_pairs", "q_text_containment_pairs",
+    "q_text_contamination", "q_text_novelty", "q_text_keywords",
+    "q_text_tfidf", "q_text_cluster_topics", "q_text_heavyhitters",
+    "q_dedup_exact", "q_dedup_norm", "q_dedup_near", "q_dedup_minhash",
+    "q_dedup_lsh", "q_dedup_minhash_fast", "q_dedup_lsh_fast",
+    "q_dedup_simhash", "q_dedup_editdist", "q_dedup_cluster",
+    "q_dedup_soft", "q_dedup_segments", "q_dedup_incremental",
+    "q_pack_sequences", "q_pack_mask", "q_pipeline_curate")
+
+  test("every text/dedup op is total over the hostile corpus") {
+    corpus
+    val failures = ops.flatMap { n =>
+      spark.catalog.clearCache()
+      try { SparkEntry.queries(n)(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"ops threw on the hostile corpus:\n${failures.mkString("\n")}")
+  }
+
+  test("hot-bucket caps still bind on the dup-heavy hostile corpus") {
+    corpus
+    import graft.ops.LlmOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+    val gramCap = math.max(
+      math.min(LlmOps.hotGramFrac * nDocs, LlmOps.hotGramAbs),
+      LlmOps.hotGramMin)
+    val maxGram = LlmOps.gramsCapped(docs).groupBy("g").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxGram <= gramCap,
+      s"hostile corpus pushed a gram bucket to $maxGram past cap $gramCap")
+    val banded = LlmOps.dropHotBuckets(
+      LlmOps.minhashBands(LlmOps.minhashSigs(docs)), Seq("band", "sig"))
+    val maxBand = banded.groupBy("band", "sig").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxBand <= LlmOps.bandBucketCap,
+      s"hostile corpus pushed a band bucket to $maxBand past the cap")
+  }
+
+  test("token counters return a non-negative count for every hostile doc") {
+    corpus
+    val rows = SparkEntry.queries("q_text_tokcount")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("ws_tokens")
+      assert(c >= 0L, s"doc ${r.get(0)}: negative token count $c")
+      assert(r.getAs[Long]("subword_est") >= 0L)
+      assert(r.getAs[Long]("chars") >= 0L)
+    }
+  }
+}

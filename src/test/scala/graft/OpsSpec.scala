@@ -926,10 +926,19 @@ class OpsSpec extends SparkTestBase {
   test("langid eval: counts balance and micro-average equals raw accuracy") {
     val rows = SparkEntry.queries("q_eval_langid")(spark, sf).collect()
     assert(rows.length == 5)
+    // Σ support counts EVERY doc (a doc with no marker hit is a false
+    // negative of its true class); Σ predicted_n counts only predicted
+    // docs — equal exactly when prediction coverage is 100%, which the
+    // coverage check below establishes independently instead of the old
+    // by-construction identity over the inner-joined table
     val support = rows.map(_.getAs[Long]("support")).sum
     val predicted = rows.map(_.getAs[Long]("predicted_n")).sum
-    assert(support == predicted,
-      "every prediction has exactly one actual class and vice versa")
+    val nDocs = graft.ops.Tables.documents(spark, sf).count()
+    assert(support == nDocs, "every document appears in exactly one support")
+    assert(predicted <= support, "predictions cannot exceed documents")
+    val covered = SparkEntry.queries("q_text_langid")(spark, sf).count()
+    assert(predicted == covered,
+      "predicted_n must sum to the prediction table's row count")
     rows.foreach { r =>
       assert(r.getAs[Long]("tp") <= r.getAs[Long]("support"))
       assert(r.getAs[Long]("tp") <= r.getAs[Long]("predicted_n"))

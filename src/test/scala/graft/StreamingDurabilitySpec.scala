@@ -143,6 +143,123 @@ class StreamingDurabilitySpec extends SparkTestBase {
       s"doc 2 must match doc 1's checkpointed signatures, got $dups")
   }
 
+  test("chaos: 5 randomized restart schedules converge to the uninterrupted end-state") {
+    // r5 ask #7: kill/restart at RANDOM micro-batch boundaries (seeded →
+    // reproducible) for the three stateful flagships, and require the
+    // end-state to EQUAL an uninterrupted run's. Every feed is one event
+    // per micro-batch with fixed event times, so outputs are a pure
+    // function of the feed — any divergence is lost/duplicated state.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val docFeed = Seq(
+      StreamOps.DocEvent(1L, ts("2024-01-01 10:00:00"), base),
+      StreamOps.DocEvent(2L, ts("2024-01-01 10:01:00"), "completely different text about databases and streams"),
+      StreamOps.DocEvent(3L, ts("2024-01-01 10:02:00"), base + " dup"),
+      StreamOps.DocEvent(4L, ts("2024-01-01 10:03:00"), "yet another unrelated document body with fresh words"),
+      StreamOps.DocEvent(5L, ts("2024-01-01 10:04:00"), base + " again"),
+      StreamOps.DocEvent(6L, ts("2024-01-01 10:05:00"), "completely different text about databases and streams dup"),
+      StreamOps.DocEvent(7L, ts("2024-01-01 10:06:00"), "short odd one"),
+      StreamOps.DocEvent(8L, ts("2024-01-01 10:07:00"), base + " final dup"))
+
+    def runNearDup(restarts: Set[Int]): Set[(Long, Long)] = {
+      val chk = Files.createTempDirectory("chaos_nd_chk").toString
+      val out = Files.createTempDirectory("chaos_nd_out").toString
+      val ms = MemoryStream[StreamOps.DocEvent]
+      val nd = StreamOps.streamingNearDup(spark, ms.toDF(), 0.5)
+      def start() = nd.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      var q = start()
+      docFeed.zipWithIndex.foreach { case (d, i) =>
+        ms.addData(d); q.processAllAvailable()
+        if (restarts(i)) { q.stop(); q = start() }
+      }
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val evFeed = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:02:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 10:01:00", 2, "view", 3.0),
+      ev(4, "2024-01-01 10:30:00", 1, "click", 4.0), // new session for u1
+      ev(5, "2024-01-01 10:31:00", 2, "view", 5.0),
+      ev(6, "2024-01-01 10:32:00", 3, "buy", 6.0),
+      ev(7, "2024-01-01 11:30:00", 1, "click", 7.0),
+      ev(8, "2024-01-01 23:00:00", 99, "view", 0.0)) // watermark closer
+
+    def runSessions(restarts: Set[Int]): Set[(Long, Long, Double, Long, Long)] = {
+      val chk = Files.createTempDirectory("chaos_ss_chk").toString
+      val out = Files.createTempDirectory("chaos_ss_out").toString
+      val ms = MemoryStream[Event]
+      val ss = StreamOps.sessionizer(spark, ms.toDF())
+      def start() = ss.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      var q = start()
+      evFeed.zipWithIndex.foreach { case (e, i) =>
+        ms.addData(e); q.processAllAvailable()
+        if (restarts(i)) { q.stop(); q = start() }
+      }
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                   r.getLong(3), r.getLong(4))).toSet
+    }
+
+    def runSink(crashAt: Set[Int]): Seq[Long] = {
+      val chk = Files.createTempDirectory("chaos_eo_chk").toString
+      val out = Files.createTempDirectory("chaos_eo_out").toString
+      val ms = MemoryStream[Event]
+      val fired = scala.collection.mutable.Set[Long]()
+      def start() = ms.toDF().writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamOps.writeBatchIdempotent(b, out, id)
+          // crash AFTER the write, BEFORE the epoch commit — the worst
+          // point: the replayed epoch must overwrite, not duplicate
+          if (crashAt(id.toInt) && fired.add(id))
+            throw new RuntimeException(s"chaos crash at epoch $id")
+        }
+        .start()
+      var q = start()
+      evFeed.zipWithIndex.foreach { case (e, i) =>
+        ms.addData(e)
+        try q.processAllAvailable()
+        catch { case _: Exception => q.stop(); q = start() }
+      }
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out).select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    }
+
+    val ndRef = runNearDup(Set.empty)
+    val ssRef = runSessions(Set.empty)
+    val skRef = runSink(Set.empty)
+    assert(ndRef.nonEmpty, "reference near-dup run must find planted dups")
+    assert(ssRef.nonEmpty, "reference sessionizer run must close sessions")
+    assert(skRef == evFeed.map(_.event_id).sorted,
+      s"reference sink run must land every event once: $skRef")
+
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 5) {
+      // at least one restart per trial; restart each boundary with p=0.35
+      var restarts = (0 until docFeed.length - 1)
+        .filter(_ => rnd.nextDouble() < 0.35).toSet
+      if (restarts.isEmpty) restarts = Set(rnd.nextInt(docFeed.length - 1))
+      info(s"trial $trial: restarts after batches ${restarts.toSeq.sorted}")
+      assert(runNearDup(restarts) == ndRef,
+        s"trial $trial: near-dup diverged after restarts $restarts")
+      assert(runSessions(restarts) == ssRef,
+        s"trial $trial: sessionizer diverged after restarts $restarts")
+      assert(runSink(restarts) == skRef,
+        s"trial $trial: exactly-once sink diverged after crashes $restarts")
+    }
+  }
+
   test("streaming packer cumulative position survives a checkpointed restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
