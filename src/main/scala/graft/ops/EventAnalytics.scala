@@ -578,6 +578,118 @@ object EventAnalytics {
         .orderBy("day")
     },
 
+    /** Holt double-exponential (level + linear trend) smoothing of the
+      * daily value series — the forecasting upgrade of q_win_ewma: EWMA
+      * tracks a level only and lags any trending series; Holt carries an
+      * explicit trend state (α=0.5 level blend, β=0.3 trend blend,
+      * l₁ = x₁, b₁ = 0).
+      *
+      * The recurrence has no window-function closed form (unlike
+      * q_win_cusum's running-min trick), so it folds. Scale shape: the
+      * series is CALENDAR-bounded (one row per day — 30 at any corpus
+      * size), so the entire fold runs inside one collected array row;
+      * per-day prefixes are re-folded (O(days²) ≈ 900 steps, still
+      * calendar-bounded) to emit every intermediate state without a
+      * driver loop. Cross-engine exactness: daily inputs are r4-quantized
+      * BEFORE the fold, and the Spark lambda spells the blend arithmetic
+      * character-for-character as the DuckDB recursive CTE
+      * (0.5·x + 0.5·(l+b); 0.3·(l′−l) + 0.7·b, l′ re-spelled inline), so
+      * both engines run the identical IEEE op sequence. */
+    OpDef(
+      "q_win_holt",
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |h(rn, day, v, l, b) AS (
+        |  SELECT rn, day, v, v, CAST(0.0 AS DOUBLE) FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.day, i.v,
+        |    0.5 * i.v + 0.5 * (h.l + h.b),
+        |    0.3 * ((0.5 * i.v + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+        |  FROM h JOIN i ON i.rn = h.rn + 1)
+        |SELECT day, v,
+        |  floor(l * 10000.0 + 0.5) / 10000.0 AS level,
+        |  floor(b * 10000.0 + 0.5) / 10000.0 AS trend
+        |FROM h ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(Det.r4(sum(col("value"))).as("v"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("xs"))
+        .select(explode(expr(
+          """transform(sequence(1, size(xs)), i -> named_struct(
+            |  'day', element_at(xs, i).day,
+            |  'v', element_at(xs, i).v,
+            |  'st', aggregate(slice(xs, 2, i - 1),
+            |    named_struct('l', element_at(xs, 1).v,
+            |                 'b', CAST(0.0 AS DOUBLE)),
+            |    (acc, x) -> named_struct(
+            |      'l', 0.5 * x.v + 0.5 * (acc.l + acc.b),
+            |      'b', 0.3 * ((0.5 * x.v + 0.5 * (acc.l + acc.b)) - acc.l)
+            |           + 0.7 * acc.b))))""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.v").as("v"),
+                Det.r4(col("r.st.l")).as("level"),
+                Det.r4(col("r.st.b")).as("trend"))
+        .orderBy("day")
+    },
+
+    /** Lag-1..7 autocorrelation of the daily value series — the
+      * seasonality/persistence diagnostic read before fitting any
+      * forecaster (a weekly cycle shows as a lag-7 peak). Each lag pairs
+      * the CALENDAR-bounded daily series with its k-shifted self via one
+      * ordered window (30 rows — never corpus-sized), then one Pearson
+      * aggregate per lag; 7 branches union to a 7-row output. Pearson is
+      * spelled covar_pop/nullif(σ·σ, 0) — NOT Spark's corr() — both for
+      * the DuckDB-identical NULL on constant series and because ANSI
+      * corr throws on zero variance while emitting the row (the
+      * q_text_zipf lesson). Inputs are r4-quantized daily sums, and both
+      * engines fold the same day-ordered single partition, so the
+      * moment sums agree. */
+    OpDef(
+      "q_events_autocorr", {
+        val branches = (1 to 7).map { k =>
+          s"""  SELECT $k AS lag_k, count(*) AS n_pairs,
+             |    covar_pop(v, vk) / nullif(stddev_pop(v) * stddev_pop(vk), 0)
+             |      AS r
+             |  FROM (SELECT v, lag(v, $k) OVER (ORDER BY day) AS vk FROM d)
+             |  WHERE vk IS NOT NULL HAVING count(*) > 0""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH d AS (
+           |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+           |           AS day,
+           |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS v
+           |  FROM events GROUP BY 1),
+           |u AS (
+           |$branches)
+           |SELECT CAST(lag_k AS BIGINT) AS lag_k,
+           |  CAST(n_pairs AS BIGINT) AS n_pairs,
+           |  floor(r * 10000.0 + 0.5) / 10000.0 AS autocorr
+           |FROM u ORDER BY lag_k""".stripMargin
+      }
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(Det.r4(sum(col("value"))).as("v"))
+      val w = Window.orderBy(col("day"))
+      (1 to 7).map { k =>
+        daily.select(col("v"), lag(col("v"), k).over(w).as("vk"))
+          .filter(col("vk").isNotNull)
+          .groupBy(lit(k.toLong).as("lag_k"))
+          .agg(count(lit(1)).as("n_pairs"),
+               Det.r4(covar_pop(col("v"), col("vk"))
+                      / nullif(stddev_pop(col("v")) * stddev_pop(col("vk")),
+                               lit(0.0))).as("autocorr"))
+      }.reduce(_ unionAll _)
+        .select(col("lag_k"), col("n_pairs").cast("long").as("n_pairs"),
+                col("autocorr"))
+        .orderBy("lag_k")
+    },
+
     /** RFM segmentation: recency / frequency / monetary scores per user
       * (fixed calibrated thresholds — NOT quintile windows, so scoring is
       * a map-only projection after one bounded per-user aggregate; see

@@ -702,6 +702,88 @@ object Extras {
         .orderBy("bin")
     },
 
+    /** Two-sample Kolmogorov–Smirnov drift test between the first and
+      * second time-halves of the event value stream — the
+      * distribution-free companion to q_dq_psi (PSI needs binning; KS
+      * compares the full ECDFs): D = max |F₁(v) − F₂(v)| evaluated at
+      * every distinct value, flagged against the 1.36·√((n₁+n₂)/(n₁n₂))
+      * α=0.05 critical line. Tie-safe by construction: cumulative counts
+      * run over per-DISTINCT-value rows, so equal values never straddle
+      * an ECDF step. All counts are exact integers; each engine derives
+      * the per-step double from the same integer pair, so max picks the
+      * same step.
+      *
+      * SCALE NOTE: the ECDF window is a GLOBAL order over distinct
+      * values — one reducer, the documented exact baseline (fine for the
+      * audit-sized samples a drift monitor pulls). The 100 TB path is
+      * the absolute-grid variant: quantize values onto a fixed 1 k-point
+      * grid (q_text_lmbuckets' pattern), when D is only needed to
+      * grid resolution. */
+    OpDef(
+      "q_dq_ks_drift",
+      """WITH b AS (
+        |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+        |          + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |s AS (
+        |  SELECT value AS v,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid THEN 0 ELSE 1 END
+        |      AS side
+        |  FROM events, b),
+        |t AS (SELECT count(*) FILTER (WHERE side = 0) AS n1,
+        |             count(*) FILTER (WHERE side = 1) AS n2 FROM s),
+        |g AS (SELECT v, count(*) FILTER (WHERE side = 0) AS c1,
+        |             count(*) FILTER (WHERE side = 1) AS c2
+        |      FROM s GROUP BY v),
+        |c AS (SELECT v,
+        |        sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k1,
+        |        sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k2
+        |      FROM g),
+        |d AS (SELECT max(abs(k1 * 1.0 / t.n1 - k2 * 1.0 / t.n2)) AS ks
+        |      FROM c, t)
+        |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+        |  floor(d.ks * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+        |  floor(1.36 * sqrt((t.n1 + t.n2) * 1.0 / (t.n1 * t.n2))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS crit,
+        |  CAST(CASE WHEN d.ks > 1.36 * sqrt((t.n1 + t.n2) * 1.0
+        |                                    / (t.n1 * t.n2))
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_drift
+        |FROM d, t""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("value").as("v"), unix_micros(col("ts")).as("us"))
+      // integer `div`: epoch-µs sums exceed double's 2^53 exact range
+      // (the q_agg_cuped discipline)
+      val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx_"))
+        .select(expr("(mn + mx_) div 2").as("mid"))
+      val sdf = ev.crossJoin(broadcast(b))
+        .select(col("v"),
+                when(col("us") < col("mid"), 0).otherwise(1).as("side"))
+      val t = sdf.agg(
+        count(when(col("side") === 0, 1)).as("n1"),
+        count(when(col("side") === 1, 1)).as("n2"))
+      val g = sdf.groupBy("v").agg(
+        count(when(col("side") === 0, 1)).as("c1"),
+        count(when(col("side") === 1, 1)).as("c2"))
+      val wc = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val c = g.select(col("v"),
+                       sum(col("c1")).over(wc).as("k1"),
+                       sum(col("c2")).over(wc).as("k2"))
+      val ks = c.crossJoin(broadcast(t))
+        .agg(max(abs(col("k1") * lit(1.0) / col("n1")
+                     - col("k2") * lit(1.0) / col("n2"))).as("ks"))
+      val crit = lit(1.36) * sqrt((col("n1") + col("n2")) * lit(1.0)
+                                  / (col("n1") * col("n2")))
+      ks.crossJoin(broadcast(t))
+        .select(col("n1").cast("long").as("n1"),
+                col("n2").cast("long").as("n2"),
+                Det.r6(col("ks")).as("ks_d"),
+                Det.r6(crit).as("crit"),
+                when(col("ks") > crit, 1L).otherwise(0L).as("is_drift"))
+    },
+
     /** Per-nation Gini coefficient of customer spend — the inequality /
       * concentration metric (is revenue dominated by a few accounts?).
       * Spend is centi-quantized so the rank-weighted sums are EXACT

@@ -358,6 +358,116 @@ object Graph {
         .select(col("s_suppkey"),
                 coalesce(col("n_tri"), lit(0L)).cast("long").as("n_triangles"))
         .orderBy("s_suppkey")
+    },
+
+    /** Connected components of the supplier co-purchase similarity graph
+      * (suppliers sharing ≥ 3 capped-degree customers) — the graph-native
+      * face of the dedup clustering machinery: candidate edges come from
+      * the same bucket-capped co-occurrence expansion as q_graph_cooccur,
+      * and the component labels from the same O(log diameter) hybrid
+      * min-label/path-halving loop as q_dedup_cluster
+      * ([[LlmOps.clusterPairs]]), so every scale property proven there
+      * (one equi-join per round, cached pre-partitioned edges, planted
+      * 64-chain in ≤ 10 rounds — ScaleSpec) carries over unchanged.
+      * Fully deterministic ⇒ oracle-checked: DuckDB reaches the same
+      * labels by recursive min-reachability (UNION-distinct keeps the
+      * closure table bounded by Σ component²). */
+    OpDef(
+      "q_graph_cc",
+      """WITH RECURSIVE cs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT cust FROM cs GROUP BY cust HAVING count(*) <= 100),
+        |c2 AS (SELECT cs.cust, cs.supp FROM cs JOIN ok USING (cust)),
+        |p AS (
+        |  SELECT a.supp AS s1, b.supp AS s2
+        |  FROM c2 a JOIN c2 b ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT s1 AS a, s2 AS b FROM p
+        |      UNION SELECT s2 AS a, s1 AS b FROM p),
+        |r AS (
+        |  SELECT a AS v, a AS m FROM e
+        |  UNION
+        |  SELECT r.v, e.b FROM r JOIN e ON r.m = e.a),
+        |lbl AS (SELECT v, min(m) AS canon FROM r GROUP BY v),
+        |sz AS (SELECT canon, count(*) AS n FROM lbl GROUP BY canon)
+        |SELECT CAST(lbl.v AS BIGINT) AS supp,
+        |       CAST(lbl.canon AS BIGINT) AS canon_id,
+        |       CAST(sz.n AS BIGINT) AS component_size
+        |FROM lbl JOIN sz USING (canon)
+        |ORDER BY supp""".stripMargin
+    ) { (s, d) =>
+      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val pairs = cooccur(cs, degCap = 100, minShared = 3)
+        .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
+      graft.ops.LlmOps.clusterPairs(pairs)
+        .select(col("doc_id").as("supp"), col("canon_id"),
+                col("cluster_size").as("component_size"))
+        .orderBy("supp")
+    },
+
+    /** BFS hop distance from the lexicographically-least node of the
+      * symmetrized purchase graph, depth-capped at 6 — the reachability /
+      * "how far is everything from here" primitive (fraud rings, blast
+      * radius, network diagnostics). Semi-naive frontier relaxation: each
+      * round joins ONLY the nodes first reached in the previous round
+      * against the cached src-partitioned edge table (the pagerank layout
+      * discipline), unions into the distance table, and re-aggregates by
+      * min — work per round ∝ frontier × degree, never |V|², and the
+      * depth cap bounds the loop at any scale. Deterministic (hop counts
+      * and lexicographic seed) ⇒ oracle-checked against DuckDB's
+      * recursive UNION-distinct BFS. */
+    OpDef(
+      "q_graph_bfs",
+      """WITH RECURSIVE pe AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT cn AS src, sn AS dst FROM pe
+        |      UNION SELECT sn AS src, cn AS dst FROM pe),
+        |seed AS (SELECT min(src) AS s0 FROM e),
+        |r AS (
+        |  SELECT s0 AS v, 0 AS dd FROM seed
+        |  UNION
+        |  SELECT e.dst, r.dd + 1 FROM r JOIN e ON e.src = r.v
+        |  WHERE r.dd < 6)
+        |SELECT v AS node, CAST(min(dd) AS BIGINT) AS dist
+        |FROM r GROUP BY v
+        |ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      val pe = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+                concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges = pe.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pe.select(col("sn").as("src"), col("cn").as("dst")))
+        .distinct().repartition(col("src")).cache()
+      var dist = edges.agg(min(col("src")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint(false)
+      for (k <- 1 to 6) {
+        // frontier = nodes first reached last round (semi-naive: already
+        // settled nodes re-derive nothing). Deliberately NO per-round
+        // frontier-emptiness action: all six rounds stay one fused lazy
+        // chain materialized by the caller's single action (a per-round
+        // count() measured 7.1 s → 10.1 s at sf0.1 — the extra driver
+        // round-trips cost more than the skipped no-op rounds save; at
+        // real scale the depth cap, not emptiness, is the bound anyway)
+        val next = dist.filter(col("dist") === (k - 1).toLong)
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(k.toLong).as("dist"))
+        dist = dist.union(next)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(false)
+      }
+      edges.unpersist()
+      dist.select(col("node"), col("dist").cast("long").as("dist"))
+        .orderBy("node")
     }
   )
 

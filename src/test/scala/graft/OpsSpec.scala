@@ -1057,4 +1057,73 @@ class OpsSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("units") == qty.sum)
     assert(rows.head.getAs[Double]("weighted_unit_price") == exp)
   }
+
+  test("graph cc: labels form a valid partition with self-labeled canons") {
+    val rows = SparkEntry.queries("q_graph_cc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "the co-purchase graph must have components")
+    val byCanon = rows.groupBy(_._2)
+    byCanon.foreach { case (canon, ms) =>
+      // canon = component min, is itself a member labeled with itself
+      assert(ms.map(_._1).min == canon, s"canon $canon is not its component min")
+      assert(ms.exists(m => m._1 == canon && m._2 == canon))
+      // every member carries the component's true size
+      ms.foreach(m => assert(m._3 == ms.length.toLong,
+        s"supp ${m._1}: size ${m._3} != |component| ${ms.length}"))
+    }
+  }
+
+  test("graph bfs: seed at 0, hops within cap, every level has a parent level") {
+    val rows = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.count(_._2 == 0L) == 1, "exactly one seed at distance 0")
+    assert(rows.forall(t => t._2 >= 0L && t._2 <= 6L), "depth cap 6")
+    // BFS levels are contiguous: a node at distance d implies d-1 exists
+    val levels = rows.map(_._2).toSet
+    (0L to levels.max).foreach(d =>
+      assert(levels.contains(d), s"hole in BFS levels at $d"))
+  }
+
+  test("KS drift: sides partition the stream, D in [0,1], flag matches the line") {
+    val r = SparkEntry.queries("q_dq_ks_drift")(spark, sf).collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val total = graft.ops.Tables.events(spark, sf).count()
+    assert(n1 + n2 == total, "every event lands in exactly one half")
+    assert(n1 > 0 && n2 > 0, "midpoint split must populate both halves")
+    val (ks, crit) = (r.getAs[Double]("ks_d"), r.getAs[Double]("crit"))
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(crit > 0.0)
+    val flag = r.getAs[Long]("is_drift")
+    if (ks > crit + 1e-6) assert(flag == 1L)
+    if (ks < crit - 1e-6) assert(flag == 0L)
+  }
+
+  test("autocorr: 7 lags, pair counts shrink by exactly one per lag, |r| <= 1") {
+    val rows = SparkEntry.queries("q_events_autocorr")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("lag_k"), r.getAs[Long]("n_pairs"),
+                 r.getAs[Double]("autocorr")))
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    val nDays = rows.head._2 + 1 // lag-1 pairs = days - 1
+    rows.foreach { case (k, np, ac) =>
+      assert(np == nDays - k, s"lag $k: $np pairs != ${nDays - k}")
+      assert(ac >= -1.0001 && ac <= 1.0001, s"lag $k: autocorr $ac out of range")
+    }
+  }
+
+  test("holt smoothing replays the exact scalar recurrence") {
+    val rows = SparkEntry.queries("q_win_holt")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length >= 10, "a daily series must exist")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    var l = rows.head._2; var b = 0.0
+    assert(rows.head._3 == r4(l) && rows.head._4 == 0.0)
+    rows.tail.foreach { case (day, v, level, trend) =>
+      val l2 = 0.5 * v + 0.5 * (l + b)
+      b = 0.3 * (l2 - l) + 0.7 * b
+      l = l2
+      assert(level == r4(l), s"$day: level $level != ${r4(l)}")
+      assert(trend == r4(b), s"$day: trend $trend != ${r4(b)}")
+    }
+  }
 }

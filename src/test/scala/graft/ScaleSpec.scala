@@ -537,6 +537,7 @@ class ScaleSpec extends SparkTestBase {
     "q_text_containment_pairs", "q_text_keywords", "q_text_tfidf",
     "q_tpch_q11", "q_tpch_q22", "q_vec_pca_power", "q_vec_pq",
     "q_vec_quantize", "q_win_cusum", "q_win_seasonal", "q_dedup_near",
+    "q_dq_ks_drift", // 1-row midpoint + count attaches
     // (b) documented exact baselines (ANN/banded twins are the scale path)
     "q_sim_knn", "q_sim_topk", "q_sim_cosine_dup", "q_vec_knn_classify",
     "q_vec_matryoshka",
