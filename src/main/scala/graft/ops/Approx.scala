@@ -1210,6 +1210,68 @@ object Approx {
                   .otherwise(Det.r4(lit(2904.064) / col("denom")))
                   .as("est_distinct"))
         .orderBy("l_returnflag")
+    },
+
+    /** Binary sign quantization + Hamming-distance top-k — the 64×
+      * compression point of the vector-search family: each 64-dim float
+      * embedding collapses to ONE BIGINT of sign bits (bit i set ⟺
+      * dim i > 0), and candidate distance is a single `bit_count(xor)` —
+      * two machine instructions per comparison vs 64 multiply-adds for
+      * cosine. The standard first-pass filter in front of exact re-rank
+      * when embeddings don't fit memory (sign bits preserve angular
+      * locality: Hamming distance on sign vectors estimates angle the
+      * same way q_sim_cosine_dup_srp's random hyperplanes do, here with
+      * the coordinate axes as the planes).
+      *
+      * Scan shape: packing is map-only (an in-row fold over the 64 dims);
+      * the 10 query signatures broadcast (bounded: k×8 bytes) against a
+      * linear candidate scan — no shuffle on the corpus side until the
+      * per-query top-10 WindowGroupLimit. Entirely integer arithmetic ⇒
+      * bit-exact cross-engine, oracle-checked (unlike the randomized SRP
+      * twin). Bit 64 is the BIGINT sign bit: Spark's `shiftleft(1L, 63)`
+      * wraps to Long.MinValue silently, DuckDB range-checks `<<` — the
+      * oracle spells that one bit as the literal minimum instead. */
+    OpDef(
+      "q_sim_hamming",
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    bit_or(CASE WHEN e <= 0 THEN CAST(0 AS BIGINT)
+        |           WHEN i = 64 THEN (-9223372036854775807 - 1)
+        |           ELSE (CAST(1 AS BIGINT) << (i - 1)) END) AS sig
+        |  FROM (SELECT vec_id, unnest(embedding) AS e,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings) u
+        |  GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, sig AS qsig FROM p WHERE vec_id < 10),
+        |c AS (SELECT vec_id, sig FROM p WHERE vec_id >= 10),
+        |d AS (SELECT q.q_id, c.vec_id,
+        |        CAST(bit_count(xor(q.qsig, c.sig)) AS INTEGER) AS dist
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT q_id, vec_id, dist,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY dist, vec_id) AS BIGINT) AS rk
+        |      FROM d)
+        |SELECT q_id, rk, vec_id, dist FROM r
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+    ) { (s, d) =>
+      val packed = embeddings(s, d).select(col("vec_id"), expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (a, i) -> a | CASE WHEN element_at(embedding, i + 1) > 0
+          |    THEN shiftleft(CAST(1 AS BIGINT), i)
+          |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("sig"))
+      val q = packed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      packed.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"),
+                bit_count(col("qsig").bitwiseXOR(col("sig")))
+                  .cast("int").as("dist"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("dist"))
+        .orderBy("q_id", "rk")
     }
   )
 

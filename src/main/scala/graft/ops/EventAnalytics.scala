@@ -1741,6 +1741,257 @@ object EventAnalytics {
              min(col("value")).as("low"),
              max_by(col("value"), col("k")).as("close"))
         .orderBy("day")
+    },
+
+    /** 1-D Kalman filter (random-walk state, noisy observation) over the
+      * daily value series — the ADAPTIVE-gain sibling of q_win_ewma/
+      * q_win_holt: the blend weight K_t = (p+Q)/((p+Q)+R) is computed from
+      * the running error variance instead of being a fixed constant, so
+      * the filter trusts observations more while its uncertainty is high
+      * and settles toward a steady-state gain. Q=0.5 (process variance),
+      * R=2.0 (observation variance), x₁=v₁, p₁=1.0.
+      *
+      * Same scale/determinism shape as q_win_holt: the recurrence is
+      * inherently sequential but CALENDAR-bounded (one row per day), so it
+      * folds inside one collected array row with O(days²) prefix re-folds;
+      * daily inputs are r4-quantized before the fold and the Spark lambda
+      * spells the gain/update arithmetic character-for-character as the
+      * DuckDB recursive CTE, so both engines run the identical IEEE
+      * sequence. */
+    OpDef(
+      "q_win_kalman",
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |kf(rn, day, v, x, p) AS (
+        |  SELECT rn, day, v, v, CAST(1.0 AS DOUBLE) FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.day, i.v,
+        |    kf.x + ((kf.p + 0.5) / ((kf.p + 0.5) + 2.0)) * (i.v - kf.x),
+        |    (1.0 - ((kf.p + 0.5) / ((kf.p + 0.5) + 2.0))) * (kf.p + 0.5)
+        |  FROM kf JOIN i ON i.rn = kf.rn + 1)
+        |SELECT day, v,
+        |  floor(x * 10000.0 + 0.5) / 10000.0 AS est,
+        |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS perr
+        |FROM kf ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(Det.r4(sum(col("value"))).as("v"))
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("xs"))
+        .select(explode(expr(
+          """transform(sequence(1, size(xs)), i -> named_struct(
+            |  'day', element_at(xs, i).day,
+            |  'v', element_at(xs, i).v,
+            |  'st', aggregate(slice(xs, 2, i - 1),
+            |    named_struct('x', element_at(xs, 1).v,
+            |                 'p', CAST(1.0 AS DOUBLE)),
+            |    (acc, e) -> named_struct(
+            |      'x', acc.x + ((acc.p + 0.5) / ((acc.p + 0.5) + 2.0))
+            |           * (e.v - acc.x),
+            |      'p', (1.0 - ((acc.p + 0.5) / ((acc.p + 0.5) + 2.0)))
+            |           * (acc.p + 0.5)))))""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.v").as("v"),
+                Det.r4(col("r.st.x")).as("est"),
+                Det.r6(col("r.st.p")).as("perr"))
+        .orderBy("day")
+    },
+
+    /** Holt–Winters additive triple-exponential smoothing (level + trend +
+      * weekly seasonal, α=0.3 β=0.2 γ=0.15, period 7) — completing the
+      * EWMA → Holt → Holt–Winters forecasting ladder: q_win_seasonal
+      * DESCRIBES the weekly cycle post-hoc; this op TRACKS it online
+      * alongside level and trend. Seeds: l₇ = mean(v₁..v₇) computed as an
+      * exact BIGINT micro-unit sum (integer addition is associative, so
+      * scan order cannot perturb the seed), b₇ = 0, s₁..₇ = vᵢ − l₇;
+      * recursion runs day 8 onward.
+      *
+      * The 7-slot seasonal register rides inside the fold state as an
+      * array (oldest first): each step reads s[1] (the 7-back index),
+      * shifts, and appends the refreshed index — the Spark lambda's
+      * slice/concat spells the identical list surgery as the DuckDB
+      * recursive CTE's s[2:7] || [..], and every blend is
+      * character-identical, so both engines run the same IEEE sequence.
+      * Calendar-bounded like q_win_holt (the CASE guard returns an empty
+      * series when fewer than 8 days exist — Spark's sequence(8, n) would
+      * otherwise COUNT DOWN for n < 8). */
+    OpDef(
+      "q_win_holtwinters",
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |seed AS (
+        |  SELECT CAST(sum(CAST(floor(v * 10000.0 + 0.5) AS BIGINT))
+        |              AS DOUBLE) / 10000.0 / 7.0 AS l0
+        |  FROM i WHERE rn <= 7),
+        |anch AS (
+        |  SELECT 7 AS rn, max(i.day) AS day,
+        |    max(CASE WHEN i.rn = 7 THEN i.v END) AS v,
+        |    max(seed.l0) AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    list(i.v - seed.l0 ORDER BY i.day) AS s
+        |  FROM i CROSS JOIN seed WHERE i.rn <= 7),
+        |hw(rn, day, v, l, b, s) AS (
+        |  SELECT rn, day, v, l, b, s FROM anch
+        |  UNION ALL
+        |  SELECT i.rn, i.day, i.v,
+        |    0.3 * (i.v - hw.s[1]) + 0.7 * (hw.l + hw.b),
+        |    0.2 * ((0.3 * (i.v - hw.s[1]) + 0.7 * (hw.l + hw.b)) - hw.l)
+        |      + 0.8 * hw.b,
+        |    list_concat(hw.s[2:7],
+        |      [0.15 * (i.v - (0.3 * (i.v - hw.s[1]) + 0.7 * (hw.l + hw.b)))
+        |       + 0.85 * hw.s[1]])
+        |  FROM hw JOIN i ON i.rn = hw.rn + 1)
+        |SELECT day, v,
+        |  floor(l * 10000.0 + 0.5) / 10000.0 AS level,
+        |  floor(b * 10000.0 + 0.5) / 10000.0 AS trend,
+        |  floor(s[7] * 10000.0 + 0.5) / 10000.0 AS seasonal
+        |FROM hw WHERE rn >= 8 ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(Det.r4(sum(col("value"))).as("v"))
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("xs"))
+        .withColumn("l0", expr(
+          """CAST(aggregate(slice(xs, 1, 7), CAST(0 AS BIGINT),
+            |  (a, e) -> a + CAST(floor(e.v * 10000.0 + 0.5) AS BIGINT))
+            |  AS DOUBLE) / 10000.0 / 7.0""".stripMargin))
+        .withColumn("s0", expr("transform(slice(xs, 1, 7), e -> e.v - l0)"))
+        .select(explode(expr(
+          """CASE WHEN size(xs) >= 8 THEN
+            |  transform(sequence(8, size(xs)), i -> named_struct(
+            |    'day', element_at(xs, i).day,
+            |    'v', element_at(xs, i).v,
+            |    'st', aggregate(slice(xs, 8, i - 7),
+            |      named_struct('l', l0, 'b', CAST(0.0 AS DOUBLE), 's', s0),
+            |      (acc, e) -> named_struct(
+            |        'l', 0.3 * (e.v - element_at(acc.s, 1))
+            |             + 0.7 * (acc.l + acc.b),
+            |        'b', 0.2 * ((0.3 * (e.v - element_at(acc.s, 1))
+            |                     + 0.7 * (acc.l + acc.b)) - acc.l)
+            |             + 0.8 * acc.b,
+            |        's', concat(slice(acc.s, 2, 6),
+            |          array(0.15 * (e.v - (0.3 * (e.v - element_at(acc.s, 1))
+            |                               + 0.7 * (acc.l + acc.b)))
+            |                + 0.85 * element_at(acc.s, 1)))))))
+            |ELSE array() END""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.v").as("v"),
+                Det.r4(col("r.st.l")).as("level"),
+                Det.r4(col("r.st.b")).as("trend"),
+                Det.r4(expr("element_at(r.st.s, 7)")).as("seasonal"))
+        .orderBy("day")
+    },
+
+    /** Offline single change-point localization (AMOC — at-most-one-change)
+      * of the daily value series: t* = argmax_t |n·Σ_{i≤t}vᵢ − t·Σvᵢ|, the
+      * scaled CUSUM-departure statistic. q_win_cusum DETECTS drift online
+      * with a reset recursion; this op LOCATES the single best split point
+      * retrospectively — the segmentation primitive binary-segmentation
+      * recurses on.
+      *
+      * Everything runs in exact BIGINT micro-units: daily sums are
+      * micro-quantized once, and the statistic n·cum − rn·tot is pure
+      * integer arithmetic (|n·cum| ≤ 30·Σ|vm| — orders of magnitude below
+      * BIGINT range at any SF), so both engines rank identical integers;
+      * the earliest day breaks ties. The window and argmax run over the
+      * CALENDAR-bounded daily table, never raw events. */
+    OpDef(
+      "q_events_changepoint",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    CAST(floor((sum(value)) * 10000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(vm) AS BIGINT) AS tot FROM d),
+        |c AS (SELECT day, vm,
+        |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+        |        CAST(sum(vm) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM d),
+        |s AS (SELECT c.day, c.rn, c.cum, t.n, t.tot,
+        |        abs(t.n * c.cum - c.rn * t.tot) AS stat
+        |      FROM c CROSS JOIN t WHERE c.rn < t.n)
+        |SELECT day AS split_day, rn AS n_before, n - rn AS n_after, stat,
+        |  floor((CAST(cum AS DOUBLE) / 10000.0 / CAST(rn AS DOUBLE))
+        |        * 10000.0 + 0.5) / 10000.0 AS mean_before,
+        |  floor((CAST(tot - cum AS DOUBLE) / 10000.0
+        |         / CAST(n - rn AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |    AS mean_after
+        |FROM s ORDER BY stat DESC, day LIMIT 1""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(floor(sum(col("value")) * lit(10000.0) + lit(0.5))
+               .cast("long").as("vm"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("vm")).as("tot"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .select(col("day"), col("vm"),
+                row_number().over(w).cast("long").as("rn"),
+                sum(col("vm")).over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)).as("cum"))
+        .crossJoin(broadcast(tot))
+        .filter(col("rn") < col("n"))
+        .select(col("day").as("split_day"), col("rn").as("n_before"),
+                (col("n") - col("rn")).as("n_after"),
+                abs(col("n") * col("cum") - col("rn") * col("tot")).as("stat"),
+                Det.r4(col("cum").cast("double") / lit(10000.0)
+                       / col("rn").cast("double")).as("mean_before"),
+                Det.r4((col("tot") - col("cum")).cast("double") / lit(10000.0)
+                       / (col("n") - col("rn")).cast("double"))
+                  .as("mean_after"))
+        .orderBy(col("stat").desc, col("split_day")).limit(1)
+    },
+
+    /** Strict local-maximum (peak) detection with single-neighbor
+      * prominence over the daily value series — the spike-shortlist
+      * primitive (q_events_anomaly thresholds a global band; this flags
+      * every day strictly above BOTH neighbors, however modest). One
+      * lag+lead window over the calendar-bounded daily table; prominence
+      * = v − max(neighbors) on r4-quantized inputs, so the subtraction is
+      * bit-identical across engines. Endpoints (no both-side neighbor)
+      * are excluded by the NULL guards. */
+    OpDef(
+      "q_events_peaks",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, v,
+        |        lag(v) OVER (ORDER BY day) AS pv,
+        |        lead(v) OVER (ORDER BY day) AS nv
+        |      FROM d)
+        |SELECT day, v,
+        |  floor((v - greatest(pv, nv)) * 10000.0 + 0.5) / 10000.0
+        |    AS prominence
+        |FROM w
+        |WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+        |ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day"))
+      events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(Det.r4(sum(col("value"))).as("v"))
+        .select(col("day"), col("v"),
+                lag(col("v"), 1).over(w).as("pv"),
+                lead(col("v"), 1).over(w).as("nv"))
+        .filter(col("pv").isNotNull && col("nv").isNotNull &&
+                col("v") > col("pv") && col("v") > col("nv"))
+        .select(col("day"), col("v"),
+                Det.r4(col("v") - greatest(col("pv"), col("nv")))
+                  .as("prominence"))
+        .orderBy("day")
     }
   )
 }

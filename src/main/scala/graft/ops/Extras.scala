@@ -1101,6 +1101,40 @@ object Extras {
              Det.r4(count(when(out, lit(1))) * lit(1.0) / max(col("n")))
                .as("outlier_rate"))
         .orderBy("flag")
+    },
+
+    /** k-anonymity audit (k=5) over the customer quasi-identifier tuple
+      * (nation, market segment, account-balance band) — the
+      * re-identification screen run before releasing or training on
+      * user-adjacent data: any QI group smaller than k means those
+      * customers are distinguishable from fewer than k-1 others, and a
+      * released row could be linked back to a person. Complements
+      * q_scrub_pii (which masks DIRECT identifiers; this audits the
+      * indirect ones that survive masking).
+      *
+      * The acctbal band (1000-wide floor) is the generalization step
+      * that makes a continuous column auditable at all. One groupBy on
+      * the QI tuple — group count bounded by the QI domain product, not
+      * the corpus; partial aggregation collapses each group map-side. */
+    OpDef(
+      "q_dq_kanon",
+      """WITH g AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT nation, segment, bal_band, n, n < 5 AS risky
+        |FROM g ORDER BY nation, segment, bal_band""".stripMargin
+    ) { (s, d) =>
+      customer(s, d)
+        .groupBy(col("c_nationkey").as("nation"),
+                 col("c_mktsegment").as("segment"),
+                 floor(col("c_acctbal") / lit(1000.0)).cast("long")
+                   .as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("nation"), col("segment"), col("bal_band"), col("n"),
+                (col("n") < 5).as("risky"))
+        .orderBy("nation", "segment", "bal_band")
     }
   )
 }

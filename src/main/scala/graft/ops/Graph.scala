@@ -124,6 +124,26 @@ object Graph {
        |  CROSS JOIN tele)""".stripMargin
   }.mkString(",\n")
 
+  /** q_graph_kcore's fixed shape: k=3, 8 peel rounds (converged on the
+    * fixture well before 8 — GraphSpec pins round 8 == round 7). */
+  private val KcoreK = 3
+  private val KcoreRounds = 8
+
+  /** Each peel references the previous level exactly ONCE (degrees come
+    * from two windows over one scan, and symmetry makes the dst-partition
+    * count equal deg(dst)) — a join-on-degree formulation references
+    * e(i-1) three times per level, which DuckDB's CTE inlining turns into
+    * 3⁸ scans of the base tables (measured: file-handle exhaustion). */
+  private val kcorePeels: String = (1 to KcoreRounds).map { i =>
+    s"""e$i AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      count(*) OVER (PARTITION BY src) AS ds,
+       |      count(*) OVER (PARTITION BY dst) AS dd
+       |    FROM e${i - 1})
+       |  WHERE ds >= $KcoreK AND dd >= $KcoreK)""".stripMargin
+  }.mkString(",\n")
+
   def ops: Seq[OpDef] = Seq(
 
     OpDef(
@@ -468,6 +488,137 @@ object Graph {
       edges.unpersist()
       dist.select(col("node"), col("dist").cast("long").as("dist"))
         .orderBy("node")
+    },
+
+    /** 3-core of the small-order purchase graph (edges restricted to
+      * l_quantity ≤ 2 — the full graph is so dense that NO node falls
+      * under degree 3, making its 3-core the identity; the thinned graph
+      * has a real periphery, and round 1 strips ~60 % of nodes with a
+      * shallow cascade behind it). Iteratively peel nodes of degree < 3
+      * until the dense backbone remains — the standard "strip the
+      * periphery" primitive (community seeding, nucleus extraction,
+      * spam-account triage). Peeling is iterative because removing a node
+      * lowers its neighbors' degrees; the round count is FIXED at 8 (a
+      * deterministic plan — data-dependent convergence would give the two
+      * engines different iteration counts), measured converged by round 3
+      * at every fixture SF and pinned round 8 == round 7 in GraphSpec.
+      *
+      * Per round: one node-sized degree aggregation + two left-semi joins
+      * restricting edges to qualifying endpoints — all shuffle-bounded by
+      * |E|, and the edge set only ever SHRINKS, so later rounds get
+      * cheaper. Degrees are computed from `src` alone: the edge set is
+      * symmetric and both-endpoint filtering preserves that symmetry
+      * round over round. A lazy localCheckpoint per round keeps the
+      * 8-round lineage shallow (the clusterPairs discipline). Fully
+      * deterministic ⇒ oracle-checked against 8 unrolled window-peel
+      * CTEs. */
+    OpDef(
+      "q_graph_kcore",
+      s"""WITH cs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_quantity <= 2),
+         |e0 AS (SELECT cn AS src, sn AS dst FROM cs
+         |       UNION ALL SELECT sn AS src, cn AS dst FROM cs),
+         |$kcorePeels
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e$KcoreRounds GROUP BY src ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      val pe = lineitem(s, d)
+        .filter(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+                concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      var e = pe.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pe.select(col("sn").as("src"), col("cn").as("dst")))
+        .localCheckpoint(false)
+      for (_ <- 1 to KcoreRounds) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= KcoreK).select(col("src").as("node"))
+        e = e.join(keep, col("src") === col("node"), "left_semi")
+          .join(keep, col("dst") === col("node"), "left_semi")
+          .localCheckpoint(false)
+      }
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+        .orderBy("node")
+    },
+
+    /** Adamic–Adar link prediction over supplier pairs: candidate links
+      * score Σ 1/ln(deg(c)) over shared customers — a selective customer
+      * shared by two suppliers is strong evidence of a real relationship,
+      * a buy-everything customer near-none. The classic common-neighbor
+      * baseline (friend suggestion, entity linking, record blocking),
+      * and the WEIGHTED upgrade of q_graph_cooccur's raw Jaccard: same
+      * candidate expansion, but each common neighbor contributes inverse-
+      * log-degree evidence instead of counting 1. (Customer pairs via
+      * shared suppliers would be the degenerate orientation here — every
+      * fixture supplier serves 400+ customers, so all would be cap-
+      * dropped; the supplier-pair orientation has the selective side as
+      * the common neighbor.)
+      *
+      * Scale shape is exactly the [[cooccur]] discipline: customers
+      * above 100 distinct suppliers are DROPPED count-first (a hub
+      * shared by everyone carries ~zero AA weight yet would emit
+      * C(degree, 2) pairs), degree-1 customers can't form a pair, and
+      * pairs expand MAP-SIDE from each customer's sorted in-row supplier
+      * array — no corpus self-join. Per-customer weights are
+      * micro-quantized to BIGINT once (floor(10⁶/ln deg + 0.5)), so the
+      * pair-score SUM is exact integer arithmetic: associative, hence
+      * identical under Spark's partial aggregation and DuckDB's scan
+      * order — double-summing 1/ln(deg) directly would be
+      * accumulation-order-dependent. Top-100 by (aa_micro, s1, s2)
+      * total order; aa = aa_micro/10⁶ is one exact correctly-rounded
+      * division on both engines. */
+    OpDef(
+      "q_graph_adamic_adar",
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT cust, count(*) AS dg FROM cs GROUP BY cust),
+        |ok AS (SELECT cust,
+        |         CAST(floor(1000000.0 / ln(CAST(dg AS DOUBLE)) + 0.5)
+        |              AS BIGINT) AS w
+        |       FROM deg WHERE dg BETWEEN 2 AND 100),
+        |cw AS (SELECT cs.cust, cs.supp, ok.w FROM cs JOIN ok USING (cust)),
+        |p AS (SELECT a.supp AS s1, b.supp AS s2,
+        |        CAST(count(*) AS BIGINT) AS shared,
+        |        CAST(sum(a.w) AS BIGINT) AS aa_micro
+        |      FROM cw a JOIN cw b
+        |        ON a.cust = b.cust AND a.supp < b.supp
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT s1, s2, shared,
+        |  CAST(aa_micro AS DOUBLE) / 1000000.0 AS aa
+        |FROM p ORDER BY aa_micro DESC, s1, s2 LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val ok = cs.groupBy("cust").agg(count(lit(1)).as("dg"))
+        .filter(col("dg").between(2, 100))
+        .select(col("cust"),
+                floor(lit(1000000.0) / log(col("dg").cast("double"))
+                      + lit(0.5)).cast("long").as("w"))
+      val buckets = cs.join(ok, Seq("cust"))
+        .groupBy("cust", "w")
+        .agg(sort_array(collect_list(col("supp"))).as("ss"))
+      buckets
+        .select(col("w"), posexplode(col("ss")).as(Seq("i", "s1")), col("ss"))
+        .select(col("w"), col("s1"),
+                explode(slice(col("ss"), col("i") + lit(2), size(col("ss"))))
+                  .as("s2"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("shared"), sum(col("w")).as("aa_micro"))
+        .filter(col("shared") >= 2)
+        .select(col("s1"), col("s2"), col("shared"),
+                (col("aa_micro").cast("double") / lit(1000000.0)).as("aa"),
+                col("aa_micro"))
+        .orderBy(col("aa_micro").desc, col("s1"), col("s2")).limit(100)
+        .drop("aa_micro")
     }
   )
 

@@ -2306,6 +2306,92 @@ object LlmOps {
             transform(col("embedding"), x => x.cast("double")),
             lit(0.0), (acc, x) => acc + x * x))).as("emb_norm"))
         .orderBy("doc_id")
+    },
+
+    /** BM25 relevance scoring (k₁=1.2, b=0.75) of every document against a
+      * fixed 5-term query vocabulary — the lexical-retrieval baseline that
+      * q_text_tfidf's log-scaled weights approximate: BM25 adds tf
+      * SATURATION (a 50th occurrence adds almost nothing) and document-
+      * length normalization, which is why it's still the first-stage
+      * ranker in front of embedding re-rank in most retrieval stacks.
+      *
+      * Shuffle shape: term×doc scoring rows are map-only (an in-row
+      * `filter` count per term — no token explode, no corpus shuffle);
+      * the only aggregations are the 1-row corpus stats (N, Σdl) and the
+      * 5-row df table, both broadcast back; the per-term top-20 runs as
+      * WindowGroupLimit over 5 bounded partitions. Determinism: tf/df/dl
+      * are integers, so the score expression is one fixed double
+      * evaluation per row spelled char-identically in both engines
+      * (idf·2.2·tf / (tf + 1.2·(0.25 + 0.75·dl/avgdl)), avgdl as one
+      * exact BIGINT-ratio division); ranks tie-break on doc_id. */
+    OpDef(
+      "q_text_bm25",
+      """WITH q(term) AS (VALUES ('table'), ('value'), ('data'),
+        |                        ('join'), ('query')),
+        |dl AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+        |tf AS (SELECT q.term, d.doc_id, d.dl,
+        |         CAST(len(list_filter(d.toks, x -> x = q.term)) AS BIGINT)
+        |           AS tf
+        |       FROM dl d CROSS JOIN q),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf WHERE tf > 0 GROUP BY term),
+        |sc AS (SELECT tf.term, tf.doc_id, tf.tf,
+        |         ln((CAST(st.n - df.df AS DOUBLE) + 0.5)
+        |            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |         * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |         / (CAST(tf.tf AS DOUBLE)
+        |            + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+        |                     / (CAST(st.sdl AS DOUBLE)
+        |                        / CAST(st.n AS DOUBLE))))) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN st
+        |       WHERE tf.tf > 0),
+        |sr AS (SELECT term, doc_id, tf,
+        |         floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+        |       FROM sc),
+        |r AS (SELECT term, doc_id, tf, score,
+        |        CAST(row_number() OVER (PARTITION BY term
+        |          ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |      FROM sr)
+        |SELECT term, rk, doc_id, tf, score FROM r
+        |WHERE rk <= 20 ORDER BY term, rk""".stripMargin
+    ) { (s, d) =>
+      val terms = Seq("table", "value", "data", "join", "query")
+      val dl = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"),
+                size(split(col("text"), " ")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      val tf = dl
+        .select(col("doc_id"), col("dl"),
+                explode(array(terms.map(lit): _*)).as("term"), col("toks"))
+        .select(col("term"), col("doc_id"), col("dl"),
+                expr("CAST(size(filter(toks, x -> x = term)) AS BIGINT)")
+                  .as("tf"))
+        .filter(col("tf") > 0)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // rank over the ROUNDED score: both engines then break exact ties on
+      // doc_id identically (ranking raw doubles and rounding after would
+      // let sub-ulp differences the oracle can't see reorder near-ties)
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(st))
+        .select(col("term"), col("doc_id"), col("tf"), Det.r6(expr(
+          """ln((CAST(n - df AS DOUBLE) + 0.5)
+            |   / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+            |* (CAST(tf AS DOUBLE) * 2.2)
+            |/ (CAST(tf AS DOUBLE)
+            |   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+            |            / (CAST(sdl AS DOUBLE)
+            |               / CAST(n AS DOUBLE)))))""".stripMargin))
+            .as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("term"), col("rk"), col("doc_id"), col("tf"),
+                col("score"))
+        .orderBy("term", "rk")
     }
   )
 }

@@ -193,6 +193,54 @@ object Multimodal {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select("content_hash", "keep_id", "n_copies")
         .orderBy("keep_id")
+    },
+
+    /** Training-shard packing for media payloads (the WebDataset/TFRecord
+      * shard-writer shape): greedy sequential bin-packing of each
+      * source's payloads into ~2000-byte shards, in content-hash order.
+      * Hash order is deliberate — it decorrelates shard membership from
+      * ingest order (shards become IID samples of the source, which is
+      * what a training loader wants) while staying fully deterministic.
+      * A document lands in shard ⌊bytes-before-it / target⌋, so shards
+      * fill to the boundary and the straddling item spills into its
+      * shard's tail (shards may run slightly over; none run under until
+      * the source is exhausted — the standard greedy writer contract).
+      *
+      * Scale: ONE window, partitioned by `source` — the packing unit IS
+      * the parallelism unit, exactly how a sharded writer runs per
+      * output partition at 100 TB (a global pack order would serialize
+      * the corpus through one task; per-source packing shuffles each
+      * source's metadata once). Pure integer cumulative sums ⇒
+      * oracle-checked. */
+    OpDef(
+      "q_mm_shard_pack",
+      """WITH m AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, h, n_bytes,
+        |        CAST(sum(n_bytes) OVER (PARTITION BY source
+        |          ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_bytes
+        |      FROM m)
+        |SELECT source, (cum_bytes - n_bytes) // 2000 AS shard_idx,
+        |       doc_id, n_bytes, cum_bytes
+        |FROM w ORDER BY source, shard_idx, doc_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+                md5(encode(col("text"), "UTF-8")).as("h"),
+                octet_length(col("text").cast("binary")).cast("long")
+                  .as("n_bytes"))
+        .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+        .select(col("source"),
+                expr("(cum_bytes - n_bytes) div 2000").as("shard_idx"),
+                col("doc_id"), col("n_bytes"), col("cum_bytes"))
+        .orderBy("source", "shard_idx", "doc_id")
     }
   )
 }

@@ -1126,4 +1126,220 @@ class OpsSpec extends SparkTestBase {
       assert(trend == r4(b), s"$day: trend $trend != ${r4(b)}")
     }
   }
+
+  test("kalman filter replays the exact adaptive-gain recurrence") {
+    val rows = SparkEntry.queries("q_win_kalman")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length >= 10, "a daily series must exist")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    var x = rows.head._2; var p = 1.0
+    assert(rows.head._3 == r4(x) && rows.head._4 == r6(p))
+    rows.tail.foreach { case (day, v, est, perr) =>
+      val k = (p + 0.5) / ((p + 0.5) + 2.0)
+      x = x + k * (v - x)
+      p = (1.0 - k) * (p + 0.5)
+      assert(est == r4(x), s"$day: est $est != ${r4(x)}")
+      assert(perr == r6(p), s"$day: perr $perr != ${r6(p)}")
+    }
+    // the error variance settles toward its fixed point p* where
+    // p* = (1-K)(p*+Q): gain adapts, uncertainty stays bounded
+    assert(p > 0.0 && p < 1.5, s"error variance diverged: $p")
+  }
+
+  test("holt-winters replays the exact seeded seasonal recurrence") {
+    import graft.ops.Tables
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum("value").as("v")).collect()
+      .map(r => (r.getDate(0).toString,
+                 math.floor(r.getDouble(1) * 10000.0 + 0.5) / 10000.0))
+      .sortBy(_._1)
+    val rows = SparkEntry.queries("q_win_holtwinters")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+                 r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.length == daily.length - 7, "one output row per day after the seed week")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    var l = daily.take(7).map(d => math.floor(d._2 * 10000.0 + 0.5).toLong)
+      .sum.toDouble / 10000.0 / 7.0
+    var b = 0.0
+    var s = daily.take(7).map(_._2 - l).toVector
+    daily.drop(7).zip(rows).foreach { case ((day, v), out) =>
+      assert(out._1 == day && out._2 == v)
+      val l2 = 0.3 * (v - s(0)) + 0.7 * (l + b)
+      b = 0.2 * (l2 - l) + 0.8 * b
+      s = s.drop(1) :+ (0.15 * (v - l2) + 0.85 * s(0))
+      l = l2
+      assert(out._3 == r4(l), s"$day: level ${out._3} != ${r4(l)}")
+      assert(out._4 == r4(b), s"$day: trend ${out._4} != ${r4(b)}")
+      assert(out._5 == r4(s.last), s"$day: seasonal ${out._5} != ${r4(s.last)}")
+    }
+  }
+
+  test("changepoint maximizes the exact integer CUSUM-departure statistic") {
+    import graft.ops.Tables
+    val vm = Tables.events(spark, sf)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum("value").as("v")).collect()
+      .map(r => (r.getDate(0).toString,
+                 math.floor(r.getDouble(1) * 10000.0 + 0.5).toLong))
+      .sortBy(_._1)
+    val n = vm.length.toLong
+    val tot = vm.map(_._2).sum
+    var cum = 0L
+    val stats = vm.dropRight(1).zipWithIndex.map { case ((day, v), i) =>
+      cum += v
+      (day, (i + 1).toLong, math.abs(n * cum - (i + 1) * tot))
+    }
+    val best = stats.maxBy(t => (t._3, -t._2)) // max stat, earliest day on tie
+    val got = SparkEntry.queries("q_events_changepoint")(spark, sf).collect().head
+    assert(got.getDate(0).toString == best._1)
+    assert(got.getAs[Long]("n_before") == best._2)
+    assert(got.getAs[Long]("n_after") == n - best._2)
+    assert(got.getAs[Long]("stat") == best._3)
+  }
+
+  test("peaks are exactly the strict interior local maxima of the daily series") {
+    import graft.ops.Tables
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum("value").as("v")).collect()
+      .map(r => (r.getDate(0).toString,
+                 math.floor(r.getDouble(1) * 10000.0 + 0.5) / 10000.0))
+      .sortBy(_._1)
+    val expected = daily.sliding(3).collect {
+      case Array((_, pv), (d, v), (_, nv)) if v > pv && v > nv =>
+        (d, math.floor((v - math.max(pv, nv)) * 10000.0 + 0.5) / 10000.0)
+    }.toSeq
+    val got = SparkEntry.queries("q_events_peaks")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("3-core: fixed 8 rounds are converged (round 8 == round 7) and degrees hold") {
+    import graft.ops.Tables
+    val cs = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cn"),
+              concat(lit("s"), col("l_suppkey")).as("sn"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    var e = cs.flatMap(t => Seq(t, t.swap)).toSet
+    var prev = e
+    (1 to 8).foreach { r =>
+      prev = e
+      val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+      e = e.filter(t => deg(t._1) >= 3 && deg(t._2) >= 3)
+    }
+    assert(e == prev, "peeling must be converged by round 8")
+    val expected = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("q_graph_kcore")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.forall(_ >= 3L), "every core node keeps degree >= 3")
+  }
+
+  test("adamic-adar: ordered pairs, weight bounds follow from the degree cap") {
+    val rows = SparkEntry.queries("q_graph_adamic_adar")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s1, s2, shared, aa) =>
+      assert(s1 < s2, "canonical pair order")
+      assert(shared >= 2L)
+      // each of `shared` common neighbors contributes 1/ln(deg) with
+      // 2 <= deg <= 100, so the integer-exact sum is bracketed by the
+      // extremes (1e-6 slack for the per-neighbor micro-quantization)
+      assert(aa >= shared / math.log(100.0) - 1e-6 * shared)
+      assert(aa <= shared / math.log(2.0) + 1e-6 * shared)
+    }
+    // descending score order with (s1, s2) tie-break
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 &&
+          (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))))
+      case _ =>
+    }
+  }
+
+  test("hamming top-k matches a replayed sign-pack + popcount") {
+    import graft.ops.Tables
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (a, (x, i)) =>
+        if (x > 0f) a | (1L << i) else a
+      }
+    val rows = SparkEntry.queries("q_sim_hamming")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == 100, "10 queries x top-10")
+    rows.foreach { case (q, _, c, dist) =>
+      assert(dist == java.lang.Long.bitCount(sig(vecs(q)) ^ sig(vecs(c))))
+    }
+    // within each query, rank order is by (dist, vec_id)
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("bm25 replays the exact scoring formula for every emitted row") {
+    import graft.ops.Tables
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val terms = Seq("table", "value", "data", "join", "query")
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val rows = SparkEntry.queries("q_text_bm25")(spark, sf).collect()
+    assert(rows.length == terms.length * 20)
+    terms.foreach { t =>
+      val df = docs.count(_._2.contains(t)).toLong
+      val idf = math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+      rows.filter(_.getString(0) == t).foreach { r =>
+        val (doc, tf) = (r.getLong(2), r.getLong(3))
+        val dl = docs.find(_._1 == doc).get._2.length.toDouble
+        val exp = r6(idf * (tf.toDouble * 2.2)
+                     / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        assert(r.getDouble(4) == exp, s"term $t doc $doc")
+      }
+    }
+  }
+
+  test("k-anonymity audit partitions every customer into exactly one QI group") {
+    val rows = SparkEntry.queries("q_dq_kanon")(spark, sf).collect()
+    val total = graft.ops.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("risky") == (r.getAs[Long]("n") < 5L)))
+    assert(rows.exists(_.getAs[Boolean]("risky")),
+      "the fixture QI grid must expose at least one small group")
+  }
+
+  test("shard packing conserves docs and follows the greedy boundary rule") {
+    val rows = SparkEntry.queries("q_mm_shard_pack")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = graft.ops.Tables.documents(spark, sf).count()
+    assert(rows.length == total, "every doc lands in exactly one shard")
+    assert(rows.map(_._3).distinct.length == rows.length)
+    rows.groupBy(_._1).values.foreach { g =>
+      val bySeq = g.sortBy(_._5)
+      // cumulative bytes add up within the source and shards start at 0
+      var run = 0L
+      bySeq.foreach { case (_, shard, _, b, cum) =>
+        assert(shard == (cum - b) / 2000L, "greedy boundary rule")
+        run += b
+        assert(cum == run, "window cumulative sum is gapless")
+      }
+      val shards = bySeq.map(_._2).distinct
+      assert(shards.toSeq == (0L until shards.length.toLong).toSeq,
+        "contiguous shard ids")
+    }
+  }
 }
