@@ -538,6 +538,9 @@ class ScaleSpec extends SparkTestBase {
     "q_tpch_q11", "q_tpch_q22", "q_vec_pca_power", "q_vec_pq",
     "q_vec_quantize", "q_win_cusum", "q_win_seasonal", "q_dedup_near",
     "q_dq_ks_drift", // 1-row midpoint + count attaches
+    "q_events_changepoint", // 1-row (n, tot) attach
+    "q_sim_hamming", // 10-row query-signature broadcast vs linear scan
+    "q_text_bm25", // 1-row corpus stats + 5-row term-df broadcast
     // (b) documented exact baselines (ANN/banded twins are the scale path)
     "q_sim_knn", "q_sim_topk", "q_sim_cosine_dup", "q_vec_knn_classify",
     "q_vec_matryoshka",
