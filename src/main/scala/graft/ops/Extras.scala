@@ -1135,6 +1135,52 @@ object Extras {
         .select(col("nation"), col("segment"), col("bal_band"), col("n"),
                 (col("n") < 5).as("risky"))
         .orderBy("nation", "segment", "bal_band")
+    },
+
+    /** l-diversity audit (l=3) — k-anonymity's mandatory companion:
+      * a QI class can be large (k-anonymous) yet still leak if every
+      * member shares the SAME sensitive value (the homogeneity attack —
+      * "all 50 people in this group bought the same segment"). Here the
+      * QI is (nation, acctbal band) and the sensitive attribute is the
+      * market segment; a class is risky when fewer than 3 distinct
+      * segments appear. Entropy l-diversity is reported alongside via
+      * the exact H = ln(n) − Σc·ln(c)/n identity (one aggregation pass,
+      * no per-row p=c/n join; ≤5 summands per class, so float
+      * accumulation order is harmless — the q_text_entropy precedent).
+      *
+      * Two stacked groupBys, both bounded by the QI × segment domain
+      * product, never the corpus; partial aggregation collapses each
+      * map-side. */
+    OpDef(
+      "q_dq_ldiv",
+      """WITH c AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT nation, bal_band, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS l_distinct,
+        |  floor((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS sens_entropy,
+        |  count(*) < 3 AS risky
+        |FROM c GROUP BY nation, bal_band
+        |ORDER BY nation, bal_band""".stripMargin
+    ) { (s, d) =>
+      customer(s, d)
+        .groupBy(col("c_nationkey").as("nation"),
+                 floor(col("c_acctbal") / lit(1000.0)).cast("long")
+                   .as("bal_band"),
+                 col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("nation", "bal_band")
+        .agg(sum(col("cnt")).cast("long").as("n"),
+             count(lit(1)).cast("long").as("l_distinct"),
+             Det.r6(log(sum(col("cnt")))
+                      - sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")))
+               .as("sens_entropy"))
+        .select(col("nation"), col("bal_band"), col("n"), col("l_distinct"),
+                col("sens_entropy"), (col("l_distinct") < 3).as("risky"))
+        .orderBy("nation", "bal_band")
     }
   )
 }

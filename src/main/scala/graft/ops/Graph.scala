@@ -144,6 +144,25 @@ object Graph {
        |  WHERE ds >= $KcoreK AND dd >= $KcoreK)""".stripMargin
   }.mkString(",\n")
 
+  /** q_graph_labelprop's fixed round count (see the op's docstring for
+    * why convergence is NOT the stopping rule). */
+  private val LpaSteps = 4
+
+  /** One LPA round per CTE: plurality label among neighbors, ties to the
+    * smallest label. The window's ORDER BY count(*) runs over the
+    * grouped rows — both engines evaluate windows after grouping, so the
+    * spelling is shared verbatim. */
+  private val lpaSteps: String = (1 to LpaSteps).map { i =>
+    s"""l$i AS (
+       |  SELECT v, lbl FROM (
+       |    SELECT e.a AS v, p.lbl,
+       |      row_number() OVER (PARTITION BY e.a
+       |        ORDER BY count(*) DESC, p.lbl) AS rk
+       |    FROM e JOIN l${i - 1} p ON e.b = p.v
+       |    GROUP BY e.a, p.lbl) t
+       |  WHERE rk = 1),""".stripMargin
+  }.mkString("\n")
+
   def ops: Seq[OpDef] = Seq(
 
     OpDef(
@@ -619,6 +638,83 @@ object Graph {
                 col("aa_micro"))
         .orderBy(col("aa_micro").desc, col("s1"), col("s2")).limit(100)
         .drop("aa_micro")
+    },
+
+    /** Synchronous label propagation (4 fixed rounds) over the same
+      * co-purchase similarity graph q_graph_cc partitions — the standard
+      * scale community detector (GraphFrames/GraphX ship exactly this):
+      * where cc answers "which nodes are CONNECTED at all", LPA answers
+      * "which nodes are DENSELY connected", splitting a component into
+      * communities when internal edge plurality disagrees with mere
+      * reachability. Each round every node adopts its neighbors'
+      * PLURALITY label (most frequent; ties → smallest label — the
+      * determinism rule that makes sync LPA oracle-checkable at all),
+      * all nodes updating simultaneously.
+      *
+      * The round count is FIXED at 4, not run to convergence: sync LPA
+      * on near-bipartite structures provably oscillates between two
+      * labelings, so "converged" is not a well-defined stopping rule —
+      * the fixed unrolling is both the standard practice (GraphX's
+      * default) and what lets DuckDB replay the identical computation.
+      * Per round: one |E|-bounded equi-join against the cached
+      * src-partitioned edge table + a (node, label)-keyed count + one
+      * per-node window pick — all shuffle-bounded by |E|; a lazy
+      * localCheckpoint per round keeps the 4-round lineage shallow (the
+      * clusterPairs discipline). */
+    OpDef(
+      "q_graph_labelprop",
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ok AS (SELECT cust FROM cs GROUP BY cust HAVING count(*) <= 100),
+         |c2 AS (SELECT cs.cust, cs.supp FROM cs JOIN ok USING (cust)),
+         |p AS (
+         |  SELECT a.supp AS s1, b.supp AS s2
+         |  FROM c2 a JOIN c2 b ON a.cust = b.cust AND a.supp < b.supp
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |e AS (SELECT s1 AS a, s2 AS b FROM p
+         |      UNION SELECT s2 AS a, s1 AS b FROM p),
+         |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
+         |$lpaSteps
+         |sz AS (SELECT lbl, count(*) AS n FROM l$LpaSteps GROUP BY lbl)
+         |SELECT CAST(l$LpaSteps.v AS BIGINT) AS supp,
+         |       CAST(l$LpaSteps.lbl AS BIGINT) AS community,
+         |       CAST(sz.n AS BIGINT) AS community_size
+         |FROM l$LpaSteps JOIN sz USING (lbl)
+         |ORDER BY supp""".stripMargin
+    ) { (s, d) =>
+      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val pairs = cooccur(cs, degCap = 100, minShared = 3)
+      val edges = pairs.select(col("s1").as("a"), col("s2").as("b"))
+        .unionAll(pairs.select(col("s2").as("a"), col("s1").as("b")))
+        .repartition(col("b")).cache()
+      var lbl = edges.select(col("a").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl")).localCheckpoint(false)
+      val wPick = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      for (_ <- 1 to LpaSteps) {
+        lbl = edges
+          .join(lbl.select(col("v").as("bv"), col("lbl")),
+                col("b") === col("bv"))
+          .groupBy(col("a").as("v"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select("v", "lbl")
+          .localCheckpoint(false)
+      }
+      val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("n"))
+      val out = lbl.join(sz, Seq("lbl"))
+        .select(col("v").cast("long").as("supp"),
+                col("lbl").cast("long").as("community"),
+                col("n").cast("long").as("community_size"))
+        .orderBy("supp")
+      edges.unpersist()
+      out
     }
   )
 

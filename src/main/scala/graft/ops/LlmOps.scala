@@ -1010,6 +1010,37 @@ object LlmOps {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Winnow-fingerprint candidate pairs at ≥ 0.5 containment overlap —
+    * the MOSS matcher core shared by q_text_winnow_pairs (which reports
+    * the pairs) and q_text_dupspans (which exactly aligns them).
+    * Columns: doc_a, doc_b, shared, nfa, nfb.
+    *
+    * The (doc_id, fp) row table is cached: it feeds both the fp buckets
+    * and the per-doc size table — uncached the md5 window chain runs
+    * twice. Bucket-groupBy, not a count + semi-join + self-join: docs
+    * sharing a fingerprint meet in ONE bucket after a single shuffle and
+    * the pair list is generated map-side (the minhashPairs discipline —
+    * the join formulation shuffled the edge table three times: measured
+    * 7.5 s vs 2.4 s for identical output). collect_set dedupes the
+    * window-repeated (doc, fp) rows inside the shuffle the bucket build
+    * pays anyway; the >50-doc cap drops hot boilerplate buckets whole,
+    * same as the oracle's fc.c <= 50. */
+  private[graft] def winnowPairTable(docs: DataFrame): DataFrame = {
+    val e = winnowFps(docs, 8, 4).cache()
+    val buckets = e.groupBy("fp")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+    val pairs = pairsWithin(buckets, "ids")
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sz = e.groupBy("doc_id").agg(count_distinct(col("fp")).as("nf"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
+      .filter(col("shared") * lit(1.0) / least(col("nfa"), col("nfb"))
+                >= 0.5)
+  }
+
   /** Classic TF-IDF, top-k terms per doc ranked on the rounded weight
     * (cross-engine float safety). df is VOCABULARY-sized (corpus-derived,
     * unbounded) so it shuffles on tok (AQE broadcasts it only if measured
@@ -2064,6 +2095,47 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    /** Flesch reading-ease over the vowel-group syllable heuristic — the
+      * classic readability gate in a corpus-quality stack (alongside
+      * q_text_quality's stopword/length ratios and q_text_gopher's
+      * repetition rules): flesch = 206.835 − 1.015·(words/sentences) −
+      * 84.6·(syllables/words), with syllables ≈ maximal [aeiouy]+ runs
+      * (the standard dictionary-free estimate) and sentences = terminal
+      * punctuation marks + 1. Map-only: three codegen'd regex counts per
+      * row, no shuffle until the output sort; the regexes sit in the
+      * Java/RE2 dialect intersection (the tokcount_re discipline). */
+    OpDef(
+      "q_text_readability",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syll,
+        |  CAST(1 + len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+        |    AS n_sents,
+        |  floor((206.835
+        |    - 1.015 * (len(string_split(text, ' ')) * 1.0
+        |               / (1 + len(regexp_extract_all(text, '[.!?]'))))
+        |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0
+        |              / len(string_split(text, ' '))))
+        |    * 10000.0 + 0.5) / 10000.0 AS flesch
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val words = size(split(col("text"), " ")).cast("long")
+      val syll = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+      val sents = (size(expr("regexp_extract_all(text, '[.!?]', 0)")) + lit(1))
+        .cast("long")
+      documents(s, d)
+        .select(col("doc_id"), words.as("n_words"), syll.as("n_syll"),
+                sents.as("n_sents"),
+                Det.r4(lit(206.835)
+                         - lit(1.015) * (words * lit(1.0) / sents)
+                         - lit(84.6) * (syll * lit(1.0) / words))
+                  .as("flesch"))
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------------- text: fingerprinting ---
     OpDef(
       "q_text_fingerprint",
@@ -2135,32 +2207,117 @@ object LlmOps {
         |WHERE shared * 1.0 / least(x.nf, y.nf) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) =>
-      // cached: the (doc_id, fp) row table feeds both the fp buckets and
-      // the per-doc size table — uncached the md5 window chain runs twice
-      val e = winnowFps(documents(s, d), 8, 4).cache()
-      // bucket-groupBy, not a count + semi-join + self-join: docs sharing
-      // a fingerprint meet in ONE bucket after a single shuffle and the
-      // pair list is generated map-side (the minhashPairs discipline —
-      // the join formulation shuffled the edge table three times:
-      // measured 7.5 s vs 2.4 s for identical output). collect_set
-      // dedupes the window-repeated (doc, fp) rows inside the shuffle
-      // the bucket build pays anyway; the >50-doc cap drops hot
-      // boilerplate buckets whole, same as the oracle's fc.c <= 50.
-      val buckets = e.groupBy("fp")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 50))
-      val pairs = pairsWithin(buckets, "ids")
-        .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      val sz = e.groupBy("doc_id").agg(count_distinct(col("fp")).as("nf"))
-      pairs
-        .join(sz.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
-        .filter(col("shared") * lit(1.0) / least(col("nfa"), col("nfb"))
-                  >= 0.5)
+      winnowPairTable(documents(s, d))
         .select(col("doc_a"), col("doc_b"), col("shared").cast("long").as("shared"),
                 Det.r4(col("shared") * lit(1.0)
                          / least(col("nfa"), col("nfb"))).as("overlap"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    /** Exact maximal shared-substring spans over the winnow candidates —
+      * the VERIFY stage of a Lee-et-al-style exact-substring dedup
+      * pipeline (PAPERS.md: "Deduplicating Training Data Makes Language
+      * Models Better"): the winnowed-fingerprint matcher proposes a
+      * BOUNDED candidate pair set sub-quadratically, and only those
+      * pairs pay the char-20-gram alignment that recovers every
+      * maximal shared span exactly. Matched (posA, posB) gram hits at a
+      * constant offset posB−posA merge into maximal runs with the
+      * islands trick (pos − row_number per (pair, offset) diagonal), so
+      * a shared region of length L reports once with span_len = run+19
+      * — the number a dedup policy thresholds on ("cut documents
+      * sharing ≥50 consecutive tokens").
+      *
+      * Scale: gram volume = Σ chars over CANDIDATE docs only (semi-join
+      * restricted), never the corpus; the (doc_b, h20) equi-join key
+      * spreads diagonals across the shuffle, and every downstream stage
+      * is bounded by actual match volume. All-integer + md5 ⇒
+      * oracle-checked. */
+    OpDef(
+      "q_text_dupspans",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 6),
+        |      i -> CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8)
+        |           AS BIGINT)) AS hs
+        |  FROM documents
+        |  WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |fc AS (SELECT fp, count(*) AS c FROM e GROUP BY fp),
+        |kept AS (SELECT e.* FROM e JOIN fc ON e.fp = fc.fp AND fc.c <= 50),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(fps) AS nf FROM f),
+        |cand AS (
+        |  SELECT doc_a, doc_b
+        |  FROM prs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE shared * 1.0 / least(x.nf, y.nf) >= 0.5),
+        |cd AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM cand
+        |  UNION ALL SELECT doc_b FROM cand)),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(substring(text, CAST(i AS INTEGER), 20)) AS h20
+        |  FROM (SELECT d.doc_id, d.text,
+        |          unnest(range(1, length(d.text) - 18)) AS i
+        |        FROM documents d JOIN cd USING (doc_id)
+        |        WHERE length(d.text) >= 20)),
+        |m AS (
+        |  SELECT c.doc_a, c.doc_b, ga.pos AS pa, gb.pos AS pb
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.doc_a
+        |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.h20 = ga.h20),
+        |sp AS (
+        |  SELECT doc_a, doc_b, count(*) + 19 AS span_len
+        |  FROM (
+        |    SELECT doc_a, doc_b, pb - pa AS diff, pa,
+        |      pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+        |                              ORDER BY pa) AS grp
+        |    FROM m)
+        |  GROUP BY doc_a, doc_b, diff, grp)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(max(span_len) AS BIGINT) AS max_span_len,
+        |  CAST(sum(span_len) AS BIGINT) AS span_chars
+        |FROM sp WHERE span_len >= 30
+        |GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      val cand = winnowPairTable(documents(s, d))
+        .select("doc_a", "doc_b").cache()
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+      // 20-grams of candidate docs only; used for BOTH join sides, so
+      // cached — uncached the explode+md5 chain runs twice
+      val g = documents(s, d).join(candDocs, Seq("doc_id"))
+        .filter(length(col("text")) >= 20)
+        .select(col("doc_id"), col("text"),
+                explode(sequence(lit(1), length(col("text")) - lit(19)))
+                  .as("p"))
+        .select(col("doc_id"), col("p").cast("long").as("pos"),
+                md5(col("text").substr(col("p"), lit(20))).as("h20"))
+        .cache()
+      val m = cand
+        .join(g.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+                       col("h20")), Seq("doc_a"))
+        .join(g.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+                       col("h20")), Seq("doc_b", "h20"))
+      val wI = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+        .orderBy(col("pa"))
+      val sp = m.withColumn("diff", col("pb") - col("pa"))
+        .withColumn("grp", col("pa") - row_number().over(wI))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg((count(lit(1)) + lit(19)).as("span_len"))
+      sp.filter(col("span_len") >= 30)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+             max(col("span_len")).cast("long").as("max_span_len"),
+             sum(col("span_len")).cast("long").as("span_chars"))
         .orderBy("doc_a", "doc_b")
     },
 

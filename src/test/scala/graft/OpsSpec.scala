@@ -1342,4 +1342,85 @@ class OpsSpec extends SparkTestBase {
         "contiguous shard ids")
     }
   }
+
+  test("dupspans verify only winnow candidates and spans fit inside both docs") {
+    val rows = queries("q_text_dupspans")(spark, sf).collect()
+    assert(rows.nonEmpty, "planted near-dups must yield verified spans")
+    val cands = graft.ops.LlmOps
+      .winnowPairTable(graft.ops.Tables.documents(spark, sf))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lens = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(cands((a, b)), s"($a,$b) is not a winnow candidate")
+      val mx = r.getAs[Long]("max_span_len")
+      assert(mx >= 30L && mx <= math.min(lens(a), lens(b)),
+        "a span cannot exceed either document")
+      assert(r.getAs[Long]("span_chars") >= mx)
+      assert(r.getAs[Long]("n_spans") >= 1L)
+    }
+  }
+
+  test("readability recomputes exactly from the three regex counts") {
+    val rows = queries("q_text_readability")(spark, sf).collect()
+    val total = graft.ops.Tables.documents(spark, sf).count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      val (w, sy, se) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_syll"),
+                         r.getAs[Long]("n_sents"))
+      assert(w >= 1L && se >= 1L)
+      val f = 206.835 - 1.015 * (w.toDouble / se) - 84.6 * (sy.toDouble / w)
+      assert(math.abs(r.getAs[Double]("flesch")
+               - math.floor(f * 10000.0 + 0.5) / 10000.0) < 1e-12)
+    }
+  }
+
+  test("label propagation covers exactly the cc node set with node-id labels") {
+    val lpa = queries("q_graph_labelprop")(spark, sf).collect()
+    val cc = queries("q_graph_cc")(spark, sf).collect()
+    assert(lpa.map(_.getAs[Long]("supp")).toSet ==
+           cc.map(_.getAs[Long]("supp")).toSet,
+      "LPA runs on the same co-purchase graph as cc")
+    val nodes = lpa.map(_.getAs[Long]("supp")).toSet
+    val bySize = lpa.groupBy(_.getAs[Long]("community"))
+    lpa.foreach { r =>
+      assert(nodes(r.getAs[Long]("community")), "labels are node ids")
+      assert(r.getAs[Long]("community_size") ==
+             bySize(r.getAs[Long]("community")).length.toLong)
+    }
+    // plurality labels can only refine reachability: two nodes in the
+    // same LPA community must share a cc component
+    val comp = cc.map(r => r.getAs[Long]("supp") -> r.getAs[Long]("canon_id")).toMap
+    bySize.values.foreach { g =>
+      assert(g.map(r => comp(r.getAs[Long]("supp"))).distinct.length == 1,
+        "an LPA community never crosses component boundaries")
+    }
+  }
+
+  test("l-diversity classes partition customers; entropy bounded by ln(l)") {
+    val rows = queries("q_dq_ldiv")(spark, sf).collect()
+    val total = graft.ops.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_distinct")
+      assert(l >= 1L && l <= 5L, "at most the 5 market segments")
+      assert(r.getAs[Boolean]("risky") == (l < 3L))
+      val h = r.getAs[Double]("sens_entropy")
+      assert(h >= -1e-9 && h <= math.log(l.toDouble) + 1e-9,
+        "Shannon entropy is bounded by ln(#values)")
+    }
+  }
+
+  test("theil-sen slope is the lower median of the exact pairwise slopes") {
+    val rows = queries("q_events_theilsen")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val nDays = graft.ops.Tables.events(spark, sf)
+      .select(to_date(date_trunc("day", col("ts")))).distinct().count()
+    assert(r.getAs[Long]("n_pairs") == nDays * (nDays - 1) / 2)
+    assert(r.getAs[Long]("ri") < r.getAs[Long]("rj"))
+  }
 }
