@@ -2061,6 +2061,60 @@ object EventAnalytics {
         .filter(col("rk") === expr("(n_pairs + 1) div 2"))
         .select(col("n_pairs"), col("ri"), col("rj"),
                 col("slope").as("sen_slope"))
+    },
+
+    /** Forecast backtest on the daily series: seasonal-naive (v[t−7])
+      * scored against naive (v[t−1]) over every day where BOTH lags
+      * exist — the evaluation harness the Holt/Holt-Winters/Kalman
+      * forecasting ladder is judged by (a model that can't beat
+      * seasonal-naive isn't a model). MASE is the scale-free headline
+      * (sae_snaive/sae_naive; < 1 ⇒ weekly seasonality is real signal),
+      * WAPE the magnitude-normalized companion. Every error sum runs on
+      * the micro-quantized BIGINT daily values — exact, associative,
+      * engine-order-proof — and only the two final ratios touch doubles
+      * (one correctly-rounded division each, NULL-guarded against a
+      * constant series). One daily groupBy + two lag windows + a 1-row
+      * aggregate: the 100 TB cost is the events fold, nothing else. */
+    OpDef(
+      "q_eval_forecast",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    CAST(floor((sum(value)) * 10000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, vm,
+        |        lag(vm, 1) OVER (ORDER BY day) AS p1,
+        |        lag(vm, 7) OVER (ORDER BY day) AS p7
+        |      FROM d),
+        |e AS (SELECT * FROM l WHERE p7 IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(abs(vm - p1)) AS BIGINT) AS sae_naive,
+        |  CAST(sum(abs(vm - p7)) AS BIGINT) AS sae_snaive,
+        |  floor((sum(abs(vm - p7)) * 1.0 / nullif(sum(abs(vm - p1)), 0))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS mase,
+        |  floor((sum(abs(vm - p7)) * 1.0 / nullif(sum(abs(vm)), 0))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS wape_snaive
+        |FROM e""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day"))
+      events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(floor(sum(col("value")) * lit(10000.0) + lit(0.5))
+               .cast("long").as("vm"))
+        .select(col("day"), col("vm"),
+                lag(col("vm"), 1).over(w).as("p1"),
+                lag(col("vm"), 7).over(w).as("p7"))
+        .filter(col("p7").isNotNull)
+        .agg(count(lit(1)).cast("long").as("n_eval"),
+             sum(abs(col("vm") - col("p1"))).cast("long").as("sae_naive"),
+             sum(abs(col("vm") - col("p7"))).cast("long").as("sae_snaive"),
+             Det.r6(sum(abs(col("vm") - col("p7"))) * lit(1.0)
+                      / nullif(sum(abs(col("vm") - col("p1"))), lit(0)))
+               .as("mase"),
+             Det.r6(sum(abs(col("vm") - col("p7"))) * lit(1.0)
+                      / nullif(sum(abs(col("vm"))), lit(0)))
+               .as("wape_snaive"))
     }
   )
 }

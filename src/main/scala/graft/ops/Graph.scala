@@ -144,6 +144,113 @@ object Graph {
        |  WHERE ds >= $KcoreK AND dd >= $KcoreK)""".stripMargin
   }.mkString(",\n")
 
+  /** The triangle-machinery CTE chain (sparsified co-supply edges →
+    * degree orientation → wedge close → corner counts), shared verbatim
+    * by the q_graph_triangles and q_graph_clustercoeff oracles — the
+    * SQL twin of [[triangleCorners]]. */
+  private val triangleCtes: String =
+    """ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |pc AS (SELECT l_partkey, count(*) AS c FROM ps0 GROUP BY 1),
+      |ps AS (SELECT ps0.* FROM ps0
+      |       JOIN pc ON ps0.l_partkey = pc.l_partkey AND pc.c <= 64),
+      |grp AS (SELECT l_partkey, list(l_suppkey ORDER BY l_suppkey) AS ss
+      |        FROM ps GROUP BY 1),
+      |pairs AS MATERIALIZED (
+      |  -- in-row pair expansion (bounded by the 64-cap), MATERIALIZED:
+      |  -- oe below is referenced 3x and DuckDB inlines CTEs by default,
+      |  -- which re-ran this expansion per reference and, through the
+      |  -- view indirection, once degenerated into a spill-to-disk plan
+      |  SELECT ss[i] AS s1, ss[j] AS s2, count(*) AS support
+      |  FROM grp, UNNEST(range(1, len(ss) + 1)) AS t1(i),
+      |       UNNEST(range(1, len(ss) + 1)) AS t2(j)
+      |  WHERE i < j GROUP BY 1, 2),
+      |st AS (SELECT count(*) n, sum(support) s,
+      |              sum(support * support) sq FROM pairs),
+      |thr AS (SELECT CAST(floor((s * 1.0 / n
+      |                           + 2 * sqrt((sq - s * 1.0 * s / n) / n))
+      |                          * 1000000.0 + 0.5) AS BIGINT) AS t
+      |        FROM st),
+      |e AS MATERIALIZED (
+      |  SELECT s1, s2 FROM pairs, thr WHERE support * 1000000 > t),
+      |deg AS (SELECT s, count(*) AS d
+      |        FROM (SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e)
+      |        GROUP BY 1),
+      |oe AS MATERIALIZED (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.s1 < e.s2)
+      |              THEN e.s1 ELSE e.s2 END AS u,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.s1 < e.s2)
+      |              THEN e.s2 ELSE e.s1 END AS v,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.s1 < e.s2)
+      |              THEN db.d ELSE da.d END AS dv
+      |  FROM e JOIN deg da ON da.s = e.s1 JOIN deg db ON db.s = e.s2),
+      |w AS (SELECT e1.u, e1.v AS a, e2.v AS b
+      |      FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+      |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |tri AS (SELECT w.u, w.a, w.b FROM w
+      |        JOIN oe ON oe.u = w.a AND oe.v = w.b),
+      |corners AS (
+      |  SELECT s, count(*) AS n_tri
+      |  FROM (SELECT u AS s FROM tri UNION ALL SELECT a FROM tri
+      |        UNION ALL SELECT b FROM tri)
+      |  GROUP BY 1)""".stripMargin
+
+  /** Thresholded part-affinity supplier graph + oriented triangle
+    * counts — q_graph_triangles' core, reused by q_graph_clustercoeff.
+    * Returns (deg, corners): per-node degree of the thresholded graph
+    * (columns s, d) and per-node triangle memberships (s, n_tri). The
+    * edge set keeps supplier pairs whose shared-part support exceeds
+    * mean + 2σ (both moments exact integer sums); triangles enumerate
+    * via the degree-orientation trick (each triangle found exactly once
+    * from its lowest-degree corner — the standard O(E^1.5) bound). */
+  private def triangleCorners(s: org.apache.spark.sql.SparkSession,
+                              d: String): (DataFrame, DataFrame) = {
+    val ps0 = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+    val pc = ps0.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val ps = ps0.join(pc.filter(col("c") <= 64).select("l_partkey"),
+                      Seq("l_partkey"))
+    val lhs = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("sa"))
+    val rhs = ps.select(col("l_partkey").as("pk2"), col("l_suppkey").as("sb"))
+    val pairs = lhs
+      .join(rhs, col("pk") === col("pk2") && col("sa") < col("sb"))
+      .groupBy(col("sa").as("s1"), col("sb").as("s2"))
+      .agg(count(lit(1)).as("support"))
+    val thr = pairs.agg(count(lit(1)).as("n"), sum(col("support")).as("s_"),
+                        sum(col("support") * col("support")).as("sq"))
+      .select(floor((col("s_") * lit(1.0) / col("n")
+                     + lit(2) * sqrt((col("sq") - col("s_") * lit(1.0)
+                                      * col("s_") / col("n")) / col("n")))
+                    * lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+    val e = pairs.crossJoin(broadcast(thr))
+      .filter(col("support") * lit(1000000L) > col("t"))
+      .select("s1", "s2")
+    val deg = e.select(col("s1").as("s")).unionAll(e.select(col("s2")))
+      .groupBy("s").agg(count(lit(1)).as("d"))
+    val fwd = col("d1") < col("d2") || (col("d1") === col("d2")
+                                        && col("s1") < col("s2"))
+    val oe = e
+      .join(deg.select(col("s").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("s").as("s2"), col("d").as("d2")), Seq("s2"))
+      .select(when(fwd, col("s1")).otherwise(col("s2")).as("u"),
+              when(fwd, col("s2")).otherwise(col("s1")).as("v"),
+              when(fwd, col("d2")).otherwise(col("d1")).as("dv"))
+    val oe2 = oe.select(col("u").as("u2"), col("v").as("v2"),
+                        col("dv").as("dv2"))
+    val w = oe
+      .join(oe2,
+            col("u") === col("u2")
+              && (col("dv") < col("dv2")
+                  || (col("dv") === col("dv2") && col("v") < col("v2"))))
+      .select(col("u"), col("v").as("a"), col("v2").as("b"))
+    val tri = w.join(oe.select(col("u").as("a"), col("v").as("b")),
+                     Seq("a", "b"))
+    val corners = tri.select(col("u").as("s"))
+      .unionAll(tri.select(col("a")))
+      .unionAll(tri.select(col("b")))
+      .groupBy("s").agg(count(lit(1)).as("n_tri"))
+    (deg, corners)
+  }
+
   /** q_graph_labelprop's fixed round count (see the op's docstring for
     * why convergence is NOT the stopping rule). */
   private val LpaSteps = 4
@@ -298,100 +405,14 @@ object Graph {
       * included — bounded by |suppliers| at any scale. */
     OpDef(
       "q_graph_triangles",
-      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        |pc AS (SELECT l_partkey, count(*) AS c FROM ps0 GROUP BY 1),
-        |ps AS (SELECT ps0.* FROM ps0
-        |       JOIN pc ON ps0.l_partkey = pc.l_partkey AND pc.c <= 64),
-        |grp AS (SELECT l_partkey, list(l_suppkey ORDER BY l_suppkey) AS ss
-        |        FROM ps GROUP BY 1),
-        |pairs AS MATERIALIZED (
-        |  -- in-row pair expansion (bounded by the 64-cap), MATERIALIZED:
-        |  -- oe below is referenced 3x and DuckDB inlines CTEs by default,
-        |  -- which re-ran this expansion per reference and, through the
-        |  -- view indirection, once degenerated into a spill-to-disk plan
-        |  SELECT ss[i] AS s1, ss[j] AS s2, count(*) AS support
-        |  FROM grp, UNNEST(range(1, len(ss) + 1)) AS t1(i),
-        |       UNNEST(range(1, len(ss) + 1)) AS t2(j)
-        |  WHERE i < j GROUP BY 1, 2),
-        |st AS (SELECT count(*) n, sum(support) s,
-        |              sum(support * support) sq FROM pairs),
-        |thr AS (SELECT CAST(floor((s * 1.0 / n
-        |                           + 2 * sqrt((sq - s * 1.0 * s / n) / n))
-        |                          * 1000000.0 + 0.5) AS BIGINT) AS t
-        |        FROM st),
-        |e AS MATERIALIZED (
-        |  SELECT s1, s2 FROM pairs, thr WHERE support * 1000000 > t),
-        |deg AS (SELECT s, count(*) AS d
-        |        FROM (SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e)
-        |        GROUP BY 1),
-        |oe AS MATERIALIZED (
-        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.s1 < e.s2)
-        |              THEN e.s1 ELSE e.s2 END AS u,
-        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.s1 < e.s2)
-        |              THEN e.s2 ELSE e.s1 END AS v,
-        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.s1 < e.s2)
-        |              THEN db.d ELSE da.d END AS dv
-        |  FROM e JOIN deg da ON da.s = e.s1 JOIN deg db ON db.s = e.s2),
-        |w AS (SELECT e1.u, e1.v AS a, e2.v AS b
-        |      FROM oe e1 JOIN oe e2 ON e1.u = e2.u
-        |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
-        |tri AS (SELECT w.u, w.a, w.b FROM w
-        |        JOIN oe ON oe.u = w.a AND oe.v = w.b),
-        |corners AS (
-        |  SELECT s, count(*) AS n_tri
-        |  FROM (SELECT u AS s FROM tri UNION ALL SELECT a FROM tri
-        |        UNION ALL SELECT b FROM tri)
-        |  GROUP BY 1)
-        |SELECT sp.s_suppkey, CAST(coalesce(corners.n_tri, 0) AS BIGINT)
-        |         AS n_triangles
-        |FROM (SELECT DISTINCT s_suppkey FROM supplier) sp
-        |LEFT JOIN corners ON corners.s = sp.s_suppkey
-        |ORDER BY sp.s_suppkey""".stripMargin
+      s"""WITH $triangleCtes
+         |SELECT sp.s_suppkey, CAST(coalesce(corners.n_tri, 0) AS BIGINT)
+         |         AS n_triangles
+         |FROM (SELECT DISTINCT s_suppkey FROM supplier) sp
+         |LEFT JOIN corners ON corners.s = sp.s_suppkey
+         |ORDER BY sp.s_suppkey""".stripMargin
     ) { (s, d) =>
-      val ps0 = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-        .distinct()
-      val pc = ps0.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-      val ps = ps0.join(pc.filter(col("c") <= 64).select("l_partkey"),
-                        Seq("l_partkey"))
-      val lhs = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("sa"))
-      val rhs = ps.select(col("l_partkey").as("pk2"), col("l_suppkey").as("sb"))
-      val pairs = lhs
-        .join(rhs, col("pk") === col("pk2") && col("sa") < col("sb"))
-        .groupBy(col("sa").as("s1"), col("sb").as("s2"))
-        .agg(count(lit(1)).as("support"))
-      val thr = pairs.agg(count(lit(1)).as("n"), sum(col("support")).as("s_"),
-                          sum(col("support") * col("support")).as("sq"))
-        .select(floor((col("s_") * lit(1.0) / col("n")
-                       + lit(2) * sqrt((col("sq") - col("s_") * lit(1.0)
-                                        * col("s_") / col("n")) / col("n")))
-                      * lit(1000000.0) + lit(0.5)).cast("long").as("t"))
-      val e = pairs.crossJoin(broadcast(thr))
-        .filter(col("support") * lit(1000000L) > col("t"))
-        .select("s1", "s2")
-      val deg = e.select(col("s1").as("s")).unionAll(e.select(col("s2")))
-        .groupBy("s").agg(count(lit(1)).as("d"))
-      val fwd = col("d1") < col("d2") || (col("d1") === col("d2")
-                                          && col("s1") < col("s2"))
-      val oe = e
-        .join(deg.select(col("s").as("s1"), col("d").as("d1")), Seq("s1"))
-        .join(deg.select(col("s").as("s2"), col("d").as("d2")), Seq("s2"))
-        .select(when(fwd, col("s1")).otherwise(col("s2")).as("u"),
-                when(fwd, col("s2")).otherwise(col("s1")).as("v"),
-                when(fwd, col("d2")).otherwise(col("d1")).as("dv"))
-      val oe2 = oe.select(col("u").as("u2"), col("v").as("v2"),
-                          col("dv").as("dv2"))
-      val w = oe
-        .join(oe2,
-              col("u") === col("u2")
-                && (col("dv") < col("dv2")
-                    || (col("dv") === col("dv2") && col("v") < col("v2"))))
-        .select(col("u"), col("v").as("a"), col("v2").as("b"))
-      val tri = w.join(oe.select(col("u").as("a"), col("v").as("b")),
-                       Seq("a", "b"))
-      val corners = tri.select(col("u").as("s"))
-        .unionAll(tri.select(col("a")))
-        .unionAll(tri.select(col("b")))
-        .groupBy("s").agg(count(lit(1)).as("n_tri"))
+      val (_, corners) = triangleCorners(s, d)
       supplier(s, d).select(col("s_suppkey")).distinct()
         .join(corners, col("s_suppkey") === col("s"), "left")
         .select(col("s_suppkey"),
@@ -715,6 +736,42 @@ object Graph {
         .orderBy("supp")
       edges.unpersist()
       out
+    },
+
+    /** Local clustering coefficient over the sparsified co-supply graph —
+      * triangle counting's per-node payoff: c(v) = 2·T(v)/(d(v)(d(v)−1)),
+      * the fraction of a node's neighbor pairs that are themselves
+      * connected. The standard "is this node in a tight community or a
+      * star hub" diagnostic (community seeding, link-spam triage), and
+      * the per-node refinement of q_graph_triangles' raw corner counts.
+      * Reuses the triangle machinery wholesale ([[triangleCorners]] /
+      * the shared CTE chain), adding only a degree-keyed left join and
+      * one r6-rounded division; nodes of degree < 2 (coefficient
+      * undefined) are excluded. */
+    OpDef(
+      "q_graph_clustercoeff",
+      s"""WITH $triangleCtes
+         |SELECT CAST(deg.s AS BIGINT) AS supp,
+         |  CAST(deg.d AS BIGINT) AS degree,
+         |  CAST(coalesce(corners.n_tri, 0) AS BIGINT) AS n_triangles,
+         |  floor((2.0 * coalesce(corners.n_tri, 0) / (deg.d * (deg.d - 1)))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS coeff
+         |FROM deg LEFT JOIN corners ON corners.s = deg.s
+         |WHERE deg.d >= 2
+         |ORDER BY supp""".stripMargin
+    ) { (s, d) =>
+      val (deg, corners) = triangleCorners(s, d)
+      deg
+        .join(corners.select(col("s").as("s2"), col("n_tri")),
+              col("s") === col("s2"), "left")
+        .filter(col("d") >= 2)
+        .select(col("s").cast("long").as("supp"),
+                col("d").cast("long").as("degree"),
+                coalesce(col("n_tri"), lit(0L)).cast("long")
+                  .as("n_triangles"),
+                Det.r6(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+                         / (col("d") * (col("d") - lit(1)))).as("coeff"))
+        .orderBy("supp")
     }
   )
 

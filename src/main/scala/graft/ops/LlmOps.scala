@@ -1041,6 +1041,43 @@ object LlmOps {
                 >= 0.5)
   }
 
+  /** Exact shared-substring span verification over the winnow candidate
+    * pairs — q_text_dupspans' core, reused by q_dedup_substring's cut
+    * policy. One row per (doc_a, doc_b): n_spans, max_span_len,
+    * span_chars over maximal shared runs ≥ 30 chars (see the op's
+    * docstring for the islands construction). */
+  private[graft] def dupSpanPairs(docs: DataFrame): DataFrame = {
+    val cand = winnowPairTable(docs).select("doc_a", "doc_b").cache()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // 20-grams of candidate docs only; used for BOTH join sides, so
+    // cached — uncached the explode+md5 chain runs twice
+    val g = docs.join(candDocs, Seq("doc_id"))
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"), col("text"),
+              explode(sequence(lit(1), length(col("text")) - lit(19)))
+                .as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+              md5(col("text").substr(col("p"), lit(20))).as("h20"))
+      .cache()
+    val m = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+                     col("h20")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+                     col("h20")), Seq("doc_b", "h20"))
+    val wI = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+      .orderBy(col("pa"))
+    val sp = m.withColumn("diff", col("pb") - col("pa"))
+      .withColumn("grp", col("pa") - row_number().over(wI))
+      .groupBy("doc_a", "doc_b", "diff", "grp")
+      .agg((count(lit(1)) + lit(19)).as("span_len"))
+    sp.filter(col("span_len") >= 30)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+           max(col("span_len")).cast("long").as("max_span_len"),
+           sum(col("span_len")).cast("long").as("span_chars"))
+  }
+
   /** Classic TF-IDF, top-k terms per doc ranked on the rounded weight
     * (cross-engine float safety). df is VOCABULARY-sized (corpus-derived,
     * unbounded) so it shuffles on tok (AQE broadcasts it only if measured
@@ -2287,38 +2324,101 @@ object LlmOps {
         |FROM sp WHERE span_len >= 30
         |GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) => dupSpanPairs(documents(s, d)).orderBy("doc_a", "doc_b") },
+
+    /** The dedup ACTION on top of q_text_dupspans: a document is cut
+      * when a verified exact-substring overlap with a LOWER-id document
+      * covers ≥ 30% of the shorter of the two (or any single span runs
+      * ≥ 100 chars — the "50 consecutive tokens" rule at this fixture's
+      * ~2 chars/token). Union-drop keep-first policy: every qualifying
+      * pair drops its doc_b (doc_a < doc_b by construction), the
+      * conservative industrial default — cascade-aware survivor chains
+      * are q_dedup_keep_first / q_dedup_cluster territory. Output is the
+      * CUT list with evidence (partner count, worst overlap), the
+      * audit-log shape a curation pipeline persists next to the shards.
+      * Cost: dupSpanPairs + one length join + one doc-keyed aggregate. */
+    OpDef(
+      "q_dedup_substring",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 6),
+        |      i -> CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8)
+        |           AS BIGINT)) AS hs
+        |  FROM documents
+        |  WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |fc AS (SELECT fp, count(*) AS c FROM e GROUP BY fp),
+        |kept AS (SELECT e.* FROM e JOIN fc ON e.fp = fc.fp AND fc.c <= 50),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(fps) AS nf FROM f),
+        |cand AS (
+        |  SELECT doc_a, doc_b
+        |  FROM prs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE shared * 1.0 / least(x.nf, y.nf) >= 0.5),
+        |cd AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM cand
+        |  UNION ALL SELECT doc_b FROM cand)),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(substring(text, CAST(i AS INTEGER), 20)) AS h20
+        |  FROM (SELECT d.doc_id, d.text,
+        |          unnest(range(1, length(d.text) - 18)) AS i
+        |        FROM documents d JOIN cd USING (doc_id)
+        |        WHERE length(d.text) >= 20)),
+        |m AS (
+        |  SELECT c.doc_a, c.doc_b, ga.pos AS pa, gb.pos AS pb
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.doc_a
+        |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.h20 = ga.h20),
+        |sp AS (
+        |  SELECT doc_a, doc_b, count(*) + 19 AS span_len
+        |  FROM (
+        |    SELECT doc_a, doc_b, pb - pa AS diff, pa,
+        |      pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+        |                              ORDER BY pa) AS grp
+        |    FROM m)
+        |  GROUP BY doc_a, doc_b, diff, grp),
+        |agg AS (
+        |  SELECT doc_a, doc_b, CAST(max(span_len) AS BIGINT) AS max_span_len,
+        |    CAST(sum(span_len) AS BIGINT) AS span_chars
+        |  FROM sp WHERE span_len >= 30 GROUP BY doc_a, doc_b),
+        |ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS lc
+        |       FROM documents),
+        |cut AS (
+        |  SELECT agg.doc_b AS doc_id, agg.span_chars, agg.max_span_len
+        |  FROM agg
+        |  JOIN ln la ON la.doc_id = agg.doc_a
+        |  JOIN ln lb ON lb.doc_id = agg.doc_b
+        |  WHERE agg.span_chars * 10 >= 3 * least(la.lc, lb.lc)
+        |     OR agg.max_span_len >= 100)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+        |  CAST(max(span_chars) AS BIGINT) AS worst_span_chars,
+        |  CAST(max(max_span_len) AS BIGINT) AS worst_span
+        |FROM cut GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val cand = winnowPairTable(documents(s, d))
-        .select("doc_a", "doc_b").cache()
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
-      // 20-grams of candidate docs only; used for BOTH join sides, so
-      // cached — uncached the explode+md5 chain runs twice
-      val g = documents(s, d).join(candDocs, Seq("doc_id"))
-        .filter(length(col("text")) >= 20)
-        .select(col("doc_id"), col("text"),
-                explode(sequence(lit(1), length(col("text")) - lit(19)))
-                  .as("p"))
-        .select(col("doc_id"), col("p").cast("long").as("pos"),
-                md5(col("text").substr(col("p"), lit(20))).as("h20"))
-        .cache()
-      val m = cand
-        .join(g.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
-                       col("h20")), Seq("doc_a"))
-        .join(g.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
-                       col("h20")), Seq("doc_b", "h20"))
-      val wI = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
-        .orderBy(col("pa"))
-      val sp = m.withColumn("diff", col("pb") - col("pa"))
-        .withColumn("grp", col("pa") - row_number().over(wI))
-        .groupBy("doc_a", "doc_b", "diff", "grp")
-        .agg((count(lit(1)) + lit(19)).as("span_len"))
-      sp.filter(col("span_len") >= 30)
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).cast("long").as("n_spans"),
-             max(col("span_len")).cast("long").as("max_span_len"),
-             sum(col("span_len")).cast("long").as("span_chars"))
-        .orderBy("doc_a", "doc_b")
+      val ln = documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("lc"))
+      dupSpanPairs(documents(s, d))
+        .join(ln.select(col("doc_id").as("doc_a"), col("lc").as("la")),
+              Seq("doc_a"))
+        .join(ln.select(col("doc_id").as("doc_b"), col("lc").as("lb")),
+              Seq("doc_b"))
+        .filter(col("span_chars") * lit(10) >= lit(3) * least(col("la"), col("lb"))
+                  || col("max_span_len") >= 100)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_partners"),
+             max(col("span_chars")).cast("long").as("worst_span_chars"),
+             max(col("max_span_len")).cast("long").as("worst_span"))
+        .orderBy("doc_id")
     },
 
     // ------------------------------------------- text: TF-IDF -----------

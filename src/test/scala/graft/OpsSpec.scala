@@ -1414,6 +1414,55 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("substring-dedup cuts are exactly the policy image of the span pairs") {
+    val cuts = queries("q_dedup_substring")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val lens = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = queries("q_text_dupspans")(spark, sf).collect()
+    val expect = pairs.filter { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      r.getAs[Long]("span_chars") * 10 >= 3 * math.min(lens(a), lens(b)) ||
+        r.getAs[Long]("max_span_len") >= 100
+    }
+    assert(cuts.keySet == expect.map(_.getAs[Long]("doc_b")).toSet,
+      "cut set = doc_b of every qualifying pair, nothing else")
+    cuts.values.foreach(r => assert(r.getAs[Long]("n_partners") >= 1L))
+  }
+
+  test("clustering coefficient recomputes from triangles and degree") {
+    val rows = queries("q_graph_clustercoeff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val triCount = queries("q_graph_triangles")(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("n_triangles"))
+      .toMap
+    rows.foreach { r =>
+      val (dg, tri) = (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"))
+      assert(dg >= 2L)
+      assert(tri == triCount(r.getAs[Long]("supp")),
+        "corner counts agree with q_graph_triangles")
+      val c = 2.0 * tri / (dg * (dg - 1))
+      assert(math.abs(r.getAs[Double]("coeff")
+               - math.floor(c * 1e6 + 0.5) / 1e6) < 1e-12)
+      assert(r.getAs[Double]("coeff") >= 0.0 &&
+             r.getAs[Double]("coeff") <= 1.0 + 1e-12)
+    }
+  }
+
+  test("forecast backtest: exact integer error sums and ratio identities") {
+    val rows = queries("q_eval_forecast")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (sn, ss) = (r.getAs[Long]("sae_naive"), r.getAs[Long]("sae_snaive"))
+    assert(r.getAs[Long]("n_eval") >= 1L && sn >= 0L && ss >= 0L)
+    if (sn > 0) {
+      val mase = ss.toDouble / sn
+      assert(math.abs(r.getAs[Double]("mase")
+               - math.floor(mase * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+  }
+
   test("theil-sen slope is the lower median of the exact pairwise slopes") {
     val rows = queries("q_events_theilsen")(spark, sf).collect()
     assert(rows.length == 1)

@@ -542,6 +542,7 @@ class ScaleSpec extends SparkTestBase {
     "q_sim_hamming", // 10-row query-signature broadcast vs linear scan
     "q_text_bm25", // 1-row corpus stats + 5-row term-df broadcast
     "q_events_theilsen", // calendar-bounded daily-table pairwise build
+    "q_graph_clustercoeff", // triangle core's 1-row threshold attach
     // (b) documented exact baselines (ANN/banded twins are the scale path)
     "q_sim_knn", "q_sim_topk", "q_sim_cosine_dup", "q_vec_knn_classify",
     "q_vec_matryoshka",
