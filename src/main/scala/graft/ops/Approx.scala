@@ -318,38 +318,7 @@ object Approx {
         |  FROM sims)
         |SELECT qid, vec_id, sim, rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin
-    ) { (s, d) =>
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-                transform(col("embedding"), x => x.cast("double")).as("v"))
-      // centroids: mean per dimension per label
-      val cent = e
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-                       p => p.getField("cx")).as("cv"))
-      graft.GraftFunctions.register(s)
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val dotc = expr("graft_dot(qv, cv)")
-      val wCell = Window.partitionBy(col("qid"))
-        .orderBy(col("csim").desc, col("label").asc)
-      val probe = q.join(broadcast(cent))
-        .select(col("qid"), col("qv"), col("label"), Det.r6(dotc).as("csim"))
-        .withColumn("crn", row_number().over(wCell))
-        .filter(col("crn") <= 4)
-        .select(col("qid"), col("qv"), col("label"))
-      val dotv = expr("graft_dot(qv, v)")
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      probe.join(e, Seq("label"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), Det.r6(dotv).as("sim"))
-        .withColumn("rn", row_number().over(wTop).cast("long"))
-        .filter(col("rn") <= 5)
-        .orderBy("qid", "rn")
-    },
+    ) { (s, d) => ivfTopK(s, d).orderBy("qid", "rn") },
 
     /** Element-wise vector aggregation as a first-class op: per-label
       * centroid of the embedding column (the building block under IVF,
@@ -1272,8 +1241,128 @@ object Approx {
         .filter(col("rk") <= 10)
         .select(col("q_id"), col("rk"), col("vec_id"), col("dist"))
         .orderBy("q_id", "rk")
+    },
+
+    /** ANN quality harness: recall@5 of the IVF path against the exact
+      * top-5 — the number every ANN deployment is tuned by, here fully
+      * deterministic (both sides rank r6-rounded dots under id
+      * tie-breaks) and therefore oracle-checked, unlike the randomized
+      * LSH twins whose recall lives in ApproxSpec. On this fixture the
+      * labels are not geometric clusters, so recall ≈ the searched
+      * fraction (4/16 cells) — the honest floor; on clustered data the
+      * same harness reports the near-1.0 the operator is deployed for.
+      * Cost: the exact side is 8 queries × corpus (bounded by the query
+      * set, not quadratic); the IVF side reuses [[ivfTopK]] wholesale. */
+    OpDef(
+      "q_eval_ann",
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |xsims AS (
+        |  SELECT qid, vec_id,
+        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM q JOIN e ON qid <> vec_id),
+        |ex AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY sim DESC, vec_id ASC) AS rn
+        |    FROM xsims)
+        |  WHERE rn <= 5),
+        |cpos AS (
+        |  SELECT label, i AS pos, avg(v[i]) AS cx
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(cx ORDER BY pos) AS cv
+        |  FROM cpos GROUP BY label),
+        |csims AS (
+        |  SELECT qid, c.label,
+        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.cv[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS csim
+        |  FROM q, cent c),
+        |probe AS (
+        |  SELECT qid, label FROM (
+        |    SELECT qid, label,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY csim DESC, label ASC) AS crn
+        |    FROM csims)
+        |  WHERE crn <= 4),
+        |asims AS (
+        |  SELECT p.qid, e.vec_id,
+        |    floor((list_sum(list_transform(range(1, 65), i -> q.qv[i] * e.v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM probe p
+        |  JOIN e ON e.label = p.label
+        |  JOIN q ON q.qid = p.qid
+        |  WHERE p.qid <> e.vec_id),
+        |av AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY sim DESC, vec_id ASC) AS rn
+        |    FROM asims)
+        |  WHERE rn <= 5)
+        |SELECT ex.qid, CAST(count(av.vec_id) AS BIGINT) AS n_hits,
+        |  floor((count(av.vec_id) * 1.0 / 5) * 10000.0 + 0.5) / 10000.0
+        |    AS recall
+        |FROM ex LEFT JOIN av ON av.qid = ex.qid AND av.vec_id = ex.vec_id
+        |GROUP BY ex.qid
+        |ORDER BY ex.qid""".stripMargin
+    ) { (s, d) =>
+      val exact = graft.ops.LlmOps
+        .cosineTopK(embeddings(s, d), col("vec_id") < 8, 5)
+        .select("qid", "vec_id")
+      val approx = ivfTopK(s, d)
+        .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+      exact
+        .join(approx, col("qid") === col("aqid")
+                        && col("vec_id") === col("avid"), "left")
+        .groupBy("qid")
+        .agg(count(col("aqid")).cast("long").as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+                Det.r4(col("n_hits") * lit(1.0) / lit(5)).as("recall"))
+        .orderBy("qid")
     }
   )
+
+  /** IVF coarse-quantize → probe-4 → exact re-rank, the deterministic
+    * ANN pipeline behind q_sim_ann_ivf and the q_eval_ann recall
+    * harness. Columns: qid, vec_id, sim, rn (top-5 per query). */
+  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+    // centroids: mean per dimension per label
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                     p => p.getField("cx")).as("cv"))
+    graft.GraftFunctions.register(s)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dotc = expr("graft_dot(qv, cv)")
+    val wCell = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("label").asc)
+    val probe = q.join(broadcast(cent))
+      .select(col("qid"), col("qv"), col("label"), Det.r6(dotc).as("csim"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= 4)
+      .select(col("qid"), col("qv"), col("label"))
+    val dotv = expr("graft_dot(qv, v)")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    probe.join(e, Seq("label"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), Det.r6(dotv).as("sim"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 5)
+  }
 
   /** Deterministic HyperLogLog, oracle-checked — completes the sketch
     * quartet's merge-semantics matrix: CMS sum-merges, Bloom unions, KMV

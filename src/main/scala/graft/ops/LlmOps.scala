@@ -2649,6 +2649,78 @@ object LlmOps {
         .select(col("term"), col("rk"), col("doc_id"), col("tf"),
                 col("score"))
         .orderBy("term", "rk")
+    },
+
+    /** Dedup quality harness: precision/recall of the MinHash-banded
+      * candidate pairs against the exact 3-gram-Jaccard ≥ 0.5 pairs —
+      * the confusion numbers every banding configuration (rows × bands,
+      * here 4×4) is chosen by. Both sides are deterministic
+      * oracle-checked pipelines (md5 permutations / capped gram join),
+      * so the harness itself is oracle-checked — the ANN counterpart is
+      * q_eval_ann. Precision < 1 is the banding's false-candidate rate
+      * (cheap: false candidates fail verification); recall < 1 is the
+      * miss rate (expensive: missed duplicates ship). One row, three
+      * exact integer counts + two guarded r4 ratios; the two 1-row
+      * count attaches are declared BNLJ-allowlist entries. */
+    OpDef(
+      "q_eval_dedup",
+      s"""WITH $gramsCappedSql,
+        |gcnt AS (SELECT doc_id, count(*) AS c FROM gramsf GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
+        |          FROM gramsf a JOIN gramsf b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT i AS doc_a, j AS doc_b
+        |  FROM inter
+        |  JOIN gcnt ca ON i = ca.doc_id
+        |  JOIN gcnt cb ON j = cb.doc_id
+        |  WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5),
+        |hashed AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST('0x' || substring(md5((seed // 4) || ':' || g),
+        |                               1 + 8 * (seed % 4), 8) AS BIGINT)) AS minh
+        |  FROM grams, (SELECT unnest(range(0, 16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM hashed GROUP BY doc_id, seed // 4),
+        |bandsf AS (
+        |  SELECT doc_id, band, sig FROM (
+        |    SELECT doc_id, band, sig,
+        |           count(*) OVER (PARTITION BY band, sig) AS bsz
+        |    FROM bands)
+        |  WHERE bsz <= $bandBucketCap),
+        |ap AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandsf a JOIN bandsf b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |hit AS (SELECT doc_a, doc_b FROM ex JOIN ap USING (doc_a, doc_b))
+        |SELECT CAST(x.ne AS BIGINT) AS n_exact,
+        |  CAST(y.na AS BIGINT) AS n_approx,
+        |  CAST(z.nh AS BIGINT) AS n_hit,
+        |  floor((z.nh * 1.0 / nullif(y.na, 0)) * 10000.0 + 0.5) / 10000.0
+        |    AS prec,
+        |  floor((z.nh * 1.0 / nullif(x.ne, 0)) * 10000.0 + 0.5) / 10000.0
+        |    AS rec
+        |FROM (SELECT count(*) AS ne FROM ex) x,
+        |     (SELECT count(*) AS na FROM ap) y,
+        |     (SELECT count(*) AS nh FROM hit) z""".stripMargin
+    ) { (s, d) =>
+      val ex = jaccardPairs(documents(s, d), 0.5).select("doc_a", "doc_b")
+      val ap = minhashPairs(documents(s, d)).select("doc_a", "doc_b")
+      val hit = ex.join(ap, Seq("doc_a", "doc_b"))
+      ex.agg(count(lit(1)).as("ne"))
+        .crossJoin(broadcast(ap.agg(count(lit(1)).as("na"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("nh"))))
+        .select(col("ne").cast("long").as("n_exact"),
+                col("na").cast("long").as("n_approx"),
+                col("nh").cast("long").as("n_hit"),
+                Det.r4(col("nh") * lit(1.0) / nullif(col("na"), lit(0)))
+                  .as("prec"),
+                Det.r4(col("nh") * lit(1.0) / nullif(col("ne"), lit(0)))
+                  .as("rec"))
     }
   )
 }

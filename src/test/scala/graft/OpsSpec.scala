@@ -1463,6 +1463,37 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ann recall harness recomputes from the two underlying rankings") {
+    val rows = queries("q_eval_ann")(spark, sf).collect()
+    assert(rows.length == 8)
+    val ex = queries("q_sim_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val av = queries("q_sim_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val hits = ex.filter(_._1 == qid).count(av.contains)
+      assert(r.getAs[Long]("n_hits") == hits.toLong)
+      assert(math.abs(r.getAs[Double]("recall")
+               - math.floor(hits / 5.0 * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+  }
+
+  test("dedup P/R harness recomputes from the exact and banded pair sets") {
+    val rows = queries("q_eval_dedup")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val ex = queries("q_dedup_near")(spark, sf).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    val ap = queries("q_dedup_minhash")(spark, sf).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    assert(r.getAs[Long]("n_exact") == ex.size.toLong)
+    assert(r.getAs[Long]("n_approx") == ap.size.toLong)
+    assert(r.getAs[Long]("n_hit") == ex.intersect(ap).size.toLong)
+    assert(r.getAs[Long]("n_hit") <=
+           math.min(r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx")))
+  }
+
   test("theil-sen slope is the lower median of the exact pairwise slopes") {
     val rows = queries("q_events_theilsen")(spark, sf).collect()
     assert(rows.length == 1)
