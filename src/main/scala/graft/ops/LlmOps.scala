@@ -2708,6 +2708,10 @@ object LlmOps {
         |     (SELECT count(*) AS na FROM ap) y,
         |     (SELECT count(*) AS nh FROM hit) z""".stripMargin
     ) { (s, d) =>
+      // both pair tables feed a count AND the intersection join, but both
+      // references sit in ONE physical plan where ReusedExchange dedupes
+      // the work — explicit caches measured neutral (the harness's cost
+      // is genuinely one run of each pipeline, ~the sum of the two ops)
       val ex = jaccardPairs(documents(s, d), 0.5).select("doc_a", "doc_b")
       val ap = minhashPairs(documents(s, d)).select("doc_a", "doc_b")
       val hit = ex.join(ap, Seq("doc_a", "doc_b"))
