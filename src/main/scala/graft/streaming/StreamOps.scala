@@ -516,6 +516,68 @@ object StreamOps {
       }
   }
 
+  /** Per-event admission decision emitted by [[quotaGate]]. */
+  case class QuotaDecision(event_id: Long, user_id: Long,
+                           win_start: java.sql.Timestamp, admitted: Boolean)
+
+  /** Per-key quota gate (rate limiter) — ingestion admission control:
+    * admit at most `n` events per (user, 1-hour tumbling window), flag
+    * the rest throttled. The write-side twin of the read-side curation
+    * gate: where [[streamingCurationGate]] drops rows by CONTENT policy,
+    * this drops by VOLUME policy (abuse control, per-tenant fairness,
+    * cost caps).
+    *
+    * State is ONE counter per live (user, window) key, evicted by
+    * event-time timeout at window end + the watermark slack — bounded by
+    * active keys at any scale, the sessionizer's eviction discipline.
+    * Within a batch rows apply in (ts, event_id) order, so on an
+    * in-order feed the cross-batch decision sequence is bit-equal to the
+    * batch twin (rank ≤ n per key under the same order) REGARDLESS of
+    * micro-batch boundaries — asserted in StreamingSpec over randomized
+    * batch splits, the streamingCusum replay discipline. */
+  def quotaGate(spark: SparkSession, events: DataFrame,
+                n: Long): Dataset[QuotaDecision] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val HourMs = 3600000L
+    events.withWatermark("ts", "10 minutes").as[Event]
+      .groupByKey(e => (e.user_id, e.ts.getTime / HourMs * HourMs))
+      .flatMapGroupsWithState[Long, QuotaDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var c = state.getOption.getOrElse(0L)
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .map { e =>
+                val adm = c < n
+                if (adm) c += 1
+                QuotaDecision(e.event_id, e.user_id,
+                              new java.sql.Timestamp(key._2), adm)
+              }
+            state.update(c)
+            state.setTimeoutTimestamp(key._2 + HourMs + 600000L)
+            out.iterator
+          }
+      }
+  }
+
+  /** The batch twin of [[quotaGate]]: admitted ⟺ rank ≤ n per
+    * (user, hour window) under the same (ts, event_id) total order. */
+  def quotaGateBatch(events: DataFrame, n: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"), col("win_start"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("win_start",
+                  timestamp_millis(expr("unix_millis(ts) div 3600000")
+                                     * lit(3600000L)))
+      .withColumn("rk", row_number().over(w))
+      .select(col("event_id"), col("user_id"), col("win_start"),
+              (col("rk") <= n).as("admitted"))
+  }
+
   /** Dead-letter split — the production error-quarantine pattern: rows
     * whose payload fails the try-cast contract route to a quarantine
     * frame (with the raw payload and a reason) instead of failing the

@@ -419,6 +419,51 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(r => r._1 == "purchase" && r._4 == 1L))
   }
 
+  test("quota gate admits exactly rank<=n per (user, window) across random splits") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 2 users × 2 windows; user 1 bursts past the n=3 quota in hour 10
+    val evs = (1L to 14L).map { i =>
+      val (uid, t) =
+        if (i <= 6) (1L, s"2024-01-01 10:0${i - 1}:00")
+        else if (i <= 9) (2L, s"2024-01-01 10:0${i - 7}:30")
+        else (1L, s"2024-01-01 11:0${i - 10}:00")
+      ev(i, t, uid, "click", 1.0)
+    }
+    val expected = evs.groupBy(e => (e.user_id, e.ts.getTime / 3600000L))
+      .flatMap { case (_, es) =>
+        es.sortBy(e => (e.ts.getTime, e.event_id)).zipWithIndex
+          .map { case (e, i) => e.event_id -> (i < 3) }
+      }
+    // three different batch splits must all reproduce the batch ranking
+    for (cuts <- Seq(Seq(14), Seq(4, 9, 14), Seq(1, 2, 7, 11, 14))) {
+      val ms = MemoryStream[Event]
+      val name = nextName()
+      val q = StreamOps.quotaGate(spark, ms.toDF(), 3L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        ms.addData(evs.slice(prev, c): _*); prev = c
+        q.processAllAvailable()
+      }
+      val got = spark.table(name).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("admitted"))
+        .toMap
+      q.stop()
+      assert(got == expected, s"splits=$cuts")
+    }
+    // and the batch twin agrees on the same data
+    val twin = StreamOps.quotaGateBatch(evs.toDF(), 3L).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("admitted"))
+      .toMap
+    assert(twin == expected.toMap)
+    // quota binds: user 1 hour-10 has exactly 3 admitted of 6
+    assert(evs.filter(e => e.user_id == 1L && e.ts.getTime / 3600000L
+             == ts("2024-01-01 10:00:00").getTime / 3600000L)
+             .count(e => expected(e.event_id)) == 3)
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
