@@ -11,12 +11,21 @@ package graft
   * facts grow is EXPECTED and fine; BroadcastNestedLoopJoin or
   * CartesianProduct at any scale is a scale bug.
   *
+  * The three BNLJ-free graph ops ride along (r6): writeTpch shifts only
+  * orderkeys, so fact volume grows k× while the DISTINCT (cust, supp)
+  * membership — and therefore |V| and |E| of the derived graph — stays
+  * constant. The expected curve is SUBLINEAR: the k×-growing part is the
+  * scan + distinct dedup shuffle, the iterative graph core is bounded by
+  * the unchanged |E| — exactly the "derive once, iterate on the small
+  * thing" shape a 100 TB graph pipeline relies on.
+  *
   * Env: SPARK_GRAFT_SRC_SF (default /root/testdata/sf0.1),
   * SPARK_GRAFT_CPUS (default 32),
   * SPARK_GRAFT_GROWTH_DIR (default /tmp/graft_growth_tpch). */
 object TpchGrowthBench {
   val Queries: Seq[String] =
-    Seq("q_tpch_q21", "q_tpch_q2", "q_tpch_q8", "q_tpch_q9", "q_tpch_q17")
+    Seq("q_tpch_q21", "q_tpch_q2", "q_tpch_q8", "q_tpch_q9", "q_tpch_q17",
+        "q_graph_cc", "q_graph_labelprop", "q_graph_bfs")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,13 +50,18 @@ object TpchGrowthBench {
     val lines = Queries.map { q =>
       val cells = scales.map { k =>
         spark.catalog.clearCache()
+        // the BUILD is inside the timed region: the iterative graph ops
+        // run their label loops (with per-round checkpoints and 1-row
+        // convergence probes) at DataFrame-construction time, so timing
+        // only count() would miss most of their work. Plan inspection
+        // happens after — executedPlan is unchanged by the action.
+        val t0 = System.nanoTime()
         val df = SparkEntry.queries(q)(spark, s"$outDir/x$k")
+        val n = df.count()
+        val sec = r3((System.nanoTime() - t0) / 1e9)
         val plan = df.queryExecution.executedPlan.toString
         val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
         val cart = plan.split("\n").count(_.contains("CartesianProduct"))
-        val t0 = System.nanoTime()
-        val n = df.count()
-        val sec = r3((System.nanoTime() - t0) / 1e9)
         s""""x$k":{"rows":$n,"sec":$sec,"bnlj":$bnlj,"cartesian":$cart}"""
       }
       s""""$q":{${cells.mkString(",")}}"""
