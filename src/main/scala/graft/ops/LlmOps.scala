@@ -1078,6 +1078,49 @@ object LlmOps {
            sum(col("span_len")).cast("long").as("span_chars"))
   }
 
+  /** q_text_bpe's fixed merge count. */
+  private val BpeMerges = 3
+
+  /** One BPE round per CTE block: pair stats over the current symbol
+    * stream → argmax pair under the (count desc, left, right) total
+    * order → leftmost-non-overlapping merge application (islands over
+    * consecutive hit positions; within a run every second hit merges) →
+    * renumber. Shared verbatim by both engines. */
+  private val bpeSteps: String = (1 to BpeMerges).map { r =>
+    val p = r - 1
+    s"""p$r AS (
+       |  SELECT x.sym AS la, y.sym AS lb, sum(x.freq) AS c
+       |  FROM s$p x JOIN s$p y ON x.tok = y.tok AND y.pos = x.pos + 1
+       |  GROUP BY 1, 2),
+       |b$r AS (SELECT la, lb, c FROM p$r ORDER BY c DESC, la, lb LIMIT 1),
+       |h$r AS (
+       |  SELECT tok, pos FROM (
+       |    SELECT tok, pos, min(pos) OVER (PARTITION BY tok, grp) AS rs
+       |    FROM (
+       |      SELECT x.tok, x.pos,
+       |        x.pos - row_number() OVER (PARTITION BY x.tok
+       |                                   ORDER BY x.pos) AS grp
+       |      FROM s$p x
+       |      JOIN s$p y ON x.tok = y.tok AND y.pos = x.pos + 1
+       |      CROSS JOIN b$r
+       |      WHERE x.sym = b$r.la AND y.sym = b$r.lb) t1) t2
+       |  WHERE (pos - rs) % 2 = 0),
+       |s$r AS (
+       |  SELECT tok, freq,
+       |    CAST(row_number() OVER (PARTITION BY tok ORDER BY pos) AS BIGINT)
+       |      AS pos,
+       |    sym
+       |  FROM (
+       |    SELECT s.tok, s.freq, s.pos,
+       |      CASE WHEN hs.pos IS NOT NULL THEN b.la || b.lb
+       |           ELSE s.sym END AS sym
+       |    FROM s$p s
+       |    CROSS JOIN b$r b
+       |    LEFT JOIN h$r hs ON hs.tok = s.tok AND hs.pos = s.pos
+       |    LEFT JOIN h$r hp ON hp.tok = s.tok AND hp.pos = s.pos - 1
+       |    WHERE hp.pos IS NULL) u),""".stripMargin
+  }.mkString("\n")
+
   /** Classic TF-IDF, top-k terms per doc ranked on the rounded weight
     * (cross-engine float safety). df is VOCABULARY-sized (corpus-derived,
     * unbounded) so it shuffles on tok (AQE broadcasts it only if measured
@@ -2171,6 +2214,108 @@ object LlmOps {
                          - lit(84.6) * (syll * lit(1.0) / words))
                   .as("flesch"))
         .orderBy("doc_id")
+    },
+
+    /** Distributed BPE vocabulary induction, 3 merge rounds — the
+      * tokenizer-TRAINING step of the pipeline (q_text_tokcount_re
+      * counts the atoms BPE starts from; this learns the merges): count
+      * adjacent symbol pairs over the frequency-weighted vocabulary,
+      * take the argmax pair under the (count desc, left, right) total
+      * order — the determinism rule that makes BPE oracle-checkable —
+      * apply it leftmost-non-overlapping (islands over consecutive hit
+      * positions, every second hit in a run merges: the "aaa" + (a,a)
+      * case), renumber, repeat. Output is the learned merge table,
+      * exactly what a tokenizer ships.
+      *
+      * Scale shape: the ONLY corpus-sized stage is the token-frequency
+      * groupBy; every round then works on the VOCABULARY × word-length
+      * symbol table (Zipf-bounded, ~10⁶ rows for a real corpus — not
+      * corpus-sized), with the 1-row argmax broadcast (declared BNLJ
+      * allowlist) and a lazy per-round checkpoint keeping the lineage
+      * flat (the clusterPairs discipline). */
+    OpDef(
+      "q_text_bpe",
+      s"""WITH wf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |s0 AS (
+        |  SELECT tok, freq, CAST(i AS BIGINT) AS pos,
+        |    substring(tok, CAST(i AS INTEGER), 1) AS sym
+        |  FROM (SELECT tok, freq, unnest(range(1, length(tok) + 1)) AS i
+        |        FROM wf)),
+        |$bpeSteps
+        |merges AS (
+        |  SELECT CAST(1 AS BIGINT) AS merge_rank, la AS left_sym,
+        |         lb AS right_sym, CAST(c AS BIGINT) AS pair_count FROM b1
+        |  UNION ALL SELECT 2, la, lb, CAST(c AS BIGINT) FROM b2
+        |  UNION ALL SELECT 3, la, lb, CAST(c AS BIGINT) FROM b3)
+        |SELECT merge_rank, left_sym, right_sym, pair_count
+        |FROM merges ORDER BY merge_rank""".stripMargin
+    ) { (s, d) =>
+      val wf = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).cast("long").as("freq"))
+      // key the symbol stream by a compact vocabulary ordinal, NOT the
+      // token string: every symbol row would otherwise carry the full
+      // token text through three rounds of checkpointed state, and a
+      // single 100 kB token (HostileCorpusSpec) × its 100 k positions
+      // is a 10 GB materialization — measured OOM. The ordinal is a
+      // vocabulary-bounded global row_number (the corpus-wide argmax
+      // already makes BPE vocabulary-synchronous); the oracle keeps tok
+      // keys — wid↔tok is a bijection, outputs are identical.
+      val words = wf.select(
+        col("tok"), col("freq"),
+        row_number().over(Window.orderBy(col("tok"))).cast("long").as("wid"))
+      var sym = words
+        .select(col("wid"), col("freq"), col("tok"),
+                explode(sequence(lit(1), length(col("tok")))).as("p0"))
+        .select(col("wid"), col("freq"), col("p0").cast("long").as("pos"),
+                col("tok").substr(col("p0"), lit(1)).as("sym"))
+        .localCheckpoint(false)
+      val wRn = Window.partitionBy(col("wid")).orderBy(col("pos"))
+      var merges: DataFrame = null
+      for (r <- 1 to BpeMerges) {
+        val nxt = sym.select(col("wid").as("wid2"), col("pos").as("pos2"),
+                             col("sym").as("sym2"))
+        val adj = sym.join(nxt, col("wid") === col("wid2")
+                                  && col("pos2") === col("pos") + 1)
+        val best = adj.groupBy(col("sym").as("la"), col("sym2").as("lb"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("la"), col("lb")).limit(1)
+          .localCheckpoint(false)
+        val hits = adj.crossJoin(broadcast(best))
+          .filter(col("sym") === col("la") && col("sym2") === col("lb"))
+          .select(col("wid"), col("pos"))
+          .withColumn("grp", col("pos") - row_number().over(wRn))
+          .withColumn("rs", min(col("pos")).over(
+            Window.partitionBy(col("wid"), col("grp"))))
+          .filter((col("pos") - col("rs")) % 2 === 0)
+          .select(col("wid").as("hwid"), col("pos").as("hpos"))
+        val hA = hits.select(col("hwid").as("w1"), col("hpos").as("p1"))
+        val hB = hits.select(col("hwid").as("w2"), col("hpos").as("p2"))
+        sym = sym.crossJoin(broadcast(best))
+          .join(hA, col("wid") === col("w1") && col("pos") === col("p1"),
+                "left")
+          .join(hB, col("wid") === col("w2") && col("pos") === col("p2") + 1,
+                "left")
+          .filter(col("p2").isNull)
+          .select(col("wid"), col("freq"), col("pos"),
+                  when(col("p1").isNotNull, concat(col("la"), col("lb")))
+                    .otherwise(col("sym")).as("sym0"))
+          .select(col("wid"), col("freq"),
+                  row_number().over(wRn).cast("long").as("pos"),
+                  col("sym0").as("sym"))
+          .localCheckpoint(false)
+        val tagged = best.select(lit(r.toLong).as("merge_rank"),
+                                 col("la").as("left_sym"),
+                                 col("lb").as("right_sym"),
+                                 col("c").cast("long").as("pair_count"))
+        merges = if (merges == null) tagged else merges.unionAll(tagged)
+      }
+      merges.orderBy("merge_rank")
     },
 
     // ------------------------------------------- text: fingerprinting ---

@@ -69,7 +69,8 @@ class HostileCorpusSpec extends SparkTestBase {
     "q_text_code_detect", "q_text_repetition", "q_text_chunk",
     "q_text_tokcount", "q_text_tokcount_re", "q_text_fingerprint",
     "q_text_winnow", "q_text_winnow_pairs", "q_text_dupspans",
-    "q_dedup_substring", "q_text_readability", "q_text_containment_pairs",
+    "q_dedup_substring", "q_text_readability", "q_text_bpe",
+    "q_text_containment_pairs",
     "q_text_contamination", "q_text_novelty", "q_text_keywords",
     "q_text_tfidf", "q_text_cluster_topics", "q_text_heavyhitters",
     "q_dedup_exact", "q_dedup_norm", "q_dedup_near", "q_dedup_minhash",

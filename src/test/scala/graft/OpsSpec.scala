@@ -1494,6 +1494,42 @@ class OpsSpec extends SparkTestBase {
            math.min(r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx")))
   }
 
+  test("bpe merges replay an exact in-memory BPE on the token frequencies") {
+    val rows = queries("q_text_bpe")(spark, sf).collect()
+    var words: Map[Vector[String], Long] = graft.ops.Tables
+      .documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0).split("").toVector -> r.getLong(1)).toMap
+    val expected = scala.collection.mutable.Buffer[(String, String, Long)]()
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((w, f) <- words; i <- 0 until w.length - 1)
+        pc((w(i), w(i + 1))) += f
+      if (pc.nonEmpty) {
+        val ((la, lb), c) =
+          pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+        expected += ((la, lb, c))
+        // leftmost-non-overlapping greedy application, the op's islands rule
+        words = words.toSeq.map { case (w, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < w.length) {
+            if (i < w.length - 1 && w(i) == la && w(i + 1) == lb) {
+              out += (la + lb); i += 2
+            } else { out += w(i); i += 1 }
+          }
+          (out.result(), f)
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      }
+    }
+    assert(rows.map(r => (r.getString(1), r.getString(2),
+                          r.getAs[Long]("pair_count"))).toSeq
+             == expected.toSeq)
+  }
+
   test("theil-sen slope is the lower median of the exact pairwise slopes") {
     val rows = queries("q_events_theilsen")(spark, sf).collect()
     assert(rows.length == 1)

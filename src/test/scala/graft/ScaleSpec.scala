@@ -545,6 +545,7 @@ class ScaleSpec extends SparkTestBase {
     "q_graph_clustercoeff", // triangle core's 1-row threshold attach
     "q_eval_ann", // ivfTopK's bounded centroid-table broadcast
     "q_eval_dedup", // two 1-row count attaches
+    "q_text_bpe", // per-round 1-row argmax-pair broadcast
     // (b) documented exact baselines (ANN/banded twins are the scale path)
     "q_sim_knn", "q_sim_topk", "q_sim_cosine_dup", "q_vec_knn_classify",
     "q_vec_matryoshka",
