@@ -291,6 +291,41 @@ object Graph {
        |  WHERE rk = 1),""".stripMargin
   }.mkString("\n")
 
+  /** The 4-round synchronous LPA core shared by q_graph_labelprop and
+    * q_eval_communities: returns (cached symmetric edge table (a, b),
+    * final label table (v, lbl)). Plurality pick spelled as
+    * max(struct(count, -label)) — one aggregation tree (partial max per
+    * (a)-partition map-side) instead of the oracle's window spelling,
+    * which costs a per-round repartition + SORT by (v, c desc); same
+    * (most-frequent, ties→min) result. Measured 8.7 s → 5.4 s at sf0.1
+    * for the 4-round loop. */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
+                        d: String): (DataFrame, DataFrame) = {
+    val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val pairs = cooccur(cs, degCap = 100, minShared = 3)
+    val edges = pairs.select(col("s1").as("a"), col("s2").as("b"))
+      .unionAll(pairs.select(col("s2").as("a"), col("s1").as("b")))
+      .repartition(col("b")).cache()
+    var lbl = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint(false)
+    for (_ <- 1 to LpaSteps) {
+      lbl = edges
+        .join(lbl.select(col("v").as("bv"), col("lbl")),
+              col("b") === col("bv"))
+        .groupBy(col("a").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("pick"))
+        .select(col("v"), (-col("pick.nl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    (edges, lbl)
+  }
+
   def ops: Seq[OpDef] = Seq(
 
     OpDef(
@@ -725,33 +760,7 @@ object Graph {
          |FROM l$LpaSteps JOIN sz USING (lbl)
          |ORDER BY supp""".stripMargin
     ) { (s, d) =>
-      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
-      val pairs = cooccur(cs, degCap = 100, minShared = 3)
-      val edges = pairs.select(col("s1").as("a"), col("s2").as("b"))
-        .unionAll(pairs.select(col("s2").as("a"), col("s1").as("b")))
-        .repartition(col("b")).cache()
-      var lbl = edges.select(col("a").as("v")).distinct()
-        .select(col("v"), col("v").as("lbl")).localCheckpoint(false)
-      for (_ <- 1 to LpaSteps) {
-        // plurality pick as max(struct(count, -label)) — one aggregation
-        // tree (partial max per (a)-partition map-side) instead of the
-        // oracle's window spelling, which costs a per-round repartition +
-        // SORT by (v, c desc); same (most-frequent, ties→min) result.
-        // Measured 8.7 s → 5.4 s at sf0.1 for the 4-round loop.
-        lbl = edges
-          .join(lbl.select(col("v").as("bv"), col("lbl")),
-                col("b") === col("bv"))
-          .groupBy(col("a").as("v"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy("v")
-          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("pick"))
-          .select(col("v"), (-col("pick.nl")).as("lbl"))
-          .localCheckpoint(false)
-      }
+      val (edges, lbl) = lpaLabels(s, d)
       val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("n"))
       val out = lbl.join(sz, Seq("lbl"))
         .select(col("v").cast("long").as("supp"),
@@ -760,6 +769,151 @@ object Graph {
         .orderBy("supp")
       edges.unpersist()
       out
+    },
+
+    /** Modularity of the LPA partition — the community-QUALITY scalar
+      * (Newman's Q) the eval family applies to graphs: q_eval_ann scores
+      * retrieval, q_eval_dedup scores banding, this scores the
+      * communities q_graph_labelprop emits. Q = Σ_c [Lᶜ/(2m) −
+      * (Dᶜ/(2m))²] over the symmetric edge table; spelled as ONE exact
+      * integer numerator m₂·ΣLᶜ − ΣDᶜ² over denominator m₂² (m₂ = the
+      * directed edge count = 2m), so partial-aggregation order cannot
+      * perturb it and only the final division touches doubles (r6). Q>0
+      * means denser-than-random communities. BIGINT-safe while
+      * m₂ < ~3·10⁹; beyond that the division moves to DECIMAL — noted,
+      * not simulated, at fixture scale.
+      *
+      * Cost: the LPA rounds (shared via [[lpaLabels]]) + one intra-edge
+      * join + two community-bounded aggregates; 1-row attaches declared
+      * in the BNLJ allowlist. */
+    OpDef(
+      "q_eval_communities",
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ok AS (SELECT cust FROM cs GROUP BY cust HAVING count(*) <= 100),
+         |c2 AS (SELECT cs.cust, cs.supp FROM cs JOIN ok USING (cust)),
+         |p AS (
+         |  SELECT a.supp AS s1, b.supp AS s2
+         |  FROM c2 a JOIN c2 b ON a.cust = b.cust AND a.supp < b.supp
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |e AS (SELECT s1 AS a, s2 AS b FROM p
+         |      UNION SELECT s2 AS a, s1 AS b FROM p),
+         |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
+         |$lpaSteps
+         |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+         |        FROM e GROUP BY a),
+         |intra AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS li
+         |  FROM e
+         |  JOIN l$LpaSteps x ON e.a = x.v
+         |  JOIN l$LpaSteps y ON e.b = y.v AND x.lbl = y.lbl),
+         |dc AS (
+         |  SELECT x.lbl, CAST(sum(deg.d) AS BIGINT) AS dsum
+         |  FROM l$LpaSteps x JOIN deg ON deg.v = x.v
+         |  GROUP BY x.lbl),
+         |sq AS (SELECT CAST(count(*) AS BIGINT) AS n_comm,
+         |              CAST(sum(dsum * dsum) AS BIGINT) AS sd FROM dc),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e)
+         |SELECT sq.n_comm AS n_communities, tot.m2 // 2 AS m_edges,
+         |  CAST(intra.li AS BIGINT) AS intra_directed,
+         |  floor(((tot.m2 * intra.li - sq.sd) * 1.0 / (tot.m2 * tot.m2))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS modularity
+         |FROM sq, tot, intra""".stripMargin
+    ) { (s, d) =>
+      val (edges, lbl) = lpaLabels(s, d)
+      val deg = edges.groupBy(col("a").as("v"))
+        .agg(count(lit(1)).cast("long").as("d"))
+      val lx = lbl.select(col("v").as("xv"), col("lbl").as("xl"))
+      val ly = lbl.select(col("v").as("yv"), col("lbl").as("yl"))
+      val intra = edges
+        .join(lx, col("a") === col("xv"))
+        .join(ly, col("b") === col("yv") && col("xl") === col("yl"))
+        .agg(count(lit(1)).cast("long").as("li"))
+      val dc = lbl.join(deg, Seq("v"))
+        .groupBy("lbl").agg(sum(col("d")).cast("long").as("dsum"))
+      val sq = dc.agg(count(lit(1)).cast("long").as("n_comm"),
+                      sum(col("dsum") * col("dsum")).cast("long").as("sd"))
+      val tot = edges.agg(count(lit(1)).cast("long").as("m2"))
+      sq.crossJoin(broadcast(tot)).crossJoin(broadcast(intra))
+        .select(col("n_comm").as("n_communities"),
+                expr("m2 div 2").as("m_edges"),
+                col("li").as("intra_directed"),
+                Det.r6((col("m2") * col("li") - col("sd")) * lit(1.0)
+                         / (col("m2") * col("m2"))).as("modularity"))
+    },
+
+    /** Degree assortativity of the thinned (l_quantity ≤ 2) purchase
+      * graph — Newman's degree-mixing coefficient: the Pearson
+      * correlation of endpoint degrees over the directed edge list.
+      * Negative r (hubs attach to leaves) is the dissortative signature
+      * of bipartite purchase/web graphs; positive r (hubs cluster) is
+      * the social-graph signature — the one scalar that tells you which
+      * regime a new graph is in before choosing cap/salting strategy.
+      * Uses the kcore derivation's thinned graph (the full co-purchase
+      * graph is complete at fixture scale ⇒ zero degree variance ⇒
+      * undefined r). All five moments are exact BIGINT sums over the
+      * edge list (associative, engine-order-proof); one final
+      * sqrt·sqrt division touches doubles, NULL-guarded against zero
+      * variance, r6-rounded. One degree aggregation + one edge join +
+      * one 1-row reduce — shuffle-bounded by |E|. */
+    OpDef(
+      "q_graph_assortativity",
+      """WITH pe AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity <= 2),
+        |e AS (SELECT cn AS a, sn AS b FROM pe
+        |      UNION SELECT sn AS a, cn AS b FROM pe),
+        |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY a),
+        |xy AS (
+        |  SELECT dx.d AS x, dy.d AS y
+        |  FROM e JOIN deg dx ON e.a = dx.v JOIN deg dy ON e.b = dy.v),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xy)
+        |SELECT n AS m2_edges,
+        |  floor(((n * sxy - sx * sy) * 1.0
+        |         / nullif(sqrt(n * sxx - sx * sx)
+        |                  * sqrt(n * syy - sy * sy), 0))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+        |FROM s""".stripMargin
+    ) { (s, d) =>
+      val pe = lineitem(s, d)
+        .filter(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+                concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val e = pe.select(col("cn").as("a"), col("sn").as("b"))
+        .unionAll(pe.select(col("sn").as("a"), col("cn").as("b")))
+      val deg = e.groupBy(col("a").as("v"))
+        .agg(count(lit(1)).cast("long").as("d"))
+      e.join(deg.select(col("v").as("xv"), col("d").as("x")),
+             col("a") === col("xv"))
+        .join(deg.select(col("v").as("yv"), col("d").as("y")),
+              col("b") === col("yv"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("x")).cast("long").as("sx"),
+             sum(col("y")).cast("long").as("sy"),
+             sum(col("x") * col("y")).cast("long").as("sxy"),
+             sum(col("x") * col("x")).cast("long").as("sxx"),
+             sum(col("y") * col("y")).cast("long").as("syy"))
+        .select(col("n").as("m2_edges"),
+                Det.r6((col("n") * col("sxy") - col("sx") * col("sy"))
+                         * lit(1.0)
+                         / nullif(sqrt(col("n") * col("sxx")
+                                         - col("sx") * col("sx"))
+                                    * sqrt(col("n") * col("syy")
+                                             - col("sy") * col("sy")),
+                                  lit(0))).as("assortativity"))
     },
 
     /** Local clustering coefficient over the sparsified co-supply graph —

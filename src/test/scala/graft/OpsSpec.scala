@@ -1530,6 +1530,64 @@ class OpsSpec extends SparkTestBase {
              == expected.toSeq)
   }
 
+  test("modularity recomputes exactly from the LPA partition and edge list") {
+    val r = queries("q_eval_communities")(spark, sf).collect().head
+    val comm = queries("q_graph_labelprop")(spark, sf).collect()
+      .map(x => x.getAs[Long]("supp") -> x.getAs[Long]("community")).toMap
+    val cs = graft.ops.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.ops.Tables.orders(spark, sf)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val pairs = graft.ops.Graph.cooccur(cs, 100, 3)
+      .select("s1", "s2").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val dirEdges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val m2 = dirEdges.length.toLong
+    assert(r.getAs[Long]("m_edges") == m2 / 2)
+    val li = dirEdges.count { case (a, b) => comm(a) == comm(b) }.toLong
+    assert(r.getAs[Long]("intra_directed") == li)
+    val deg = dirEdges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // toSeq: a Set of node ids mapped to degrees would DEDUPLICATE equal
+    // degree values before summing (the K10 fixture graph is 9-regular)
+    val sd = comm.keys.toSeq.groupBy(comm).values
+      .map(g => { val ds = g.map(deg).sum; ds * ds }).sum
+    val q = (m2 * li - sd).toDouble / (m2 * m2)
+    assert(math.abs(r.getAs[Double]("modularity")
+             - math.floor(q * 1e6 + 0.5) / 1e6) < 1e-12)
+    assert(r.getAs[Long]("n_communities") == comm.values.toSet.size.toLong)
+  }
+
+  test("assortativity is the exact Pearson of endpoint degrees") {
+    val r = queries("q_graph_assortativity")(spark, sf).collect().head
+    val pe = graft.ops.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.ops.Tables.orders(spark, sf)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cn"),
+              concat(lit("s"), col("l_suppkey")).as("sn"))
+      .distinct().collect().map(x => (x.getString(0), x.getString(1)))
+    val e = pe.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = e.map { case (a, b) => (deg(a), deg(b)) }
+    val n = xs.length.toLong
+    assert(r.getAs[Long]("m2_edges") == n)
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map { case (x, y) => x * y }.sum
+    val (sxx, syy) = (xs.map(p => p._1 * p._1).sum, xs.map(p => p._2 * p._2).sum)
+    val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+      math.sqrt((n * syy - sy * sy).toDouble)
+    assert(den > 0, "thinned graph must have degree variance")
+    val rho = (n * sxy - sx * sy).toDouble / den
+    assert(math.abs(r.getAs[Double]("assortativity")
+             - math.floor(rho * 1e6 + 0.5) / 1e6) < 1e-12)
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+  }
+
   test("theil-sen slope is the lower median of the exact pairwise slopes") {
     val rows = queries("q_events_theilsen")(spark, sf).collect()
     assert(rows.length == 1)
