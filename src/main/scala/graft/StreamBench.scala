@@ -96,8 +96,14 @@ object StreamBench {
       (ms: MemoryStream[StreamOps.Event]) =>
         StreamOps.purchaseAfterClick(ms.toDF()))
 
+    // per-key quota gate (behavior 29): flatMapGroupsWithState admission
+    // control — one counter per live (user, window) key
+    val quota = drive("quota_gate", events.grouped(nEvents / 10).toSeq,
+      (ms: MemoryStream[StreamOps.Event]) =>
+        StreamOps.quotaGate(spark, ms.toDF(), 50L).toDF())
+
     println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
-      s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin}}""")
+      s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota}}""")
     spark.stop()
   }
 }
