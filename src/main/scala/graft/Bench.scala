@@ -22,6 +22,24 @@ object Bench {
       try graft.ops.Tables.byName(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // build the shared purchase-graph artifacts ONCE, here, and report the
+    // cost as its own metric: the suite semantics are "derive the graph
+    // table once per JVM, iterate on the small thing" (r6 verdict ask #1),
+    // and charging the build to whichever graph query happens to run first
+    // alphabetically would make that query's number meaningless (and the
+    // outlier re-measure below would then silently drop the build cost).
+    // Explicit warm = every graph query measures its stable marginal cost,
+    // and the derivation price stays visible in the detail record.
+    val graphWarmSec = {
+      val t0 = System.nanoTime()
+      try {
+        graft.ops.PurchaseGraph.pairs(spark, sfDir).count()
+        graft.ops.PurchaseGraph.thinnedNamed(spark, sfDir).count()
+        graft.ops.PurchaseGraph.lpaLabels(spark, sfDir).count()
+        graft.ops.PurchaseGraph.triangle(spark, sfDir)._2.count()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     // optional comma-separated subset for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -70,6 +88,7 @@ object Bench {
     val detail =
       s"""{"sf":"$sfDir","total":${r3(total)},"unit":"sec",
          |"n_queries":${results.length},
+         |"graph_warm_sec":${r3(graphWarmSec)},
          |"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"remeasured":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":$qs}""".stripMargin.replace("\n", "")
@@ -77,6 +96,27 @@ object Bench {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json"))
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+      // one canonical snapshot per round (r6 verdict ask #2): the round-
+      // named detail must come from THE SAME RUN the driver parses, so the
+      // bench writes it itself — round = 1 + the highest BENCH_rNN.json
+      // already committed (the driver records round N's stdout only after
+      // this run, so the max existing round is N-1). Full-suite runs only;
+      // a targeted SPARK_GRAFT_ONLY profile must not masquerade as the
+      // round record. A local full run writes the same name and the
+      // driver's later run — always the last before the round commit —
+      // overwrites it, so the committed snapshot equals the parsed one.
+      if (only.isEmpty) {
+        val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+        val n = java.nio.file.Files.list(dir).iterator()
+        var maxRound = 0
+        while (n.hasNext) {
+          val f = n.next().getFileName.toString
+          val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f)
+          m.foreach(g => maxRound = math.max(maxRound, g.group(1).toInt))
+        }
+        val snap = dir.resolve(f"BENCH_DETAIL_r${maxRound + 1}%02d.json")
+        java.nio.file.Files.write(snap, detail.getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () } // bench output contract must survive
     // full contract line (with the per-query map) first; then a SHORT
     // summary line LAST and on its own, so tail-truncation of the captured

@@ -53,15 +53,19 @@ object TpchGrowthBench {
         // the BUILD is inside the timed region: the iterative graph ops
         // run their label loops (with per-round checkpoints and 1-row
         // convergence probes) at DataFrame-construction time, so timing
-        // only count() would miss most of their work. Plan inspection
-        // happens after — executedPlan is unchanged by the action.
-        val t0 = System.nanoTime()
-        val df = SparkEntry.queries(q)(spark, s"$outDir/x$k")
-        val n = df.count()
-        val sec = r3((System.nanoTime() - t0) / 1e9)
-        val plan = df.queryExecution.executedPlan.toString
-        val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
-        val cart = plan.split("\n").count(_.contains("CartesianProduct"))
+        // only count() would miss most of their work. Plan audit covers
+        // EVERY action executed in the region — the per-round checkpoint
+        // plans included, which the final (checkpoint-truncated) plan of
+        // the iterative ops no longer shows (r6 ADVICE).
+        // timing lives INSIDE the audited block: the listener settle-wait
+        // after f must not land in the measurement
+        val ((n, sec), off) = graft.PlanAudit.withPlanOffenses(spark) {
+          val t0 = System.nanoTime()
+          val c = SparkEntry.queries(q)(spark, s"$outDir/x$k").count()
+          (c, r3((System.nanoTime() - t0) / 1e9))
+        }
+        val bnlj = off.count(_.contains("BroadcastNestedLoopJoin"))
+        val cart = off.count(_.contains("CartesianProduct"))
         s""""x$k":{"rows":$n,"sec":$sec,"bnlj":$bnlj,"cartesian":$cart}"""
       }
       s""""$q":{${cells.mkString(",")}}"""

@@ -1243,96 +1243,128 @@ object Approx {
         .orderBy("q_id", "rk")
     },
 
-    /** ANN quality harness: recall@5 of the IVF path against the exact
-      * top-5 — the number every ANN deployment is tuned by, here fully
-      * deterministic (both sides rank r6-rounded dots under id
-      * tie-breaks) and therefore oracle-checked, unlike the randomized
-      * LSH twins whose recall lives in ApproxSpec. On this fixture the
-      * labels are not geometric clusters, so recall ≈ the searched
-      * fraction (4/16 cells) — the honest floor; on clustered data the
-      * same harness reports the near-1.0 the operator is deployed for.
-      * Cost: the exact side is 8 queries × corpus (bounded by the query
-      * set, not quadratic); the IVF side reuses [[ivfTopK]] wholesale. */
+    /** ANN operating-point sweep: recall@5 of the IVF path against the
+      * exact top-5 at EVERY deployable probe budget (4/6/8/12 probed
+      * cells) — the curve an ANN deployment is tuned from, not one point
+      * on it. Fully deterministic (both sides rank r6-rounded dots under
+      * id tie-breaks) ⇒ oracle-checked, unlike the randomized LSH twins
+      * whose recall lives in ApproxSpec. The fixture has 10 label cells;
+      * probing p of them scans ~p/10 of the corpus, and on this
+      * near-uniform cloud recall ≈ the searched fraction — the honest
+      * floor that must be MONOTONE in p, and EXACTLY 1.0 at p=12 (every
+      * cell probed ⇒ the approximate path degenerates to the exact
+      * scan); ApproxSpec pins both. On clustered data the same harness
+      * finds the small p where the curve saturates.
+      *
+      * Shared-work shape: centroid ranks (crn) are computed ONCE for the
+      * widest budget; each budget re-ranks the already-scored candidate
+      * pool under `crn <= p` — four window-filter branches over one
+      * probe-12 scored table, unioned. The corpus-sized work (candidate
+      * scoring) is done once; per-budget work is candidate-pool-sized.
+      * The exact side is 8 queries × corpus, bounded by the query set. */
     OpDef(
-      "q_eval_ann",
-      """WITH e AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
-        |xsims AS (
-        |  SELECT qid, vec_id,
-        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])))
-        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
-        |  FROM q JOIN e ON qid <> vec_id),
-        |ex AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id,
-        |      row_number() OVER (PARTITION BY qid
-        |                         ORDER BY sim DESC, vec_id ASC) AS rn
-        |    FROM xsims)
-        |  WHERE rn <= 5),
-        |cpos AS (
-        |  SELECT label, i AS pos, avg(v[i]) AS cx
-        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
-        |  GROUP BY label, i),
-        |cent AS (
-        |  SELECT label, list(cx ORDER BY pos) AS cv
-        |  FROM cpos GROUP BY label),
-        |csims AS (
-        |  SELECT qid, c.label,
-        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.cv[i])))
-        |          * 1000000.0 + 0.5) / 1000000.0 AS csim
-        |  FROM q, cent c),
-        |probe AS (
-        |  SELECT qid, label FROM (
-        |    SELECT qid, label,
-        |      row_number() OVER (PARTITION BY qid
-        |                         ORDER BY csim DESC, label ASC) AS crn
-        |    FROM csims)
-        |  WHERE crn <= 4),
-        |asims AS (
-        |  SELECT p.qid, e.vec_id,
-        |    floor((list_sum(list_transform(range(1, 65), i -> q.qv[i] * e.v[i])))
-        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
-        |  FROM probe p
-        |  JOIN e ON e.label = p.label
-        |  JOIN q ON q.qid = p.qid
-        |  WHERE p.qid <> e.vec_id),
-        |av AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id,
-        |      row_number() OVER (PARTITION BY qid
-        |                         ORDER BY sim DESC, vec_id ASC) AS rn
-        |    FROM asims)
-        |  WHERE rn <= 5)
-        |SELECT ex.qid, CAST(count(av.vec_id) AS BIGINT) AS n_hits,
-        |  floor((count(av.vec_id) * 1.0 / 5) * 10000.0 + 0.5) / 10000.0
-        |    AS recall
-        |FROM ex LEFT JOIN av ON av.qid = ex.qid AND av.vec_id = ex.vec_id
-        |GROUP BY ex.qid
-        |ORDER BY ex.qid""".stripMargin
+      "q_eval_ann", {
+        val budgets = Seq(4, 6, 8, 12)
+        val perP = budgets.map { p =>
+          s"""  SELECT $p AS probes, ex.qid,
+             |    CAST(count(av.vec_id) AS BIGINT) AS n_hits,
+             |    floor((count(av.vec_id) * 1.0 / 5) * 10000.0 + 0.5) / 10000.0
+             |      AS recall
+             |  FROM ex LEFT JOIN (
+             |    SELECT qid, vec_id FROM (
+             |      SELECT qid, vec_id,
+             |        row_number() OVER (PARTITION BY qid
+             |                           ORDER BY sim DESC, vec_id ASC) AS rn
+             |      FROM asims WHERE crn <= $p)
+             |    WHERE rn <= 5) av
+             |    ON av.qid = ex.qid AND av.vec_id = ex.vec_id
+             |  GROUP BY ex.qid""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+           |xsims AS (
+           |  SELECT qid, vec_id,
+           |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+           |  FROM q JOIN e ON qid <> vec_id),
+           |ex AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid
+           |                         ORDER BY sim DESC, vec_id ASC) AS rn
+           |    FROM xsims)
+           |  WHERE rn <= 5),
+           |cpos AS (
+           |  SELECT label, i AS pos, avg(v[i]) AS cx
+           |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY label, i),
+           |cent AS (
+           |  SELECT label, list(cx ORDER BY pos) AS cv
+           |  FROM cpos GROUP BY label),
+           |csims AS (
+           |  SELECT qid, c.label,
+           |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.cv[i])))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS csim
+           |  FROM q, cent c),
+           |probe AS (
+           |  SELECT qid, label, crn FROM (
+           |    SELECT qid, label,
+           |      row_number() OVER (PARTITION BY qid
+           |                         ORDER BY csim DESC, label ASC) AS crn
+           |    FROM csims)
+           |  WHERE crn <= 12),
+           |asims AS (
+           |  SELECT p.qid, e.vec_id, p.crn,
+           |    floor((list_sum(list_transform(range(1, 65), i -> q.qv[i] * e.v[i])))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+           |  FROM probe p
+           |  JOIN e ON e.label = p.label
+           |  JOIN q ON q.qid = p.qid
+           |  WHERE p.qid <> e.vec_id),
+           |u AS (
+           |$perP)
+           |SELECT CAST(probes AS BIGINT) AS probes, qid, n_hits, recall
+           |FROM u ORDER BY probes, qid""".stripMargin
+      }
     ) { (s, d) =>
+      val budgets = Seq(4, 6, 8, 12)
       val exact = graft.ops.LlmOps
         .cosineTopK(embeddings(s, d), col("vec_id") < 8, 5)
         .select("qid", "vec_id")
-      val approx = ivfTopK(s, d)
-        .select(col("qid").as("aqid"), col("vec_id").as("avid"))
-      exact
-        .join(approx, col("qid") === col("aqid")
-                        && col("vec_id") === col("avid"), "left")
-        .groupBy("qid")
-        .agg(count(col("aqid")).cast("long").as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-                Det.r4(col("n_hits") * lit(1.0) / lit(5)).as("recall"))
-        .orderBy("qid")
+      // candidate pool scored ONCE at the widest budget, with each
+      // cell's centroid rank riding along for the per-budget filters
+      val pool = ivfScored(s, d, maxProbes = 12)
+      val wTop = Window.partitionBy(col("aqid"))
+        .orderBy(col("sim").desc, col("avid").asc)
+      val perP = budgets.map { p =>
+        val av = pool.filter(col("crn") <= p)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(col("aqid"), col("avid"))
+        exact
+          .join(av, col("qid") === col("aqid")
+                      && col("vec_id") === col("avid"), "left")
+          .groupBy("qid")
+          .agg(count(col("aqid")).cast("long").as("n_hits"))
+          .select(lit(p.toLong).as("probes"), col("qid"), col("n_hits"),
+                  Det.r4(col("n_hits") * lit(1.0) / lit(5)).as("recall"))
+      }
+      perP.reduce(_.unionAll(_)).orderBy("probes", "qid")
     }
   )
 
-  /** IVF coarse-quantize → probe-4 → exact re-rank, the deterministic
-    * ANN pipeline behind q_sim_ann_ivf and the q_eval_ann recall
-    * harness. Columns: qid, vec_id, sim, rn (top-5 per query). */
-  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession,
-                             d: String): org.apache.spark.sql.DataFrame = {
+  /** IVF candidate pool scored at a probe budget: coarse-quantize the 8
+    * fixture queries against the per-label centroids, keep the
+    * `maxProbes` best cells per query (centroid rank `crn` rides along),
+    * and exact-score every candidate in those cells. Columns: aqid,
+    * avid, crn, sim — NOT yet top-k'd, so one scored pool serves every
+    * budget ≤ maxProbes (the q_eval_ann sweep filters `crn <= p` and
+    * re-ranks per budget; corpus-sized scoring runs once). */
+  private[graft] def ivfScored(s: org.apache.spark.sql.SparkSession,
+                               d: String, maxProbes: Int)
+      : org.apache.spark.sql.DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"),
               transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -1352,14 +1384,25 @@ object Approx {
     val probe = q.join(broadcast(cent))
       .select(col("qid"), col("qv"), col("label"), Det.r6(dotc).as("csim"))
       .withColumn("crn", row_number().over(wCell))
-      .filter(col("crn") <= 4)
-      .select(col("qid"), col("qv"), col("label"))
+      .filter(col("crn") <= maxProbes)
+      .select(col("qid"), col("qv"), col("label"), col("crn"))
     val dotv = expr("graft_dot(qv, v)")
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
     probe.join(e, Seq("label"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), Det.r6(dotv).as("sim"))
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"), col("crn"),
+              Det.r6(dotv).as("sim"))
+  }
+
+  /** IVF coarse-quantize → probe-4 → exact re-rank, the deterministic
+    * ANN pipeline behind q_sim_ann_ivf. Columns: qid, vec_id, sim, rn
+    * (top-5 per query). The [[ivfScored]] pool at probe budget 4,
+    * top-k'd. */
+  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    ivfScored(s, d, maxProbes = 4)
+      .select(col("aqid").as("qid"), col("avid").as("vec_id"), col("sim"))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 5)
   }

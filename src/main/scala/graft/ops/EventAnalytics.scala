@@ -620,8 +620,13 @@ object EventAnalytics {
         .agg(Det.r4(sum(col("value"))).as("v"))
       daily
         .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("xs"))
+        // the size guard is load-bearing on an EMPTY series: Spark's
+        // sequence(1, 0) counts DOWN to [1, 0] and would emit two
+        // null-day rows where the recursive oracle returns zero (the
+        // q_win_holtwinters guard, applied at threshold 1)
         .select(explode(expr(
-          """transform(sequence(1, size(xs)), i -> named_struct(
+          """CASE WHEN size(xs) >= 1 THEN
+            |transform(sequence(1, size(xs)), i -> named_struct(
             |  'day', element_at(xs, i).day,
             |  'v', element_at(xs, i).v,
             |  'st', aggregate(slice(xs, 2, i - 1),
@@ -630,7 +635,8 @@ object EventAnalytics {
             |    (acc, x) -> named_struct(
             |      'l', 0.5 * x.v + 0.5 * (acc.l + acc.b),
             |      'b', 0.3 * ((0.5 * x.v + 0.5 * (acc.l + acc.b)) - acc.l)
-            |           + 0.7 * acc.b))))""".stripMargin)).as("r"))
+            |           + 0.7 * acc.b))))
+            |ELSE array() END""".stripMargin)).as("r"))
         .select(col("r.day").as("day"), col("r.v").as("v"),
                 Det.r4(col("r.st.l")).as("level"),
                 Det.r4(col("r.st.b")).as("trend"))
@@ -1782,8 +1788,11 @@ object EventAnalytics {
         .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
         .agg(Det.r4(sum(col("value"))).as("v"))
         .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("xs"))
+        // size guard as in q_win_holt: sequence(1, 0) counts down on an
+        // empty series and would emit null-day rows the oracle lacks
         .select(explode(expr(
-          """transform(sequence(1, size(xs)), i -> named_struct(
+          """CASE WHEN size(xs) >= 1 THEN
+            |transform(sequence(1, size(xs)), i -> named_struct(
             |  'day', element_at(xs, i).day,
             |  'v', element_at(xs, i).v,
             |  'st', aggregate(slice(xs, 2, i - 1),
@@ -1793,7 +1802,8 @@ object EventAnalytics {
             |      'x', acc.x + ((acc.p + 0.5) / ((acc.p + 0.5) + 2.0))
             |           * (e.v - acc.x),
             |      'p', (1.0 - ((acc.p + 0.5) / ((acc.p + 0.5) + 2.0)))
-            |           * (acc.p + 0.5)))))""".stripMargin)).as("r"))
+            |           * (acc.p + 0.5)))))
+            |ELSE array() END""".stripMargin)).as("r"))
         .select(col("r.day").as("day"), col("r.v").as("v"),
                 Det.r4(col("r.st.x")).as("est"),
                 Det.r6(col("r.st.p")).as("perr"))

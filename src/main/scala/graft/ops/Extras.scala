@@ -506,6 +506,63 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    // CDC apply with tombstones — the DELETE half MERGE needs before it
+    // can consume a real change feed (q_merge_upsert covers update/
+    // insert only; an append-only source never exercises the third
+    // action). Change rows carry op ∈ {'U','D'}: matched 'D' removes the
+    // base row (WHEN MATCHED AND op='D' THEN DELETE), matched 'U'
+    // updates, unmatched 'U' inserts, unmatched 'D' is a no-op (late
+    // tombstone for a row never seen — dropped, not inserted). Spelled
+    // as the SAME one full-outer join on the merge key as q_merge_upsert
+    // plus ONE post-join filter (tombstones and their targets fall out
+    // together) — no second pass, no anti-join: one shuffle per side at
+    // any scale, AQE broadcasts a small feed. Deletions here are exactly
+    // the keys q_dq_snapshot_diff classifies 'removed' when auditing
+    // base vs applied (OpsSpec asserts the apply and the audit agree,
+    // plus row conservation: |out| = |base| + inserted - deleted).
+    OpDef(
+      "q_merge_cdc",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |cdc AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(o_totalprice * CAST(1.1 AS DOUBLE) AS DOUBLE) AS new_price
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        |  floor((coalesce(c.new_price, b.o_totalprice)) * 100.0 + 0.5) / 100.0
+        |    AS price,
+        |  CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |         THEN 'updated'
+        |       WHEN c.o_orderkey IS NOT NULL THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM base b FULL JOIN cdc c ON b.o_orderkey = c.o_orderkey
+        |WHERE coalesce(c.op, '') <> 'D'
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val base = orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cdc = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("c_orderkey"),
+                col("o_custkey").as("c_custkey"),
+                when(col("o_orderkey") % 10 === 0, "D").otherwise("U")
+                  .as("op"),
+                (col("o_totalprice") * lit(1.1)).as("new_price"))
+      base.join(cdc, col("o_orderkey") === col("c_orderkey"), "full")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("c_orderkey"), col("o_orderkey")).as("o_orderkey"),
+          coalesce(col("c_custkey"), col("o_custkey")).as("o_custkey"),
+          Det.r2(coalesce(col("new_price"), col("o_totalprice"))).as("price"),
+          when(col("c_orderkey").isNotNull && col("o_orderkey").isNotNull,
+               "updated")
+            .when(col("c_orderkey").isNotNull, "inserted")
+            .otherwise("kept").as("action"))
+        .orderBy("o_orderkey")
+    },
+
     // table profiling — the data-catalog job every warehouse runs on
     // landing: per-column row count, null count, exact distinct count and
     // numeric min/max for lineitem's key/measure columns, ONE ROW PER

@@ -61,8 +61,9 @@ object Graph {
     // PRESERVES outputPartitioning, so all 6 iteration joins reuse this one
     // hash layout and only the node-sized rank table shuffles per step — a
     // checkpointed edge table re-shuffled every iteration (measured 13.9 s
-    // → 8.5 s at sf0.1). Cache lifetime is the documented ops contract
-    // (callers clearCache between queries, as Bench/Verify do).
+    // → 8.5 s at sf0.1). The cache is loop-scoped: the final ranks are
+    // materialized eagerly below and the cache released here (r7 — the
+    // old callers-clearCache contract left it live until the next query).
     val edges = edgesIn
       .select(col("src"), col("dst"),
               floor(col("n") * lit(1000000.0) / sum(col("n")).over(wOut)
@@ -92,22 +93,25 @@ object Graph {
         .crossJoin(broadcast(tele))
         .select(col("node"),
                 (col("t") + expr("(85 * coalesce(c, 0L) + 50) div 100")).as("r"))
+      PlanProbe.note("pagerank", ranks)
     }
-    ranks.select(col("node"), (col("r") / lit(1000000.0)).as("pr"))
+    // eager checkpoint: materializes all 6 steps THROUGH the edge cache,
+    // so unpersisting right after is safe (and nothing leaks past the op)
+    val out = ranks.localCheckpoint(true)
+    edges.unpersist()
+    out.select(col("node"), (col("r") / lit(1000000.0)).as("pr"))
       .orderBy("node")
   }
 
-  /** The fixture edge list: customer↔supplier purchase counts, symmetrized.
-    * One corpus-sized join + aggregation; everything downstream is
-    * edge-table-sized. */
+  /** The fixture edge list: customer↔supplier purchase counts,
+    * symmetrized — a map over the memoized [[PurchaseGraph.pairs]] base
+    * (the corpus-sized join + aggregation runs once per (session, dir),
+    * not once per graph query). */
   private def purchaseEdges(s: org.apache.spark.sql.SparkSession,
                             d: String): DataFrame = {
-    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-      .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
-               concat(lit("s"), col("l_suppkey")).as("sn"))
-      .agg(count(lit(1)).as("n"))
+    val pairs = PurchaseGraph.pairs(s, d)
+      .select(concat(lit("c"), col("cust")).as("cn"),
+              concat(lit("s"), col("supp")).as("sn"), col("n"))
     pairs.select(col("cn").as("src"), col("sn").as("dst"), col("n"))
       .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("n")))
   }
@@ -195,15 +199,20 @@ object Graph {
       |  GROUP BY 1)""".stripMargin
 
   /** Thresholded part-affinity supplier graph + oriented triangle
-    * counts — q_graph_triangles' core, reused by q_graph_clustercoeff.
-    * Returns (deg, corners): per-node degree of the thresholded graph
-    * (columns s, d) and per-node triangle memberships (s, n_tri). The
-    * edge set keeps supplier pairs whose shared-part support exceeds
+    * counts — q_graph_triangles' core, reused by q_graph_clustercoeff
+    * (consumers go through the memoized [[PurchaseGraph.triangle]]).
+    * Returns (deg, corners, scaffold): per-node degree of the
+    * thresholded graph (columns s, d), per-node triangle memberships
+    * (s, n_tri), and the internal cached edge set the CALLER must
+    * unpersist once both outputs are materialized (the memo builder
+    * does; the r6 shape leaked it from every consumer but labelprop).
+    * The edge set keeps supplier pairs whose shared-part support exceeds
     * mean + 2σ (both moments exact integer sums); triangles enumerate
     * via the degree-orientation trick (each triangle found exactly once
     * from its lowest-degree corner — the standard O(E^1.5) bound). */
-  private def triangleCorners(s: org.apache.spark.sql.SparkSession,
-                              d: String): (DataFrame, DataFrame) = {
+  private[graft] def triangleCorners(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
     val ps0 = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
       .distinct()
     val pc = ps0.groupBy("l_partkey").agg(count(lit(1)).as("c"))
@@ -269,12 +278,12 @@ object Graph {
       .unionAll(tri.select(col("a")))
       .unionAll(tri.select(col("b")))
       .groupBy("s").agg(count(lit(1)).as("n_tri"))
-    (deg, corners)
+    (deg, corners, e)
   }
 
   /** q_graph_labelprop's fixed round count (see the op's docstring for
     * why convergence is NOT the stopping rule). */
-  private val LpaSteps = 4
+  private[ops] val LpaSteps = 4
 
   /** One LPA round per CTE: plurality label among neighbors, ties to the
     * smallest label. The window's ORDER BY count(*) runs over the
@@ -291,40 +300,14 @@ object Graph {
        |  WHERE rk = 1),""".stripMargin
   }.mkString("\n")
 
-  /** The 4-round synchronous LPA core shared by q_graph_labelprop and
-    * q_eval_communities: returns (cached symmetric edge table (a, b),
-    * final label table (v, lbl)). Plurality pick spelled as
-    * max(struct(count, -label)) — one aggregation tree (partial max per
-    * (a)-partition map-side) instead of the oracle's window spelling,
-    * which costs a per-round repartition + SORT by (v, c desc); same
-    * (most-frequent, ties→min) result. Measured 8.7 s → 5.4 s at sf0.1
-    * for the 4-round loop. */
-  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
-                        d: String): (DataFrame, DataFrame) = {
-    val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-    val pairs = cooccur(cs, degCap = 100, minShared = 3)
-    val edges = pairs.select(col("s1").as("a"), col("s2").as("b"))
-      .unionAll(pairs.select(col("s2").as("a"), col("s1").as("b")))
-      .repartition(col("b")).cache()
-    var lbl = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).localCheckpoint(false)
-    for (_ <- 1 to LpaSteps) {
-      lbl = edges
-        .join(lbl.select(col("v").as("bv"), col("lbl")),
-              col("b") === col("bv"))
-        .groupBy(col("a").as("v"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("v")
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("pick"))
-        .select(col("v"), (-col("pick.nl")).as("lbl"))
-        .localCheckpoint(false)
-    }
-    (edges, lbl)
-  }
+  // The 4-round synchronous LPA core shared by q_graph_labelprop and
+  // q_eval_communities lives in [[PurchaseGraph.lpaLabels]] (memoized per
+  // (session, dir), eager, scaffold-cache-safe). Plurality pick is spelled
+  // max(struct(count, -label)) — one aggregation tree (partial max per
+  // (a)-partition map-side) instead of the oracle's window spelling, which
+  // costs a per-round repartition + SORT by (v, c desc); same
+  // (most-frequent, ties→min) result. Measured 8.7 s → 5.4 s at sf0.1 for
+  // the 4-round loop.
 
   def ops: Seq[OpDef] = Seq(
 
@@ -393,12 +376,7 @@ object Graph {
         |JOIN deg d2 ON p.s2 = d2.supp
         |ORDER BY jacc DESC, s1, s2 LIMIT 100""".stripMargin
     ) { (s, d) =>
-      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
-      cooccur(cs, degCap = 100, minShared = 2)
+      cooccur(PurchaseGraph.custSupp(s, d), degCap = 100, minShared = 2)
         .orderBy(col("jacc").desc, col("s1"), col("s2"))
         .limit(100)
     },
@@ -424,11 +402,7 @@ object Graph {
         |       CAST(n_nodes AS BIGINT) AS n_nodes
         |FROM h ORDER BY side, degree""".stripMargin
     ) { (s, d) =>
-      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
+      val cs = PurchaseGraph.custSupp(s, d)
       def hist(key: String, side: String): DataFrame =
         cs.groupBy(key).agg(count(lit(1)).as("deg"))
           .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
@@ -468,9 +442,12 @@ object Graph {
          |LEFT JOIN corners ON corners.s = sp.s_suppkey
          |ORDER BY sp.s_suppkey""".stripMargin
     ) { (s, d) =>
-      val (_, corners) = triangleCorners(s, d)
+      val (_, corners) = PurchaseGraph.triangle(s, d)
+      // corners is a checkpointed LogicalRDD (no stats) but |supplier|-
+      // bounded — broadcast explicitly instead of letting the planner
+      // fall back to a sort-merge join on the missing estimate
       supplier(s, d).select(col("s_suppkey")).distinct()
-        .join(corners, col("s_suppkey") === col("s"), "left")
+        .join(broadcast(corners), col("s_suppkey") === col("s"), "left")
         .select(col("s_suppkey"),
                 coalesce(col("n_tri"), lit(0L)).cast("long").as("n_triangles"))
         .orderBy("s_suppkey")
@@ -513,13 +490,11 @@ object Graph {
         |FROM lbl JOIN sz USING (canon)
         |ORDER BY supp""".stripMargin
     ) { (s, d) =>
-      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
-      val pairs = cooccur(cs, degCap = 100, minShared = 3)
-        .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
+      // one direction of the memoized symmetric edge table = exactly the
+      // cooccur(minShared=3) pair set clusterPairs symmetrizes itself
+      val pairs = PurchaseGraph.simEdges(s, d)
+        .filter(col("a") < col("b"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
       graft.ops.LlmOps.clusterPairs(pairs)
         .select(col("doc_id").as("supp"), col("canon_id"),
                 col("cluster_size").as("component_size"))
@@ -554,15 +529,13 @@ object Graph {
         |FROM r GROUP BY v
         |ORDER BY node""".stripMargin
     ) { (s, d) =>
-      val pe = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("cn"),
-                concat(lit("s"), col("l_suppkey")).as("sn"))
-        .distinct()
+      // named membership from the memoized base; the two symmetrized
+      // directions are disjoint namespaces ('c*' vs 's*'), so the union
+      // is already duplicate-free — no distinct needed
+      val pe = PurchaseGraph.namedPairs(s, d)
       val edges = pe.select(col("cn").as("src"), col("sn").as("dst"))
         .unionAll(pe.select(col("sn").as("src"), col("cn").as("dst")))
-        .distinct().repartition(col("src")).cache()
+        .repartition(col("src")).cache()
       var dist = edges.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("dist"))
         .localCheckpoint(false)
@@ -570,7 +543,7 @@ object Graph {
         // frontier = nodes first reached last round (semi-naive: already
         // settled nodes re-derive nothing). Deliberately NO per-round
         // frontier-emptiness action: all six rounds stay one fused lazy
-        // chain materialized by the caller's single action (a per-round
+        // chain materialized by the eager checkpoint below (a per-round
         // count() measured 7.1 s → 10.1 s at sf0.1 — the extra driver
         // round-trips cost more than the skipped no-op rounds save; at
         // real scale the depth cap, not emptiness, is the bound anyway)
@@ -579,7 +552,11 @@ object Graph {
           .select(col("dst").as("node"), lit(k.toLong).as("dist"))
         dist = dist.union(next)
           .groupBy("node").agg(min(col("dist")).as("dist"))
-          .localCheckpoint(false)
+        PlanProbe.note("bfs", dist)
+        // EAGER on the last round: the six rounds run here, through
+        // the still-live edge cache — the r6 shape unpersisted at
+        // construction time, before the cache ever served a round
+        dist = dist.localCheckpoint(k == 6)
       }
       edges.unpersist()
       dist.select(col("node"), col("dist").cast("long").as("dist"))
@@ -620,14 +597,7 @@ object Graph {
          |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
          |FROM e$KcoreRounds GROUP BY src ORDER BY node""".stripMargin
     ) { (s, d) =>
-      val pe = lineitem(s, d)
-        .filter(col("l_quantity") <= 2)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("cn"),
-                concat(lit("s"), col("l_suppkey")).as("sn"))
-        .distinct()
+      val pe = PurchaseGraph.thinnedNamed(s, d)
       var e = pe.select(col("cn").as("src"), col("sn").as("dst"))
         .unionAll(pe.select(col("sn").as("src"), col("cn").as("dst")))
         .localCheckpoint(false)
@@ -636,7 +606,8 @@ object Graph {
           .filter(col("dg") >= KcoreK).select(col("src").as("node"))
         e = e.join(keep, col("src") === col("node"), "left_semi")
           .join(keep, col("dst") === col("node"), "left_semi")
-          .localCheckpoint(false)
+        PlanProbe.note("kcore", e)
+        e = e.localCheckpoint(false)
       }
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
         .orderBy("node")
@@ -689,11 +660,7 @@ object Graph {
         |  CAST(aa_micro AS DOUBLE) / 1000000.0 AS aa
         |FROM p ORDER BY aa_micro DESC, s1, s2 LIMIT 100""".stripMargin
     ) { (s, d) =>
-      val cs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
+      val cs = PurchaseGraph.custSupp(s, d)
       val ok = cs.groupBy("cust").agg(count(lit(1)).as("dg"))
         .filter(col("dg").between(2, 100))
         .select(col("cust"),
@@ -760,15 +727,15 @@ object Graph {
          |FROM l$LpaSteps JOIN sz USING (lbl)
          |ORDER BY supp""".stripMargin
     ) { (s, d) =>
-      val (edges, lbl) = lpaLabels(s, d)
+      val lbl = PurchaseGraph.lpaLabels(s, d)
+      // sz is |communities|-bounded and derives from a checkpointed
+      // LogicalRDD (no stats) — broadcast the attach explicitly
       val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("n"))
-      val out = lbl.join(sz, Seq("lbl"))
+      lbl.join(broadcast(sz), Seq("lbl"))
         .select(col("v").cast("long").as("supp"),
                 col("lbl").cast("long").as("community"),
                 col("n").cast("long").as("community_size"))
         .orderBy("supp")
-      edges.unpersist()
-      out
     },
 
     /** Modularity of the LPA partition — the community-QUALITY scalar
@@ -821,7 +788,8 @@ object Graph {
          |        * 1000000.0 + 0.5) / 1000000.0 AS modularity
          |FROM sq, tot, intra""".stripMargin
     ) { (s, d) =>
-      val (edges, lbl) = lpaLabels(s, d)
+      val edges = PurchaseGraph.simEdges(s, d)
+      val lbl = PurchaseGraph.lpaLabels(s, d)
       val deg = edges.groupBy(col("a").as("v"))
         .agg(count(lit(1)).cast("long").as("d"))
       val lx = lbl.select(col("v").as("xv"), col("lbl").as("xl"))
@@ -856,7 +824,15 @@ object Graph {
       * edge list (associative, engine-order-proof); one final
       * sqrt·sqrt division touches doubles, NULL-guarded against zero
       * variance, r6-rounded. One degree aggregation + one edge join +
-      * one 1-row reduce — shuffle-bounded by |E|. */
+      * one 1-row reduce — shuffle-bounded by |E|.
+      *
+      * Overflow bound (the q_eval_communities discipline): the widest
+      * products are n·sxx ≤ m₂²·dmax², so with dmax ≤ 10⁴ the BIGINT
+      * range holds while m₂ < ~3·10⁵ — comfortably true on the THINNED
+      * fixture graph this op is defined over (m₂ ~10³), but NOT a
+      * general-graph guarantee: Spark wraps silently (non-ANSI) where
+      * DuckDB errors, so past that bound the final five moments must
+      * move to DECIMAL(38,0) (the per-edge sums stay exact BIGINT). */
     OpDef(
       "q_graph_assortativity",
       """WITH pe AS (
@@ -884,14 +860,7 @@ object Graph {
         |        * 1000000.0 + 0.5) / 1000000.0 AS assortativity
         |FROM s""".stripMargin
     ) { (s, d) =>
-      val pe = lineitem(s, d)
-        .filter(col("l_quantity") <= 2)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("cn"),
-                concat(lit("s"), col("l_suppkey")).as("sn"))
-        .distinct()
+      val pe = PurchaseGraph.thinnedNamed(s, d)
       val e = pe.select(col("cn").as("a"), col("sn").as("b"))
         .unionAll(pe.select(col("sn").as("a"), col("cn").as("b")))
       val deg = e.groupBy(col("a").as("v"))
@@ -938,9 +907,9 @@ object Graph {
          |WHERE deg.d >= 2
          |ORDER BY supp""".stripMargin
     ) { (s, d) =>
-      val (deg, corners) = triangleCorners(s, d)
+      val (deg, corners) = PurchaseGraph.triangle(s, d)
       deg
-        .join(corners.select(col("s").as("s2"), col("n_tri")),
+        .join(broadcast(corners.select(col("s").as("s2"), col("n_tri"))),
               col("s") === col("s2"), "left")
         .filter(col("d") >= 2)
         .select(col("s").cast("long").as("supp"),

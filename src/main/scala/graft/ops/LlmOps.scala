@@ -538,12 +538,14 @@ object LlmOps {
       //    converge there at one join/round; only a loop that is still
       //    open afterwards (a long chain) pays the second join, from
       //    which point rounds halve the remaining distance.
-      val next = (if (iters <= 2) prop else {
+      val step = if (iters <= 2) prop else {
         val jump = prop.select(col("v").as("jv"), col("lbl").as("jlbl"))
         prop.join(jump, col("lbl") === col("jv"), "left")
           .select(col("v"),
                   least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
-      }).localCheckpoint(false)
+      }
+      PlanProbe.note("cluster", step)
+      val next = step.localCheckpoint(false)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

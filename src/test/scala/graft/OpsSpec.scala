@@ -1463,19 +1463,36 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
-  test("ann recall harness recomputes from the two underlying rankings") {
+  test("ann sweep: probe-4 row recomputes from the rankings; recall is " +
+       "monotone in probes and exactly 1.0 with every cell probed") {
     val rows = queries("q_eval_ann")(spark, sf).collect()
-    assert(rows.length == 8)
+    assert(rows.length == 4 * 8, "4 probe budgets x 8 queries")
     val ex = queries("q_sim_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
     val av = queries("q_sim_ann_ivf")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
-    rows.foreach { r =>
+    // the probes=4 slice must equal the old single-point harness: hits
+    // recomputed from the exact top-5 vs the probe-4 IVF top-5
+    rows.filter(_.getAs[Long]("probes") == 4L).foreach { r =>
       val qid = r.getAs[Long]("qid")
       val hits = ex.filter(_._1 == qid).count(av.contains)
       assert(r.getAs[Long]("n_hits") == hits.toLong)
       assert(math.abs(r.getAs[Double]("recall")
                - math.floor(hits / 5.0 * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+    // widening the probe budget can only ADD candidates under the same
+    // ranking, so per-query recall is monotone non-decreasing in probes
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, qr) =>
+      val byP = qr.sortBy(_.getAs[Long]("probes"))
+        .map(_.getAs[Long]("n_hits"))
+      assert(byP.zip(byP.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in probes: ${byP.mkString(",")}")
+    }
+    // the fixture has 10 cells; probes=12 searches all of them, so the
+    // 'approximate' path IS the exact scan — recall exactly 1.0
+    rows.filter(_.getAs[Long]("probes") == 12L).foreach { r =>
+      assert(r.getAs[Long]("n_hits") == 5L && r.getAs[Double]("recall") == 1.0,
+        s"probes=12 must reach exact recall, got $r")
     }
   }
 
@@ -1586,6 +1603,38 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("assortativity")
              - math.floor(rho * 1e6 + 0.5) / 1e6) < 1e-12)
     assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+  }
+
+  test("cdc merge conserves rows and its deletes equal the audit's 'removed' class") {
+    // conservation: |out| = |base| + inserted − matched-deletes (unmatched
+    // tombstones are no-ops); and the per-key audit the warehouse would
+    // run afterwards (q_dq_snapshot_diff's FULL JOIN classification, here
+    // keyed on the merge key) must classify EXACTLY the matched-delete
+    // keys as 'removed' — the apply and the audit agreeing is the point
+    // of wiring tombstones into the merge family (r6 verdict ask #8)
+    val o = graft.ops.Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    val baseKeys = o.filter(_ % 3 != 0).toSet
+    val cdcDel = o.filter(_ % 2 == 0).filter(_ % 10 == 0).toSet
+    val cdcUp = o.filter(_ % 2 == 0).filter(_ % 10 != 0).toSet
+    val matchedDeletes = cdcDel & baseKeys
+    val inserted = cdcUp -- baseKeys
+    val out = queries("q_merge_cdc")(spark, sf).collect()
+    assert(out.length == baseKeys.size + inserted.size - matchedDeletes.size,
+      "row conservation: |out| = |base| + inserted - deleted")
+    val outKeys = out.map(_.getAs[Long]("o_orderkey")).toSet
+    assert((baseKeys -- outKeys) == matchedDeletes,
+      "keys missing from the applied table must be exactly the tombstoned ones")
+    // audit side: snapshot-diff base vs applied, per merge key
+    val removed = (baseKeys -- outKeys)
+    assert(removed == matchedDeletes && (outKeys -- baseKeys) == inserted,
+      "audit classes (removed/added) must agree with the apply's actions")
+    val actions = out.groupBy(_.getAs[String]("action")).view
+      .mapValues(_.length.toLong).toMap
+    assert(actions.getOrElse("inserted", 0L) == inserted.size.toLong)
+    assert(actions.getOrElse("updated", 0L) == (cdcUp & baseKeys).size.toLong)
+    assert(actions.getOrElse("kept", 0L)
+      == (baseKeys -- cdcUp -- matchedDeletes).size.toLong)
   }
 
   test("theil-sen slope is the lower median of the exact pairwise slopes") {
