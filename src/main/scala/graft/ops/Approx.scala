@@ -75,7 +75,7 @@ object Approx {
       * top-5 per query. */
     OpDef.noOracle("q_sim_ann_lsh") { (s, d) =>
       val e = embeddings(s, d)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+        .select(col("vec_id"), array_to_vector(Tables.embSafe).as("features"))
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("features"))
       val lsh = new BucketedRandomProjectionLSH()
@@ -105,7 +105,7 @@ object Approx {
     OpDef.noOracle("q_sim_cosine_dup_lsh") { (s, d) =>
       graft.GraftFunctions.register(s)
       val e = embeddings(s, d)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+        .select(col("vec_id"), array_to_vector(Tables.embSafe).as("features"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
         .cache() // both sides of the LSH self-join
       val lsh = new BucketedRandomProjectionLSH()
@@ -132,7 +132,7 @@ object Approx {
     OpDef.noOracle("q_dedup_semantic_lsh") { (s, d) =>
       graft.GraftFunctions.register(s)
       val e = embeddings(s, d)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+        .select(col("vec_id"), array_to_vector(Tables.embSafe).as("features"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
         .cache()
       val lsh = new BucketedRandomProjectionLSH()
@@ -166,7 +166,7 @@ object Approx {
     OpDef.noOracle("q_sim_knn_lsh") { (s, d) =>
       graft.GraftFunctions.register(s)
       val e = embeddings(s, d)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+        .select(col("vec_id"), array_to_vector(Tables.embSafe).as("features"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
       // bucketLength must match the PROJECTION scale, not the vector norm:
       // a unit 64-dim vector projects onto a unit random direction with
@@ -230,7 +230,7 @@ object Approx {
       graft.GraftFunctions.register(s)
       import s.implicits._
       val e = embeddings(s, d)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"),
+        .select(col("vec_id"), array_to_vector(Tables.embSafe).as("features"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(16).setSeed(42L).setFeaturesCol("features")
@@ -433,6 +433,66 @@ object Approx {
           Det.r(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)
                   / lit(64.0), 12).as("mse"))
         .orderBy("vec_id")
+    },
+
+    /** Vector hygiene audit — the counted-rejection face of the loader
+      * gate `Tables.embeddings` applies before any similarity math (r7):
+      * classify every RAW embedding row into the first matching class of
+      * null-vector → wrong-dim → non-finite-component → over-magnitude →
+      * zero-vector → ok, one row of exact counts out. The first four
+      * classes are exactly what the gate rejects; `n_zero` is the
+      * documented PROPAGATION class (well-formed, every dot = 0, can
+      * never cross a similarity threshold); `n_ok` is what the
+      * similarity family actually computes on. On the fixture corpus all
+      * rows are ok — the oracle pins that and the audit's shape;
+      * HostileVectorSpec pins the non-trivial counts on a corpus built
+      * to break the gate. One map-only classification pass + a 1-row
+      * aggregate at any corpus size. */
+    OpDef(
+      "q_vec_quality",
+      s"""WITH c AS (
+         |  SELECT CASE
+         |    WHEN embedding IS NULL THEN 'null'
+         |    WHEN len(embedding) <> ${Tables.EmbDim} THEN 'wrong_dim'
+         |    WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x)
+         |           OR isinf(x))) > 0 THEN 'nonfinite'
+         |    WHEN len(list_filter(embedding,
+         |           x -> abs(x) > ${Tables.EmbMaxAbs})) > 0 THEN 'oversized'
+         |    WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN 'zero'
+         |    ELSE 'ok' END AS cls
+         |  FROM embeddings)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) FILTER (WHERE cls = 'null') AS BIGINT) AS n_null,
+         |  CAST(count(*) FILTER (WHERE cls = 'wrong_dim') AS BIGINT)
+         |    AS n_wrong_dim,
+         |  CAST(count(*) FILTER (WHERE cls = 'nonfinite') AS BIGINT)
+         |    AS n_nonfinite,
+         |  CAST(count(*) FILTER (WHERE cls = 'oversized') AS BIGINT)
+         |    AS n_oversized,
+         |  CAST(count(*) FILTER (WHERE cls = 'zero') AS BIGINT) AS n_zero,
+         |  CAST(count(*) FILTER (WHERE cls = 'ok') AS BIGINT) AS n_ok
+         |FROM c""".stripMargin
+    ) { (s, d) =>
+      val nonfinite = expr(
+        """exists(embedding, x -> x IS NULL OR isnan(x)
+          |  OR x <= CAST('-Infinity' AS DOUBLE)
+          |  OR x >= CAST('Infinity' AS DOUBLE))""".stripMargin)
+      val oversized = expr(
+        s"exists(embedding, x -> abs(x) > CAST(${Tables.EmbMaxAbs} AS FLOAT))")
+      val zero = expr("forall(embedding, x -> x = CAST(0 AS FLOAT))")
+      val cls = when(col("embedding").isNull, "null")
+        .when(size(col("embedding")) =!= Tables.EmbDim, "wrong_dim")
+        .when(nonfinite, "nonfinite")
+        .when(oversized, "oversized")
+        .when(zero, "zero")
+        .otherwise("ok")
+      def n(c: String, as: String) =
+        count(when(col("cls") === c, 1)).cast("long").as(as)
+      Tables.t(s, d, "embeddings").select(cls.as("cls"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+             n("null", "n_null"), n("wrong_dim", "n_wrong_dim"),
+             n("nonfinite", "n_nonfinite"), n("oversized", "n_oversized"),
+             n("zero", "n_zero"), n("ok", "n_ok"))
     },
 
     /** Count–Min sketch, fully deterministic and therefore oracle-checked
