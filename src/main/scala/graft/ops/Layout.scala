@@ -151,6 +151,60 @@ object Layout {
              sum(col("n_rows")).cast("long").as("n_rows"),
              min("day").as("day_first"), max("day").as("day_last"))
         .orderBy("bin")
+    },
+
+    /** Write-audit-publish table read — the transactional-commit
+      * capability (`graft.sources.LakeTable`) exercised end-to-end as an
+      * oracle-checked query: commit v1 (orders before 1997, per-customer
+      * counts/cents), commit v2 over it (all orders — the "backfill"),
+      * then attempt a v3 whose audit REJECTS (an empty snapshot fails
+      * the q_dq_checks-style gate: non-empty + non-null keys), and read
+      * THROUGH the manifest. The result must be exactly v2's content —
+      * the rejected commit left no reader-visible trace, and the v1
+      * files still on disk are invisible because readers only follow the
+      * `_latest` pointer. Totals are exact BIGINT cents (the
+      * q_dq_snapshot_diff discipline), so the oracle — which computes
+      * v2's aggregate straight from `orders` — hash-matches the bytes
+      * that ACTUALLY traveled through parquet staging, audit re-read,
+      * and manifest-routed scan. Crash-atomicity (a kill between any
+      * two protocol stages leaves the old manifest live) is LakeSpec's
+      * job; this op pins the happy path + audit-reject path into the
+      * driver's correctness gate. */
+    OpDef(
+      "q_lake_read",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_").toString
+      def snap(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      def gate(df: DataFrame): Option[String] = {
+        val bad = df.agg(
+          count(lit(1)).as("n"),
+          count(when(col("custkey").isNull, 1)).as("nulls")).head
+        if (bad.getLong(0) == 0L) Some("empty snapshot")
+        else if (bad.getLong(1) > 0L) Some("null merge keys")
+        else None
+      }
+      val o = orders(s, d)
+      val v1 = LakeTable.commit(s, dir,
+        snap(o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))))(gate)
+      require(v1 == Right(1L), s"v1 commit failed: $v1")
+      val v2 = LakeTable.commit(s, dir, snap(o))(gate)
+      require(v2 == Right(2L), s"v2 commit failed: $v2")
+      // the audit gate must block a bad backfill without touching state
+      val v3 = LakeTable.commit(s, dir, snap(o).filter(lit(false)))(gate)
+      require(v3.isLeft, "empty snapshot must fail the audit gate")
+      require(LakeTable.currentVersion(dir).contains(2L), "v2 must stay live")
+      LakeTable.read(s, dir).orderBy("custkey")
     }
   )
 }
