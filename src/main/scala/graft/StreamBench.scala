@@ -102,8 +102,26 @@ object StreamBench {
       (ms: MemoryStream[StreamOps.Event]) =>
         StreamOps.quotaGate(spark, ms.toDF(), 50L).toDF())
 
+    // state-store provider A/B (r6 verdict ask #6): re-run the two
+    // stateFUL shapes on the RocksDB provider. The default HDFS-backed
+    // store keeps every version's map on-heap — at 100 TB state size
+    // that heap IS the streaming scale-killer; RocksDB spills to native
+    // memory + local SSD and is what production runs. Same queries, same
+    // chunks, same floor/ceiling record — only the provider conf flips
+    // (read at query start, so a per-run set/unset is a clean A/B).
+    val rocksdb = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    val nearDupR = drive("near_dup_rocksdb", docs.grouped(nDocs / 10).toSeq,
+      (ms: MemoryStream[StreamOps.DocEvent]) =>
+        StreamOps.streamingNearDup(spark, ms.toDF(), 0.5).toDF())
+    val quotaR = drive("quota_gate_rocksdb", events.grouped(nEvents / 10).toSeq,
+      (ms: MemoryStream[StreamOps.Event]) =>
+        StreamOps.quotaGate(spark, ms.toDF(), 50L).toDF())
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
     println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
-      s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota}}""")
+      s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota,$nearDupR,$quotaR}}""")
     spark.stop()
   }
 }

@@ -250,6 +250,39 @@ class GrowthSpec extends SparkTestBase {
     } finally { docs.unpersist(); () }
   }
 
+  test("flagship dedup shapes stay linear through 30x and 100x") {
+    // the 2x-vs-baseline bound is a claim about 100x; bucket-cap erosion
+    // or band skew would first show as a super-linear candidate tail
+    // PAST 10x, where the 1x/3x/10x curves cannot see it (r6 ask #5).
+    // Candidate counts are load-proof observables; wall-times go to
+    // info() for the BASELINE.md record (GrowthBench measures the same
+    // at 5x the corpus on local[32]).
+    val deep = Seq(1L, 10L, 30L, 100L)
+    val shapes: Seq[(String, Long => Long)] = Seq(
+      ("lsh_dedup", k => LlmOps.lshDedupPairs(docsAt(k), 0.5).count()),
+      ("minhash_pairs", k => LlmOps.minhashPairs(docsAt(k)).count()),
+      ("containment", k => LlmOps.containmentPairs(docsAt(k), 0.5).count()))
+    for ((name, f) <- shapes) {
+      val counts = deep.map { k =>
+        spark.catalog.clearCache()
+        val (c, t) = timed(f(k))
+        info(f"$name x$k: $c pairs in $t%.1fs (${planted(k)} planted)")
+        k -> c
+      }.toMap
+      // linear = 100; a quadratic tail would put this in the thousands.
+      // The floor (60) also catches cap erosion DROPPING planted pairs.
+      val ratio = counts(100L).toDouble / counts(1L)
+      assert(ratio >= 60 && ratio <= 160,
+        s"$name x1->x100 candidate growth $ratio (linear=100)")
+      // every scale stays within a whisker of the planted density — the
+      // per-scale bound that a skew-driven candidate blowup fails first
+      deep.foreach { k =>
+        assert(counts(k) <= planted(k) + planted(k) / 10 + 5,
+          s"$name x$k: ${counts(k)} candidates for ${planted(k)} planted")
+      }
+    }
+  }
+
   test("TPC-H core survives 10x fact growth: no plan flips to nested loops, " +
        "wall-clock stays near-linear") {
     // the relational counterpart of the dedup growth curves (r5 ask #5):
