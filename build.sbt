@@ -32,6 +32,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Arrow's netty-backed allocator (the q_multimodal_infer_arrow
+  // columnar seam) needs reflective access to DirectByteBuffer — the
+  // same flag spark-submit sets for its own Arrow paths
+  "-Dio.netty.tryReflectionSetAccessible=true",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // keep metastore/warehouse artifacts (bucketed-table tests) out of the repo

@@ -152,6 +152,78 @@ object Multimodal {
       .mapPartitions(rows => inferBatched(rows, batchSize))
   }
 
+  /** Arrow-columnar micro-batched inference — the TRANSPORT upgrade of
+    * [[inferBatched]] (r6 "What's missing" #3): each micro-batch is
+    * assembled into an off-heap Arrow `VectorSchemaRoot` (BigIntVector
+    * ids + VarBinaryVector payloads) and "the model" consumes the root's
+    * RAW BUFFERS — offsets + data ArrowBuf reads, no per-element byte[]
+    * materialization — which is the seam a real accelerator runtime
+    * (ONNX Runtime / Triton / anything speaking the Arrow C-Data
+    * interface) binds to zero-copy: at that boundary you hand over two
+    * pointers per column, not N objects. The JVM-side row→column
+    * assembly remains (Scala `mapPartitions` receives rows; the fully
+    * columnar scan→model path needs Spark's columnar-plan SPI and is
+    * documented, not simulated), but the per-row object churn at the
+    * MODEL boundary — the part a GPU pipeline actually chokes on — is
+    * gone. Same deterministic byte-sum score as the row path;
+    * MultimodalSpec asserts the two transports are bit-identical, so
+    * swapping them can never change results. Allocator lifecycle: one
+    * root per partition, reused across micro-batches (`setRowCount`
+    * resets), closed via the task-completion listener so a mid-task
+    * failure cannot leak off-heap memory. */
+  def inferBatchedArrow(rows: Iterator[MediaRow],
+                        batchSize: Int): Iterator[InferredScore] = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    if (!rows.hasNext) Iterator.empty
+    else {
+      val allocator = new RootAllocator()
+      val ids = new BigIntVector("doc_id", allocator)
+      val payloads = new VarBinaryVector("payload", allocator)
+      val root = VectorSchemaRoot.of(ids, payloads)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          root.close(); allocator.close()
+        })
+      rows.grouped(batchSize).flatMap { batch =>
+        // assemble the micro-batch column-wise
+        root.setRowCount(0)
+        ids.setInitialCapacity(batch.size)
+        var i = 0
+        batch.foreach { r =>
+          ids.setSafe(i, r.doc_id)
+          payloads.setSafe(i, r.payload)
+          i += 1
+        }
+        root.setRowCount(i)
+        // [real forward pass: hand `root` across the C-Data interface —
+        //  one (offsets, data) buffer pair per column per batch]
+        // stub model: consume the columnar buffers directly
+        val off = payloads.getOffsetBuffer
+        val data = payloads.getDataBuffer
+        (0 until i).map { j =>
+          val start = off.getInt(j * 4L)
+          val end = off.getInt((j + 1) * 4L)
+          var sum = 0L
+          var p = start
+          while (p < end) { sum += (data.getByte(p) & 0xff); p += 1 }
+          InferredScore(ids.get(j), (sum % 1000L) / 1000.0, i)
+        }
+      }
+    }
+  }
+
+  /** documents → binary payload → Arrow-columnar micro-batched scoring. */
+  def scoreDocumentsArrow(spark: SparkSession, docs: DataFrame,
+                          batchSize: Int): Dataset[InferredScore] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+              col("lang"))
+      .as[MediaRow]
+      .mapPartitions(rows => inferBatchedArrow(rows, batchSize))
+  }
+
   val ops: Seq[OpDef] = Seq(
     // no-oracle: the decode is opaque by design (rows-only check; schema,
     // determinism, and batch shape are asserted in MultimodalSpec)
@@ -164,6 +236,10 @@ object Multimodal {
     },
     OpDef.noOracle("q_multimodal_infer") { (s, d) =>
       scoreDocuments(s, Tables.documents(s, d), 32).toDF().orderBy("doc_id")
+    },
+    OpDef.noOracle("q_multimodal_infer_arrow") { (s, d) =>
+      scoreDocumentsArrow(s, Tables.documents(s, d), 32).toDF()
+        .orderBy("doc_id")
     },
 
     /** Binary-content exact dedup — the image/audio dedup primitive: hash

@@ -94,4 +94,33 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r.doc_id -> r.score).toMap
     assert(scored.forall(r => again(r.doc_id) == r.score))
   }
+
+  test("arrow columnar transport is bit-identical to the row transport") {
+    // the Arrow seam changes HOW bytes reach the model (off-heap
+    // offsets+data buffers per micro-batch), never WHAT the model sees:
+    // scores and batch shapes must match the row path exactly, so the
+    // two transports are interchangeable per partition
+    val docs = Tables.documents(spark, sf).repartition(3)
+    val row = Multimodal.scoreDocuments(spark, docs, 32).collect()
+      .map(r => r.doc_id -> ((r.score, r.batch_size))).toMap
+    val arrow = Multimodal.scoreDocumentsArrow(spark, docs, 32).collect()
+    assert(arrow.length == row.size, "one score per row")
+    arrow.foreach { r =>
+      assert(row(r.doc_id) == ((r.score, r.batch_size)),
+        s"transport mismatch for doc ${r.doc_id}")
+    }
+    // multi-byte payloads exercise the buffer walk: force a UTF-8-heavy
+    // payload through the arrow path and check the byte-sum is over
+    // BYTES (buffer length), not characters
+    import spark.implicits._
+    val weird = Seq((1L, "日本語🎉", "xx"), (2L, "", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val ws = Multimodal.scoreDocumentsArrow(spark, weird, 32).collect()
+      .map(r => r.doc_id -> r.score).toMap
+    val expected = Seq(1L -> "日本語🎉", 2L -> "").map { case (id, t) =>
+      id -> ((t.getBytes("UTF-8").foldLeft(0L)((a, b) => a + (b & 0xff))
+              % 1000L) / 1000.0)
+    }.toMap
+    assert(ws == expected, "arrow path must sum raw UTF-8 bytes")
+  }
 }
