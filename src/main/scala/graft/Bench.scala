@@ -40,6 +40,16 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // same treatment for the text-dedup cores (capped grams + minhash
+    // signatures, DocCore) — the second-heaviest shared derivation
+    val docWarmSec = {
+      val t0 = System.nanoTime()
+      try {
+        graft.ops.DocCore.grams(spark, sfDir).count()
+        graft.ops.DocCore.sigs(spark, sfDir).count()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     // optional comma-separated subset for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -89,6 +99,7 @@ object Bench {
       s"""{"sf":"$sfDir","total":${r3(total)},"unit":"sec",
          |"n_queries":${results.length},
          |"graph_warm_sec":${r3(graphWarmSec)},
+         |"doc_warm_sec":${r3(docWarmSec)},
          |"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"remeasured":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":$qs}""".stripMargin.replace("\n", "")

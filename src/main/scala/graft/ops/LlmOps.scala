@@ -235,9 +235,13 @@ object LlmOps {
     // [[dropHotBuckets]] (a mega exact-dup cluster agrees on every band);
     // running exactDedup first (as curateCorpus does) keeps genuine
     // near-dup clusters well under the cap.
+    minhashPairsFromSigs(minhashSigs(docs).cache())
+
+  /** [[minhashPairs]] from an already-built signature table — the seam
+    * the memoized [[DocCore.sigs]] artifact plugs into. */
+  private[graft] def minhashPairsFromSigs(sigs: DataFrame): DataFrame =
     pairsWithin(
-      dropHotBuckets(minhashBands(minhashSigs(docs).cache()),
-                     Seq("band", "sig"))
+      dropHotBuckets(minhashBands(sigs), Seq("band", "sig"))
         .groupBy("band", "sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2),
@@ -291,6 +295,12 @@ object LlmOps {
   def lshDedupPairs(docs: DataFrame, threshold: Double): DataFrame =
     lshDedupFromSigs(minhashSigs(docs), threshold)
 
+  /** [[lshDedupPairs]] from an already-built md5 signature table — the
+    * [[DocCore.sigs]] seam. */
+  private[graft] def lshDedupPairsFromSigs(sigs: DataFrame,
+                                           threshold: Double): DataFrame =
+    lshDedupFromSigs(sigs, threshold)
+
   /** [[lshDedupPairs]] over the xxhash64 signatures — the same estimate
     * pipeline at the [[minhashSigsFast]] hash cost (the designated scale
     * path minus its md5 floor). No-oracle like the other fast twin. */
@@ -331,8 +341,12 @@ object LlmOps {
     * The shingle set is cached: it feeds both join sides and both size
     * lookups (4 plan references) — the persist-before-self-join pattern. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    jaccardPairsRaw(docs, threshold)
-      .select(col("doc_a"), col("doc_b"), Det.r4(col("jac")).as("jaccard"))
+    jaccardFinish(jaccardPairsRaw(docs, threshold))
+
+  /** The public projection/sort of a raw Jaccard pair table — shared by
+    * [[jaccardPairs]] and the [[DocCore.grams]]-fed registry binding. */
+  private[graft] def jaccardFinish(raw: DataFrame): DataFrame =
+    raw.select(col("doc_a"), col("doc_b"), Det.r4(col("jac")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
   /** [[jaccardPairs]] without the rounding projection and final sort —
@@ -343,7 +357,7 @@ object LlmOps {
 
   /** Jaccard pairs from an already-built (and caller-cached) capped gram
     * table — lets [[dedupClusters]] own the cache so it can release it. */
-  private def jaccardPairsFrom(g: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def jaccardPairsFrom(g: DataFrame, threshold: Double): DataFrame = {
     val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
     // bucket-groupBy instead of a gram-keyed self-join: the gram table
     // shuffles ONCE (the join shuffled it twice), pair generation is
@@ -587,20 +601,29 @@ object LlmOps {
     * cross-side pair is indistinguishable from the same doc fed to both
     * sides, which the guard exists to tolerate). */
   def incrementalDedupPairs(newDocs: DataFrame, corpus: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double): DataFrame =
+    incrementalDedupFromSigs(minhashSigs(newDocs).cache(),
+                             minhashSigs(corpus).cache(), threshold)
+
+  /** [[incrementalDedupPairs]] from already-built signature tables —
+    * the [[DocCore.sigs]] seam (signatures are a per-doc map, so a
+    * doc-slice's signature table IS the full table filtered). */
+  private[graft] def incrementalDedupFromSigs(newSigs: DataFrame,
+                                              corpusSigs: DataFrame,
+                                              threshold: Double): DataFrame = {
     val sigArr = array((0 to 15).map(i => col(s"minh_$i")): _*)
     // one bucket shuffle over the tagged union instead of joining two
     // separately-banded tables (which shuffles each side's sig arrays):
     // pairs and the agreement estimate are generated map-side per
     // bucket, and only cross-side pairs survive.
-    def banded(docs: DataFrame, side: Int) =
-      minhashBands(minhashSigs(docs).withColumn("sig16", sigArr).cache(),
-                   col("sig16"))
+    def banded(sigs: DataFrame, side: Int) =
+      minhashBands(sigs.withColumn("sig16", sigArr), col("sig16"))
         .withColumn("side", lit(side))
     // the cap counts the COMBINED (both-side) bucket population — exactly
     // the row the groupBy would materialize
     val buckets = dropHotBuckets(
-        banded(newDocs, 0).unionByName(banded(corpus, 1)), Seq("band", "sig"))
+        banded(newSigs, 0).unionByName(banded(corpusSigs, 1)),
+        Seq("band", "sig"))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("side"), col("sig16")))).as("ms"))
@@ -647,8 +670,13 @@ object LlmOps {
     * under-scores when lengths differ. Same bucket-groupBy candidate
     * machinery and hot-gram cap as [[jaccardPairs]]; emits both directions
     * and keeps pairs whose larger containment clears `threshold`. */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val g = gramsCapped(docs).cache()
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame =
+    containmentPairsFrom(gramsCapped(docs).cache(), threshold)
+
+  /** [[containmentPairs]] from an already-built capped gram table — the
+    * [[DocCore.grams]] seam. */
+  private[graft] def containmentPairsFrom(g: DataFrame,
+                                          threshold: Double): DataFrame = {
     val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = pairsWithin(
         g.groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -1332,7 +1360,7 @@ object LlmOps {
         |JOIN gcnt cb ON j = cb.doc_id
         |WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) => jaccardPairs(documents(s, d), 0.5) },
+    ) { (s, d) => jaccardFinish(jaccardPairsFrom(DocCore.grams(s, d), 0.5)) },
 
     // ------------------- normalization-keyed exact dedup ----------------
     OpDef(
@@ -1363,7 +1391,7 @@ object LlmOps {
         |JOIN cnt cb ON cb.doc_id = j
         |WHERE greatest(n * 1.0 / ca.c, n * 1.0 / cb.c) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) => containmentPairs(documents(s, d), 0.9) },
+    ) { (s, d) => containmentPairsFrom(DocCore.grams(s, d), 0.9) },
 
     // --------------------- near dedup: MinHash + LSH banding (md5) ------
     OpDef(
@@ -1389,7 +1417,7 @@ object LlmOps {
         |FROM bandsf a JOIN bandsf b
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) => minhashPairs(documents(s, d)) },
+    ) { (s, d) => minhashPairsFromSigs(DocCore.sigs(s, d)) },
 
     // same banding over codegen'd xxhash64 permutations — the hash-cost
     // scale twin (see minhashSigsFast); no-oracle because DuckDB cannot
@@ -1440,7 +1468,7 @@ object LlmOps {
         |SELECT doc_a, doc_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) => lshDedupPairs(documents(s, d), 0.5) },
+    ) { (s, d) => lshDedupPairsFromSigs(DocCore.sigs(s, d), 0.5) },
 
     // ----------------------------- near dedup: 48-bit SimHash (md5) -----
     // oracle mirrors the 4×12-bit pigeonhole banding AND the band-bucket
@@ -1520,7 +1548,10 @@ object LlmOps {
         |       CAST(count(*) AS BIGINT) AS cluster_size
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin
-    ) { (s, d) => dedupClusters(documents(s, d), 0.5) },
+    ) { (s, d) =>
+      clusterPairs(jaccardPairsFrom(DocCore.grams(s, d), 0.5)
+        .select(col("doc_a"), col("doc_b")))
+    },
 
     // ---------------- semantic dedup: components in embedding space -----
     OpDef(
@@ -1584,9 +1615,11 @@ object LlmOps {
       // "new" slice = doc_id ≡ 0 (mod 3): an arbitrary but deterministic
       // ~1/3 batch that crosses the fixture's planted (i, i+50) dup pairs
       // (mod 2/5/10 splits would put both ends in the same slice)
-      val docs = documents(s, d)
-      incrementalDedupPairs(docs.filter(col("doc_id") % 3 === 0),
-                            docs.filter(col("doc_id") % 3 =!= 0), 0.5)
+      // signatures are a per-doc map, so slicing the memoized signature
+      // table IS slicing the docs before signing
+      val sigs = DocCore.sigs(s, d)
+      incrementalDedupFromSigs(sigs.filter(col("doc_id") % 3 === 0),
+                               sigs.filter(col("doc_id") % 3 =!= 0), 0.5)
     },
 
     // ---------------- sampling: quality-weighted training mix -----------
@@ -2859,8 +2892,10 @@ object LlmOps {
       // references sit in ONE physical plan where ReusedExchange dedupes
       // the work — explicit caches measured neutral (the harness's cost
       // is genuinely one run of each pipeline, ~the sum of the two ops)
-      val ex = jaccardPairs(documents(s, d), 0.5).select("doc_a", "doc_b")
-      val ap = minhashPairs(documents(s, d)).select("doc_a", "doc_b")
+      val ex = jaccardFinish(jaccardPairsFrom(DocCore.grams(s, d), 0.5))
+        .select("doc_a", "doc_b")
+      val ap = minhashPairsFromSigs(DocCore.sigs(s, d))
+        .select("doc_a", "doc_b")
       val hit = ex.join(ap, Seq("doc_a", "doc_b"))
       ex.agg(count(lit(1)).as("ne"))
         .crossJoin(broadcast(ap.agg(count(lit(1)).as("na"))))

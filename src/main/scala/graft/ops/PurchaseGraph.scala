@@ -40,24 +40,14 @@ import org.apache.spark.sql.functions._
 object PurchaseGraph {
   import Tables._
 
-  private val memo =
-    new java.util.WeakHashMap[SparkSession,
-                              scala.collection.mutable.Map[String, DataFrame]]
-  private val builds = new java.util.concurrent.atomic.AtomicLong(0)
+  private val memo = new SessionMemo
 
   /** Cache misses since JVM start — observability for the ScaleSpec
     * share assert (two consumers of one artifact ⇒ one build). */
-  def buildCount: Long = builds.get
+  def buildCount: Long = memo.buildCount
 
   private def cached(s: SparkSession, key: String)(build: => DataFrame)
-      : DataFrame = synchronized {
-    var m = memo.get(s)
-    if (m == null) {
-      m = scala.collection.mutable.Map.empty[String, DataFrame]
-      memo.put(s, m)
-    }
-    m.getOrElseUpdate(key, { builds.incrementAndGet(); build })
-  }
+      : DataFrame = memo.cached(s, key)(build)
 
   /** THE shared base: one row per (customer, supplier) pair that ever
     * traded, with lineitem multiplicity `n` — the single corpus-sized
@@ -145,16 +135,12 @@ object PurchaseGraph {
     * pass (corners needs deg anyway); the builder's internal edge cache
     * is released after both artifacts materialize. */
   def triangle(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    synchronized {
+    memo.synchronized {
       val dKey = s"triDeg:$d"
       val cKey = s"triCor:$d"
-      var m = memo.get(s)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        memo.put(s, m)
-      }
+      val m = memo.mapFor(s)
       if (!m.contains(dKey) || !m.contains(cKey)) {
-        builds.incrementAndGet()
+        memo.countBuild()
         val (deg, corners, scaffold) = Graph.triangleCorners(s, d)
         m(dKey) = deg.localCheckpoint(true)
         m(cKey) = corners.localCheckpoint(true)

@@ -602,6 +602,32 @@ class ScaleSpec extends SparkTestBase {
       "labelprop and eval_communities must share one LPA labeling")
   }
 
+  test("doc-dedup cores are memoized: grams/sigs built once per sfDir") {
+    // same discipline for the text-dedup family (r7): the capped gram
+    // table and the 16-permutation minhash signature table are each
+    // derived from the full documents corpus; six-plus registry ops
+    // consume them, so N consumers must pay ONE build per artifact
+    graft.ops.DocCore.grams(spark, sf).count()
+    graft.ops.DocCore.sigs(spark, sf).count()
+    val c0 = graft.ops.DocCore.buildCount
+    SparkEntry.queries("q_dedup_near")(spark, sf).count()
+    SparkEntry.queries("q_text_containment_pairs")(spark, sf).count()
+    SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+    SparkEntry.queries("q_dedup_lsh")(spark, sf).count()
+    SparkEntry.queries("q_dedup_incremental")(spark, sf).count()
+    assert(graft.ops.DocCore.buildCount == c0,
+      "dedup consumers must reuse the memoized gram/signature artifacts")
+    // survives the clearCache() Bench/Verify issue between queries
+    spark.catalog.clearCache()
+    val c1 = graft.ops.DocCore.buildCount
+    val plan = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(graft.ops.DocCore.buildCount == c1,
+      "clearCache must not evict the checkpointed dedup cores")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"consumer must scan the checkpointed signature table:\n$plan")
+  }
+
   test("cluster label loop closes a planted long chain in O(log d) rounds") {
     // a 64-vertex path graph is the worst case the r5 verdict named:
     // plain min-label propagation moves the root label ONE hop per round
