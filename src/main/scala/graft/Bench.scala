@@ -40,13 +40,18 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    // same treatment for the text-dedup cores (capped grams + minhash
-    // signatures, DocCore) — the second-heaviest shared derivation
+    // same treatment for the text cores (capped grams, minhash
+    // signatures, winnow fingerprints/pairs/spans, bigram LM scores —
+    // DocCore) — the second-heaviest family of shared derivations
     val docWarmSec = {
       val t0 = System.nanoTime()
       try {
         graft.ops.DocCore.grams(spark, sfDir).count()
         graft.ops.DocCore.sigs(spark, sfDir).count()
+        graft.ops.DocCore.winnowFps(spark, sfDir).count()
+        graft.ops.DocCore.winnowPairs(spark, sfDir).count()
+        graft.ops.DocCore.dupSpans(spark, sfDir).count()
+        graft.ops.DocCore.lmScores(spark, sfDir).count()
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }

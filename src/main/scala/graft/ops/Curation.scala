@@ -170,12 +170,19 @@ object Curation {
     * per-shard histograms merge by simple addition. The default 256-wide
     * grid (width 6/256 = 0.0234375, exactly binary-representable, so both
     * engines floor identically) resolves a σ≈0.03 score distribution. */
-  def lmScoreBuckets(docs: DataFrame, nBuckets: Int): DataFrame = {
+  def lmScoreBuckets(docs: DataFrame, nBuckets: Int): DataFrame =
+    lmScoreBucketsFromScores(LlmOps.lmScoresCore(docs), nBuckets)
+
+  /** [[lmScoreBuckets]] from an already-built per-doc score table — the
+    * [[DocCore.lmScores]] seam (the bigram model build is shared
+    * with q_text_lmscore). */
+  private[graft] def lmScoreBucketsFromScores(scores: DataFrame,
+                                              nBuckets: Int): DataFrame = {
     val lo = -6.0
     val width = -lo / nBuckets
     val bucket = greatest(lit(0L), least(lit(nBuckets.toLong - 1),
       floor((col("lm_score") - lit(lo)) / lit(width))))
-    LlmOps.lmScoresCore(docs).select("doc_id", "lm_score")
+    scores.select("doc_id", "lm_score")
       .select(col("doc_id"), col("lm_score"), bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -337,7 +344,7 @@ object Curation {
         |  floor((avg(lm_score)) * 1000000.0 + 0.5) / 1000000.0 AS avg_score,
         |  min(lm_score) AS min_score, max(lm_score) AS max_score
         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
-    ) { (s, d) => lmScoreBuckets(documents(s, d), 256) },
+    ) { (s, d) => lmScoreBucketsFromScores(DocCore.lmScores(s, d), 256) },
 
     /** Gopher-style rule filter (Rae et al. 2021 §A1.1, adapted to the
       * fixture's lowercase space-joined text): per-document word count,

@@ -998,7 +998,12 @@ object LlmOps {
     * Entirely map-only higher-order functions: no explode, no shuffle —
     * the per-doc fingerprint summary streams out of the scan. */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame =
-    winnowFps(docs, k, w)
+    winnowFingerprintsFromFps(winnowFps(docs, k, w))
+
+  /** [[winnowFingerprints]] from an already-built (doc_id, fp) row table
+    * — the [[DocCore.winnowFps]] seam. */
+  private[graft] def winnowFingerprintsFromFps(fps: DataFrame): DataFrame =
+    fps
       .groupBy("doc_id")
       .agg(count_distinct(col("fp")).cast("long").as("n_fps"),
            min(col("fp")).as("min_fp"),
@@ -1055,8 +1060,14 @@ object LlmOps {
     * window-repeated (doc, fp) rows inside the shuffle the bucket build
     * pays anyway; the >50-doc cap drops hot boilerplate buckets whole,
     * same as the oracle's fc.c <= 50. */
-  private[graft] def winnowPairTable(docs: DataFrame): DataFrame = {
-    val e = winnowFps(docs, 8, 4).cache()
+  private[graft] def winnowPairTable(docs: DataFrame): DataFrame =
+    winnowPairTableFromFps(winnowFps(docs, 8, 4).cache())
+
+  /** [[winnowPairTable]] from an already-built (doc_id, fp) row table —
+    * the [[DocCore.winnowFps]] seam ([[DocCore]] hands in a checkpointed
+    * table, so the two plan references scan materialized blocks rather
+    * than re-running the md5 window chain). */
+  private[graft] def winnowPairTableFromFps(e: DataFrame): DataFrame = {
     val buckets = e.groupBy("fp")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 50))
@@ -1076,8 +1087,14 @@ object LlmOps {
     * policy. One row per (doc_a, doc_b): n_spans, max_span_len,
     * span_chars over maximal shared runs ≥ 30 chars (see the op's
     * docstring for the islands construction). */
-  private[graft] def dupSpanPairs(docs: DataFrame): DataFrame = {
-    val cand = winnowPairTable(docs).select("doc_a", "doc_b").cache()
+  private[graft] def dupSpanPairs(docs: DataFrame): DataFrame =
+    dupSpanPairsFrom(docs, winnowPairTable(docs).select("doc_a", "doc_b").cache())
+
+  /** [[dupSpanPairs]] from an already-built candidate pair table — the
+    * [[DocCore.winnowPairs]] seam. `cand` is referenced three times
+    * (both join anchors + the candidate-doc semi-join), so callers hand
+    * in a cached or checkpointed frame. */
+  private[graft] def dupSpanPairsFrom(docs: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
     // 20-grams of candidate docs only; used for BOTH join sides, so
@@ -1258,6 +1275,20 @@ object LlmOps {
     * per-operator 100 TB properties unchanged. */
   def curateCorpus(docs0: DataFrame, jaccardThreshold: Double,
                    minQuality: Double): DataFrame = {
+    val g = gramsCapped(docs0).cache()
+    val out = curateCorpusFrom(docs0, g, jaccardThreshold, minQuality)
+    // loop-scoped like dedupClusters': clusterPairs inside ran eagerly
+    g.unpersist()
+    out
+  }
+
+  /** [[curateCorpus]] with the near-dup stage fed an already-built
+    * capped gram table — the [[DocCore.grams]] seam (the gram build is
+    * the pipeline's single heaviest derivation, shared with the whole
+    * dedup family). */
+  private[graft] def curateCorpusFrom(docs0: DataFrame, g: DataFrame,
+                                      jaccardThreshold: Double,
+                                      minQuality: Double): DataFrame = {
     // ONE materialized read of the input feeds all four consumers (exact
     // dedup, the near-dup cluster stage, quality scoring, the final
     // projection) instead of each stage re-scanning and re-tokenizing the
@@ -1270,11 +1301,9 @@ object LlmOps {
     // can be released as soon as it returns.
     val docs = docs0.cache()
     val survivors = exactDedup(docs).select(col("keep_id").as("doc_id"))
-    val g = gramsCapped(docs).cache()
     val nonCanon = clusterPairs(
         jaccardPairsFrom(g, jaccardThreshold).select(col("doc_a"), col("doc_b")))
       .filter(col("doc_id") =!= col("canon_id")).select("doc_id")
-    g.unpersist()
     val quality = qualityScoresCore(docs, 5).select(col("doc_id"), col("quality"))
     withNChars(docs)
       .join(survivors, Seq("doc_id"), "left_semi")
@@ -1737,7 +1766,9 @@ object LlmOps {
         |WHERE (c.canon_id IS NULL OR c.canon_id = d.doc_id)
         |  AND q.quality >= 0.5
         |ORDER BY d.doc_id""".stripMargin
-    ) { (s, d) => curateCorpus(documents(s, d), 0.5, 0.5) },
+    ) { (s, d) =>
+      curateCorpusFrom(documents(s, d), DocCore.grams(s, d), 0.5, 0.5)
+    },
 
     // ------------------- curation: fixed-context sequence packing -------
     OpDef(
@@ -2383,7 +2414,7 @@ object LlmOps {
         |       list_aggregate(fps, 'max') AS max_fp
         |FROM f
         |ORDER BY doc_id""".stripMargin
-    ) { (s, d) => winnowFingerprints(documents(s, d), 8, 4) },
+    ) { (s, d) => winnowFingerprintsFromFps(DocCore.winnowFps(s, d)) },
 
     /** MOSS-style near-dup matching on the winnowed fingerprints: docs
       * sharing fingerprints meet in fp buckets (hot boilerplate fps
@@ -2424,7 +2455,7 @@ object LlmOps {
         |WHERE shared * 1.0 / least(x.nf, y.nf) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, d) =>
-      winnowPairTable(documents(s, d))
+      DocCore.winnowPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("shared").cast("long").as("shared"),
                 Det.r4(col("shared") * lit(1.0)
                          / least(col("nfa"), col("nfb"))).as("overlap"))
@@ -2504,7 +2535,7 @@ object LlmOps {
         |FROM sp WHERE span_len >= 30
         |GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, d) => dupSpanPairs(documents(s, d)).orderBy("doc_a", "doc_b") },
+    ) { (s, d) => DocCore.dupSpans(s, d).orderBy("doc_a", "doc_b") },
 
     /** The dedup ACTION on top of q_text_dupspans: a document is cut
       * when a verified exact-substring overlap with a LOWER-id document
@@ -2587,7 +2618,7 @@ object LlmOps {
     ) { (s, d) =>
       val ln = documents(s, d)
         .select(col("doc_id"), length(col("text")).cast("long").as("lc"))
-      dupSpanPairs(documents(s, d))
+      DocCore.dupSpans(s, d)
         .join(ln.select(col("doc_id").as("doc_a"), col("lc").as("la")),
               Seq("doc_a"))
         .join(ln.select(col("doc_id").as("doc_b"), col("lc").as("lb")),
@@ -2706,7 +2737,7 @@ object LlmOps {
         |JOIN c1 ON bg.w1 = c1.w1
         |GROUP BY bg.doc_id
         |ORDER BY bg.doc_id""".stripMargin
-    ) { (s, d) => lmScores(documents(s, d)) },
+    ) { (s, d) => DocCore.lmScores(s, d).orderBy("doc_id") },
 
     // --------------------------------------- multimodal column assembly -
     OpDef(

@@ -68,4 +68,42 @@ object DocCore {
     memo.cached(s, s"sigs:$d") {
       LlmOps.minhashSigs(Tables.documents(s, d)).localCheckpoint(true)
     }
+
+  /** Winnowed (doc_id, fp) fingerprint rows at the registry's k=8, w=4
+    * ([[LlmOps.winnowFps]]) — window-repeated fps NOT deduped, exactly
+    * as the non-memoized derivation hands them to consumers. */
+  def winnowFps(s: SparkSession, d: String): DataFrame =
+    memo.cached(s, s"wfps:$d") {
+      LlmOps.winnowFps(Tables.documents(s, d), 8, 4).localCheckpoint(true)
+    }
+
+  /** MOSS-style winnow candidate pair table (doc_a, doc_b, shared, nfa,
+    * nfb) at ≥0.5 overlap ([[LlmOps.winnowPairTableFromFps]] over
+    * [[winnowFps]]) — shared by the pair reporter and both exact-span
+    * consumers. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame =
+    memo.cached(s, s"wpairs:$d") {
+      LlmOps.winnowPairTableFromFps(winnowFps(s, d)).localCheckpoint(true)
+    }
+
+  /** Exact maximal shared-substring spans per winnow candidate pair
+    * ([[LlmOps.dupSpanPairsFrom]]) — the alignment is the heaviest step
+    * of the substring-dedup family; q_text_dupspans reports it and
+    * q_dedup_substring applies the cut policy on top. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    memo.cached(s, s"spans:$d") {
+      LlmOps.dupSpanPairsFrom(
+        Tables.documents(s, d),
+        winnowPairs(s, d).select(
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))).localCheckpoint(true)
+    }
+
+  /** Per-doc corpus-MLE bigram fluency scores (doc_id, lm_score,
+    * n_bigrams) ([[LlmOps.lmScoresCore]]) — the model build feeds both
+    * the raw score op and the bucket histogram. */
+  def lmScores(s: SparkSession, d: String): DataFrame =
+    memo.cached(s, s"lms:$d") {
+      LlmOps.lmScoresCore(Tables.documents(s, d)).localCheckpoint(true)
+    }
 }

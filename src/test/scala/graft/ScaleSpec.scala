@@ -609,12 +609,23 @@ class ScaleSpec extends SparkTestBase {
     // consume them, so N consumers must pay ONE build per artifact
     graft.ops.DocCore.grams(spark, sf).count()
     graft.ops.DocCore.sigs(spark, sf).count()
+    graft.ops.DocCore.winnowFps(spark, sf).count()
+    graft.ops.DocCore.winnowPairs(spark, sf).count()
+    graft.ops.DocCore.dupSpans(spark, sf).count()
+    graft.ops.DocCore.lmScores(spark, sf).count()
     val c0 = graft.ops.DocCore.buildCount
     SparkEntry.queries("q_dedup_near")(spark, sf).count()
     SparkEntry.queries("q_text_containment_pairs")(spark, sf).count()
     SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
     SparkEntry.queries("q_dedup_lsh")(spark, sf).count()
     SparkEntry.queries("q_dedup_incremental")(spark, sf).count()
+    SparkEntry.queries("q_text_winnow")(spark, sf).count()
+    SparkEntry.queries("q_text_winnow_pairs")(spark, sf).count()
+    SparkEntry.queries("q_text_dupspans")(spark, sf).count()
+    SparkEntry.queries("q_dedup_substring")(spark, sf).count()
+    SparkEntry.queries("q_text_lmscore")(spark, sf).count()
+    SparkEntry.queries("q_text_lmbuckets")(spark, sf).count()
+    SparkEntry.queries("q_pipeline_curate")(spark, sf).count()
     assert(graft.ops.DocCore.buildCount == c0,
       "dedup consumers must reuse the memoized gram/signature artifacts")
     // survives the clearCache() Bench/Verify issue between queries
