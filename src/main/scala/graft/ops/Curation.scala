@@ -65,7 +65,28 @@ object Curation {
     * through one task; the agg+join formulation is chosen for exactly that
     * reason). Reassembly groups by doc_id — bounded by document size. */
   def dedupSegments(docs: DataFrame, segTokens: Int): DataFrame = {
-    val segs = docs
+    val segs = segmentize(docs, segTokens)
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    val kept = col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx")
+    segs.join(first, Seq("seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+           count(when(kept, lit(1))).as("n_kept"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(when(kept, struct(col("seg_idx"), col("seg"))))),
+             x => x("seg"))).as("new_text"))
+      .orderBy("doc_id")
+  }
+
+  /** One row per (doc_id, seg_idx, seg): fixed `segTokens`-token segments
+    * in document order (last segment ragged) — the shared segmentation of
+    * [[dedupSegments]] and [[scrubBoilerplate]]. Map-only (explode of an
+    * in-row slice transform), so segment volume ≈ corpus token volume and
+    * every downstream aggregate shuffles on the segment text/hash, never
+    * the document payload. */
+  private def segmentize(docs: DataFrame, segTokens: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -73,10 +94,27 @@ object Curation {
                    ceil(size(col("toks")) / lit(segTokens.toDouble)).cast("int") - 1),
           i => array_join(slice(col("toks"), i * segTokens + 1, lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
-    val first = segs.groupBy("seg")
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
-    val kept = col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx")
-    segs.join(first, Seq("seg"))
+
+  /** RefinedWeb/CCNet-style boilerplate scrub: a segment that occurs in
+    * ≥ `minDocs` DISTINCT documents is boilerplate (nav bars, license
+    * blurbs, cookie banners) and is removed from EVERY document — unlike
+    * [[dedupSegments]]' keep-first policy, which preserves the first
+    * copy of each duplicated segment. Output is per-doc: total segments,
+    * surviving segments, and the scrubbed text reassembled in segment
+    * order.
+    *
+    * Scale: the document-frequency table is a (seg → count distinct)
+    * aggregate — one shuffle keyed on the segment string (at 100 TB,
+    * key on xxhash64(seg) and the df table is a fraction of corpus
+    * size); the scrub decision is a join back on the same key, so both
+    * exchanges reuse one partitioning. No corpus-sized table is ever
+    * broadcast or collected. */
+  def scrubBoilerplate(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
+    val segs = segmentize(docs, segTokens)
+    val df = segs.groupBy("seg")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val kept = col("df") < minDocs
+    segs.join(df, Seq("seg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
            count(when(kept, lit(1))).as("n_kept"),
@@ -270,6 +308,24 @@ object Curation {
         |                             FILTER (WHERE rn = 1), ' '), '') AS new_text
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, d) => dedupSegments(documents(s, d), 8) },
+
+    OpDef(
+      "q_scrub_boilerplate",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+        |  FROM t, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i) u),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |SELECT s.doc_id, count(*) AS n_segs,
+        |  count(*) FILTER (WHERE df.df < 3) AS n_kept,
+        |  coalesce(array_to_string(list(s.seg ORDER BY s.seg_idx)
+        |             FILTER (WHERE df.df < 3), ' '), '') AS new_text
+        |FROM segs s JOIN df ON s.seg = df.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+    ) { (s, d) => scrubBoilerplate(documents(s, d), 8, 3) },
 
     OpDef(
       "q_mix_domains",

@@ -36,8 +36,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LakeTable {
 
   /** The staged-but-unpublished state a crash can leave behind: enough to
-    * resume (publish) or abandon (readers never saw it). */
-  final case class Staged(dir: String, version: Long, files: Seq[String])
+    * resume (publish) or abandon (readers never saw it). `batch` is an
+    * optional stream-epoch watermark recorded IN the manifest, so the
+    * pointer flip atomically publishes both the data and the fact that
+    * epoch N has been applied — the idempotence handle for
+    * [[graft.streaming.StreamOps.mergeBatchIntoLake]]. */
+  final case class Staged(dir: String, version: Long, files: Seq[String],
+                          batch: Option[Long] = None)
 
   private def latestPath(dir: String): Path = Paths.get(dir, "_latest")
 
@@ -48,6 +53,20 @@ object LakeTable {
     else {
       val name = new String(Files.readAllBytes(p), UTF_8).trim
       "manifest-v(\\d+)\\.json".r.findFirstMatchIn(name).map(_.group(1).toLong)
+    }
+  }
+
+  /** Stream-epoch watermark of the currently-published manifest, if the
+    * last commit recorded one — reading it costs one manifest read, and
+    * because the watermark rides the same atomic pointer flip as the
+    * data, "applied batch ≥ N" is exactly "epoch N's merge is visible". */
+  def appliedBatch(dir: String): Option[Long] = {
+    val p = latestPath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val name = new String(Files.readAllBytes(p), UTF_8).trim
+      val json = new String(Files.readAllBytes(Paths.get(dir, name)), UTF_8)
+      "\"batch\":(-?\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
     }
   }
 
@@ -111,8 +130,10 @@ object LakeTable {
   /** Step 1 of publish — exposed separately so LakeSpec can crash the
     * protocol between manifest write and pointer flip. */
   private[graft] def writeManifest(staged: Staged): Unit = {
+    val batchField = staged.batch.map(b => s""""batch":$b,""").getOrElse("")
     val json = staged.files.map("\"" + _ + "\"")
-      .mkString(s"""{"version":${staged.version},"files":[""", ",", "]}")
+      .mkString(s"""{"version":${staged.version},$batchField"files":[""",
+                ",", "]}")
     val manifest = Paths.get(staged.dir, s"manifest-v${staged.version}.json")
     val tmp = Paths.get(staged.dir, s".manifest-v${staged.version}.json.tmp")
     Files.write(tmp, json.getBytes(UTF_8))

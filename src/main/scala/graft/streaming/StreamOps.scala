@@ -614,6 +614,60 @@ object StreamOps {
   def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
+  /** Streaming MERGE (upsert) into a [[graft.sources.LakeTable]] —
+    * behavior 30, the streaming half of the write-audit-publish sink:
+    * each micro-batch's rows replace same-key rows of the published
+    * table (within a batch, the (ts, event_id)-max row wins per key, so
+    * the merge is deterministic under any row order), and the result
+    * commits through the full stage → audit → publish protocol.
+    *
+    * Exactly-once across epoch replay WITHOUT an idempotent-overwrite
+    * partition scheme: the manifest records the applied batchId, and the
+    * pointer flip publishes data + watermark atomically. A crash before
+    * the flip leaves the old version live, the WAL replays the epoch,
+    * the watermark still reads < batchId, and the merge re-runs against
+    * the OLD base — same result. A crash after the flip replays the
+    * epoch, the watermark reads ≥ batchId, and the merge is skipped —
+    * no double-apply. That is a transactional sink built from one
+    * atomic rename.
+    *
+    * Scale: this offline reduction rewrites the full table per commit;
+    * at 100 TB the stage step writes only the touched partitions (the
+    * manifest lists files per partition, so unchanged files carry over
+    * into the new manifest verbatim) — same protocol, smaller WRITE.
+    * Compaction of the accumulated versions is q_layout_compaction's
+    * job, reading through the same manifest. */
+  def mergeBatchIntoLake(spark: SparkSession, dir: String, batch: DataFrame,
+                         keys: Seq[String], batchId: Long): Option[Long] = {
+    import graft.sources.LakeTable
+    if (LakeTable.appliedBatch(dir).exists(_ >= batchId)) None
+    else {
+      // per-key winner within the batch: max (ts, event_id) — determinism
+      // does not depend on upstream row order
+      val winner = batch
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("_r") === 1).drop("_r")
+      val merged = LakeTable.currentVersion(dir) match {
+        case Some(_) =>
+          LakeTable.read(spark, dir)
+            .join(winner.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(winner)
+        case None => winner
+      }
+      val staged = LakeTable.stage(spark, dir, merged).copy(batch = Some(batchId))
+      LakeTable.audit(spark, staged) { df =>
+        // the upsert invariant, checked against the files AS WRITTEN
+        val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+        if (dup.isEmpty) None else Some(s"duplicate keys after merge")
+      } match {
+        case Right(s) => Some(LakeTable.publish(s))
+        case Left(reason) => throw new IllegalStateException(reason)
+      }
+    }
+  }
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

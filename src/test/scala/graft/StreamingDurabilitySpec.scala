@@ -86,6 +86,60 @@ class StreamingDurabilitySpec extends SparkTestBase {
       s"replayed epoch must overwrite, not duplicate: $ids")
   }
 
+  test("streaming lake merge: crash-replay around the atomic publish never double-applies") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft_chk_lm").toString
+    val lake = Files.createTempDirectory("graft_lake_m").toString
+    val ms = MemoryStream[Event]
+    // two injected crashes: one BEFORE the commit touches the lake
+    // (epoch must re-merge on replay) and one AFTER publish but before
+    // the epoch's WAL commit (replay must SKIP via the manifest's batch
+    // watermark — the double-apply hazard this sink exists to close)
+    val preCrash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val postCrash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = ms.toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 1 && preCrash.compareAndSet(false, true))
+          throw new RuntimeException("injected pre-merge failure")
+        StreamOps.mergeBatchIntoLake(spark, lake, b, Seq("user_id"), id)
+        if (id == 2 && postCrash.compareAndSet(false, true))
+          throw new RuntimeException("injected post-publish pre-commit failure")
+      }
+      .start()
+    var q = start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:00:30", 2, "view", 2.0))
+    q.processAllAvailable() // epoch 0: initial publish
+    ms.addData(ev(3, "2024-01-01 10:01:00", 1, "view", 9.0)) // upsert user 1
+    intercept[Exception] { q.processAllAvailable() } // epoch 1 pre-merge crash
+    q.stop(); q = start()
+    q.processAllAvailable() // epoch 1 replays, merges this time
+    ms.addData(ev(4, "2024-01-01 10:02:00", 3, "click", 4.0))
+    intercept[Exception] { q.processAllAvailable() } // epoch 2 crashes POST-publish
+    q.stop()
+    val vAfterCrash = graft.sources.LakeTable.currentVersion(lake)
+    q = start() // WAL replays epoch 2; watermark says it's applied → skip
+    q.processAllAvailable()
+    ms.addData(ev(5, "2024-01-01 10:03:00", 2, "purchase", 7.0)) // upsert user 2
+    q.processAllAvailable()
+    q.stop()
+    assert(preCrash.get && postCrash.get, "fault injections never fired")
+    // replayed epoch 2 must not have produced a second version
+    assert(graft.sources.LakeTable.appliedBatch(lake).contains(3L),
+      s"final watermark must be epoch 3: ${graft.sources.LakeTable.appliedBatch(lake)}")
+    assert(graft.sources.LakeTable.currentVersion(lake) == vAfterCrash.map(_ + 1),
+      "replayed epoch 2 must be skipped: exactly one more version after restart")
+    // end state: latest row per user, read THROUGH the manifest
+    val rows = graft.sources.LakeTable.read(spark, lake)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 3L, 9.0), (2L, 5L, 7.0), (3L, 4L, 4.0)),
+      s"merged table must hold the per-key latest rows exactly once: $rows")
+  }
+
   test("RocksDB state store backend produces the same results") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
