@@ -74,7 +74,58 @@ object Layout {
       .drop("zx", "zy", "zxmin", "zxmax", "zymin", "zymax")
   }
 
+  /** One Hive-partitioned copy of `events` per (sfDir) per JVM —
+    * event_date=YYYY-MM-DD directories, the layout every 100 TB fact
+    * table ships with. Path-memoized (the write itself is the layout
+    * job, paid once); the partitioned READ is what
+    * q_layout_partition_prune exercises. */
+  private val prunePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def partitionedEvents(s: SparkSession, d: String): String =
+    prunePaths.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_events_bydate_").toString
+      events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      dir
+    })
+
   def ops: Seq[OpDef] = Seq(
+
+    /** Partition pruning, end-to-end: lay `events` out Hive-partitioned
+      * by day (once per JVM — the write IS the layout job), then answer
+      * a 7-day window query THROUGH the partitioned layout. The date
+      * predicate lands in the scan's PartitionFilters, so only 7 of the
+      * 30 day-directories are listed or read — at 100 TB this is the
+      * difference between scanning ~23 TB and ~0.8 TB before the first
+      * row filter even runs. ScaleSpec asserts the pruning on the
+      * physical plan (non-empty PartitionFilters, 7 partitions
+      * touched); the oracle computes the same aggregate from the
+      * unpartitioned fixture, so the hash-match proves the partitioned
+      * round-trip loses nothing. Sums are exact per-row micro-units
+      * (the snapshot-diff discipline), never a double accumulation. */
+    OpDef(
+      "q_layout_partition_prune",
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS value_micros
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      s.read.parquet(partitionedEvents(s, d))
+        .filter(col("event_date").between(lit("2024-01-08").cast("date"),
+                                          lit("2024-01-14").cast("date")))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(floor(col("value") * lit(1000000.0) + lit(0.5))
+                 .cast("long")).cast("long").as("value_micros"))
+        .select(col("event_date"), col("event_type"), col("n"),
+                col("value_micros"))
+        .orderBy("event_date", "event_type")
+    },
 
     // Z-order locality summary over lineitem's (part, supplier) plane:
     // bucket the curve into 4096-key segments and report each bucket's

@@ -639,6 +639,35 @@ class ScaleSpec extends SparkTestBase {
       s"consumer must scan the checkpointed signature table:\n$plan")
   }
 
+  test("partitioned events layout prunes the scan to the filtered days") {
+    // the date predicate must reach the scan as a PARTITION filter
+    // (directory-level pruning), not only a row filter: 7 of the 30
+    // event_date=... directories touched
+    val df = SparkEntry.queries("q_layout_partition_prune")(spark, sf)
+    df.collect() // execute THIS plan instance so the scan metrics populate
+    // AQE wraps the executed plan in an adaptive root whose materialized
+    // stages are QueryStageExec LEAVES — recurse through both to reach
+    // the actual file scan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the layout")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"date predicate must prune partitions, not just rows:\n$scan")
+    scan.metrics.get("numPartitions").foreach { m =>
+      assert(m.value == 7,
+        s"scan must touch exactly the 7 filtered day-partitions, got ${m.value}")
+    }
+  }
+
   test("cluster label loop closes a planted long chain in O(log d) rounds") {
     // a 64-vertex path graph is the worst case the r5 verdict named:
     // plain min-label propagation moves the root label ONE hop per round
