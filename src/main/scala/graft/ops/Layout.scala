@@ -91,7 +91,68 @@ object Layout {
       dir
     })
 
+  /** One bucketed copy of orders+lineitem per (sfDir) per JVM: 8 buckets
+    * hashed on the order key, registered in the session catalog (bucket
+    * spec is catalog metadata, so the tables are external parquet under a
+    * temp dir). The write is the layout job — co-locating both fact
+    * tables on their join key once so every later join is exchange-free. */
+  private val bucketTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketTables.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val (oT, lT) = (s"graft_orders_b$tag", s"graft_lineitem_b$tag")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toString
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.format("parquet").option("path", s"$base/orders")
+        .bucketBy(8, "o_orderkey").saveAsTable(oT)
+      lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.format("parquet").option("path", s"$base/lineitem")
+        .bucketBy(8, "l_orderkey").saveAsTable(lT)
+      (oT, lT)
+    })
+
   def ops: Seq[OpDef] = Seq(
+
+    /** Bucketed co-located join: orders and lineitem are laid out
+      * bucketed on the order key (8 buckets each side, catalog-backed),
+      * so the order-level revenue rollup joins WITHOUT shuffling either
+      * fact table — each task merges bucket i of both sides, and the
+      * post-join per-orderkey aggregate inherits the same hash layout,
+      * so it collapses map-side too. At 100 TB this is THE technique
+      * for a repeated fact-fact join: both shuffles are paid once at
+      * write time and amortized over every subsequent query (vs
+      * q_join_salted, which pays them per query). ScaleSpec asserts the
+      * plan carries NO hash-partitioned exchange — the only shuffle is
+      * the final presentation sort. The oracle joins the unbucketed
+      * fixtures; hash-match proves the bucketed layout loses nothing.
+      * Exact cent units for the money sum. */
+    OpDef(
+      "q_layout_bucket_join",
+      """SELECT o_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val (oT, lT) = bucketedTables(s, d)
+      // merge hint: the assert is about the EXCHANGE, so pin the join
+      // strategy (broadcast would also be shuffle-free but proves nothing
+      // about the layout)
+      s.table(oT).hint("merge")
+        .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+             sum(col("l_quantity")).cast("long").as("qty"),
+             sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .orderBy("o_orderkey")
+    },
 
     /** Partition pruning, end-to-end: lay `events` out Hive-partitioned
       * by day (once per JVM — the write IS the layout job), then answer

@@ -668,6 +668,29 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed layout joins and aggregates with no hash exchange") {
+    // both fact scans are bucketed on the join key: the sort-merge join
+    // and the per-key aggregate must run on the bucket layout directly —
+    // the only shuffle in the plan is the final presentation sort
+    // (range partitioning)
+    val df = SparkEntry.queries("q_layout_bucket_join")(spark, sf)
+    df.collect()
+    def hashExchanges(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          Seq(e.toString)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hashExchanges(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hashExchanges(q.plan)
+      }.flatten
+    val offenders = hashExchanges(df.queryExecution.executedPlan)
+    assert(offenders.isEmpty,
+      s"bucketed join/agg must not re-shuffle the fact tables:\n${offenders.mkString("\n")}")
+  }
+
   test("cluster label loop closes a planted long chain in O(log d) rounds") {
     // a 64-vertex path graph is the worst case the r5 verdict named:
     // plain min-label propagation moves the root label ONE hop per round
