@@ -95,11 +95,17 @@ object Graph {
                 (col("t") + expr("(85 * coalesce(c, 0L) + 50) div 100")).as("r"))
       PlanProbe.note("pagerank", ranks)
     }
-    // eager checkpoint: materializes all 6 steps THROUGH the edge cache,
-    // so unpersisting right after is safe (and nothing leaks past the op)
-    val out = ranks.localCheckpoint(true)
-    edges.unpersist()
-    out.select(col("node"), (col("r") / lit(1000000.0)).as("pr"))
+    // LAZY tail, deliberately: the whole 6-step DAG must reach the
+    // caller's action as ONE adaptive query. Forcing materialization at
+    // construction so the edge cache could be released here was measured
+    // 8.5 s (eager localCheckpoint — Dataset.rdd compiles with AQE off),
+    // 8.9 s (cache+count — cached fragments are planned without AQE),
+    // 7.6 s (cache+count with canChangeCachedPlanOutputPartitioning=true)
+    // vs 2.4 s for this lazy spelling at sf0.1 (r7). The loop-scoped
+    // edge cache (~|E| rows, never corpus-sized) therefore lives until
+    // the callers' documented clearCache-between-queries contract drops
+    // it — the r6 shape, kept on measurement.
+    ranks.select(col("node"), (col("r") / lit(1000000.0)).as("pr"))
       .orderBy("node")
   }
 
@@ -555,7 +561,10 @@ object Graph {
         PlanProbe.note("bfs", dist)
         // EAGER on the last round: the six rounds run here, through
         // the still-live edge cache — the r6 shape unpersisted at
-        // construction time, before the cache ever served a round
+        // construction time, before the cache ever served a round.
+        // (A fully-lazy loop is NOT the pagerank trade: dist feeds each
+        // round TWICE — frontier filter + union — so uncheckpointed
+        // lineage doubles per round; measured 21.6 s vs 3.6 s at sf0.1.)
         dist = dist.localCheckpoint(k == 6)
       }
       edges.unpersist()
