@@ -2045,6 +2045,50 @@ object LlmOps {
         .orderBy("lang")
     },
 
+    // Vocabulary coverage per language — the tokenizer-budget stat: what
+    // fraction of token OCCURRENCES the top-10 / top-100 most frequent
+    // types cover. Sizing a (BPE/word) vocab is a coverage-curve read;
+    // this emits the two standard points plus type/token totals. Same
+    // scale shape as q_text_zipf: one corpus-sized token aggregate, then
+    // the rank window and coverage sums run over the Zipf-bounded
+    // per-lang VOCABULARY table (at extreme scale, pre-filter the head
+    // with a count threshold before ranking — the tail can't reach the
+    // top-100 by definition). Counts are exact BIGINTs; the coverage
+    // ratios divide two exact integers, engine-safe.
+    OpDef(
+      "q_text_ngram_coverage",
+      """WITH bag AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT lang, tok, count(*) AS c FROM bag GROUP BY 1, 2),
+        |r AS (SELECT lang, c,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY c DESC, tok ASC) AS rk
+        |      FROM f)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  floor((sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) * 1.0 / sum(c))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS cov_top10,
+        |  floor((sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) * 1.0 / sum(c))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS cov_top100
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tok").asc)
+      documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("c"), row_number().over(w).as("rk"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("vocab_size"),
+             sum(col("c")).cast("long").as("n_tokens"),
+             Det.r6(sum(when(col("rk") <= 10, col("c")).otherwise(lit(0L)))
+                      * lit(1.0) / sum(col("c"))).as("cov_top10"),
+             Det.r6(sum(when(col("rk") <= 100, col("c")).otherwise(lit(0L)))
+                      * lit(1.0) / sum(col("c"))).as("cov_top100"))
+        .orderBy("lang")
+    },
+
     // ------------------------------------------- text: language ID ------
     OpDef(
       "q_text_langid",

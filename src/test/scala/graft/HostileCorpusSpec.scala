@@ -64,6 +64,7 @@ class HostileCorpusSpec extends SparkTestBase {
   // does substring/token arithmetic on raw text
   private val ops = Seq(
     "q_text_stats", "q_text_tokens", "q_text_ttr", "q_text_zipf",
+    "q_text_ngram_coverage",
     "q_text_langid", "q_eval_langid", "q_text_quality", "q_text_entropy",
     "q_text_lmscore", "q_text_lmbuckets", "q_text_gopher", "q_text_blocklist",
     "q_text_code_detect", "q_text_repetition", "q_text_chunk",
