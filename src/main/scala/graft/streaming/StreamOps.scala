@@ -614,6 +614,104 @@ object StreamOps {
   def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
+  // ------- stream–stream AS-OF (point-in-time) join: behavior 31 -------
+
+  case class DimUpd(k: Long, ts: java.sql.Timestamp, v: Double)
+  case class FactRow(k: Long, ts: java.sql.Timestamp)
+  case class AsofIn(k: Long, ts: java.sql.Timestamp, side: Int, v: Double)
+  case class AsofState(dims: List[(Long, Double)], facts: List[Long])
+  case class AsofJoined(k: Long, ts: java.sql.Timestamp, rate: Option[Double])
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def usTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Stream–stream AS-OF join (the Flink "temporal join" / feature-store
+    * point-in-time enrich): each fact row picks the LATEST dimension
+    * update with dim.ts ≤ fact.ts on its key — the streaming twin of
+    * q_join_asof, which Structured Streaming's interval joins cannot
+    * express (they bound both sides; as-of needs "latest before", an
+    * argmax over unbounded history). This is exactly the case for
+    * custom state: one `flatMapGroupsWithState` over the tagged union
+    * of both watermarked streams.
+    *
+    * Correctness protocol: a fact at T is only FINAL once the watermark
+    * passes T (an out-of-order dim with ts ≤ T may still arrive until
+    * then), so facts buffer until `ts ≤ watermark`, then emit exactly
+    * once — StreamingSpec pins the output bit-equal to the batch as-of
+    * replay across randomized micro-batch splits. State is bounded:
+    * pending facts sit inside the watermark horizon by construction,
+    * and the dim buffer is pruned to the single latest entry at or
+    * below the emission horizon (older updates are unreachable — the
+    * same argmax argument that makes the batch op correct) plus
+    * anything newer; an idle key's state is dropped `ttlMs` after its
+    * last watermark advance (documented TTL, the feature-store
+    * "expire stale entities" knob). */
+  def streamingAsofJoin(spark: SparkSession, facts: DataFrame, dims: DataFrame,
+                        ttlMs: Long = 30 * 60 * 1000L): Dataset[AsofJoined] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val tagged = dims
+      .select(col("k"), col("ts"), lit(0).as("side"), col("v"))
+      .withWatermark("ts", "10 minutes")
+      .unionByName(
+        facts.select(col("k"), col("ts"), lit(1).as("side"),
+                     lit(0.0).as("v"))
+          .withWatermark("ts", "10 minutes"))
+      .as[AsofIn]
+    tagged.groupByKey(_.k)
+      .flatMapGroupsWithState[AsofState, AsofJoined](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (kk, rows, state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var dims = st.dims
+          var facts = st.facts
+          rows.foreach { r =>
+            if (r.side == 0) dims = (tsUs(r.ts), r.v) :: dims
+            else facts = tsUs(r.ts) :: facts
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = facts.partition(_ <= wmUs)
+          // emit in (ts) order — arrival order within a batch is undefined
+          val out = ready.sorted.map { fu =>
+            val before = dims.filter(_._1 <= fu)
+            AsofJoined(kk, usTs(fu),
+                       if (before.isEmpty) None
+                       else Some(before.maxBy(d => (d._1, d._2))._2))
+          }
+          if (pending.isEmpty && (state.hasTimedOut || dims.isEmpty)) {
+            // TTL fired (or nothing to hold) with no pending facts: the
+            // key is idle — drop it
+            state.remove()
+          } else {
+            // prune dims unreachable by any future fact: keep the single
+            // latest at/below the horizon plus everything newer
+            val horizon = if (pending.nonEmpty) pending.min else wmUs
+            val atOrBelow = dims.filter(_._1 <= horizon)
+            val keepFrom =
+              if (atOrBelow.isEmpty) Long.MinValue else atOrBelow.map(_._1).max
+            val kept = dims.filter(_._1 >= keepFrom)
+            state.update(AsofState(kept, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.floorDiv(pending.min, 1000L) + 1)
+            else
+              // idle-expiry armed off the key's own EVENT time, clamped
+              // above the current watermark (arming off the watermark
+              // alone is a trap: a fresh key sees watermark 0, the arm
+              // lands in 1970, and the first watermark jump silently
+              // wipes the dim buffer before any fact consults it)
+              state.setTimeoutTimestamp(math.max(
+                math.floorDiv(kept.map(_._1).max, 1000L) + ttlMs,
+                state.getCurrentWatermarkMs() + ttlMs))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming MERGE (upsert) into a [[graft.sources.LakeTable]] —
     * behavior 30, the streaming half of the write-audit-publish sink:
     * each micro-batch's rows replace same-key rows of the published

@@ -464,6 +464,70 @@ class StreamingSpec extends SparkTestBase {
              .count(e => expected(e.event_id)) == 3)
   }
 
+  test("streaming as-of join equals the batch point-in-time replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // dim updates (key → rate) and facts, deliberately out of order
+    // across micro-batches: the 10:04 dim for key 1 arrives AFTER the
+    // 10:05 fact was seen, and must still win for it (the fact is only
+    // final once the watermark passes it)
+    val dimFeed = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 10:04:00", 2.0), (1L, "2024-01-01 10:30:00", 3.0),
+      (2L, "2024-01-01 10:20:00", 6.0))
+    val factFeed = Seq(
+      (1L, "2024-01-01 10:02:00"), (1L, "2024-01-01 10:05:00"),
+      (2L, "2024-01-01 10:01:00"), (1L, "2024-01-01 10:31:00"),
+      (2L, "2024-01-01 10:25:00"), (3L, "2024-01-01 10:03:00")) // no dim
+    // batch replay: latest dim with ts <= fact ts per key
+    val expected = factFeed.map { case (k, t) =>
+      val before = dimFeed.filter(d => d._1 == k && d._2 <= t)
+      (k, ts(t).toString,
+       if (before.isEmpty) None else Some(before.maxBy(d => (d._2, d._3))._3))
+    }.toSet
+    val dimMs = MemoryStream[StreamOps.DimUpd]
+    val factMs = MemoryStream[StreamOps.FactRow]
+    val name = nextName()
+    val q = StreamOps.streamingAsofJoin(spark, factMs.toDF(), dimMs.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // batch 1: first two dims + two facts (one pre-dating the 10:04 dim)
+    dimMs.addData(StreamOps.DimUpd(1L, ts(dimFeed(0)._2), 1.0),
+                  StreamOps.DimUpd(2L, ts(dimFeed(1)._2), 5.0))
+    factMs.addData(StreamOps.FactRow(1L, ts(factFeed(0)._2)),
+                   StreamOps.FactRow(1L, ts(factFeed(1)._2)),
+                   StreamOps.FactRow(3L, ts(factFeed(5)._2)))
+    q.processAllAvailable()
+    // batch 2: the out-of-order 10:04 dim that must serve the 10:05 fact,
+    // plus the rest of both feeds
+    dimMs.addData(StreamOps.DimUpd(1L, ts(dimFeed(2)._2), 2.0),
+                  StreamOps.DimUpd(1L, ts(dimFeed(3)._2), 3.0),
+                  StreamOps.DimUpd(2L, ts(dimFeed(4)._2), 6.0))
+    factMs.addData(StreamOps.FactRow(2L, ts(factFeed(2)._2)),
+                   StreamOps.FactRow(1L, ts(factFeed(3)._2)),
+                   StreamOps.FactRow(2L, ts(factFeed(4)._2)))
+    q.processAllAvailable()
+    // sentinels far in the future on BOTH streams: the union's global
+    // watermark is the MIN of the two sides', so each must advance past
+    // every real fact before the last ones finalize
+    dimMs.addData(StreamOps.DimUpd(99L, ts("2024-01-01 13:00:00"), 0.0))
+    factMs.addData(StreamOps.FactRow(99L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    dimMs.addData(StreamOps.DimUpd(99L, ts("2024-01-01 16:00:00"), 0.0))
+    factMs.addData(StreamOps.FactRow(99L, ts("2024-01-01 16:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table(name)
+      .select("k", "ts", "rate").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+                 if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .filter(_._1 != 99L) // drop the sentinel key's own emissions
+    q.stop()
+    assert(rows.length == factFeed.length,
+      s"every fact must emit exactly once: ${rows.toSeq}")
+    assert(rows.toSet == expected.map { case (k, t, v) => (k, t, v) },
+      s"streaming as-of must equal the batch replay:\n got ${rows.toSeq.sorted}\n exp ${expected.toSeq.sorted}")
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
