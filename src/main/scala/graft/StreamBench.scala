@@ -102,6 +102,40 @@ object StreamBench {
       (ms: MemoryStream[StreamOps.Event]) =>
         StreamOps.quotaGate(spark, ms.toDF(), 50L).toDF())
 
+    // stream–stream AS-OF join (behavior 31): per-key dim buffer +
+    // watermark-gated pending-fact buffer in flatMapGroupsWithState —
+    // the costliest state shape (facts hold until the watermark passes
+    // them), driven with both sides advancing in lockstep so each chunk
+    // finalizes the previous one's facts
+    val asof = {
+      val nKeys = 997
+      val dims = (0 until nEvents / 10).map(i =>
+        StreamOps.DimUpd((i % nKeys).toLong, ts(t0 + i.toLong * 5000),
+                         (i % 100).toDouble))
+      val facts = (0 until nEvents).map(i =>
+        StreamOps.FactRow((i % nKeys).toLong, ts(t0 + i.toLong * 500)))
+      val dimMs = MemoryStream[StreamOps.DimUpd]
+      val factMs = MemoryStream[StreamOps.FactRow]
+      val query = StreamOps.streamingAsofJoin(spark, factMs.toDF(), dimMs.toDF())
+        .toDF().writeStream.format("noop").start()
+      val n = dims.size + facts.size
+      val start = System.nanoTime()
+      dims.grouped(dims.size / 10).toSeq
+        .zip(facts.grouped(facts.size / 10).toSeq)
+        .foreach { case (d, f) =>
+          dimMs.addData(d); factMs.addData(f); query.processAllAvailable()
+        }
+      val sec = (System.nanoTime() - start) / 1e9
+      val perBatch = query.recentProgress.toSeq
+        .filter(_.numInputRows > 0).map(_.processedRowsPerSecond)
+      query.stop()
+      val floor = if (perBatch.nonEmpty) perBatch.min else 0.0
+      val ceil = if (perBatch.nonEmpty) perBatch.max else 0.0
+      s""""asof_join":{"rows":$n,"sec":${r3(sec)},"rows_per_sec":${r3(n / sec)},""" +
+        s""""batches":${perBatch.size},"batch_floor_rps":${r3(floor)},""" +
+        s""""batch_ceil_rps":${r3(ceil)}}"""
+    }
+
     // state-store provider A/B (r6 verdict ask #6): re-run the two
     // stateFUL shapes on the RocksDB provider. The default HDFS-backed
     // store keeps every version's map on-heap — at 100 TB state size
@@ -121,7 +155,8 @@ object StreamBench {
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
-      s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota,$nearDupR,$quotaR}}""")
+      s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota,$asof,""" +
+      s"""$nearDupR,$quotaR}}""")
     spark.stop()
   }
 }
