@@ -1125,6 +1125,52 @@ object LlmOps {
            sum(col("span_len")).cast("long").as("span_chars"))
   }
 
+  /** Content-defined chunking dedup (the FastCDC/rsync family): chunk
+    * boundaries are data-dependent — position i starts a chunk when the
+    * rolling 8-char hash ≡ 0 (mod 64, expected ~64-char chunks) — so an
+    * insertion shifts only the chunk it lands in, and every later chunk
+    * still hashes identically. That is the robustness position-based
+    * segmentation (q_dedup_segments) lacks, and it is why storage dedup
+    * and byte-level corpus dedup use CDC. Per doc: chunk count, chunks
+    * shared with ≥1 other doc, and duplicated chars.
+    *
+    * Scale: the position explode is Σ chars (the winnow cost class);
+    * everything after aggregates on the chunk hash — no pair generation,
+    * so no bucket cap is needed (a corpus-wide hot chunk is one grouped
+    * row, not a quadratic bucket). Production CDC adds min/max chunk
+    * bounds (documented; the fixture's uniform text doesn't need them). */
+  def cdcChunkDedup(docs: DataFrame, window: Int, modulus: Int): DataFrame = {
+    val n = length(col("text"))
+    val h = conv(md5(col("text").substr(col("i"), lit(window)))
+                   .substr(lit(1), lit(8)), 16, 10).cast("long")
+    val bounds = docs.filter(n >= window)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"),
+              explode(sequence(lit(1), n - lit(window - 1))).as("i"))
+      .filter(col("i") === 1 || (h % modulus === 0))
+      .groupBy("doc_id", "text")
+      .agg(sort_array(collect_list(col("i"))).as("bs"))
+    // each boundary's chunk ends at the next boundary (doc end + 1 last)
+    val ends = concat(slice(col("bs"), lit(2), size(col("bs")) - 1),
+                      array(length(col("text")) + lit(1)))
+    val chunks = bounds
+      .select(col("doc_id"), col("text"),
+              explode(arrays_zip(col("bs").as("s"), ends.as("e"))).as("z"))
+      .select(col("doc_id"),
+              md5(col("text").substr(col("z.s"), col("z.e") - col("z.s")))
+                .as("ch"),
+              (col("z.e") - col("z.s")).cast("long").as("cl"))
+    val freq = chunks.groupBy("ch")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    chunks.join(freq, Seq("ch"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+           count(when(col("nd") > 1, lit(1))).cast("long").as("n_dup_chunks"),
+           coalesce(sum(when(col("nd") > 1, col("cl"))), lit(0L))
+             .cast("long").as("dup_chars"))
+      .orderBy("doc_id")
+  }
+
   /** q_text_bpe's fixed merge count. */
   private val BpeMerges = 3
 
@@ -2675,6 +2721,35 @@ object LlmOps {
              max(col("max_span_len")).cast("long").as("worst_span"))
         .orderBy("doc_id")
     },
+
+    // --------------- dedup: content-defined chunking (FastCDC) ----------
+    OpDef(
+      "q_dedup_cdc",
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 8),
+        |p AS (SELECT doc_id, text, n, CAST(i AS BIGINT) AS i
+        |      FROM d, LATERAL (SELECT unnest(range(1, n - 6)) AS i) u),
+        |b AS (SELECT doc_id, text, n, i FROM p
+        |      WHERE i = 1
+        |         OR CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8)
+        |                 AS BIGINT) % 64 = 0),
+        |g AS (SELECT doc_id, text, n, list_sort(list(i)) AS bs
+        |      FROM b GROUP BY doc_id, text, n),
+        |c AS (SELECT doc_id,
+        |        substring(text, bs[j],
+        |          (CASE WHEN j < len(bs) THEN bs[j + 1] ELSE n + 1 END)
+        |            - bs[j]) AS chunk
+        |      FROM g, LATERAL (SELECT unnest(range(1, len(bs) + 1)) AS j) u),
+        |h AS (SELECT doc_id, md5(chunk) AS ch, length(chunk) AS cl FROM c),
+        |f AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM h GROUP BY ch)
+        |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE f.nd > 1) AS BIGINT) AS n_dup_chunks,
+        |  CAST(coalesce(sum(cl) FILTER (WHERE f.nd > 1), 0) AS BIGINT)
+        |    AS dup_chars
+        |FROM h JOIN f ON h.ch = f.ch
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+    ) { (s, d) => cdcChunkDedup(documents(s, d), 8, 64) },
 
     // ------------------------------------------- text: TF-IDF -----------
     OpDef(

@@ -76,7 +76,7 @@ class HostileCorpusSpec extends SparkTestBase {
     "q_text_tfidf", "q_text_cluster_topics", "q_text_heavyhitters",
     "q_dedup_exact", "q_dedup_norm", "q_dedup_near", "q_dedup_minhash",
     "q_dedup_lsh", "q_dedup_minhash_fast", "q_dedup_lsh_fast",
-    "q_dedup_simhash", "q_dedup_editdist", "q_dedup_cluster",
+    "q_dedup_simhash", "q_dedup_editdist", "q_dedup_cluster", "q_dedup_cdc",
     "q_dedup_soft", "q_dedup_segments", "q_scrub_boilerplate",
     "q_dedup_incremental",
     "q_pack_sequences", "q_pack_mask", "q_pipeline_curate")
