@@ -712,6 +712,50 @@ object StreamOps {
       }
   }
 
+  /** Streaming CDC apply — behavior 32, the lakehouse ingest workload:
+    * a change stream whose rows carry `op` ('D' = tombstone, anything
+    * else = upsert) folds into the published table through the same
+    * write-audit-publish commit as [[mergeBatchIntoLake]]. Within a
+    * batch the per-key winner is the (ts, event_id)-max row — if the
+    * LAST change for a key in the batch is a delete, the key is gone
+    * from the new version; otherwise it upserts — exactly the
+    * semantics of replaying the changes one at a time (the batch twin
+    * q_merge_cdc's MERGE ... WHEN MATCHED AND op='D' THEN DELETE).
+    * Exactly-once across epoch replay rides the same manifest batchId
+    * watermark; deletes are just absent rows in the committed version,
+    * so replay-skip covers them with no extra machinery. */
+  def applyCdcIntoLake(spark: SparkSession, dir: String, batch: DataFrame,
+                       keys: Seq[String], batchId: Long): Option[Long] = {
+    import graft.sources.LakeTable
+    if (LakeTable.appliedBatch(dir).exists(_ >= batchId)) None
+    else {
+      val winner = batch
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("_r") === 1).drop("_r")
+      val upserts = winner.filter(col("op") =!= "D").drop("op")
+      val touched = winner.select(keys.map(col): _*)
+      val merged = LakeTable.currentVersion(dir) match {
+        case Some(_) =>
+          // drop EVERY touched key from the base (deletes stay gone,
+          // updates re-enter from the batch side), then add the upserts
+          LakeTable.read(spark, dir)
+            .join(touched, keys, "left_anti")
+            .unionByName(upserts)
+        case None => upserts
+      }
+      val staged = LakeTable.stage(spark, dir, merged).copy(batch = Some(batchId))
+      LakeTable.audit(spark, staged) { df =>
+        val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+        if (dup.isEmpty) None else Some("duplicate keys after CDC apply")
+      } match {
+        case Right(s) => Some(LakeTable.publish(s))
+        case Left(reason) => throw new IllegalStateException(reason)
+      }
+    }
+  }
+
   /** Streaming MERGE (upsert) into a [[graft.sources.LakeTable]] —
     * behavior 30, the streaming half of the write-audit-publish sink:
     * each micro-batch's rows replace same-key rows of the published

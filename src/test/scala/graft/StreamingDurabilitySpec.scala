@@ -140,6 +140,61 @@ class StreamingDurabilitySpec extends SparkTestBase {
       s"merged table must hold the per-key latest rows exactly once: $rows")
   }
 
+  test("streaming CDC apply: deletes survive crash-replay and in-batch races") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft_chk_cdc").toString
+    val lake = Files.createTempDirectory("graft_lake_cdc").toString
+    val ms = MemoryStream[Event]
+    // op rides event_type: 'D' = tombstone, anything else upserts
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = ms.toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.applyCdcIntoLake(
+          spark, lake,
+          b.withColumn("op", org.apache.spark.sql.functions.col("event_type")),
+          Seq("user_id"), id)
+        // crash AFTER the delete-carrying epoch published but BEFORE its
+        // WAL commit: the replay must skip, not re-apply (a re-applied
+        // delete would also pass silently — the version count catches it)
+        if (id == 1 && crash.compareAndSet(false, true))
+          throw new RuntimeException("injected post-publish failure")
+      }
+      .start()
+    var q = start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "ins", 1.0),
+      ev(2, "2024-01-01 10:00:10", 2, "ins", 2.0))
+    q.processAllAvailable() // epoch 0: two inserts
+    ms.addData(
+      ev(3, "2024-01-01 10:01:00", 1, "upd", 9.0),
+      ev(4, "2024-01-01 10:01:10", 2, "D", 0.0)) // tombstone user 2
+    intercept[Exception] { q.processAllAvailable() } // epoch 1 post-publish crash
+    q.stop()
+    val vAfterCrash = graft.sources.LakeTable.currentVersion(lake)
+    q = start() // replays epoch 1; manifest watermark says applied → skip
+    q.processAllAvailable()
+    // epoch 2: new key, plus a delete-then-reinsert RACE on user 1 inside
+    // one batch — the (ts, event_id)-max row (the reinsert) must win
+    ms.addData(
+      ev(5, "2024-01-01 10:02:00", 3, "ins", 4.0),
+      ev(6, "2024-01-01 10:02:10", 1, "D", 0.0),
+      ev(7, "2024-01-01 10:02:20", 1, "ins", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(crash.get, "fault injection never fired")
+    assert(graft.sources.LakeTable.currentVersion(lake) == vAfterCrash.map(_ + 1),
+      "replayed delete epoch must be skipped: exactly one more version")
+    val rows = graft.sources.LakeTable.read(spark, lake)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 2 deleted; user 1 = the reinsert that beat its same-batch
+    // tombstone; user 3 inserted
+    assert(rows == Set((1L, 7L, 7.0), (3L, 5L, 4.0)),
+      s"CDC fold must equal one-at-a-time replay: $rows")
+  }
+
   test("RocksDB state store backend produces the same results") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
