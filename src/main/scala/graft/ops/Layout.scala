@@ -317,6 +317,45 @@ object Layout {
       require(v3.isLeft, "empty snapshot must fail the audit gate")
       require(LakeTable.currentVersion(dir).contains(2L), "v2 must stay live")
       LakeTable.read(s, dir).orderBy("custkey")
+    },
+
+    /** TIME TRAVEL through the manifest history: commit v1 (pre-1997
+      * orders), commit the v2 backfill over it, then read **VERSION 1
+      * back** while v2 is live — the Delta `VERSION AS OF` / Iceberg
+      * snapshot-read capability, which on the write-audit-publish
+      * layout is just following an older immutable manifest instead of
+      * `_latest`. The oracle computes v1's aggregate straight from
+      * `orders`, so the hash-match proves the historical read returns
+      * EXACTLY the bytes committed then, unaffected by the newer
+      * version. Retention is [[graft.sources.LakeTable.vacuum]]'s job
+      * (LakeSpec: reclaimed versions stop time-traveling, retained
+      * ones keep working, the live version is untouched). */
+    OpDef(
+      "q_lake_timetravel",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_tt_").toString
+      def snap(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      val o = orders(s, d)
+      val v1 = LakeTable.commit(s, dir,
+        snap(o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))))(
+        _ => None)
+      require(v1 == Right(1L), s"v1 commit failed: $v1")
+      val v2 = LakeTable.commit(s, dir, snap(o))(_ => None)
+      require(v2 == Right(2L), s"v2 commit failed: $v2")
+      LakeTable.readVersion(s, dir, 1L).orderBy("custkey")
     }
   )
 }

@@ -92,6 +92,75 @@ object LakeTable {
     spark.read.parquet(files: _*)
   }
 
+  /** TIME TRAVEL: read a specific published version. Every commit's
+    * manifest is immutable once its atomic rename lands, so any
+    * version's file list remains exact until [[vacuum]] reclaims it —
+    * the Delta `VERSION AS OF` / Iceberg snapshot-read capability,
+    * which on this layout is nothing more than following an older
+    * manifest instead of `_latest`. */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val manifest = Paths.get(dir, s"manifest-v$version.json")
+    require(Files.exists(manifest),
+      s"version $version not published (or vacuumed) in $dir")
+    val json = new String(Files.readAllBytes(manifest), UTF_8)
+    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json)
+      .map(m => Paths.get(dir, m.group(1)).toString).toSeq
+    require(files.nonEmpty, s"version $version lists no files in $dir")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Published versions still on disk, ascending. */
+  def versions(dir: String): Seq[Long] =
+    if (!Files.isDirectory(Paths.get(dir))) Seq.empty
+    else Files.list(Paths.get(dir)).iterator().asScala
+      .flatMap(p => "manifest-v(\\d+)\\.json".r
+        .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+      .toSeq.sorted
+
+  /** VACUUM: reclaim history. Keeps the newest `keepVersions` manifests
+    * (always including the live one) and deletes (a) older manifests,
+    * (b) every data file referenced ONLY by deleted manifests, and
+    * (c) staged-but-never-published directories (crash leftovers —
+    * invisible to readers by construction, pure disk waste). Retained
+    * versions stay time-travel-readable. Deletion order is safe under
+    * a crash mid-vacuum: manifests are removed BEFORE their files, so
+    * no surviving manifest ever references a missing file; a crash
+    * between the two passes leaves unreferenced files that the next
+    * vacuum sweeps. Returns (#manifests, #data files) deleted. */
+  def vacuum(dir: String, keepVersions: Int): (Int, Int) = {
+    val all = versions(dir)
+    val live = currentVersion(dir)
+    val keep = (all.takeRight(math.max(keepVersions, 1)) ++ live).toSet
+    val (drop, kept) = all.partition(v => !keep.contains(v))
+    def filesOf(v: Long): Set[String] = {
+      val json = new String(
+        Files.readAllBytes(Paths.get(dir, s"manifest-v$v.json")), UTF_8)
+      "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSet
+    }
+    // each stage() writes an isolated data/<uuid>/ dir, so reclaim is a
+    // directory sweep: any dir not referenced by a KEPT manifest is dead
+    // — dropped versions' dirs and crash-orphaned stagings alike. (A
+    // layout that carries files across versions would reclaim per-file
+    // against the kept set instead; same pass, finer key.)
+    val keptDirs = kept.flatMap(filesOf)
+      .map(f => Paths.get(f).getName(1).toString).toSet
+    drop.foreach(v => Files.deleteIfExists(Paths.get(dir, s"manifest-v$v.json")))
+    var reclaimed = 0
+    val dataRoot = Paths.get(dir, "data")
+    if (Files.isDirectory(dataRoot))
+      Files.list(dataRoot).iterator().asScala.toSeq.foreach { sub =>
+        if (Files.isDirectory(sub)
+            && !keptDirs.contains(sub.getFileName.toString)) {
+          Files.walk(sub).iterator().asScala.toSeq.reverse.foreach { p =>
+            if (p.toString.endsWith(".parquet")) reclaimed += 1
+            Files.deleteIfExists(p)
+          }
+        }
+        ()
+      }
+    (drop.size, reclaimed)
+  }
+
   /** Stage a new version's data files. Returns the staged state; nothing
     * is visible to readers until [[publish]]. */
   def stage(spark: SparkSession, dir: String, df: DataFrame): Staged = {

@@ -75,6 +75,35 @@ class LakeSpec extends SparkTestBase {
     assert(readKeys(dir) == before)
   }
 
+  test("time travel reads any retained version; vacuum reclaims the rest") {
+    val dir = Files.createTempDirectory("graft_lake_spec_").toString
+    assert(LakeTable.commit(spark, dir, snap(20))(gate) == Right(1L))
+    assert(LakeTable.commit(spark, dir, snap(50))(gate) == Right(2L))
+    assert(LakeTable.commit(spark, dir, snap(80))(gate) == Right(3L))
+    // a crash leftover: staged, never published — invisible but on disk
+    LakeTable.stage(spark, dir, snap(10))
+    val v1 = LakeTable.readVersion(spark, dir, 1L).collect()
+      .map(_.getAs[Long]("custkey")).toSet
+    assert(v1 == snap(20).collect().map(_.getAs[Long]("custkey")).toSet,
+      "version 1 must read back exactly as committed")
+    assert(LakeTable.versions(dir) == Seq(1L, 2L, 3L))
+    val dataDirs = Files.list(Paths.get(dir, "data")).count()
+    assert(dataDirs == 4, s"3 published + 1 orphaned staging, got $dataDirs")
+    val (mDropped, fReclaimed) = LakeTable.vacuum(dir, keepVersions = 2)
+    assert(mDropped == 1, "only v1's manifest falls outside keep=2")
+    assert(fReclaimed > 0, "v1's files and the orphaned staging must go")
+    // retained history still time-travels; the live version is untouched
+    assert(LakeTable.versions(dir) == Seq(2L, 3L))
+    assert(LakeTable.readVersion(spark, dir, 2L).count() == snap(50).count())
+    assert(readKeys(dir) == snap(80).collect()
+      .map(_.getAs[Long]("custkey")).toSet)
+    assert(Files.list(Paths.get(dir, "data")).count() == 2,
+      "only the two retained versions' data dirs survive")
+    intercept[IllegalArgumentException] {
+      LakeTable.readVersion(spark, dir, 1L)
+    }
+  }
+
   test("the audit reads the staged bytes as written, not the logical plan") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val st = LakeTable.stage(spark, dir, snap(80))
