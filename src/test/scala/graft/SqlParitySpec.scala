@@ -22,7 +22,9 @@ class SqlParitySpec extends SparkTestBase {
     "q_scd2_build", "q_events_transitions", "q_agg_moments",
     "q_join_right", "q_agg_bitagg", "q_agg_grouping", "q_join_asof_fwd",
     "q_dq_checks", "q_events_anomaly", "q_tpch_q4", "q_tpch_q12", "q_agg_geomean",
-    "q_merge_upsert", "q_graph_cooccur")
+    "q_merge_upsert", "q_graph_cooccur",
+    "q_layout_bucket_join", "q_layout_partition_prune",
+    "q_lake_read", "q_lake_timetravel")
 
   test("ANSI oracle SQL reproduces the DataFrame results on Spark SQL") {
     // events goes through its loader (ns→µs normalization + legacy conf);
