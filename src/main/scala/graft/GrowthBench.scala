@@ -57,6 +57,10 @@ object GrowthBench {
       ("containment", deepScales,
         k => LlmOps.containmentPairs(docs(k), 0.5).count()),
       ("jaccard_near", scales, k => LlmOps.jaccardPairs(docs(k), 0.5).count()),
+      // CDC chunking is aggregate-only (no pair generation), so its work
+      // is Σ chars by construction — measured to keep the claim honest
+      ("cdc_chunks", scales,
+        k => LlmOps.cdcChunkDedup(docs(k), 8, 64).count()),
       ("cosine_dup_exact", Seq(1L, 3L),
         k => LlmOps.cosineDupPairs(embs(k), 0.45).count()),
     )

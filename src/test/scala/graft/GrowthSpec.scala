@@ -67,6 +67,27 @@ class GrowthSpec extends SparkTestBase {
     }
   }
 
+  test("CDC chunk table grows linearly and planted dups share chunks") {
+    // aggregate-only by construction (no pair generation), so the output
+    // row count must track doc count exactly and per-doc chunk volume
+    // must stay flat as the corpus grows
+    val counts = scales.map { k =>
+      spark.catalog.clearCache()
+      val (rows, t) = timed(LlmOps.cdcChunkDedup(docsAt(k), 8, 64).count())
+      info(f"x$k: $rows docs chunked in $t%.1fs")
+      k -> rows
+    }.toMap
+    val perDoc = scales.map(k => counts(k).toDouble / (baseN * k))
+    assert(perDoc.max / perDoc.min <= 1.05,
+      s"per-doc chunked fraction must stay flat across scales: $perDoc")
+    // planted near-dups (doc 10i+9 mutates 10i) share long unmutated
+    // runs — CDC must see shared chunks for most planted pairs
+    val dup = LlmOps.cdcChunkDedup(docsAt(1), 8, 64)
+      .filter(col("n_dup_chunks") > 0).count()
+    assert(dup >= planted(1),
+      s"at least the planted-pair docs must share CDC chunks, got $dup")
+  }
+
   test("LSH dedup recall holds at 10x the corpus") {
     spark.catalog.clearCache()
     val n = baseN * 10
