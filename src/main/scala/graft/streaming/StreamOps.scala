@@ -745,10 +745,23 @@ object StreamOps {
             .unionByName(upserts)
         case None => upserts
       }
+      // a full-table delete would stage ZERO rows — and possibly zero
+      // part files, leaving a manifest no reader can follow (this layout
+      // keeps schema only in the files; real formats keep it in table
+      // metadata, which is what full-truncate needs). Refuse loudly at
+      // the audit instead of publishing an unreadable version.
       val staged = LakeTable.stage(spark, dir, merged).copy(batch = Some(batchId))
+      if (staged.files.isEmpty)
+        throw new IllegalStateException(
+          "empty table after CDC apply (full-table delete needs " +
+          "schema-in-manifest support)")
       LakeTable.audit(spark, staged) { df =>
         val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-        if (dup.isEmpty) None else Some("duplicate keys after CDC apply")
+        if (df.isEmpty)
+          Some("empty table after CDC apply (full-table delete needs " +
+               "schema-in-manifest support)")
+        else if (dup.isEmpty) None
+        else Some("duplicate keys after CDC apply")
       } match {
         case Right(s) => Some(LakeTable.publish(s))
         case Left(reason) => throw new IllegalStateException(reason)

@@ -193,6 +193,22 @@ class StreamingDurabilitySpec extends SparkTestBase {
     // tombstone; user 3 inserted
     assert(rows == Set((1L, 7L, 7.0), (3L, 5L, 4.0)),
       s"CDC fold must equal one-at-a-time replay: $rows")
+    // a full-table delete must be REFUSED (this layout keeps schema only
+    // in the data files, so an empty version would be unreadable), and
+    // the refusal must leave the last version live
+    import spark.implicits._
+    val vBefore = graft.sources.LakeTable.currentVersion(lake)
+    val wipe = Seq(ev(8, "2024-01-01 10:03:00", 1, "D", 0.0),
+                   ev(9, "2024-01-01 10:03:10", 3, "D", 0.0))
+      .toDF().withColumn("op",
+        org.apache.spark.sql.functions.col("event_type"))
+    intercept[IllegalStateException] {
+      StreamOps.applyCdcIntoLake(spark, lake, wipe, Seq("user_id"), 99L)
+    }
+    assert(graft.sources.LakeTable.currentVersion(lake) == vBefore,
+      "a refused full-delete must not publish")
+    assert(graft.sources.LakeTable.read(spark, lake).count() == 2L,
+      "the last good version must stay readable")
   }
 
   test("RocksDB state store backend produces the same results") {
