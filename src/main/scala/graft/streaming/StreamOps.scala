@@ -727,7 +727,10 @@ object StreamOps {
   def applyCdcIntoLake(spark: SparkSession, dir: String, batch: DataFrame,
                        keys: Seq[String], batchId: Long): Option[Long] = {
     import graft.sources.LakeTable
-    if (LakeTable.appliedBatch(dir).exists(_ >= batchId)) None
+    // an empty micro-batch (watermark-only advance) must not re-stage
+    // the whole table as a fresh version — skip without consuming the
+    // batchId watermark (a later replay with rows applies normally)
+    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
     else {
       val winner = batch
         .withColumn("_r", row_number().over(
@@ -795,7 +798,10 @@ object StreamOps {
   def mergeBatchIntoLake(spark: SparkSession, dir: String, batch: DataFrame,
                          keys: Seq[String], batchId: Long): Option[Long] = {
     import graft.sources.LakeTable
-    if (LakeTable.appliedBatch(dir).exists(_ >= batchId)) None
+    // an empty micro-batch (watermark-only advance) must not re-stage
+    // the whole table as a fresh version — skip without consuming the
+    // batchId watermark (a later replay with rows applies normally)
+    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
     else {
       // per-key winner within the batch: max (ts, event_id) — determinism
       // does not depend on upstream row order
