@@ -683,9 +683,15 @@ object StreamOps {
                        if (before.isEmpty) None
                        else Some(before.maxBy(d => (d._1, d._2))._2))
           }
-          if (pending.isEmpty && (state.hasTimedOut || dims.isEmpty)) {
-            // TTL fired (or nothing to hold) with no pending facts: the
-            // key is idle — drop it
+          if (pending.isEmpty && (dims.isEmpty ||
+                                  (state.hasTimedOut && ready.isEmpty))) {
+            // drop state only when there is nothing to hold (no dims, no
+            // facts) or on a TRUE idle expiry: the timeout fired and
+            // emitted nothing. A fact-FINALIZATION timeout (armed at
+            // pending.min+1) also arrives as hasTimedOut with pending
+            // drained, but ready is non-empty — that key's dim history
+            // must survive for later sparse facts, so it falls through
+            // to the prune+re-arm branch below (r8, ADVICE fix)
             state.remove()
           } else {
             // prune dims unreachable by any future fact: keep the single

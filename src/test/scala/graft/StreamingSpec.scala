@@ -528,6 +528,49 @@ class StreamingSpec extends SparkTestBase {
       s"streaming as-of must equal the batch replay:\n got ${rows.toSeq.sorted}\n exp ${expected.toSeq.sorted}")
   }
 
+  test("as-of join keeps dim history across a timeout-driven emission") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // sparse fact traffic: the first fact is finalized by a TIMEOUT
+    // invocation (its key gets no rows in the watermark-advancing
+    // batches), and a LATER fact on the same key must still find the
+    // 10:00 dim — the r7 bug removed the whole key state (dim buffer
+    // included) whenever a finalization timeout drained the last
+    // pending fact, so the 13:00 fact emitted rate=None
+    val dimMs = MemoryStream[StreamOps.DimUpd]
+    val factMs = MemoryStream[StreamOps.FactRow]
+    val name = nextName()
+    val q = StreamOps.streamingAsofJoin(spark, factMs.toDF(), dimMs.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def sentinel(t: String): Unit = {
+      dimMs.addData(StreamOps.DimUpd(99L, ts(t), 0.0))
+      factMs.addData(StreamOps.FactRow(99L, ts(t)))
+      q.processAllAvailable()
+    }
+    dimMs.addData(StreamOps.DimUpd(1L, ts("2024-01-01 10:00:00"), 1.0))
+    factMs.addData(StreamOps.FactRow(1L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // watermark-only batches: key 1 sees no data, so its 10:05 fact can
+    // only finalize via the timeout armed at pending.min+1
+    sentinel("2024-01-01 13:00:00")
+    sentinel("2024-01-01 13:05:00")
+    // the sparse follow-up fact on the same key
+    factMs.addData(StreamOps.FactRow(1L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    sentinel("2024-01-01 13:30:00")
+    sentinel("2024-01-01 13:40:00")
+    val rows = spark.table(name).select("k", "ts", "rate").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString,
+                 if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    q.stop()
+    assert(rows == Set(("2024-01-01 10:05:00.0", Some(1.0)),
+                       ("2024-01-01 13:00:00.0", Some(1.0))),
+      s"the post-timeout fact must still see the 10:00 dim: $rows")
+  }
+
   test("stream-static join enriches events with customer dims") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
