@@ -356,6 +356,103 @@ object Layout {
       val v2 = LakeTable.commit(s, dir, snap(o))(_ => None)
       require(v2 == Right(2L), s"v2 commit failed: $v2")
       LakeTable.readVersion(s, dir, 1L).orderBy("custkey")
+    },
+
+    /** SCHEMA EVOLUTION through the commit audit (r8): v1 commits the
+      * narrow per-customer rollup, v2 backfills WITH AN ADDED COLUMN
+      * (additive evolution — allowed, recorded in the manifest), then a
+      * column DROP and a TYPE CHANGE are both rejected by the audit
+      * before anything publishes. The live read reconciles columns by
+      * the manifest-recorded schema; time travel hands v1 back with its
+      * own narrower schema. The oracle computes v2's widened aggregate
+      * straight from `orders`, so the hash-match proves the evolved
+      * table round-trips exactly — the Delta/Iceberg `mergeSchema`
+      * contract a lakehouse user hits right after their first MERGE. */
+    OpDef(
+      "q_lake_evolved",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_evo_").toString
+      val o = orders(s, d)
+      def narrow(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      val wide = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      val v1 = LakeTable.commit(s, dir, narrow(
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))))(
+        _ => None)
+      require(v1 == Right(1L), s"v1 commit failed: $v1")
+      // the additive backfill evolves the schema
+      val v2 = LakeTable.commit(s, dir, wide)(_ => None)
+      require(v2 == Right(2L), s"additive evolution must commit: $v2")
+      // a drop and a type change are both gate-rejected
+      require(LakeTable.commit(s, dir, wide.drop("n_orders"))(_ => None)
+                .swap.exists(_.contains("drops column")),
+              "a column drop must be rejected")
+      require(LakeTable.commit(s, dir,
+                wide.withColumn("cents", col("cents").cast("int")))(_ => None)
+                .swap.exists(_.contains("changes column")),
+              "a type change must be rejected")
+      require(LakeTable.currentVersion(dir).contains(2L), "v2 must stay live")
+      // v1 time-travels with its own, narrower schema
+      require(LakeTable.readVersion(s, dir, 1L).columns.toSeq
+                == Seq("custkey", "n_orders"),
+              "v1 must keep its pre-evolution schema")
+      LakeTable.read(s, dir).orderBy("custkey")
+    },
+
+    /** OPTIMIZE as an ACTION (r8): ingest the per-customer rollup as 16
+      * deliberately small files, run [[graft.sources.LakeTable.optimize]]
+      * — which rewrites the live version into the PLANNED number of
+      * range-clustered bins through the same write-audit-publish commit
+      * as any other version — and read the compacted table back through
+      * the manifest. The oracle computes the rollup straight from
+      * `orders`, so the hash-match is the conservation proof: the
+      * rewrite changed the file layout and nothing else. Requires pin
+      * the layout effect (post-optimize file count == planned bins) and
+      * history (the small-file version still time-travels). Crash
+      * atomicity mid-optimize is LakeSpec's job. */
+    OpDef(
+      "q_lake_optimize",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_opt_").toString
+      val snap = orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      val v1 = LakeTable.commit(s, dir, snap.repartition(16))(_ => None)
+      require(v1 == Right(1L), s"small-file ingest failed: $v1")
+      require(LakeTable.currentFiles(dir).size == 16,
+              "the ingest must produce the small files OPTIMIZE exists for")
+      val n = LakeTable.read(s, dir).count()
+      val target = math.max(1L, (n + 3L) / 4L) // plan ≈4 bins at any SF
+      val bins = math.max(1L, (n + target - 1L) / target).toInt
+      val v2 = LakeTable.optimize(s, dir, target, Seq("custkey"))
+      require(v2 == Right(2L), s"optimize must commit v2: $v2")
+      require(LakeTable.currentFiles(dir).size == bins,
+              s"16 small files must compact to the $bins planned bins, " +
+              s"got ${LakeTable.currentFiles(dir).size}")
+      require(LakeTable.readVersion(s, dir, 1L).count() == n,
+              "the pre-compaction version must stay time-travelable")
+      LakeTable.read(s, dir).orderBy("custkey")
     }
   )
 }

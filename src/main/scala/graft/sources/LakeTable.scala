@@ -1,11 +1,14 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths,
+                      StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Minimal write-audit-publish table commit — the transactional-sink
   * capability a lakehouse user hits first (Delta/Iceberg's OPTIMIZE /
@@ -18,33 +21,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - AUDIT: run an arbitrary validation against the staged files AS
   *    WRITTEN (read back from disk, not the in-memory plan — the audit
   *    must see what a reader would see, including any write-path
-  *    truncation);
-  *  - PUBLISH: write `manifest-v{N}.json` (the staged file list) via
-  *    write-tmp-then-ATOMIC_MOVE, then flip the single `_latest` pointer
-  *    the same way. The pointer flip is the ONE atomic step; a crash
-  *    anywhere before it leaves the previous manifest live and readers
-  *    never observe a partial commit (LakeSpec kills the commit between
-  *    every pair of stages and proves it).
+  *    truncation). The audit also enforces the SCHEMA EVOLUTION contract
+  *    against the live version: additive columns are allowed (and the
+  *    staged schema is recorded in the new manifest); dropping a column
+  *    or changing a column's type is rejected before anything publishes;
+  *  - PUBLISH: mint the version number AT PUBLISH TIME and claim it by
+  *    creating `manifest-v{N}.json` as an ATOMIC CREATE-NEW (a hard link
+  *    from a private tmp — `Files.createLink` fails with
+  *    FileAlreadyExistsException if the name is taken). Two racing
+  *    committers therefore can never mint the same version: the loser's
+  *    create fails, it re-manifests the SAME staged files under the next
+  *    number (no re-stage — the data directory is version-independent),
+  *    and both commits survive as distinct, time-travel-readable
+  *    versions. The `_latest` pointer then flips via
+  *    write-tmp-then-ATOMIC_MOVE with a monotonic guard (never points
+  *    backwards), so whichever flip lands last, readers see the highest
+  *    committed version and every committed version stays readable.
   *
-  * On a local filesystem ATOMIC_MOVE is a rename(2); at 100 TB on object
-  * storage the pointer flip becomes a conditional-put / metastore swap —
-  * same protocol, different atomic primitive (documented, not simulated:
-  * the staging/audit/manifest layout is identical). Version numbers are
-  * monotonically increasing; concurrent committers would race on the
-  * pointer flip, which is where a real table format adds the
-  * compare-and-swap this offline reduction leaves to the filesystem. */
+  * On a local filesystem the atomic create-new is link(2) and the pointer
+  * flip is rename(2); at 100 TB on object storage both become
+  * conditional-puts (`If-None-Match: *` for the manifest claim, ETag
+  * compare-and-swap for the pointer) — same protocol, different atomic
+  * primitive. The in-process flip is additionally serialized on a JVM
+  * lock; ACROSS JVMs the monotonic guard window is exactly what the
+  * conditional-put closes on a real object store (documented, not
+  * simulated). */
 object LakeTable {
 
   /** The staged-but-unpublished state a crash can leave behind: enough to
-    * resume (publish) or abandon (readers never saw it). `batch` is an
-    * optional stream-epoch watermark recorded IN the manifest, so the
-    * pointer flip atomically publishes both the data and the fact that
-    * epoch N has been applied — the idempotence handle for
-    * [[graft.streaming.StreamOps.mergeBatchIntoLake]]. */
+    * resume (publish) or abandon (readers never saw it). `version` is the
+    * version HINT computed at stage time — publish mints the real number
+    * under the manifest-create CAS, so it may come out higher when a
+    * concurrent commit won the race. `batch` is an optional stream-epoch
+    * watermark recorded IN the manifest, so the pointer flip atomically
+    * publishes both the data and the fact that epoch N has been applied —
+    * the idempotence handle for
+    * [[graft.streaming.StreamOps.mergeBatchIntoLake]]. `schema` is the
+    * staged files' schema AS WRITTEN (`name TYPE` per column, read back
+    * from the parquet footers), recorded in the manifest for the
+    * evolution audit and the by-name read reconcile. */
   final case class Staged(dir: String, version: Long, files: Seq[String],
-                          batch: Option[Long] = None)
+                          batch: Option[Long] = None,
+                          schema: Seq[String] = Seq.empty)
 
   private def latestPath(dir: String): Path = Paths.get(dir, "_latest")
+
+  /** List a directory's entries with the stream CLOSED on exit —
+    * `Files.list` leaks a directory file descriptor until GC otherwise,
+    * which adds up over bench loops that commit/vacuum repeatedly. */
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+
+  private def walkDir(p: Path): Seq[Path] =
+    Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
 
   /** Currently-published version, if any — reads only the pointer. */
   def currentVersion(dir: String): Option[Long] = {
@@ -70,161 +100,294 @@ object LakeTable {
     }
   }
 
+  private def manifestFiles(json: String): Seq[String] =
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+
+  /** Recorded `name TYPE` column list of a manifest, empty if the
+    * manifest predates schema recording. */
+  private def manifestSchema(json: String): Seq[String] =
+    "\"schema\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).map(_.group(1))
+      .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  private def readManifest(dir: String, version: Long): Option[String] = {
+    val m = Paths.get(dir, s"manifest-v$version.json")
+    if (Files.exists(m)) Some(new String(Files.readAllBytes(m), UTF_8))
+    else None
+  }
+
   /** File list of the currently-published manifest. */
-  def currentFiles(dir: String): Seq[String] = {
-    val p = latestPath(dir)
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val name = new String(Files.readAllBytes(p), UTF_8).trim
-      val manifest = Paths.get(dir, name)
-      val json = new String(Files.readAllBytes(manifest), UTF_8)
-      // manifest format: {"version":N,"files":["rel/path", ...]}
-      "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
-    }
+  def currentFiles(dir: String): Seq[String] =
+    currentVersion(dir).flatMap(readManifest(dir, _))
+      .map(manifestFiles).getOrElse(Seq.empty)
+
+  /** Schema (`name TYPE` per column) of the currently-published version. */
+  def currentSchema(dir: String): Seq[String] =
+    currentVersion(dir).flatMap(readManifest(dir, _))
+      .map(manifestSchema).getOrElse(Seq.empty)
+
+  private def readFiles(spark: SparkSession, dir: String, json: String,
+                        what: String): DataFrame = {
+    val files = manifestFiles(json).map(f => Paths.get(dir, f).toString)
+    require(files.nonEmpty, s"$what lists no files in $dir")
+    val df = spark.read.parquet(files: _*)
+    // reconcile BY NAME in the manifest-recorded order: an evolved
+    // table's reads are deterministic in column order regardless of the
+    // physical file layout the writer happened to produce
+    val names = manifestSchema(json).map(_.split(" ", 2)(0))
+      .filter(df.columns.contains)
+    if (names.isEmpty) df else df.select(names.map(col): _*)
   }
 
   /** Read the table THROUGH the manifest — the only sanctioned read path.
     * Staged-but-unpublished data is invisible; a concurrent commit flips
     * the pointer atomically, so this sees entirely-old or entirely-new. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = currentFiles(dir).map(f => Paths.get(dir, f).toString)
-    require(files.nonEmpty, s"no published version in $dir")
-    spark.read.parquet(files: _*)
+    val v = currentVersion(dir)
+    require(v.nonEmpty, s"no published version in $dir")
+    readFiles(spark, dir, readManifest(dir, v.get).get, s"version ${v.get}")
   }
 
   /** TIME TRAVEL: read a specific published version. Every commit's
-    * manifest is immutable once its atomic rename lands, so any
+    * manifest is immutable once its atomic create lands, so any
     * version's file list remains exact until [[vacuum]] reclaims it —
     * the Delta `VERSION AS OF` / Iceberg snapshot-read capability,
     * which on this layout is nothing more than following an older
-    * manifest instead of `_latest`. */
+    * manifest instead of `_latest`. An evolved table time-travels with
+    * each version's OWN recorded schema. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val manifest = Paths.get(dir, s"manifest-v$version.json")
-    require(Files.exists(manifest),
+    val json = readManifest(dir, version)
+    require(json.nonEmpty,
       s"version $version not published (or vacuumed) in $dir")
-    val json = new String(Files.readAllBytes(manifest), UTF_8)
-    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json)
-      .map(m => Paths.get(dir, m.group(1)).toString).toSeq
-    require(files.nonEmpty, s"version $version lists no files in $dir")
-    spark.read.parquet(files: _*)
+    readFiles(spark, dir, json.get, s"version $version")
   }
 
-  /** Published versions still on disk, ascending. */
-  def versions(dir: String): Seq[Long] =
-    if (!Files.isDirectory(Paths.get(dir))) Seq.empty
-    else Files.list(Paths.get(dir)).iterator().asScala
+  /** Every manifest on disk, ascending — PUBLISHED versions are those
+    * ≤ the live pointer; anything above it is a crash orphan (a commit
+    * that claimed its manifest but died before the pointer flip) and is
+    * excluded from [[versions]] / retained-history accounting. */
+  private def manifestVersions(dir: String): Seq[Long] =
+    listDir(Paths.get(dir))
       .flatMap(p => "manifest-v(\\d+)\\.json".r
         .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
-      .toSeq.sorted
+      .sorted
 
-  /** VACUUM: reclaim history. Keeps the newest `keepVersions` manifests
-    * (always including the live one) and deletes (a) older manifests,
-    * (b) every data file referenced ONLY by deleted manifests, and
-    * (c) staged-but-never-published directories (crash leftovers —
-    * invisible to readers by construction, pure disk waste). Retained
-    * versions stay time-travel-readable. Deletion order is safe under
-    * a crash mid-vacuum: manifests are removed BEFORE their files, so
-    * no surviving manifest ever references a missing file; a crash
-    * between the two passes leaves unreferenced files that the next
-    * vacuum sweeps. Returns (#manifests, #data files) deleted. */
+  /** Published versions still on disk, ascending. A manifest whose
+    * version exceeds the live pointer was never published (crash between
+    * manifest claim and pointer flip) and does not appear here. */
+  def versions(dir: String): Seq[Long] = {
+    val live = currentVersion(dir).getOrElse(Long.MinValue)
+    manifestVersions(dir).filter(_ <= live)
+  }
+
+  /** VACUUM: reclaim history. Keeps the newest `keepVersions` PUBLISHED
+    * manifests (always including the live one) and deletes (a) older
+    * manifests, (b) crash-ORPHANED manifests (version above the live
+    * pointer: claimed but never published — counting them toward the
+    * keep set would retain a never-readable orphan while reclaiming a
+    * genuinely published version), (c) every data directory referenced
+    * by no kept manifest (dropped versions' dirs and orphaned stagings
+    * alike). Retained versions stay time-travel-readable, and a reader
+    * HOLDING a retained version's DataFrame across the vacuum never
+    * breaks — reclaim only ever touches versions outside the keep set
+    * (LakeSpec pins both). Deletion order is safe under a crash
+    * mid-vacuum: manifests are removed BEFORE their files, so no
+    * surviving manifest ever references a missing file; a crash between
+    * the two passes leaves unreferenced files that the next vacuum
+    * sweeps.
+    *
+    * Concurrency contract (the object-store analogue of Delta's
+    * `RETAIN n HOURS`): vacuum is an administrative op — running it
+    * while a commit is IN FLIGHT can reclaim the in-flight manifest
+    * claim, exactly as a zero-retention Delta vacuum breaks an
+    * uncommitted writer. Production deployments gate reclaim on
+    * manifest age; this offline reduction gates on version count and
+    * documents the age gate rather than simulating a clock. Returns
+    * (#manifests, #data files) deleted. */
   def vacuum(dir: String, keepVersions: Int): (Int, Int) = {
-    val all = versions(dir)
+    val published = versions(dir)
     val live = currentVersion(dir)
-    val keep = (all.takeRight(math.max(keepVersions, 1)) ++ live).toSet
-    val (drop, kept) = all.partition(v => !keep.contains(v))
-    def filesOf(v: Long): Set[String] = {
-      val json = new String(
-        Files.readAllBytes(Paths.get(dir, s"manifest-v$v.json")), UTF_8)
-      "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSet
-    }
-    // each stage() writes an isolated data/<uuid>/ dir, so reclaim is a
-    // directory sweep: any dir not referenced by a KEPT manifest is dead
-    // — dropped versions' dirs and crash-orphaned stagings alike. (A
-    // layout that carries files across versions would reclaim per-file
-    // against the kept set instead; same pass, finer key.)
-    val keptDirs = kept.flatMap(filesOf)
+    val keep =
+      (published.takeRight(math.max(keepVersions, 1)) ++ live).toSet
+    val orphans = manifestVersions(dir).filterNot(v =>
+      keep.contains(v) || published.contains(v))
+    val drop = published.filterNot(keep.contains) ++ orphans
+    val keptDirs = keep.toSeq
+      .flatMap(v => readManifest(dir, v).map(manifestFiles).getOrElse(Nil))
       .map(f => Paths.get(f).getName(1).toString).toSet
-    drop.foreach(v => Files.deleteIfExists(Paths.get(dir, s"manifest-v$v.json")))
+    drop.foreach(v =>
+      Files.deleteIfExists(Paths.get(dir, s"manifest-v$v.json")))
     var reclaimed = 0
-    val dataRoot = Paths.get(dir, "data")
-    if (Files.isDirectory(dataRoot))
-      Files.list(dataRoot).iterator().asScala.toSeq.foreach { sub =>
-        if (Files.isDirectory(sub)
-            && !keptDirs.contains(sub.getFileName.toString)) {
-          Files.walk(sub).iterator().asScala.toSeq.reverse.foreach { p =>
-            if (p.toString.endsWith(".parquet")) reclaimed += 1
-            Files.deleteIfExists(p)
-          }
+    listDir(Paths.get(dir, "data")).foreach { sub =>
+      if (Files.isDirectory(sub)
+          && !keptDirs.contains(sub.getFileName.toString)) {
+        walkDir(sub).reverse.foreach { p =>
+          if (p.toString.endsWith(".parquet")) reclaimed += 1
+          Files.deleteIfExists(p)
         }
-        ()
       }
+      ()
+    }
     (drop.size, reclaimed)
   }
 
-  /** Stage a new version's data files. Returns the staged state; nothing
-    * is visible to readers until [[publish]]. */
+  /** Stage a new version's data files. Returns the staged state —
+    * including the schema read back AS WRITTEN — and nothing is visible
+    * to readers until [[publish]]. The carried version is only a hint;
+    * publish mints the real one. */
   def stage(spark: SparkSession, dir: String, df: DataFrame): Staged = {
     val version = currentVersion(dir).getOrElse(0L) + 1L
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(dir, "data", uuid)
     df.write.parquet(staging.toString)
-    val files = Files.list(staging).iterator().asScala
+    val files = listDir(staging)
       .map(_.getFileName.toString)
       .filter(f => f.endsWith(".parquet") && !f.startsWith("."))
-      .toSeq.sorted
+      .sorted
       .map(f => s"data/$uuid/$f")
-    Staged(dir, version, files)
+    val schema =
+      if (files.isEmpty) Seq.empty
+      else spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
+        .schema.fields.toSeq.map(f => s"${f.name} ${f.dataType.sql}")
+    Staged(dir, version, files, None, schema)
   }
 
-  /** Audit the staged files AS WRITTEN. Left(reason) blocks publish. */
-  def audit(spark: SparkSession, staged: Staged)(
-      check: DataFrame => Option[String]): Either[String, Staged] = {
-    val df = spark.read.parquet(
-      staged.files.map(f => Paths.get(staged.dir, f).toString): _*)
-    check(df) match {
-      case Some(reason) => Left(s"audit failed for v${staged.version}: $reason")
-      case None => Right(staged)
+  /** The evolution contract, checked against the LIVE version: every
+    * live column must survive with an identical type (no drops, no type
+    * changes); NEW columns are additive evolution, allowed and recorded.
+    * Returns the violation, if any. */
+  private[graft] def evolutionError(staged: Staged): Option[String] = {
+    val live = currentSchema(staged.dir)
+    if (live.isEmpty) None
+    else {
+      val stagedByName = staged.schema
+        .map(_.split(" ", 2)).map(a => a(0) -> a(1)).toMap
+      live.iterator.map(_.split(" ", 2)).flatMap { a =>
+        stagedByName.get(a(0)) match {
+          case None => Some(s"drops column '${a(0)}'")
+          case Some(t) if t != a(1) =>
+            Some(s"changes column '${a(0)}' from ${a(1)} to $t")
+          case _ => None
+        }
+      }.take(1).toSeq.headOption
+        .map(v => s"schema evolution rejected: staged version $v " +
+                  "(only additive columns may evolve)")
     }
   }
 
-  /** Publish a staged version: manifest via tmp+atomic-rename, then the
-    * `_latest` pointer via tmp+atomic-rename. Only the final move makes
-    * the version visible. */
+  /** Audit the staged files AS WRITTEN: the schema-evolution contract
+    * first, then the caller's check. Left(reason) blocks publish. */
+  def audit(spark: SparkSession, staged: Staged)(
+      check: DataFrame => Option[String]): Either[String, Staged] = {
+    evolutionError(staged) match {
+      case Some(reason) => Left(s"audit failed for v${staged.version}: $reason")
+      case None =>
+        val df = spark.read.parquet(
+          staged.files.map(f => Paths.get(staged.dir, f).toString): _*)
+        check(df) match {
+          case Some(reason) =>
+            Left(s"audit failed for v${staged.version}: $reason")
+          case None => Right(staged)
+        }
+    }
+  }
+
+  /** Publish a staged version: claim a version number via the manifest
+    * CAS, then flip the `_latest` pointer (monotonic). Returns the
+    * ACTUAL version minted — under a race it may exceed the stage-time
+    * hint; the staged data directory is version-independent, so the
+    * loser re-manifests, never re-stages. */
   def publish(staged: Staged): Long = {
-    writeManifest(staged)
-    flipPointer(staged)
-    staged.version
+    val v = writeManifest(staged)
+    flipPointer(staged.dir, v)
+    v
   }
 
-  /** Step 1 of publish — exposed separately so LakeSpec can crash the
-    * protocol between manifest write and pointer flip. */
-  private[graft] def writeManifest(staged: Staged): Unit = {
+  /** Step 1 of publish — the compare-and-swap. Exposed separately so
+    * LakeSpec can crash the protocol between manifest claim and pointer
+    * flip. Mints the first free version ≥ max(hint, every manifest on
+    * disk + 1) and claims it by ATOMIC CREATE-NEW (hard link from a
+    * private tmp; link(2) fails if the target exists). Returns the
+    * version actually claimed. */
+  private[graft] def writeManifest(staged: Staged): Long = {
     val batchField = staged.batch.map(b => s""""batch":$b,""").getOrElse("")
+    val schemaField = staged.schema.map("\"" + _ + "\"")
+      .mkString("\"schema\":[", ",", "],")
     val json = staged.files.map("\"" + _ + "\"")
-      .mkString(s"""{"version":${staged.version},$batchField"files":[""",
-                ",", "]}")
-    val manifest = Paths.get(staged.dir, s"manifest-v${staged.version}.json")
-    val tmp = Paths.get(staged.dir, s".manifest-v${staged.version}.json.tmp")
-    Files.write(tmp, json.getBytes(UTF_8))
-    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
-    ()
+      .mkString(s"""$batchField$schemaField"files":[""", ",", "]}")
+    val tmp = Paths.get(staged.dir,
+      s".manifest-${java.util.UUID.randomUUID()}.tmp")
+    var v = math.max(staged.version,
+      manifestVersions(staged.dir).lastOption.getOrElse(0L) + 1L)
+    var claimed = -1L
+    while (claimed < 0) {
+      Files.write(tmp, s"""{"version":$v,$json""".getBytes(UTF_8))
+      try {
+        Files.createLink(Paths.get(staged.dir, s"manifest-v$v.json"), tmp)
+        claimed = v
+      } catch {
+        case _: FileAlreadyExistsException => v += 1 // lost the race; retry
+      }
+    }
+    Files.deleteIfExists(tmp)
+    claimed
   }
 
-  /** Step 2 of publish — the single atomic visibility flip. */
-  private[graft] def flipPointer(staged: Staged): Unit = {
-    val tmp = Paths.get(staged.dir, "._latest.tmp")
-    Files.write(tmp, s"manifest-v${staged.version}.json".getBytes(UTF_8))
-    Files.move(tmp, latestPath(staged.dir), StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  private val flipLock = new Object
+
+  /** Step 2 of publish — the visibility flip, MONOTONIC: the pointer
+    * never moves backwards, so when two racing commits both claim
+    * versions, whichever flip runs last still leaves readers on the
+    * HIGHER version and the other remains published history (its
+    * manifest is ≤ the pointer, so [[versions]]/time-travel see it).
+    * In-process flips are serialized on a JVM lock; across JVMs the
+    * read-then-move window is what an object store's conditional-put
+    * closes (see the class doc). */
+  private[graft] def flipPointer(dir: String, version: Long): Unit =
+    flipLock.synchronized {
+      if (!currentVersion(dir).exists(_ >= version)) {
+        val tmp = Paths.get(dir, "._latest.tmp")
+        Files.write(tmp, s"manifest-v$version.json".getBytes(UTF_8))
+        Files.move(tmp, latestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+                   StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
 
   /** The full write-audit-publish commit. Returns Left without touching
-    * any reader-visible state if the audit rejects. */
+    * any reader-visible state if the audit (evolution contract included)
+    * rejects. */
   def commit(spark: SparkSession, dir: String, df: DataFrame)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     Files.createDirectories(Paths.get(dir))
     audit(spark, stage(spark, dir, df))(check).map(publish)
+  }
+
+  /** OPTIMIZE — the compaction ACTION the q_layout_compaction planner
+    * feeds: rewrite the live version's rows into `ceil(rows/targetRows)`
+    * range-clustered files (one per planned bin — `repartitionByRange`
+    * on the cluster columns keeps each rewritten file's min/max footer
+    * range narrow, exactly the property the planner bins for) and commit
+    * the rewrite through the SAME write-audit-publish protocol as any
+    * other version. The audit proves conservation (row count unchanged)
+    * before anything publishes; the pre-compaction version remains
+    * time-travel-readable until [[vacuum]] reclaims it, and a crash
+    * mid-optimize leaves the old version live (LakeSpec). At 100 TB this
+    * runs per partition and only rewrites bins whose file count exceeds
+    * the target — the manifest carries unchanged files forward verbatim;
+    * the offline reduction rewrites the whole (small) table. */
+  def optimize(spark: SparkSession, dir: String, targetRows: Long,
+               clusterBy: Seq[String]): Either[String, Long] = {
+    val base = read(spark, dir)
+    val n = base.count()
+    val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
+    val laid =
+      if (clusterBy.isEmpty) base.coalesce(bins)
+      else base.repartitionByRange(bins, clusterBy.map(col): _*)
+    audit(spark, stage(spark, dir, laid)) { df =>
+      val m = df.count()
+      if (m == n) None
+      else Some(s"compaction must conserve rows: $n before, $m after")
+    }.map(publish)
   }
 }

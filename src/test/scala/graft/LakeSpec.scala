@@ -41,13 +41,16 @@ class LakeSpec extends SparkTestBase {
     assert(LakeTable.currentVersion(dir).contains(1L))
     assert(readKeys(dir) == v1Keys, "staged-only data must be invisible")
 
-    // CRASH 2: after the manifest file is durably written, before the
+    // CRASH 2: after the manifest claim is durably on disk, before the
     // pointer flip — the manifest exists under its final name, but
-    // visibility is the POINTER's job alone
+    // visibility is the POINTER's job alone, and the unflipped claim is
+    // an ORPHAN: versions() must not report it as published
     val st3 = LakeTable.stage(spark, dir, snap(150))
-    LakeTable.writeManifest(st3)
-    assert(Files.exists(Paths.get(dir, s"manifest-v${st3.version}.json")))
+    val v3 = LakeTable.writeManifest(st3)
+    assert(Files.exists(Paths.get(dir, s"manifest-v$v3.json")))
     assert(LakeTable.currentVersion(dir).contains(1L))
+    assert(LakeTable.versions(dir) == Seq(1L),
+      "a claimed-but-unflipped manifest is not a published version")
     assert(readKeys(dir) == v1Keys, "unflipped manifest must be invisible")
 
     // CRASH 3: torn pointer tmp write (killed mid-write) — the tmp name
@@ -59,10 +62,121 @@ class LakeSpec extends SparkTestBase {
 
     // REPLAY: finishing the interrupted publish flips atomically from
     // entirely-v1 to entirely-v3 — the resume path after crash 2
-    LakeTable.flipPointer(st3)
-    assert(LakeTable.currentVersion(dir).contains(st3.version))
+    LakeTable.flipPointer(dir, v3)
+    assert(LakeTable.currentVersion(dir).contains(v3))
     assert(readKeys(dir) == snap(150).collect()
       .map(_.getAs[Long]("custkey")).toSet)
+  }
+
+  test("two racing committers both survive as distinct versions") {
+    // the r7 hole: version was minted at STAGE time, so two concurrent
+    // writers computed the same number and the second manifest move
+    // silently overwrote the first. Publish-time CAS (atomic create-new
+    // on the manifest name) makes the loser re-manifest under the next
+    // number — both orders, plus a crash between the loser's claim and
+    // its flip.
+    for (firstWins <- Seq(true, false)) {
+      val dir = Files.createTempDirectory("graft_lake_race_").toString
+      assert(LakeTable.commit(spark, dir, snap(20))(gate) == Right(1L))
+      // both stage against the SAME live version (both hints say 2)
+      val a = LakeTable.stage(spark, dir, snap(50))
+      val b = LakeTable.stage(spark, dir, snap(100))
+      assert(a.version == 2L && b.version == 2L, "the race precondition")
+      val (first, second) = if (firstWins) (a, b) else (b, a)
+      val vFirst = LakeTable.publish(first)
+      val vSecond = LakeTable.publish(second)
+      assert(vFirst == 2L && vSecond == 3L,
+        s"the loser must re-manifest under the next version, got " +
+        s"($vFirst, $vSecond)")
+      // BOTH commits survive: the pointer is on the last flip, the other
+      // remains published, time-travel-readable history
+      assert(LakeTable.currentVersion(dir).contains(3L))
+      assert(LakeTable.versions(dir) == Seq(1L, 2L, 3L))
+      def keysOf(v: Long): Set[Long] =
+        LakeTable.readVersion(spark, dir, v).collect()
+          .map(_.getAs[Long]("custkey")).toSet
+      def expect(keyMax: Int): Set[Long] =
+        snap(keyMax).collect().map(_.getAs[Long]("custkey")).toSet
+      assert(keysOf(2L) == expect(if (firstWins) 50 else 100))
+      assert(keysOf(3L) == expect(if (firstWins) 100 else 50))
+    }
+    // crash-between: the loser claims its manifest but dies before the
+    // flip — the winner stays live, the orphan claim is invisible, and
+    // REPLAYING the loser's publish completes the commit
+    val dir = Files.createTempDirectory("graft_lake_race_").toString
+    assert(LakeTable.commit(spark, dir, snap(20))(gate) == Right(1L))
+    val a = LakeTable.stage(spark, dir, snap(50))
+    val b = LakeTable.stage(spark, dir, snap(100))
+    assert(LakeTable.publish(a) == 2L)
+    val vB = LakeTable.writeManifest(b) // claim, then CRASH before flip
+    assert(vB == 3L)
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(LakeTable.versions(dir) == Seq(1L, 2L))
+    LakeTable.flipPointer(dir, vB) // the resume path
+    assert(LakeTable.currentVersion(dir).contains(3L))
+    assert(LakeTable.versions(dir) == Seq(1L, 2L, 3L))
+    // and a STALE flip (a replayed epoch of the older commit) must never
+    // move the pointer backwards
+    LakeTable.flipPointer(dir, 2L)
+    assert(LakeTable.currentVersion(dir).contains(3L),
+      "the pointer is monotonic: a late flip of an older version is a no-op")
+  }
+
+  test("schema evolution: additive columns evolve, drops and type changes are rejected") {
+    val dir = Files.createTempDirectory("graft_lake_evo_").toString
+    assert(LakeTable.commit(spark, dir, snap(50))(gate) == Right(1L))
+    // additive evolution: the backfill adds a column — allowed, recorded
+    val widened = snap(80).withColumn("flagged", col("n_orders") > lit(5L))
+    assert(LakeTable.commit(spark, dir, widened)(gate) == Right(2L))
+    assert(LakeTable.read(spark, dir).columns.toSeq
+             == Seq("custkey", "n_orders", "flagged"))
+    // time travel reads each version with its OWN schema
+    assert(LakeTable.readVersion(spark, dir, 1L).columns.toSeq
+             == Seq("custkey", "n_orders"))
+    assert(LakeTable.readVersion(spark, dir, 2L)
+             .filter(col("flagged")).count() > 0L)
+    // dropping a column is rejected before anything publishes
+    val dropped = LakeTable.commit(spark, dir, snap(90).drop("n_orders"))(gate)
+    assert(dropped.isLeft && dropped.swap.exists(_.contains("drops column")),
+      s"column drop must fail the audit: $dropped")
+    // changing a column's type is rejected too
+    val retyped = LakeTable.commit(spark, dir,
+      widened.withColumn("n_orders", col("n_orders").cast("int")))(gate)
+    assert(retyped.isLeft && retyped.swap.exists(_.contains("changes column")),
+      s"type change must fail the audit: $retyped")
+    assert(LakeTable.currentVersion(dir).contains(2L),
+      "rejected evolutions leave the live version untouched")
+  }
+
+  test("OPTIMIZE compacts through the commit protocol; a crash keeps the old version") {
+    val dir = Files.createTempDirectory("graft_lake_opt_").toString
+    // ingest as many small files (one per partition)
+    val small = snap(200).repartition(16)
+    assert(LakeTable.commit(spark, dir, small)(gate) == Right(1L))
+    assert(LakeTable.currentFiles(dir).size == 16)
+    val before = LakeTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = before.size.toLong
+    // crash mid-optimize: the rewrite stages but dies before publish —
+    // the old version stays live and the reader sees every row
+    val crashStage = LakeTable.stage(spark, dir,
+      LakeTable.read(spark, dir).repartitionByRange(2, col("custkey")))
+    assert(crashStage.files.nonEmpty)
+    assert(LakeTable.currentVersion(dir).contains(1L))
+    assert(LakeTable.read(spark, dir).count() == n,
+      "a crash mid-optimize must leave the old version live")
+    // the real OPTIMIZE: target ~half the rows per file → 2 files
+    val v2 = LakeTable.optimize(spark, dir, (n + 1) / 2, Seq("custkey"))
+    assert(v2 == Right(2L), s"optimize commits the next version: $v2")
+    assert(LakeTable.currentFiles(dir).size == 2,
+      s"16 small files compact to the 2 planned bins: " +
+      s"${LakeTable.currentFiles(dir).size}")
+    // conservation: identical rows through the manifest read
+    val after = LakeTable.read(spark, dir).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("n_orders"))).toSet
+    assert(after == before, "compaction must conserve every row")
+    // the pre-compaction version remains time-travel-readable
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == n)
   }
 
   test("a rejected audit publishes nothing") {
@@ -80,20 +194,33 @@ class LakeSpec extends SparkTestBase {
     assert(LakeTable.commit(spark, dir, snap(20))(gate) == Right(1L))
     assert(LakeTable.commit(spark, dir, snap(50))(gate) == Right(2L))
     assert(LakeTable.commit(spark, dir, snap(80))(gate) == Right(3L))
-    // a crash leftover: staged, never published — invisible but on disk
+    // crash leftovers: a staged-never-manifested dir AND a
+    // claimed-never-flipped manifest (the two orphan shapes) — both
+    // invisible to readers, both disk waste for vacuum
     LakeTable.stage(spark, dir, snap(10))
+    val orphanV = LakeTable.writeManifest(LakeTable.stage(spark, dir, snap(15)))
+    assert(orphanV == 4L)
     val v1 = LakeTable.readVersion(spark, dir, 1L).collect()
       .map(_.getAs[Long]("custkey")).toSet
     assert(v1 == snap(20).collect().map(_.getAs[Long]("custkey")).toSet,
       "version 1 must read back exactly as committed")
-    assert(LakeTable.versions(dir) == Seq(1L, 2L, 3L))
+    assert(LakeTable.versions(dir) == Seq(1L, 2L, 3L),
+      "the orphan claim must not count as published")
     val dataDirs = Files.list(Paths.get(dir, "data")).count()
-    assert(dataDirs == 4, s"3 published + 1 orphaned staging, got $dataDirs")
+    assert(dataDirs == 5, s"3 published + 2 orphaned stagings, got $dataDirs")
+    // a reader HOLDING a retained version across the vacuum never breaks
+    val held = LakeTable.readVersion(spark, dir, 2L)
     val (mDropped, fReclaimed) = LakeTable.vacuum(dir, keepVersions = 2)
-    assert(mDropped == 1, "only v1's manifest falls outside keep=2")
-    assert(fReclaimed > 0, "v1's files and the orphaned staging must go")
+    assert(mDropped == 2,
+      "v1 falls outside keep=2 and the orphan claim is reclaimed — the " +
+      "keep set counts PUBLISHED versions only, so the never-readable " +
+      "orphan cannot displace a real one")
+    assert(fReclaimed > 0, "v1's files and the orphaned stagings must go")
+    assert(!Files.exists(Paths.get(dir, s"manifest-v$orphanV.json")))
     // retained history still time-travels; the live version is untouched
     assert(LakeTable.versions(dir) == Seq(2L, 3L))
+    assert(held.count() == snap(50).count(),
+      "a held reader of a RETAINED version survives the vacuum")
     assert(LakeTable.readVersion(spark, dir, 2L).count() == snap(50).count())
     assert(readKeys(dir) == snap(80).collect()
       .map(_.getAs[Long]("custkey")).toSet)
