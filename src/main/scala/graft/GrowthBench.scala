@@ -61,6 +61,8 @@ object GrowthBench {
       // is Σ chars by construction — measured to keep the claim honest
       ("cdc_chunks", scales,
         k => LlmOps.cdcChunkDedup(docs(k), 8, 64).count()),
+      ("cdc_chunks_fast", scales,
+        k => LlmOps.cdcChunkDedupFast(docs(k), 8, 64).count()),
       ("cosine_dup_exact", Seq(1L, 3L),
         k => LlmOps.cosineDupPairs(embs(k), 0.45).count()),
     )

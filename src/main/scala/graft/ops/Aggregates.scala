@@ -388,8 +388,10 @@ object Aggregates {
       * linear-interpolate at p·(n−1).
       *
       * Scale: exact percentile buffers each group's values — the honest
-      * cost of exact medians; at 100 TB swap in approx_percentile
-      * (q_agg_approx_pct is that twin) with everything else unchanged. */
+      * cost of exact medians; the 100 TB operating point is the registry
+      * twin q_agg_mad_approx (GK-sketch approx_percentile, fixed-size
+      * state, error-enveloped in ApproxSpec) with everything else
+      * unchanged. */
     OpDef(
       "q_agg_mad",
       """WITH med AS (
@@ -436,8 +438,10 @@ object Aggregates {
       * the 9 decile boundaries come from ONE exact-percentile aggregate
       * (1-row frame, broadcast), and bin assignment is a map-only
       * count-of-boundaries-below per row — the shape that scales, since
-      * the sort is replaced by a bounded agg + scan. At 100 TB swap the
-      * exact percentile for approx_percentile, everything else unchanged.
+      * the sort is replaced by a bounded agg + scan. The 100 TB operating
+      * point is the registry twin q_agg_eqdepth_approx (approx_percentile
+      * boundaries, error-enveloped in ApproxSpec), everything else
+      * unchanged.
       *
       * Determinism: boundaries are r4-rounded before the comparison, so
       * both engines count `price > boundary` on identical doubles; bin
@@ -464,6 +468,55 @@ object Aggregates {
       val b = li.agg(transform(
         expr("percentile(l_extendedprice, " +
              "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"),
+        q => Det.r4(q)).as("bs"))
+      li.crossJoin(broadcast(b))
+        .select(size(filter(col("bs"), x => col("l_extendedprice") > x))
+                  .cast("long").as("bin"),
+                col("l_extendedprice").as("price"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("price")).as("mn"),
+             max(col("price")).as("mx"),
+             Det.r4(avg(col("price"))).as("avg_price"))
+        .orderBy("bin")
+    },
+
+    /** The designated 100 TB twin of q_agg_mad: identical two-round
+      * shape with both exact percentiles swapped for Spark's GK-sketch
+      * `approx_percentile` at accuracy 10000 — per-group state is a
+      * fixed-size sketch instead of a buffered value list, so the
+      * aggregate map-side-combines and never spills with group size.
+      * No-oracle (the sketch's picked-from-data medians are
+      * engine-specific); ApproxSpec pins the med/mad/outlier envelopes
+      * against the exact form. */
+    OpDef.noOracle("q_agg_mad_approx") { (s, d) =>
+      val li = lineitem(s, d)
+      val med = li.groupBy("l_returnflag")
+        .agg(Det.r4(expr("approx_percentile(l_extendedprice, 0.5, 10000)"))
+               .as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med"),
+                abs(col("l_extendedprice") - col("med")).as("dev"))
+      val mad = dev.groupBy("l_returnflag", "med")
+        .agg(Det.r4(expr("approx_percentile(dev, 0.5, 10000)")).as("mad"))
+      dev.join(broadcast(mad.drop("med")), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+             count(when(col("dev") > lit(3.0) * col("mad"), lit(1)))
+               .as("n_outliers"))
+        .select("l_returnflag", "n", "med", "mad", "n_outliers")
+        .orderBy("l_returnflag")
+    },
+
+    /** The designated 100 TB twin of q_agg_eqdepth: the 9 decile
+      * boundaries come from one `approx_percentile` sketch (bounded
+      * state at any corpus size) and bin assignment stays the map-only
+      * boundaries-below count. No-oracle; ApproxSpec pins each decile's
+      * population against the exact form's. */
+    OpDef.noOracle("q_agg_eqdepth_approx") { (s, d) =>
+      val li = lineitem(s, d)
+      val b = li.agg(transform(
+        expr("approx_percentile(l_extendedprice, " +
+             "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9), 10000)"),
         q => Det.r4(q)).as("bs"))
       li.crossJoin(broadcast(b))
         .select(size(filter(col("bs"), x => col("l_extendedprice") > x))

@@ -1131,35 +1131,104 @@ object LlmOps {
     * insertion shifts only the chunk it lands in, and every later chunk
     * still hashes identically. That is the robustness position-based
     * segmentation (q_dedup_segments) lacks, and it is why storage dedup
-    * and byte-level corpus dedup use CDC. Per doc: chunk count, chunks
-    * shared with ≥1 other doc, and duplicated chars.
+    * and byte-level corpus dedup use CDC. Boundaries are NORMALIZED the
+    * FastCDC way (r8): a candidate boundary is accepted only ≥ `minLen`
+    * chars after the previous accepted one, and if no candidate appears
+    * within `maxLen` chars a boundary is FORCED at prev+maxLen — so a
+    * pathological doc whose hash never (or always) hits the condition
+    * still chunks within [minLen, maxLen] (final chunk ≤ maxLen, may be
+    * shorter than minLen; HostileCorpusSpec pins both extremes). Per
+    * doc: chunk count, chunks shared with ≥1 other doc, duplicated
+    * chars.
     *
-    * Scale: the position explode is Σ chars (the winnow cost class);
-    * everything after aggregates on the chunk hash — no pair generation,
-    * so no bucket cap is needed (a corpus-wide hot chunk is one grouped
-    * row, not a quadratic bucket). Production CDC adds min/max chunk
-    * bounds (documented; the fixture's uniform text doesn't need them). */
-  def cdcChunkDedup(docs: DataFrame, window: Int, modulus: Int): DataFrame = {
-    val n = length(col("text"))
-    val h = conv(md5(col("text").substr(col("i"), lit(window)))
-                   .substr(lit(1), lit(8)), 16, 10).cast("long")
-    val bounds = docs.filter(n >= window)
-      .repartition(col("doc_id"))
+    * Plan shape (r8, the q_text_winnow discipline): candidate scan,
+    * normalization, and chunk construction are all IN-ROW higher-order
+    * functions — the only explode is at CHUNK granularity (~n/64 rows
+    * per doc, not one per char) and the only shuffles are the chunk-hash
+    * frequency aggregates; the r7 spelling's per-char explode →
+    * collect_list regroup of the full corpus text is gone (it took the
+    * doc apart and re-assembled it through a shuffle an in-row
+    * `aggregate(sequence(...))` never pays). No pair generation, so no
+    * bucket cap is needed — a corpus-wide hot chunk is one grouped row,
+    * not a quadratic bucket. The md5 boundary hash stays the
+    * oracle-checked spelling; [[cdcChunkDedupFast]] is the codegen'd
+    * xxhash64 twin for the 100 TB operating point. */
+  def cdcChunkDedup(docs: DataFrame, window: Int, modulus: Int,
+                    minLen: Int = 16, maxLen: Int = 256): DataFrame =
+    cdcAggregate(cdcChunks(docs, window, modulus, minLen, maxLen))
+
+  /** xxhash64 fast twin of [[cdcChunkDedup]] — same normalized-boundary
+    * construction, with the per-position md5+conv boundary chain and the
+    * per-chunk md5 identity both replaced by codegen'd xxhash64 (the r5
+    * fast-twin precedent measured 3.3–3.4× on the minhash family). A
+    * different (equally valid) hash family means different boundary
+    * positions, so this is recall/agreement-pinned in ApproxSpec rather
+    * than oracle-checked — the designated operating point at 100 TB. */
+  def cdcChunkDedupFast(docs: DataFrame, window: Int, modulus: Int,
+                        minLen: Int = 16, maxLen: Int = 256): DataFrame =
+    cdcAggregate(cdcChunks(docs, window, modulus, minLen, maxLen,
+                           fast = true))
+
+  /** The per-doc chunk table (doc_id, ch, cl): in-row candidate scan →
+    * in-row FastCDC normalization → one chunk-level explode. Exposed so
+    * HostileCorpusSpec can assert the [minLen, maxLen] bounds on the
+    * chunk lengths themselves. */
+  private[graft] def cdcChunks(docs: DataFrame, window: Int, modulus: Int,
+                               minLen: Int, maxLen: Int,
+                               fast: Boolean = false): DataFrame = {
+    // boundary condition at 1-based position i (the first 8 hex digits
+    // of md5 as a BIGINT, or xxhash64 for the fast family)
+    def cond(i: String) =
+      if (fast) s"pmod(xxhash64(substring(text, CAST($i AS INT), $window)), " +
+                s"$modulus) = 0"
+      else "CAST(conv(substring(md5(substring(text, CAST(" + i +
+           s" AS INT), $window)), 1, 8), 16, 10) AS BIGINT) % $modulus = 0"
+    // candidate positions 2..n-window+1 (1 is always a boundary); the
+    // sequence guard matters: Spark's sequence(2, 1) counts DOWN
+    val cands =
+      s"""CASE WHEN length(text) - ${window - 1} >= 2
+         |  THEN filter(sequence(CAST(2 AS BIGINT),
+         |                       CAST(length(text) - ${window - 1} AS BIGINT)),
+         |              i -> ${cond("i")})
+         |  ELSE array() END""".stripMargin
+    // FastCDC normalization as a fold: each step appends the next cut —
+    // the first candidate in [prev+minLen, prev+maxLen], else the forced
+    // prev+maxLen — and stops appending once the cut would pass doc end.
+    // ceil(n/minLen) iterations suffice (every cut advances ≥ minLen).
+    val nxt =
+      s"""coalesce(
+         |  array_min(filter(cands,
+         |    c -> c >= element_at(acc, -1) + $minLen
+         |     AND c <= element_at(acc, -1) + $maxLen)),
+         |  element_at(acc, -1) + $maxLen)""".stripMargin
+    val bounds =
+      s"""aggregate(
+         |  sequence(1, CAST(ceil(length(text) / $minLen.0) AS INT)),
+         |  array(CAST(1 AS BIGINT)),
+         |  (acc, step) -> CASE
+         |    WHEN $nxt <= CAST(length(text) AS BIGINT)
+         |    THEN concat(acc, array($nxt))
+         |    ELSE acc END)""".stripMargin
+    val chunkHash =
+      if (fast) "CAST(xxhash64(substring(text, CAST(z.s AS INT), " +
+                "CAST(z.e - z.s AS INT))) AS STRING)"
+      else "md5(substring(text, CAST(z.s AS INT), CAST(z.e - z.s AS INT)))"
+    docs.filter(length(col("text")) >= window)
+      .select(col("doc_id"), col("text"), expr(cands).as("cands"))
+      .select(col("doc_id"), col("text"), expr(bounds).as("bs"))
       .select(col("doc_id"), col("text"),
-              explode(sequence(lit(1), n - lit(window - 1))).as("i"))
-      .filter(col("i") === 1 || (h % modulus === 0))
-      .groupBy("doc_id", "text")
-      .agg(sort_array(collect_list(col("i"))).as("bs"))
-    // each boundary's chunk ends at the next boundary (doc end + 1 last)
-    val ends = concat(slice(col("bs"), lit(2), size(col("bs")) - 1),
-                      array(length(col("text")) + lit(1)))
-    val chunks = bounds
-      .select(col("doc_id"), col("text"),
-              explode(arrays_zip(col("bs").as("s"), ends.as("e"))).as("z"))
-      .select(col("doc_id"),
-              md5(col("text").substr(col("z.s"), col("z.e") - col("z.s")))
-                .as("ch"),
-              (col("z.e") - col("z.s")).cast("long").as("cl"))
+        explode(expr(
+          """zip_with(bs,
+            |  concat(slice(bs, 2, size(bs) - 1),
+            |         array(CAST(length(text) + 1 AS BIGINT))),
+            |  (s, e) -> named_struct('s', s, 'e', e))""".stripMargin)).as("z"))
+      .select(col("doc_id"), expr(chunkHash).as("ch"),
+              expr("CAST(z.e - z.s AS BIGINT)").as("cl"))
+  }
+
+  /** Chunk-hash frequency → per-doc dedup stats, shared by both CDC
+    * spellings. */
+  private def cdcAggregate(chunks: DataFrame): DataFrame = {
     val freq = chunks.groupBy("ch")
       .agg(count_distinct(col("doc_id")).as("nd"))
     chunks.join(freq, Seq("ch"))
@@ -2723,25 +2792,40 @@ object LlmOps {
     },
 
     // --------------- dedup: content-defined chunking (FastCDC) ----------
+    // the oracle replays the normalized boundary walk as a recursive CTE:
+    // each level advances every unfinished doc by one accepted cut (the
+    // first hash candidate in [prev+16, prev+256], else the forced
+    // prev+256) — the same fold the Spark side runs in-row
     OpDef(
       "q_dedup_cdc",
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS n FROM documents
-        |  WHERE length(text) >= 8),
-        |p AS (SELECT doc_id, text, n, CAST(i AS BIGINT) AS i
-        |      FROM d, LATERAL (SELECT unnest(range(1, n - 6)) AS i) u),
-        |b AS (SELECT doc_id, text, n, i FROM p
-        |      WHERE i = 1
-        |         OR CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8)
-        |                 AS BIGINT) % 64 = 0),
-        |g AS (SELECT doc_id, text, n, list_sort(list(i)) AS bs
-        |      FROM b GROUP BY doc_id, text, n),
-        |c AS (SELECT doc_id,
-        |        substring(text, bs[j],
-        |          (CASE WHEN j < len(bs) THEN bs[j + 1] ELSE n + 1 END)
-        |            - bs[j]) AS chunk
-        |      FROM g, LATERAL (SELECT unnest(range(1, len(bs) + 1)) AS j) u),
-        |h AS (SELECT doc_id, md5(chunk) AS ch, length(chunk) AS cl FROM c),
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |      FROM documents WHERE length(text) >= 8),
+        |cand AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i
+        |  FROM d, LATERAL (SELECT unnest(range(2, n - 6)) AS i) u
+        |  WHERE CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)),
+        |                               1, 8) AS BIGINT) % 64 = 0),
+        |cuts AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS b, n FROM d
+        |  UNION ALL
+        |  SELECT c.doc_id,
+        |    coalesce((SELECT min(a.i) FROM cand a WHERE a.doc_id = c.doc_id
+        |              AND a.i >= c.b + 16 AND a.i <= c.b + 256), c.b + 256),
+        |    c.n
+        |  FROM cuts c
+        |  WHERE coalesce((SELECT min(a.i) FROM cand a WHERE a.doc_id = c.doc_id
+        |                  AND a.i >= c.b + 16 AND a.i <= c.b + 256),
+        |                 c.b + 256) <= c.n),
+        |g AS (SELECT doc_id, list_sort(list(b)) AS bs FROM cuts GROUP BY doc_id),
+        |c AS (SELECT d.doc_id,
+        |        substring(d.text, CAST(bs[j] AS INT),
+        |          CAST((CASE WHEN j < len(bs) THEN bs[j + 1] ELSE d.n + 1 END)
+        |            - bs[j] AS INT)) AS chunk
+        |      FROM g JOIN d USING (doc_id),
+        |           LATERAL (SELECT unnest(range(1, len(bs) + 1)) AS j) u),
+        |h AS (SELECT doc_id, md5(chunk) AS ch,
+        |        CAST(length(chunk) AS BIGINT) AS cl FROM c),
         |f AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM h GROUP BY ch)
         |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(count(*) FILTER (WHERE f.nd > 1) AS BIGINT) AS n_dup_chunks,
@@ -2749,7 +2833,15 @@ object LlmOps {
         |    AS dup_chars
         |FROM h JOIN f ON h.ch = f.ch
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
-    ) { (s, d) => cdcChunkDedup(documents(s, d), 8, 64) },
+    ) { (s, d) => cdcChunkDedup(documents(s, d), 8, 64, 16, 256) },
+
+    // the xxhash64 fast twin at the same normalized bounds — no-oracle
+    // (DuckDB cannot replay xxhash64); per-doc agreement with the md5
+    // form and the chunk-length bounds are pinned in ApproxSpec /
+    // HostileCorpusSpec
+    OpDef.noOracle("q_dedup_cdc_fast") { (s, d) =>
+      cdcChunkDedupFast(documents(s, d), 8, 64, 16, 256)
+    },
 
     // ------------------------------------------- text: TF-IDF -----------
     OpDef(

@@ -256,6 +256,105 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("xxhash64 CDC twin: per-doc agreement with the md5 form") {
+    import org.apache.spark.sql.functions._
+    // a different (equally valid) boundary-hash family cuts at different
+    // positions, so chunk COUNTS differ — but both families must chunk
+    // the same docs, keep per-doc chunk volume in the same regime, and
+    // agree on which docs share content with another doc
+    def byDoc(name: String): Map[Long, (Long, Boolean)] =
+      queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks") > 0L))
+        .toMap
+    val md5 = byDoc("q_dedup_cdc")
+    val fast = byDoc("q_dedup_cdc_fast")
+    assert(md5.nonEmpty && md5.keySet == fast.keySet,
+      "both families must chunk exactly the docs with length >= window")
+    // normalized bounds put both families' chunk counts within a small
+    // constant factor on every doc (both are walks of the same [16,256]
+    // corridor over the same text)
+    md5.keys.foreach { id =>
+      val (a, b) = (md5(id)._1, fast(id)._1)
+      assert(a <= 3 * b + 2 && b <= 3 * a + 2,
+        s"doc $id: chunk counts diverge beyond the corridor ($a vs $b)")
+    }
+    // dup-doc classification agreement, both directions — borderline
+    // docs whose only sharing is a single short chunk legitimately flip
+    // between hash families (each family cuts different boundaries), so
+    // the cross-family bounds are loose; the sharp contract is below
+    val md5Dup = md5.collect { case (id, (_, true)) => id }.toSet
+    val fastDup = fast.collect { case (id, (_, true)) => id }.toSet
+    assert(md5Dup.nonEmpty, "the fixture plants near-dups; md5 must see them")
+    val recall = md5Dup.count(fastDup.contains).toDouble / md5Dup.size
+    assert(recall >= 0.8, s"fast twin recalls $recall of md5 dup docs")
+    if (fastDup.nonEmpty) {
+      val precision = fastDup.count(md5Dup.contains).toDouble / fastDup.size
+      assert(precision >= 0.7,
+        s"only $precision of fast dup docs are md5 dup docs")
+    }
+    // the sharp deterministic contract: a doc with an identical twin
+    // shares EVERY chunk whatever the boundary hash — both families must
+    // flag all exact-dup docs
+    val exactDup = graft.ops.Tables.documents(spark, sf)
+      .groupBy("text").agg(collect_list(col("doc_id")).as("ids"),
+                           count(lit(1)).as("c"))
+      .filter(col("c") > 1 && length(col("text")) >= 8)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    if (exactDup.nonEmpty) {
+      assert(exactDup.forall(id => md5.get(id).exists(_._2)),
+        "md5 CDC must flag every exact-dup doc")
+      assert(exactDup.forall(id => fast.get(id).exists(_._2)),
+        "fast CDC must flag every exact-dup doc")
+    }
+  }
+
+  test("approx-percentile twins: mad and eqdepth track their exact forms") {
+    // q_agg_mad_approx: per-flag med/mad within 1% of the exact form
+    // (GK sketch at accuracy 10000 → rank error n/10000; the price
+    // domain is dense enough that the value error is far tighter), and
+    // the dependent outlier count moves only at the threshold margin
+    val exactMad = queries("q_agg_mad")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("med"), r.getAs[Double]("mad"),
+         r.getAs[Long]("n_outliers"))).toMap
+    val approxMad = queries("q_agg_mad_approx")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("med"), r.getAs[Double]("mad"),
+         r.getAs[Long]("n_outliers"))).toMap
+    assert(exactMad.keySet == approxMad.keySet)
+    exactMad.foreach { case (flag, (n, med, mad, nOut)) =>
+      val (na, meda, mada, nOuta) = approxMad(flag)
+      assert(na == n, s"$flag: row counts must be exact ($na vs $n)")
+      assert(math.abs(meda - med) / med <= 0.01,
+        s"$flag: approx med $meda vs exact $med")
+      assert(math.abs(mada - mad) / mad <= 0.01,
+        s"$flag: approx mad $mada vs exact $mad")
+      val tol = math.max(20L, n / 50L)
+      assert(math.abs(nOuta - nOut) <= tol,
+        s"$flag: outlier count $nOuta vs exact $nOut (tol $tol)")
+      info(f"$flag: med err ${math.abs(meda - med) / med * 100}%.3f%% " +
+           f"mad err ${math.abs(mada - mad) / mad * 100}%.3f%% " +
+           f"outliers $nOuta vs $nOut")
+    }
+    // q_agg_eqdepth_approx: all 10 bins present, each decile population
+    // within rank-error reach of the exact bin's
+    val exactBins = queries("q_agg_eqdepth")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    val approxBins = queries("q_agg_eqdepth_approx")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    assert(approxBins.keySet == exactBins.keySet && exactBins.size == 10)
+    val total = exactBins.values.sum
+    assert(approxBins.values.sum == total, "binning must conserve rows")
+    exactBins.foreach { case (bin, n) =>
+      val na = approxBins(bin)
+      val tol = math.max(20L, total / 50L) // 2% of corpus ≫ n/10000 rank err
+      assert(math.abs(na - n) <= tol,
+        s"bin $bin: approx population $na vs exact $n (tol $tol)")
+    }
+  }
+
   test("count-min sketch: overestimate-only bounds and shard mergeability") {
     import org.apache.spark.sql.functions._
     val li = graft.ops.Tables.lineitem(spark, sf)

@@ -80,6 +80,17 @@ class GrowthSpec extends SparkTestBase {
     val perDoc = scales.map(k => counts(k).toDouble / (baseN * k))
     assert(perDoc.max / perDoc.min <= 1.05,
       s"per-doc chunked fraction must stay flat across scales: $perDoc")
+    // the xxhash64 fast twin rides the identical aggregate-only shape —
+    // same linearity contract, cheaper per-position hash
+    val fastCounts = scales.map { k =>
+      spark.catalog.clearCache()
+      val (rows, t) = timed(LlmOps.cdcChunkDedupFast(docsAt(k), 8, 64).count())
+      info(f"fast x$k: $rows docs chunked in $t%.1fs")
+      k -> rows
+    }.toMap
+    val fastPerDoc = scales.map(k => fastCounts(k).toDouble / (baseN * k))
+    assert(fastPerDoc.max / fastPerDoc.min <= 1.05,
+      s"fast twin per-doc chunked fraction must stay flat: $fastPerDoc")
     // planted near-dups (doc 10i+9 mutates 10i) share long unmutated
     // runs — CDC must see shared chunks for most planted pairs
     val dup = LlmOps.cdcChunkDedup(docsAt(1), 8, 64)

@@ -77,6 +77,7 @@ class HostileCorpusSpec extends SparkTestBase {
     "q_dedup_exact", "q_dedup_norm", "q_dedup_near", "q_dedup_minhash",
     "q_dedup_lsh", "q_dedup_minhash_fast", "q_dedup_lsh_fast",
     "q_dedup_simhash", "q_dedup_editdist", "q_dedup_cluster", "q_dedup_cdc",
+    "q_dedup_cdc_fast",
     "q_dedup_soft", "q_dedup_segments", "q_scrub_boilerplate",
     "q_dedup_incremental",
     "q_pack_sequences", "q_pack_mask", "q_pipeline_curate")
@@ -112,6 +113,70 @@ class HostileCorpusSpec extends SparkTestBase {
       .agg(max("count")).collect().head.getLong(0)
     assert(maxBand <= LlmOps.bandBucketCap,
       s"hostile corpus pushed a band bucket to $maxBand past the cap")
+  }
+
+  test("CDC chunk bounds bind on boundary-dense and boundary-free text") {
+    corpus
+    import graft.ops.LlmOps
+    // construct the two pathological extremes deterministically: a
+    // single-char doc whose (only) window hash is NOT ≡ 0 mod 64 — zero
+    // candidates, every cut is forced at prev+256 — and a 2-char-period
+    // doc where one rotation IS ≡ 0 — a candidate every 2 chars, so the
+    // minLen floor is what keeps chunks from collapsing to 2 chars
+    def h8(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+    val freeChar = ('a' to 'z')
+      .find(c => h8(c.toString * 8) % 64 != 0).get
+    val densePat = (for {
+      a <- '!' to '~'; b <- '!' to '~' if a != b
+      w = (s"$a$b" * 4)
+      if h8(w) % 64 == 0 || h8(w.tail + a) % 64 == 0
+    } yield s"$a$b").headOption
+    import spark.implicits._
+    val pathological = Seq(
+      (1000L, freeChar.toString * 2000),           // boundary-free
+      (1001L, densePat.map(_ * 1000).getOrElse(""))) // boundary-dense
+      .filter(_._2.nonEmpty)
+      .toDF("doc_id", "text")
+    val hostile = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").unionByName(pathological)
+    for (fast <- Seq(false, true)) {
+      val chunks = LlmOps.cdcChunks(hostile, 8, 64, 16, 256, fast)
+        .groupBy("doc_id")
+        .agg(max(when(col("cl") > 256, col("cl"))).as("over"),
+             // only the FINAL chunk may undershoot minLen (the FastCDC
+             // tail contract), so at most one short chunk per doc
+             count(when(col("cl") < 16, lit(1))).as("under"))
+        .collect()
+      assert(chunks.nonEmpty)
+      chunks.foreach { r =>
+        assert(r.isNullAt(1),
+          s"fast=$fast doc ${r.get(0)}: a chunk exceeds maxLen=256")
+        assert(r.getLong(2) <= 1,
+          s"fast=$fast doc ${r.get(0)}: only the final chunk may be " +
+          s"shorter than minLen=16, got ${r.getLong(2)} short chunks")
+      }
+    }
+    // the md5 form's extremes are exact: boundary-free docs cut at the
+    // forced maximum every time; boundary-dense docs sit on the minLen
+    // floor (first candidate ≥ prev+16 lands at prev+16 or prev+17)
+    val byDoc = LlmOps.cdcChunks(pathological, 8, 64, 16, 256, fast = false)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("cl")).toSeq }
+    byDoc.get(1000L).foreach { cls =>
+      assert(cls.count(_ == 256L) == cls.size - 1 || cls.forall(_ == 256L),
+        s"boundary-free doc must chunk at the forced max: $cls")
+    }
+    if (densePat.nonEmpty)
+      byDoc.get(1001L).foreach { cls =>
+        // every chunk lands on the minLen floor (16 or 17, depending on
+        // candidate parity) except at most the final tail
+        assert(cls.count(c => c < 16L || c > 17L) <= 1 &&
+                 cls.filter(c => c < 16L || c > 17L).forall(_ < 16L),
+          s"boundary-dense doc must sit on the minLen floor: $cls")
+      }
   }
 
   test("token counters return a non-negative count for every hostile doc") {
