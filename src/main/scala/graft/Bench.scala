@@ -123,12 +123,14 @@ object Bench {
       // overwrites it, so the committed snapshot equals the parsed one.
       if (only.isEmpty) {
         val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
-        val n = java.nio.file.Files.list(dir).iterator()
         var maxRound = 0
-        while (n.hasNext) {
-          val f = n.next().getFileName.toString
-          val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f)
-          m.foreach(g => maxRound = math.max(maxRound, g.group(1).toInt))
+        scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+          val n = s.iterator()
+          while (n.hasNext) {
+            val f = n.next().getFileName.toString
+            val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f)
+            m.foreach(g => maxRound = math.max(maxRound, g.group(1).toInt))
+          }
         }
         val snap = dir.resolve(f"BENCH_DETAIL_r${maxRound + 1}%02d.json")
         java.nio.file.Files.write(snap, detail.getBytes("UTF-8"))

@@ -61,9 +61,10 @@ object Graph {
     // PRESERVES outputPartitioning, so all 6 iteration joins reuse this one
     // hash layout and only the node-sized rank table shuffles per step — a
     // checkpointed edge table re-shuffled every iteration (measured 13.9 s
-    // → 8.5 s at sf0.1). The cache is loop-scoped: the final ranks are
-    // materialized eagerly below and the cache released here (r7 — the
-    // old callers-clearCache contract left it live until the next query).
+    // → 8.5 s at sf0.1). The cache deliberately OUTLIVES this function:
+    // the tail below stays lazy (see its comment for the four measured
+    // alternatives), so the cache is dropped by the callers' documented
+    // clearCache-between-queries contract, not here.
     val edges = edgesIn
       .select(col("src"), col("dst"),
               floor(col("n") * lit(1000000.0) / sum(col("n")).over(wOut)

@@ -7,14 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to be EAGER `localCheckpoint` DataFrames: RDD-level persistence
   * (MEMORY_AND_DISK) survives the `spark.catalog.clearCache()` Bench and
   * Verify issue between queries — the in-JVM stand-in for writing the
-  * derived table once and pointing every job at it. Sessions are held
-  * weakly so a stopped test session stays collectable; `buildCount`
-  * counts cache misses so ScaleSpec can assert N consumers pay one
-  * build. */
+  * derived table once and pointing every job at it. A stopped session's
+  * entries are dropped EXPLICITLY by a listener on application end —
+  * weak keys cannot do this job, because every cached DataFrame strongly
+  * references its SparkSession (df → QueryExecution → session), the
+  * value-refers-to-key pitfall that keeps a WeakHashMap entry pinned
+  * forever (r8, ADVICE fix). Sessions sharing one SparkContext share the
+  * drop point (context stop), which matches how Bench/Verify/ScalaTest
+  * run one session per JVM. `buildCount` counts cache misses so
+  * ScaleSpec can assert N consumers pay one build. */
 private[graft] final class SessionMemo {
   private val memo =
-    new java.util.WeakHashMap[SparkSession,
-                              scala.collection.mutable.Map[String, DataFrame]]
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, scala.collection.mutable.Map[String, DataFrame]]
   private val builds = new java.util.concurrent.atomic.AtomicLong(0)
 
   def buildCount: Long = builds.get
@@ -25,6 +30,12 @@ private[graft] final class SessionMemo {
       if (m == null) {
         m = scala.collection.mutable.Map.empty[String, DataFrame]
         memo.put(s, m)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = { memo.remove(s); () }
+          })
       }
       m
     }

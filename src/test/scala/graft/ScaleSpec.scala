@@ -711,4 +711,44 @@ class ScaleSpec extends SparkTestBase {
     assert(iters <= 10,
       s"$iters rounds for a 64-chain — the path-halving jump is not halving")
   }
+
+  test("registry-wide cache hygiene: only documented loop-scoped caches survive an op") {
+    // the generalized ADVICE-r7 #1 guard: every registry op runs at
+    // sf0.001 and any op that leaves plan-cache entries behind must be
+    // on the documented whitelist — the ops whose docstrings state the
+    // loop-scoped cache is dropped by the callers' clearCache-between-
+    // queries contract. A new op that silently joins the leaver set
+    // fails here; memo-owned derivations (DocCore/PurchaseGraph) live as
+    // RDD-level localCheckpoints, not cacheManager entries, so they
+    // never appear.
+    // the empirically-measured r8 leaver set: every member caches a
+    // bounded intermediate (signature/band/candidate-pair tables, the
+    // pagerank edge layout, lmbuckets' 1-row range) that its docstring
+    // hands to the clearCache contract; this list is a RATCHET — shrink
+    // it when an op gains its own unpersist, never grow it silently
+    val allowed: Set[String] = Set(
+      "q_dedup_lsh", "q_dedup_lsh_fast", "q_dedup_minhash_fast",
+      "q_dedup_semantic_lsh", "q_dedup_simhash", "q_dedup_substring",
+      "q_graph_pagerank", "q_pipeline_curate", "q_sim_ann_ivf_kmeans",
+      "q_sim_cosine_dup_lsh", "q_sim_cosine_dup_srp", "q_sim_knn_lsh",
+      "q_text_lmbuckets")
+    spark.catalog.clearCache()
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    val leavers = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try SparkEntry.queries(name)(spark, sf).collect()
+      catch { case e: Throwable =>
+        failures += s"$name: ${e.getClass.getSimpleName} " +
+          String.valueOf(e.getMessage).take(160)
+      }
+      val left = !spark.sharedState.cacheManager.isEmpty
+      spark.catalog.clearCache()
+      if (left) Some(name) else None
+    }
+    assert(failures.isEmpty,
+      s"ops threw at sf0.001:\n${failures.mkString("\n")}")
+    val undocumented = leavers.filterNot(allowed)
+    assert(undocumented.isEmpty,
+      s"ops left undocumented cache entries: ${undocumented.mkString(", ")}")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
