@@ -453,6 +453,59 @@ object Layout {
       require(LakeTable.readVersion(s, dir, 1L).count() == n,
               "the pre-compaction version must stay time-travelable")
       LakeTable.read(s, dir).orderBy("custkey")
+    },
+
+    /** Partial-rewrite MERGE (r8): the 100 TB upsert path. v1 lays the
+      * per-customer rollup out range-banded (`custkey div 32` in the
+      * file paths via the `_layout=` staging convention), with the
+      * low-band rows DELIBERATELY stale (counted from pre-1997 orders
+      * only); the merge batch carries the corrected low-band rows and
+      * [[graft.sources.LakeTable.mergePartial]] rewrites ONLY the files
+      * whose layout value the batch touches — every other band's files
+      * carry over into the new manifest verbatim, zero data movement
+      * (requires pin the carried/rewritten file split). The oracle
+      * computes the fully-correct rollup straight from `orders`, so the
+      * hash-match proves the pruned rewrite loses nothing — stale rows
+      * corrected, untouched bands byte-identical through carry-over. */
+    OpDef(
+      "q_lake_merge_partial",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_pm_").toString
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr("custkey div 32"))
+      val o = orders(s, d)
+      val full = roll(o)
+      // v1: band 0 stale (pre-1997 slice), every other band correct
+      val v1Table = full.filter(col("band") =!= 0)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(col("band") === 0))
+      require(LakeTable.commit(s, dir, v1Table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val v1Files = LakeTable.currentFiles(dir)
+      // the merge batch: corrected band-0 rows only
+      val v2 = LakeTable.mergePartial(s, dir, full.filter(col("band") === 0),
+                                      Seq("custkey"), "band")(_ => None)
+      require(v2 == Right(2L), s"partial merge failed: $v2")
+      val v2Files = LakeTable.currentFiles(dir)
+      val carried = v2Files.filter(v1Files.contains)
+      require(carried.nonEmpty, "untouched bands must carry over")
+      require(carried.forall(f =>
+                LakeTable.layoutValueOf(f).exists(_ != "0")),
+              "band 0 must be rewritten, not carried")
+      LakeTable.read(s, dir)
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
     }
   )
 }

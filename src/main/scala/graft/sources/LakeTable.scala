@@ -185,9 +185,13 @@ object LakeTable {
     * manifests, (b) crash-ORPHANED manifests (version above the live
     * pointer: claimed but never published — counting them toward the
     * keep set would retain a never-readable orphan while reclaiming a
-    * genuinely published version), (c) every data directory referenced
-    * by no kept manifest (dropped versions' dirs and orphaned stagings
-    * alike). Retained versions stay time-travel-readable, and a reader
+    * genuinely published version), (c) every data FILE referenced by no
+    * kept manifest — reclaim is per-file, not per-directory, because
+    * carry-over commits ([[stage]]'s `carry`) let a new version
+    * reference a subset of an old version's directory; a directory with
+    * no referenced files left is swept whole (dropped versions' dirs and
+    * orphaned stagings alike). Retained versions stay
+    * time-travel-readable, and a reader
     * HOLDING a retained version's DataFrame across the vacuum never
     * breaks — reclaim only ever touches versions outside the keep set
     * (LakeSpec pins both). Deletion order is safe under a crash
@@ -212,18 +216,39 @@ object LakeTable {
     val orphans = manifestVersions(dir).filterNot(v =>
       keep.contains(v) || published.contains(v))
     val drop = published.filterNot(keep.contains) ++ orphans
-    val keptDirs = keep.toSeq
+    val keptFiles = keep.toSeq
       .flatMap(v => readManifest(dir, v).map(manifestFiles).getOrElse(Nil))
-      .map(f => Paths.get(f).getName(1).toString).toSet
+      .toSet
     drop.foreach(v =>
       Files.deleteIfExists(Paths.get(dir, s"manifest-v$v.json")))
     var reclaimed = 0
+    val root = Paths.get(dir)
     listDir(Paths.get(dir, "data")).foreach { sub =>
-      if (Files.isDirectory(sub)
-          && !keptDirs.contains(sub.getFileName.toString)) {
-        walkDir(sub).reverse.foreach { p =>
-          if (p.toString.endsWith(".parquet")) reclaimed += 1
-          Files.deleteIfExists(p)
+      if (Files.isDirectory(sub)) {
+        val entries = walkDir(sub)
+        val keptHere = entries.exists(p =>
+          Files.isRegularFile(p) && keptFiles.contains(
+            root.relativize(p).toString))
+        if (!keptHere) {
+          // nothing referenced: sweep the whole staging subtree
+          entries.reverse.foreach { p =>
+            if (p.toString.endsWith(".parquet")) reclaimed += 1
+            Files.deleteIfExists(p)
+          }
+        } else {
+          // carry-over survivor: reclaim only the UNREFERENCED parquet
+          // files (and their sidecars), keep the rest of the subtree
+          entries.foreach { p =>
+            val name = p.getFileName.toString
+            if (Files.isRegularFile(p) && name.endsWith(".parquet")
+                && !name.startsWith(".")
+                && !keptFiles.contains(root.relativize(p).toString)) {
+              reclaimed += 1
+              Files.deleteIfExists(p)
+              Files.deleteIfExists(p.resolveSibling(s".$name.crc"))
+            }
+            ()
+          }
         }
       }
       ()
@@ -231,20 +256,46 @@ object LakeTable {
     (drop.size, reclaimed)
   }
 
+  /** Layout value a staged file path carries, if the file was written
+    * under a `_layout=<value>` directory — the manifest-level partition
+    * metadata that lets a MERGE prune its rewrite set to the touched
+    * values and carry every other file forward verbatim. */
+  private[graft] def layoutValueOf(file: String): Option[String] =
+    "/_layout=([^/]+)/".r.findFirstMatchIn(file).map(_.group(1))
+
   /** Stage a new version's data files. Returns the staged state —
     * including the schema read back AS WRITTEN — and nothing is visible
-    * to readers until [[publish]]. The carried version is only a hint;
-    * publish mints the real one. */
-  def stage(spark: SparkSession, dir: String, df: DataFrame): Staged = {
+    * to readers until [[publish]]. The carried version hint is only a
+    * hint; publish mints the real one.
+    *
+    * `layoutBy` writes the staging Hive-partitioned by the named
+    * column's VALUE (encoded in each file's path as `_layout=<value>`)
+    * while keeping the column itself in the data (a shadow column does
+    * the partitioning) — file-level layout metadata in the manifest,
+    * the prune key for partial rewrites. `carry` lists already-published
+    * files to carry over verbatim into this version's manifest: the
+    * 100 TB MERGE primitive — only touched layout values restage, the
+    * rest of the table travels as manifest entries, zero data movement. */
+  def stage(spark: SparkSession, dir: String, df: DataFrame,
+            layoutBy: Option[String] = None,
+            carry: Seq[String] = Seq.empty): Staged = {
     val version = currentVersion(dir).getOrElse(0L) + 1L
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(dir, "data", uuid)
-    df.write.parquet(staging.toString)
-    val files = listDir(staging)
-      .map(_.getFileName.toString)
-      .filter(f => f.endsWith(".parquet") && !f.startsWith("."))
+    layoutBy match {
+      case Some(c) =>
+        df.withColumn("_layout", col(c))
+          .write.partitionBy("_layout").parquet(staging.toString)
+      case None => df.write.parquet(staging.toString)
+    }
+    val fresh = walkDir(staging)
+      .filter(p => Files.isRegularFile(p))
+      .map(p => staging.relativize(p).toString)
+      .filter(f => f.endsWith(".parquet")
+        && !Paths.get(f).getFileName.toString.startsWith("."))
       .sorted
       .map(f => s"data/$uuid/$f")
+    val files = carry ++ fresh
     val schema =
       if (files.isEmpty) Seq.empty
       else spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
@@ -356,11 +407,45 @@ object LakeTable {
 
   /** The full write-audit-publish commit. Returns Left without touching
     * any reader-visible state if the audit (evolution contract included)
-    * rejects. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame)(
+    * rejects. `layoutBy` lays the version out Hive-partitioned by the
+    * named column (see [[stage]]) so later [[mergePartial]] calls can
+    * prune their rewrite set. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame,
+             layoutBy: Option[String] = None)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     Files.createDirectories(Paths.get(dir))
-    audit(spark, stage(spark, dir, df))(check).map(publish)
+    audit(spark, stage(spark, dir, df, layoutBy))(check).map(publish)
+  }
+
+  /** Partial-rewrite MERGE — the 100 TB upsert: `upserts` (one row per
+    * key, each carrying the table's layout column) replace same-key rows,
+    * and only the files whose `_layout=<value>` path metadata intersects
+    * the batch's touched values are read and rewritten — every other
+    * live file CARRIES OVER into the new manifest verbatim, zero data
+    * movement (exactly how Delta/Iceberg MERGE prunes its rewrite set by
+    * file stats). Files without layout metadata (e.g. a flat initial
+    * version) rewrite conservatively. The touched-value set is collected
+    * to the driver — bounded by the layout cardinality, the same
+    * metadata-scale work any table format's planner does. The commit
+    * rides the full stage → audit → publish protocol; the audit sees
+    * carried + staged files together, so cross-file invariants (key
+    * uniqueness) still gate the publish. */
+  def mergePartial(spark: SparkSession, dir: String, upserts: DataFrame,
+                   keys: Seq[String], layoutCol: String)(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    Files.createDirectories(Paths.get(dir))
+    val touched = upserts.select(layoutCol).distinct().collect()
+      .map(r => String.valueOf(r.get(0))).toSet
+    val live = currentFiles(dir)
+    val (rewrite, carried) = live.partition(f =>
+      layoutValueOf(f).forall(touched.contains))
+    val base =
+      if (rewrite.isEmpty) upserts.limit(0)
+      else spark.read.parquet(rewrite.map(f => Paths.get(dir, f).toString): _*)
+        .join(upserts.select(keys.map(col): _*), keys, "left_anti")
+    val merged = base.unionByName(upserts)
+    audit(spark, stage(spark, dir, merged, Some(layoutCol), carried))(check)
+      .map(publish)
   }
 
   /** OPTIMIZE — the compaction ACTION the q_layout_compaction planner

@@ -795,12 +795,14 @@ object StreamOps {
     * no double-apply. That is a transactional sink built from one
     * atomic rename.
     *
-    * Scale: this offline reduction rewrites the full table per commit;
-    * at 100 TB the stage step writes only the touched partitions (the
-    * manifest lists files per partition, so unchanged files carry over
-    * into the new manifest verbatim) — same protocol, smaller WRITE.
-    * Compaction of the accumulated versions is q_layout_compaction's
-    * job, reading through the same manifest. */
+    * Scale: this spelling rewrites the full table per commit — right for
+    * unlayouted tables; when the table is laid out with a `_layout`
+    * column, [[graft.sources.LakeTable.mergePartial]] (r8) is the
+    * partial-rewrite path: only files whose layout value the batch
+    * touches restage, the rest carry over into the new manifest verbatim
+    * (q_lake_merge_partial pins it end-to-end). Compaction of the
+    * accumulated versions is LakeTable.optimize's job, reading through
+    * the same manifest. */
   def mergeBatchIntoLake(spark: SparkSession, dir: String, batch: DataFrame,
                          keys: Seq[String], batchId: Long): Option[Long] = {
     import graft.sources.LakeTable

@@ -231,6 +231,55 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("partial MERGE rewrites only touched layout values; vacuum keeps carried files") {
+    val dir = Files.createTempDirectory("graft_lake_pm_").toString
+    // range-bucket layout: 32-key bands, so a key-local batch touches
+    // one band and every other band's files must carry over untouched
+    def bucketed(keyMax: Int): DataFrame =
+      snap(keyMax).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, bucketed(150), Some("band"))(gate)
+             == Right(1L))
+    val v1Files = LakeTable.currentFiles(dir)
+    assert(v1Files.forall(f => LakeTable.layoutValueOf(f).nonEmpty),
+      s"layout metadata must ride the file paths: $v1Files")
+    assert(v1Files.flatMap(LakeTable.layoutValueOf).distinct.size >= 4,
+      "the fixture must spread over several bands")
+    // the batch: corrected rows for keys 1..31 — band 0 only
+    val upserts = bucketed(31)
+      .withColumn("n_orders", col("n_orders") + lit(1000L))
+    val v2 = LakeTable.mergePartial(spark, dir, upserts,
+                                    Seq("custkey"), "band")(gate)
+    assert(v2 == Right(2L), s"partial merge must commit: $v2")
+    val v2Files = LakeTable.currentFiles(dir)
+    val carried = v2Files.filter(v1Files.contains)
+    assert(carried.nonEmpty, "untouched bands must carry over verbatim")
+    assert(carried.forall(f => LakeTable.layoutValueOf(f).exists(_ != "0")),
+      s"band 0 must NOT carry over: $carried")
+    assert(v1Files.filter(f => LakeTable.layoutValueOf(f).contains("0"))
+             .forall(!v2Files.contains(_)),
+      "every band-0 file must be rewritten")
+    // semantics: exactly a full upsert's result
+    val got = LakeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    val base = bucketed(150).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    val up = upserts.collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    assert(got == base ++ up, "partial merge must equal the full upsert")
+    // time travel still has the pre-merge table
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == base.size)
+    // vacuum to keep only v2: reclaim is PER-FILE — v1's band-0 file dies,
+    // the carried files (living in v1's staging dir) survive, and the
+    // live read still works afterwards
+    val (m, f) = LakeTable.vacuum(dir, keepVersions = 1)
+    assert(m == 1 && f > 0, s"v1's manifest and its dead band-0 file go ($m, $f)")
+    assert(carried.forall(c => Files.exists(Paths.get(dir, c))),
+      "carried files must survive their origin version's vacuum")
+    val afterVacuum = LakeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    assert(afterVacuum == base ++ up, "the live version must survive vacuum intact")
+  }
+
   test("the audit reads the staged bytes as written, not the logical plan") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val st = LakeTable.stage(spark, dir, snap(80))

@@ -531,7 +531,8 @@ class ScaleSpec extends SparkTestBase {
   private val bnljAllowed: Set[String] = Set(
     // (a) 1-row / bounded broadcast attaches
     "q_agg_bloom", "q_agg_chisq", "q_agg_cmsketch", "q_agg_cuped",
-    "q_agg_eqdepth", "q_budget_select", "q_dq_benford", "q_dq_freshness",
+    "q_agg_eqdepth", "q_agg_eqdepth_approx", // same 1-row boundary attach
+    "q_budget_select", "q_dq_benford", "q_dq_freshness",
     "q_dq_psi", "q_events_anomaly", "q_events_heatmap", "q_events_ltv",
     "q_events_survival", "q_events_trend", "q_events_window_funnel",
     "q_graph_pagerank", "q_graph_triangles", "q_mix_domains", "q_mix_epochs",
