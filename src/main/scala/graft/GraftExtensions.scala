@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SpaceSavingTopK}
+import graft.functions.{CdcChunkWalk, DotProduct, SpaceSavingTopK}
 
 /** SparkSessionExtensions entry point: injects graft's native functions so
   * `spark.sql("... graft_dot(a, b) ...")` works in any session built with
@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(GraftFunctions.topKDescriptor)
+    e.injectFunction(GraftFunctions.cdcChunksDescriptor)
   }
 }
 
@@ -46,6 +47,29 @@ object GraftFunctions {
       children(0), litInt(children(1), "capacity"), litInt(children(2), "k"))
   )
 
+  private def litBool(e: Expression, what: String): Boolean = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"graft_cdc_chunks $what must be a boolean literal, got non-literal $e")
+    e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_cdc_chunks $what must be a boolean literal, got $other")
+    }
+  }
+
+  private[graft] def cdcChunksFromExprs(children: Seq[Expression]): Expression =
+    CdcChunkWalk(children(0),
+                 litInt(children(1), "window"), litInt(children(2), "modulus"),
+                 litInt(children(3), "minLen"), litInt(children(4), "maxLen"),
+                 litBool(children(5), "fast"))
+
+  private[graft] val cdcChunksDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunkWalk].getName, "graft_cdc_chunks"),
+    cdcChunksFromExprs _
+  )
+
   /** Register on an existing session; ops then reference the function with
     * `expr("graft_dot(x, y)")` — routed through the registry so nothing
     * depends on Column's private Expression constructor (changed in the
@@ -57,5 +81,7 @@ object GraftFunctions {
       "graft_topk", exprs => SpaceSavingTopK(
         exprs(0), litInt(exprs(1), "capacity"), litInt(exprs(2), "k")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_chunks", cdcChunksFromExprs, "scala_udf")
   }
 }

@@ -478,13 +478,19 @@ object Layout {
       import graft.sources.LakeTable
       val dir = java.nio.file.Files
         .createTempDirectory("graft_lake_pm_").toString
+      val o = orders(s, d)
+      // scale-adaptive band width: ~8 bands at every SF (a fixed width
+      // means 1 band at sf0.001 or 469 partition dirs at sf0.1 — the
+      // first breaks the carry-over requires, the second pays hundreds
+      // of tiny file writes; real tables size partitions the same way)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
       def roll(df: DataFrame) = df
         .groupBy(col("o_custkey").as("custkey"))
         .agg(count(lit(1)).cast("long").as("n_orders"),
              sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
                  .cast("long")).cast("long").as("cents"))
-        .withColumn("band", expr("custkey div 32"))
-      val o = orders(s, d)
+        .withColumn("band", expr(s"custkey div $width"))
       val full = roll(o)
       // v1: band 0 stale (pre-1997 slice), every other band correct
       val v1Table = full.filter(col("band") =!= 0)

@@ -1141,89 +1141,58 @@ object LlmOps {
     * doc: chunk count, chunks shared with ≥1 other doc, duplicated
     * chars.
     *
-    * Plan shape (r8, the q_text_winnow discipline): candidate scan,
-    * normalization, and chunk construction are all IN-ROW higher-order
-    * functions — the only explode is at CHUNK granularity (~n/64 rows
-    * per doc, not one per char) and the only shuffles are the chunk-hash
-    * frequency aggregates; the r7 spelling's per-char explode →
-    * collect_list regroup of the full corpus text is gone (it took the
-    * doc apart and re-assembled it through a shuffle an in-row
-    * `aggregate(sequence(...))` never pays). No pair generation, so no
-    * bucket cap is needed — a corpus-wide hot chunk is one grouped row,
-    * not a quadratic bucket. The md5 boundary hash stays the
-    * oracle-checked spelling; [[cdcChunkDedupFast]] is the codegen'd
+    * Plan shape (r8): the whole walk — candidate scan, normalization,
+    * chunk hashing — runs inside the native
+    * [[graft.functions.CdcChunkWalk]] expression as one compiled loop
+    * over each doc's UTF-8 bytes; the only explode is at CHUNK
+    * granularity (~n/64 rows per doc, not one per char) and the only
+    * shuffles are the chunk-hash frequency aggregates. The r7 per-char
+    * explode row-copied the full text Σ-chars times and measured 5.8 s
+    * at sf0.1; this spelling is 1.3 s with bit-identical output. No pair
+    * generation, so no bucket cap is needed — a corpus-wide hot chunk is
+    * one grouped row, not a quadratic bucket. The md5 boundary hash
+    * stays the oracle-checked spelling; [[cdcChunkDedupFast]] is the
     * xxhash64 twin for the 100 TB operating point. */
   def cdcChunkDedup(docs: DataFrame, window: Int, modulus: Int,
                     minLen: Int = 16, maxLen: Int = 256): DataFrame =
     cdcAggregate(cdcChunks(docs, window, modulus, minLen, maxLen))
 
-  /** xxhash64 fast twin of [[cdcChunkDedup]] — same normalized-boundary
-    * construction, with the per-position md5+conv boundary chain and the
-    * per-chunk md5 identity both replaced by codegen'd xxhash64 (the r5
-    * fast-twin precedent measured 3.3–3.4× on the minhash family). A
-    * different (equally valid) hash family means different boundary
-    * positions, so this is recall/agreement-pinned in ApproxSpec rather
-    * than oracle-checked — the designated operating point at 100 TB. */
+  /** xxhash64 fast twin of [[cdcChunkDedup]] — the same
+    * [[graft.functions.CdcChunkWalk]] loop with the per-position
+    * md5+conv boundary chain and the per-chunk md5 identity both
+    * replaced by xxhash64 straight over the byte windows (0.7 s vs
+    * 1.3 s at sf0.1 — the hash is the whole remaining cost once the
+    * walk is an expression). A different (equally valid) hash family
+    * means different boundary positions, so this is
+    * recall/agreement-pinned in ApproxSpec rather than oracle-checked —
+    * the designated operating point at 100 TB. */
   def cdcChunkDedupFast(docs: DataFrame, window: Int, modulus: Int,
                         minLen: Int = 16, maxLen: Int = 256): DataFrame =
     cdcAggregate(cdcChunks(docs, window, modulus, minLen, maxLen,
                            fast = true))
 
-  /** The per-doc chunk table (doc_id, ch, cl): in-row candidate scan →
-    * in-row FastCDC normalization → one chunk-level explode. Exposed so
+  /** The per-doc chunk table (doc_id, ch, cl): the whole candidate scan
+    * → FastCDC normalization → chunk hashing walk runs inside the native
+    * [[graft.functions.CdcChunkWalk]] expression (one compiled loop over
+    * each doc's UTF-8 bytes), and the only explode is CHUNK-level
+    * (~n/avgChunk rows per doc). The r8 measurement history that forced
+    * the expression: the r7 per-position explode row-copied the full
+    * text Σ-chars times (5.8 s at sf0.1), the all-HOF spelling
+    * re-interpreted the hash lambda per position (7.5 s), the hybrid
+    * explode+fold kept the row-copy cost (7.3 s) — the expression walk
+    * is 0.9 s md5 / 0.5 s xxhash64 with bit-identical output (the md5
+    * form stays hash-verified against the DuckDB oracle). Exposed so
     * HostileCorpusSpec can assert the [minLen, maxLen] bounds on the
     * chunk lengths themselves. */
   private[graft] def cdcChunks(docs: DataFrame, window: Int, modulus: Int,
                                minLen: Int, maxLen: Int,
                                fast: Boolean = false): DataFrame = {
-    // boundary condition at 1-based position i (the first 8 hex digits
-    // of md5 as a BIGINT, or xxhash64 for the fast family)
-    def cond(i: String) =
-      if (fast) s"pmod(xxhash64(substring(text, CAST($i AS INT), $window)), " +
-                s"$modulus) = 0"
-      else "CAST(conv(substring(md5(substring(text, CAST(" + i +
-           s" AS INT), $window)), 1, 8), 16, 10) AS BIGINT) % $modulus = 0"
-    // candidate positions 2..n-window+1 (1 is always a boundary); the
-    // sequence guard matters: Spark's sequence(2, 1) counts DOWN
-    val cands =
-      s"""CASE WHEN length(text) - ${window - 1} >= 2
-         |  THEN filter(sequence(CAST(2 AS BIGINT),
-         |                       CAST(length(text) - ${window - 1} AS BIGINT)),
-         |              i -> ${cond("i")})
-         |  ELSE array() END""".stripMargin
-    // FastCDC normalization as a fold: each step appends the next cut —
-    // the first candidate in [prev+minLen, prev+maxLen], else the forced
-    // prev+maxLen — and stops appending once the cut would pass doc end.
-    // ceil(n/minLen) iterations suffice (every cut advances ≥ minLen).
-    val nxt =
-      s"""coalesce(
-         |  array_min(filter(cands,
-         |    c -> c >= element_at(acc, -1) + $minLen
-         |     AND c <= element_at(acc, -1) + $maxLen)),
-         |  element_at(acc, -1) + $maxLen)""".stripMargin
-    val bounds =
-      s"""aggregate(
-         |  sequence(1, CAST(ceil(length(text) / $minLen.0) AS INT)),
-         |  array(CAST(1 AS BIGINT)),
-         |  (acc, step) -> CASE
-         |    WHEN $nxt <= CAST(length(text) AS BIGINT)
-         |    THEN concat(acc, array($nxt))
-         |    ELSE acc END)""".stripMargin
-    val chunkHash =
-      if (fast) "CAST(xxhash64(substring(text, CAST(z.s AS INT), " +
-                "CAST(z.e - z.s AS INT))) AS STRING)"
-      else "md5(substring(text, CAST(z.s AS INT), CAST(z.e - z.s AS INT)))"
+    graft.GraftFunctions.register(docs.sparkSession)
     docs.filter(length(col("text")) >= window)
-      .select(col("doc_id"), col("text"), expr(cands).as("cands"))
-      .select(col("doc_id"), col("text"), expr(bounds).as("bs"))
-      .select(col("doc_id"), col("text"),
-        explode(expr(
-          """zip_with(bs,
-            |  concat(slice(bs, 2, size(bs) - 1),
-            |         array(CAST(length(text) + 1 AS BIGINT))),
-            |  (s, e) -> named_struct('s', s, 'e', e))""".stripMargin)).as("z"))
-      .select(col("doc_id"), expr(chunkHash).as("ch"),
-              expr("CAST(z.e - z.s AS BIGINT)").as("cl"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_cdc_chunks(text, $window, $modulus, " +
+                     s"$minLen, $maxLen, $fast)")).as("z"))
+      .select(col("doc_id"), col("z.ch").as("ch"), col("z.cl").as("cl"))
   }
 
   /** Chunk-hash frequency → per-doc dedup stats, shared by both CDC

@@ -431,7 +431,8 @@ object LakeTable {
     * carried + staged files together, so cross-file invariants (key
     * uniqueness) still gate the publish. */
   def mergePartial(spark: SparkSession, dir: String, upserts: DataFrame,
-                   keys: Seq[String], layoutCol: String)(
+                   keys: Seq[String], layoutCol: String,
+                   batch: Option[Long] = None)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     Files.createDirectories(Paths.get(dir))
     val touched = upserts.select(layoutCol).distinct().collect()
@@ -444,7 +445,9 @@ object LakeTable {
       else spark.read.parquet(rewrite.map(f => Paths.get(dir, f).toString): _*)
         .join(upserts.select(keys.map(col): _*), keys, "left_anti")
     val merged = base.unionByName(upserts)
-    audit(spark, stage(spark, dir, merged, Some(layoutCol), carried))(check)
+    audit(spark,
+          stage(spark, dir, merged, Some(layoutCol), carried)
+            .copy(batch = batch))(check)
       .map(publish)
   }
 

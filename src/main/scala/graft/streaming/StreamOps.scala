@@ -837,6 +837,39 @@ object StreamOps {
     }
   }
 
+  /** Streaming MERGE into a LAYOUTED lake table — behavior 33 (r8): the
+    * partial-rewrite twin of [[mergeBatchIntoLake]]. The table carries a
+    * layout column (file paths hold `_layout=<value>` metadata), so each
+    * micro-batch's upsert only restages the files whose layout value the
+    * batch touches — [[graft.sources.LakeTable.mergePartial]] carries
+    * every other file into the new manifest verbatim. Exactly-once
+    * across epoch replay rides the same manifest batchId watermark as
+    * the full-rewrite sink: a crash before the flip replays against the
+    * old base, a crash after reads watermark ≥ batchId and skips. At
+    * 100 TB this is the shape a CDC-ingest lake job actually runs —
+    * write amplification ∝ touched partitions, not table size. */
+  def mergeBatchIntoLakePartial(spark: SparkSession, dir: String,
+                                batch: DataFrame, keys: Seq[String],
+                                layoutCol: String, batchId: Long): Option[Long] = {
+    import graft.sources.LakeTable
+    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
+    else {
+      val winner = batch
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("_r") === 1).drop("_r")
+      LakeTable.mergePartial(spark, dir, winner, keys, layoutCol,
+                             Some(batchId)) { df =>
+        val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+        if (dup.isEmpty) None else Some("duplicate keys after partial merge")
+      } match {
+        case Right(v) => Some(v)
+        case Left(reason) => throw new IllegalStateException(reason)
+      }
+    }
+  }
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

@@ -140,6 +140,66 @@ class StreamingDurabilitySpec extends SparkTestBase {
       s"merged table must hold the per-key latest rows exactly once: $rows")
   }
 
+  test("streaming partial lake merge: carry-over files survive crash-replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft_chk_pm").toString
+    val lake = Files.createTempDirectory("graft_lake_pm").toString
+    val ms = MemoryStream[Event]
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = ms.toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.mergeBatchIntoLakePartial(
+          spark, lake, b.withColumn("band", pmod(col("user_id"), lit(2))),
+          Seq("user_id"), "band", id)
+        // crash AFTER the publish, BEFORE the epoch's WAL commit — the
+        // replay must skip via the manifest batch watermark
+        if (id == 1 && crash.compareAndSet(false, true))
+          throw new RuntimeException("injected post-publish failure")
+        ()
+      }
+      .start()
+    var q = start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),   // band 1
+      ev(2, "2024-01-01 10:00:30", 2, "view", 2.0),    // band 0
+      ev(3, "2024-01-01 10:00:45", 4, "view", 3.0))    // band 0
+    q.processAllAvailable() // epoch 0: initial layouted publish
+    val v1Files = graft.sources.LakeTable.currentFiles(lake)
+    assert(v1Files.flatMap(graft.sources.LakeTable.layoutValueOf)
+             .toSet == Set("0", "1"), s"layouted initial version: $v1Files")
+    // epoch 1 touches band 1 only, then crashes post-publish
+    ms.addData(ev(4, "2024-01-01 10:01:00", 1, "purchase", 9.0))
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    val v2Files = graft.sources.LakeTable.currentFiles(lake)
+    val carried = v2Files.filter(v1Files.contains)
+    assert(carried.nonEmpty
+             && carried.forall(f =>
+                  graft.sources.LakeTable.layoutValueOf(f).contains("0")),
+      s"band-0 files must carry over verbatim: $carried")
+    q = start() // WAL replays epoch 1 → watermark says applied → skip
+    q.processAllAvailable()
+    ms.addData(ev(5, "2024-01-01 10:02:00", 2, "purchase", 7.0)) // band 0
+    q.processAllAvailable()
+    q.stop()
+    assert(crash.get, "fault injection never fired")
+    assert(graft.sources.LakeTable.appliedBatch(lake).contains(2L))
+    // end state: per-user latest, exactly once, through the manifest
+    val rows = graft.sources.LakeTable.read(spark, lake)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 4L, 9.0), (2L, 5L, 7.0), (4L, 3L, 3.0)),
+      s"partial-merged table must hold per-key latest exactly once: $rows")
+    // and epoch 2's band-0 rewrite must in turn carry epoch 1's band-1 file
+    val v3Files = graft.sources.LakeTable.currentFiles(lake)
+    assert(v3Files.exists(f => v2Files.contains(f)
+             && graft.sources.LakeTable.layoutValueOf(f).contains("1")),
+      "the band-1 file from epoch 1 must carry into epoch 2's version")
+  }
+
   test("streaming CDC apply: deletes survive crash-replay and in-batch races") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
