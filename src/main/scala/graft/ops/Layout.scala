@@ -512,6 +512,51 @@ object Layout {
               "band 0 must be rewritten, not carried")
       LakeTable.read(s, dir)
         .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
+    /** Manifest-stats data skipping (r8): the version is committed with
+      * per-file (min, max) custkey stats recorded in the manifest, and
+      * the range query routes through
+      * [[graft.sources.LakeTable.readWhere]] — the file-skip decision
+      * runs on manifest METADATA only (no file opened), the requires pin
+      * that files were actually skipped, and the row-level filter on top
+      * closes the superset. At 100 TB this is the first line of scan
+      * pruning a lakehouse query hits, before parquet footers are even
+      * fetched; Delta/Iceberg record exactly these per-file column
+      * ranges. The oracle computes the same range aggregate straight
+      * from `orders`, so the hash-match proves skipping lost nothing. */
+    OpDef(
+      "q_lake_skipping",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders WHERE o_custkey BETWEEN 1 AND 100
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_skip_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      val table = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      require(LakeTable.commit(s, dir, table, Some("band"),
+                               Some("custkey"))(_ => None) == Right(1L),
+              "stats-bearing commit failed")
+      val kept = LakeTable.filesWhere(dir, "custkey", 1L, 100L)
+      require(kept.nonEmpty
+                && kept.size < LakeTable.currentFiles(dir).size,
+              s"stats must skip files: kept ${kept.size} of " +
+              s"${LakeTable.currentFiles(dir).size}")
+      LakeTable.readWhere(s, dir, "custkey", 1L, 100L)
+        .filter(col("custkey").between(1L, 100L))
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
     }
   )
 }

@@ -62,7 +62,8 @@ object LakeTable {
     * evolution audit and the by-name read reconcile. */
   final case class Staged(dir: String, version: Long, files: Seq[String],
                           batch: Option[Long] = None,
-                          schema: Seq[String] = Seq.empty)
+                          schema: Seq[String] = Seq.empty,
+                          stats: Seq[String] = Seq.empty)
 
   private def latestPath(dir: String): Path = Paths.get(dir, "_latest")
 
@@ -107,6 +108,13 @@ object LakeTable {
     * manifest predates schema recording. */
   private def manifestSchema(json: String): Seq[String] =
     "\"schema\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).map(_.group(1))
+      .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Recorded per-file stats entries (`file|col|min|max`), empty when the
+    * version was staged without a stats column. */
+  private def manifestStats(json: String): Seq[String] =
+    "\"stats\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).map(_.group(1))
       .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
       .getOrElse(Seq.empty)
 
@@ -278,7 +286,8 @@ object LakeTable {
     * rest of the table travels as manifest entries, zero data movement. */
   def stage(spark: SparkSession, dir: String, df: DataFrame,
             layoutBy: Option[String] = None,
-            carry: Seq[String] = Seq.empty): Staged = {
+            carry: Seq[String] = Seq.empty,
+            statsBy: Option[String] = None): Staged = {
     val version = currentVersion(dir).getOrElse(0L) + 1L
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(dir, "data", uuid)
@@ -300,7 +309,72 @@ object LakeTable {
       if (files.isEmpty) Seq.empty
       else spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
         .schema.fields.toSeq.map(f => s"${f.name} ${f.dataType.sql}")
-    Staged(dir, version, files, None, schema)
+    // per-file min/max of the stats column (one grouped pass over the
+    // fresh files, keyed on input_file_name); carried files keep the
+    // stats their origin version recorded
+    val stats = statsBy match {
+      case None => carriedStats(dir, carry)
+      case Some(c) =>
+        val byFile = spark.read
+          .parquet(fresh.map(f => Paths.get(dir, f).toString): _*)
+          .groupBy(org.apache.spark.sql.functions.input_file_name().as("_f"))
+          .agg(org.apache.spark.sql.functions.min(col(c).cast("long")).as("_mn"),
+               org.apache.spark.sql.functions.max(col(c).cast("long")).as("_mx"))
+          .collect()
+          .map { r =>
+            val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+            val rel = Paths.get(dir).toAbsolutePath.normalize
+              .relativize(name.toAbsolutePath.normalize).toString
+            s"$rel|$c|${r.getLong(1)}|${r.getLong(2)}"
+          }.toSeq.sorted
+        carriedStats(dir, carry) ++ byFile
+    }
+    Staged(dir, version, files, None, schema, stats)
+  }
+
+  /** The live manifest's stats entries for files being carried over. */
+  private def carriedStats(dir: String, carry: Seq[String]): Seq[String] =
+    if (carry.isEmpty) Seq.empty
+    else {
+      val carrySet = carry.toSet
+      currentVersion(dir).flatMap(readManifest(dir, _))
+        .map(manifestStats).getOrElse(Seq.empty)
+        .filter(e => carrySet.contains(e.split('|').head))
+    }
+
+  /** Files of the live version whose recorded [lo, hi] stats range for
+    * `colName` intersects the query range — plus every file with no
+    * recorded stats (pruning must be a superset of the answer). This is
+    * the manifest-level data skipping a 100 TB scan lives by: the
+    * decision runs on manifest metadata only, no file is opened. */
+  def filesWhere(dir: String, colName: String, lo: Long, hi: Long): Seq[String] = {
+    val stats = currentVersion(dir).flatMap(readManifest(dir, _))
+      .map(manifestStats).getOrElse(Seq.empty)
+      .flatMap { e =>
+        e.split('|') match {
+          case Array(f, c, mn, mx) if c == colName =>
+            Some(f -> (mn.toLong, mx.toLong))
+          case _ => None
+        }
+      }.toMap
+    currentFiles(dir).filter(f => stats.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+  }
+
+  /** Read only the files [[filesWhere]] keeps. The caller still applies
+    * its own row-level predicate — stats pruning is file-granular, a
+    * kept file may hold rows outside the range. */
+  def readWhere(spark: SparkSession, dir: String, colName: String,
+                lo: Long, hi: Long): DataFrame = {
+    val files = filesWhere(dir, colName, lo, hi)
+    require(files.nonEmpty,
+      s"no live file can hold $colName in [$lo, $hi] in $dir")
+    val df = spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
+    val names = currentSchema(dir).map(_.split(" ", 2)(0))
+      .filter(df.columns.contains)
+    if (names.isEmpty) df else df.select(names.map(col): _*)
   }
 
   /** The evolution contract, checked against the LIVE version: every
@@ -364,8 +438,15 @@ object LakeTable {
     val batchField = staged.batch.map(b => s""""batch":$b,""").getOrElse("")
     val schemaField = staged.schema.map("\"" + _ + "\"")
       .mkString("\"schema\":[", ",", "],")
+    // per-file stats entries (`file|col|min|max`); the files regex below
+    // requires a closing quote right after `.parquet`, so these entries
+    // can never be mistaken for file-list members
+    val statsField =
+      if (staged.stats.isEmpty) ""
+      else staged.stats.map("\"" + _ + "\"")
+        .mkString("\"stats\":[", ",", "],")
     val json = staged.files.map("\"" + _ + "\"")
-      .mkString(s"""$batchField$schemaField"files":[""", ",", "]}")
+      .mkString(s"""$batchField$schemaField$statsField"files":[""", ",", "]}")
     val tmp = Paths.get(staged.dir,
       s".manifest-${java.util.UUID.randomUUID()}.tmp")
     var v = math.max(staged.version,
@@ -411,10 +492,12 @@ object LakeTable {
     * named column (see [[stage]]) so later [[mergePartial]] calls can
     * prune their rewrite set. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-             layoutBy: Option[String] = None)(
+             layoutBy: Option[String] = None,
+             statsBy: Option[String] = None)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     Files.createDirectories(Paths.get(dir))
-    audit(spark, stage(spark, dir, df, layoutBy))(check).map(publish)
+    audit(spark, stage(spark, dir, df, layoutBy, Seq.empty, statsBy))(check)
+      .map(publish)
   }
 
   /** Partial-rewrite MERGE — the 100 TB upsert: `upserts` (one row per
@@ -432,7 +515,8 @@ object LakeTable {
     * uniqueness) still gate the publish. */
   def mergePartial(spark: SparkSession, dir: String, upserts: DataFrame,
                    keys: Seq[String], layoutCol: String,
-                   batch: Option[Long] = None)(
+                   batch: Option[Long] = None,
+                   statsBy: Option[String] = None)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     Files.createDirectories(Paths.get(dir))
     val touched = upserts.select(layoutCol).distinct().collect()
@@ -446,7 +530,7 @@ object LakeTable {
         .join(upserts.select(keys.map(col): _*), keys, "left_anti")
     val merged = base.unionByName(upserts)
     audit(spark,
-          stage(spark, dir, merged, Some(layoutCol), carried)
+          stage(spark, dir, merged, Some(layoutCol), carried, statsBy)
             .copy(batch = batch))(check)
       .map(publish)
   }

@@ -280,6 +280,54 @@ class LakeSpec extends SparkTestBase {
     assert(afterVacuum == base ++ up, "the live version must survive vacuum intact")
   }
 
+  test("manifest file stats skip files; carried stats survive a partial merge") {
+    val dir = Files.createTempDirectory("graft_lake_skip_").toString
+    def bucketed(keyMax: Int): DataFrame =
+      snap(keyMax).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, bucketed(150), Some("band"),
+                            Some("custkey"))(gate) == Right(1L))
+    val all = LakeTable.currentFiles(dir)
+    // the skip decision is manifest-metadata-only and must be a superset
+    // of the truth: files kept for [10, 20] ⊂ all, and the pruned read
+    // returns exactly the filtered table
+    val kept = LakeTable.filesWhere(dir, "custkey", 10L, 20L)
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"stats must skip files: kept ${kept.size} of ${all.size}")
+    val pruned = LakeTable.readWhere(spark, dir, "custkey", 10L, 20L)
+      .filter(col("custkey").between(10L, 20L))
+      .collect().map(_.getAs[Long]("custkey")).toSet
+    val full = LakeTable.read(spark, dir)
+      .filter(col("custkey").between(10L, 20L))
+      .collect().map(_.getAs[Long]("custkey")).toSet
+    assert(pruned == full, "pruned read must lose nothing in range")
+    // an unknown stats column prunes nothing (every file kept)
+    assert(LakeTable.filesWhere(dir, "n_orders", 0L, 0L).size == all.size)
+    // partial merge: rewritten band-0 files get FRESH stats, carried
+    // files keep their origin stats — skipping still correct on v2
+    val upserts = bucketed(31).withColumn("n_orders", col("n_orders") + 7L)
+    assert(LakeTable.mergePartial(spark, dir, upserts, Seq("custkey"),
+                                  "band", None, Some("custkey"))(gate)
+             == Right(2L))
+    val kept2 = LakeTable.filesWhere(dir, "custkey", 100L, 120L)
+    assert(kept2.nonEmpty && kept2.size < LakeTable.currentFiles(dir).size,
+      "carried stats must keep skipping after the merge")
+    val pruned2 = LakeTable.readWhere(spark, dir, "custkey", 100L, 120L)
+      .filter(col("custkey").between(100L, 120L))
+      .collect().map(_.getAs[Long]("custkey")).toSet
+    val full2 = LakeTable.read(spark, dir)
+      .filter(col("custkey").between(100L, 120L))
+      .collect().map(_.getAs[Long]("custkey")).toSet
+    assert(pruned2 == full2)
+    // and the v2 rewrite is visible through the pruned path too
+    val low = LakeTable.readWhere(spark, dir, "custkey", 1L, 31L)
+      .filter(col("custkey") <= 31L)
+      .collect().map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders"))
+      .toMap
+    val expectLow = upserts.collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    assert(low == expectLow, "fresh stats must route to the rewritten rows")
+  }
+
   test("the audit reads the staged bytes as written, not the logical plan") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val st = LakeTable.stage(spark, dir, snap(80))
