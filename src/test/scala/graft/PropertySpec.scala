@@ -236,4 +236,70 @@ class PropertySpec extends SparkTestBase {
     assert(kept == truth,
       "below k the sketch must retain the exact distinct set")
   }
+
+  test("CdcChunkWalk == scalar reference on scalacheck unicode docs") {
+    // the expression walks BYTE offsets while the SQL spelling (and the
+    // DuckDB oracle) speak CHARACTER positions — random multibyte text
+    // is exactly where a char→byte mapping slip would show. Reference:
+    // a direct String-based reimplementation of the normalized walk.
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val (w, m, mn, mx) = (4, 8, 6, 24) // small params → dense walks
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def reference(t: String): Seq[(String, Long)] = {
+      val n = t.codePointCount(0, t.length)
+      def sub(from: Int, len: Int): String = { // 1-based char pos
+        val s = t.offsetByCodePoints(0, from - 1)
+        val e = t.offsetByCodePoints(s, math.min(len, n - from + 1))
+        t.substring(s, e)
+      }
+      if (n < w) return Seq.empty
+      def isCut(i: Int): Boolean =
+        java.lang.Long.parseLong(md5hex(sub(i, w)).take(8), 16) % m == 0
+      val cuts = scala.collection.mutable.ArrayBuffer(1)
+      var done = false
+      while (!done) {
+        val b = cuts.last
+        val cand = (math.max(b + mn, 2) to math.min(b + mx, n - w + 1))
+          .find(isCut)
+        val nxt = cand.getOrElse(b + mx)
+        if (nxt <= n) cuts += nxt else done = true
+      }
+      cuts.toSeq.zip(cuts.toSeq.drop(1) :+ (n + 1)).map { case (s, e) =>
+        (md5hex(sub(s, e - s)), (e - s).toLong)
+      }
+    }
+    // ASCII, CJK, emoji (surrogate pairs), combining marks, mixed
+    val genChar = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("日", "本", "語", "中", "文").map(identity[String]),
+      1 -> Gen.oneOf("🎉", "🎊", "✓", "é", "é"),
+      1 -> Gen.const(" "))
+    val genDoc = Gen.choose(0, 120)
+      .flatMap(k => Gen.listOfN(k, genChar).map(_.mkString))
+    val docs = samples(genDoc, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = docs.toDF("doc_id", "text")
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"graft_cdc_chunks(text, $w, $m, $mn, $mx, false)"))
+          .as("z"))
+      .select(col("doc_id"), col("z.ch"), col("z.cl"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getString(1), r.getLong(2))).toSeq }
+    docs.foreach { case (id, t) =>
+      val exp = reference(t)
+      if (exp.nonEmpty) {
+        assert(got.getOrElse(id, Seq.empty) == exp,
+          s"doc $id mismatch on text ${t.take(60)}…:\n" +
+          s" got ${got.getOrElse(id, Seq.empty)}\n exp $exp")
+        assert(exp.map(_._2).sum == t.codePointCount(0, t.length).toLong,
+          s"doc $id: chunks must tile the text exactly")
+      } else assert(!got.contains(id))
+    }
+  }
 }
