@@ -549,14 +549,27 @@ object LakeTable {
     * the target — the manifest carries unchanged files forward verbatim;
     * the offline reduction rewrites the whole (small) table. */
   def optimize(spark: SparkSession, dir: String, targetRows: Long,
-               clusterBy: Seq[String]): Either[String, Long] = {
+               clusterBy: Seq[String],
+               layoutBy: Option[String] = None,
+               statsBy: Option[String] = None): Either[String, Long] = {
     val base = read(spark, dir)
     val n = base.count()
     val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
-    val laid =
-      if (clusterBy.isEmpty) base.coalesce(bins)
-      else base.repartitionByRange(bins, clusterBy.map(col): _*)
-    audit(spark, stage(spark, dir, laid)) { df =>
+    val laid = layoutBy match {
+      // layout-preserving compaction: one shuffle keyed on the layout
+      // column makes partitionBy write ONE file per layout value, so
+      // later partial merges keep their prune metadata
+      case Some(c) => base.repartition(col(c))
+      case None if clusterBy.isEmpty => base.coalesce(bins)
+      case None => base.repartitionByRange(bins, clusterBy.map(col): _*)
+    }
+    // the compacted version must CARRY the applied stream-epoch
+    // watermark: compaction between an epoch's publish and its WAL
+    // commit would otherwise erase the idempotence handle and the
+    // replayed epoch would double-apply (StreamingDurabilitySpec)
+    val wm = appliedBatch(dir)
+    audit(spark, stage(spark, dir, laid, layoutBy, Seq.empty, statsBy)
+                   .copy(batch = wm)) { df =>
       val m = df.count()
       if (m == n) None
       else Some(s"compaction must conserve rows: $n before, $m after")

@@ -850,7 +850,8 @@ object StreamOps {
     * write amplification ∝ touched partitions, not table size. */
   def mergeBatchIntoLakePartial(spark: SparkSession, dir: String,
                                 batch: DataFrame, keys: Seq[String],
-                                layoutCol: String, batchId: Long): Option[Long] = {
+                                layoutCol: String, batchId: Long,
+                                compactOver: Option[Int] = None): Option[Long] = {
     import graft.sources.LakeTable
     if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
     else {
@@ -864,7 +865,22 @@ object StreamOps {
         val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
         if (dup.isEmpty) None else Some("duplicate keys after partial merge")
       } match {
-        case Right(v) => Some(v)
+        case Right(v) =>
+          // auto-OPTIMIZE: continuous ingest accretes one file per
+          // touched layout value per epoch; once the live file count
+          // exceeds the threshold, compact layout-preservingly (one
+          // file per value again). The compacted version carries the
+          // applied-batch watermark, so a crash between compaction and
+          // the epoch's WAL commit still replays as a skip — exactly
+          // the auto-compaction every lakehouse runs beside its
+          // streaming writers.
+          if (compactOver.exists(LakeTable.currentFiles(dir).size > _))
+            LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+                               Some(layoutCol)) match {
+              case Left(reason) => throw new IllegalStateException(reason)
+              case Right(_) => ()
+            }
+          Some(v)
         case Left(reason) => throw new IllegalStateException(reason)
       }
     }

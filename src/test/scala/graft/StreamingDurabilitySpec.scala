@@ -200,6 +200,64 @@ class StreamingDurabilitySpec extends SparkTestBase {
       "the band-1 file from epoch 1 must carry into epoch 2's version")
   }
 
+  test("auto-OPTIMIZE under streaming ingest keeps the watermark and file bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft_chk_ac").toString
+    val lake = Files.createTempDirectory("graft_lake_ac").toString
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ms = MemoryStream[Event]
+    def start() = ms.toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.mergeBatchIntoLakePartial(
+          spark, lake, b.withColumn("band", pmod(col("user_id"), lit(2))),
+          Seq("user_id"), "band", id, compactOver = Some(2))
+        // the dangerous window: compaction ran INSIDE the epoch, then
+        // the process dies before the epoch's WAL commit — the replayed
+        // epoch must still read "applied" from the COMPACTED manifest
+        if (id == 1 && crash.compareAndSet(false, true))
+          throw new RuntimeException("injected post-compaction failure")
+        ()
+      }
+      .start()
+    var q = start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:00:30", 2, "view", 2.0),
+      ev(3, "2024-01-01 10:00:45", 4, "view", 3.0))
+    q.processAllAvailable() // epoch 0
+    ms.addData(ev(4, "2024-01-01 10:01:00", 3, "purchase", 9.0))
+    intercept[Exception] { q.processAllAvailable() } // epoch 1 + compact, crash
+    q.stop()
+    // compaction happened (file count > 2 triggered it), and the
+    // compacted manifest CARRIES epoch 1's watermark
+    assert(graft.sources.LakeTable.appliedBatch(lake).contains(1L),
+      "the compacted version must carry the applied-batch watermark")
+    val compactedFiles = graft.sources.LakeTable.currentFiles(lake)
+    assert(compactedFiles.size <= 2,
+      s"layout-preserving compaction leaves one file per band: $compactedFiles")
+    assert(compactedFiles.forall(f =>
+      graft.sources.LakeTable.layoutValueOf(f).nonEmpty),
+      "compaction must preserve the layout metadata")
+    val vAfterCrash = graft.sources.LakeTable.currentVersion(lake)
+    q = start() // WAL replays epoch 1 → the carried watermark says skip
+    q.processAllAvailable()
+    assert(graft.sources.LakeTable.currentVersion(lake) == vAfterCrash,
+      "the replayed epoch must be a no-op after compaction")
+    ms.addData(ev(5, "2024-01-01 10:02:00", 2, "purchase", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(crash.get, "fault injection never fired")
+    val rows = graft.sources.LakeTable.read(spark, lake)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 1L, 1.0), (2L, 5L, 7.0), (3L, 4L, 9.0),
+                       (4L, 3L, 3.0)),
+      s"each key's latest exactly once through crash + compaction: $rows")
+  }
+
   test("streaming CDC apply: deletes survive crash-replay and in-batch races") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
