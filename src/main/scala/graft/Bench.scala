@@ -52,6 +52,7 @@ object Bench {
         graft.ops.DocCore.winnowPairs(spark, sfDir).count()
         graft.ops.DocCore.dupSpans(spark, sfDir).count()
         graft.ops.DocCore.lmScores(spark, sfDir).count()
+        graft.ops.DocCore.clusters(spark, sfDir).count()
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }

@@ -1372,21 +1372,28 @@ object LlmOps {
     * dedup family). */
   private[graft] def curateCorpusFrom(docs0: DataFrame, g: DataFrame,
                                       jaccardThreshold: Double,
-                                      minQuality: Double): DataFrame = {
+                                      minQuality: Double): DataFrame =
+    curateWith(docs0,
+      clusterPairs(jaccardPairsFrom(g, jaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))),
+      minQuality)
+
+  /** [[curateCorpusFrom]] with the near-dup CLUSTER table handed in —
+    * the [[DocCore.clusters]] seam: the label-propagation components are
+    * the pipeline's heaviest stage and are exactly what q_dedup_cluster
+    * already derives, so the registry op shares one build (r8). */
+  private[graft] def curateWith(docs0: DataFrame, clusters: DataFrame,
+                                minQuality: Double): DataFrame = {
     // ONE materialized read of the input feeds all four consumers (exact
     // dedup, the near-dup cluster stage, quality scoring, the final
     // projection) instead of each stage re-scanning and re-tokenizing the
     // corpus — the composition's former ~2× redundancy. At 100 TB the
     // same role is played by persisting the curation input once between
     // stages. The cache the returned plan references follows the
-    // documented caching contract (callers clearCache between calls);
-    // the gram cache is loop-scoped: clusterPairs runs its label
-    // iteration eagerly (localCheckpoint + sum actions), so the grams
-    // can be released as soon as it returns.
+    // documented caching contract (callers clearCache between calls).
     val docs = docs0.cache()
     val survivors = exactDedup(docs).select(col("keep_id").as("doc_id"))
-    val nonCanon = clusterPairs(
-        jaccardPairsFrom(g, jaccardThreshold).select(col("doc_a"), col("doc_b")))
+    val nonCanon = clusters
       .filter(col("doc_id") =!= col("canon_id")).select("doc_id")
     val quality = qualityScoresCore(docs, 5).select(col("doc_id"), col("quality"))
     withNChars(docs)
@@ -1661,10 +1668,7 @@ object LlmOps {
         |       CAST(count(*) AS BIGINT) AS cluster_size
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin
-    ) { (s, d) =>
-      clusterPairs(jaccardPairsFrom(DocCore.grams(s, d), 0.5)
-        .select(col("doc_a"), col("doc_b")))
-    },
+    ) { (s, d) => DocCore.clusters(s, d) },
 
     // ---------------- semantic dedup: components in embedding space -----
     OpDef(
@@ -1851,7 +1855,7 @@ object LlmOps {
         |  AND q.quality >= 0.5
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, d) =>
-      curateCorpusFrom(documents(s, d), DocCore.grams(s, d), 0.5, 0.5)
+      curateWith(documents(s, d), DocCore.clusters(s, d), 0.5)
     },
 
     // ------------------- curation: fixed-context sequence packing -------

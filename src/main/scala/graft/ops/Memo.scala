@@ -117,4 +117,19 @@ object DocCore {
     memo.cached(s, s"lms:$d") {
       LlmOps.lmScoresCore(Tables.documents(s, d)).localCheckpoint(true)
     }
+
+  /** Connected-component canon table (doc_id, canon_id, cluster_size)
+    * at the registry's 0.5 Jaccard threshold ([[LlmOps.clusterPairs]]
+    * over [[grams]]-derived pairs) — the iterative label propagation is
+    * the heaviest shared derivation after the spans; q_dedup_cluster
+    * reports it and the curation pipeline's near-dup stage consumes it
+    * (r8). */
+  def clusters(s: SparkSession, d: String): DataFrame =
+    memo.cached(s, s"clusters:$d") {
+      LlmOps.clusterPairs(
+        LlmOps.jaccardPairsFrom(grams(s, d), 0.5)
+          .select(org.apache.spark.sql.functions.col("doc_a"),
+                  org.apache.spark.sql.functions.col("doc_b")))
+        .localCheckpoint(true)
+    }
 }

@@ -614,6 +614,7 @@ class ScaleSpec extends SparkTestBase {
     graft.ops.DocCore.winnowPairs(spark, sf).count()
     graft.ops.DocCore.dupSpans(spark, sf).count()
     graft.ops.DocCore.lmScores(spark, sf).count()
+    graft.ops.DocCore.clusters(spark, sf).count()
     val c0 = graft.ops.DocCore.buildCount
     SparkEntry.queries("q_dedup_near")(spark, sf).count()
     SparkEntry.queries("q_text_containment_pairs")(spark, sf).count()
@@ -626,6 +627,7 @@ class ScaleSpec extends SparkTestBase {
     SparkEntry.queries("q_dedup_substring")(spark, sf).count()
     SparkEntry.queries("q_text_lmscore")(spark, sf).count()
     SparkEntry.queries("q_text_lmbuckets")(spark, sf).count()
+    SparkEntry.queries("q_dedup_cluster")(spark, sf).count()
     SparkEntry.queries("q_pipeline_curate")(spark, sf).count()
     assert(graft.ops.DocCore.buildCount == c0,
       "dedup consumers must reuse the memoized gram/signature artifacts")
