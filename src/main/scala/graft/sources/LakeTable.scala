@@ -535,6 +535,41 @@ object LakeTable {
       .map(publish)
   }
 
+  /** Partial-rewrite CDC APPLY — [[mergePartial]]'s third action:
+    * `changes` carries one row per key (the per-batch winner) with an
+    * `op` column, 'D' rows TOMBSTONE their key (dropped from the
+    * rewritten files, never reinserted), everything else upserts. The
+    * rewrite set is still pruned to the layout values the batch
+    * touches; a delete whose key lives in an untouched file cannot
+    * happen, because the key's layout value IS in the touched set by
+    * construction (the change row carries it). Refuses to publish a
+    * version with zero files (a full-table delete needs
+    * schema-in-table-metadata, which this layout keeps in the manifest
+    * only for non-empty versions). */
+  def applyCdcPartial(spark: SparkSession, dir: String, changes: DataFrame,
+                      keys: Seq[String], layoutCol: String,
+                      batch: Option[Long] = None)(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    Files.createDirectories(Paths.get(dir))
+    val touched = changes.select(layoutCol).distinct().collect()
+      .map(r => String.valueOf(r.get(0))).toSet
+    val live = currentFiles(dir)
+    val (rewrite, carried) = live.partition(f =>
+      layoutValueOf(f).forall(touched.contains))
+    val upserts = changes.filter(col("op") =!= "D").drop("op")
+    val base =
+      if (rewrite.isEmpty) upserts.limit(0)
+      else spark.read.parquet(rewrite.map(f => Paths.get(dir, f).toString): _*)
+        .join(changes.select(keys.map(col): _*), keys, "left_anti")
+    val merged = base.unionByName(upserts)
+    val staged = stage(spark, dir, merged, Some(layoutCol), carried)
+      .copy(batch = batch)
+    if (staged.files.isEmpty)
+      Left("empty table after CDC apply (full-table delete needs " +
+           "schema-in-manifest support)")
+    else audit(spark, staged)(check).map(publish)
+  }
+
   /** OPTIMIZE — the compaction ACTION the q_layout_compaction planner
     * feeds: rewrite the live version's rows into `ceil(rows/targetRows)`
     * range-clustered files (one per planned bin — `repartitionByRange`

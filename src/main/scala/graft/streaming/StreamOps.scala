@@ -886,6 +886,36 @@ object StreamOps {
     }
   }
 
+  /** Streaming CDC apply at the PARTIAL-REWRITE operating point —
+    * behavior 34 (r8): [[applyCdcIntoLake]]'s semantics (last-change-wins
+    * tombstone folding per key within the batch) over
+    * [[graft.sources.LakeTable.applyCdcPartial]], so each epoch rewrites
+    * only the layout values its changes touch and deletes are simply
+    * absent from the rewritten files. Exactly-once across epoch replay
+    * rides the manifest batchId watermark; deletes need no extra replay
+    * machinery (absent rows stay absent on skip). */
+  def applyCdcIntoLakePartial(spark: SparkSession, dir: String,
+                              batch: DataFrame, keys: Seq[String],
+                              layoutCol: String, batchId: Long): Option[Long] = {
+    import graft.sources.LakeTable
+    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
+    else {
+      val winner = batch
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("_r") === 1).drop("_r")
+      LakeTable.applyCdcPartial(spark, dir, winner, keys, layoutCol,
+                                Some(batchId)) { df =>
+        val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+        if (dup.isEmpty) None else Some("duplicate keys after CDC apply")
+      } match {
+        case Right(v) => Some(v)
+        case Left(reason) => throw new IllegalStateException(reason)
+      }
+    }
+  }
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

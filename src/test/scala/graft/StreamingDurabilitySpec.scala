@@ -258,6 +258,61 @@ class StreamingDurabilitySpec extends SparkTestBase {
       s"each key's latest exactly once through crash + compaction: $rows")
   }
 
+  test("partial CDC apply: tombstones prune their band only; carried files untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft_chk_cdcp").toString
+    val lake = Files.createTempDirectory("graft_lake_cdcp").toString
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ms = MemoryStream[Event]
+    def start() = ms.toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.applyCdcIntoLakePartial(
+          spark, lake,
+          b.withColumn("op", col("event_type"))
+            .withColumn("band", pmod(col("user_id"), lit(2))),
+          Seq("user_id"), "band", id)
+        // crash AFTER the delete-carrying epoch published, BEFORE its
+        // WAL commit: replay must skip via the watermark — a re-applied
+        // delete would pass silently, so the version count catches it
+        if (id == 1 && crash.compareAndSet(false, true))
+          throw new RuntimeException("injected post-publish failure")
+        ()
+      }
+      .start()
+    var q = start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "U", 1.0),  // band 1
+      ev(2, "2024-01-01 10:00:30", 2, "U", 2.0),  // band 0
+      ev(3, "2024-01-01 10:00:45", 4, "U", 3.0))  // band 0
+    q.processAllAvailable() // epoch 0
+    val v1Files = graft.sources.LakeTable.currentFiles(lake)
+    // epoch 1: tombstone user 4 — touches band 0 ONLY
+    ms.addData(ev(4, "2024-01-01 10:01:00", 4, "D", 0.0))
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    val v2Files = graft.sources.LakeTable.currentFiles(lake)
+    assert(v2Files.exists(f => v1Files.contains(f)
+             && graft.sources.LakeTable.layoutValueOf(f).contains("1")),
+      "the band-1 file must carry over through the delete epoch")
+    val vAfterCrash = graft.sources.LakeTable.currentVersion(lake)
+    q = start() // replayed delete epoch must skip
+    q.processAllAvailable()
+    assert(graft.sources.LakeTable.currentVersion(lake) == vAfterCrash,
+      "the replayed delete epoch must not mint a new version")
+    ms.addData(ev(5, "2024-01-01 10:02:00", 5, "U", 7.0)) // band 1 upsert
+    q.processAllAvailable()
+    q.stop()
+    assert(crash.get, "fault injection never fired")
+    val rows = graft.sources.LakeTable.read(spark, lake)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 1L, 1.0), (2L, 2L, 2.0), (5L, 5L, 7.0)),
+      s"user 4 deleted exactly once, others intact: $rows")
+  }
+
   test("streaming CDC apply: deletes survive crash-replay and in-batch races") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
