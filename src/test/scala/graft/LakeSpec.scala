@@ -328,6 +328,80 @@ class LakeSpec extends SparkTestBase {
     assert(low == expectLow, "fresh stats must route to the rewritten rows")
   }
 
+  test("lake chaos: randomized merge/delete/optimize/vacuum/crash schedules preserve the fold") {
+    // the streaming chaos discipline applied to the table protocol: five
+    // seeded schedules interleave partial merges, CDC tombstones,
+    // layout-preserving compactions, vacuums, and CRASHED writers
+    // (staged-only and claimed-but-unflipped), and after every step the
+    // manifest-routed read must equal the in-memory fold of the
+    // operations that COMPLETED — crashes and admin ops are invisible to
+    // the data, versions only move forward
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_lake_chaos$seed" + "_").toString
+      def toDf(m: Map[Long, Long]): DataFrame =
+        m.toSeq.map { case (k, n) => (k, n, k / 32) }
+          .toDF("custkey", "n_orders", "band")
+      var expected: Map[Long, Long] =
+        (1L to 150L).map(k => k -> (k % 7 + 1)).toMap
+      assert(LakeTable.commit(spark, dir, toDf(expected),
+                              Some("band"))(gate) == Right(1L))
+      var lastVersion = 1L
+      for (step <- 1 to 8) {
+        rnd.nextInt(6) match {
+          case 0 | 1 => // partial merge: correct one random band
+            val band = rnd.nextInt(5).toLong
+            val ups = expected.collect {
+              case (k, _) if k / 32 == band => k -> (100L * step + k)
+            }
+            if (ups.nonEmpty) {
+              val r = LakeTable.mergePartial(spark, dir, toDf(ups),
+                                             Seq("custkey"), "band")(gate)
+              assert(r.isRight, s"seed $seed step $step merge: $r")
+              expected = expected ++ ups
+            }
+          case 2 => // CDC tombstone of one existing key (+ one upsert)
+            val k = expected.keys.toSeq.sorted.apply(
+              rnd.nextInt(expected.size))
+            val up = expected.keys.toSeq.sorted.apply(
+              rnd.nextInt(expected.size))
+            if (k != up) {
+              val changes = Seq(
+                (k, 0L, k / 32, "D"),
+                (up, 999L * step, up / 32, "U"))
+                .toDF("custkey", "n_orders", "band", "op")
+              val r = LakeTable.applyCdcPartial(spark, dir, changes,
+                                                Seq("custkey"), "band")(gate)
+              assert(r.isRight, s"seed $seed step $step cdc: $r")
+              expected = expected - k + (up -> (999L * step))
+            }
+          case 3 => // layout-preserving OPTIMIZE
+            val r = LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+                                       Some("band"))
+            assert(r.isRight, s"seed $seed step $step optimize: $r")
+          case 4 => // retention
+            LakeTable.vacuum(dir, keepVersions = 2)
+            ()
+          case 5 => // a CRASHED writer: staged garbage, maybe a claim
+            val st = LakeTable.stage(spark, dir,
+              toDf(expected.map { case (k, _) => k -> -1L }), Some("band"))
+            if (rnd.nextBoolean()) { LakeTable.writeManifest(st); () }
+        }
+        val got = LakeTable.read(spark, dir)
+          .select("custkey", "n_orders").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"seed $seed step $step: read diverged from the fold " +
+          s"(missing ${expected.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- expected.keySet})")
+        val v = LakeTable.currentVersion(dir).get
+        assert(v >= lastVersion, s"seed $seed step $step: version went back")
+        lastVersion = v
+      }
+    }
+  }
+
   test("the audit reads the staged bytes as written, not the logical plan") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val st = LakeTable.stage(spark, dir, snap(80))
