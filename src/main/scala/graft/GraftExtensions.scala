@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunkWalk, DotProduct, SpaceSavingTopK}
+import graft.functions.{CdcChunkWalk, DotProduct, ScoreTopK, SpaceSavingTopK}
 
 /** SparkSessionExtensions entry point: injects graft's native functions so
   * `spark.sql("... graft_dot(a, b) ...")` works in any session built with
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(GraftFunctions.topKDescriptor)
     e.injectFunction(GraftFunctions.cdcChunksDescriptor)
+    e.injectFunction(GraftFunctions.scoreTopKDescriptor)
   }
 }
 
@@ -70,6 +71,14 @@ object GraftFunctions {
     cdcChunksFromExprs _
   )
 
+  private[graft] val scoreTopKDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_score_topk"),
+    new ExpressionInfo(classOf[ScoreTopK].getName, "graft_score_topk"),
+    (children: Seq[Expression]) => ScoreTopK(
+      children(0), children(1), litInt(children(2), "k"))
+  )
+
   /** Register on an existing session; ops then reference the function with
     * `expr("graft_dot(x, y)")` — routed through the registry so nothing
     * depends on Column's private Expression constructor (changed in the
@@ -83,5 +92,8 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_chunks", cdcChunksFromExprs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_score_topk", exprs => ScoreTopK(
+        exprs(0), exprs(1), litInt(exprs(2), "k")), "scala_udf")
   }
 }
