@@ -76,7 +76,13 @@ case class ScoreTopK(
   override def update(buf: ScoreTopKBuffer, input: InternalRow): ScoreTopKBuffer = {
     val id = left.eval(input)
     val s = right.eval(input)
-    if (id != null && s != null)
+    // non-finite scores are dropped: every registry consumer scores
+    // behind the vector loader gate (no NaN/Inf reaches the dot), and
+    // heap comparisons against NaN would otherwise keep-or-drop it
+    // depending on arrival order — the one place this aggregate could
+    // diverge from the window spelling it replaces
+    if (id != null && s != null
+        && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buf.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
     buf
   }
