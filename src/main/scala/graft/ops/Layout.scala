@@ -557,6 +557,61 @@ object Layout {
       LakeTable.readWhere(s, dir, "custkey", 1L, 100L)
         .filter(col("custkey").between(1L, 100L))
         .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
+    /** The lake through Spark's STANDARD source API (r8):
+      * `spark.read.format("graft-lake")` resolves the committed version
+      * via the manifest (schema included — no footer race with a
+      * concurrent commit), `versionAsOf` time-travels, and a range
+      * filter on the stats column prunes files through the
+      * `PrunedFilteredScan` push-down BEFORE any footer is opened, with
+      * Spark re-applying the filter row-level on top (pruning is a
+      * superset by construction). The requires pin that the v1
+      * time-travel read and the file pruning both actually happened;
+      * the oracle computes the same range aggregate straight from
+      * `orders`, so the hash-match proves the standard-API path returns
+      * exactly the committed bytes. */
+    OpDef(
+      "q_lake_source",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders WHERE o_custkey BETWEEN 1 AND 100
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.{LakeRelation, LakeTable}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_srcop_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      require(LakeTable.commit(s, dir,
+                roll(o.filter(col("o_orderdate") <
+                  lit("1997-01-01").cast("timestamp"))),
+                Some("band"), Some("custkey"))(_ => None) == Right(1L))
+      require(LakeTable.commit(s, dir, roll(o), Some("band"),
+                Some("custkey"))(_ => None) == Right(2L))
+      require(s.read.format("graft-lake").option("path", dir)
+                .option("versionAsOf", "1").load().count()
+                < LakeTable.read(s, dir).count(),
+              "versionAsOf must reach the narrower v1")
+      val out = s.read.format("graft-lake").option("path", dir).load()
+        .filter(col("custkey").between(1L, 100L))
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+      out.count() // one probe action so the prune seam below is set
+      val scanned = Option(LakeRelation.lastScanFiles.get()).getOrElse(Nil)
+      require(scanned.nonEmpty
+                && scanned.size < LakeTable.currentFiles(dir).size,
+              s"the range filter must prune files: ${scanned.size} of " +
+              s"${LakeTable.currentFiles(dir).size}")
+      out
     }
   )
 }

@@ -134,6 +134,25 @@ object LakeTable {
     currentVersion(dir).flatMap(readManifest(dir, _))
       .map(manifestSchema).getOrElse(Seq.empty)
 
+  // ---- per-version manifest accessors (the [[LakeSource]] read seam) ----
+
+  private[sources] def schemaOf(dir: String, version: Long): Seq[String] =
+    readManifest(dir, version).map(manifestSchema).getOrElse(Seq.empty)
+
+  private[sources] def filesOf(dir: String, version: Long): Seq[String] =
+    readManifest(dir, version).map(manifestFiles).getOrElse(Seq.empty)
+
+  /** Per-(file, column) recorded (min, max), parsed once per call. */
+  private[sources] def statsOf(dir: String, version: Long)
+      : Map[(String, String), (Long, Long)] =
+    readManifest(dir, version).map(manifestStats).getOrElse(Seq.empty)
+      .flatMap { e =>
+        e.split('|') match {
+          case Array(f, c, mn, mx) => Some((f, c) -> (mn.toLong, mx.toLong))
+          case _ => None
+        }
+      }.toMap
+
   private def readFiles(spark: SparkSession, dir: String, json: String,
                         what: String): DataFrame = {
     val files = manifestFiles(json).map(f => Paths.get(dir, f).toString)

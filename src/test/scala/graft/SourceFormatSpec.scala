@@ -27,6 +27,42 @@ class SourceFormatSpec extends SparkTestBase {
     assert(merged.filter(col("d") === 2 && col("tier") === "gold").count() == 5)
   }
 
+  test("graft-lake data source: standard read API, time travel, stats pruning") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{LakeRelation, LakeTable}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_src_").toString
+    def snap(keyMax: Int) = graft.ops.Tables.orders(spark, sf)
+      .filter(col("o_custkey") <= keyMax)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).cast("long").as("n_orders"))
+      .withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, snap(80), Some("band"),
+                            Some("custkey"))(_ => None) == Right(1L))
+    assert(LakeTable.commit(spark, dir, snap(150), Some("band"),
+                            Some("custkey"))(_ => None) == Right(2L))
+    // the standard read API sees the live version, by-name schema order
+    val live = spark.read.format("graft-lake").option("path", dir).load()
+    assert(live.columns.toSeq == Seq("custkey", "n_orders", "band"))
+    assert(live.count() == LakeTable.read(spark, dir).count())
+    // versionAsOf time-travels
+    val v1 = spark.read.format("graft-lake").option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(v1.count() == snap(80).count())
+    // a range filter prunes FILES through the PrunedFilteredScan push,
+    // and the result still equals the unpruned read (superset contract)
+    val all = LakeTable.currentFiles(dir)
+    val filtered = live.filter(col("custkey").between(10L, 20L))
+    val rows = filtered.collect().map(_.getAs[Long]("custkey")).toSet
+    val scanned = LakeRelation.lastScanFiles.get()
+    assert(scanned != null && scanned.nonEmpty && scanned.size < all.size,
+      s"the filter must prune files: ${Option(scanned).map(_.size)} of ${all.size}")
+    val expect = LakeTable.read(spark, dir)
+      .filter(col("custkey").between(10L, 20L))
+      .collect().map(_.getAs[Long]("custkey")).toSet
+    assert(rows == expect, "pruned source read must lose nothing in range")
+  }
+
   test("csv round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val li = graft.ops.Tables.lineitem(spark, sf)
