@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.StructType
   * footer min/max row-group skipping, column pruning) — a DSv2 shell
   * would re-implement that for no additional capability at this
   * surface. */
-class LakeSource extends RelationProvider with DataSourceRegister {
+class LakeSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-lake"
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -36,6 +37,55 @@ class LakeSource extends RelationProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-lake requires option 'path'"))
     new LakeRelation(sqlContext, dir,
                      parameters.get("versionAsOf").map(_.toLong))
+  }
+
+  /** The WRITE path — `df.write.format("graft-lake").mode(...).save()`:
+    * every mode commits a NEW version through the full
+    * write-audit-publish protocol (schema evolution enforced by the
+    * audit), history stays time-travelable.
+    *
+    *  - Overwrite: the staged snapshot becomes the new version;
+    *  - Append: ZERO-REWRITE — the new version's manifest carries every
+    *    live file verbatim and adds only the appended files (the
+    *    carry-over primitive doing what object-store appends actually
+    *    are at 100 TB: manifest arithmetic, no data movement);
+    *  - ErrorIfExists / Ignore: honored against "a published version
+    *    exists".
+    *
+    * Options: `layoutBy` (Hive-style layout column for later partial
+    * merges) and `statsBy` (record per-file min/max for data skipping). */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    val layoutBy = parameters.get("layoutBy")
+    val statsBy = parameters.get("statsBy")
+    val spark = sqlContext.sparkSession
+    val exists = LakeTable.currentVersion(dir).nonEmpty
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val proceed = mode match {
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-lake table at $dir already has a published version")
+      case Ignore if exists => false
+      case _ => true
+    }
+    if (proceed) {
+      val carry = mode match {
+        case Append => LakeTable.currentFiles(dir)
+        case _ => Seq.empty
+      }
+      LakeTable.audit(spark,
+        LakeTable.stage(spark, dir, data, layoutBy, carry, statsBy))(
+        _ => None) match {
+        case Right(staged) => LakeTable.publish(staged); ()
+        case Left(reason) => throw new IllegalStateException(reason)
+      }
+    }
+    new LakeRelation(sqlContext, dir, None)
   }
 }
 

@@ -63,6 +63,46 @@ class SourceFormatSpec extends SparkTestBase {
     assert(rows == expect, "pruned source read must lose nothing in range")
   }
 
+  test("graft-lake write path: overwrite versions, zero-rewrite append, evolution gate") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_w_").toString
+    def df(lo: Long, hi: Long) = (lo to hi)
+      .map(k => (k, k * 10)).toDF("k", "v")
+    // first write publishes v1
+    df(1, 50).write.format("graft-lake").option("path", dir).save()
+    assert(LakeTable.currentVersion(dir).contains(1L))
+    // ErrorIfExists honors the published version
+    intercept[IllegalStateException] {
+      df(1, 10).write.format("graft-lake").option("path", dir).save()
+    }
+    // Append = manifest arithmetic: v1's files carry verbatim
+    val v1Files = LakeTable.currentFiles(dir)
+    df(51, 80).write.format("graft-lake").option("path", dir)
+      .mode("append").save()
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    val v2Files = LakeTable.currentFiles(dir)
+    assert(v1Files.forall(v2Files.contains),
+      "append must carry every v1 file into v2's manifest")
+    assert(spark.read.format("graft-lake").option("path", dir).load()
+      .count() == 80)
+    // Overwrite replaces the content, history stays
+    df(1, 20).write.format("graft-lake").option("path", dir)
+      .mode("overwrite").save()
+    assert(LakeTable.currentVersion(dir).contains(3L))
+    assert(LakeTable.readVersion(spark, dir, 2L).count() == 80,
+      "the pre-overwrite version must stay time-travelable")
+    // the audit's evolution contract gates the standard write path too
+    intercept[IllegalStateException] {
+      df(1, 5).withColumn("v", col("v").cast("int"))
+        .write.format("graft-lake").option("path", dir)
+        .mode("overwrite").save()
+    }
+    assert(LakeTable.currentVersion(dir).contains(3L))
+  }
+
   test("csv round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val li = graft.ops.Tables.lineitem(spark, sf)
