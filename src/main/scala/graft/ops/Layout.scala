@@ -547,7 +547,7 @@ object Layout {
                  .cast("long")).cast("long").as("cents"))
         .withColumn("band", expr(s"custkey div $width"))
       require(LakeTable.commit(s, dir, table, Some("band"),
-                               Some("custkey"))(_ => None) == Right(1L),
+                               Seq("custkey"))(_ => None) == Right(1L),
               "stats-bearing commit failed")
       val kept = LakeTable.filesWhere(dir, "custkey", 1L, 100L)
       require(kept.nonEmpty
@@ -595,9 +595,9 @@ object Layout {
       require(LakeTable.commit(s, dir,
                 roll(o.filter(col("o_orderdate") <
                   lit("1997-01-01").cast("timestamp"))),
-                Some("band"), Some("custkey"))(_ => None) == Right(1L))
+                Some("band"), Seq("custkey"))(_ => None) == Right(1L))
       require(LakeTable.commit(s, dir, roll(o), Some("band"),
-                Some("custkey"))(_ => None) == Right(2L))
+                Seq("custkey"))(_ => None) == Right(2L))
       require(s.read.format("graft-lake").option("path", dir)
                 .option("versionAsOf", "1").load().count()
                 < LakeTable.read(s, dir).count(),

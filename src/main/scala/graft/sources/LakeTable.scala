@@ -1,19 +1,20 @@
 package graft.sources
 
+import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths,
-                      StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
 
-/** Minimal write-audit-publish table commit — the transactional-sink
-  * capability a lakehouse user hits first (Delta/Iceberg's OPTIMIZE /
-  * MERGE / snapshot machinery all sit on top of exactly this primitive),
-  * reduced to what is testable offline:
+/** Write-audit-publish table commit — the transactional-sink capability a
+  * lakehouse user hits first (Delta/Iceberg's OPTIMIZE / MERGE / snapshot
+  * machinery all sit on top of exactly this primitive), reduced to what is
+  * testable offline:
   *
   *  - WRITE: stage the new version's parquet under an isolated
   *    `data/<uuid>/` directory nobody reads (readers only ever follow the
@@ -25,47 +26,68 @@ import org.apache.spark.sql.functions.col
   *    against the live version: additive columns are allowed (and the
   *    staged schema is recorded in the new manifest); dropping a column
   *    or changing a column's type is rejected before anything publishes;
-  *  - PUBLISH: mint the version number AT PUBLISH TIME and claim it by
-  *    creating `manifest-v{N}.json` as an ATOMIC CREATE-NEW (a hard link
-  *    from a private tmp — `Files.createLink` fails with
-  *    FileAlreadyExistsException if the name is taken). Two racing
-  *    committers therefore can never mint the same version: the loser's
-  *    create fails, it re-manifests the SAME staged files under the next
-  *    number (no re-stage — the data directory is version-independent),
-  *    and both commits survive as distinct, time-travel-readable
-  *    versions. The `_latest` pointer then flips via
-  *    write-tmp-then-ATOMIC_MOVE with a monotonic guard (never points
-  *    backwards), so whichever flip lands last, readers see the highest
-  *    committed version and every committed version stays readable.
+  *  - PUBLISH, in two atomic create-new steps:
+  *      1. CLAIM the version: create `manifest-v{N}.json` as an ATOMIC
+  *         CREATE-NEW (hard link from a private tmp — `Files.createLink`
+  *         fails with FileAlreadyExistsException if the name is taken).
+  *         Two racing committers can never mint the same version.
+  *      2. MARK it published: create the empty `commit-v{N}` marker.
+  *         A version is PUBLISHED iff manifest AND marker both exist.
   *
-  * On a local filesystem the atomic create-new is link(2) and the pointer
-  * flip is rename(2); at 100 TB on object storage both become
-  * conditional-puts (`If-None-Match: *` for the manifest claim, ETag
-  * compare-and-swap for the pointer) — same protocol, different atomic
-  * primitive. The in-process flip is additionally serialized on a JVM
-  * lock; ACROSS JVMs the monotonic guard window is exactly what the
-  * conditional-put closes on a real object store (documented, not
-  * simulated). */
+  * There is NO stored "latest" pointer (r9): the live version is DERIVED —
+  * `max {N : manifest-vN ∧ commit-vN}` — so the one formerly non-atomic
+  * cross-process step (read-pointer-then-move) no longer exists. Both
+  * publish steps are create-new of an immutable name; a crash between them
+  * leaves a claimed-but-unmarked ORPHAN that no reader ever sees and any
+  * process view (including a fresh one reading only the directory) agrees
+  * on. The live version is monotonic because markers are never deleted
+  * outside [[vacuum]] and `max` only grows.
+  *
+  * SERIALIZABLE carry commits (r9): commits that CARRY live files forward
+  * (Append, [[mergePartial]], [[applyCdcPartial]]) plan their carry list
+  * against a base version and must not publish over a base that moved —
+  * the classic lost update (Delta/Iceberg re-validate the snapshot at
+  * commit). [[commitSerialized]] closes it: before claiming, the committer
+  * resolves every claim above its base — a COMMITTED claim means conflict
+  * (re-plan against the new base), an UNRESOLVED claim is FENCED with an
+  * `abort-v{N}` tombstone so it can never be marked later and shadow this
+  * commit (its owner, if still alive, sees the fence at mark time, fails,
+  * and re-plans — same discipline). Claim numbers burned by fences are
+  * simply skipped. Marking checks the fence, so fence/mark conflicts
+  * resolve exactly one way; in-process the check-then-create pairs are
+  * serialized on a JVM lock, and ACROSS processes each pair is the
+  * single window an object store's conditional-put closes (`If-None-Match:
+  * *` on marker and fence names — documented, not simulated).
+  *
+  * On a local filesystem the atomic create-new is link(2)/O_EXCL; at
+  * 100 TB on object storage all three names (manifest, marker, fence)
+  * become conditional-puts — same protocol, different atomic primitive. */
 object LakeTable {
 
   /** The staged-but-unpublished state a crash can leave behind: enough to
     * resume (publish) or abandon (readers never saw it). `version` is the
     * version HINT computed at stage time — publish mints the real number
     * under the manifest-create CAS, so it may come out higher when a
-    * concurrent commit won the race. `batch` is an optional stream-epoch
-    * watermark recorded IN the manifest, so the pointer flip atomically
-    * publishes both the data and the fact that epoch N has been applied —
-    * the idempotence handle for
-    * [[graft.streaming.StreamOps.mergeBatchIntoLake]]. `schema` is the
-    * staged files' schema AS WRITTEN (`name TYPE` per column, read back
-    * from the parquet footers), recorded in the manifest for the
-    * evolution audit and the by-name read reconcile. */
+    * concurrent commit won the race. `baseVersion` is the published
+    * version the carry list was planned against (0 = empty table) — the
+    * conflict-detection anchor for [[commitSerialized]]. `batches` maps
+    * SINK ID → applied stream-epoch watermark, recorded IN the manifest so
+    * a publish atomically lands both the data and the fact that epoch N of
+    * that sink has been applied — the idempotence handle for
+    * [[graft.streaming.StreamOps.mergeBatchIntoLake]]; multiple concurrent
+    * sinks onto one table each ride their own key ([[stage]] carries the
+    * base version's map forward, so one sink's commit never erases
+    * another's watermark). `schema` is the staged version's `name TYPE`
+    * column list, derived DETERMINISTICALLY (base-manifest schema merged
+    * with the fresh files' schema — never a footer race over mixed files).
+    * `op` names the action for the change feed ([[changesBetween]]):
+    * "optimize" versions rewrite layout only and emit no logical changes. */
   final case class Staged(dir: String, version: Long, files: Seq[String],
-                          batch: Option[Long] = None,
+                          batches: Map[String, Long] = Map.empty,
                           schema: Seq[String] = Seq.empty,
-                          stats: Seq[String] = Seq.empty)
-
-  private def latestPath(dir: String): Path = Paths.get(dir, "_latest")
+                          stats: Seq[String] = Seq.empty,
+                          baseVersion: Long = 0L,
+                          op: String = "overwrite")
 
   /** List a directory's entries with the stream CLOSED on exit —
     * `Files.list` leaks a directory file descriptor until GC otherwise,
@@ -77,52 +99,80 @@ object LakeTable {
   private def walkDir(p: Path): Seq[Path] =
     Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
 
-  /** Currently-published version, if any — reads only the pointer. */
-  def currentVersion(dir: String): Option[Long] = {
-    val p = latestPath(dir)
-    if (!Files.exists(p)) None
-    else {
-      val name = new String(Files.readAllBytes(p), UTF_8).trim
-      "manifest-v(\\d+)\\.json".r.findFirstMatchIn(name).map(_.group(1).toLong)
-    }
+  private def manifestPath(dir: String, v: Long): Path =
+    Paths.get(dir, s"manifest-v$v.json")
+  private def markerPath(dir: String, v: Long): Path =
+    Paths.get(dir, s"commit-v$v")
+  private def fencePath(dir: String, v: Long): Path =
+    Paths.get(dir, s"abort-v$v")
+
+  /** Every manifest claim on disk, ascending (published, orphaned, and
+    * fenced alike). */
+  private def manifestVersions(dir: String): Seq[Long] =
+    listDir(Paths.get(dir))
+      .flatMap(p => "manifest-v(\\d+)\\.json".r
+        .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+      .sorted
+
+  /** Published versions still on disk, ascending: claims whose commit
+    * marker landed. A claimed-but-unmarked manifest (crash between the
+    * two publish steps) or a fenced one is an ORPHAN — never readable,
+    * reclaimed by [[vacuum]]. */
+  def versions(dir: String): Seq[Long] = {
+    val names = listDir(Paths.get(dir)).map(_.getFileName.toString)
+    val claimed = names.flatMap(n =>
+      "manifest-v(\\d+)\\.json".r.findFirstMatchIn(n).map(_.group(1).toLong))
+    val marked = names.flatMap(n =>
+      "^commit-v(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toLong)).toSet
+    claimed.filter(marked.contains).sorted
   }
 
-  /** Stream-epoch watermark of the currently-published manifest, if the
-    * last commit recorded one — reading it costs one manifest read, and
-    * because the watermark rides the same atomic pointer flip as the
-    * data, "applied batch ≥ N" is exactly "epoch N's merge is visible". */
-  def appliedBatch(dir: String): Option[Long] = {
-    val p = latestPath(dir)
-    if (!Files.exists(p)) None
-    else {
-      val name = new String(Files.readAllBytes(p), UTF_8).trim
-      val json = new String(Files.readAllBytes(Paths.get(dir, name)), UTF_8)
-      "\"batch\":(-?\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
-    }
+  /** Currently-published version, if any — DERIVED: the highest version
+    * with both a manifest and a commit marker. No stored pointer exists
+    * (r9), so every process view — including a fresh JVM that reads only
+    * the directory — computes the same answer from the same immutable
+    * names, and the answer is monotonic because markers only accumulate. */
+  def currentVersion(dir: String): Option[Long] = versions(dir).lastOption
+
+  private def readManifest(dir: String, version: Long): Option[String] = {
+    val m = manifestPath(dir, version)
+    if (Files.exists(m)) Some(new String(Files.readAllBytes(m), UTF_8))
+    else None
   }
 
   private def manifestFiles(json: String): Seq[String] =
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
 
-  /** Recorded `name TYPE` column list of a manifest, empty if the
-    * manifest predates schema recording. */
+  /** Recorded `name TYPE` column list of a manifest. */
   private def manifestSchema(json: String): Seq[String] =
     "\"schema\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).map(_.group(1))
       .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
       .getOrElse(Seq.empty)
 
-  /** Recorded per-file stats entries (`file|col|min|max`), empty when the
-    * version was staged without a stats column. */
+  /** Recorded per-file stats entries (`file|col|kind|min|max`). */
   private def manifestStats(json: String): Seq[String] =
     "\"stats\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).map(_.group(1))
       .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
       .getOrElse(Seq.empty)
 
-  private def readManifest(dir: String, version: Long): Option[String] = {
-    val m = Paths.get(dir, s"manifest-v$version.json")
-    if (Files.exists(m)) Some(new String(Files.readAllBytes(m), UTF_8))
-    else None
-  }
+  /** Recorded per-sink applied-batch watermarks. */
+  private def manifestBatches(json: String): Map[String, Long] =
+    "\"batches\":\\{([^}]*)\\}".r.findFirstMatchIn(json).map(_.group(1))
+      .map(s => "\"([^\"]*)\":(-?\\d+)".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
+  private def manifestOp(json: String): String =
+    "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+      .getOrElse("overwrite")
+
+  /** Stream-epoch watermark the published version records for `sink` —
+    * it rides the same atomic publish as the data, so "applied batch ≥ N"
+    * is exactly "epoch N's merge is visible". Each concurrent sink onto
+    * one table has its own key; the maps merge forward through [[stage]]. */
+  def appliedBatch(dir: String, sink: String = ""): Option[Long] =
+    currentVersion(dir).flatMap(readManifest(dir, _))
+      .flatMap(manifestBatches(_).get(sink))
 
   /** File list of the currently-published manifest. */
   def currentFiles(dir: String): Seq[String] =
@@ -139,16 +189,43 @@ object LakeTable {
   private[sources] def schemaOf(dir: String, version: Long): Seq[String] =
     readManifest(dir, version).map(manifestSchema).getOrElse(Seq.empty)
 
-  private[sources] def filesOf(dir: String, version: Long): Seq[String] =
+  private[graft] def filesOf(dir: String, version: Long): Seq[String] =
     readManifest(dir, version).map(manifestFiles).getOrElse(Seq.empty)
 
-  /** Per-(file, column) recorded (min, max), parsed once per call. */
+  private[graft] def opOf(dir: String, version: Long): String =
+    readManifest(dir, version).map(manifestOp).getOrElse("overwrite")
+
+  private def batchesOf(dir: String, version: Long): Map[String, Long] =
+    readManifest(dir, version).map(manifestBatches).getOrElse(Map.empty)
+
+  // ---- typed per-file column stats (r9: multi-column, typed) ----------
+
+  /** One column's recorded (min, max) for one file. `kind` is the typed
+    * comparison domain: L = integral (long), D = double, S = string
+    * (URL-encoded in the manifest), A = date (epoch days), U = timestamp
+    * (epoch micros). Values are kept in encoded string form; [[cmp]]
+    * compares a query value against a bound in the bound's own domain. */
+  private[sources] final case class ColStat(kind: Char, mn: String, mx: String) {
+    def minLong: Option[Long] = if (kind == 'L') Some(mn.toLong) else None
+    def maxLong: Option[Long] = if (kind == 'L') Some(mx.toLong) else None
+  }
+
+  private def encodeStatString(s: String): String =
+    URLEncoder.encode(s, "UTF-8").replace(".", "%2E").replace("|", "%7C")
+  private[sources] def decodeStatString(s: String): String =
+    URLDecoder.decode(s, "UTF-8")
+
+  /** Per-(file, column) recorded stats of a version, parsed once per
+    * call. Legacy 4-field entries (`file|col|min|max`) parse as kind L. */
   private[sources] def statsOf(dir: String, version: Long)
-      : Map[(String, String), (Long, Long)] =
+      : Map[(String, String), ColStat] =
     readManifest(dir, version).map(manifestStats).getOrElse(Seq.empty)
       .flatMap { e =>
         e.split('|') match {
-          case Array(f, c, mn, mx) => Some((f, c) -> (mn.toLong, mx.toLong))
+          case Array(f, c, k, mn, mx) if k.length == 1 =>
+            Some((f, c) -> ColStat(k.head, mn, mx))
+          case Array(f, c, mn, mx) =>
+            Some((f, c) -> ColStat('L', mn, mx))
           case _ => None
         }
       }.toMap
@@ -157,18 +234,20 @@ object LakeTable {
                         what: String): DataFrame = {
     val files = manifestFiles(json).map(f => Paths.get(dir, f).toString)
     require(files.nonEmpty, s"$what lists no files in $dir")
-    val df = spark.read.parquet(files: _*)
-    // reconcile BY NAME in the manifest-recorded order: an evolved
-    // table's reads are deterministic in column order regardless of the
-    // physical file layout the writer happened to produce
-    val names = manifestSchema(json).map(_.split(" ", 2)(0))
-      .filter(df.columns.contains)
-    if (names.isEmpty) df else df.select(names.map(col): _*)
+    val recorded = manifestSchema(json)
+    if (recorded.isEmpty) spark.read.parquet(files: _*)
+    else
+      // read under the RECORDED schema: columns come back in the
+      // manifest-recorded order regardless of physical file layout, and a
+      // carried pre-evolution file null-fills the columns it predates —
+      // deterministic reads on evolved tables (no footer race)
+      spark.read.schema(StructType.fromDDL(recorded.mkString(", ")))
+        .parquet(files: _*)
   }
 
   /** Read the table THROUGH the manifest — the only sanctioned read path.
-    * Staged-but-unpublished data is invisible; a concurrent commit flips
-    * the pointer atomically, so this sees entirely-old or entirely-new. */
+    * Staged-but-unpublished data is invisible; a concurrent commit's
+    * marker lands atomically, so this sees entirely-old or entirely-new. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir)
     require(v.nonEmpty, s"no published version in $dir")
@@ -176,12 +255,11 @@ object LakeTable {
   }
 
   /** TIME TRAVEL: read a specific published version. Every commit's
-    * manifest is immutable once its atomic create lands, so any
-    * version's file list remains exact until [[vacuum]] reclaims it —
-    * the Delta `VERSION AS OF` / Iceberg snapshot-read capability,
-    * which on this layout is nothing more than following an older
-    * manifest instead of `_latest`. An evolved table time-travels with
-    * each version's OWN recorded schema. */
+    * manifest is immutable once its atomic create lands, so any version's
+    * file list remains exact until [[vacuum]] reclaims it — the Delta
+    * `VERSION AS OF` / Iceberg snapshot-read capability, which on this
+    * layout is nothing more than following an older manifest. An evolved
+    * table time-travels with each version's OWN recorded schema. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val json = readManifest(dir, version)
     require(json.nonEmpty,
@@ -189,65 +267,49 @@ object LakeTable {
     readFiles(spark, dir, json.get, s"version $version")
   }
 
-  /** Every manifest on disk, ascending — PUBLISHED versions are those
-    * ≤ the live pointer; anything above it is a crash orphan (a commit
-    * that claimed its manifest but died before the pointer flip) and is
-    * excluded from [[versions]] / retained-history accounting. */
-  private def manifestVersions(dir: String): Seq[Long] =
-    listDir(Paths.get(dir))
-      .flatMap(p => "manifest-v(\\d+)\\.json".r
-        .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
-      .sorted
-
-  /** Published versions still on disk, ascending. A manifest whose
-    * version exceeds the live pointer was never published (crash between
-    * manifest claim and pointer flip) and does not appear here. */
-  def versions(dir: String): Seq[Long] = {
-    val live = currentVersion(dir).getOrElse(Long.MinValue)
-    manifestVersions(dir).filter(_ <= live)
-  }
-
   /** VACUUM: reclaim history. Keeps the newest `keepVersions` PUBLISHED
-    * manifests (always including the live one) and deletes (a) older
-    * manifests, (b) crash-ORPHANED manifests (version above the live
-    * pointer: claimed but never published — counting them toward the
-    * keep set would retain a never-readable orphan while reclaiming a
-    * genuinely published version), (c) every data FILE referenced by no
-    * kept manifest — reclaim is per-file, not per-directory, because
-    * carry-over commits ([[stage]]'s `carry`) let a new version
+    * versions (always including the live one) and deletes (a) older
+    * published versions' manifests + markers, (b) ORPHANED claims
+    * (manifest without marker — crashed between the publish steps — or
+    * fenced by a conflicting committer), plus stray fences, and (c) every
+    * data FILE referenced by no kept manifest — reclaim is per-file, not
+    * per-directory, because carry-over commits let a new version
     * reference a subset of an old version's directory; a directory with
-    * no referenced files left is swept whole (dropped versions' dirs and
-    * orphaned stagings alike). Retained versions stay
-    * time-travel-readable, and a reader
-    * HOLDING a retained version's DataFrame across the vacuum never
-    * breaks — reclaim only ever touches versions outside the keep set
-    * (LakeSpec pins both). Deletion order is safe under a crash
-    * mid-vacuum: manifests are removed BEFORE their files, so no
-    * surviving manifest ever references a missing file; a crash between
-    * the two passes leaves unreferenced files that the next vacuum
-    * sweeps.
+    * no referenced files left is swept whole. Retained versions stay
+    * time-travel-readable, and a reader HOLDING a retained version's
+    * DataFrame across the vacuum never breaks. Deletion order is safe
+    * under a crash mid-vacuum: manifests are removed BEFORE their files,
+    * so no surviving manifest ever references a missing file.
     *
     * Concurrency contract (the object-store analogue of Delta's
-    * `RETAIN n HOURS`): vacuum is an administrative op — running it
-    * while a commit is IN FLIGHT can reclaim the in-flight manifest
-    * claim, exactly as a zero-retention Delta vacuum breaks an
-    * uncommitted writer. Production deployments gate reclaim on
-    * manifest age; this offline reduction gates on version count and
-    * documents the age gate rather than simulating a clock. Returns
-    * (#manifests, #data files) deleted. */
+    * `RETAIN n HOURS`): vacuum is an administrative op — reclaiming an
+    * IN-FLIGHT commit's claim makes that commit's mark step FAIL LOUDLY
+    * ([[markPublished]] refuses to mark a missing manifest) instead of
+    * corrupting the table; production deployments age-gate reclaim, this
+    * offline reduction gates on version count and documents the age gate
+    * rather than simulating a clock. Returns (#manifests, #data files)
+    * deleted. */
   def vacuum(dir: String, keepVersions: Int): (Int, Int) = {
     val published = versions(dir)
-    val live = currentVersion(dir)
-    val keep =
-      (published.takeRight(math.max(keepVersions, 1)) ++ live).toSet
-    val orphans = manifestVersions(dir).filterNot(v =>
-      keep.contains(v) || published.contains(v))
+    val keep = published.takeRight(math.max(keepVersions, 1)).toSet
+    val orphans = manifestVersions(dir)
+      .filterNot(v => keep.contains(v) || published.contains(v))
     val drop = published.filterNot(keep.contains) ++ orphans
     val keptFiles = keep.toSeq
       .flatMap(v => readManifest(dir, v).map(manifestFiles).getOrElse(Nil))
       .toSet
-    drop.foreach(v =>
-      Files.deleteIfExists(Paths.get(dir, s"manifest-v$v.json")))
+    drop.foreach { v =>
+      Files.deleteIfExists(manifestPath(dir, v))
+      Files.deleteIfExists(markerPath(dir, v))
+      Files.deleteIfExists(fencePath(dir, v))
+    }
+    // stray fences whose claim never landed (or was already reclaimed)
+    listDir(Paths.get(dir)).foreach { p =>
+      "^abort-v(\\d+)$".r.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toLong)
+        .foreach(v => if (!Files.exists(manifestPath(dir, v)))
+          Files.deleteIfExists(p))
+    }
     var reclaimed = 0
     val root = Paths.get(dir)
     listDir(Paths.get(dir, "data")).foreach { sub =>
@@ -290,24 +352,20 @@ object LakeTable {
   private[graft] def layoutValueOf(file: String): Option[String] =
     "/_layout=([^/]+)/".r.findFirstMatchIn(file).map(_.group(1))
 
-  /** Stage a new version's data files. Returns the staged state —
-    * including the schema read back AS WRITTEN — and nothing is visible
-    * to readers until [[publish]]. The carried version hint is only a
-    * hint; publish mints the real one.
-    *
-    * `layoutBy` writes the staging Hive-partitioned by the named
-    * column's VALUE (encoded in each file's path as `_layout=<value>`)
-    * while keeping the column itself in the data (a shadow column does
-    * the partitioning) — file-level layout metadata in the manifest,
-    * the prune key for partial rewrites. `carry` lists already-published
-    * files to carry over verbatim into this version's manifest: the
-    * 100 TB MERGE primitive — only touched layout values restage, the
-    * rest of the table travels as manifest entries, zero data movement. */
-  def stage(spark: SparkSession, dir: String, df: DataFrame,
-            layoutBy: Option[String] = None,
-            carry: Seq[String] = Seq.empty,
-            statsBy: Option[String] = None): Staged = {
-    val version = currentVersion(dir).getOrElse(0L) + 1L
+  // ---- staging ---------------------------------------------------------
+
+  /** One physical staging pass's outputs: manifest-relative file paths,
+    * `name TYPE` schema as written, and typed per-file stats entries. */
+  private final case class Fresh(files: Seq[String], schema: Seq[String],
+                                 stats: Seq[String])
+
+  /** Write `df` under an isolated `data/<uuid>/` staging directory and
+    * return what the manifest will record for it. Pure WRITE — nothing is
+    * visible to readers, and the directory is version-independent (a
+    * publish loser re-manifests, never re-stages). */
+  private def stageFresh(spark: SparkSession, dir: String, df: DataFrame,
+                         layoutBy: Option[String],
+                         statsBy: Seq[String]): Fresh = {
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(dir, "data", uuid)
     layoutBy match {
@@ -323,61 +381,165 @@ object LakeTable {
         && !Paths.get(f).getFileName.toString.startsWith("."))
       .sorted
       .map(f => s"data/$uuid/$f")
-    val files = carry ++ fresh
-    val schema =
-      if (files.isEmpty) Seq.empty
-      else spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
-        .schema.fields.toSeq.map(f => s"${f.name} ${f.dataType.sql}")
-    // per-file min/max of the stats column (one grouped pass over the
-    // fresh files, keyed on input_file_name); carried files keep the
-    // stats their origin version recorded
-    val stats = statsBy match {
-      case None => carriedStats(dir, carry)
-      case Some(c) =>
-        val byFile = spark.read
-          .parquet(fresh.map(f => Paths.get(dir, f).toString): _*)
-          .groupBy(org.apache.spark.sql.functions.input_file_name().as("_f"))
-          .agg(org.apache.spark.sql.functions.min(col(c).cast("long")).as("_mn"),
-               org.apache.spark.sql.functions.max(col(c).cast("long")).as("_mx"))
-          .collect()
-          .map { r =>
-            val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
-            val rel = Paths.get(dir).toAbsolutePath.normalize
-              .relativize(name.toAbsolutePath.normalize).toString
-            s"$rel|$c|${r.getLong(1)}|${r.getLong(2)}"
-          }.toSeq.sorted
-        carriedStats(dir, carry) ++ byFile
+    if (fresh.isEmpty) Fresh(Seq.empty, Seq.empty, Seq.empty)
+    else {
+      // fresh files come from ONE write, so any single footer is the
+      // whole staging's schema — no mergeSchema race (the r8 bug: the
+      // staged schema was inferred over carry++fresh mixed footers)
+      val read = spark.read.parquet(
+        fresh.map(f => Paths.get(dir, f).toString): _*)
+      val schema = read.schema.fields.toSeq
+        .map(f => s"${f.name} ${f.dataType.sql}")
+      Fresh(fresh, schema, statsEntries(spark, dir, read, fresh, statsBy))
     }
-    Staged(dir, version, files, None, schema, stats)
   }
 
-  /** The live manifest's stats entries for files being carried over. */
-  private def carriedStats(dir: String, carry: Seq[String]): Seq[String] =
-    if (carry.isEmpty) Seq.empty
+  /** Per-(file, column) typed min/max for the named stats columns — one
+    * grouped pass over the fresh files keyed on input_file_name. Columns
+    * whose type has no ordered file-prune domain (decimal, binary,
+    * nested) and files whose min/max are NULL (all-null column) record no
+    * entry — pruning treats missing stats as keep-file, so skipping them
+    * is always safe (the r8 NPE on all-null stats columns). */
+  private def statsEntries(spark: SparkSession, dir: String, read: DataFrame,
+                           fresh: Seq[String],
+                           statsBy: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    import org.apache.spark.sql.types._
+    val present = statsBy.filter(read.columns.contains)
+    if (present.isEmpty) Seq.empty
+    else {
+      val aggs = present.flatMap(c =>
+        Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+      val byType = present.map(c =>
+        c -> read.schema(c).dataType).toMap
+      def enc(dt: DataType, v: Any): Option[(Char, String)] = (dt, v) match {
+        case (_, null) => None
+        case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+          Some(('L', n.longValue().toString))
+        case (FloatType | DoubleType, n: Number) =>
+          Some(('D', n.doubleValue().toString))
+        case (StringType, s: String) => Some(('S', encodeStatString(s)))
+        case (DateType, d: java.sql.Date) =>
+          Some(('A', d.toLocalDate.toEpochDay.toString))
+        case (DateType, d: java.time.LocalDate) =>
+          Some(('A', d.toEpochDay.toString))
+        case (TimestampType, t: java.sql.Timestamp) =>
+          Some(('U', (t.getTime * 1000L + t.getNanos / 1000 % 1000).toString))
+        case (TimestampType, t: java.time.Instant) =>
+          Some(('U', (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
+        case _ => None
+      }
+      read.groupBy(input_file_name().as("_f")).agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded by fresh-file count — planner-side metadata
+        .toSeq.flatMap { r =>
+          val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+          val rel = Paths.get(dir).toAbsolutePath.normalize
+            .relativize(name.toAbsolutePath.normalize).toString
+          present.flatMap { c =>
+            for {
+              (k, mn) <- enc(byType(c), r.get(r.fieldIndex(s"_mn_$c")))
+              (_, mx) <- enc(byType(c), r.get(r.fieldIndex(s"_mx_$c")))
+            } yield s"$rel|$c|$k|$mn|$mx"
+          }
+        }.sorted
+    }
+  }
+
+  /** The base version's stats entries for files being carried over. */
+  private def carriedStats(dir: String, base: Long,
+                           carry: Seq[String]): Seq[String] =
+    if (carry.isEmpty || base <= 0L) Seq.empty
     else {
       val carrySet = carry.toSet
-      currentVersion(dir).flatMap(readManifest(dir, _))
-        .map(manifestStats).getOrElse(Seq.empty)
+      readManifest(dir, base).map(manifestStats).getOrElse(Seq.empty)
         .filter(e => carrySet.contains(e.split('|').head))
     }
 
-  /** Files of the live version whose recorded [lo, hi] stats range for
-    * `colName` intersects the query range — plus every file with no
-    * recorded stats (pruning must be a superset of the answer). This is
-    * the manifest-level data skipping a 100 TB scan lives by: the
-    * decision runs on manifest metadata only, no file is opened. */
+  /** Deterministic staged schema: the base version's recorded columns (in
+    * their recorded order) merged with the fresh files' columns. A fresh
+    * column that COLLIDES with a base column at a different type records
+    * the FRESH type, so the evolution audit rejects the type change
+    * instead of silently reading fresh data under the old type; fresh-only
+    * columns append (additive evolution); base columns absent from the
+    * fresh files stay recorded (an Append missing a nullable column
+    * null-fills it at read — the Delta semantics). */
+  private def mergeSchemas(base: Seq[String],
+                           fresh: Seq[String]): Seq[String] = {
+    if (base.isEmpty) fresh
+    else if (fresh.isEmpty) base
+    else {
+      val freshByName = fresh.map(_.split(" ", 2)).map(a => a(0) -> a(1)).toMap
+      val baseNames = base.map(_.split(" ", 2)(0)).toSet
+      base.map { e =>
+        val n = e.split(" ", 2)(0)
+        freshByName.get(n).map(t => s"$n $t").getOrElse(e)
+      } ++ fresh.filterNot(e => baseNames.contains(e.split(" ", 2)(0)))
+    }
+  }
+
+  /** Stage a new version's data files. Returns the staged state and
+    * nothing is visible to readers until [[publish]]. The carried version
+    * hint is only a hint; publish mints the real one.
+    *
+    * `layoutBy` writes the staging Hive-partitioned by the named column's
+    * VALUE (encoded in each file's path as `_layout=<value>`) while
+    * keeping the column itself in the data (a shadow column does the
+    * partitioning) — file-level layout metadata in the manifest, the
+    * prune key for partial rewrites. `carry` lists already-published
+    * files to carry over verbatim into this version's manifest: the
+    * 100 TB MERGE primitive — only touched layout values restage, the
+    * rest of the table travels as manifest entries, zero data movement.
+    * `statsBy` names columns whose typed per-file (min, max) the manifest
+    * records for data skipping. The staged version inherits the base
+    * version's per-sink batch watermarks (so an OPTIMIZE or one sink's
+    * commit never erases another sink's idempotence handle). */
+  def stage(spark: SparkSession, dir: String, df: DataFrame,
+            layoutBy: Option[String] = None,
+            carry: Seq[String] = Seq.empty,
+            statsBy: Seq[String] = Seq.empty): Staged =
+    stageAt(spark, dir, currentVersion(dir).getOrElse(0L), df,
+            layoutBy, carry, statsBy, "overwrite")
+
+  /** [[stage]] anchored to an EXPLICIT base version — the spelling a
+    * [[commitSerialized]] plan closure needs (deriving the anchor inside
+    * the plan would race a commit landing mid-plan). */
+  private[graft] def stageAt(spark: SparkSession, dir: String, base: Long,
+                             df: DataFrame, layoutBy: Option[String],
+                             carry: Seq[String], statsBy: Seq[String],
+                             op: String): Staged = {
+    val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
+    assemble(dir, base, fresh, carry, op)
+  }
+
+  /** Assemble the manifest-ready staged state from a base version, one or
+    * more staging passes' outputs, and a carry list. */
+  private def assemble(dir: String, base: Long, fresh: Fresh,
+                       carry: Seq[String], op: String): Staged = {
+    val baseSchema = if (base > 0L) schemaOf(dir, base) else Seq.empty
+    Staged(dir, base + 1L, carry ++ fresh.files,
+           batches = if (base > 0L) batchesOf(dir, base) else Map.empty,
+           schema =
+             if (carry.isEmpty) fresh.schema
+             else mergeSchemas(baseSchema, fresh.schema),
+           stats = carriedStats(dir, base, carry) ++ fresh.stats,
+           baseVersion = base, op = op)
+  }
+
+  /** Files of the live version whose recorded [lo, hi] stats range for an
+    * integral `colName` intersects the query range — plus every file with
+    * no recorded stats (pruning must be a superset of the answer). This is
+    * the manifest-level data skipping a 100 TB scan lives by: the decision
+    * runs on manifest metadata only, no file is opened. Typed (string /
+    * date / double) pruning is [[LakeRelation]]'s `mightMatch` over the
+    * same entries, reached through `spark.read.format("graft-lake")`. */
   def filesWhere(dir: String, colName: String, lo: Long, hi: Long): Seq[String] = {
-    val stats = currentVersion(dir).flatMap(readManifest(dir, _))
-      .map(manifestStats).getOrElse(Seq.empty)
-      .flatMap { e =>
-        e.split('|') match {
-          case Array(f, c, mn, mx) if c == colName =>
-            Some(f -> (mn.toLong, mx.toLong))
-          case _ => None
-        }
-      }.toMap
-    currentFiles(dir).filter(f => stats.get(f) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi
+    val v = currentVersion(dir).getOrElse(0L)
+    val stats = statsOf(dir, v)
+    filesOf(dir, v).filter(f => stats.get((f, colName)) match {
+      case Some(s) => (s.minLong, s.maxLong) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
       case None => true
     })
   }
@@ -390,18 +552,21 @@ object LakeTable {
     val files = filesWhere(dir, colName, lo, hi)
     require(files.nonEmpty,
       s"no live file can hold $colName in [$lo, $hi] in $dir")
-    val df = spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
-    val names = currentSchema(dir).map(_.split(" ", 2)(0))
-      .filter(df.columns.contains)
-    if (names.isEmpty) df else df.select(names.map(col): _*)
+    val recorded = currentSchema(dir)
+    if (recorded.isEmpty)
+      spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
+    else spark.read.schema(StructType.fromDDL(recorded.mkString(", ")))
+      .parquet(files.map(f => Paths.get(dir, f).toString): _*)
   }
 
-  /** The evolution contract, checked against the LIVE version: every
-    * live column must survive with an identical type (no drops, no type
-    * changes); NEW columns are additive evolution, allowed and recorded.
-    * Returns the violation, if any. */
+  /** The evolution contract, checked against the version the staging was
+    * PLANNED against: every base column must survive with an identical
+    * type (no drops, no type changes); NEW columns are additive evolution,
+    * allowed and recorded. Returns the violation, if any. */
   private[graft] def evolutionError(staged: Staged): Option[String] = {
-    val live = currentSchema(staged.dir)
+    val live =
+      if (staged.baseVersion > 0L) schemaOf(staged.dir, staged.baseVersion)
+      else Seq.empty
     if (live.isEmpty) None
     else {
       val stagedByName = staged.schema
@@ -420,14 +585,20 @@ object LakeTable {
   }
 
   /** Audit the staged files AS WRITTEN: the schema-evolution contract
-    * first, then the caller's check. Left(reason) blocks publish. */
+    * first, then the caller's check against the staged files read back
+    * under the RECORDED schema (deterministic on evolved tables).
+    * Left(reason) blocks publish. */
   def audit(spark: SparkSession, staged: Staged)(
       check: DataFrame => Option[String]): Either[String, Staged] = {
     evolutionError(staged) match {
       case Some(reason) => Left(s"audit failed for v${staged.version}: $reason")
       case None =>
-        val df = spark.read.parquet(
-          staged.files.map(f => Paths.get(staged.dir, f).toString): _*)
+        val paths = staged.files.map(f => Paths.get(staged.dir, f).toString)
+        val df =
+          if (staged.schema.isEmpty) spark.read.parquet(paths: _*)
+          else spark.read
+            .schema(StructType.fromDDL(staged.schema.mkString(", ")))
+            .parquet(paths: _*)
         check(df) match {
           case Some(reason) =>
             Left(s"audit failed for v${staged.version}: $reason")
@@ -436,157 +607,358 @@ object LakeTable {
     }
   }
 
-  /** Publish a staged version: claim a version number via the manifest
-    * CAS, then flip the `_latest` pointer (monotonic). Returns the
-    * ACTUAL version minted — under a race it may exceed the stage-time
-    * hint; the staged data directory is version-independent, so the
-    * loser re-manifests, never re-stages. */
-  def publish(staged: Staged): Long = {
-    val v = writeManifest(staged)
-    flipPointer(staged.dir, v)
-    v
-  }
+  // ---- publish ---------------------------------------------------------
 
-  /** Step 1 of publish — the compare-and-swap. Exposed separately so
-    * LakeSpec can crash the protocol between manifest claim and pointer
-    * flip. Mints the first free version ≥ max(hint, every manifest on
-    * disk + 1) and claims it by ATOMIC CREATE-NEW (hard link from a
-    * private tmp; link(2) fails if the target exists). Returns the
-    * version actually claimed. */
-  private[graft] def writeManifest(staged: Staged): Long = {
-    val batchField = staged.batch.map(b => s""""batch":$b,""").getOrElse("")
+  private def manifestJson(staged: Staged, v: Long): String = {
+    val batchesField =
+      if (staged.batches.isEmpty) ""
+      else staged.batches.toSeq.sortBy(_._1)
+        .map { case (s, b) => s""""$s":$b""" }
+        .mkString("\"batches\":{", ",", "},")
     val schemaField = staged.schema.map("\"" + _ + "\"")
       .mkString("\"schema\":[", ",", "],")
-    // per-file stats entries (`file|col|min|max`); the files regex below
-    // requires a closing quote right after `.parquet`, so these entries
-    // can never be mistaken for file-list members
+    // per-file stats entries (`file|col|kind|min|max`); the files regex
+    // requires a closing quote right after `.parquet`, and stat string
+    // values encode '.' as %2E, so no stats entry can ever be mistaken
+    // for a file-list member
     val statsField =
       if (staged.stats.isEmpty) ""
       else staged.stats.map("\"" + _ + "\"")
         .mkString("\"stats\":[", ",", "],")
-    val json = staged.files.map("\"" + _ + "\"")
-      .mkString(s"""$batchField$schemaField$statsField"files":[""", ",", "]}")
+    staged.files.map("\"" + _ + "\"")
+      .mkString(s"""{"version":$v,"base":${staged.baseVersion},""" +
+                s""""op":"${staged.op}",$batchesField$schemaField""" +
+                s"""$statsField"files":[""", ",", "]}")
+  }
+
+  /** Publish a staged version: claim a version number via the manifest
+    * CAS, then mark it published. Returns the ACTUAL version minted —
+    * under a race it may exceed the stage-time hint; the staged data
+    * directory is version-independent, so the loser re-manifests, never
+    * re-stages. This RAW path does not conflict-check the carry list —
+    * it is exact for overwrite commits (no carry) and for the crash-replay
+    * seams; carry commits go through [[commitSerialized]]. */
+  def publish(staged: Staged): Long = {
+    val v = writeManifest(staged)
+    markPublished(staged.dir, v)
+    v
+  }
+
+  /** Step 1 of publish — the compare-and-swap claim. Exposed separately so
+    * LakeSpec can crash the protocol between claim and mark. Mints the
+    * first free version ≥ max(hint, every claim on disk + 1) and claims it
+    * by ATOMIC CREATE-NEW (hard link from a private tmp; link(2) fails if
+    * the target exists). Returns the version actually claimed. */
+  private[graft] def writeManifest(staged: Staged): Long = {
     val tmp = Paths.get(staged.dir,
       s".manifest-${java.util.UUID.randomUUID()}.tmp")
     var v = math.max(staged.version,
       manifestVersions(staged.dir).lastOption.getOrElse(0L) + 1L)
     var claimed = -1L
     while (claimed < 0) {
-      Files.write(tmp, s"""{"version":$v,$json""".getBytes(UTF_8))
-      try {
-        Files.createLink(Paths.get(staged.dir, s"manifest-v$v.json"), tmp)
-        claimed = v
-      } catch {
-        case _: FileAlreadyExistsException => v += 1 // lost the race; retry
-      }
+      if (claimAt(staged.dir, staged, v, tmp)) claimed = v
+      else v += 1 // lost the race; retry at the next number
     }
     Files.deleteIfExists(tmp)
     claimed
   }
 
-  private val flipLock = new Object
+  /** Claim EXACTLY version `v` — true iff this call created the manifest. */
+  private def claimAt(dir: String, staged: Staged, v: Long,
+                      tmp: Path): Boolean = {
+    Files.write(tmp, manifestJson(staged, v).getBytes(UTF_8))
+    try { Files.createLink(manifestPath(dir, v), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+  }
 
-  /** Step 2 of publish — the visibility flip, MONOTONIC: the pointer
-    * never moves backwards, so when two racing commits both claim
-    * versions, whichever flip runs last still leaves readers on the
-    * HIGHER version and the other remains published history (its
-    * manifest is ≤ the pointer, so [[versions]]/time-travel see it).
-    * In-process flips are serialized on a JVM lock; across JVMs the
-    * read-then-move window is what an object store's conditional-put
-    * closes (see the class doc). */
-  private[graft] def flipPointer(dir: String, version: Long): Unit =
-    flipLock.synchronized {
-      if (!currentVersion(dir).exists(_ >= version)) {
-        val tmp = Paths.get(dir, "._latest.tmp")
-        Files.write(tmp, s"manifest-v$version.json".getBytes(UTF_8))
-        Files.move(tmp, latestPath(dir), StandardCopyOption.ATOMIC_MOVE,
-                   StandardCopyOption.REPLACE_EXISTING)
+  private val publishLock = new Object
+
+  /** Step 2 of publish — create the `commit-v{N}` marker. Returns true
+    * iff the version is now the LIVE one (false = a fence blocked it, or
+    * a higher version published first — the marker still lands in the
+    * latter case, keeping the claim readable history exactly as the old
+    * pointer protocol did for claims below the pointer). Refuses LOUDLY
+    * to mark a version whose manifest is gone (a vacuum raced the commit:
+    * failing the publish beats pointing readers at a deleted manifest).
+    * The fence check-then-create pair is serialized on a JVM lock
+    * in-process; across processes it is the single window an object
+    * store's conditional-put closes (class doc). */
+  private[graft] def markPublished(dir: String, version: Long): Boolean =
+    publishLock.synchronized {
+      if (!Files.exists(manifestPath(dir, version)))
+        throw new IllegalStateException(
+          s"cannot publish v$version in $dir: its manifest is gone " +
+          "(a vacuum reclaimed the in-flight claim)")
+      if (Files.exists(fencePath(dir, version))) false
+      else {
+        try Files.createFile(markerPath(dir, version))
+        catch { case _: FileAlreadyExistsException => () }
+        currentVersion(dir).contains(version)
       }
-      ()
     }
+
+  /** Fence a claimed-but-unmarked version so it can never publish — the
+    * conflict-resolution tombstone of [[commitSerialized]]. Returns false
+    * if the version already published (marker exists): fencing lost. */
+  private def fence(dir: String, version: Long): Boolean =
+    publishLock.synchronized {
+      if (Files.exists(markerPath(dir, version))) false
+      else {
+        try Files.createFile(fencePath(dir, version))
+        catch { case _: FileAlreadyExistsException => () }
+        true
+      }
+    }
+
+  /** One serialized publish attempt: resolve every claim above the staged
+    * base (committed → conflict; unresolved → fence), claim the next
+    * number, mark it. None = conflict — the caller re-plans against the
+    * new live version and retries. */
+  private def tryPublishSerialized(staged: Staged): Option[Long] = {
+    val dir = staged.dir
+    val all = manifestVersions(dir)
+    val above = all.filter(_ > staged.baseVersion)
+    if (above.exists(v => Files.exists(markerPath(dir, v)))) None
+    else if (!above.forall(v =>
+      Files.exists(fencePath(dir, v)) || fence(dir, v))) None
+    else {
+      val v = (all :+ staged.baseVersion).max + 1L
+      val tmp = Paths.get(dir, s".manifest-${java.util.UUID.randomUUID()}.tmp")
+      val won = claimAt(dir, staged, v, tmp)
+      Files.deleteIfExists(tmp)
+      if (!won) None // a racer took the number: rescan from the top
+      else if (markPublished(dir, v)) Some(v)
+      else None // fenced between claim and mark: the claim is dead, re-plan
+    }
+  }
+
+  /** SERIALIZABLE commit loop (r9): `plan(base)` stages a version against
+    * the published version `base` (audit included — Left aborts the whole
+    * commit); the publish step detects any commit that landed after the
+    * plan and loops, re-planning against the new base, so a carry commit
+    * can never shadow a concurrently-published rewrite (the Delta/Iceberg
+    * optimistic-concurrency check). Plans are cached per base: a retry
+    * whose base did not move (claim-number race only) re-publishes the
+    * same staged files without re-staging. */
+  private[graft] def commitSerialized(dir: String)(
+      plan: Long => Either[String, Staged]): Either[String, Long] = {
+    var staged: Staged = null
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val base = currentVersion(dir).getOrElse(0L)
+      if (staged == null || staged.baseVersion != base) {
+        // a commit landing MID-plan can leave the returned stage anchored
+        // above `base` — that is a fresher anchor, not an error; the
+        // publish step conflict-checks against the stage's own base
+        plan(base) match {
+          case Left(reason) => return Left(reason)
+          case Right(s) => staged = s
+        }
+      }
+      testAfterPlanHook(attempts)
+      tryPublishSerialized(staged) match {
+        case Some(v) => return Right(v)
+        case None => ()
+      }
+    }
+    Left(s"commit conflict retry budget exhausted in $dir")
+  }
+
+  /** Test seam: invoked between planning and publishing on each attempt of
+    * [[commitSerialized]] — LakeSpec injects a COMPETING commit here to
+    * pin the conflict-detection/re-plan path deterministically (real
+    * thread races are also exercised, but cannot target the window). */
+  private[graft] var testAfterPlanHook: Int => Unit = _ => ()
 
   /** The full write-audit-publish commit. Returns Left without touching
     * any reader-visible state if the audit (evolution contract included)
     * rejects. `layoutBy` lays the version out Hive-partitioned by the
     * named column (see [[stage]]) so later [[mergePartial]] calls can
-    * prune their rewrite set. */
+    * prune their rewrite set; `statsBy` records typed per-file min/max
+    * for the named columns. Overwrite carries nothing, so the raw publish
+    * (no conflict re-plan) is exact: racing overwrites both survive as
+    * versions, the higher one is live. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              layoutBy: Option[String] = None,
-             statsBy: Option[String] = None)(
+             statsBy: Seq[String] = Seq.empty)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     Files.createDirectories(Paths.get(dir))
     audit(spark, stage(spark, dir, df, layoutBy, Seq.empty, statsBy))(check)
       .map(publish)
   }
 
+  /** Zero-rewrite APPEND: the new version's manifest carries every live
+    * file verbatim and adds only the appended files — manifest
+    * arithmetic, no data movement. Serialized (r9): a concurrent commit
+    * between plan and publish re-plans the carry list against the new
+    * live version (the appended staging is reused as-is — appended data
+    * is base-independent), so a racing append can never drop the other
+    * committer's acknowledged files. */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+             layoutBy: Option[String] = None,
+             statsBy: Seq[String] = Seq.empty,
+             batches: Map[String, Long] = Map.empty)(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    Files.createDirectories(Paths.get(dir))
+    val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
+    commitSerialized(dir) { base =>
+      val st = assemble(dir, base, fresh, filesOf(dir, base), "append")
+      audit(spark, st.copy(batches = st.batches ++ batches))(check)
+    }
+  }
+
   /** Partial-rewrite MERGE — the 100 TB upsert: `upserts` (one row per
     * key, each carrying the table's layout column) replace same-key rows,
     * and only the files whose `_layout=<value>` path metadata intersects
-    * the batch's touched values are read and rewritten — every other
-    * live file CARRIES OVER into the new manifest verbatim, zero data
-    * movement (exactly how Delta/Iceberg MERGE prunes its rewrite set by
-    * file stats). Files without layout metadata (e.g. a flat initial
-    * version) rewrite conservatively. The touched-value set is collected
-    * to the driver — bounded by the layout cardinality, the same
-    * metadata-scale work any table format's planner does. The commit
-    * rides the full stage → audit → publish protocol; the audit sees
-    * carried + staged files together, so cross-file invariants (key
-    * uniqueness) still gate the publish. */
+    * the batch's touched values are read and rewritten — every other live
+    * file CARRIES OVER into the new manifest verbatim, zero data movement
+    * (exactly how Delta/Iceberg MERGE prunes its rewrite set by file
+    * stats). Files without layout metadata (e.g. a flat initial version)
+    * rewrite conservatively. The touched-value set is collected to the
+    * driver — bounded by the layout cardinality, the same metadata-scale
+    * work any table format's planner does. The commit rides the full
+    * stage → audit → publish protocol; the audit sees carried + staged
+    * files together, so cross-file invariants (key uniqueness) still gate
+    * the publish.
+    *
+    * SERIALIZED (r9): publishing re-validates the plan against the live
+    * version; if a concurrent commit rewrote files this merge planned to
+    * carry OR to rewrite, the merge re-plans — and re-stages ONLY the
+    * layout values whose input files actually changed (an unchanged
+    * value's staged output is reused verbatim), so two committers on
+    * disjoint values converge with zero redundant data movement while
+    * overlapping committers re-merge against the winner's rewrite. */
   def mergePartial(spark: SparkSession, dir: String, upserts: DataFrame,
                    keys: Seq[String], layoutCol: String,
                    batch: Option[Long] = None,
-                   statsBy: Option[String] = None)(
-      check: DataFrame => Option[String]): Either[String, Long] = {
-    Files.createDirectories(Paths.get(dir))
-    val touched = upserts.select(layoutCol).distinct().collect()
-      .map(r => String.valueOf(r.get(0))).toSet
-    val live = currentFiles(dir)
-    val (rewrite, carried) = live.partition(f =>
-      layoutValueOf(f).forall(touched.contains))
-    val base =
-      if (rewrite.isEmpty) upserts.limit(0)
-      else spark.read.parquet(rewrite.map(f => Paths.get(dir, f).toString): _*)
-        .join(upserts.select(keys.map(col): _*), keys, "left_anti")
-    val merged = base.unionByName(upserts)
-    audit(spark,
-          stage(spark, dir, merged, Some(layoutCol), carried, statsBy)
-            .copy(batch = batch))(check)
-      .map(publish)
-  }
+                   statsBy: Seq[String] = Seq.empty,
+                   sink: String = "")(
+      check: DataFrame => Option[String]): Either[String, Long] =
+    partialRewrite(spark, dir, upserts, None, upserts, keys, layoutCol,
+                   batch, statsBy, sink, "merge")(check)
 
   /** Partial-rewrite CDC APPLY — [[mergePartial]]'s third action:
     * `changes` carries one row per key (the per-batch winner) with an
     * `op` column, 'D' rows TOMBSTONE their key (dropped from the
     * rewritten files, never reinserted), everything else upserts. The
-    * rewrite set is still pruned to the layout values the batch
-    * touches; a delete whose key lives in an untouched file cannot
-    * happen, because the key's layout value IS in the touched set by
-    * construction (the change row carries it). Refuses to publish a
-    * version with zero files (a full-table delete needs
-    * schema-in-table-metadata, which this layout keeps in the manifest
-    * only for non-empty versions). */
+    * rewrite set is still pruned to the layout values the batch touches.
+    * The audit REJECTS a ghost undelete (r9): if a tombstoned key
+    * survives anywhere in the staged version — which happens exactly when
+    * the key's live row sits under a DIFFERENT layout value than the 'D'
+    * row claims, so its file was carried, not rewritten — the publish is
+    * blocked with the offending count instead of silently resurrecting
+    * the row. Refuses to publish a version with zero files (a full-table
+    * delete needs schema-in-table-metadata, which this layout keeps in
+    * the manifest only for non-empty versions). */
   def applyCdcPartial(spark: SparkSession, dir: String, changes: DataFrame,
                       keys: Seq[String], layoutCol: String,
-                      batch: Option[Long] = None)(
+                      batch: Option[Long] = None,
+                      sink: String = "")(
+      check: DataFrame => Option[String]): Either[String, Long] =
+    partialRewrite(spark, dir, changes.filter(col("op") =!= "D").drop("op"),
+                   Some(changes.filter(col("op") === "D")
+                     .select(keys.map(col): _*)),
+                   changes.drop("op"),
+                   keys, layoutCol, batch, Seq.empty, sink, "cdc")(check) match {
+      case Left(r) if r.contains("lists no files") =>
+        Left("empty table after CDC apply (full-table delete needs " +
+             "schema-in-manifest support)")
+      case other => other
+    }
+
+  /** Shared partial-rewrite engine for [[mergePartial]] /
+    * [[applyCdcPartial]]. `upserts` re-enter; `deleted` keys (CDC only)
+    * tombstone; `touching` is the frame whose layout values define the
+    * rewrite set — for CDC that is ALL change rows (a delete's claimed
+    * value must rewrite even when nothing upserts into it). All change
+    * rows anti-join the rewritten base so updates replace and deletes
+    * stay gone. */
+  private def partialRewrite(spark: SparkSession, dir: String,
+                             upserts: DataFrame, deleted: Option[DataFrame],
+                             touching: DataFrame,
+                             keys: Seq[String], layoutCol: String,
+                             batch: Option[Long], statsBy: Seq[String],
+                             sink: String, op: String)(
       check: DataFrame => Option[String]): Either[String, Long] = {
+    require(sink.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"sink id must be [A-Za-z0-9_-]*: '$sink'")
     Files.createDirectories(Paths.get(dir))
-    val touched = changes.select(layoutCol).distinct().collect()
+    val touched = touching.select(layoutCol).distinct().collect()
       .map(r => String.valueOf(r.get(0))).toSet
-    val live = currentFiles(dir)
-    val (rewrite, carried) = live.partition(f =>
-      layoutValueOf(f).forall(touched.contains))
-    val upserts = changes.filter(col("op") =!= "D").drop("op")
-    val base =
-      if (rewrite.isEmpty) upserts.limit(0)
-      else spark.read.parquet(rewrite.map(f => Paths.get(dir, f).toString): _*)
-        .join(changes.select(keys.map(col): _*), keys, "left_anti")
-    val merged = base.unionByName(upserts)
-    val staged = stage(spark, dir, merged, Some(layoutCol), carried)
-      .copy(batch = batch)
-    if (staged.files.isEmpty)
-      Left("empty table after CDC apply (full-table delete needs " +
-           "schema-in-manifest support)")
-    else audit(spark, staged)(check).map(publish)
+    val changeKeys = touching.select(keys.map(col): _*).distinct()
+    // incremental re-plan cache: per layout value, the live input files
+    // the staged output was computed from, and that staged output
+    val FLAT = " flat"
+    var prevInputs = Map.empty[String, Seq[String]]
+    var stagedVals = Map.empty[String, Fresh]
+    var planned = false
+    val result = commitSerialized(dir) { base =>
+      val live = filesOf(dir, base)
+      val (rewriteFiles, carried) = live.partition(f =>
+        layoutValueOf(f).forall(touched.contains))
+      val hasFlat = rewriteFiles.exists(f => layoutValueOf(f).isEmpty)
+      val inputs: Map[String, Seq[String]] =
+        if (hasFlat) Map(FLAT -> rewriteFiles.sorted)
+        else rewriteFiles.groupBy(f => layoutValueOf(f).get)
+          .map { case (v, fs) => v -> fs.sorted }
+      val values: Set[String] = if (hasFlat) Set(FLAT) else touched
+      val stale = values.filter(v =>
+        !planned || !stagedVals.contains(v)
+          || prevInputs.getOrElse(v, Nil) != inputs.getOrElse(v, Nil))
+      if (stale.nonEmpty) {
+        val staleFiles = stale.toSeq.flatMap(inputs.getOrElse(_, Nil))
+        val ups =
+          if (hasFlat || stale == values) upserts
+          else upserts.filter(
+            col(layoutCol).cast("string").isin(stale.toSeq: _*))
+        val baseRows =
+          if (staleFiles.isEmpty) ups.limit(0)
+          else spark.read
+            .parquet(staleFiles.map(f => Paths.get(dir, f).toString): _*)
+            // the FULL change-key set anti-joins (not just the stale
+            // values'): a key whose change row claims a different layout
+            // value than it is stored under must still leave its old row
+            .join(changeKeys, keys, "left_anti")
+        val fresh = stageFresh(spark, dir, baseRows.unionByName(ups),
+                               Some(layoutCol), statsBy)
+        val byVal = fresh.files.groupBy(f =>
+          if (hasFlat) FLAT else layoutValueOf(f).getOrElse(FLAT))
+        val statFiles = fresh.stats.groupBy(_.split('|').head)
+        stagedVals = stagedVals ++ stale.map { v =>
+          val fs = byVal.getOrElse(v, Seq.empty).sorted
+          v -> Fresh(fs, fresh.schema,
+                     fs.flatMap(statFiles.getOrElse(_, Nil)))
+        }
+        prevInputs = stale.foldLeft(prevInputs)((m, v) =>
+          m.updated(v, inputs.getOrElse(v, Nil)))
+        planned = true
+      }
+      val freshAll = Fresh(
+        stagedVals.toSeq.sortBy(_._1).flatMap(_._2.files),
+        stagedVals.values.find(_.schema.nonEmpty)
+          .map(_.schema).getOrElse(Seq.empty),
+        stagedVals.toSeq.sortBy(_._1).flatMap(_._2.stats))
+      val st0 = assemble(dir, base, freshAll, carried, op)
+      val st = st0.copy(batches =
+        st0.batches ++ batch.map(b => sink -> b).toMap)
+      if (st.files.isEmpty)
+        Left(s"audit failed for v${st.version}: staged version lists no " +
+             s"files in $dir")
+      else audit(spark, st) { df =>
+        check(df).orElse(deleted.flatMap { d =>
+          // ghost-undelete gate: no tombstoned key may survive anywhere
+          // in the staged version (carried files included) — the failure
+          // mode when a key's layout value mutated between versions
+          val ghosts = df.join(d, keys, "left_semi").count()
+          if (ghosts == 0L) None
+          else Some(s"$ghosts tombstoned key(s) still present after CDC " +
+                    "apply: a 'D' row's layout value does not match the " +
+                    "value its key is stored under (ghost undelete)")
+        })
+      }
+    }
+    result
   }
 
   /** OPTIMIZE — the compaction ACTION the q_layout_compaction planner
@@ -595,17 +967,23 @@ object LakeTable {
     * on the cluster columns keeps each rewritten file's min/max footer
     * range narrow, exactly the property the planner bins for) and commit
     * the rewrite through the SAME write-audit-publish protocol as any
-    * other version. The audit proves conservation (row count unchanged)
-    * before anything publishes; the pre-compaction version remains
-    * time-travel-readable until [[vacuum]] reclaims it, and a crash
-    * mid-optimize leaves the old version live (LakeSpec). At 100 TB this
+    * other version, marked `op = "optimize"` so the change feed
+    * ([[changesBetween]]) emits NO logical changes for it. The audit
+    * proves conservation (row count unchanged) before anything publishes;
+    * the pre-compaction version remains time-travel-readable until
+    * [[vacuum]] reclaims it, and a crash mid-optimize leaves the old
+    * version live (LakeSpec). The compacted version inherits every
+    * sink's stream-epoch watermark through [[stage]]'s batches
+    * carry-forward: compaction between an epoch's publish and its WAL
+    * commit would otherwise erase the idempotence handle and the replayed
+    * epoch would double-apply (StreamingDurabilitySpec). At 100 TB this
     * runs per partition and only rewrites bins whose file count exceeds
     * the target — the manifest carries unchanged files forward verbatim;
     * the offline reduction rewrites the whole (small) table. */
   def optimize(spark: SparkSession, dir: String, targetRows: Long,
                clusterBy: Seq[String],
                layoutBy: Option[String] = None,
-               statsBy: Option[String] = None): Either[String, Long] = {
+               statsBy: Seq[String] = Seq.empty): Either[String, Long] = {
     val base = read(spark, dir)
     val n = base.count()
     val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
@@ -617,16 +995,74 @@ object LakeTable {
       case None if clusterBy.isEmpty => base.coalesce(bins)
       case None => base.repartitionByRange(bins, clusterBy.map(col): _*)
     }
-    // the compacted version must CARRY the applied stream-epoch
-    // watermark: compaction between an epoch's publish and its WAL
-    // commit would otherwise erase the idempotence handle and the
-    // replayed epoch would double-apply (StreamingDurabilitySpec)
-    val wm = appliedBatch(dir)
     audit(spark, stage(spark, dir, laid, layoutBy, Seq.empty, statsBy)
-                   .copy(batch = wm)) { df =>
+                   .copy(op = "optimize")) { df =>
       val m = df.count()
       if (m == n) None
       else Some(s"compaction must conserve rows: $n before, $m after")
     }.map(publish)
+  }
+
+  // ---- change feed (r9) -------------------------------------------------
+
+  /** CDC READ of the lake — the manifest history IS a change log: for
+    * each published version in `(fromVersion, toVersion]`, diff its file
+    * list against the previous published version's — rows of REMOVED
+    * files are retractions (`_change_type = 'delete'`), rows of ADDED
+    * files are additions (`'insert'`), each stamped with its
+    * `_commit_version`. Folding the feed over the `fromVersion` snapshot
+    * (apply deletes, then inserts, per version in order) reproduces
+    * `toVersion` exactly — the subscription a downstream pipeline runs
+    * against the table the streaming sinks already write exactly-once.
+    * Versions committed by OPTIMIZE emit NOTHING: compaction rewrites
+    * layout, not rows, and the `op` field recorded at commit time says so
+    * (the same trick as Delta's CDF skipping `dataChange=false` actions).
+    * Each side reads under its OWN version's recorded schema (evolved
+    * columns null-fill via unionByName). Requires the versions involved
+    * to still be retained (not vacuumed). At 100 TB each version's diff
+    * is manifest arithmetic; only the diffed files' rows are read, which
+    * for partial merges is exactly the touched layout values. */
+  def changesBetween(spark: SparkSession, dir: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    val vs = versions(dir)
+    require(vs.contains(toVersion) || toVersion == fromVersion,
+      s"version $toVersion not published (or vacuumed) in $dir")
+    require(fromVersion == 0L || vs.contains(fromVersion),
+      s"version $fromVersion not published (or vacuumed) in $dir")
+    val window = (fromVersion +: vs.filter(v =>
+      v > fromVersion && v <= toVersion)).distinct.sorted
+    val steps = window.zip(window.tail)
+    val parts = steps.flatMap { case (prev, v) =>
+      if (opOf(dir, v) == "optimize") Seq.empty
+      else {
+        val before = if (prev == 0L) Seq.empty else filesOf(dir, prev)
+        val after = filesOf(dir, v)
+        val removed = before.filterNot(after.contains)
+        val added = after.filterNot(before.contains)
+        def side(files: Seq[String], schemaV: Long, kind: String) =
+          if (files.isEmpty) None
+          else {
+            val recorded = schemaOf(dir, schemaV)
+            val paths = files.map(f => Paths.get(dir, f).toString)
+            val df =
+              if (recorded.isEmpty) spark.read.parquet(paths: _*)
+              else spark.read
+                .schema(StructType.fromDDL(recorded.mkString(", ")))
+                .parquet(paths: _*)
+            Some(df.withColumn("_change_type", lit(kind))
+                   .withColumn("_commit_version", lit(v)))
+          }
+        side(removed, prev, "delete").toSeq ++ side(added, v, "insert").toSeq
+      }
+    }
+    parts match {
+      case Seq() =>
+        // an empty feed still needs the table's shape: current schema +
+        // the two feed columns, zero rows
+        read(spark, dir).limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0L))
+      case seq => seq.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 }

@@ -731,12 +731,14 @@ object StreamOps {
     * watermark; deletes are just absent rows in the committed version,
     * so replay-skip covers them with no extra machinery. */
   def applyCdcIntoLake(spark: SparkSession, dir: String, batch: DataFrame,
-                       keys: Seq[String], batchId: Long): Option[Long] = {
+                       keys: Seq[String], batchId: Long,
+                       sink: String = ""): Option[Long] = {
     import graft.sources.LakeTable
     // an empty micro-batch (watermark-only advance) must not re-stage
     // the whole table as a fresh version — skip without consuming the
     // batchId watermark (a later replay with rows applies normally)
-    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
+    if (LakeTable.appliedBatch(dir, sink).exists(_ >= batchId)
+        || batch.isEmpty) None
     else {
       val winner = batch
         .withColumn("_r", row_number().over(
@@ -745,34 +747,43 @@ object StreamOps {
         .filter(col("_r") === 1).drop("_r")
       val upserts = winner.filter(col("op") =!= "D").drop("op")
       val touched = winner.select(keys.map(col): _*)
-      val merged = LakeTable.currentVersion(dir) match {
-        case Some(_) =>
-          // drop EVERY touched key from the base (deletes stay gone,
-          // updates re-enter from the batch side), then add the upserts
-          LakeTable.read(spark, dir)
-            .join(touched, keys, "left_anti")
-            .unionByName(upserts)
-        case None => upserts
-      }
-      // a full-table delete would stage ZERO rows — and possibly zero
-      // part files, leaving a manifest no reader can follow (this layout
-      // keeps schema only in the files; real formats keep it in table
-      // metadata, which is what full-truncate needs). Refuse loudly at
-      // the audit instead of publishing an unreadable version.
-      val staged = LakeTable.stage(spark, dir, merged).copy(batch = Some(batchId))
-      if (staged.files.isEmpty)
-        throw new IllegalStateException(
-          "empty table after CDC apply (full-table delete needs " +
-          "schema-in-manifest support)")
-      LakeTable.audit(spark, staged) { df =>
-        val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-        if (df.isEmpty)
-          Some("empty table after CDC apply (full-table delete needs " +
+      // SERIALIZED (r9): the merge re-plans against the live version if a
+      // concurrent commit (another sink, a compaction, a batch writer)
+      // lands between the base read and the publish — the full-rewrite
+      // twin of the optimistic-concurrency check mergePartial carries
+      LakeTable.commitSerialized(dir) { base =>
+        val merged =
+          if (base == 0L) upserts
+          else
+            // drop EVERY touched key from the base (deletes stay gone,
+            // updates re-enter from the batch side), then add the upserts
+            LakeTable.readVersion(spark, dir, base)
+              .join(touched, keys, "left_anti")
+              .unionByName(upserts)
+        val st0 = LakeTable.stageAt(spark, dir, base, merged, None,
+                                    Seq.empty, Seq.empty, "cdc")
+        val st = st0.copy(batches = st0.batches + (sink -> batchId))
+        // a full-table delete would stage ZERO rows — and possibly zero
+        // part files, leaving a manifest no reader can follow (this layout
+        // keeps schema only in the files; real formats keep it in table
+        // metadata, which is what full-truncate needs). Refuse loudly at
+        // the audit instead of publishing an unreadable version.
+        if (st.files.isEmpty)
+          Left("empty table after CDC apply (full-table delete needs " +
                "schema-in-manifest support)")
-        else if (dup.isEmpty) None
-        else Some("duplicate keys after CDC apply")
+        else LakeTable.audit(spark, st) { df =>
+          val dup = df.groupBy(keys.map(col): _*).count()
+            .filter(col("count") > 1)
+          if (df.isEmpty)
+            // an empty df can still stage one zero-row part file, so the
+            // files.isEmpty guard alone does not catch a full wipe
+            Some("empty table after CDC apply (full-table delete needs " +
+                 "schema-in-manifest support)")
+          else if (dup.isEmpty) None
+          else Some("duplicate keys after CDC apply")
+        }
       } match {
-        case Right(s) => Some(LakeTable.publish(s))
+        case Right(v) => Some(v)
         case Left(reason) => throw new IllegalStateException(reason)
       }
     }
@@ -804,12 +815,14 @@ object StreamOps {
     * accumulated versions is LakeTable.optimize's job, reading through
     * the same manifest. */
   def mergeBatchIntoLake(spark: SparkSession, dir: String, batch: DataFrame,
-                         keys: Seq[String], batchId: Long): Option[Long] = {
+                         keys: Seq[String], batchId: Long,
+                         sink: String = ""): Option[Long] = {
     import graft.sources.LakeTable
     // an empty micro-batch (watermark-only advance) must not re-stage
     // the whole table as a fresh version — skip without consuming the
     // batchId watermark (a later replay with rows applies normally)
-    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
+    if (LakeTable.appliedBatch(dir, sink).exists(_ >= batchId)
+        || batch.isEmpty) None
     else {
       // per-key winner within the batch: max (ts, event_id) — determinism
       // does not depend on upstream row order
@@ -818,20 +831,25 @@ object StreamOps {
           org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
             .orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("_r") === 1).drop("_r")
-      val merged = LakeTable.currentVersion(dir) match {
-        case Some(_) =>
-          LakeTable.read(spark, dir)
+      // SERIALIZED (r9): re-plans against the live version if a
+      // concurrent commit lands between the base read and the publish
+      LakeTable.commitSerialized(dir) { base =>
+        val merged =
+          if (base == 0L) winner
+          else LakeTable.readVersion(spark, dir, base)
             .join(winner.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(winner)
-        case None => winner
-      }
-      val staged = LakeTable.stage(spark, dir, merged).copy(batch = Some(batchId))
-      LakeTable.audit(spark, staged) { df =>
-        // the upsert invariant, checked against the files AS WRITTEN
-        val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-        if (dup.isEmpty) None else Some(s"duplicate keys after merge")
+        val st0 = LakeTable.stageAt(spark, dir, base, merged, None,
+                                    Seq.empty, Seq.empty, "merge")
+        val st = st0.copy(batches = st0.batches + (sink -> batchId))
+        LakeTable.audit(spark, st) { df =>
+          // the upsert invariant, checked against the files AS WRITTEN
+          val dup = df.groupBy(keys.map(col): _*).count()
+            .filter(col("count") > 1)
+          if (dup.isEmpty) None else Some(s"duplicate keys after merge")
+        }
       } match {
-        case Right(s) => Some(LakeTable.publish(s))
+        case Right(v) => Some(v)
         case Left(reason) => throw new IllegalStateException(reason)
       }
     }
@@ -851,9 +869,11 @@ object StreamOps {
   def mergeBatchIntoLakePartial(spark: SparkSession, dir: String,
                                 batch: DataFrame, keys: Seq[String],
                                 layoutCol: String, batchId: Long,
-                                compactOver: Option[Int] = None): Option[Long] = {
+                                compactOver: Option[Int] = None,
+                                sink: String = ""): Option[Long] = {
     import graft.sources.LakeTable
-    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
+    if (LakeTable.appliedBatch(dir, sink).exists(_ >= batchId)
+        || batch.isEmpty) None
     else {
       val winner = batch
         .withColumn("_r", row_number().over(
@@ -861,7 +881,7 @@ object StreamOps {
             .orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("_r") === 1).drop("_r")
       LakeTable.mergePartial(spark, dir, winner, keys, layoutCol,
-                             Some(batchId)) { df =>
+                             Some(batchId), sink = sink) { df =>
         val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
         if (dup.isEmpty) None else Some("duplicate keys after partial merge")
       } match {
@@ -896,9 +916,11 @@ object StreamOps {
     * machinery (absent rows stay absent on skip). */
   def applyCdcIntoLakePartial(spark: SparkSession, dir: String,
                               batch: DataFrame, keys: Seq[String],
-                              layoutCol: String, batchId: Long): Option[Long] = {
+                              layoutCol: String, batchId: Long,
+                              sink: String = ""): Option[Long] = {
     import graft.sources.LakeTable
-    if (LakeTable.appliedBatch(dir).exists(_ >= batchId) || batch.isEmpty) None
+    if (LakeTable.appliedBatch(dir, sink).exists(_ >= batchId)
+        || batch.isEmpty) None
     else {
       val winner = batch
         .withColumn("_r", row_number().over(
@@ -906,7 +928,7 @@ object StreamOps {
             .orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("_r") === 1).drop("_r")
       LakeTable.applyCdcPartial(spark, dir, winner, keys, layoutCol,
-                                Some(batchId)) { df =>
+                                Some(batchId), sink = sink) { df =>
         val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
         if (dup.isEmpty) None else Some("duplicate keys after CDC apply")
       } match {

@@ -62,7 +62,7 @@ class LakeSpec extends SparkTestBase {
 
     // REPLAY: finishing the interrupted publish flips atomically from
     // entirely-v1 to entirely-v3 — the resume path after crash 2
-    LakeTable.flipPointer(dir, v3)
+    LakeTable.markPublished(dir, v3)
     assert(LakeTable.currentVersion(dir).contains(v3))
     assert(readKeys(dir) == snap(150).collect()
       .map(_.getAs[Long]("custkey")).toSet)
@@ -112,12 +112,12 @@ class LakeSpec extends SparkTestBase {
     assert(vB == 3L)
     assert(LakeTable.currentVersion(dir).contains(2L))
     assert(LakeTable.versions(dir) == Seq(1L, 2L))
-    LakeTable.flipPointer(dir, vB) // the resume path
+    LakeTable.markPublished(dir, vB) // the resume path
     assert(LakeTable.currentVersion(dir).contains(3L))
     assert(LakeTable.versions(dir) == Seq(1L, 2L, 3L))
     // and a STALE flip (a replayed epoch of the older commit) must never
     // move the pointer backwards
-    LakeTable.flipPointer(dir, 2L)
+    LakeTable.markPublished(dir, 2L)
     assert(LakeTable.currentVersion(dir).contains(3L),
       "the pointer is monotonic: a late flip of an older version is a no-op")
   }
@@ -285,7 +285,7 @@ class LakeSpec extends SparkTestBase {
     def bucketed(keyMax: Int): DataFrame =
       snap(keyMax).withColumn("band", expr("custkey div 32"))
     assert(LakeTable.commit(spark, dir, bucketed(150), Some("band"),
-                            Some("custkey"))(gate) == Right(1L))
+                            Seq("custkey"))(gate) == Right(1L))
     val all = LakeTable.currentFiles(dir)
     // the skip decision is manifest-metadata-only and must be a superset
     // of the truth: files kept for [10, 20] ⊂ all, and the pruned read
@@ -306,7 +306,7 @@ class LakeSpec extends SparkTestBase {
     // files keep their origin stats — skipping still correct on v2
     val upserts = bucketed(31).withColumn("n_orders", col("n_orders") + 7L)
     assert(LakeTable.mergePartial(spark, dir, upserts, Seq("custkey"),
-                                  "band", None, Some("custkey"))(gate)
+                                  "band", None, Seq("custkey"))(gate)
              == Right(2L))
     val kept2 = LakeTable.filesWhere(dir, "custkey", 100L, 120L)
     assert(kept2.nonEmpty && kept2.size < LakeTable.currentFiles(dir).size,

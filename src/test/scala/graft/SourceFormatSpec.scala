@@ -38,9 +38,9 @@ class SourceFormatSpec extends SparkTestBase {
       .agg(count(lit(1)).cast("long").as("n_orders"))
       .withColumn("band", expr("custkey div 32"))
     assert(LakeTable.commit(spark, dir, snap(80), Some("band"),
-                            Some("custkey"))(_ => None) == Right(1L))
+                            Seq("custkey"))(_ => None) == Right(1L))
     assert(LakeTable.commit(spark, dir, snap(150), Some("band"),
-                            Some("custkey"))(_ => None) == Right(2L))
+                            Seq("custkey"))(_ => None) == Right(2L))
     // the standard read API sees the live version, by-name schema order
     val live = spark.read.format("graft-lake").option("path", dir).load()
     assert(live.columns.toSeq == Seq("custkey", "n_orders", "band"))
