@@ -612,6 +612,84 @@ object Layout {
               s"the range filter must prune files: ${scanned.size} of " +
               s"${LakeTable.currentFiles(dir).size}")
       out
+    },
+
+    /** CDC CHANGE FEED over the lake (r9): the manifest history replayed
+      * as a retract/add stream. The table travels v1 (stale band 0) →
+      * partial MERGE (band-0 correction) → OPTIMIZE (layout rewrite) →
+      * partial CDC apply (tombstones); the query then reads
+      * [[graft.sources.LakeTable.changesBetween]] and FOLDS each
+      * version's deletes-then-inserts over the v1 snapshot with
+      * exceptAll/unionAll — the exact computation a downstream
+      * subscriber runs. The requires pin that the OPTIMIZE version
+      * contributed ZERO rows to the feed (its manifest records
+      * op=optimize — compaction moves bytes, not rows) and that the fold
+      * reproduces the live version row-for-row; the oracle computes the
+      * end state straight from `orders`, so the hash-match proves the
+      * feed loses nothing and invents nothing. At 100 TB each version's
+      * diff is manifest arithmetic and the feed reads only the files the
+      * touched layout values rewrote. */
+    OpDef(
+      "q_lake_changes",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders WHERE (o_custkey % 10) <> 3
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_feed_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val full = roll(o)
+      // v1: band 0 stale, every other band correct (the merge fixture)
+      val v1Table = full.filter(col("band") =!= 0)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(col("band") === 0))
+      require(LakeTable.commit(s, dir, v1Table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      require(LakeTable.mergePartial(s, dir, full.filter(col("band") === 0),
+                Seq("custkey"), "band")(_ => None) == Right(2L),
+              "the correction merge failed")
+      require(LakeTable.optimize(s, dir, Long.MaxValue, Seq.empty,
+                Some("band")) == Right(3L), "optimize failed")
+      val tombstones = full.filter(col("custkey") % 10 === 3)
+        .withColumn("op", lit("D"))
+      require(LakeTable.applyCdcPartial(s, dir, tombstones,
+                Seq("custkey"), "band")(_ => None) == Right(4L),
+              "the CDC apply failed")
+      val feed = LakeTable.changesBetween(s, dir, 1L, 4L)
+      require(feed.filter(col("_commit_version") === 3L).count() == 0L,
+              "the OPTIMIZE version must emit zero logical changes")
+      // the subscriber's fold: per version, retract deletes then add
+      // inserts over the v1 snapshot (exceptAll/unionAll — multiset)
+      val cols = Seq("custkey", "n_orders", "cents", "band")
+      var state = LakeTable.readVersion(s, dir, 1L).select(cols.map(col): _*)
+      for (v <- LakeTable.versions(dir).filter(_ > 1L)) {
+        val dels = feed.filter(col("_commit_version") === v
+                     && col("_change_type") === "delete")
+          .select(cols.map(col): _*)
+        val ins = feed.filter(col("_commit_version") === v
+                    && col("_change_type") === "insert")
+          .select(cols.map(col): _*)
+        state = state.exceptAll(dels).unionAll(ins)
+      }
+      require(state.exceptAll(LakeTable.read(s, dir).select(cols.map(col): _*))
+                .isEmpty
+                && LakeTable.read(s, dir).select(cols.map(col): _*)
+                     .exceptAll(state).isEmpty,
+              "the folded feed must reproduce the live version exactly")
+      state.select("custkey", "n_orders", "cents").orderBy("custkey")
     }
   )
 }

@@ -938,6 +938,45 @@ object StreamOps {
     }
   }
 
+  /** Streaming READ of the lake — behavior 35 (r9): the incremental
+    * subscription to the table the sinks above write exactly-once. The
+    * manifest history IS the change log
+    * ([[graft.sources.LakeTable.changesBetween]]): each poll hands back
+    * the retract/add rows of every version published since the persisted
+    * cursor — OPTIMIZE versions contribute nothing — and the consumer
+    * advances the cursor with [[commitLakeCursor]] only AFTER its own
+    * downstream effect commits. Crash between effect and cursor commit →
+    * the next poll REPLAYS the same window; `_commit_version` is the
+    * idempotence handle (a fold keyed on it applies each version once),
+    * so the subscription composes to exactly-once the same way the sink
+    * side does — exactly the contract a foreachBatch consumer of Delta's
+    * change-data-feed runs. At 100 TB each poll is manifest arithmetic
+    * plus a read of only the files the window's versions touched. */
+  def pollLakeChanges(spark: SparkSession, dir: String,
+                      cursorFile: String): Option[(Long, Long, DataFrame)] = {
+    import graft.sources.LakeTable
+    val p = java.nio.file.Paths.get(cursorFile)
+    val from =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+      else 0L
+    LakeTable.currentVersion(dir).filter(_ > from).map { cur =>
+      (from, cur, LakeTable.changesBetween(spark, dir, from, cur))
+    }
+  }
+
+  /** Advance the change-feed cursor — atomic (write-tmp-then-move), so a
+    * crash mid-commit leaves the old cursor and the next poll replays. */
+  def commitLakeCursor(cursorFile: String, version: Long): Unit = {
+    val p = java.nio.file.Paths.get(cursorFile)
+    val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
+    java.nio.file.Files.write(tmp, version.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

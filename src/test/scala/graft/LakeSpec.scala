@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -400,6 +402,356 @@ class LakeSpec extends SparkTestBase {
         lastVersion = v
       }
     }
+  }
+
+  test("racing partial merges, DISJOINT layout values: both effects land, loser reuses its staging") {
+    // the r8 lost update: a mergePartial loser re-manifested a carry list
+    // planned against the stale base, shadowing the winner's rewrite at
+    // the live version. r9 serializes: the loser detects the conflict at
+    // publish, re-plans its carry against the winner's version, and —
+    // because its own layout value's input files did not change — reuses
+    // its staged output verbatim (no re-stage).
+    val dir = Files.createTempDirectory("graft_lake_race_pm_").toString
+    def bucketed(keyMax: Int): DataFrame =
+      snap(keyMax).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, bucketed(150), Some("band"))(gate)
+             == Right(1L))
+    val upsX = bucketed(31).withColumn("n_orders", col("n_orders") + 1000L)
+    val upsY = bucketed(63).filter(col("band") === 1)
+      .withColumn("n_orders", col("n_orders") + 2000L)
+    // while Y sits between plan and publish, X commits band 0
+    var injected = false
+    LakeTable.testAfterPlanHook = { _ =>
+      if (!injected) {
+        injected = true
+        assert(LakeTable.mergePartial(spark, dir, upsX,
+                 Seq("custkey"), "band")(gate) == Right(2L))
+      }
+    }
+    val vY =
+      try LakeTable.mergePartial(spark, dir, upsY, Seq("custkey"), "band")(gate)
+      finally LakeTable.testAfterPlanHook = _ => ()
+    assert(injected && vY == Right(3L), s"loser must re-plan and land: $vY")
+    // NO lost update: X's band-0 rewrite is carried into Y's version
+    val v2Band0 = LakeTable.filesOf(dir, 2L)
+      .filter(f => LakeTable.layoutValueOf(f).contains("0"))
+    assert(v2Band0.nonEmpty
+             && v2Band0.forall(LakeTable.currentFiles(dir).contains),
+      "the winner's rewritten band-0 files must survive at the live version")
+    val got = LakeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    val expect = bucketed(150).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap ++
+      upsX.collect()
+        .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap ++
+      upsY.collect()
+        .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    assert(got == expect, "both racing merges' effects must be visible")
+    // the disjoint loser re-used its staging: exactly 3 staging dirs
+    // exist (v1, X, Y) — a re-stage would have minted a fourth
+    assert(Files.list(Paths.get(dir, "data")).count() == 3,
+      "an unchanged layout value's staged output must be reused on re-plan")
+  }
+
+  test("racing partial merges, SAME layout value: the loser re-merges over the winner's rewrite") {
+    val dir = Files.createTempDirectory("graft_lake_race_pm2_").toString
+    def bucketed(keyMax: Int): DataFrame =
+      snap(keyMax).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, bucketed(150), Some("band"))(gate)
+             == Right(1L))
+    // same band, different keys: X corrects keys 1..15, Y corrects 16..31
+    val upsX = bucketed(15).withColumn("n_orders", col("n_orders") + 1000L)
+    val upsY = bucketed(31).filter(col("custkey") >= 16L)
+      .withColumn("n_orders", col("n_orders") + 2000L)
+    var injected = false
+    LakeTable.testAfterPlanHook = { _ =>
+      if (!injected) {
+        injected = true
+        assert(LakeTable.mergePartial(spark, dir, upsX,
+                 Seq("custkey"), "band")(gate) == Right(2L))
+      }
+    }
+    val vY =
+      try LakeTable.mergePartial(spark, dir, upsY, Seq("custkey"), "band")(gate)
+      finally LakeTable.testAfterPlanHook = _ => ()
+    assert(injected && vY == Right(3L))
+    // the overlapping loser RE-STAGED band 0 against the winner's file
+    // (4 staging dirs: v1, X, Y's first plan, Y's re-plan), and the
+    // winner's band-0 file is gone from the live version (rewritten, not
+    // shadowed)
+    assert(Files.list(Paths.get(dir, "data")).count() == 4,
+      "an overlapping layout value must re-stage on re-plan")
+    val v2Band0 = LakeTable.filesOf(dir, 2L)
+      .filter(f => LakeTable.layoutValueOf(f).contains("0"))
+    assert(v2Band0.forall(!LakeTable.currentFiles(dir).contains(_)),
+      "the loser's re-merge must REWRITE the winner's band-0 file")
+    val got = LakeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    val expect = bucketed(150).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap ++
+      upsX.collect()
+        .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap ++
+      upsY.collect()
+        .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("n_orders")).toMap
+    assert(got == expect,
+      "keys 1..15 keep X's correction, 16..31 take Y's, the rest the base")
+  }
+
+  test("concurrent committer threads: every acknowledged merge survives serialization") {
+    // real-thread chaos over the serialized publish: T threads each run S
+    // sequential partial merges of THEIR OWN key set (bands shared, so
+    // carry lists collide constantly); after the dust settles every key
+    // must hold its owner's LAST acknowledged value — a single lost
+    // update anywhere fails the fold
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_threads_").toString
+    val T = 3; val S = 3
+    def toDf(m: Map[Long, Long]): DataFrame =
+      m.toSeq.map { case (k, n) => (k, n, k / 32) }
+        .toDF("custkey", "n_orders", "band")
+    val base = (1L to 96L).map(k => k -> 0L).toMap
+    assert(LakeTable.commit(spark, dir, toDf(base), Some("band"))(gate)
+             == Right(1L))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val threads = (0 until T).map { t =>
+      new Thread(() => {
+        try {
+          for (step <- 1 to S) {
+            val mine = base.keys.filter(_ % T == t)
+              .map(k => k -> (1000L * t + step)).toMap
+            LakeTable.mergePartial(spark, dir, toDf(mine),
+                                   Seq("custkey"), "band")(gate) match {
+              case Right(_) => ()
+              case Left(r) => errs.add(s"thread $t step $step: $r"); ()
+            }
+          }
+        } catch { case e: Throwable => errs.add(s"thread $t: $e"); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"no commit may fail: ${errs.asScala.mkString("; ")}")
+    val got = LakeTable.read(spark, dir)
+      .select("custkey", "n_orders").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = base.map { case (k, _) => k -> (1000L * (k % T) + S) }
+    assert(got == expect,
+      s"lost updates: ${expect.toSet -- got.toSet} / extra ${got.toSet -- expect.toSet}")
+  }
+
+  test("typed string stats prune files through the standard source API") {
+    // r9 ask #2: string/date/double columns are the common prune keys in
+    // practice; the manifest records typed per-file min/max for a COLUMN
+    // LIST and the graft-lake source prunes equality/range/prefix filters
+    // on them before any footer is opened
+    import graft.sources.LakeRelation
+    val dir = Files.createTempDirectory("graft_lake_str_").toString
+    val table = snap(150)
+      .withColumn("band", expr("custkey div 32"))
+      .withColumn("region", concat(lit("r"), expr("custkey div 32")))
+    assert(LakeTable.commit(spark, dir, table, Some("band"),
+                            Seq("region", "custkey"))(gate) == Right(1L))
+    val all = LakeTable.currentFiles(dir).size
+    def scanned(filter: org.apache.spark.sql.Column): (Long, Int) = {
+      val df = spark.read.format("graft-lake").option("path", dir).load()
+        .filter(filter)
+      val n = df.count()
+      (n, Option(LakeRelation.lastScanFiles.get()).map(_.size).getOrElse(-1))
+    }
+    // string equality prunes to one band's files
+    val (nEq, fEq) = scanned(col("region") === "r1")
+    assert(nEq == table.filter(col("region") === "r1").count() && nEq > 0)
+    assert(fEq < all && fEq > 0, s"string equality must prune: $fEq of $all")
+    // string range
+    val (nGe, fGe) = scanned(col("region") >= "r3")
+    assert(nGe == table.filter(col("region") >= "r3").count() && nGe > 0)
+    assert(fGe < all, s"string range must prune: $fGe of $all")
+    // string prefix (StartsWith) keeps everything that could match
+    val (nPre, fPre) = scanned(col("region").startsWith("r0"))
+    assert(nPre == table.filter(col("region").startsWith("r0")).count())
+    assert(fPre < all, s"prefix must prune: $fPre of $all")
+    // the second stats column still prunes independently (multi-column)
+    val (nRange, fRange) = scanned(col("custkey").between(10L, 20L))
+    assert(nRange == table.filter(col("custkey").between(10L, 20L)).count())
+    assert(fRange < all, s"numeric range must keep pruning: $fRange of $all")
+    // IN-list pruning
+    val (nIn, fIn) = scanned(col("region").isin("r2"))
+    assert(nIn == table.filter(col("region") === "r2").count())
+    assert(fIn < all, s"IN must prune: $fIn of $all")
+  }
+
+  test("the change feed replays manifest history; OPTIMIZE emits no logical changes") {
+    // r9 ask #3: per-version manifest diffs as retract/add rows — folding
+    // the feed over the starting snapshot reproduces the live version
+    // bit-for-bit, across a partial merge, a CDC apply (tombstone), and a
+    // compaction (which must contribute NOTHING to the feed)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_feed_").toString
+    def toDf(m: Map[Long, Long]): DataFrame =
+      m.toSeq.map { case (k, n) => (k, n, k / 32) }
+        .toDF("custkey", "n_orders", "band")
+    val base = (1L to 96L).map(k => k -> k).toMap
+    assert(LakeTable.commit(spark, dir, toDf(base), Some("band"))(gate)
+             == Right(1L))
+    assert(LakeTable.mergePartial(spark, dir,
+             toDf(Map(5L -> 500L, 40L -> 400L)),
+             Seq("custkey"), "band")(gate) == Right(2L))
+    val vOpt = LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+                                  Some("band"))
+    assert(vOpt == Right(3L))
+    val changes = Seq((7L, 0L, 7L / 32, "D"), (50L, 5000L, 50L / 32, "U"))
+      .toDF("custkey", "n_orders", "band", "op")
+    assert(LakeTable.applyCdcPartial(spark, dir, changes,
+             Seq("custkey"), "band")(gate) == Right(4L))
+    val feed = LakeTable.changesBetween(spark, dir, 1L, 4L)
+      .select("custkey", "n_orders", "band", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+                 r.getLong(4)))
+    assert(!feed.exists(_._5 == 3L),
+      "the OPTIMIZE version must emit zero logical changes")
+    // fold: per version in order, apply deletes then inserts to the
+    // starting snapshot's row multiset
+    var state = LakeTable.readVersion(spark, dir, 1L)
+      .select("custkey", "n_orders", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    feed.map(_._5).distinct.sorted.foreach { v =>
+      val dels = feed.filter(e => e._5 == v && e._4 == "delete")
+        .map(e => (e._1, e._2, e._3)).toSet
+      val ins = feed.filter(e => e._5 == v && e._4 == "insert")
+        .map(e => (e._1, e._2, e._3)).toSet
+      state = state -- dels ++ ins
+    }
+    val live = LakeTable.read(spark, dir)
+      .select("custkey", "n_orders", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state == live, "the folded feed must reproduce the live version")
+    assert(!state.exists(_._1 == 7L), "the tombstone must fold as a delete")
+    assert(state.contains((50L, 5000L, 1L)), "the CDC upsert must fold in")
+    // an empty window yields a zero-row frame with the feed columns
+    assert(LakeTable.changesBetween(spark, dir, 4L, 4L).count() == 0L)
+  }
+
+  test("the live version is derived from disk alone: no pointer file, fresh views agree") {
+    // r9 ask #4: there is no stored _latest — a crash between claim and
+    // mark leaves a state ANY fresh process view resolves identically by
+    // listing immutable names
+    val dir = Files.createTempDirectory("graft_lake_derived_").toString
+    assert(LakeTable.commit(spark, dir, snap(50))(gate) == Right(1L))
+    assert(LakeTable.commit(spark, dir, snap(80))(gate) == Right(2L))
+    assert(!Files.exists(Paths.get(dir, "_latest")),
+      "no pointer file may exist: the live version is derived")
+    val v3 = LakeTable.writeManifest(LakeTable.stage(spark, dir, snap(100)))
+    // CRASH before the marker: a fresh view (the standard source API,
+    // which re-derives everything from the directory) still reads v2
+    assert(spark.read.format("graft-lake").option("path", dir).load()
+             .count() == snap(80).count(),
+      "a fresh process view must resolve the last MARKED version")
+    assert(LakeTable.versions(dir) == Seq(1L, 2L))
+    // resume: marking completes the interrupted publish; a fresh view
+    // flips to v3 with no other state
+    assert(LakeTable.markPublished(dir, v3))
+    assert(spark.read.format("graft-lake").option("path", dir).load()
+             .count() == snap(100).count())
+  }
+
+  test("vacuum racing an in-flight commit fails the publish loudly, not the table") {
+    val dir = Files.createTempDirectory("graft_lake_vacrace_").toString
+    assert(LakeTable.commit(spark, dir, snap(50))(gate) == Right(1L))
+    val claimed = LakeTable.writeManifest(LakeTable.stage(spark, dir, snap(80)))
+    // the admin op reclaims the claimed-but-unmarked manifest
+    LakeTable.vacuum(dir, keepVersions = 1)
+    assert(!Files.exists(Paths.get(dir, s"manifest-v$claimed.json")))
+    // the committer's mark step must FAIL rather than publish a version
+    // whose manifest is gone (the r8 hazard: a pointer to a deleted
+    // manifest broke every read of the table)
+    intercept[IllegalStateException] { LakeTable.markPublished(dir, claimed) }
+    assert(LakeTable.currentVersion(dir).contains(1L))
+    assert(readKeys(dir) == snap(50).collect()
+      .map(_.getAs[Long]("custkey")).toSet,
+      "the table must stay intact after the failed publish")
+  }
+
+  test("a CDC delete whose layout value lies is rejected (ghost undelete)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_ghost_").toString
+    def bucketed(keyMax: Int): DataFrame =
+      snap(keyMax).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, bucketed(150), Some("band"))(gate)
+             == Right(1L))
+    // key 40 lives under band 1, but the change row CLAIMS band 0: only
+    // band 0 rewrites, the stale row survives in a carried band-1 file —
+    // the audit must catch the ghost instead of publishing it
+    val lying = Seq((40L, 0L, 0L, "D")).toDF("custkey", "n_orders", "band", "op")
+    val r = LakeTable.applyCdcPartial(spark, dir, lying,
+                                      Seq("custkey"), "band")(gate)
+    assert(r.isLeft && r.swap.exists(_.contains("ghost undelete")),
+      s"the lying tombstone must fail the audit: $r")
+    assert(LakeTable.currentVersion(dir).contains(1L))
+    // the honest tombstone (correct band) applies cleanly
+    val honest = Seq((40L, 0L, 40L / 32, "D")).toDF("custkey", "n_orders", "band", "op")
+    assert(LakeTable.applyCdcPartial(spark, dir, honest,
+             Seq("custkey"), "band")(gate) == Right(2L))
+    assert(!readKeys(dir).contains(40L))
+  }
+
+  test("Append evolves the schema deterministically; all-null stats don't crash") {
+    val dir = Files.createTempDirectory("graft_lake_appschema_").toString
+    snap(50).write.format("graft-lake").option("path", dir).save()
+    // the appended batch ADDS a column: the manifest must record the
+    // UNION schema deterministically (base order first, new column
+    // appended), and every read must null-fill the old files — not
+    // depend on which footer the reader happened to open first (the r8
+    // nondeterministic-schema bug)
+    val widened = snap(80).filter(col("custkey") > 50L)
+      .withColumn("flagged", col("n_orders") > lit(5L))
+    widened.write.format("graft-lake").option("path", dir)
+      .mode("append").save()
+    assert(LakeTable.currentSchema(dir).map(_.split(" ")(0))
+             == Seq("custkey", "n_orders", "flagged"),
+      s"union schema, base order first: ${LakeTable.currentSchema(dir)}")
+    val rows = LakeTable.read(spark, dir).collect()
+    assert(rows.length == snap(80).count().toInt)
+    assert(rows.filter(_.getAs[Long]("custkey") <= 50L)
+             .forall(_.isNullAt(2)),
+      "pre-evolution rows must null-fill the added column on every read")
+    // a type change smuggled through Append is still rejected
+    intercept[IllegalStateException] {
+      snap(90).withColumn("n_orders", col("n_orders").cast("int"))
+        .write.format("graft-lake").option("path", dir).mode("append").save()
+    }
+    // an all-null stats column records no entry and prunes nothing —
+    // and doesn't NPE the stats pass (the r8 crash)
+    val dir2 = Files.createTempDirectory("graft_lake_nullstats_").toString
+    val withNull = snap(50).withColumn("maybe", lit(null).cast("long"))
+    assert(LakeTable.commit(spark, dir2, withNull, None,
+                            Seq("maybe", "custkey"))(gate) == Right(1L))
+    assert(LakeTable.filesWhere(dir2, "maybe", 0L, 0L).size
+             == LakeTable.currentFiles(dir2).size,
+      "missing stats must keep every file")
+    assert(LakeTable.read(spark, dir2).count() == snap(50).count())
+  }
+
+  test("racing appends both keep both file sets") {
+    // the ADVICE medium: two appends race; the loser's manifest must not
+    // omit the winner's acknowledged files
+    val dir = Files.createTempDirectory("graft_lake_appendrace_").toString
+    snap(30).write.format("graft-lake").option("path", dir).save()
+    var injected = false
+    LakeTable.testAfterPlanHook = { _ =>
+      if (!injected) {
+        injected = true
+        snap(60).filter(col("custkey") > 30L)
+          .write.format("graft-lake").option("path", dir).mode("append").save()
+      }
+    }
+    try
+      snap(90).filter(col("custkey") > 60L)
+        .write.format("graft-lake").option("path", dir).mode("append").save()
+    finally LakeTable.testAfterPlanHook = _ => ()
+    assert(injected)
+    assert(readKeys(dir) == snap(90).collect()
+             .map(_.getAs[Long]("custkey")).toSet,
+      "no appended batch may vanish under a racing append")
   }
 
   test("the audit reads the staged bytes as written, not the logical plan") {

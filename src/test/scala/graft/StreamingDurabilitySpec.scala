@@ -384,6 +384,86 @@ class StreamingDurabilitySpec extends SparkTestBase {
       "the last good version must stay readable")
   }
 
+  test("two concurrent streaming sinks on one lake table keep independent watermarks") {
+    // r9 ask #7: behaviors 33/34 under TWO writers — each sink rides its
+    // own named watermark in the shared manifest (one sink's commit
+    // carries the other's forward), partial merges serialize through the
+    // conflict-checked publish, and each sink's crash-replay consults
+    // ONLY its own watermark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val ctx = spark.sqlContext
+    val lake = Files.createTempDirectory("graft_lake_2sinks_").toString
+    val chkA = Files.createTempDirectory("graft_chk_sinka_").toString
+    val chkB = Files.createTempDirectory("graft_chk_sinkb_").toString
+    val msA = MemoryStream[Event]
+    val msB = MemoryStream[Event]
+    val crashA = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def startA() = msA.toDF().writeStream
+      .option("checkpointLocation", chkA)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.mergeBatchIntoLakePartial(spark, lake,
+          b.withColumn("band", expr("user_id div 32")),
+          Seq("user_id"), "band", id, None, sink = "a")
+        // crash AFTER publish, BEFORE the WAL commit: the replay must
+        // skip via sink a's OWN watermark
+        if (id == 1 && crashA.compareAndSet(false, true))
+          throw new RuntimeException("injected post-publish failure")
+      }
+      .start()
+    def startB() = msB.toDF().writeStream
+      .option("checkpointLocation", chkB)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.mergeBatchIntoLakePartial(spark, lake,
+          b.withColumn("band", expr("user_id div 32")),
+          Seq("user_id"), "band", id, None, sink = "b")
+        ()
+      }
+      .start()
+    var qA = startA()
+    val qB = startB()
+    // sink a owns band 0 (users < 32), sink b band 1 (users 32..63):
+    // disjoint layout values, one shared table
+    msA.addData(ev(1, "2024-01-01 10:00:00", 1, "ins", 1.0),
+                ev(2, "2024-01-01 10:00:10", 2, "ins", 2.0))
+    qA.processAllAvailable() // a: epoch 0
+    msB.addData(ev(10, "2024-01-01 10:00:20", 40, "ins", 40.0))
+    qB.processAllAvailable() // b: epoch 0 — must CARRY a's watermark
+    assert(graft.sources.LakeTable.appliedBatch(lake, "a").contains(0L),
+      "sink b's commit must carry sink a's watermark forward")
+    assert(graft.sources.LakeTable.appliedBatch(lake, "b").contains(0L))
+    msA.addData(ev(3, "2024-01-01 10:01:00", 1, "upd", 9.0))
+    intercept[Exception] { qA.processAllAvailable() } // a: epoch 1 crashes post-publish
+    qA.stop()
+    val vAfterCrash = graft.sources.LakeTable.currentVersion(lake)
+    // b commits while a is down — advances b's watermark only
+    msB.addData(ev(11, "2024-01-01 10:01:10", 41, "ins", 41.0))
+    qB.processAllAvailable()
+    assert(graft.sources.LakeTable.appliedBatch(lake, "a").contains(1L),
+      "a's published-but-uncommitted epoch watermark must survive b's commit")
+    assert(graft.sources.LakeTable.appliedBatch(lake, "b").contains(1L))
+    qA = startA() // replay a's epoch 1: its own watermark says applied → skip
+    qA.processAllAvailable()
+    assert(graft.sources.LakeTable.currentVersion(lake)
+             == vAfterCrash.map(_ + 1),
+      "a's replayed epoch must skip; only b's commit adds a version")
+    // both sinks keep flowing after the replay
+    msA.addData(ev(4, "2024-01-01 10:02:00", 2, "upd", 8.0))
+    qA.processAllAvailable()
+    msB.addData(ev(12, "2024-01-01 10:02:10", 40, "upd", 44.0))
+    qB.processAllAvailable()
+    qA.stop(); qB.stop()
+    assert(crashA.get, "fault injection never fired")
+    val rows = graft.sources.LakeTable.read(spark, lake)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 3L, 9.0), (2L, 4L, 8.0),
+                       (40L, 12L, 44.0), (41L, 11L, 41.0)),
+      s"the two sinks' folds must both land exactly once: $rows")
+    assert(graft.sources.LakeTable.appliedBatch(lake, "a").contains(2L))
+    assert(graft.sources.LakeTable.appliedBatch(lake, "b").contains(2L))
+  }
+
   test("RocksDB state store backend produces the same results") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

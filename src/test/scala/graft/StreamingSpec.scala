@@ -1021,4 +1021,81 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(n == 2L)
   }
+
+  test("behavior 35: lake change-feed subscription folds to the live table across crash-replay") {
+    // the streaming READ of the lake (r9 ask #3): a consumer subscribes
+    // to the manifest history via pollLakeChanges, applies each version's
+    // retract/add rows keyed on _commit_version (the idempotence handle),
+    // and commits its cursor only after its own effect lands. A crash
+    // between effect and cursor commit replays the window; the keyed fold
+    // makes the replay a no-op. Across a partial merge, an OPTIMIZE
+    // (which must contribute NOTHING), and a CDC tombstone, the streamed
+    // fold must equal the batch read of the live version.
+    import spark.implicits._
+    import graft.sources.LakeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_sub_").toString
+    val cursor = java.nio.file.Files
+      .createTempDirectory("graft_feed_cur_").toString + "/cursor"
+    def toDf(m: Map[Long, Long]) =
+      m.toSeq.map { case (k, n) => (k, n, k / 32) }
+        .toDF("custkey", "n_orders", "band")
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      if (df.isEmpty) Some("empty") else None
+
+    // the consumer: a keyed fold with per-version idempotence
+    var state = Set.empty[(Long, Long, Long)]
+    val applied = scala.collection.mutable.Set.empty[Long]
+    var optRows = 0L
+    def consume(commitCursor: Boolean): Unit =
+      StreamOps.pollLakeChanges(spark, dir, cursor).foreach {
+        case (_, to, changes) =>
+          val rows = changes
+            .select("custkey", "n_orders", "band", "_change_type",
+                    "_commit_version").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                       r.getString(3), r.getLong(4)))
+          rows.map(_._5).distinct.sorted.foreach { v =>
+            if (!applied.contains(v)) {
+              applied += v
+              val dels = rows.filter(e => e._5 == v && e._4 == "delete")
+                .map(e => (e._1, e._2, e._3)).toSet
+              val ins = rows.filter(e => e._5 == v && e._4 == "insert")
+                .map(e => (e._1, e._2, e._3)).toSet
+              state = state -- dels ++ ins
+            }
+          }
+          if (commitCursor) StreamOps.commitLakeCursor(cursor, to)
+      }
+
+    val base = (1L to 96L).map(k => k -> k).toMap
+    assert(LakeTable.commit(spark, dir, toDf(base), Some("band"))(gate)
+             == Right(1L))
+    consume(commitCursor = true) // v1 snapshot arrives as inserts
+    assert(state.size == 96)
+    assert(LakeTable.mergePartial(spark, dir, toDf(Map(5L -> 500L)),
+             Seq("custkey"), "band")(gate) == Right(2L))
+    consume(commitCursor = false) // CRASH: effect applied, cursor stale
+    assert(state.contains((5L, 500L, 0L)), "the merge must fold in")
+    val vOpt = LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+                                  Some("band"))
+    assert(vOpt == Right(3L))
+    val changes = Seq((7L, 0L, 7L / 32, "D")).toDF("custkey", "n_orders", "band", "op")
+    assert(LakeTable.applyCdcPartial(spark, dir, changes,
+             Seq("custkey"), "band")(gate) == Right(4L))
+    // replayed window covers v2 (already applied — idempotent skip),
+    // v3 (optimize — zero rows by construction), v4 (the tombstone)
+    optRows = {
+      val feed = LakeTable.changesBetween(spark, dir, 1L, 4L)
+      feed.filter(col("_commit_version") === 3L).count()
+    }
+    assert(optRows == 0L, "OPTIMIZE must contribute nothing to the feed")
+    consume(commitCursor = true)
+    val live = LakeTable.read(spark, dir)
+      .select("custkey", "n_orders", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state == live,
+      "the streamed fold must equal the batch read after crash-replay")
+    assert(StreamOps.pollLakeChanges(spark, dir, cursor).isEmpty,
+      "a committed cursor at the live version polls nothing")
+  }
 }
