@@ -75,12 +75,21 @@ object Bench {
                catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // calm gauge (r8 verdict ask #8): one fixed cheap query measured
+    // before and after the sweep — the ambient-contention yardstick a
+    // round-over-round reader normalizes sub-second deltas against
+    // (BASELINE.md documents ±20–40% host drift between runs)
+    def gauge(): Double = SparkEntry.queries.get("q_join_inner")
+      .map(fn => measure("q_join_inner", fn)._1).getOrElse(-1.0)
+    val gaugeStart = gauge()
     val first = selected.map { case (name, fn) => (name, measure(name, fn)) }
     // the shared host stalls in multi-second bands (observed: a contiguous
     // alphabetical run at 15–23x while the rest of the same run sat at
     // ambient); re-measure only the outliers — a query 3x over the run's
-    // median and over 1 s — once, and keep the min. A genuine heavy query
-    // re-measures to the same value (one bounded extra run); a stall
+    // median and over 1 s — and keep the MIN OF 3 runs (r8 verdict ask
+    // #8: one re-run still landed inside a stall band often enough to
+    // make round-over-round deltas unreadable). A genuine heavy query
+    // re-measures to the same value (two bounded extra runs); a stall
     // victim recovers its real cost. Median is over SUCCESSFUL runs only.
     val med = {
       val s = first.collect { case (_, (t, true)) => t }.sorted
@@ -89,9 +98,12 @@ object Bench {
     val fnOf = selected.toMap
     val results = first.map { case (name, (t, ok)) =>
       if (ok && t > math.max(1.0, 3.0 * med))
-        (name, math.min(t, measure(name, fnOf(name))._1), ok, true)
+        (name,
+         Seq(t, measure(name, fnOf(name))._1, measure(name, fnOf(name))._1).min,
+         ok, true)
       else (name, t, ok, false)
     }
+    val gaugeEnd = gauge()
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -106,6 +118,8 @@ object Bench {
          |"n_queries":${results.length},
          |"graph_warm_sec":${r3(graphWarmSec)},
          |"doc_warm_sec":${r3(docWarmSec)},
+         |"calm_gauge_start_sec":${r3(gaugeStart)},
+         |"calm_gauge_end_sec":${r3(gaugeEnd)},
          |"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"remeasured":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":$qs}""".stripMargin.replace("\n", "")

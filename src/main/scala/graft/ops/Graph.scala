@@ -518,7 +518,22 @@ object Graph {
       * min — work per round ∝ frontier × degree, never |V|², and the
       * depth cap bounds the loop at any scale. Deterministic (hop counts
       * and lexicographic seed) ⇒ oracle-checked against DuckDB's
-      * recursive UNION-distinct BFS. */
+      * recursive UNION-distinct BFS.
+      *
+      * COST FLOOR (r9 ask #5, ProfileBfs at sf0.1, warm, agreement-pinned):
+      * this spelling 3.8–4.2 s; explicit-frontier semi-naive (newly-reached
+      * = distinct ∘ anti-join settled, NO per-round re-aggregation) 4.35 s
+      * with per-round checkpoints and 6.19 s with every-other-round — the
+      * anti-join + distinct cost MORE stages than the groupBy-min they
+      * replace at this fixture, where fixed per-stage overhead dominates
+      * (the cold first run is 14.9 s vs 3.8 s warm: codegen + the memoized
+      * graph base, not data). Distance DOUBLING (3 rounds over 2-hop
+      * edges) is rejected on scale grounds, not fixture grounds: the
+      * bipartite 2-hop projection is |E|²/|V|-sized — the classic
+      * co-purchase blowup — so the plan that wins at 1,600 nodes would be
+      * the one that dies at 100 TB. Earlier ladder (r7/r8): per-round
+      * emptiness count 7.1→10.1 s, fully-lazy lineage 21.6 s. This plan is
+      * the measured floor among scale-safe spellings. */
     OpDef(
       "q_graph_bfs",
       """WITH RECURSIVE pe AS (

@@ -191,19 +191,24 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long])
     else LakeTable.readVersion(ctx.sparkSession, dir, version).schema
   }
 
-  /** The V1 source-boundary tax, measured (r9 ask #6, sf0.1, local[32],
-    * median of 3 on the q_lake_source fixture — the same predicate
-    * through three paths):
-    *   direct `LakeTable.readVersion` + filter . . . . . ~0.55 s
-    *   this source (pruned scan, `.rdd` exit)  . . . . . ~0.62 s
-    *   this source with pruning disabled . . . . . . . . ~0.74 s
-    * The `.rdd` conversion costs ~0.07 s (~13%) at this row count — real
-    * but NOT the dominant term (manifest I/O + commit protocol dominate
-    * the lake queries; pruning pays for the boundary by itself). Decision:
-    * keep V1 — a DSv2 shell would buy back the boundary only by
-    * re-implementing the vectorized parquet read it currently delegates,
-    * and the boundary cost scales with ROWS RETURNED (already post-prune,
-    * post-pushdown), not table size, so it stays minor at 100 TB. */
+  /** The V1 source-boundary tax, MEASURED (r9 ask #6; ProfileLakeTax,
+    * sf0.1 rollup fixture, local[32], median of 5 after warm-up — the
+    * same band-range predicate + aggregate through three paths):
+    *   direct `LakeTable.read` + filter . . . . . . . .  0.196 s
+    *   this source (pruned scan, `.rdd` exit)  . . . . . 0.199 s
+    *   same scan shape over ALL files (no pruning) . . . 0.181 s
+    * The `.rdd` conversion costs ~0.003 s (≈2%) — NOISE at this fixture;
+    * the 1.70 s the r8 bench showed for q_lake_source is the query's TWO
+    * full commit protocols plus requires, not the scan boundary. The
+    * no-prune run ties because the fixture is 8 small files; pruning's
+    * value is manifest-metadata scaling (decisions per FILE, not per
+    * byte), which a local fixture cannot surface. Decision: keep V1 — a
+    * DSv2 shell would buy back a 2% boundary only by re-implementing the
+    * vectorized parquet read this delegates to, and the boundary cost
+    * scales with rows RETURNED (post-prune, post-pushdown), not table
+    * size, so it stays minor at 100 TB. Re-measure if a consumer ever
+    * pulls wide unaggregated rows through the source in bulk — that is
+    * the one shape where external-Row conversion dominates. */
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val stats = LakeTable.statsOf(dir, version)

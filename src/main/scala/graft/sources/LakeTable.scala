@@ -784,8 +784,15 @@ object LakeTable {
              statsBy: Seq[String] = Seq.empty)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     Files.createDirectories(Paths.get(dir))
-    audit(spark, stage(spark, dir, df, layoutBy, Seq.empty, statsBy))(check)
-      .map(publish)
+    // overwrite carries nothing, so a conflict re-plan is just re-anchoring
+    // the SAME staged files to the new base (no re-stage) — serialized so
+    // a concurrent carry-committer's fence can never silently swallow an
+    // acknowledged overwrite (the raw stage/publish seams stay available
+    // for the crash-replay tests)
+    val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
+    commitSerialized(dir) { base =>
+      audit(spark, assemble(dir, base, fresh, Seq.empty, "overwrite"))(check)
+    }
   }
 
   /** Zero-rewrite APPEND: the new version's manifest carries every live
@@ -983,25 +990,32 @@ object LakeTable {
   def optimize(spark: SparkSession, dir: String, targetRows: Long,
                clusterBy: Seq[String],
                layoutBy: Option[String] = None,
-               statsBy: Seq[String] = Seq.empty): Either[String, Long] = {
-    val base = read(spark, dir)
-    val n = base.count()
-    val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
-    val laid = layoutBy match {
-      // layout-preserving compaction: one shuffle keyed on the layout
-      // column makes partitionBy write ONE file per layout value, so
-      // later partial merges keep their prune metadata
-      case Some(c) => base.repartition(col(c))
-      case None if clusterBy.isEmpty => base.coalesce(bins)
-      case None => base.repartitionByRange(bins, clusterBy.map(col): _*)
+               statsBy: Seq[String] = Seq.empty): Either[String, Long] =
+    // SERIALIZED with a full re-plan on conflict: a compaction is a
+    // whole-table rewrite of a SNAPSHOT, so publishing one planned
+    // against a base that moved would silently undo the interleaved
+    // commit's rows — the stalest lost update of all. On conflict the
+    // rewrite re-reads the new base (data changed; nothing staged is
+    // reusable by construction).
+    commitSerialized(dir) { base =>
+      val snap = readVersion(spark, dir, base)
+      val n = snap.count()
+      val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
+      val laid = layoutBy match {
+        // layout-preserving compaction: one shuffle keyed on the layout
+        // column makes partitionBy write ONE file per layout value, so
+        // later partial merges keep their prune metadata
+        case Some(c) => snap.repartition(col(c))
+        case None if clusterBy.isEmpty => snap.coalesce(bins)
+        case None => snap.repartitionByRange(bins, clusterBy.map(col): _*)
+      }
+      audit(spark, stageAt(spark, dir, base, laid, layoutBy, Seq.empty,
+                           statsBy, "optimize")) { df =>
+        val m = df.count()
+        if (m == n) None
+        else Some(s"compaction must conserve rows: $n before, $m after")
+      }
     }
-    audit(spark, stage(spark, dir, laid, layoutBy, Seq.empty, statsBy)
-                   .copy(op = "optimize")) { df =>
-      val m = df.count()
-      if (m == n) None
-      else Some(s"compaction must conserve rows: $n before, $m after")
-    }.map(publish)
-  }
 
   // ---- change feed (r9) -------------------------------------------------
 
