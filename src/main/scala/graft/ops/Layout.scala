@@ -671,23 +671,29 @@ object Layout {
       val feed = LakeTable.changesBetween(s, dir, 1L, 4L)
       require(feed.filter(col("_commit_version") === 3L).count() == 0L,
               "the OPTIMIZE version must emit zero logical changes")
-      // the subscriber's fold: per version, retract deletes then add
-      // inserts over the v1 snapshot (exceptAll/unionAll — multiset)
+      // the subscriber's fold in its ASSOCIATIVE form: final multiplicity
+      // of a row = v1 count + Σ inserts − Σ deletes (retractions in this
+      // feed only ever remove rows that exist, so the per-version order
+      // drops out of the END state — the one aggregation a subscriber
+      // materializing only the final table runs; the order-sensitive
+      // per-version replay is LakeSpec's pin). One shuffle instead of a
+      // per-version exceptAll chain — and the shape that holds at any
+      // version count.
       val cols = Seq("custkey", "n_orders", "cents", "band")
-      var state = LakeTable.readVersion(s, dir, 1L).select(cols.map(col): _*)
-      for (v <- LakeTable.versions(dir).filter(_ > 1L)) {
-        val dels = feed.filter(col("_commit_version") === v
-                     && col("_change_type") === "delete")
-          .select(cols.map(col): _*)
-        val ins = feed.filter(col("_commit_version") === v
-                    && col("_change_type") === "insert")
-          .select(cols.map(col): _*)
-        state = state.exceptAll(dels).unionAll(ins)
-      }
-      require(state.exceptAll(LakeTable.read(s, dir).select(cols.map(col): _*))
-                .isEmpty
-                && LakeTable.read(s, dir).select(cols.map(col): _*)
-                     .exceptAll(state).isEmpty,
+      def w(df: DataFrame, weight: Int) =
+        df.select(cols.map(col): _*).withColumn("_w", lit(weight))
+      val state = w(LakeTable.readVersion(s, dir, 1L), 1)
+        .unionAll(w(feed.filter(col("_change_type") === "insert"), 1))
+        .unionAll(w(feed.filter(col("_change_type") === "delete"), -1))
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col("_w")).as("_m"))
+        .filter(col("_m") > 0)
+        .select(cols.map(col): _*)
+      // fold == live, checked as one signed-multiplicity aggregation
+      require(w(state, 1).unionAll(w(LakeTable.read(s, dir), -1))
+                .groupBy(cols.map(col): _*)
+                .agg(sum(col("_w")).as("_m"))
+                .filter(col("_m") =!= 0).isEmpty,
               "the folded feed must reproduce the live version exactly")
       state.select("custkey", "n_orders", "cents").orderBy("custkey")
     }

@@ -411,9 +411,11 @@ object LlmOps {
       .mkString(" + ")
     // bucket-groupBy like [[minhashPairs]]: docs sharing a 12-bit band
     // value land in one bucket via a single shuffle (the self-join
-    // formulation shuffled the banded table twice and needed a cache),
-    // and the exact Hamming check runs map-side on the bucket's pairs.
-    val banded = agg0.select(col("doc_id"), expr(simExpr).as("simhash")).cache()
+    // formulation shuffled the banded table twice and needed a cache;
+    // this single-consumer pipeline does not — the vestigial cache
+    // measured perf-neutral at sf0.1 (r9) and was dropped: zero reuse,
+    // and it sat in the cache manager against the hygiene ratchet).
+    val banded = agg0.select(col("doc_id"), expr(simExpr).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), 12 * i).bitwiseAND(lit(4095L))): _*))
