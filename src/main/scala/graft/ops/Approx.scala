@@ -1412,6 +1412,123 @@ object Approx {
                   Det.r4(col("n_hits") * lit(1.0) / lit(5)).as("recall"))
       }
       perP.reduce(_.unionAll(_)).orderBy("probes", "qid")
+    },
+
+    /** Retrieval-quality metric sheet (r9): Precision@10, MRR, and
+      * NDCG@10 of the 64× COMPRESSED retriever (sign-bit Hamming ranking,
+      * q_sim_hamming's signatures) against the exact-cosine top-10 truth
+      * — the standard eval triplet a RAG / semantic-dedup deployment
+      * tunes against, complementing q_eval_ann's recall-vs-probes curve
+      * (recall says WHETHER the truth set was found; NDCG says whether it
+      * surfaced in the right ORDER). Graded relevance = 11 − exact rank.
+      * Both rankings are fully deterministic (r6-rounded dots / integer
+      * Hamming, id tie-breaks) ⇒ oracle-checked; each per-rank DCG term
+      * is nano-quantized to BIGINT before the sum so accumulation order
+      * can never perturb the score (the rolling-corr discipline), and
+      * IDCG is the same integer formula over ranks 1..10. Scale: truth
+      * and retrieval are both broadcast-query × corpus scans (bounded by
+      * the query set), the metric join is queries×k rows. */
+    OpDef(
+      "q_eval_retrieval",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |xs AS (
+        |  SELECT qid, vec_id,
+        |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM q JOIN e ON qid <> vec_id),
+        |truth AS (
+        |  SELECT qid, vec_id, rn AS trank FROM (
+        |    SELECT qid, vec_id,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+        |    FROM xs)
+        |  WHERE rn <= 10),
+        |p AS (
+        |  SELECT vec_id,
+        |    bit_or(CASE WHEN e <= 0 THEN CAST(0 AS BIGINT)
+        |           WHEN i = 64 THEN (-9223372036854775807 - 1)
+        |           ELSE (CAST(1 AS BIGINT) << (i - 1)) END) AS sig
+        |  FROM (SELECT vec_id, unnest(embedding) AS e,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings) u
+        |  GROUP BY vec_id),
+        |qs AS (SELECT vec_id AS qid, sig AS qsig FROM p WHERE vec_id < 8),
+        |ret AS (
+        |  SELECT qid, vec_id, rrank FROM (
+        |    SELECT qs.qid, p.vec_id,
+        |      CAST(row_number() OVER (PARTITION BY qs.qid
+        |        ORDER BY bit_count(xor(qs.qsig, p.sig)), p.vec_id)
+        |        AS BIGINT) AS rrank
+        |    FROM qs JOIN p ON qs.qid <> p.vec_id)
+        |  WHERE rrank <= 10),
+        |g AS (
+        |  SELECT r.qid, r.rrank, COALESCE(11 - t.trank, 0) AS rel,
+        |    CAST(floor(COALESCE(11 - t.trank, 0) / log2(r.rrank + 1)
+        |               * 1000000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM ret r LEFT JOIN truth t
+        |    ON t.qid = r.qid AND t.vec_id = r.vec_id),
+        |idcg AS (
+        |  SELECT sum(CAST(floor((11 - i) / log2(i + 1)
+        |                        * 1000000000.0 + 0.5) AS BIGINT)) AS v
+        |  FROM (SELECT unnest(range(1, 11)) AS i)),
+        |a AS (
+        |  SELECT qid,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    sum(term) AS dcg_q,
+        |    min(CASE WHEN rel > 0 THEN rrank END) AS br
+        |  FROM g GROUP BY qid)
+        |SELECT qid, n_hits,
+        |  floor(n_hits / 10.0 * 10000.0 + 0.5) / 10000.0 AS p_at_10,
+        |  CAST(COALESCE(br, 0) AS BIGINT) AS best_rank,
+        |  floor((CASE WHEN br IS NULL THEN 0.0 ELSE 1.0 / br END)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+        |  floor(dcg_q / (SELECT v FROM idcg) * 10000.0 + 0.5) / 10000.0
+        |    AS ndcg_10
+        |FROM a ORDER BY qid""".stripMargin
+    ) { (s, d) =>
+      val k = 10
+      val truth = graft.ops.LlmOps
+        .cosineTopK(embeddings(s, d), col("vec_id") < 8, k)
+        .select(col("qid"), col("vec_id"), col("rn").as("trank"))
+      val packed = embeddings(s, d).select(col("vec_id"), expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (a, i) -> a | CASE WHEN element_at(embedding, i + 1) > 0
+          |    THEN shiftleft(CAST(1 AS BIGINT), i)
+          |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("sig"))
+      val q = packed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      val retrieved = packed.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+                bit_count(col("qsig").bitwiseXOR(col("sig")))
+                  .cast("int").as("dist"))
+        .withColumn("rrank", row_number().over(w).cast("long"))
+        .filter(col("rrank") <= k)
+      val idcg = expr(
+        """aggregate(sequence(1, 10), CAST(0 AS BIGINT),
+          |  (a, i) -> a + CAST(floor((11 - i) / log2(i + 1)
+          |                           * 1000000000.0 + 0.5) AS BIGINT))"""
+          .stripMargin)
+      retrieved.join(truth, Seq("qid", "vec_id"), "left")
+        .withColumn("rel", coalesce(lit(11L) - col("trank"), lit(0L)))
+        .withColumn("term",
+          floor(col("rel") / log2(col("rrank") + lit(1))
+                  * lit(1000000000.0) + lit(0.5)).cast("long"))
+        .groupBy("qid")
+        .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long")
+               .as("n_hits"),
+             sum(col("term")).as("dcg_q"),
+             min(when(col("rel") > 0, col("rrank"))).as("br"))
+        .select(col("qid"), col("n_hits"),
+                Det.r4(col("n_hits") / lit(10.0)).as("p_at_10"),
+                coalesce(col("br"), lit(0L)).as("best_rank"),
+                Det.r6(when(col("br").isNotNull, lit(1.0) / col("br"))
+                         .otherwise(lit(0.0))).as("mrr"),
+                Det.r4(col("dcg_q") / idcg.cast("double")).as("ndcg_10"))
+        .orderBy("qid")
     }
   )
 

@@ -696,6 +696,105 @@ object Layout {
                 .filter(col("_m") =!= 0).isEmpty,
               "the folded feed must reproduce the live version exactly")
       state.select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
+    /** RESTORE to an earlier version (r9) — Delta's `RESTORE TABLE ...
+      * VERSION AS OF` as pure manifest arithmetic: v1 commits the correct
+      * rollup, v2 OVERWRITES it with corrupted numbers (the bad deploy),
+      * and [[graft.sources.LakeTable.restore]] re-publishes v1's exact
+      * file list as v3 — ZERO data movement (requires pin file-list
+      * identity), the corrupted v2 stays time-travel-readable for
+      * forensics, and the change feed replays the restore as the
+      * retract/add pair it logically is. The oracle computes the correct
+      * rollup straight from `orders`, so the hash-match proves the
+      * restore returned the table to exactly the pre-corruption bytes. */
+    OpDef(
+      "q_lake_restore",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_restore_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      val good = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      require(LakeTable.commit(s, dir, good, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val v1Files = LakeTable.currentFiles(dir)
+      // the bad deploy: every count corrupted, published as v2
+      require(LakeTable.commit(s, dir,
+                good.withColumn("n_orders", col("n_orders") + lit(999L)),
+                Some("band"))(_ => None) == Right(2L), "v2 commit failed")
+      val v3 = LakeTable.restore(s, dir, 1L)
+      require(v3 == Right(3L), s"restore must publish v3: $v3")
+      require(LakeTable.currentFiles(dir) == v1Files,
+              "restore is manifest arithmetic: v3 must reference v1's " +
+              "files verbatim, zero data movement")
+      require(LakeTable.readVersion(s, dir, 2L)
+                .filter(col("n_orders") > lit(999L)).count() > 0L,
+              "the corrupted v2 must stay time-travel-readable")
+      // restoring a reclaimed version is refused, not half-applied
+      require(LakeTable.restore(s, dir, 99L).isLeft,
+              "restoring an unknown version must be refused")
+      LakeTable.read(s, dir)
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
+    /** DATE-typed manifest-stats skipping through the standard source
+      * (r9): the table is laid out by order YEAR with per-file (min, max)
+      * recorded for the DATE column (`statsBy` typed encoding — epoch
+      * days), and a date-range filter through
+      * `spark.read.format("graft-lake")` prunes the out-of-range years'
+      * files before any footer is opened (requires pin the prune). Dates
+      * are the single most common prune key in practice — every
+      * time-partitioned fact table queries "last N days" — and the r8
+      * long-only stats could not serve them. The oracle computes the same
+      * range aggregate straight from `orders`, so the hash-match proves
+      * typed pruning lost nothing. */
+    OpDef(
+      "q_lake_skipping_date",
+      """SELECT CAST(o_orderdate AS DATE) AS od,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |        BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+        |GROUP BY 1 ORDER BY od""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.{LakeRelation, LakeTable}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_skipdate_").toString
+      val table = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("od"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("yr", year(col("od")).cast("long"))
+      require(LakeTable.commit(s, dir, table, Some("yr"),
+                               Seq("od"))(_ => None) == Right(1L),
+              "date-stats commit failed")
+      val out = s.read.format("graft-lake").option("path", dir).load()
+        .filter(col("od").between(lit("1996-01-01").cast("date"),
+                                  lit("1996-06-30").cast("date")))
+        .select("od", "n_orders", "cents").orderBy("od")
+      out.count() // probe action so the prune seam below is populated
+      val scanned = Option(LakeRelation.lastScanFiles.get()).getOrElse(Nil)
+      require(scanned.nonEmpty
+                && scanned.size < LakeTable.currentFiles(dir).size,
+              s"the date range must prune files: ${scanned.size} of " +
+              s"${LakeTable.currentFiles(dir).size}")
+      out
     }
   )
 }

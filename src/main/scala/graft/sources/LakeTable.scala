@@ -1017,6 +1017,35 @@ object LakeTable {
       }
     }
 
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF` (r9): re-
+    * publish a retained version's EXACT file list, schema, and stats as
+    * a NEW version. Pure manifest arithmetic — zero data movement, the
+    * bad versions stay time-travel-readable for forensics (history is
+    * append-only), and [[changesBetween]] replays the restore as the
+    * retract/add diff it logically is. The restored version CARRIES the
+    * live version's per-sink batch watermarks (a restore must not reset
+    * idempotence handles — a replayed stream epoch would double-apply
+    * into the restored table otherwise). Publishes through the
+    * serialized loop; the evolution gate is deliberately NOT applied:
+    * restoring to a pre-evolution schema is the operation's whole point,
+    * and the restored schema is itself a previously-audited commit. */
+  def restore(spark: SparkSession, dir: String,
+              version: Long): Either[String, Long] = {
+    readManifest(dir, version) match {
+      case None =>
+        Left(s"version $version not published (or vacuumed) in $dir")
+      case Some(json) =>
+        commitSerialized(dir) { base =>
+          Right(Staged(dir, base + 1L, manifestFiles(json),
+                       batches = if (base > 0L) batchesOf(dir, base)
+                                 else Map.empty,
+                       schema = manifestSchema(json),
+                       stats = manifestStats(json),
+                       baseVersion = base, op = "restore"))
+        }
+    }
+  }
+
   // ---- change feed (r9) -------------------------------------------------
 
   /** CDC READ of the lake — the manifest history IS a change log: for

@@ -754,6 +754,47 @@ class LakeSpec extends SparkTestBase {
       "no appended batch may vanish under a racing append")
   }
 
+  test("RESTORE re-publishes an older version; feed, watermarks, and vacuum compose") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_restore_").toString
+    def toDf(m: Map[Long, Long]): DataFrame =
+      m.toSeq.map { case (k, n) => (k, n, k / 32) }
+        .toDF("custkey", "n_orders", "band")
+    val base = (1L to 96L).map(k => k -> k).toMap
+    assert(LakeTable.commit(spark, dir, toDf(base), Some("band"))(gate)
+             == Right(1L))
+    // a stream-epoch merge stamps a sink watermark on v2
+    assert(LakeTable.mergePartial(spark, dir, toDf(Map(5L -> 555L)),
+             Seq("custkey"), "band", batch = Some(7L), sink = "s")(gate)
+             == Right(2L))
+    assert(LakeTable.appliedBatch(dir, "s").contains(7L))
+    val v3 = LakeTable.restore(spark, dir, 1L)
+    assert(v3 == Right(3L), s"restore must publish: $v3")
+    // zero data movement; content returns to v1; the corrupted-v2 rows gone
+    assert(LakeTable.filesOf(dir, 3L) == LakeTable.filesOf(dir, 1L))
+    val got = LakeTable.read(spark, dir).select("custkey", "n_orders")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == base, "restore must return the table to v1's content")
+    // the restore must NOT reset stream idempotence: a replay of epoch 7
+    // still reads applied
+    assert(LakeTable.appliedBatch(dir, "s").contains(7L),
+      "restore must carry the live version's sink watermarks forward")
+    // the feed replays the restore as the retract/add diff it logically is
+    val feed = LakeTable.changesBetween(spark, dir, 2L, 3L)
+      .select("custkey", "n_orders", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(feed.contains((5L, 555L, "delete")) && feed.contains((5L, 5L, "insert")),
+      s"the restore diff must retract v2's rewrite and re-add v1's rows")
+    // vacuum keep=1 keeps only v3 — which references v1's FILES; per-file
+    // reclaim must keep them alive while v1/v2's manifests retire
+    LakeTable.vacuum(dir, keepVersions = 1)
+    assert(LakeTable.versions(dir) == Seq(3L))
+    assert(LakeTable.read(spark, dir).count() == base.size.toLong,
+      "the restored version must survive the vacuum of its source version")
+    // restoring a vacuumed version is refused
+    assert(LakeTable.restore(spark, dir, 2L).isLeft)
+  }
+
   test("the audit reads the staged bytes as written, not the logical plan") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val st = LakeTable.stage(spark, dir, snap(80))
