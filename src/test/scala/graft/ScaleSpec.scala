@@ -545,6 +545,9 @@ class ScaleSpec extends SparkTestBase {
     "q_dq_ks_drift", // 1-row midpoint + count attaches
     "q_events_changepoint", // 1-row (n, tot) attach
     "q_sim_hamming", // 10-row query-signature broadcast vs linear scan
+    "q_eval_retrieval", // 8-row query-signature broadcast vs linear scan
+                        // + the exact-truth side shares cosineTopK's
+                        // documented broadcast-query baseline shape
     "q_text_bm25", // 1-row corpus stats + 5-row term-df broadcast
     "q_events_theilsen", // calendar-bounded daily-table pairwise build
     "q_graph_clustercoeff", // triangle core's 1-row threshold attach
