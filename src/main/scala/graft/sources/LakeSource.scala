@@ -87,9 +87,10 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
         case Append =>
           LakeTable.append(spark, dir, data, layoutBy, statsBy)(_ => None)
         case _ =>
-          LakeTable.audit(spark,
-            LakeTable.stage(spark, dir, data, layoutBy, Seq.empty, statsBy))(
-            _ => None).map(LakeTable.publish)
+          // Overwrite rides the serialized commit too: a racing carry
+          // committer's fence must surface as a retry, never a silently
+          // swallowed save()
+          LakeTable.commit(spark, dir, data, layoutBy, statsBy)(_ => None)
       }
       r match {
         case Right(_) => ()
