@@ -127,6 +127,9 @@ object LakeRelation {
         Some(t.getTime * 1000L + t.getNanos / 1000 % 1000)
       case ('U', t: java.time.Instant) =>
         Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
+      case ('U', t: java.time.LocalDateTime) =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
       case _ => None
     }
     def bounds: Option[(Any, Any)] = stat.kind match {

@@ -348,9 +348,17 @@ object LakeTable {
   /** Layout value a staged file path carries, if the file was written
     * under a `_layout=<value>` directory — the manifest-level partition
     * metadata that lets a MERGE prune its rewrite set to the touched
-    * values and carry every other file forward verbatim. */
+    * values and carry every other file forward verbatim. Hive-style
+    * partition writing percent-ESCAPES special characters (space, '=',
+    * '/', …) into the path, so the raw segment is unescaped back to the
+    * COLUMN value before any comparison with a batch's touched set — a
+    * value like "EUROPE/WEST" must route its rewrite correctly, not
+    * silently carry the stale file because "EUROPE%2FWEST" ≠ the raw
+    * string (r9; pinned in LakeSpec). */
   private[graft] def layoutValueOf(file: String): Option[String] =
-    "/_layout=([^/]+)/".r.findFirstMatchIn(file).map(_.group(1))
+    "/_layout=([^/]+)/".r.findFirstMatchIn(file).map(m =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(m.group(1)))
 
   // ---- staging ---------------------------------------------------------
 
@@ -427,6 +435,11 @@ object LakeTable {
           Some(('U', (t.getTime * 1000L + t.getNanos / 1000 % 1000).toString))
         case (TimestampType, t: java.time.Instant) =>
           Some(('U', (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
+        case (TimestampNTZType, t: java.time.LocalDateTime) =>
+          // NTZ is wall-clock: anchor at UTC on BOTH sides (stats and
+          // filter) so the comparison domain is consistent
+          val i = t.toInstant(java.time.ZoneOffset.UTC)
+          Some(('U', (i.getEpochSecond * 1000000L + i.getNano / 1000).toString))
         case _ => None
       }
       read.groupBy(input_file_name().as("_f")).agg(aggs.head, aggs.tail: _*)
@@ -891,8 +904,15 @@ object LakeTable {
     require(sink.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"sink id must be [A-Za-z0-9_-]*: '$sink'")
     Files.createDirectories(Paths.get(dir))
-    val touched = touching.select(layoutCol).distinct().collect()
-      .map(r => String.valueOf(r.get(0))).toSet
+    val touchedRows = touching.select(layoutCol).distinct().collect()
+    // a NULL layout value would route to Hive's default-partition path
+    // while String.valueOf renders "null" — the mismatch silently carries
+    // the stale file, so refuse loudly instead (real tables make the
+    // layout column NOT NULL for the same reason)
+    require(!touchedRows.exists(_.isNullAt(0)),
+      s"partial rewrite requires a non-null layout value on every change " +
+      s"row ('$layoutCol' has nulls)")
+    val touched = touchedRows.map(r => String.valueOf(r.get(0))).toSet
     val changeKeys = touching.select(keys.map(col): _*).distinct()
     // incremental re-plan cache: per layout value, the live input files
     // the staged output was computed from, and that staged output

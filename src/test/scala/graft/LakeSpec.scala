@@ -754,6 +754,74 @@ class LakeSpec extends SparkTestBase {
       "no appended batch may vanish under a racing append")
   }
 
+  test("hostile layout values: escaped path characters route rewrites correctly; nulls are refused") {
+    // Hive partition paths percent-escape special characters — a layout
+    // value like "EUROPE/WEST" or "a=b c" must still match the batch's
+    // raw value at plan time (r9: layoutValueOf unescapes), otherwise the
+    // stale file is silently carried and the upsert duplicates its keys
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_hostile_").toString
+    val hostile = Seq("EUROPE/WEST", "a=b c", "x:y%z", "plain")
+    def toDf(rows: Seq[(Long, Long)]): DataFrame =
+      rows.map { case (k, n) => (k, n, hostile((k % 4).toInt)) }
+        .toDF("custkey", "n_orders", "region")
+    val base = (1L to 40L).map(k => k -> k)
+    assert(LakeTable.commit(spark, dir, toDf(base), Some("region"))(gate)
+             == Right(1L))
+    assert(LakeTable.currentFiles(dir)
+             .flatMap(LakeTable.layoutValueOf).toSet == hostile.toSet,
+      "unescaping must recover the raw column values from the paths")
+    // (non-ASCII layout values are environment-dependent: this sandbox's
+    // filesystem charset rejects them at WRITE time — Spark's own
+    // partitionBy fails first, so the protocol never sees them)
+    // upsert ONLY the "EUROPE/WEST" rows (k % 4 == 0)
+    val ups = toDf(base.filter(_._1 % 4 == 0).map { case (k, _) => k -> 1000L })
+    assert(LakeTable.mergePartial(spark, dir, ups,
+             Seq("custkey"), "region")(gate) == Right(2L))
+    val got = LakeTable.read(spark, dir).select("custkey", "n_orders")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = base.toMap ++ base.filter(_._1 % 4 == 0)
+      .map { case (k, _) => k -> 1000L }.toMap
+    assert(got == expect,
+      "the escaped-value file must be rewritten, not carried (no dups, " +
+      "no stale rows)")
+    // untouched hostile values carried verbatim
+    val carried = LakeTable.filesOf(dir, 2L)
+      .filter(LakeTable.filesOf(dir, 1L).contains)
+    assert(carried.flatMap(LakeTable.layoutValueOf).toSet
+             == hostile.toSet - "EUROPE/WEST")
+    // a NULL layout value is refused loudly, not silently mis-routed
+    val withNull = Seq((41L, 5L, null.asInstanceOf[String]))
+      .toDF("custkey", "n_orders", "region")
+    intercept[IllegalArgumentException] {
+      LakeTable.mergePartial(spark, dir, withNull,
+                             Seq("custkey"), "region")(gate)
+    }
+  }
+
+  test("timestamp-typed stats prune through the standard source") {
+    import graft.sources.LakeRelation
+    val dir = Files.createTempDirectory("graft_lake_tsstats_").toString
+    val o = graft.ops.Tables.orders(spark, sf)
+    val table = o.select(col("o_orderkey").as("ok"),
+                         col("o_orderdate").as("ots"),
+                         col("o_totalprice").as("price"))
+      .withColumn("yr", year(col("ots")).cast("long"))
+    assert(LakeTable.commit(spark, dir, table, Some("yr"),
+                            Seq("ots"))(gate) == Right(1L))
+    val all = LakeTable.currentFiles(dir).size
+    val df = spark.read.format("graft-lake").option("path", dir).load()
+      .filter(col("ots") >= lit("1996-01-01").cast("timestamp_ntz")
+                && col("ots") < lit("1997-01-01").cast("timestamp_ntz"))
+    val n = df.count()
+    val scanned = Option(LakeRelation.lastScanFiles.get())
+      .map(_.size).getOrElse(-1)
+    assert(n == table.filter(col("ots") >= lit("1996-01-01").cast("timestamp_ntz")
+             && col("ots") < lit("1997-01-01").cast("timestamp_ntz")).count())
+    assert(scanned > 0 && scanned < all,
+      s"timestamp range must prune files: $scanned of $all")
+  }
+
   test("RESTORE re-publishes an older version; feed, watermarks, and vacuum compose") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lake_restore_").toString
