@@ -113,7 +113,7 @@ object LakeRelation {
     * type pairing, unparseable value, Not/IsNull shapes) keeps the file:
     * pruning must be a superset of the answer, and Spark re-applies the
     * filter row-level either way. */
-  private[sources] def mightMatch(f: Filter, colName: String,
+  private[graft] def mightMatch(f: Filter, colName: String,
                                   stat: LakeTable.ColStat): Boolean = {
     // decode the query value into the stat's comparison domain; None =
     // can't compare = keep the file

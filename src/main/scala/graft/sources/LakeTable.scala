@@ -205,19 +205,19 @@ object LakeTable {
     * (URL-encoded in the manifest), A = date (epoch days), U = timestamp
     * (epoch micros). Values are kept in encoded string form; [[cmp]]
     * compares a query value against a bound in the bound's own domain. */
-  private[sources] final case class ColStat(kind: Char, mn: String, mx: String) {
+  private[graft] final case class ColStat(kind: Char, mn: String, mx: String) {
     def minLong: Option[Long] = if (kind == 'L') Some(mn.toLong) else None
     def maxLong: Option[Long] = if (kind == 'L') Some(mx.toLong) else None
   }
 
-  private def encodeStatString(s: String): String =
+  private[graft] def encodeStatString(s: String): String =
     URLEncoder.encode(s, "UTF-8").replace(".", "%2E").replace("|", "%7C")
-  private[sources] def decodeStatString(s: String): String =
+  private[graft] def decodeStatString(s: String): String =
     URLDecoder.decode(s, "UTF-8")
 
   /** Per-(file, column) recorded stats of a version, parsed once per
     * call. Legacy 4-field entries (`file|col|min|max`) parse as kind L. */
-  private[sources] def statsOf(dir: String, version: Long)
+  private[graft] def statsOf(dir: String, version: Long)
       : Map[(String, String), ColStat] =
     readManifest(dir, version).map(manifestStats).getOrElse(Seq.empty)
       .flatMap { e =>

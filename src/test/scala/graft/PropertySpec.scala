@@ -302,4 +302,144 @@ class PropertySpec extends SparkTestBase {
       } else assert(!got.contains(id))
     }
   }
+
+  test("typed file pruning is SOUND on scalacheck value sets (never drops a match)") {
+    // the data-skipping contract: a file whose recorded [min, max] stat
+    // rejects a filter must contain NO row satisfying it. Generate a
+    // value SET (= the file's contents), derive its true min/max stat
+    // exactly as statsEntries encodes them, generate random filter trees,
+    // and assert the contrapositive: some value matches ⇒ mightMatch.
+    import org.apache.spark.sql.sources._
+    import graft.sources.{LakeRelation, LakeTable}
+
+    def genFilter[A](genV: Gen[A]): Gen[Filter] = {
+      val leaf = for {
+        v <- genV
+        k <- Gen.choose(0, 5)
+      } yield (k: @unchecked) match {
+        case 0 => EqualTo("c", v)
+        case 1 => GreaterThan("c", v)
+        case 2 => GreaterThanOrEqual("c", v)
+        case 3 => LessThan("c", v)
+        case 4 => LessThanOrEqual("c", v)
+        case 5 => In("c", Array[Any](v))
+      }
+      for {
+        a <- leaf; b <- leaf; k <- Gen.choose(0, 3)
+      } yield (k: @unchecked) match {
+        case 0 => a
+        case 1 => And(a, b)
+        case 2 => Or(a, b)
+        case 3 => a
+      }
+    }
+    def evalL(f: Filter, v: Long): Boolean = f match {
+      case EqualTo(_, x) => v == x.asInstanceOf[Number].longValue
+      case GreaterThan(_, x) => v > x.asInstanceOf[Number].longValue
+      case GreaterThanOrEqual(_, x) => v >= x.asInstanceOf[Number].longValue
+      case LessThan(_, x) => v < x.asInstanceOf[Number].longValue
+      case LessThanOrEqual(_, x) => v <= x.asInstanceOf[Number].longValue
+      case In(_, xs) => xs.exists(x => v == x.asInstanceOf[Number].longValue)
+      case And(a, b) => evalL(a, v) && evalL(b, v)
+      case Or(a, b) => evalL(a, v) || evalL(b, v)
+      case _ => true
+    }
+    def evalS(f: Filter, v: String): Boolean = f match {
+      case EqualTo(_, x) => v == x.asInstanceOf[String]
+      case GreaterThan(_, x) => v > x.asInstanceOf[String]
+      case GreaterThanOrEqual(_, x) => v >= x.asInstanceOf[String]
+      case LessThan(_, x) => v < x.asInstanceOf[String]
+      case LessThanOrEqual(_, x) => v <= x.asInstanceOf[String]
+      case In(_, xs) => xs.exists(x => v == x.asInstanceOf[String])
+      case StringStartsWith(_, p) => v.startsWith(p)
+      case And(a, b) => evalS(a, v) && evalS(b, v)
+      case Or(a, b) => evalS(a, v) || evalS(b, v)
+      case _ => true
+    }
+
+    // LONG domain: values and filter constants from an overlapping range
+    val genLongSet = Gen.nonEmptyListOf(Gen.choose(-50L, 50L))
+    val longCases = samples(Gen.zip(genLongSet, genFilter(Gen.choose(-60L, 60L))), 400)
+    longCases.foreach { case (vs, f) =>
+      val stat = LakeTable.ColStat('L', vs.min.toString, vs.max.toString)
+      val pruned = !LakeRelation.mightMatch(f, "c", stat)
+      if (pruned)
+        assert(!vs.exists(evalL(f, _)),
+          s"UNSOUND prune: $f dropped a file containing " +
+          s"${vs.filter(evalL(f, _))} (stat $stat)")
+    }
+
+    // STRING domain: short strings over a 3-letter alphabet (forces
+    // prefix relations and ties), incl. the StartsWith shape; stats are
+    // URL-ENCODED exactly as the manifest records them
+    val genStr = for {
+      n <- Gen.choose(0, 4)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', '.'))
+    } yield cs.mkString
+    val genSFilter = Gen.oneOf(
+      genFilter[Any](genStr.map(identity)),
+      genStr.map(p => StringStartsWith("c", p): Filter))
+    val strCases = samples(
+      Gen.zip(Gen.nonEmptyListOf(genStr), genSFilter), 400)
+    strCases.foreach { case (vs, f) =>
+      val stat = LakeTable.ColStat('S',
+        LakeTable.encodeStatString(vs.min),
+        LakeTable.encodeStatString(vs.max))
+      val pruned = !LakeRelation.mightMatch(f, "c", stat)
+      if (pruned)
+        assert(!vs.exists(evalS(f, _)),
+          s"UNSOUND prune: $f dropped a file containing " +
+          s"${vs.filter(evalS(f, _))} (stat $stat)")
+    }
+
+    // DOUBLE domain
+    def evalD(f: Filter, v: Double): Boolean = f match {
+      case EqualTo(_, x) => v == x.asInstanceOf[Number].doubleValue
+      case GreaterThan(_, x) => v > x.asInstanceOf[Number].doubleValue
+      case GreaterThanOrEqual(_, x) => v >= x.asInstanceOf[Number].doubleValue
+      case LessThan(_, x) => v < x.asInstanceOf[Number].doubleValue
+      case LessThanOrEqual(_, x) => v <= x.asInstanceOf[Number].doubleValue
+      case In(_, xs) => xs.exists(x => v == x.asInstanceOf[Number].doubleValue)
+      case And(a, b) => evalD(a, v) && evalD(b, v)
+      case Or(a, b) => evalD(a, v) || evalD(b, v)
+      case _ => true
+    }
+    val dblCases = samples(
+      Gen.zip(Gen.nonEmptyListOf(Gen.choose(-5.0, 5.0)),
+              genFilter(Gen.choose(-6.0, 6.0))), 400)
+    dblCases.foreach { case (vs, f) =>
+      val stat = LakeTable.ColStat('D', vs.min.toString, vs.max.toString)
+      val pruned = !LakeRelation.mightMatch(f, "c", stat)
+      if (pruned)
+        assert(!vs.exists(evalD(f, _)),
+          s"UNSOUND prune: $f dropped a file containing " +
+          s"${vs.filter(evalD(f, _))} (stat $stat)")
+    }
+
+    // DATE domain rides the long ('A' = epoch days) path with
+    // java.sql.Date filter values — pin the conversion itself
+    val genDay = Gen.choose(18000L, 18100L)
+    val dateCases = samples(Gen.zip(
+      Gen.nonEmptyListOf(genDay),
+      genFilter(genDay.map(d =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))))), 200)
+    def evalA(f: Filter, day: Long): Boolean = f match {
+      case EqualTo(_, x) => day == x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      case GreaterThan(_, x) => day > x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      case GreaterThanOrEqual(_, x) => day >= x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      case LessThan(_, x) => day < x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      case LessThanOrEqual(_, x) => day <= x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      case In(_, xs) => xs.exists(x => day == x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
+      case And(a, b) => evalA(a, day) && evalA(b, day)
+      case Or(a, b) => evalA(a, day) || evalA(b, day)
+      case _ => true
+    }
+    dateCases.foreach { case (vs, f) =>
+      val stat = LakeTable.ColStat('A', vs.min.toString, vs.max.toString)
+      val pruned = !LakeRelation.mightMatch(f, "c", stat)
+      if (pruned)
+        assert(!vs.exists(evalA(f, _)),
+          s"UNSOUND prune: $f dropped a file containing a match (stat $stat)")
+    }
+  }
 }
