@@ -350,8 +350,11 @@ class LakeSpec extends SparkTestBase {
       assert(LakeTable.commit(spark, dir, toDf(expected),
                               Some("band"))(gate) == Right(1L))
       var lastVersion = 1L
+      // per-published-version content snapshots, so a RESTORE action can
+      // assert the fold lands exactly on the restored version's state
+      val history = scala.collection.mutable.Map(1L -> expected)
       for (step <- 1 to 8) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => // partial merge: correct one random band
             val band = rnd.nextInt(5).toLong
             val ups = expected.collect {
@@ -389,6 +392,12 @@ class LakeSpec extends SparkTestBase {
             val st = LakeTable.stage(spark, dir,
               toDf(expected.map { case (k, _) => k -> -1L }), Some("band"))
             if (rnd.nextBoolean()) { LakeTable.writeManifest(st); () }
+          case 6 => // RESTORE to a random still-retained version
+            val vs = LakeTable.versions(dir)
+            val target = vs(rnd.nextInt(vs.size))
+            val r = LakeTable.restore(spark, dir, target)
+            assert(r.isRight, s"seed $seed step $step restore: $r")
+            expected = history(target)
         }
         val got = LakeTable.read(spark, dir)
           .select("custkey", "n_orders").collect()
@@ -400,6 +409,7 @@ class LakeSpec extends SparkTestBase {
         val v = LakeTable.currentVersion(dir).get
         assert(v >= lastVersion, s"seed $seed step $step: version went back")
         lastVersion = v
+        history(v) = expected
       }
     }
   }
