@@ -61,7 +61,14 @@ import org.apache.spark.sql.types.StructType
   *
   * On a local filesystem the atomic create-new is link(2)/O_EXCL; at
   * 100 TB on object storage all three names (manifest, marker, fence)
-  * become conditional-puts — same protocol, different atomic primitive. */
+  * become conditional-puts — same protocol, different atomic primitive.
+  *
+  * Deriving the live version LISTS the directory per call; the listing
+  * is O(retained versions) and retention is bounded by [[vacuum]] — a
+  * 60-version soak (r9) measured per-merge latency FLAT (v2–11 avg
+  * 0.59 s, v52–61 avg 0.43 s on the same table) and the vacuum of 58
+  * versions at 0.046 s, so version accretion is not a commit-path cost
+  * at any realistic retention. */
 object LakeTable {
 
   /** The staged-but-unpublished state a crash can leave behind: enough to
