@@ -698,6 +698,96 @@ object Layout {
       state.select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** Incremental MATERIALIZED-VIEW maintenance from the change feed
+      * (r9): the classic downstream consumer of a CDC stream. A per-band
+      * aggregate (customers, order and cent sums) is seeded ONCE from v1
+      * and then maintained purely from [[graft.sources.LakeTable
+      * .changesBetween]] — inserts add, retractions subtract (count/sum
+      * are self-maintainable under retract/add; the base table is NEVER
+      * rescanned after the seed, which is the whole point of IVM at
+      * 100 TB: maintenance cost ∝ changed rows, not table size). The
+      * table travels the same merge → OPTIMIZE → CDC-tombstone history
+      * as q_lake_changes (the compaction contributes nothing); a
+      * fully-deleted group must vanish from the view (multiplicity
+      * filter), and the requires pin the maintained view equal to a
+      * direct re-aggregation of the live table. The oracle computes the
+      * end-state aggregate straight from `orders`, so the hash-match
+      * proves incremental maintenance drifted by nothing. */
+    OpDef(
+      "q_lake_mv",
+      """WITH w AS (
+        |  SELECT GREATEST(32, (SELECT max(o_custkey) FROM orders) // 8 + 1)
+        |    AS width),
+        |r AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders WHERE (o_custkey % 10) <> 3 GROUP BY 1)
+        |SELECT CAST(custkey // (SELECT width FROM w) AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(n_orders) AS BIGINT) AS orders_sum,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM r GROUP BY 1 ORDER BY band""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_mv_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val full = roll(o)
+      val v1Table = full.filter(col("band") =!= 0)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(col("band") === 0))
+      require(LakeTable.commit(s, dir, v1Table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      require(LakeTable.mergePartial(s, dir, full.filter(col("band") === 0),
+                Seq("custkey"), "band")(_ => None) == Right(2L),
+              "correction merge failed")
+      require(LakeTable.optimize(s, dir, Long.MaxValue, Seq.empty,
+                Some("band")) == Right(3L), "optimize failed")
+      require(LakeTable.applyCdcPartial(s, dir,
+                full.filter(col("custkey") % 10 === 3)
+                  .withColumn("op", lit("D")),
+                Seq("custkey"), "band")(_ => None) == Right(4L),
+              "CDC apply failed")
+      def viewOf(df: DataFrame) = df.groupBy("band").agg(
+        count(lit(1)).cast("long").as("n_customers"),
+        sum(col("n_orders")).cast("long").as("orders_sum"),
+        sum(col("cents")).cast("long").as("cents_sum"))
+      // seed once from v1, then maintain from the FEED alone
+      val seed = viewOf(LakeTable.readVersion(s, dir, 1L))
+      val signed = LakeTable.changesBetween(s, dir, 1L, 4L)
+        .withColumn("_w",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      val delta = signed.groupBy("band").agg(
+        sum(col("_w")).cast("long").as("dc"),
+        sum(col("n_orders") * col("_w")).cast("long").as("dn"),
+        sum(col("cents") * col("_w")).cast("long").as("ds"))
+      val mv = seed.join(delta, Seq("band"), "full_outer")
+        .select(col("band"),
+          (coalesce(col("n_customers"), lit(0L))
+             + coalesce(col("dc"), lit(0L))).as("n_customers"),
+          (coalesce(col("orders_sum"), lit(0L))
+             + coalesce(col("dn"), lit(0L))).as("orders_sum"),
+          (coalesce(col("cents_sum"), lit(0L))
+             + coalesce(col("ds"), lit(0L))).as("cents_sum"))
+        .filter(col("n_customers") > 0)
+      // the maintained view must equal a direct re-aggregation
+      val direct = viewOf(LakeTable.read(s, dir))
+      require(mv.exceptAll(direct).isEmpty && direct.exceptAll(mv).isEmpty,
+              "incremental maintenance must equal the direct aggregate")
+      mv.orderBy("band")
+    },
+
     /** RESTORE to an earlier version (r9) — Delta's `RESTORE TABLE ...
       * VERSION AS OF` as pure manifest arithmetic: v1 commits the correct
       * rollup, v2 OVERWRITES it with corrupted numbers (the bad deploy),
