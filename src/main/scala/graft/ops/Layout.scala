@@ -274,7 +274,7 @@ object Layout {
       * THROUGH the manifest. The result must be exactly v2's content —
       * the rejected commit left no reader-visible trace, and the v1
       * files still on disk are invisible because readers only follow the
-      * `_latest` pointer. Totals are exact BIGINT cents (the
+      * derived live version (highest marked manifest — r9). Totals are exact BIGINT cents (the
       * q_dq_snapshot_diff discipline), so the oracle — which computes
       * v2's aggregate straight from `orders` — hash-matches the bytes
       * that ACTUALLY traveled through parquet staging, audit re-read,
@@ -324,7 +324,7 @@ object Layout {
       * back** while v2 is live — the Delta `VERSION AS OF` / Iceberg
       * snapshot-read capability, which on the write-audit-publish
       * layout is just following an older immutable manifest instead of
-      * `_latest`. The oracle computes v1's aggregate straight from
+      * the derived live version. The oracle computes v1's aggregate straight from
       * `orders`, so the hash-match proves the historical read returns
       * EXACTLY the bytes committed then, unaffected by the newer
       * version. Retention is [[graft.sources.LakeTable.vacuum]]'s job
