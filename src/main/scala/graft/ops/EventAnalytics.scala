@@ -2073,6 +2073,91 @@ object EventAnalytics {
                 col("slope").as("sen_slope"))
     },
 
+    /** Mann–Kendall trend TEST over the daily series (r9) — the
+      * significance companion to q_events_theilsen's Sen slope (the
+      * slope says how steep; MK says whether a monotone trend exists at
+      * all): S = Σ_{i<j} sign(v_j − v_i) in pure integers over the same
+      * calendar-bounded pair expansion, the tie-corrected variance kept
+      * as the EXACT integer 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+      * (tie groups from the micro-quantized daily values), and the
+      * normalized Z = (S∓1)/√(var18/18) — the one floating step, both
+      * engines running the identical IEEE sqrt+divide, r6-rounded — with
+      * the 5% two-sided call at |Z| > 1.96. Pairs are bounded by days²
+      * (the theilsen discipline), ties by distinct daily values; at
+      * 100 TB the only corpus-sized work is the daily fold. */
+    OpDef(
+      "q_win_mannkendall",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day,
+        |    CAST(floor((sum(value)) * 10000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT day, vm,
+        |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        |      FROM d),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN b.vm > a.vm THEN 1
+        |                       WHEN b.vm < a.vm THEN -1 ELSE 0 END)
+        |              AS BIGINT) AS s_stat
+        |  FROM i a JOIN i b ON b.rn > a.rn),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM i),
+        |ties AS (
+        |  SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+        |    AS tc
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM i GROUP BY vm)
+        |  WHERE t > 1),
+        |v AS (
+        |  SELECT n.n_days, s.s_stat,
+        |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tc
+        |      AS var18
+        |  FROM n, s, ties)
+        |SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+        |  floor((CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+        |              WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+        |              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  CASE WHEN s_stat > 0
+        |         AND (s_stat - 1) / sqrt(var18 / 18.0) > 1.96
+        |       THEN 'increasing'
+        |       WHEN s_stat < 0
+        |         AND (s_stat + 1) / sqrt(var18 / 18.0) < -1.96
+        |       THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM v""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(floor(sum(col("value")) * lit(10000.0) + lit(0.5))
+               .cast("long").as("vm"))
+      val i = daily.select(col("day"), col("vm"),
+        row_number().over(Window.orderBy(col("day"))).cast("long").as("rn"))
+      val a = i.select(col("rn").as("ri"), col("vm").as("va"))
+      val b = i.select(col("rn").as("rj"), col("vm").as("vb"))
+      val sStat = a.join(broadcast(b), col("rj") > col("ri"))
+        .agg(sum(when(col("vb") > col("va"), 1L)
+                   .when(col("vb") < col("va"), -1L)
+                   .otherwise(0L)).cast("long").as("s_stat"))
+      val nDays = i.agg(count(lit(1)).cast("long").as("n_days"))
+      val tc = i.groupBy("vm").agg(count(lit(1)).cast("long").as("t"))
+        .filter(col("t") > 1L)
+        .agg(coalesce(sum(col("t") * (col("t") - 1L)
+                            * (lit(2L) * col("t") + 5L)).cast("long"),
+                      lit(0L)).as("tc"))
+      val zExpr = (sgn: Long) =>
+        (col("s_stat") - lit(sgn)) / sqrt(col("var18") / lit(18.0))
+      broadcast(nDays).crossJoin(broadcast(sStat)).crossJoin(broadcast(tc))
+        .withColumn("var18",
+          (col("n_days") * (col("n_days") - 1L)
+             * (lit(2L) * col("n_days") + 5L) - col("tc")).cast("long"))
+        .select(col("n_days"), col("s_stat"), col("var18"),
+          Det.r6(when(col("s_stat") > 0L, zExpr(1L))
+                   .when(col("s_stat") < 0L, zExpr(-1L))
+                   .otherwise(lit(0.0))).as("z"),
+          when(col("s_stat") > 0L && zExpr(1L) > lit(1.96), "increasing")
+            .when(col("s_stat") < 0L && zExpr(-1L) < lit(-1.96), "decreasing")
+            .otherwise("no_trend").as("trend"))
+    },
+
     /** Forecast backtest on the daily series: seasonal-naive (v[t−7])
       * scored against naive (v[t−1]) over every day where BOTH lags
       * exist — the evaluation harness the Holt/Holt-Winters/Kalman

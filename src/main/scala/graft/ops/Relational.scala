@@ -350,6 +350,55 @@ object Relational {
         .orderBy("click_id")
     },
 
+    /** NEAREST as-of (r9): completes the as-of triple — backward
+      * (q_join_asof), forward (q_join_asof_fwd), and nearest-in-time:
+      * each purchase pairs with the click whose timestamp is CLOSEST in
+      * EITHER direction within a 24 h tolerance band (the pandas
+      * `merge_asof(direction='nearest', tolerance=...)` semantics — the
+      * right default when event order is unreliable, e.g. clock-skewed
+      * sources). Distance is exact integer MICROSECONDS (no float
+      * comparisons), ties break toward the earlier click then smaller
+      * id, LEFT so band-less purchases surface NULL. Same scale shape as
+      * its siblings: user_id equi shuffle + one per-purchase window; the
+      * tolerance band is what keeps the match set bounded at 100 TB. */
+    OpDef(
+      "q_join_asof_nearest",
+      """WITH j AS (
+        |  SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |         abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+        |             - epoch_us(CAST(p.ts AS TIMESTAMP))) AS dist_us,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+        |                        - epoch_us(CAST(p.ts AS TIMESTAMP))) ASC,
+        |                    CAST(c.ts AS TIMESTAMP) ASC,
+        |                    c.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+        |           - epoch_us(CAST(p.ts AS TIMESTAMP))) <= 86400000000)
+        |SELECT event_id, user_id, click_id, CAST(dist_us AS BIGINT) AS dist_us
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts").cast("timestamp")).as("p_us"))
+      val c = events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+                unix_micros(col("ts").cast("timestamp")).as("c_us"))
+      val dist = abs(col("c_us") - col("p_us"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("dist_us").asc, col("c_us").asc, col("click_id").asc)
+      p.join(c, col("user_id") === col("c_uid")
+               && dist <= lit(86400000000L), "left")
+        .withColumn("dist_us", dist.cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "click_id", "dist_us")
+        .orderBy("event_id")
+    },
+
     OpDef(
       "q_join_range",
       """WITH ev AS (

@@ -1098,4 +1098,69 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamOps.pollLakeChanges(spark, dir, cursor).isEmpty,
       "a committed cursor at the live version polls nothing")
   }
+
+  test("behavior 37: incremental MV maintenance over the feed survives crash-replay") {
+    // q_lake_mv's streaming twin: the consumer maintains a per-band
+    // (count, sum) AGGREGATE from the change feed — inserts add,
+    // retractions subtract — applying each _commit_version exactly once,
+    // with the cursor committed only after the effect. A crash between
+    // effect and cursor commit replays the window; the applied-version
+    // guard makes the replay a no-op, and the maintained aggregate must
+    // equal a direct re-aggregation of the live table.
+    import spark.implicits._
+    import graft.sources.LakeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_sub_").toString
+    val cursor = java.nio.file.Files
+      .createTempDirectory("graft_mv_cur_").toString + "/cursor"
+    def toDf(m: Map[Long, Long]) =
+      m.toSeq.map { case (k, n) => (k, n, k / 32) }
+        .toDF("custkey", "n_orders", "band")
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      if (df.isEmpty) Some("empty") else None
+
+    var mv = Map.empty[Long, (Long, Long)] // band -> (count, sum)
+    val applied = scala.collection.mutable.Set.empty[Long]
+    def consume(commitCursor: Boolean): Unit =
+      StreamOps.pollLakeChanges(spark, dir, cursor).foreach {
+        case (_, to, changes) =>
+          val rows = changes
+            .select("band", "n_orders", "_change_type", "_commit_version")
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          rows.map(_._4).distinct.sorted.foreach { v =>
+            if (!applied.contains(v)) {
+              applied += v
+              rows.filter(_._4 == v).foreach { case (band, n, kind, _) =>
+                val (c0, s0) = mv.getOrElse(band, (0L, 0L))
+                val d = if (kind == "insert") 1L else -1L
+                val nxt = (c0 + d, s0 + d * n)
+                mv = if (nxt._1 == 0L) mv - band else mv + (band -> nxt)
+              }
+            }
+          }
+          if (commitCursor) StreamOps.commitLakeCursor(cursor, to)
+      }
+
+    val base = (1L to 96L).map(k => k -> k).toMap
+    assert(LakeTable.commit(spark, dir, toDf(base), Some("band"))(gate)
+             == Right(1L))
+    consume(commitCursor = true)
+    assert(LakeTable.mergePartial(spark, dir, toDf(Map(5L -> 500L)),
+             Seq("custkey"), "band")(gate) == Right(2L))
+    consume(commitCursor = false) // CRASH: effect applied, cursor stale
+    // delete ALL of band 2 (keys 64..95): the group must vanish
+    val wipeBand2 = (64L to 95L)
+      .map(k => (k, 0L, k / 32, "D"))
+      .toDF("custkey", "n_orders", "band", "op")
+    assert(LakeTable.applyCdcPartial(spark, dir, wipeBand2,
+             Seq("custkey"), "band")(gate) == Right(3L))
+    consume(commitCursor = true) // replays v2 (idempotent skip) + v3
+    val direct = LakeTable.read(spark, dir)
+      .groupBy("band").agg(count(lit(1)).cast("long").as("c"),
+                           sum("n_orders").cast("long").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mv == direct,
+      s"maintained aggregate must equal the direct one: $mv vs $direct")
+    assert(!mv.contains(2L), "a fully-deleted group must vanish from the MV")
+  }
 }
