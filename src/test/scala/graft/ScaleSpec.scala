@@ -550,6 +550,8 @@ class ScaleSpec extends SparkTestBase {
                         // documented broadcast-query baseline shape
     "q_text_bm25", // 1-row corpus stats + 5-row term-df broadcast
     "q_events_theilsen", // calendar-bounded daily-table pairwise build
+    "q_win_mannkendall", // the same calendar-bounded pairwise build
+                         // (S statistic) + three 1-row scalar attaches
     "q_graph_clustercoeff", // triangle core's 1-row threshold attach
     "q_eval_ann", // ivfTopK's bounded centroid-table broadcast
     "q_eval_dedup", // two 1-row count attaches
