@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunkWalk, DotProduct, ScoreTopK, SpaceSavingTopK}
+import graft.functions.{CdcChunkWalk, DotProduct, JaroWinkler, ScoreTopK, SpaceSavingTopK}
 
 /** SparkSessionExtensions entry point: injects graft's native functions so
   * `spark.sql("... graft_dot(a, b) ...")` works in any session built with
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.topKDescriptor)
     e.injectFunction(GraftFunctions.cdcChunksDescriptor)
     e.injectFunction(GraftFunctions.scoreTopKDescriptor)
+    e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
   }
 }
 
@@ -71,6 +72,13 @@ object GraftFunctions {
     cdcChunksFromExprs _
   )
 
+  private[graft] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+    (children: Seq[Expression]) => JaroWinkler(children(0), children(1))
+  )
+
   private[graft] val scoreTopKDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_score_topk"),
@@ -95,5 +103,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_score_topk", exprs => ScoreTopK(
         exprs(0), exprs(1), litInt(exprs(2), "k")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

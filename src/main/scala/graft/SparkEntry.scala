@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.ops ++ Aggregates.ops ++ Windows.ops ++ Functions.ops ++
       LlmOps.ops ++ Approx.ops ++ Extras.ops ++ Analytics.ops ++
       Tpch.ops ++ Multimodal.ops ++ EventAnalytics.ops ++ Curation.ops ++
-      Graph.ops ++ Layout.ops
+      Graph.ops ++ Layout.ops ++ Inference.ops
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate op names in registry")

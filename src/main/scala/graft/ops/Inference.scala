@@ -1,0 +1,593 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.{documents, events, part}
+
+/** §2.11 (round 10) — statistical inference & fuzzy matching: the
+  * hypothesis-test / model-diagnostic sheet a data-quality or
+  * experimentation pipeline runs beside the existing t-test/chi-sq/drift
+  * family, plus native fuzzy string matching.
+  *
+  * Shared determinism discipline (SURVEY §5.3): every test statistic is
+  * computed from EXACT integer sufficient statistics (cent-/milli-
+  * quantized BIGINT sums — associative, hence identical under Spark's
+  * partial aggregation and DuckDB's scan order) and only the final
+  * scalar formula runs in IEEE doubles, spelled identically on both
+  * engines, then r6-rounded. Nothing here materializes per-row state on
+  * the driver; each op is one or two shuffles over keyed aggregates.
+  */
+object Inference {
+
+  private val Day = "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)"
+
+  val ops: Seq[OpDef] = Seq(
+
+    /** Mann–Whitney U (Wilcoxon rank-sum) per day: purchase vs click
+      * value distributions — the nonparametric two-sample test you reach
+      * for when t-test normality is implausible (revenue-ish amounts are
+      * heavy-tailed). Pooled ranking per day via one rank() window over
+      * cent-quantized values; tie handling is the textbook average-rank,
+      * carried EXACTLY as 2·avgrank = 2·rank + tiecount − 1 in BIGINT so
+      * the rank-sum needs no fractional arithmetic. The tie-corrected
+      * normal approximation z = (U₁ − n₁n₂/2) / √var with
+      * var = (n₁n₂/12)·((N+1) − Σ(t³−t)/(N(N−1))) evaluates in doubles
+      * from the five exact integers (r1x2, n₁, n₂, Σ(t³−t)) — identical
+      * IEEE ops both engines, r6-rounded; the significance call compares
+      * the ROUNDED z against 1.959964 so both engines gate on the same
+      * value. At 100 TB the ranking is a per-day (partitioned) sort —
+      * embarrassingly parallel across days, no global sort; the window
+      * never leaves the day's partition. */
+    OpDef(
+      "q_agg_mwu",
+      s"""WITH ev AS (
+        |  SELECT $Day AS day, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |rk AS (
+        |  SELECT day, event_type, cents,
+        |    CAST(rank() OVER (PARTITION BY day ORDER BY cents) AS BIGINT)
+        |      AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY day, cents) AS BIGINT) AS c
+        |  FROM ev),
+        |g AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                  THEN 2 * rnk + c - 1 ELSE 0 END) AS BIGINT)
+        |      AS r1x2,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n2
+        |  FROM rk GROUP BY day),
+        |t AS (
+        |  SELECT day, CAST(sum(c * c * c - c) AS BIGINT) AS ties
+        |  FROM (SELECT DISTINCT day, cents, c FROM rk) dv GROUP BY day),
+        |z AS (
+        |  SELECT g.day, g.n1, g.n2,
+        |    CAST(g.r1x2 - g.n1 * (g.n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |    floor(((CAST(g.r1x2 - g.n1 * (g.n1 + 1) AS DOUBLE) / 2.0
+        |            - g.n1 * 1.0 * g.n2 / 2.0)
+        |           / sqrt((g.n1 * 1.0 * g.n2 / 12.0)
+        |                  * ((g.n1 + g.n2 + 1.0)
+        |                     - t.ties * 1.0
+        |                       / ((g.n1 + g.n2) * 1.0 * (g.n1 + g.n2 - 1.0)))))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS z
+        |  FROM g JOIN t ON g.day = t.day)
+        |SELECT day, n1, n2, u1, z, abs(z) > 1.959964 AS significant
+        |FROM z ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(to_date(date_trunc("day", col("ts"))).as("day"),
+                col("event_type"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("cents"))
+      val wRank = Window.partitionBy("day").orderBy("cents")
+      val wTie = Window.partitionBy("day", "cents")
+      val rk = ev.select(col("day"), col("event_type"), col("cents"),
+        rank().over(wRank).cast("long").as("rnk"),
+        count(lit(1)).over(wTie).as("c"))
+      val g = rk.groupBy("day").agg(
+        sum(when(col("event_type") === "purchase",
+                 lit(2L) * col("rnk") + col("c") - lit(1L)).otherwise(0L))
+          .as("r1x2"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+      val t = rk.select("day", "cents", "c").distinct()
+        .groupBy("day")
+        .agg(sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val u1 = (col("r1x2") - col("n1") * (col("n1") + lit(1L)))
+        .cast("double") / lit(2.0)
+      val mu = col("n1") * lit(1.0) * col("n2") / lit(2.0)
+      val nn = col("n1") + col("n2")
+      val variance = (col("n1") * lit(1.0) * col("n2") / lit(12.0)) *
+        ((nn + lit(1.0)) -
+         col("ties") * lit(1.0) / (nn * lit(1.0) * (nn - lit(1.0))))
+      val z = Det.r6((u1 - mu) / sqrt(variance))
+      g.join(t, Seq("day"))
+        .select(col("day"), col("n1"), col("n2"), u1.as("u1"), z.as("z"))
+        .withColumn("significant", abs(col("z")) > lit(1.959964))
+        .orderBy("day")
+    },
+
+    /** Grouped OLS: per event type, regress the daily total value (in
+      * dollars) on the epoch day — slope/intercept/R² per group, the
+      * per-segment trend sheet behind every metrics dashboard (and the
+      * parametric companion to q_events_theilsen's robust Sen slope).
+      * Sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+      * EXACT BIGINTs over (epoch-day, daily-cents) pairs — y stays in
+      * cents through the sums, so the closed forms divide exact integers;
+      * only the final slope/intercept/R² arithmetic is floating point,
+      * spelled identically in the oracle. Two shuffles total (daily
+      * rollup, then 5-group rollup); group count bounds the output.
+      * Quantization headroom: Σy² ≤ days·(daily cents)² needs daily
+      * revenue below ~½ trillion cents at BIGINT — rescale the quantum
+      * per-domain beyond that (same rule as the t-test/CUPED family). */
+    OpDef(
+      "q_agg_regr",
+      s"""WITH dly AS (
+        |  SELECT event_type,
+        |    CAST($Day - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM dly GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, n, sx, sy, sxy, sxx, syy,
+        |    (n * 1.0 * sxy - sx * 1.0 * sy)
+        |      / (n * 1.0 * sxx - sx * 1.0 * sx) AS slope_c
+        |  FROM g)
+        |SELECT event_type, n,
+        |  floor((slope_c / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(((sy * 1.0 - slope_c * sx) / n / 100.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS intercept,
+        |  floor(((n * 1.0 * sxy - sx * 1.0 * sy)
+        |         * (n * 1.0 * sxy - sx * 1.0 * sy)
+        |         / ((n * 1.0 * sxx - sx * 1.0 * sx)
+        |            * (n * 1.0 * syy - sy * 1.0 * sy)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS r2
+        |FROM c ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val dly = events(s, d)
+        .select(col("event_type"),
+                datediff(to_date(date_trunc("day", col("ts"))),
+                         lit("1970-01-01")).cast("long").as("x"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("cents"))
+        .groupBy("event_type", "x")
+        .agg(sum(col("cents")).as("y"))
+      val g = dly.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val sNum = col("n") * lit(1.0) * col("sxy") -
+        col("sx") * lit(1.0) * col("sy")
+      val sDen = col("n") * lit(1.0) * col("sxx") -
+        col("sx") * lit(1.0) * col("sx")
+      val slopeC = sNum / sDen
+      g.withColumn("slope_c", slopeC)
+        .select(col("event_type"), col("n"),
+          Det.r6(col("slope_c") / lit(100.0)).as("slope"),
+          Det.r6((col("sy") * lit(1.0) - col("slope_c") * col("sx")) /
+                 col("n") / lit(100.0)).as("intercept"),
+          Det.r6(sNum * sNum /
+                 (sDen * (col("n") * lit(1.0) * col("syy") -
+                          col("sy") * lit(1.0) * col("sy")))).as("r2"))
+        .orderBy("event_type")
+    },
+
+    /** One-way ANOVA across the five event types on cent-quantized
+      * values: does ANY type's mean differ? — the k-group generalization
+      * of q_agg_ttest, run before pairwise tests to control the error
+      * budget. Per-group exact (n, Σv, Σv²) BIGINTs; the cross-group
+      * reductions Σsᵢ²/nᵢ (the only non-integer term) are milli-quantized
+      * to BIGINT PER GROUP before the outer sum, so the final SSB/SSW
+      * assembly is again order-free exact arithmetic — summing raw
+      * doubles across groups would be accumulation-order-dependent under
+      * Spark's partial aggregation. F = (SSB/(k−1))/(SSW/(N−k)) in
+      * dollars² (÷10⁴ from cents²), r6. One shuffle to 5 groups, then a
+      * single-row reduce. */
+    OpDef(
+      "q_agg_anova",
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vi) AS BIGINT) AS sv,
+        |    CAST(sum(vi * vi) AS BIGINT) AS sq
+        |  FROM p GROUP BY 1),
+        |q AS (
+        |  SELECT event_type, n, sv, sq,
+        |    CAST(floor((sv * 1.0 * sv / n) * 1000.0 + 0.5) AS BIGINT)
+        |      AS cf_milli
+        |  FROM g),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(sv) AS BIGINT) AS s, CAST(sum(sq) AS BIGINT) AS q,
+        |    CAST(sum(cf_milli) AS BIGINT) AS cf
+        |  FROM q)
+        |SELECT k, n,
+        |  floor(((cf / 1000.0 - s * 1.0 * s / n) / 10000.0)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS ssb,
+        |  floor(((q * 1.0 - cf / 1000.0) / 10000.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ssw,
+        |  floor((((cf / 1000.0 - s * 1.0 * s / n) / (k - 1.0))
+        |         / ((q * 1.0 - cf / 1000.0) / (n * 1.0 - k)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+        |FROM tot""".stripMargin
+    ) { (s, d) =>
+      val g = events(s, d)
+        .select(col("event_type"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("vi"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
+             sum(col("vi") * col("vi")).as("sq"))
+      val q = g.withColumn("cf_milli",
+        floor(col("sv") * lit(1.0) * col("sv") / col("n") * lit(1000.0) +
+              lit(0.5)).cast("long"))
+      val tot = q.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("sv")).as("s"), sum(col("sq")).as("q"),
+        sum(col("cf_milli")).as("cf"))
+      val ssbC = col("cf") / lit(1000.0) -
+        col("s") * lit(1.0) * col("s") / col("n")
+      val sswC = col("q") * lit(1.0) - col("cf") / lit(1000.0)
+      tot.select(col("k"), col("n"),
+        Det.r6(ssbC / lit(10000.0)).as("ssb"),
+        Det.r6(sswC / lit(10000.0)).as("ssw"),
+        Det.r6((ssbC / (col("k") - lit(1.0))) /
+               (sswC / (col("n") * lit(1.0) - col("k")))).as("f_stat"))
+    },
+
+    /** Cohen's kappa between two independent document-quality gates
+      * (length ≥ 300 chars vs whitespace-count ≥ 40), per language — the
+      * inter-rater agreement metric every labeling/filter-ensemble
+      * pipeline reports: raw agreement po corrected by the agreement pe
+      * two gates with these marginals would reach by chance. Whitespace
+      * count doubles as a script probe, so the per-language rows show the
+      * length gate and the "wordiness" gate agreeing on space-delimited
+      * languages and decoupling on zh. Pure 2×2 contingency integers per
+      * language; kappa = (po − pe)/(1 − pe) in doubles from the four
+      * BIGINT cells, r6, NULL when pe = 1 (degenerate marginals make
+      * chance-correction undefined). Map-side gates, one 5-group shuffle. */
+    OpDef(
+      "q_eval_kappa",
+      """WITH f AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 40
+        |         THEN 1 ELSE 0 END AS gb
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ga * gb) AS BIGINT) AS n11,
+        |    CAST(sum(ga * (1 - gb)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - ga) * gb) AS BIGINT) AS n01,
+        |    CAST(sum((1 - ga) * (1 - gb)) AS BIGINT) AS n00
+        |  FROM f GROUP BY lang),
+        |k AS (
+        |  SELECT lang, n, n11, n10, n01, n00,
+        |    (n11 + n00) * 1.0 / n AS po,
+        |    ((n11 + n10) * 1.0 * (n11 + n01)
+        |     + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n) AS pe
+        |  FROM c)
+        |SELECT lang, n, n11, n10, n01, n00,
+        |  floor(po * 1000000.0 + 0.5) / 1000000.0 AS po,
+        |  floor(pe * 1000000.0 + 0.5) / 1000000.0 AS pe,
+        |  CASE WHEN 1.0 - pe = 0 THEN NULL
+        |       ELSE floor(((po - pe) / (1.0 - pe)) * 1000000.0 + 0.5)
+        |            / 1000000.0 END AS kappa
+        |FROM k ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val f = documents(s, d).select(col("lang"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("ga"),
+        when(length(col("text")) - length(regexp_replace(col("text"),
+               lit(" "), lit(""))) >= 40, 1L).otherwise(0L).as("gb"))
+      val c = f.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("ga") * col("gb")).as("n11"),
+        sum(col("ga") * (lit(1L) - col("gb"))).as("n10"),
+        sum((lit(1L) - col("ga")) * col("gb")).as("n01"),
+        sum((lit(1L) - col("ga")) * (lit(1L) - col("gb"))).as("n00"))
+      val po = (col("n11") + col("n00")) * lit(1.0) / col("n")
+      val pe = ((col("n11") + col("n10")) * lit(1.0) *
+                (col("n11") + col("n01")) +
+                (col("n01") + col("n00")) * lit(1.0) *
+                (col("n10") + col("n00"))) /
+               (col("n") * lit(1.0) * col("n"))
+      c.withColumn("po_raw", po).withColumn("pe_raw", pe)
+        .select(col("lang"), col("n"), col("n11"), col("n10"), col("n01"),
+          col("n00"),
+          Det.r6(col("po_raw")).as("po"), Det.r6(col("pe_raw")).as("pe"),
+          when(lit(1.0) - col("pe_raw") === 0.0, lit(null).cast("double"))
+            .otherwise(Det.r6((col("po_raw") - col("pe_raw")) /
+                              (lit(1.0) - col("pe_raw")))).as("kappa"))
+        .orderBy("lang")
+    },
+
+    /** Bollinger bands over the per-type daily revenue series: 20-day
+      * trailing mean ± 2σ (population, window EXCLUDES the current day so
+      * the band is a genuine one-step-ahead envelope), flagging each
+      * day's close as above/below/inside — the classic volatility
+      * breakout monitor, reused verbatim for metric anomaly paging. The
+      * window carries exact BIGINT (Σ, Σ², n) in cents; mean/σ derive per
+      * row as (20·Σ² − Σ²)/20² with one IEEE sqrt, and the breakout
+      * COMPARES IN CENTS against the unrounded band (both engines
+      * evaluate the identical doubles) while the reported band edges are
+      * r6 dollars. Rows before a full 20-day history are dropped, not
+      * emitted with a shrunken window. Partitioned by event_type — the
+      * window never crosses the 5-way partition, so at 100 TB this is a
+      * per-key linear pass over the daily rollup, not a global sort. */
+    OpDef(
+      "q_win_bollinger",
+      s"""WITH dly AS (
+        |  SELECT event_type, $Day AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, y,
+        |    CAST(sum(y) OVER win AS BIGINT) AS s,
+        |    CAST(sum(y * y) OVER win AS BIGINT) AS sq,
+        |    CAST(count(*) OVER win AS BIGINT) AS c
+        |  FROM dly
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |b AS (
+        |  SELECT event_type, day, y, s,
+        |    sqrt((20.0 * sq - s * 1.0 * s) / 400.0) AS sd
+        |  FROM w WHERE c = 20)
+        |SELECT event_type, day, y / 100.0 AS value,
+        |  floor((s / 20.0 / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS mean,
+        |  floor(((s / 20.0 + 2.0 * sd) / 100.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS upper,
+        |  floor(((s / 20.0 - 2.0 * sd) / 100.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS lower,
+        |  CASE WHEN y * 1.0 > s / 20.0 + 2.0 * sd THEN 'up'
+        |       WHEN y * 1.0 < s / 20.0 - 2.0 * sd THEN 'down'
+        |       ELSE 'in' END AS breakout
+        |FROM b ORDER BY event_type, day""".stripMargin
+    ) { (s, d) =>
+      val dly = events(s, d)
+        .select(col("event_type"),
+                to_date(date_trunc("day", col("ts"))).as("day"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("cents"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("cents")).as("y"))
+      val win = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-20, -1)
+      val w = dly.select(col("event_type"), col("day"), col("y"),
+        sum(col("y")).over(win).as("s"),
+        sum(col("y") * col("y")).over(win).as("sq"),
+        count(lit(1)).over(win).as("c"))
+        .filter(col("c") === 20)
+      val sd = sqrt((lit(20.0) * col("sq") - col("s") * lit(1.0) * col("s"))
+                    / lit(400.0))
+      w.withColumn("sd", sd)
+        .select(col("event_type"), col("day"),
+          (col("y") / lit(100.0)).as("value"),
+          Det.r6(col("s") / lit(20.0) / lit(100.0)).as("mean"),
+          Det.r6((col("s") / lit(20.0) + lit(2.0) * col("sd")) / lit(100.0))
+            .as("upper"),
+          Det.r6((col("s") / lit(20.0) - lit(2.0) * col("sd")) / lit(100.0))
+            .as("lower"),
+          when(col("y") * lit(1.0) >
+                 col("s") / lit(20.0) + lit(2.0) * col("sd"), "up")
+            .when(col("y") * lit(1.0) <
+                    col("s") / lit(20.0) - lit(2.0) * col("sd"), "down")
+            .otherwise("in").as("breakout"))
+        .orderBy("event_type", "day")
+    },
+
+    /** Kruskal–Wallis H per day across ALL five event types — the k-group
+      * generalization of q_agg_mwu (rank ANOVA), the test run when
+      * q_agg_anova's normality assumption is off the table. Same pooled
+      * per-day ranking and exact 2·avgrank BIGINT carry as the U test;
+      * the per-type rank-sum squares R²ᵢ/nᵢ (the only non-integer terms)
+      * are milli-quantized to BIGINT PER TYPE before the cross-type sum —
+      * the q_agg_anova accumulation-order trick — then
+      * H = (12/(N(N+1)))·(Σ/4) − 3(N+1), tie-corrected by
+      * 1 − ΣT/(N³−N), r6, with the significance call against the
+      * χ²(4 df, 5%) = 9.487729 critical value on the ROUNDED h. Per-day
+      * partitioned ranking, a 5-type rollup, then a per-day reduce —
+      * nothing global. */
+    OpDef(
+      "q_agg_kruskal",
+      s"""WITH ev AS (
+        |  SELECT $Day AS day, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |rk AS (
+        |  SELECT day, event_type, cents,
+        |    CAST(rank() OVER (PARTITION BY day ORDER BY cents) AS BIGINT)
+        |      AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY day, cents) AS BIGINT) AS c
+        |  FROM ev),
+        |grp AS (
+        |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(2 * rnk + c - 1) AS BIGINT) AS rx2
+        |  FROM rk GROUP BY day, event_type),
+        |cf AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(rx2 * 1.0 * rx2 / ni * 1000.0 + 0.5)
+        |                  AS BIGINT)) AS BIGINT) AS sq_milli
+        |  FROM grp GROUP BY day),
+        |t AS (
+        |  SELECT day, CAST(sum(c * c * c - c) AS BIGINT) AS ties
+        |  FROM (SELECT DISTINCT day, cents, c FROM rk) dv GROUP BY day),
+        |h AS (
+        |  SELECT cf.day, cf.k, cf.n,
+        |    floor((((12.0 / (cf.n * 1.0 * (cf.n + 1.0)))
+        |            * (cf.sq_milli / 1000.0 / 4.0) - 3.0 * (cf.n + 1.0))
+        |           / (1.0 - t.ties * 1.0
+        |                    / (cf.n * 1.0 * cf.n * cf.n - cf.n)))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS h
+        |  FROM cf JOIN t ON cf.day = t.day)
+        |SELECT day, k, n, h, h > 9.487729 AS significant
+        |FROM h ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      val ev = events(s, d)
+        .select(to_date(date_trunc("day", col("ts"))).as("day"),
+                col("event_type"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("cents"))
+      val wRank = Window.partitionBy("day").orderBy("cents")
+      val wTie = Window.partitionBy("day", "cents")
+      val rk = ev.select(col("day"), col("event_type"), col("cents"),
+        rank().over(wRank).cast("long").as("rnk"),
+        count(lit(1)).over(wTie).as("c"))
+      val grp = rk.groupBy("day", "event_type").agg(
+        count(lit(1)).as("ni"),
+        sum(lit(2L) * col("rnk") + col("c") - lit(1L)).as("rx2"))
+      val cf = grp.groupBy("day").agg(
+        count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(floor(col("rx2") * lit(1.0) * col("rx2") / col("ni") *
+                  lit(1000.0) + lit(0.5)).cast("long")).as("sq_milli"))
+      val t = rk.select("day", "cents", "c").distinct()
+        .groupBy("day")
+        .agg(sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val hRaw = (lit(12.0) / (col("n") * lit(1.0) * (col("n") + lit(1.0)))) *
+        (col("sq_milli") / lit(1000.0) / lit(4.0)) -
+        lit(3.0) * (col("n") + lit(1.0))
+      val h = Det.r6(hRaw / (lit(1.0) - col("ties") * lit(1.0) /
+        (col("n") * lit(1.0) * col("n") * col("n") - col("n"))))
+      cf.join(t, Seq("day"))
+        .select(col("day"), col("k"), col("n"), h.as("h"))
+        .withColumn("significant", col("h") > lit(9.487729))
+        .orderBy("day")
+    },
+
+    /** Spearman rank correlation per event type between the daily event
+      * COUNT and the daily total VALUE — "do busier days make more
+      * money, monotonically?" — the robust companion to q_agg_corr's
+      * Pearson (rank correlation is invariant to the heavy right tail
+      * that drags a product-moment estimate around). Both series rank
+      * within their type via the same exact 2·avgrank BIGINT carry (the
+      * common ×2 scale cancels in the correlation in exact arithmetic,
+      * and both engines run the identical IEEE assembly from identical
+      * integers, so it cancels bit-for-bit here too); ρ is then Pearson
+      * on the rank pairs from six exact BIGINT sums, r6. One daily
+      * rollup shuffle, two within-type rank windows, a 5-row reduce. */
+    OpDef(
+      "q_agg_spearman",
+      s"""WITH dly AS (
+        |  SELECT event_type, $Day AS day,
+        |    CAST(count(*) AS BIGINT) AS xc,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS yc
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY xc)
+        |         + count(*) OVER (PARTITION BY event_type, xc) - 1
+        |         AS BIGINT) AS a,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY yc)
+        |         + count(*) OVER (PARTITION BY event_type, yc) - 1
+        |         AS BIGINT) AS b
+        |  FROM dly),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(a * b) AS BIGINT) AS sab,
+        |    CAST(sum(a * a) AS BIGINT) AS saa,
+        |    CAST(sum(b * b) AS BIGINT) AS sbb
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n,
+        |  floor(((n * 1.0 * sab - sa * 1.0 * sb)
+        |         / sqrt((n * 1.0 * saa - sa * 1.0 * sa)
+        |                * (n * 1.0 * sbb - sb * 1.0 * sb)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS rho
+        |FROM g ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val dly = events(s, d)
+        .select(col("event_type"),
+                to_date(date_trunc("day", col("ts"))).as("day"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("cents"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("xc"), sum(col("cents")).as("yc"))
+      def x2rank(v: String) =
+        (lit(2L) * rank().over(Window.partitionBy("event_type").orderBy(v))
+           .cast("long") +
+         count(lit(1)).over(Window.partitionBy("event_type", v)) - lit(1L))
+      val rk = dly.select(col("event_type"),
+        x2rank("xc").as("a"), x2rank("yc").as("b"))
+      val g = rk.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+      g.select(col("event_type"), col("n"),
+        Det.r6((col("n") * lit(1.0) * col("sab") -
+                col("sa") * lit(1.0) * col("sb")) /
+               sqrt((col("n") * lit(1.0) * col("saa") -
+                     col("sa") * lit(1.0) * col("sa")) *
+                    (col("n") * lit(1.0) * col("sbb") -
+                     col("sb") * lit(1.0) * col("sb")))).as("rho"))
+        .orderBy("event_type")
+    },
+
+    /** Fuzzy part-name matching via the native [[graft.functions.JaroWinkler]]
+      * expression: within (brand, size) blocks — the record-linkage
+      * blocking that bounds candidate pairs by block geometry, never
+      * |part|² — score every name pair and keep near-matches. The scorer
+      * is a Catalyst expression with `doGenCode` (a direct static call
+      * inside WholeStageCodegen; a Scala UDF here would break the span
+      * and pay an encoder round-trip per pair). Oracle is DuckDB's own
+      * `jaro_winkler_similarity` — same convention (p = 0.1, prefix ≤ 4,
+      * boost only above jaro 0.7), both sides r6-rounded; the match
+      * filter runs on the ROUNDED score so both engines admit identical
+      * pair sets. NEAR matches only — identical names are excluded
+      * (exact identity is q_dedup_exact's job; what survives is the
+      * "old anvil"/"cold anvil" typo-distance linkage this scorer
+      * exists for). Blocked by p_size (50 blocks); at 100 TB the block
+      * self-join is the standard LSH-style bounded expansion — the op's
+      * cost is Σ block², never corpus², and a skewed block would get a
+      * second blocking key exactly like the dedup family's band caps. */
+    OpDef(
+      "q_text_jarowinkler",
+      """WITH pr AS (
+        |  SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+        |    a.p_name AS name1, b.p_name AS name2,
+        |    floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000.0
+        |          + 0.5) / 1000000.0 AS jw
+        |  FROM part a JOIN part b
+        |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |   AND a.p_name <> b.p_name)
+        |SELECT p1, p2, name1, name2, jw
+        |FROM pr WHERE jw >= 0.9
+        |ORDER BY jw DESC, p1, p2""".stripMargin
+    ) { (s, d) =>
+      graft.GraftFunctions.register(s)
+      val p = part(s, d).select(col("p_partkey"), col("p_name"),
+                                col("p_size"))
+      val a = p.select(col("p_partkey").as("p1"), col("p_name").as("name1"),
+                       col("p_size").as("s1"))
+      val b = p.select(col("p_partkey").as("p2"), col("p_name").as("name2"),
+                       col("p_size").as("s2"))
+      a.join(b, col("s1") === col("s2") && col("p1") < col("p2") &&
+               col("name1") =!= col("name2"))
+        .withColumn("jw", Det.r6(expr("graft_jaro_winkler(name1, name2)")))
+        .filter(col("jw") >= 0.9)
+        .select(col("p1"), col("p2"), col("name1"), col("name2"), col("jw"))
+        .orderBy(col("jw").desc, col("p1"), col("p2"))
+    }
+  )
+}

@@ -698,6 +698,88 @@ object Layout {
       state.select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** The change feed consumed through the REGISTERED streaming source
+      * (r10): the same merge → OPTIMIZE → tombstone history as
+      * q_lake_changes, but the subscriber is a real
+      * `readStream.format("graft-lake")` query — versions as offsets,
+      * micro-batches landing in a parquet append sink (the distributed
+      * spelling: no rows ever cross the driver), drained with
+      * `processAllAvailable`. The fold over the STREAMED rows (signed
+      * multiplicity, startingVersion 0 so v1's snapshot arrives as
+      * inserts — no batch seed at all) must reproduce the live table
+      * row-for-row (required), and the oracle computes the end state
+      * straight from `orders` — the hash-match proves the streaming
+      * source delivers exactly the feed, no loss, no invention, no
+      * OPTIMIZE noise. The one-shot replay here is the oracle-checkable
+      * slice; liveness (commits landing mid-stream), restart resume, and
+      * tail-only starts are LakeStreamSpec's pins. */
+    OpDef(
+      "q_lake_stream",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders WHERE (o_custkey % 10) <> 3
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_stream_").toString
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_lake_stream_sink_").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_lake_stream_cp_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val full = roll(o)
+      val v1Table = full.filter(col("band") =!= 0)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(col("band") === 0))
+      require(LakeTable.commit(s, dir, v1Table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      require(LakeTable.mergePartial(s, dir, full.filter(col("band") === 0),
+                Seq("custkey"), "band")(_ => None) == Right(2L),
+              "the correction merge failed")
+      require(LakeTable.optimize(s, dir, Long.MaxValue, Seq.empty,
+                Some("band")) == Right(3L), "optimize failed")
+      val tombstones = full.filter(col("custkey") % 10 === 3)
+        .withColumn("op", lit("D"))
+      require(LakeTable.applyCdcPartial(s, dir, tombstones,
+                Seq("custkey"), "band")(_ => None) == Right(4L),
+              "the CDC apply failed")
+      val q = s.readStream.format("graft-lake").option("path", dir).load()
+        .writeStream.format("parquet")
+        .option("path", stage).option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val feed = s.read.parquet(stage)
+      require(feed.filter(col("_commit_version") === 3L).isEmpty,
+              "the OPTIMIZE version must stream zero logical changes")
+      val cols = Seq("custkey", "n_orders", "cents", "band")
+      def w(df: DataFrame, weight: Int) =
+        df.select(cols.map(col): _*).withColumn("_w", lit(weight))
+      val state = w(feed.filter(col("_change_type") === "insert"), 1)
+        .unionAll(w(feed.filter(col("_change_type") === "delete"), -1))
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col("_w")).as("_m"))
+        .filter(col("_m") > 0)
+        .select(cols.map(col): _*)
+      require(w(state, 1).unionAll(w(LakeTable.read(s, dir), -1))
+                .groupBy(cols.map(col): _*)
+                .agg(sum(col("_w")).as("_m"))
+                .filter(col("_m") =!= 0).isEmpty,
+              "the streamed fold must reproduce the live version exactly")
+      state.select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
     /** Incremental MATERIALIZED-VIEW maintenance from the change feed
       * (r9): the classic downstream consumer of a CDC stream. A per-band
       * aggregate (customers, order and cent sums) is seeded ONCE from v1

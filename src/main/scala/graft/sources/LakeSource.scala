@@ -32,8 +32,36 @@ import org.apache.spark.sql.types.StructType
   * (external-Row conversion, codegen fence) — measured in the
   * [[LakeRelation.buildScan]] docstring. */
 class LakeSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
+
+  /** STREAM read — `spark.readStream.format("graft-lake")` delivers the
+    * CDC change feed incrementally, commit versions as offsets (see
+    * [[LakeStreamSource]]). Option `startingVersion` (default 0) sets the
+    * exclusive lower fence of the first batch: 0 replays the full history
+    * (initial snapshot arrives as the first version's inserts); the
+    * current version at stream start skips history and tails new commits. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    (shortName(), schema.getOrElse(LakeStreamSource.feedSchema(sqlContext, dir)))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    new LakeStreamSource(sqlContext, dir,
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+  }
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val dir = parameters.getOrElse("path",
