@@ -40,7 +40,11 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
     * [[LakeStreamSource]]). Option `startingVersion` (default 0) sets the
     * exclusive lower fence of the first batch: 0 replays the full history
     * (initial snapshot arrives as the first version's inserts); the
-    * current version at stream start skips history and tails new commits. */
+    * current version at stream start skips history and tails new commits.
+    * Option `maxVersionsPerTrigger` bounds each micro-batch to that many
+    * commit versions (Delta's `maxFilesPerTrigger` shape) — backlog
+    * catch-up after downtime proceeds in bounded bites instead of one
+    * giant batch. */
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -60,7 +64,9 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-lake requires option 'path'"))
     new LakeStreamSource(sqlContext, dir,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      metadataPath,
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
   }
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

@@ -38,19 +38,59 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * [[org.apache.spark.sql.graftshim.StreamShim]] (the `isStreaming` flag
   * is metadata; the data path is the same codegen'd scan).
   */
-class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long)
+class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
+                       metadataPath: String,
+                       maxVersionsPerTrigger: Option[Int])
     extends Source {
 
   override val schema: StructType = LakeStreamSource.feedSchema(ctx, dir)
 
   private def ver(o: OffsetV1): Long = o.json.trim.toLong
 
+  /** Rate-limit cursor (only kept when `maxVersionsPerTrigger` is set):
+    * the end version of the last planned batch, persisted under the
+    * source's checkpoint `metadataPath` so a restart caps from the right
+    * floor instead of re-advertising an offset at or below the engine's
+    * committed one (which would rewind the offset log). Write order makes
+    * this safe: the engine WALs the end offset before calling `getBatch`,
+    * and re-runs `getBatch` for any uncommitted tail batch on restart, so
+    * the persisted cursor always equals the last offsets-logged end. */
+  private val cursorFile = java.nio.file.Paths.get(metadataPath,
+    "graft-lake-rate-cursor")
+
+  private def readCursor(): Option[Long] =
+    if (java.nio.file.Files.exists(cursorFile))
+      Some(new String(java.nio.file.Files.readAllBytes(cursorFile),
+                      "UTF-8").trim.toLong)
+    else None
+
+  private def writeCursor(v: Long): Unit = {
+    java.nio.file.Files.createDirectories(cursorFile.getParent)
+    val tmp = cursorFile.resolveSibling(cursorFile.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, cursorFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   override def getOffset: Option[OffsetV1] =
-    LakeTable.currentVersion(dir).map(LongOffset(_))
+    LakeTable.currentVersion(dir).map { cur =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(m) =>
+          val floor = readCursor().getOrElse(startingVersion)
+          val pending = LakeTable.versions(dir)
+            .filter(v => v > floor && v <= cur)
+          if (pending.isEmpty) math.max(cur, floor)
+          else pending.take(m).last
+        case None => cur
+      }
+      LongOffset(capped)
+    }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
+    if (maxVersionsPerTrigger.nonEmpty) writeCursor(math.max(from, to))
     val feed = LakeTable.changesBetween(ctx.sparkSession, dir, from, to)
     // align to the declared schema: versions recorded under an older
     // schema null-fill; columns evolved onto the table after stream

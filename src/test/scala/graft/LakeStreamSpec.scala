@@ -118,6 +118,51 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger drains a backlog one version per batch") {
+    val dir = Files.createTempDirectory("graft_lakestream_rate_").toString
+    val cp = Files.createTempDirectory("graft_lakestream_ratecp_").toString
+    val o = graft.ops.Tables.orders(spark, sf)
+    val width = math.max(32L,
+      o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+    val full = roll(o, width)
+    assert(LakeTable.commit(spark, dir, full, Some("band"))(_ => None)
+      == Right(1L))
+
+    val batchVersions = mutable.ArrayBuffer.empty[Set[Long]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("path", dir).option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val vs = df.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSet
+          batchVersions.synchronized { batchVersions += vs }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // v1 alone
+    assert(batchVersions.filter(_.nonEmpty).forall(_.size == 1))
+    assert(batchVersions.flatten.toSet == Set(1L))
+
+    // backlog of three more versions lands while the stream is DOWN;
+    // the restarted query must drain it one version per micro-batch
+    // (the rate cursor floors at the committed offset, not at 0)
+    for (i <- 2 to 4) {
+      assert(LakeTable.mergePartial(spark, dir,
+        full.filter(col("band") === (i % 3).toLong)
+          .withColumn("cents", col("cents") + lit(i.toLong)),
+        Seq("custkey"), "band")(_ => None) == Right(i.toLong))
+    }
+    run()
+    val nonEmpty = batchVersions.filter(_.nonEmpty)
+    assert(nonEmpty.forall(_.size == 1),
+      s"each micro-batch must carry exactly one version: $batchVersions")
+    assert(nonEmpty.flatten.toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("startingVersion tails new commits without replaying history") {
     val dir = Files.createTempDirectory("graft_lakestream_tail_").toString
     val cp = Files.createTempDirectory("graft_lakestream_tailcp_").toString
