@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   * (external-Row conversion, codegen fence) — measured in the
   * [[LakeRelation.buildScan]] docstring. */
 class LakeSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
 
   /** STREAM read — `spark.readStream.format("graft-lake")` delivers the
@@ -67,6 +67,31 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       metadataPath,
       parameters.get("maxVersionsPerTrigger").map(_.toInt))
+  }
+
+  /** STREAM write — `df.writeStream.format("graft-lake")`: micro-batches
+    * commit through the write-audit-publish protocol with the engine's
+    * batchId as the manifest-recorded per-sink watermark (exactly-once
+    * across epoch replay). Options: `commitMode` (append | merge),
+    * `layoutBy`, `statsBy`, `keys` (merge), `sinkName` (watermark
+    * namespace when several queries write one table). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    new LakeStreamSink(dir,
+      parameters.getOrElse("commitMode", "append"),
+      parameters.get("layoutBy"),
+      parameters.get("statsBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty),
+      parameters.get("keys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty),
+      parameters.getOrElse("sinkName", "graft-lake-stream"))
   }
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

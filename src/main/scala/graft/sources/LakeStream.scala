@@ -111,6 +111,58 @@ class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
   override def toString: String = s"LakeStreamSource[$dir]"
 }
 
+/** Structured Streaming WRITE into a graft-lake table — the sink half of
+  * `format("graft-lake")` (r10): every micro-batch commits through the
+  * full write-audit-publish protocol with the engine's batchId recorded
+  * as the per-sink watermark in the manifest, so data and idempotence
+  * handle publish ATOMICALLY (the behavior-30/33 foreachBatch discipline
+  * behind a registered format). A replayed epoch reads watermark ≥
+  * batchId and skips; an empty micro-batch neither commits a version nor
+  * consumes the watermark.
+  *
+  * Modes (option `commitMode`):
+  *  - `append` (default): zero-rewrite append — the new version carries
+  *    every live file verbatim and adds only the batch's files;
+  *  - `merge`: partial-rewrite upsert via [[LakeTable.mergePartial]] —
+  *    requires options `keys` (comma-separated) and `layoutBy`; each
+  *    batch must carry at most one row per key (the audit gates key
+  *    uniqueness across the staged version). Only files whose layout
+  *    value the batch touches rewrite; at 100 TB write amplification is
+  *    ∝ touched partitions, not table size.
+  */
+class LakeStreamSink(dir: String, commitMode: String,
+                     layoutBy: Option[String], statsBy: Seq[String],
+                     keys: Seq[String], sinkName: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.Dataset[
+                          org.apache.spark.sql.Row]): Unit = {
+    val spark = data.sparkSession
+    if (LakeTable.appliedBatch(dir, sinkName).exists(_ >= batchId)) return
+    val batch = StreamShim.asBatch(data.toDF())
+    if (batch.isEmpty) return
+    val r = commitMode match {
+      case "append" =>
+        LakeTable.append(spark, dir, batch, layoutBy, statsBy,
+          batches = Map(sinkName -> batchId))(_ => None)
+      case "merge" =>
+        LakeTable.mergePartial(spark, dir, batch, keys,
+          layoutBy.getOrElse(throw new IllegalArgumentException(
+            "graft-lake commitMode=merge requires option 'layoutBy'")),
+          batch = Some(batchId), statsBy = statsBy, sink = sinkName)(_ => None)
+      case other => throw new IllegalArgumentException(
+        s"graft-lake commitMode must be append or merge, got '$other'")
+    }
+    r match {
+      case Right(_) => ()
+      case Left(reason) => throw new IllegalStateException(reason)
+    }
+  }
+
+  override def toString: String = s"LakeStreamSink[$dir, $commitMode]"
+}
+
 object LakeStreamSource {
   private[sources] def feedSchema(ctx: SQLContext, dir: String): StructType = {
     val table = {

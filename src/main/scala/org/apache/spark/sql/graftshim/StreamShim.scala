@@ -22,4 +22,15 @@ object StreamShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch`: the micro-batch DataFrame the
+    * engine hands over is backed by the incremental execution — rebasing
+    * it on its own `toRdd` (exactly what `ForeachBatchSink` does before
+    * invoking user code) yields a plain batch frame safe to plan fresh
+    * jobs against. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

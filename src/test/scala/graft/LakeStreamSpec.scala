@@ -163,6 +163,111 @@ class LakeStreamSpec extends SparkTestBase {
     assert(nonEmpty.flatten.toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("writeStream sink: append commits per batch, replay skips, " +
+       "merge upserts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakesink_").toString
+    val cp = Files.createTempDirectory("graft_lakesink_cp_").toString
+
+    val ms = MemoryStream[(Long, Long)](spark)
+    val q = ms.toDF().toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 4)
+      .writeStream.format("graft-lake")
+      .option("path", dir).option("checkpointLocation", cp)
+      .option("commitMode", "merge")
+      .option("keys", "custkey").option("layoutBy", "band")
+      .start()
+    try {
+      ms.addData((1L, 100L), (2L, 200L), (5L, 500L))
+      q.processAllAvailable()
+      assert(LakeTable.currentVersion(dir).contains(1L))
+      // batch 2 upserts key 1 (band 1) and inserts key 3 (band 3) —
+      // bands 0/2 carry over untouched
+      ms.addData((1L, 111L), (3L, 300L))
+      q.processAllAvailable()
+      assert(LakeTable.currentVersion(dir).contains(2L))
+      val live = LakeTable.read(spark, dir).collect()
+        .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("cents")).toMap
+      assert(live == Map(1L -> 111L, 2L -> 200L, 3L -> 300L, 5L -> 500L))
+    } finally q.stop()
+
+    // direct replay of an applied batchId must be a no-op (the manifest
+    // watermark is the idempotence handle — the crash-replay path)
+    val sink = new graft.sources.LakeStreamSink(dir, "merge", Some("band"),
+      Seq.empty, Seq("custkey"), "graft-lake-stream")
+    sink.addBatch(1L, Seq((1L, 999L)).toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 4))
+    assert(LakeTable.currentVersion(dir).contains(2L),
+      "replayed batch must not publish a version")
+    assert(LakeTable.read(spark, dir).filter(col("custkey") === 1L)
+      .head.getAs[Long]("cents") == 111L)
+
+    // append mode onto a fresh table: two batches → two versions, all rows
+    val dir2 = Files.createTempDirectory("graft_lakesink_app_").toString
+    val cp2 = Files.createTempDirectory("graft_lakesink_appcp_").toString
+    val ms2 = MemoryStream[(Long, Long)](spark)
+    val q2 = ms2.toDF().toDF("custkey", "cents")
+      .writeStream.format("graft-lake")
+      .option("path", dir2).option("checkpointLocation", cp2)
+      .start()
+    try {
+      ms2.addData((1L, 10L)); q2.processAllAvailable()
+      ms2.addData((2L, 20L)); q2.processAllAvailable()
+      assert(LakeTable.currentVersion(dir2).contains(2L))
+      assert(LakeTable.read(spark, dir2).count() == 2L)
+    } finally q2.stop()
+  }
+
+  test("round trip: writeStream into the lake, readStream the change feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakert_").toString
+    val cpW = Files.createTempDirectory("graft_lakert_w_").toString
+    val cpR = Files.createTempDirectory("graft_lakert_r_").toString
+
+    val ms = MemoryStream[(Long, Long)](spark)
+    val w = ms.toDF().toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 2)
+      .writeStream.format("graft-lake")
+      .option("path", dir).option("checkpointLocation", cpW)
+      .option("commitMode", "merge")
+      .option("keys", "custkey").option("layoutBy", "band")
+      .start()
+    // key → (highest insert version, its cents, multiplicity): rows inside
+    // one micro-batch span versions in arbitrary order, so the surviving
+    // value is the highest-version insert, not the last row processed
+    val folded = mutable.Map.empty[Long, (Long, Long, Long)]
+    try {
+      ms.addData((1L, 1L), (2L, 2L)); w.processAllAvailable()
+      ms.addData((2L, 22L), (3L, 3L)); w.processAllAvailable()
+
+      val r = spark.readStream.format("graft-lake")
+        .option("path", dir).load()
+        .writeStream.option("checkpointLocation", cpR)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          folded.synchronized {
+            df.collect().foreach { row =>
+              val k = row.getAs[Long]("custkey")
+              val c = row.getAs[Long]("cents")
+              val v = row.getAs[Long]("_commit_version")
+              val del = row.getAs[String]("_change_type") == "delete"
+              val (bv, bc, m) = folded.getOrElse(k, (0L, 0L, 0L))
+              folded(k) =
+                if (del) (bv, bc, m - 1)
+                else if (v >= bv) (v, c, m + 1)
+                else (bv, bc, m + 1)
+            }
+          }
+          ()
+        }
+        .start()
+      try r.processAllAvailable() finally r.stop()
+    } finally w.stop()
+    val endState = folded.collect { case (k, (_, c, m)) if m > 0 => k -> c }
+    assert(endState == Map(1L -> 1L, 2L -> 22L, 3L -> 3L))
+  }
+
   test("startingVersion tails new commits without replaying history") {
     val dir = Files.createTempDirectory("graft_lakestream_tail_").toString
     val cp = Files.createTempDirectory("graft_lakestream_tailcp_").toString
