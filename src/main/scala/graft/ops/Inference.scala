@@ -544,6 +544,93 @@ object Inference {
         .orderBy("event_type")
     },
 
+    /** Kendall's τ-b per event type between daily count and daily
+      * revenue — the third leg of the correlation family (q_agg_corr's
+      * Pearson, q_agg_spearman's ρ): concordant-minus-discordant pair
+      * counting, the estimator whose ±1 bounds survive ANY monotone
+      * transform and whose tie treatment (τ-b denominator) is exact
+      * combinatorics. Pure integers end-to-end: C − D sums ±1 over the
+      * calendar-bounded pair expansion (days², the q_win_mannkendall
+      * shape — an equi-join on event_type with a day inequality, never a
+      * corpus product), tie terms n₁ = Σt(t−1)/2 from per-value counts,
+      * and one final sqrt over exact BIGINTs, r6. */
+    OpDef(
+      "q_agg_kendall",
+      s"""WITH dly AS (
+        |  SELECT event_type, $Day AS day,
+        |    CAST(count(*) AS BIGINT) AS xc,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS yc
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN (a.xc - b.xc) * (a.yc - b.yc) > 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN (a.xc - b.xc) * (a.yc - b.yc) < 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM dly a JOIN dly b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM dly
+        |  GROUP BY 1),
+        |tx AS (
+        |  SELECT event_type,
+        |    CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+        |  FROM (SELECT event_type, xc, CAST(count(*) AS BIGINT) AS t
+        |        FROM dly GROUP BY 1, 2) g GROUP BY 1),
+        |ty AS (
+        |  SELECT event_type,
+        |    CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+        |  FROM (SELECT event_type, yc, CAST(count(*) AS BIGINT) AS t
+        |        FROM dly GROUP BY 1, 2) g GROUP BY 1)
+        |SELECT p.event_type, n.n, p.c, p.d,
+        |  floor(((p.c - p.d) * 1.0
+        |         / sqrt((n.n * (n.n - 1) / 2 - tx.n1) * 1.0
+        |                * (n.n * (n.n - 1) / 2 - ty.n2)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS tau
+        |FROM p
+        |JOIN n ON p.event_type = n.event_type
+        |JOIN tx ON p.event_type = tx.event_type
+        |JOIN ty ON p.event_type = ty.event_type
+        |ORDER BY p.event_type""".stripMargin
+    ) { (s, d) =>
+      val dly = events(s, d)
+        .select(col("event_type"),
+                to_date(date_trunc("day", col("ts"))).as("day"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("cents"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("xc"), sum(col("cents")).as("yc"))
+      val a = dly.select(col("event_type"), col("day").as("da"),
+                         col("xc").as("xa"), col("yc").as("ya"))
+      val b = dly.select(col("event_type"), col("day").as("db"),
+                         col("xc").as("xb"), col("yc").as("yb"))
+      val p = a.join(b, Seq("event_type"))
+        .filter(col("da") < col("db"))
+        .groupBy("event_type")
+        .agg(
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0, 1L)
+            .otherwise(0L)).as("d"))
+      val n = dly.groupBy("event_type").agg(count(lit(1)).as("n"))
+      def tieTerm(v: String, out: String) = dly
+        .groupBy("event_type", v).agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - lit(1L)) / lit(2L)).cast("long")
+          .as(out))
+      val half = col("n") * (col("n") - lit(1L)) / lit(2L)
+      p.join(n, Seq("event_type"))
+        .join(tieTerm("xc", "n1"), Seq("event_type"))
+        .join(tieTerm("yc", "n2"), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("c"), col("d"),
+          Det.r6((col("c") - col("d")) * lit(1.0) /
+                 sqrt((half - col("n1")) * lit(1.0) * (half - col("n2"))))
+            .as("tau"))
+        .orderBy("event_type")
+    },
+
     /** Fuzzy part-name matching via the native [[graft.functions.JaroWinkler]]
       * expression: within (brand, size) blocks — the record-linkage
       * blocking that bounds candidate pairs by block geometry, never

@@ -50,8 +50,8 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
                             providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) = {
-    val dir = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    val dir = LakeSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'")))
     (shortName(), schema.getOrElse(LakeStreamSource.feedSchema(sqlContext, dir)))
   }
 
@@ -61,8 +61,8 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
                             providerName: String,
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val dir = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    val dir = LakeSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'")))
     new LakeStreamSource(sqlContext, dir,
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       metadataPath,
@@ -80,8 +80,8 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val dir = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    val dir = LakeSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'")))
     new LakeStreamSink(dir,
       parameters.getOrElse("commitMode", "append"),
       parameters.get("layoutBy"),
@@ -95,8 +95,8 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
   }
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val dir = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    val dir = LakeSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'")))
     new LakeRelation(sqlContext, dir,
                      parameters.get("versionAsOf").map(_.toLong))
   }
@@ -125,8 +125,8 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
                               parameters: Map[String, String],
                               data: org.apache.spark.sql.DataFrame): BaseRelation = {
     import org.apache.spark.sql.SaveMode._
-    val dir = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+    val dir = LakeSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires option 'path'")))
     val layoutBy = parameters.get("layoutBy")
     val statsBy = parameters.get("statsBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -158,6 +158,16 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
     }
     new LakeRelation(sqlContext, dir, None)
   }
+}
+
+object LakeSource {
+  /** Spark's catalog (`CREATE TABLE ... USING graft-lake`) qualifies the
+    * path option to a URI (`file:/tmp/x`); the manifest layer works on
+    * raw local paths. Strip the local scheme; any other scheme passes
+    * through untouched (an object-store deployment would swap the
+    * manifest I/O seam wholesale, not this normalization). */
+  private[sources] def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 }
 
 object LakeRelation {

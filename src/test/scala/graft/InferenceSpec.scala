@@ -199,6 +199,28 @@ class InferenceSpec extends SparkTestBase {
     assert(r.getAs[Double]("rho") === 1.0)
   }
 
+  test("kendall tau-b is 1 on a perfectly concordant series, with ties " +
+       "in neither margin") {
+    import spark.implicits._
+    val rows =
+      Seq(("2024-01-01 01:00:00", 1.0)) ++
+      Seq(("2024-01-02 01:00:00", 2.0), ("2024-01-02 02:00:00", 2.0)) ++
+      Seq(("2024-01-03 01:00:00", 3.0), ("2024-01-03 02:00:00", 3.0),
+          ("2024-01-03 03:00:00", 3.0))
+    val df = rows.map { case (t, v) => ("purchase", v, ts(t)) }
+      .toDF("event_type", "value", "ts")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("kend").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ops.Inference.ops.find(_.name == "q_agg_kendall").get
+      .fn(spark, dir).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("c") === 3L) // all C(3,2) pairs concordant
+    assert(r.getAs[Long]("d") === 0L)
+    assert(r.getAs[Double]("tau") === 1.0)
+  }
+
   test("jarowinkler op: block pairing and threshold match a brute replay") {
     GraftFunctions.register(spark)
     // independent replay of the op's size-blocked near-match semantics at

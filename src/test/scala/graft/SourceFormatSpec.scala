@@ -134,6 +134,37 @@ class SourceFormatSpec extends SparkTestBase {
       s"persisted partials must merge to the direct estimate: $merged vs $direct")
   }
 
+  test("graft-lake via SQL DDL: CREATE TABLE USING + time-travel view") {
+    import graft.sources.LakeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_sql").toString
+    val base = graft.ops.Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("k"),
+              col("n_name").as("name"))
+    assert(LakeTable.commit(spark, dir, base)(_ => None) == Right(1L))
+    assert(LakeTable.commit(spark, dir, base.limit(10))(_ => None)
+      == Right(2L))
+    spark.sql("DROP TABLE IF EXISTS lake_sql_t")
+    spark.sql(s"CREATE TABLE lake_sql_t USING `graft-lake` " +
+      s"OPTIONS (path '$dir')")
+    try {
+      // the catalog-registered table reads the LIVE version through the
+      // same relation as spark.read.format — full SQL surface over it
+      assert(spark.sql("SELECT count(*) AS n FROM lake_sql_t")
+        .head.getLong(0) == 10L)
+      spark.sql("DROP TABLE IF EXISTS lake_sql_v1")
+      spark.sql(s"CREATE TABLE lake_sql_v1 USING `graft-lake` " +
+        s"OPTIONS (path '$dir', versionAsOf '1')")
+      try {
+        assert(spark.sql("SELECT count(*) FROM lake_sql_v1").head.getLong(0)
+          == base.count())
+        assert(spark.sql(
+          "SELECT max(k) FROM lake_sql_v1 WHERE name IS NOT NULL")
+          .head.getLong(0) ==
+          base.agg(max(col("k"))).head.getLong(0))
+      } finally spark.sql("DROP TABLE lake_sql_v1")
+    } finally spark.sql("DROP TABLE lake_sql_t")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
