@@ -154,9 +154,53 @@ object StreamBench {
         StreamOps.quotaGate(spark, ms.toDF(), 50L).toDF())
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
+    // registered lake sink + source (r10): rows/sec THROUGH the commit
+    // protocol (merge mode — every batch pays stage→audit→publish and a
+    // same-key upsert against the live version) and back out through the
+    // change-feed streaming read. Not comparable to the in-memory shapes
+    // above: each input row here costs a durable table commit share, and
+    // each output row a manifest-diff read — the honest price of
+    // exactly-once persistence, measured rather than hand-waved.
+    val lakeSinkSrc = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_streambench_lake_").toString
+      val cpW = java.nio.file.Files
+        .createTempDirectory("graft_streambench_lakew_").toString
+      val cpR = java.nio.file.Files
+        .createTempDirectory("graft_streambench_laker_").toString
+      import org.apache.spark.sql.functions.col
+      val rows = (0 until nDocs).map(i => (i.toLong % 5000L, i.toLong))
+      val ms = MemoryStream[(Long, Long)]
+      val w = ms.toDS().toDF("k", "v")
+        .withColumn("band", col("k") % 16)
+        .writeStream.format("graft-lake")
+        .option("path", dir).option("checkpointLocation", cpW)
+        .option("commitMode", "merge")
+        .option("keys", "k").option("layoutBy", "band")
+        .start()
+      val startW = System.nanoTime()
+      rows.grouped(rows.size / 10).foreach { c =>
+        ms.addData(c); w.processAllAvailable()
+      }
+      val secW = (System.nanoTime() - startW) / 1e9
+      w.stop()
+      val r = spark.readStream.format("graft-lake").option("path", dir)
+        .load().writeStream.format("noop")
+        .option("checkpointLocation", cpR).start()
+      val startR = System.nanoTime()
+      r.processAllAvailable()
+      val secR = (System.nanoTime() - startR) / 1e9
+      val feedRows = r.recentProgress.toSeq.map(_.numInputRows).sum
+      r.stop()
+      s""""lake_sink_merge":{"rows":${rows.size},"sec":${r3(secW)},""" +
+        s""""rows_per_sec":${r3(rows.size / secW)}},""" +
+        s""""lake_source_feed":{"rows":$feedRows,"sec":${r3(secR)},""" +
+        s""""rows_per_sec":${r3(feedRows / secR)}}"""
+    }
+
     println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
       s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota,$asof,""" +
-      s"""$nearDupR,$quotaR}}""")
+      s"""$nearDupR,$quotaR,$lakeSinkSrc}}""")
     spark.stop()
   }
 }
