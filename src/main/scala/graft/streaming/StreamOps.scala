@@ -977,6 +977,28 @@ object StreamOps {
     ()
   }
 
+  /** Incremental materialized view as a PURE streaming aggregation over
+    * the registered lake source — behavior 40 (r10): where behavior 37
+    * maintains the MV imperatively from polled diffs, this spelling is
+    * the declarative fixpoint — `readStream.format("graft-lake")` feeds a
+    * standard streaming groupBy whose measures are SIGNED by change type
+    * (insert +1, retraction −1), so count/sum maintain themselves inside
+    * the engine's own aggregation state. No custom state handling at
+    * all: exactly-once comes from the source's offset log, state size is
+    * the GROUP cardinality (never the table), and a fully-deleted group
+    * reads back as n_rows = 0 for the consumer's multiplicity filter.
+    * Complete/update output both work; the test pins Complete against a
+    * direct batch re-aggregation of the live table across
+    * merge/OPTIMIZE/tombstone history. */
+  def lakeMv(feed: DataFrame, groupCols: Seq[String],
+             sumCols: Seq[String]): DataFrame = {
+    val w = when(col("_change_type") === "delete", lit(-1L))
+      .otherwise(lit(1L))
+    feed.groupBy(groupCols.map(col): _*)
+      .agg(sum(w).as("n_rows"),
+           sumCols.map(c => sum(w * col(c)).as(s"${c}_sum")): _*)
+  }
+
   /** Kafka source (documented surface; the connector jar is not present in
     * this offline image, so this compiles but only runs where
     * spark-sql-kafka-0-10 is on the classpath — the transforms above are

@@ -268,6 +268,61 @@ class LakeStreamSpec extends SparkTestBase {
     assert(endState == Map(1L -> 1L, 2L -> 22L, 3L -> 3L))
   }
 
+  test("behavior 40: MV as a streaming aggregation over the source " +
+       "tracks the live table across merge/optimize/tombstones") {
+    val dir = Files.createTempDirectory("graft_lakemv40_").toString
+    val cp = Files.createTempDirectory("graft_lakemv40cp_").toString
+    val o = graft.ops.Tables.orders(spark, sf)
+    val width = math.max(32L,
+      o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+    val full = roll(o, width)
+    val v1 = full.filter(col("band") =!= 0)
+      .unionByName(roll(o.filter(
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp")), width)
+        .filter(col("band") === 0))
+    assert(LakeTable.commit(spark, dir, v1, Some("band"))(_ => None)
+      == Right(1L))
+
+    val feed = spark.readStream.format("graft-lake")
+      .option("path", dir).load()
+    val mv = graft.streaming.StreamOps.lakeMv(
+      feed, Seq("band"), Seq("n_orders", "cents"))
+    val q = mv.writeStream.format("memory").queryName("lake_mv40")
+      .outputMode("complete")
+      .option("checkpointLocation", cp)
+      .start()
+
+    def mvNow(): Map[Long, (Long, Long, Long)] =
+      spark.table("lake_mv40").collect()
+        .map(r => r.getAs[Long]("band") ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_orders_sum"),
+            r.getAs[Long]("cents_sum"))))
+        .toMap.filter(_._2._1 > 0)
+    def direct(): Map[Long, (Long, Long, Long)] =
+      LakeTable.read(spark, dir).groupBy("band")
+        .agg(count(lit(1)).as("n"), sum(col("n_orders")).as("no"),
+             sum(col("cents")).as("ce"))
+        .collect()
+        .map(r => r.getAs[Long]("band") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("no"), r.getAs[Long]("ce"))))
+        .toMap
+    try {
+      q.processAllAvailable()
+      assert(mvNow() == direct(), "MV after the v1 snapshot")
+      assert(LakeTable.mergePartial(spark, dir,
+        full.filter(col("band") === 0), Seq("custkey"), "band")(_ => None)
+        == Right(2L))
+      assert(LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+        Some("band")) == Right(3L))
+      assert(LakeTable.applyCdcPartial(spark, dir,
+        full.filter(col("custkey") % 10 === 3).withColumn("op", lit("D")),
+        Seq("custkey"), "band")(_ => None) == Right(4L))
+      q.processAllAvailable()
+      assert(mvNow() == direct(),
+        "MV must track the live table through merge/optimize/tombstones")
+    } finally q.stop()
+  }
+
   test("startingVersion tails new commits without replaying history") {
     val dir = Files.createTempDirectory("graft_lakestream_tail_").toString
     val cp = Files.createTempDirectory("graft_lakestream_tailcp_").toString
