@@ -631,6 +631,89 @@ object Inference {
         .orderBy("event_type")
     },
 
+    /** Ljung–Box portmanteau test (h = 7 lags) on the daily total-revenue
+      * series: "is what's left white noise?" — the residual-diagnostic
+      * gate run after any forecast fit (the q_win_holt/holtwinters
+      * family) and the formal version of eyeballing q_events_autocorr's
+      * sheet. Exactness trick: center-and-scale by n WITHOUT leaving
+      * integers — cᵗ = n·yₜ − Σy is an exact BIGINT multiple of the
+      * centered value, and the n² factors cancel in ρ̂ₖ = Σcₜcₜ₋ₖ / Σcₜ²,
+      * so numerator and denominator are exact integer sums (headroom:
+      * Σ(cₜcₜ₋ₖ) needs n·(n·maxdev)² < 2⁶³ — rescale the cent quantum
+      * past ~10⁹-cent daily deviations, the q_agg_regr rule). Each lag's
+      * ρ̂ₖ²/(n−k) term evaluates in doubles from those integers and is
+      * nano-quantized to BIGINT before the 7-term sum (order-proof),
+      * then Q = n(n+2)·Σ, r6, with the χ²(7, 5%) = 14.06714 call on the
+      * rounded q. One daily rollup, one broadcast of the two scalar
+      * moments, seven window lags over ≤ n rows. */
+    OpDef(
+      "q_events_ljungbox", {
+        val branches = (1 to 7).map { k =>
+          s"""  SELECT $k AS k,
+             |    CAST(sum(cv * cvk) AS BIGINT) AS num
+             |  FROM (SELECT cv, lag(cv, $k) OVER (ORDER BY day) AS cvk
+             |        FROM c)
+             |  WHERE cvk IS NOT NULL""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH d AS (
+           |  SELECT $Day AS day,
+           |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+           |         AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) AS sv
+           |  FROM d),
+           |c AS (SELECT d.day, s.n * d.y - s.sv AS cv FROM d, s),
+           |den AS (SELECT CAST(sum(cv * cv) AS BIGINT) AS s2 FROM c),
+           |lags AS (
+           |$branches),
+           |terms AS (
+           |  SELECT CAST(sum(CAST(floor((num * 1.0 * num)
+           |                             / (den.s2 * 1.0 * den.s2)
+           |                             / (s.n - k) * 1000000000.0 + 0.5)
+           |                       AS BIGINT)) AS BIGINT) AS tsum
+           |  FROM lags, den, s),
+           |q AS (
+           |  SELECT s.n, CAST(7 AS BIGINT) AS h,
+           |    floor((s.n * (s.n + 2.0) * (terms.tsum / 1000000000.0))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS q_stat
+           |  FROM s, terms)
+           |SELECT n, h, q_stat, q_stat > 14.06714 AS significant
+           |FROM q""".stripMargin
+      }
+    ) { (s, d) =>
+      val daily = events(s, d)
+        .select(to_date(date_trunc("day", col("ts"))).as("day"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("y"))
+      val mom = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sv"))
+      val c = daily.crossJoin(broadcast(mom))
+        .select(col("day"), col("n"), (col("n") * col("y") - col("sv"))
+          .as("cv"))
+      val den = c.agg(sum(col("cv") * col("cv")).as("s2"))
+      val w = Window.orderBy("day")
+      val lags = (1 to 7).map { k =>
+        c.select(col("cv"), lag(col("cv"), k).over(w).as("cvk"))
+          .filter(col("cvk").isNotNull)
+          .select(lit(k.toLong).as("k"), col("cv"), col("cvk"))
+          .groupBy("k").agg(sum(col("cv") * col("cvk")).as("num"))
+      }.reduce(_ unionAll _)
+      val terms = lags.crossJoin(broadcast(den))
+        .crossJoin(broadcast(mom.select(col("n"))))
+        .select(floor(col("num") * lit(1.0) * col("num") /
+                      (col("s2") * lit(1.0) * col("s2")) /
+                      (col("n") - col("k")) * lit(1000000000.0) + lit(0.5))
+          .cast("long").as("t"))
+        .agg(sum(col("t")).as("tsum"))
+      mom.crossJoin(broadcast(terms))
+        .select(col("n"), lit(7L).as("h"),
+          Det.r6(col("n") * (col("n") + lit(2.0)) *
+                 (col("tsum") / lit(1000000000.0))).as("q_stat"))
+        .withColumn("significant", col("q_stat") > lit(14.06714))
+    },
+
     /** Fuzzy part-name matching via the native [[graft.functions.JaroWinkler]]
       * expression: within (brand, size) blocks — the record-linkage
       * blocking that bounds candidate pairs by block geometry, never

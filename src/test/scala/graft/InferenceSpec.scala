@@ -221,6 +221,31 @@ class InferenceSpec extends SparkTestBase {
     assert(r.getAs[Double]("tau") === 1.0)
   }
 
+  test("ljung-box flags a trending series and not a flat one") {
+    import spark.implicits._
+    def mk(vals: Seq[Double], tag: String) = {
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        ("purchase", v, ts(f"2024-01-${i + 1}%02d 00:00:00"))
+      }
+      val df = rows.toDF("event_type", "value", "ts")
+        .withColumn("event_id", monotonically_increasing_id())
+        .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      ops.Inference.ops.find(_.name == "q_events_ljungbox").get
+        .fn(spark, dir).collect().head
+    }
+    // strong linear trend → massive positive autocorrelation at all lags
+    val trend = mk((1 to 30).map(_.toDouble), "lb_t")
+    assert(trend.getAs[Long]("n") === 30L)
+    assert(trend.getAs[Boolean]("significant"),
+      s"trending series must reject white noise: $trend")
+    // alternating ±: strong NEGATIVE lag-1 autocorrelation — the two-sided
+    // Q statistic must reject this too (rho² is sign-blind)
+    val alt = mk((1 to 30).map(i => if (i % 2 == 0) 10.0 else 1.0), "lb_a")
+    assert(alt.getAs[Boolean]("significant"))
+  }
+
   test("jarowinkler op: block pairing and threshold match a brute replay") {
     GraftFunctions.register(spark)
     // independent replay of the op's size-blocked near-match semantics at
