@@ -714,6 +714,83 @@ object Inference {
         .withColumn("significant", col("q_stat") > lit(14.06714))
     },
 
+    /** Per-language token-distribution KL divergence vs the whole corpus —
+      * the text-domain twin of q_dq_psi's numeric drift: how far does
+      * each language's unigram distribution sit from the global mix? The
+      * curation dial this feeds is domain/language REBALANCING (the same
+      * quantity DSIR-style importance weights exponentiate). Support is
+      * the global top-200 tokens plus one OTHER bucket keyed by bucket ID
+      * (rank, 0 for OTHER — an integer join key, so no sentinel-token
+      * collision), which (a) bounds every distribution at 201 cells
+      * regardless of vocabulary, and (b) keeps q > 0 everywhere while
+      * absent-in-lang cells contribute their correct 0. Each cell's
+      * p·ln(p/q) evaluates in doubles from four exact BIGINT counts and
+      * nano-quantizes BEFORE the per-lang sum (order-proof, ≤ 201
+      * terms); KL r6. Token spelling is the corpus-wide space-split
+      * convention (q_text_tokens). The only corpus-sized work is the
+      * token explode + two bounded aggregations; the top-K table is a
+      * vocab-bounded broadcast. */
+    OpDef(
+      "q_text_kl",
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |gl AS (SELECT tok, CAST(count(*) AS BIGINT) AS cg FROM toks
+        |       GROUP BY tok),
+        |top AS (
+        |  SELECT tok, rn FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY cg DESC, tok ASC) AS rn
+        |    FROM gl) r WHERE rn <= 200),
+        |b AS (
+        |  SELECT t.lang, COALESCE(top.rn, 0) AS bid
+        |  FROM toks t LEFT JOIN top ON t.tok = top.tok),
+        |lc AS (SELECT lang, bid, CAST(count(*) AS BIGINT) AS cl FROM b
+        |       GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(cl) AS BIGINT) AS tl FROM lc
+        |       GROUP BY 1),
+        |gc AS (SELECT bid, CAST(sum(cl) AS BIGINT) AS cg FROM lc
+        |       GROUP BY 1),
+        |gt AS (SELECT CAST(sum(cg) AS BIGINT) AS tg FROM gc),
+        |terms AS (
+        |  SELECT lc.lang,
+        |    CAST(floor(((lc.cl * 1.0 / lt.tl)
+        |                * ln((lc.cl * 1.0 / lt.tl)
+        |                     / (gc.cg * 1.0 / gt.tg)))
+        |               * 1000000000.0 + 0.5) AS BIGINT) AS t
+        |  FROM lc
+        |  JOIN lt ON lc.lang = lt.lang
+        |  JOIN gc ON lc.bid = gc.bid, gt)
+        |SELECT terms.lang, lt.tl AS n_tokens,
+        |  floor((CAST(sum(terms.t) AS BIGINT) / 1000000000.0)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS kl
+        |FROM terms JOIN lt ON terms.lang = lt.lang
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val gl = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+      val top = gl.select(col("tok"),
+          row_number().over(Window.orderBy(col("cg").desc, col("tok").asc))
+            .as("rn"))
+        .filter(col("rn") <= 200)
+      val b = toks.join(broadcast(top), Seq("tok"), "left")
+        .select(col("lang"), coalesce(col("rn"), lit(0)).as("bid"))
+      val lc = b.groupBy("lang", "bid").agg(count(lit(1)).as("cl"))
+      val lt = lc.groupBy("lang").agg(sum(col("cl")).as("tl"))
+      val gc = lc.groupBy("bid").agg(sum(col("cl")).as("cg"))
+      val gt = gc.agg(sum(col("cg")).as("tg"))
+      val p = col("cl") * lit(1.0) / col("tl")
+      val q = col("cg") * lit(1.0) / col("tg")
+      val terms = lc.join(lt, Seq("lang")).join(gc, Seq("bid"))
+        .crossJoin(broadcast(gt))
+        .select(col("lang"), col("tl"),
+          floor(p * log(p / q) * lit(1000000000.0) + lit(0.5)).cast("long")
+            .as("t"))
+      terms.groupBy(col("lang"), col("tl").as("n_tokens"))
+        .agg(Det.r6(sum(col("t")) / lit(1000000000.0)).as("kl"))
+        .orderBy("lang")
+    },
+
     /** Fuzzy part-name matching via the native [[graft.functions.JaroWinkler]]
       * expression: within (brand, size) blocks — the record-linkage
       * blocking that bounds candidate pairs by block geometry, never

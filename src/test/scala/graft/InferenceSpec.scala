@@ -246,6 +246,41 @@ class InferenceSpec extends SparkTestBase {
     assert(alt.getAs[Boolean]("significant"))
   }
 
+  test("token KL is 0 for a lang whose distribution equals the corpus") {
+    import spark.implicits._
+    // two langs with IDENTICAL token distributions → the global mix
+    // equals each lang's mix → KL = 0 for both
+    val rows = Seq(
+      ("a", "x x y"), ("a", "x y z"),
+      ("b", "x x y"), ("b", "x y z"))
+    val df = rows.toDF("lang", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("kl").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Inference.ops.find(_.name == "q_text_kl").get
+      .fn(spark, dir).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === 6L)
+      assert(math.abs(r.getAs[Double]("kl")) < 1e-9, r.toString)
+    }
+    // skew lang 'b' hard toward one token → its KL must rise above 0
+    val rows2 = Seq(("a", "x x y"), ("a", "x y z"), ("b", "w w w w w w"))
+    val df2 = rows2.toDF("lang", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir2 = java.nio.file.Files.createTempDirectory("kl2").toString
+    df2.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out2 = ops.Inference.ops.find(_.name == "q_text_kl").get
+      .fn(spark, dir2).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("kl")).toMap
+    assert(out2("b") > 0.5, s"divergent lang must score high: $out2")
+    assert(out2("a") > 0.0)
+  }
+
   test("jarowinkler op: block pairing and threshold match a brute replay") {
     GraftFunctions.register(spark)
     // independent replay of the op's size-blocked near-match semantics at
