@@ -138,16 +138,38 @@ object Bench {
       // overwrites it, so the committed snapshot equals the parsed one.
       if (only.isEmpty) {
         val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
-        var maxRound = 0
-        scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
-          val n = s.iterator()
-          while (n.hasNext) {
-            val f = n.next().getFileName.toString
-            val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f)
-            m.foreach(g => maxRound = math.max(maxRound, g.group(1).toInt))
+        // round number: PROGRESS.jsonl's last line is the driver's own
+        // committed round counter — authoritative, and stable across
+        // repeated runs within one round (the r9 lesson: the driver can
+        // skip a round's BENCH_rNN.json commit, which made the old
+        // max-BENCH+1 rule clobber the PREVIOUS round's snapshot).
+        // Fallback when the file is absent: 1 + highest committed
+        // BENCH_rNN.
+        val round = {
+          val prog = dir.resolve("PROGRESS.jsonl")
+          val fromProgress =
+            if (java.nio.file.Files.exists(prog)) {
+              val lines = java.nio.file.Files.readAllLines(prog)
+              if (lines.isEmpty) None
+              else "\"round\"\\s*:\\s*(\\d+)".r
+                .findFirstMatchIn(lines.get(lines.size - 1))
+                .map(_.group(1).toInt)
+            } else None
+          fromProgress.getOrElse {
+            var maxRound = 0
+            scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+              val n = s.iterator()
+              while (n.hasNext) {
+                val f = n.next().getFileName.toString
+                val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f)
+                m.foreach(g =>
+                  maxRound = math.max(maxRound, g.group(1).toInt))
+              }
+            }
+            maxRound + 1
           }
         }
-        val snap = dir.resolve(f"BENCH_DETAIL_r${maxRound + 1}%02d.json")
+        val snap = dir.resolve(f"BENCH_DETAIL_r$round%02d.json")
         java.nio.file.Files.write(snap, detail.getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () } // bench output contract must survive
