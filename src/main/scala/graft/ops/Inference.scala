@@ -791,6 +791,183 @@ object Inference {
         .orderBy("lang")
     },
 
+    /** Deterministic Poisson bootstrap CI for the mean purchase value —
+      * the resampling-based uncertainty readout (the metric band a
+      * dashboard draws when no closed form exists), in the shape that
+      * actually distributes: each of 100 replicas weights every row by
+      * an independent Poisson(1) draw (the classic streaming/online
+      * bootstrap — no per-replica resample pass, one 100× map-side
+      * explode with per-replica partial aggregation; at 100 TB this is
+      * the bag-of-little-bootstraps layout). Determinism: the "draw" is
+      * the corpus-wide md5 RNG (u = hex4/65536 — a rational both engines
+      * compare exactly) pushed through the fixed Poisson(1) CDF
+      * thresholds, replica means divide exact BIGINT sums, and the 95%
+      * band is exact rank selection (3rd/98th of 100, ties by replica
+      * id) — no interpolation, no float accumulation anywhere. */
+    OpDef(
+      "q_agg_bootstrap",
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi
+        |  FROM events WHERE event_type = 'purchase'),
+        |rep AS (SELECT CAST(r AS BIGINT) AS r FROM UNNEST(range(1, 101)) t(r)),
+        |u AS (
+        |  SELECT rep.r, p.vi,
+        |    CAST('0x' || substring(md5('bs' || CAST(p.event_id AS VARCHAR)
+        |                                || ':' || CAST(rep.r AS VARCHAR)),
+        |                           1, 4) AS BIGINT) / 65536.0 AS u
+        |  FROM p, rep),
+        |pw AS (
+        |  SELECT r, vi,
+        |    CAST(CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+        |              WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+        |              WHEN u < 0.996340 THEN 4 WHEN u < 0.999406 THEN 5
+        |              ELSE 6 END AS BIGINT) AS w
+        |  FROM u),
+        |m AS (
+        |  SELECT r, CAST(sum(w * vi) AS BIGINT) AS sv,
+        |    CAST(sum(w) AS BIGINT) AS sw
+        |  FROM pw GROUP BY r),
+        |ranked AS (
+        |  SELECT sv * 1.0 / sw / 100.0 AS mr,
+        |    row_number() OVER (ORDER BY sv * 1.0 / sw / 100.0, r) AS rk
+        |  FROM m),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vi) AS BIGINT) AS sv
+        |  FROM p)
+        |SELECT f.n,
+        |  floor((f.sv * 1.0 / f.n / 100.0) * 1000000.0 + 0.5) / 1000000.0
+        |    AS mean,
+        |  floor((SELECT mr FROM ranked WHERE rk = 3) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ci_lo,
+        |  floor((SELECT mr FROM ranked WHERE rk = 98) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ci_hi
+        |FROM f""".stripMargin
+    ) { (s, d) =>
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+                floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                  .as("vi"))
+      val u = p.select(col("vi"),
+          explode(sequence(lit(1L), lit(100L))).as("r"), col("event_id"))
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(concat('bs', " +
+               "CAST(event_id AS STRING), ':', CAST(r AS STRING))), 1, 4), " +
+               "16, 10) AS BIGINT)") / lit(65536.0))
+      val pw = u.select(col("r"), col("vi"),
+        when(col("u") < 0.367879, 0L).when(col("u") < 0.735759, 1L)
+          .when(col("u") < 0.919699, 2L).when(col("u") < 0.981012, 3L)
+          .when(col("u") < 0.996340, 4L).when(col("u") < 0.999406, 5L)
+          .otherwise(6L).as("w"))
+      val m = pw.groupBy("r")
+        .agg(sum(col("w") * col("vi")).as("sv"), sum(col("w")).as("sw"))
+      val mr = col("sv") * lit(1.0) / col("sw") / lit(100.0)
+      val ranked = m.select(mr.as("mr"),
+        row_number().over(Window.orderBy(mr, col("r"))).as("rk"))
+      val f = p.agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"))
+      f.crossJoin(broadcast(ranked.filter(col("rk") === 3)
+          .select(Det.r6(col("mr")).as("ci_lo"))))
+        .crossJoin(broadcast(ranked.filter(col("rk") === 98)
+          .select(Det.r6(col("mr")).as("ci_hi"))))
+        .select(col("n"),
+          Det.r6(col("sv") * lit(1.0) / col("n") / lit(100.0)).as("mean"),
+          col("ci_lo"), col("ci_hi"))
+    },
+
+    /** Difference-in-differences on the natural experiment grid (variant
+      * = user parity as in q_agg_ttest, period = first half of January
+      * vs the rest): the causal-inference workhorse for "did the change
+      * move the metric beyond the ambient drift both arms share?". The
+      * estimate is pure arithmetic on four exact cell moments
+      * (cent-quantized BIGINT sums), the standard error the
+      * unequal-variance four-cell composition (each cell's sample
+      * variance from its exact (n, Σv, Σv²)), t = DiD/SE r6 — the same
+      * exactness discipline as the t-test/CUPED family, one 4-cell
+      * shuffle total. */
+    OpDef(
+      "q_events_did",
+      s"""WITH p AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CASE WHEN $Day < DATE '2024-01-16' THEN 0 ELSE 1 END AS period,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT variant, period, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vi) AS BIGINT) AS sv, CAST(sum(vi * vi) AS BIGINT) AS sq
+        |  FROM p GROUP BY 1, 2),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 0 AND period = 0 THEN n END) AS n00,
+        |    max(CASE WHEN variant = 0 AND period = 1 THEN n END) AS n01,
+        |    max(CASE WHEN variant = 1 AND period = 0 THEN n END) AS n10,
+        |    max(CASE WHEN variant = 1 AND period = 1 THEN n END) AS n11,
+        |    max(CASE WHEN variant = 0 AND period = 0 THEN sv END) AS s00,
+        |    max(CASE WHEN variant = 0 AND period = 1 THEN sv END) AS s01,
+        |    max(CASE WHEN variant = 1 AND period = 0 THEN sv END) AS s10,
+        |    max(CASE WHEN variant = 1 AND period = 1 THEN sv END) AS s11,
+        |    max(CASE WHEN variant = 0 AND period = 0 THEN sq END) AS q00,
+        |    max(CASE WHEN variant = 0 AND period = 1 THEN sq END) AS q01,
+        |    max(CASE WHEN variant = 1 AND period = 0 THEN sq END) AS q10,
+        |    max(CASE WHEN variant = 1 AND period = 1 THEN sq END) AS q11
+        |  FROM g),
+        |e AS (
+        |  SELECT n00, n01, n10, n11,
+        |    ((s11 * 1.0 / n11 - s10 * 1.0 / n10)
+        |     - (s01 * 1.0 / n01 - s00 * 1.0 / n00)) / 100.0 AS did,
+        |    sqrt(((q00 - s00 * 1.0 * s00 / n00) / (n00 - 1)) / n00
+        |         + ((q01 - s01 * 1.0 * s01 / n01) / (n01 - 1)) / n01
+        |         + ((q10 - s10 * 1.0 * s10 / n10) / (n10 - 1)) / n10
+        |         + ((q11 - s11 * 1.0 * s11 / n11) / (n11 - 1)) / n11)
+        |      / 100.0 AS se
+        |  FROM w)
+        |SELECT n00, n01, n10, n11,
+        |  floor(did * 1000000.0 + 0.5) / 1000000.0 AS did,
+        |  floor(se * 1000000.0 + 0.5) / 1000000.0 AS se,
+        |  CASE WHEN se = 0 THEN NULL
+        |       ELSE floor((did / se) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS t_stat
+        |FROM e""".stripMargin
+    ) { (s, d) =>
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"),
+          when(to_date(date_trunc("day", col("ts"))) <
+                 lit("2024-01-16").cast("date"), 0L).otherwise(1L)
+            .as("period"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vi"))
+      val g = p.groupBy("variant", "period")
+        .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
+             sum(col("vi") * col("vi")).as("sq"))
+      def cell(v: Int, pd: Int, c: String, out: String) =
+        max(when(col("variant") === v && col("period") === pd, col(c)))
+          .as(out)
+      val w = g.agg(
+        cell(0, 0, "n", "n00"), cell(0, 1, "n", "n01"),
+        cell(1, 0, "n", "n10"), cell(1, 1, "n", "n11"),
+        cell(0, 0, "sv", "s00"), cell(0, 1, "sv", "s01"),
+        cell(1, 0, "sv", "s10"), cell(1, 1, "sv", "s11"),
+        cell(0, 0, "sq", "q00"), cell(0, 1, "sq", "q01"),
+        cell(1, 0, "sq", "q10"), cell(1, 1, "sq", "q11"))
+      def mean(sv: String, n: String) = col(sv) * lit(1.0) / col(n)
+      def varTerm(q: String, sv: String, n: String) =
+        ((col(q) - col(sv) * lit(1.0) * col(sv) / col(n)) /
+         (col(n) - lit(1L))) / col(n)
+      val did = ((mean("s11", "n11") - mean("s10", "n10")) -
+                 (mean("s01", "n01") - mean("s00", "n00"))) / lit(100.0)
+      val se = sqrt(varTerm("q00", "s00", "n00") +
+                    varTerm("q01", "s01", "n01") +
+                    varTerm("q10", "s10", "n10") +
+                    varTerm("q11", "s11", "n11")) / lit(100.0)
+      w.withColumn("did_raw", did).withColumn("se_raw", se)
+        .select(col("n00"), col("n01"), col("n10"), col("n11"),
+          Det.r6(col("did_raw")).as("did"),
+          Det.r6(col("se_raw")).as("se"),
+          // degenerate zero-variance cells: the ratio is undefined (and
+          // ANSI Spark would throw on the double division) → NULL
+          when(col("se_raw") === 0.0, lit(null).cast("double"))
+            .otherwise(Det.r6(col("did_raw") / col("se_raw")))
+            .as("t_stat"))
+    },
+
     /** Fuzzy part-name matching via the native [[graft.functions.JaroWinkler]]
       * expression: within (brand, size) blocks — the record-linkage
       * blocking that bounds candidate pairs by block geometry, never

@@ -26,6 +26,21 @@ class InferenceSpec extends SparkTestBase {
     assert(jw("ab", "ba") === 0.0) // window 0: no aligned match
   }
 
+  test("jaro-winkler operates on code points, surrogate pairs included") {
+    // CJK, window 0: matches only at aligned positions — m=2, prefix=2
+    // jaro = (2/3 + 2/3 + 1)/3 = 0.77778 → jw = jaro + 2·0.1·(1−jaro)
+    val cjk = jw("日本語", "日本誤")
+    assert(math.abs(cjk - (0.7777777777777778 +
+      0.2 * (1 - 0.7777777777777778))) < 1e-12)
+    // astral-plane char (U+1D51E, a surrogate PAIR in UTF-16) must count
+    // as ONE unit: "𝔞b" vs "ab" → m=1, jaro = (1/2 + 1/2 + 1)/3 = 2/3,
+    // below the boost gate
+    assert(math.abs(jw("𝔞b", "ab") - 2.0 / 3.0) < 1e-12)
+    // symmetry and identity hold on mixed-width strings
+    assert(jw("héllo", "hello") === jw("hello", "héllo"))
+    assert(jw("日本語", "日本語") === 1.0)
+  }
+
   test("jaro-winkler boost threshold: no prefix bonus at jaro <= 0.7") {
     // jaro("abcdxxxxxx","abcyyyyyyzzz") = 0.51667 with prefix 3 — the
     // bonus would lift it to 0.6617; DuckDB (and Winkler's original)
@@ -279,6 +294,45 @@ class InferenceSpec extends SparkTestBase {
       .map(r => r.getAs[String]("lang") -> r.getAs[Double]("kl")).toMap
     assert(out2("b") > 0.5, s"divergent lang must score high: $out2")
     assert(out2("a") > 0.0)
+  }
+
+  test("bootstrap CI collapses to the mean on a constant-valued corpus") {
+    import spark.implicits._
+    // every replica's weighted mean of a constant is that constant, so
+    // the rank-selected band is degenerate: lo == mean == hi
+    val df = (1 to 200).map(i => ("purchase", 5.0, i.toLong))
+      .toDF("event_type", "value", "event_id")
+      .withColumn("ts", lit(ts("2024-01-05 10:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("boot").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ops.Inference.ops.find(_.name == "q_agg_bootstrap").get
+      .fn(spark, dir).collect().head
+    assert(r.getAs[Long]("n") === 200L)
+    assert(r.getAs[Double]("mean") === 5.0)
+    assert(r.getAs[Double]("ci_lo") === 5.0)
+    assert(r.getAs[Double]("ci_hi") === 5.0)
+  }
+
+  test("difference-in-differences recovers a planted uplift exactly") {
+    import spark.implicits._
+    // A: 10 pre, 11 post (+1 drift); B: 10 pre, 13 post (+3) → DiD = +2
+    def rows(uid: Long, day: String, v: Double, n: Int) =
+      Seq.fill(n)(("purchase", v, ts(s"$day 10:00:00"), uid))
+    val all =
+      rows(2L, "2024-01-05", 10.0, 50) ++ rows(2L, "2024-01-20", 11.0, 50) ++
+      rows(1L, "2024-01-05", 10.0, 50) ++ rows(1L, "2024-01-20", 13.0, 50)
+    val df = all.toDF("event_type", "value", "ts", "user_id")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("did").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ops.Inference.ops.find(_.name == "q_events_did").get
+      .fn(spark, dir).collect().head
+    assert(r.getAs[Long]("n00") === 50L)
+    assert(r.getAs[Double]("did") === 2.0)
+    // constant per cell → zero within-cell variance → SE 0, t NULL/∞ guard
+    assert(r.getAs[Double]("se") === 0.0)
   }
 
   test("jarowinkler op: block pairing and threshold match a brute replay") {
