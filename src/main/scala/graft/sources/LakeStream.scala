@@ -55,8 +55,8 @@ class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
     * this safe: the engine WALs the end offset before calling `getBatch`,
     * and re-runs `getBatch` for any uncommitted tail batch on restart, so
     * the persisted cursor always equals the last offsets-logged end. */
-  private val cursorFile = java.nio.file.Paths.get(metadataPath,
-    "graft-lake-rate-cursor")
+  private val cursorFile = java.nio.file.Paths.get(
+    LakeSource.localPath(metadataPath), "graft-lake-rate-cursor")
 
   private def readCursor(): Option[Long] =
     if (java.nio.file.Files.exists(cursorFile))

@@ -146,6 +146,13 @@ class LakeStreamSpec extends SparkTestBase {
     run() // v1 alone
     assert(batchVersions.filter(_.nonEmpty).forall(_.size == 1))
     assert(batchVersions.flatten.toSet == Set(1L))
+    // the rate cursor must live INSIDE the checkpoint (the engine hands
+    // metadataPath over as a file: URI — a literal Paths.get of it would
+    // silently create a "file:..." directory relative to the CWD)
+    val cursors = java.nio.file.Files.walk(java.nio.file.Paths.get(cp))
+      .filter(_.getFileName.toString == "graft-lake-rate-cursor")
+      .count()
+    assert(cursors == 1L, s"rate cursor not under the checkpoint dir $cp")
 
     // backlog of three more versions lands while the stream is DOWN;
     // the restarted query must drain it one version per micro-batch
