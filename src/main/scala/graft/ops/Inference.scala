@@ -64,17 +64,23 @@ object Inference {
         |t AS (
         |  SELECT day, CAST(sum(c * c * c - c) AS BIGINT) AS ties
         |  FROM (SELECT DISTINCT day, cents, c FROM rk) dv GROUP BY day),
-        |z AS (
+        |v AS (
         |  SELECT g.day, g.n1, g.n2,
         |    CAST(g.r1x2 - g.n1 * (g.n1 + 1) AS DOUBLE) / 2.0 AS u1,
-        |    floor(((CAST(g.r1x2 - g.n1 * (g.n1 + 1) AS DOUBLE) / 2.0
-        |            - g.n1 * 1.0 * g.n2 / 2.0)
-        |           / sqrt((g.n1 * 1.0 * g.n2 / 12.0)
-        |                  * ((g.n1 + g.n2 + 1.0)
-        |                     - t.ties * 1.0
-        |                       / ((g.n1 + g.n2) * 1.0 * (g.n1 + g.n2 - 1.0)))))
-        |          * 1000000.0 + 0.5) / 1000000.0 AS z
-        |  FROM g JOIN t ON g.day = t.day)
+        |    CASE WHEN g.n1 = 0 OR g.n2 = 0 THEN NULL
+        |         ELSE (g.n1 * 1.0 * g.n2 / 12.0)
+        |              * ((g.n1 + g.n2 + 1.0)
+        |                 - t.ties * 1.0
+        |                   / ((g.n1 + g.n2) * 1.0 * (g.n1 + g.n2 - 1.0)))
+        |    END AS varr
+        |  FROM g JOIN t ON g.day = t.day),
+        |z AS (
+        |  SELECT day, n1, n2, u1,
+        |    CASE WHEN varr IS NULL OR varr <= 0 THEN NULL
+        |         ELSE floor(((u1 - n1 * 1.0 * n2 / 2.0) / sqrt(varr))
+        |                    * 1000000.0 + 0.5) / 1000000.0
+        |    END AS z
+        |  FROM v)
         |SELECT day, n1, n2, u1, z, abs(z) > 1.959964 AS significant
         |FROM z ORDER BY day""".stripMargin
     ) { (s, d) =>
@@ -103,10 +109,16 @@ object Inference {
         .cast("double") / lit(2.0)
       val mu = col("n1") * lit(1.0) * col("n2") / lit(2.0)
       val nn = col("n1") + col("n2")
-      val variance = (col("n1") * lit(1.0) * col("n2") / lit(12.0)) *
-        ((nn + lit(1.0)) -
-         col("ties") * lit(1.0) / (nn * lit(1.0) * (nn - lit(1.0))))
-      val z = Det.r6((u1 - mu) / sqrt(variance))
+      // degenerate guards (one-sided day; all values tied → var 0): NULL
+      // z instead of the ANSI divide-by-zero both engines would raise
+      val variance = when(col("n1") === 0 || col("n2") === 0,
+          lit(null).cast("double"))
+        .otherwise((col("n1") * lit(1.0) * col("n2") / lit(12.0)) *
+          ((nn + lit(1.0)) -
+           col("ties") * lit(1.0) / (nn * lit(1.0) * (nn - lit(1.0)))))
+      val z = when(variance.isNull || variance <= 0.0,
+          lit(null).cast("double"))
+        .otherwise(Det.r6((u1 - mu) / sqrt(variance)))
       g.join(t, Seq("day"))
         .select(col("day"), col("n1"), col("n2"), u1.as("u1"), z.as("z"))
         .withColumn("significant", abs(col("z")) > lit(1.959964))
@@ -143,18 +155,23 @@ object Inference {
         |  FROM dly GROUP BY 1),
         |c AS (
         |  SELECT event_type, n, sx, sy, sxy, sxx, syy,
-        |    (n * 1.0 * sxy - sx * 1.0 * sy)
-        |      / (n * 1.0 * sxx - sx * 1.0 * sx) AS slope_c
+        |    CASE WHEN n * 1.0 * sxx - sx * 1.0 * sx = 0 THEN NULL
+        |         ELSE (n * 1.0 * sxy - sx * 1.0 * sy)
+        |              / (n * 1.0 * sxx - sx * 1.0 * sx)
+        |    END AS slope_c
         |  FROM g)
         |SELECT event_type, n,
         |  floor((slope_c / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS slope,
         |  floor(((sy * 1.0 - slope_c * sx) / n / 100.0) * 1000000.0 + 0.5)
         |    / 1000000.0 AS intercept,
-        |  floor(((n * 1.0 * sxy - sx * 1.0 * sy)
-        |         * (n * 1.0 * sxy - sx * 1.0 * sy)
-        |         / ((n * 1.0 * sxx - sx * 1.0 * sx)
-        |            * (n * 1.0 * syy - sy * 1.0 * sy)))
-        |        * 1000000.0 + 0.5) / 1000000.0 AS r2
+        |  CASE WHEN (n * 1.0 * sxx - sx * 1.0 * sx)
+        |            * (n * 1.0 * syy - sy * 1.0 * sy) <= 0 THEN NULL
+        |       ELSE floor(((n * 1.0 * sxy - sx * 1.0 * sy)
+        |              * (n * 1.0 * sxy - sx * 1.0 * sy)
+        |              / ((n * 1.0 * sxx - sx * 1.0 * sx)
+        |                 * (n * 1.0 * syy - sy * 1.0 * sy)))
+        |             * 1000000.0 + 0.5) / 1000000.0
+        |  END AS r2
         |FROM c ORDER BY event_type""".stripMargin
     ) { (s, d) =>
       val dly = events(s, d)
@@ -175,15 +192,19 @@ object Inference {
         col("sx") * lit(1.0) * col("sy")
       val sDen = col("n") * lit(1.0) * col("sxx") -
         col("sx") * lit(1.0) * col("sx")
-      val slopeC = sNum / sDen
+      val sDenY = col("n") * lit(1.0) * col("syy") -
+        col("sy") * lit(1.0) * col("sy")
+      // single-day group (zero x variance) → NULL slope/intercept;
+      // constant-y group additionally → NULL r²
+      val slopeC = when(sDen === 0.0, lit(null).cast("double"))
+        .otherwise(sNum / sDen)
       g.withColumn("slope_c", slopeC)
         .select(col("event_type"), col("n"),
           Det.r6(col("slope_c") / lit(100.0)).as("slope"),
           Det.r6((col("sy") * lit(1.0) - col("slope_c") * col("sx")) /
                  col("n") / lit(100.0)).as("intercept"),
-          Det.r6(sNum * sNum /
-                 (sDen * (col("n") * lit(1.0) * col("syy") -
-                          col("sy") * lit(1.0) * col("sy")))).as("r2"))
+          when(sDen * sDenY <= 0.0, lit(null).cast("double"))
+            .otherwise(Det.r6(sNum * sNum / (sDen * sDenY))).as("r2"))
         .orderBy("event_type")
     },
 
@@ -224,9 +245,11 @@ object Inference {
         |        * 1000000.0 + 0.5) / 1000000.0 AS ssb,
         |  floor(((q * 1.0 - cf / 1000.0) / 10000.0) * 1000000.0 + 0.5)
         |    / 1000000.0 AS ssw,
-        |  floor((((cf / 1000.0 - s * 1.0 * s / n) / (k - 1.0))
-        |         / ((q * 1.0 - cf / 1000.0) / (n * 1.0 - k)))
-        |        * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+        |  CASE WHEN k < 2 OR n <= k OR q * 1.0 - cf / 1000.0 = 0 THEN NULL
+        |       ELSE floor((((cf / 1000.0 - s * 1.0 * s / n) / (k - 1.0))
+        |              / ((q * 1.0 - cf / 1000.0) / (n * 1.0 - k)))
+        |             * 1000000.0 + 0.5) / 1000000.0
+        |  END AS f_stat
         |FROM tot""".stripMargin
     ) { (s, d) =>
       val g = events(s, d)
@@ -246,11 +269,16 @@ object Inference {
       val ssbC = col("cf") / lit(1000.0) -
         col("s") * lit(1.0) * col("s") / col("n")
       val sswC = col("q") * lit(1.0) - col("cf") / lit(1000.0)
+      // degenerate guards (one group; all rows identical within groups →
+      // SSW 0): NULL F instead of an ANSI divide-by-zero
       tot.select(col("k"), col("n"),
         Det.r6(ssbC / lit(10000.0)).as("ssb"),
         Det.r6(sswC / lit(10000.0)).as("ssw"),
-        Det.r6((ssbC / (col("k") - lit(1.0))) /
-               (sswC / (col("n") * lit(1.0) - col("k")))).as("f_stat"))
+        when(col("k") < 2 || col("n") <= col("k") || sswC === 0.0,
+             lit(null).cast("double"))
+          .otherwise(Det.r6((ssbC / (col("k") - lit(1.0))) /
+                            (sswC / (col("n") * lit(1.0) - col("k")))))
+          .as("f_stat"))
     },
 
     /** Cohen's kappa between two independent document-quality gates
@@ -433,11 +461,15 @@ object Inference {
         |  FROM (SELECT DISTINCT day, cents, c FROM rk) dv GROUP BY day),
         |h AS (
         |  SELECT cf.day, cf.k, cf.n,
-        |    floor((((12.0 / (cf.n * 1.0 * (cf.n + 1.0)))
-        |            * (cf.sq_milli / 1000.0 / 4.0) - 3.0 * (cf.n + 1.0))
-        |           / (1.0 - t.ties * 1.0
-        |                    / (cf.n * 1.0 * cf.n * cf.n - cf.n)))
-        |          * 1000000.0 + 0.5) / 1000000.0 AS h
+        |    CASE WHEN cf.n < 2 OR t.ties = cf.n * cf.n * cf.n - cf.n
+        |         THEN NULL
+        |         ELSE floor((((12.0 / (cf.n * 1.0 * (cf.n + 1.0)))
+        |                * (cf.sq_milli / 1000.0 / 4.0)
+        |                - 3.0 * (cf.n + 1.0))
+        |               / (1.0 - t.ties * 1.0
+        |                        / (cf.n * 1.0 * cf.n * cf.n - cf.n)))
+        |              * 1000000.0 + 0.5) / 1000000.0
+        |    END AS h
         |  FROM cf JOIN t ON cf.day = t.day)
         |SELECT day, k, n, h, h > 9.487729 AS significant
         |FROM h ORDER BY day""".stripMargin
@@ -465,8 +497,13 @@ object Inference {
       val hRaw = (lit(12.0) / (col("n") * lit(1.0) * (col("n") + lit(1.0)))) *
         (col("sq_milli") / lit(1000.0) / lit(4.0)) -
         lit(3.0) * (col("n") + lit(1.0))
-      val h = Det.r6(hRaw / (lit(1.0) - col("ties") * lit(1.0) /
-        (col("n") * lit(1.0) * col("n") * col("n") - col("n"))))
+      // degenerate guards (singleton day; all values tied → the tie
+      // correction zeroes out): NULL instead of an ANSI divide-by-zero
+      val h = when(col("n") < 2 ||
+          col("ties") === col("n") * col("n") * col("n") - col("n"),
+          lit(null).cast("double"))
+        .otherwise(Det.r6(hRaw / (lit(1.0) - col("ties") * lit(1.0) /
+          (col("n") * lit(1.0) * col("n") * col("n") - col("n")))))
       cf.join(t, Seq("day"))
         .select(col("day"), col("k"), col("n"), h.as("h"))
         .withColumn("significant", col("h") > lit(9.487729))
@@ -509,10 +546,13 @@ object Inference {
         |    CAST(sum(b * b) AS BIGINT) AS sbb
         |  FROM rk GROUP BY 1)
         |SELECT event_type, n,
-        |  floor(((n * 1.0 * sab - sa * 1.0 * sb)
-        |         / sqrt((n * 1.0 * saa - sa * 1.0 * sa)
-        |                * (n * 1.0 * sbb - sb * 1.0 * sb)))
-        |        * 1000000.0 + 0.5) / 1000000.0 AS rho
+        |  CASE WHEN (n * 1.0 * saa - sa * 1.0 * sa)
+        |            * (n * 1.0 * sbb - sb * 1.0 * sb) <= 0 THEN NULL
+        |       ELSE floor(((n * 1.0 * sab - sa * 1.0 * sb)
+        |              / sqrt((n * 1.0 * saa - sa * 1.0 * sa)
+        |                     * (n * 1.0 * sbb - sb * 1.0 * sb)))
+        |             * 1000000.0 + 0.5) / 1000000.0
+        |  END AS rho
         |FROM g ORDER BY event_type""".stripMargin
     ) { (s, d) =>
       val dly = events(s, d)
@@ -534,13 +574,17 @@ object Inference {
         sum(col("a") * col("b")).as("sab"),
         sum(col("a") * col("a")).as("saa"),
         sum(col("b") * col("b")).as("sbb"))
-      g.select(col("event_type"), col("n"),
-        Det.r6((col("n") * lit(1.0) * col("sab") -
-                col("sa") * lit(1.0) * col("sb")) /
-               sqrt((col("n") * lit(1.0) * col("saa") -
+      // a constant series (all ranks tied) zeroes a variance term: NULL
+      // rho instead of 0/0
+      val varProd = (col("n") * lit(1.0) * col("saa") -
                      col("sa") * lit(1.0) * col("sa")) *
                     (col("n") * lit(1.0) * col("sbb") -
-                     col("sb") * lit(1.0) * col("sb")))).as("rho"))
+                     col("sb") * lit(1.0) * col("sb"))
+      g.select(col("event_type"), col("n"),
+        when(varProd <= 0.0, lit(null).cast("double"))
+          .otherwise(Det.r6((col("n") * lit(1.0) * col("sab") -
+                             col("sa") * lit(1.0) * col("sb")) /
+                            sqrt(varProd))).as("rho"))
         .orderBy("event_type")
     },
 
@@ -585,10 +629,13 @@ object Inference {
         |  FROM (SELECT event_type, yc, CAST(count(*) AS BIGINT) AS t
         |        FROM dly GROUP BY 1, 2) g GROUP BY 1)
         |SELECT p.event_type, n.n, p.c, p.d,
-        |  floor(((p.c - p.d) * 1.0
-        |         / sqrt((n.n * (n.n - 1) / 2 - tx.n1) * 1.0
-        |                * (n.n * (n.n - 1) / 2 - ty.n2)))
-        |        * 1000000.0 + 0.5) / 1000000.0 AS tau
+        |  CASE WHEN (n.n * (n.n - 1) / 2 - tx.n1) * 1.0
+        |            * (n.n * (n.n - 1) / 2 - ty.n2) <= 0 THEN NULL
+        |       ELSE floor(((p.c - p.d) * 1.0
+        |              / sqrt((n.n * (n.n - 1) / 2 - tx.n1) * 1.0
+        |                     * (n.n * (n.n - 1) / 2 - ty.n2)))
+        |             * 1000000.0 + 0.5) / 1000000.0
+        |  END AS tau
         |FROM p
         |JOIN n ON p.event_type = n.event_type
         |JOIN tx ON p.event_type = tx.event_type
@@ -621,13 +668,15 @@ object Inference {
         .agg(sum(col("t") * (col("t") - lit(1L)) / lit(2L)).cast("long")
           .as(out))
       val half = col("n") * (col("n") - lit(1L)) / lit(2L)
+      // a fully-tied margin zeroes its denominator term: NULL tau
+      val denProd = (half - col("n1")) * lit(1.0) * (half - col("n2"))
       p.join(n, Seq("event_type"))
         .join(tieTerm("xc", "n1"), Seq("event_type"))
         .join(tieTerm("yc", "n2"), Seq("event_type"))
         .select(col("event_type"), col("n"), col("c"), col("d"),
-          Det.r6((col("c") - col("d")) * lit(1.0) /
-                 sqrt((half - col("n1")) * lit(1.0) * (half - col("n2"))))
-            .as("tau"))
+          when(denProd <= 0.0, lit(null).cast("double"))
+            .otherwise(Det.r6((col("c") - col("d")) * lit(1.0) /
+                              sqrt(denProd))).as("tau"))
         .orderBy("event_type")
     },
 
@@ -669,16 +718,21 @@ object Inference {
            |lags AS (
            |$branches),
            |terms AS (
-           |  SELECT CAST(sum(CAST(floor((num * 1.0 * num)
-           |                             / (den.s2 * 1.0 * den.s2)
-           |                             / (s.n - k) * 1000000000.0 + 0.5)
-           |                       AS BIGINT)) AS BIGINT) AS tsum
+           |  SELECT CAST(sum(CAST(CASE WHEN den.s2 = 0 OR s.n <= k
+           |                       THEN NULL
+           |                       ELSE floor((num * 1.0 * num)
+           |                              / (den.s2 * 1.0 * den.s2)
+           |                              / (s.n - k) * 1000000000.0 + 0.5)
+           |                       END AS BIGINT)) AS BIGINT) AS tsum
            |  FROM lags, den, s),
            |q AS (
            |  SELECT s.n, CAST(7 AS BIGINT) AS h,
-           |    floor((s.n * (s.n + 2.0) * (terms.tsum / 1000000000.0))
-           |          * 1000000.0 + 0.5) / 1000000.0 AS q_stat
-           |  FROM s, terms)
+           |    CASE WHEN den.s2 = 0 THEN NULL
+           |         ELSE floor((s.n * (s.n + 2.0)
+           |                     * (terms.tsum / 1000000000.0))
+           |              * 1000000.0 + 0.5) / 1000000.0
+           |    END AS q_stat
+           |  FROM s, terms, den)
            |SELECT n, h, q_stat, q_stat > 14.06714 AS significant
            |FROM q""".stripMargin
       }
@@ -700,17 +754,24 @@ object Inference {
           .select(lit(k.toLong).as("k"), col("cv"), col("cvk"))
           .groupBy("k").agg(sum(col("cv") * col("cvk")).as("num"))
       }.reduce(_ unionAll _)
+      // degenerate guards: a constant series zeroes s2, a series shorter
+      // than the lag count zeroes (n − k) — NULL per-lag terms and a
+      // NULL Q instead of an ANSI divide-by-zero
       val terms = lags.crossJoin(broadcast(den))
         .crossJoin(broadcast(mom.select(col("n"))))
-        .select(floor(col("num") * lit(1.0) * col("num") /
-                      (col("s2") * lit(1.0) * col("s2")) /
-                      (col("n") - col("k")) * lit(1000000000.0) + lit(0.5))
-          .cast("long").as("t"))
+        .select(when(col("s2") === 0L || col("n") <= col("k"),
+                     lit(null).cast("long"))
+          .otherwise(floor(col("num") * lit(1.0) * col("num") /
+                           (col("s2") * lit(1.0) * col("s2")) /
+                           (col("n") - col("k")) * lit(1000000000.0) +
+                           lit(0.5)).cast("long")).as("t"))
         .agg(sum(col("t")).as("tsum"))
-      mom.crossJoin(broadcast(terms))
+      mom.crossJoin(broadcast(terms)).crossJoin(broadcast(den))
         .select(col("n"), lit(7L).as("h"),
-          Det.r6(col("n") * (col("n") + lit(2.0)) *
-                 (col("tsum") / lit(1000000000.0))).as("q_stat"))
+          when(col("s2") === 0L, lit(null).cast("double"))
+            .otherwise(Det.r6(col("n") * (col("n") + lit(2.0)) *
+                              (col("tsum") / lit(1000000000.0))))
+            .as("q_stat"))
         .withColumn("significant", col("q_stat") > lit(14.06714))
     },
 
@@ -831,7 +892,7 @@ object Inference {
         |ranked AS (
         |  SELECT sv * 1.0 / sw / 100.0 AS mr,
         |    row_number() OVER (ORDER BY sv * 1.0 / sw / 100.0, r) AS rk
-        |  FROM m),
+        |  FROM m WHERE sw > 0),
         |f AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vi) AS BIGINT) AS sv
         |  FROM p)
@@ -862,7 +923,9 @@ object Inference {
       val m = pw.groupBy("r")
         .agg(sum(col("w") * col("vi")).as("sv"), sum(col("w")).as("sw"))
       val mr = col("sv") * lit(1.0) / col("sw") / lit(100.0)
-      val ranked = m.select(mr.as("mr"),
+      // a replica whose Poisson weights all landed 0 (possible only on a
+      // tiny corpus) has no mean: drop it rather than divide by zero
+      val ranked = m.filter(col("sw") > 0L).select(mr.as("mr"),
         row_number().over(Window.orderBy(mr, col("r"))).as("rk"))
       val f = p.agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"))
       f.crossJoin(broadcast(ranked.filter(col("rk") === 3)
@@ -914,11 +977,14 @@ object Inference {
         |  SELECT n00, n01, n10, n11,
         |    ((s11 * 1.0 / n11 - s10 * 1.0 / n10)
         |     - (s01 * 1.0 / n01 - s00 * 1.0 / n00)) / 100.0 AS did,
-        |    sqrt(((q00 - s00 * 1.0 * s00 / n00) / (n00 - 1)) / n00
-        |         + ((q01 - s01 * 1.0 * s01 / n01) / (n01 - 1)) / n01
-        |         + ((q10 - s10 * 1.0 * s10 / n10) / (n10 - 1)) / n10
-        |         + ((q11 - s11 * 1.0 * s11 / n11) / (n11 - 1)) / n11)
-        |      / 100.0 AS se
+        |    CASE WHEN n00 <= 1 OR n01 <= 1 OR n10 <= 1 OR n11 <= 1
+        |         THEN NULL
+        |         ELSE sqrt(((q00 - s00 * 1.0 * s00 / n00) / (n00 - 1)) / n00
+        |              + ((q01 - s01 * 1.0 * s01 / n01) / (n01 - 1)) / n01
+        |              + ((q10 - s10 * 1.0 * s10 / n10) / (n10 - 1)) / n10
+        |              + ((q11 - s11 * 1.0 * s11 / n11) / (n11 - 1)) / n11)
+        |           / 100.0
+        |    END AS se
         |  FROM w)
         |SELECT n00, n01, n10, n11,
         |  floor(did * 1000000.0 + 0.5) / 1000000.0 AS did,
@@ -953,10 +1019,15 @@ object Inference {
          (col(n) - lit(1L))) / col(n)
       val did = ((mean("s11", "n11") - mean("s10", "n10")) -
                  (mean("s01", "n01") - mean("s00", "n00"))) / lit(100.0)
-      val se = sqrt(varTerm("q00", "s00", "n00") +
-                    varTerm("q01", "s01", "n01") +
-                    varTerm("q10", "s10", "n10") +
-                    varTerm("q11", "s11", "n11")) / lit(100.0)
+      // a 0/1-row cell makes its sample variance undefined: NULL SE
+      // instead of an ANSI divide-by-zero
+      val se = when(col("n00") <= 1 || col("n01") <= 1 ||
+                    col("n10") <= 1 || col("n11") <= 1,
+                    lit(null).cast("double"))
+        .otherwise(sqrt(varTerm("q00", "s00", "n00") +
+                        varTerm("q01", "s01", "n01") +
+                        varTerm("q10", "s10", "n10") +
+                        varTerm("q11", "s11", "n11")) / lit(100.0))
       w.withColumn("did_raw", did).withColumn("se_raw", se)
         .select(col("n00"), col("n01"), col("n10"), col("n11"),
           Det.r6(col("did_raw")).as("did"),

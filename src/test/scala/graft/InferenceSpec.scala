@@ -335,6 +335,40 @@ class InferenceSpec extends SparkTestBase {
     assert(r.getAs[Double]("se") === 0.0)
   }
 
+  test("degenerate corpora yield NULL statistics, never ANSI divide-by-zero") {
+    import spark.implicits._
+    // every value identical: all-tied ranks, zero variances everywhere —
+    // the worst-case input for each test statistic's denominator
+    val rows = for {
+      day <- 1 to 10; et <- Seq("purchase", "click"); i <- 1 to 3
+    } yield (et, 2.0, ts(f"2024-01-$day%02d 0$i:00:00"))
+    val df = rows.toDF("event_type", "value", "ts")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", col("event_id") % 4)
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("degen").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def run(name: String) =
+      ops.Inference.ops.find(_.name == name).get.fn(spark, dir).collect()
+    val mwu = run("q_agg_mwu")
+    assert(mwu.length === 10)
+    assert(mwu.forall(_.isNullAt(mwu.head.fieldIndex("z"))))
+    val kw = run("q_agg_kruskal")
+    assert(kw.forall(_.isNullAt(kw.head.fieldIndex("h"))))
+    val sp = run("q_agg_spearman")
+    assert(sp.forall(_.isNullAt(sp.head.fieldIndex("rho"))))
+    val kd = run("q_agg_kendall")
+    assert(kd.forall(_.isNullAt(kd.head.fieldIndex("tau"))))
+    val rg = run("q_agg_regr")
+    assert(rg.forall(r => r.getAs[Double]("slope") == 0.0
+      && r.isNullAt(r.fieldIndex("r2"))), "flat y: slope 0, r2 undefined")
+    val av = run("q_agg_anova").head
+    assert(av.getAs[Double]("ssw") === 0.0)
+    assert(av.isNullAt(av.fieldIndex("f_stat")))
+    val lb = run("q_events_ljungbox").head
+    assert(lb.isNullAt(lb.fieldIndex("q_stat")))
+  }
+
   test("jarowinkler op: block pairing and threshold match a brute replay") {
     GraftFunctions.register(spark)
     // independent replay of the op's size-blocked near-match semantics at
