@@ -129,6 +129,11 @@ class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
   *    uniqueness across the staged version). Only files whose layout
   *    value the batch touches rewrite; at 100 TB write amplification is
   *    ∝ touched partitions, not table size.
+  *  - `cdc`: [[LakeTable.applyCdcPartial]] — like `merge` but rows carry
+  *    an `op` column where 'D' TOMBSTONES the key (absent from the
+  *    rewritten files, ghost-undelete audit-rejected) and anything else
+  *    upserts; the streaming CDC-apply of behavior 34 behind the
+  *    registered format.
   */
 class LakeStreamSink(dir: String, commitMode: String,
                      layoutBy: Option[String], statsBy: Seq[String],
@@ -151,8 +156,13 @@ class LakeStreamSink(dir: String, commitMode: String,
           layoutBy.getOrElse(throw new IllegalArgumentException(
             "graft-lake commitMode=merge requires option 'layoutBy'")),
           batch = Some(batchId), statsBy = statsBy, sink = sinkName)(_ => None)
+      case "cdc" =>
+        LakeTable.applyCdcPartial(spark, dir, batch, keys,
+          layoutBy.getOrElse(throw new IllegalArgumentException(
+            "graft-lake commitMode=cdc requires option 'layoutBy'")),
+          batch = Some(batchId), sink = sinkName)(_ => None)
       case other => throw new IllegalArgumentException(
-        s"graft-lake commitMode must be append or merge, got '$other'")
+        s"graft-lake commitMode must be append, merge, or cdc, got '$other'")
     }
     r match {
       case Right(_) => ()

@@ -226,6 +226,42 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("writeStream sink commitMode=cdc: tombstones delete, upserts land, " +
+       "replay skips") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakesink_cdc_").toString
+    val cp = Files.createTempDirectory("graft_lakesink_cdccp_").toString
+    val ms = MemoryStream[(Long, Long, String)](spark)
+    val q = ms.toDF().toDF("custkey", "cents", "op")
+      .withColumn("band", col("custkey") % 4)
+      .writeStream.format("graft-lake")
+      .option("path", dir).option("checkpointLocation", cp)
+      .option("commitMode", "cdc")
+      .option("keys", "custkey").option("layoutBy", "band")
+      .start()
+    try {
+      ms.addData((1L, 100L, "U"), (2L, 200L, "U"), (3L, 300L, "U"))
+      q.processAllAvailable()
+      // batch 2: tombstone key 2, upsert key 1, insert key 5
+      ms.addData((2L, 0L, "D"), (1L, 111L, "U"), (5L, 500L, "U"))
+      q.processAllAvailable()
+      val live = LakeTable.read(spark, dir).collect()
+        .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("cents")).toMap
+      assert(live == Map(1L -> 111L, 3L -> 300L, 5L -> 500L),
+        s"tombstone must remove key 2: $live")
+      assert(LakeTable.currentVersion(dir).contains(2L))
+    } finally q.stop()
+    // replayed batchId: no new version, tombstoned key stays dead
+    val sink = new graft.sources.LakeStreamSink(dir, "cdc", Some("band"),
+      Seq.empty, Seq("custkey"), "graft-lake-stream")
+    sink.addBatch(1L, Seq((2L, 999L, "U")).toDF("custkey", "cents", "op")
+      .withColumn("band", col("custkey") % 4))
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(!LakeTable.read(spark, dir).collect()
+      .exists(_.getAs[Long]("custkey") == 2L))
+  }
+
   test("round trip: writeStream into the lake, readStream the change feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
