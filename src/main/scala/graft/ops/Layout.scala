@@ -712,7 +712,18 @@ object Layout {
       * source delivers exactly the feed, no loss, no invention, no
       * OPTIMIZE noise. The one-shot replay here is the oracle-checkable
       * slice; liveness (commits landing mid-stream), restart resume, and
-      * tail-only starts are LakeStreamSpec's pins. */
+      * tail-only starts are LakeStreamSpec's pins.
+      *
+      * Cost ladder (sf0.1, BENCH_DETAIL_r10, same host run): the suite's
+      * heaviest at 3.8 s, of which q_lake_changes' identical table build
+      * + feed fold accounts for ~3.4 s (four full commit protocols:
+      * stage → audit → publish each for commit/merge/OPTIMIZE/CDC, plus
+      * two full-table audit aggregations) — the streaming machinery
+      * itself (query start/stop, offset log, parquet sink write + read
+      * back) is the remaining ~0.4 s. The cost is protocol, not plan;
+      * at 100 TB the same four commits move only the touched layout
+      * values while this fixture's table is small enough that protocol
+      * overhead dominates. */
     OpDef(
       "q_lake_stream",
       """SELECT o_custkey AS custkey,
