@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 object Bench {
@@ -81,7 +83,60 @@ object Bench {
     // (BASELINE.md documents ±20–40% host drift between runs)
     def gauge(): Double = SparkEntry.queries.get("q_join_inner")
       .map(fn => measure("q_join_inner", fn)._1).getOrElse(-1.0)
-    val gaugeStart = gauge()
+    // ---- calm-host ADMISSION (r10 verdict ask #1) ----------------------
+    // The r10 record was taken on a hot host (300 shared queries 1.34x r9
+    // on identical code) and the JVM-latency gauge alone did not catch it
+    // — bandwidth-level contention from co-tenants leaves scheduler
+    // latency normal while every scan pays. So before the sweep, measure
+    // TWO probes 3x each and take the min (min-of-3 discards one-off JIT/
+    // page-cache misses):
+    //   * the q_join_inner gauge — JVM/scheduler latency;
+    //   * a fixed full-decode scan of lineitem (xxhash64 over every
+    //     column, summed — cannot be satisfied from footer metadata, so
+    //     it pays real read+decode bandwidth) — the contention channel
+    //     the gauge is blind to.
+    // If either min exceeds its calm envelope, sleep and retry the
+    // admission up to 5 times; after that, RUN ANYWAY but record
+    // calm=false — a late measurement beats no measurement, and the flag
+    // tells the round-over-round reader how to weigh the totals.
+    // Envelopes are 1.5x the calm-day min (gauge 0.23–0.37 s, scan
+    // measured at sf0.1 on this host), env-overridable for other hosts;
+    // at other SFs only the gauge envelope applies (the scan probe
+    // scales with data size, so its fixed envelope would misfire).
+    def scanProbe(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        li.select(org.apache.spark.sql.functions.xxhash64(
+            li.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          .as("h"))
+          .agg(org.apache.spark.sql.functions.sum("h")).count()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val gaugeMax = sys.env.get("SPARK_GRAFT_GAUGE_MAX").map(_.toDouble)
+      .getOrElse(0.55)
+    // calm-day scan min measured 0.22 s (sf0.1, this host, r11): 0.6 s
+    // admits ordinary ±40% ambient noise but rejects the multi-x
+    // bandwidth stalls the r10 swing rode in on
+    val scanMax = sys.env.get("SPARK_GRAFT_SCAN_MAX").map(_.toDouble)
+      .getOrElse(if (sfDir.endsWith("sf0.1")) 0.6 else Double.MaxValue)
+    val retrySleepSec = sys.env.get("SPARK_GRAFT_CALM_SLEEP")
+      .map(_.toInt).getOrElse(45)
+    var admissionGauge = Seq.empty[Double]
+    var admissionScan = Seq.empty[Double]
+    var admissionAttempts = 0
+    var calm = false
+    while (!calm && admissionAttempts < 5) {
+      admissionAttempts += 1
+      admissionGauge = Seq.fill(3)(gauge())
+      admissionScan = Seq.fill(3)(scanProbe())
+      calm = admissionGauge.min <= gaugeMax && admissionScan.min <= scanMax
+      if (!calm && admissionAttempts < 5)
+        Thread.sleep(retrySleepSec * 1000L)
+    }
+    val gaugeStart = admissionGauge.min
     val first = selected.map { case (name, fn) => (name, measure(name, fn)) }
     // the shared host stalls in multi-second bands (observed: a contiguous
     // alphabetical run at 15–23x while the rest of the same run sat at
@@ -120,6 +175,11 @@ object Bench {
          |"doc_warm_sec":${r3(docWarmSec)},
          |"calm_gauge_start_sec":${r3(gaugeStart)},
          |"calm_gauge_end_sec":${r3(gaugeEnd)},
+         |"admission":{"calm":$calm,"attempts":$admissionAttempts,
+         |"gauge_sec":${admissionGauge.map(r3).mkString("[", ",", "]")},
+         |"scan_sec":${admissionScan.map(r3).mkString("[", ",", "]")},
+         |"gauge_max":${r3(gaugeMax)},
+         |"scan_max":${if (scanMax == Double.MaxValue) "null" else r3(scanMax)}},
          |"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"remeasured":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":$qs}""".stripMargin.replace("\n", "")
@@ -147,13 +207,18 @@ object Bench {
         // BENCH_rNN.
         val round = {
           val prog = dir.resolve("PROGRESS.jsonl")
+          // scan BACKWARDS for the last line that actually carries a
+          // round field — a trailing partial write or a different record
+          // type appended last must not silently re-enable the max+1
+          // fallback this derivation exists to retire (ADVICE r10)
           val fromProgress =
             if (java.nio.file.Files.exists(prog)) {
-              val lines = java.nio.file.Files.readAllLines(prog)
-              if (lines.isEmpty) None
-              else "\"round\"\\s*:\\s*(\\d+)".r
-                .findFirstMatchIn(lines.get(lines.size - 1))
+              val re = "\"round\"\\s*:\\s*(\\d+)".r
+              java.nio.file.Files.readAllLines(prog).asScala
+                .reverseIterator
+                .flatMap(re.findFirstMatchIn(_))
                 .map(_.group(1).toInt)
+                .nextOption()
             } else None
           fromProgress.getOrElse {
             var maxRound = 0

@@ -169,7 +169,12 @@ object StreamBench {
       val cpR = java.nio.file.Files
         .createTempDirectory("graft_streambench_laker_").toString
       import org.apache.spark.sql.functions.col
+      // chunk ≤ key modulus: merge mode audits per-batch key uniqueness,
+      // so a chunk larger than 5000 rows would repeat a key inside one
+      // micro-batch and fail the audit; the max(1, ...) floor keeps
+      // grouped() legal down to a 1-row run (ADVICE r10)
       val rows = (0 until nDocs).map(i => (i.toLong % 5000L, i.toLong))
+      val chunk = math.max(1, math.min(5000, rows.size / 10))
       val ms = MemoryStream[(Long, Long)]
       val w = ms.toDS().toDF("k", "v")
         .withColumn("band", col("k") % 16)
@@ -179,7 +184,7 @@ object StreamBench {
         .option("keys", "k").option("layoutBy", "band")
         .start()
       val startW = System.nanoTime()
-      rows.grouped(rows.size / 10).foreach { c =>
+      rows.grouped(chunk).foreach { c =>
         ms.addData(c); w.processAllAvailable()
       }
       val secW = (System.nanoTime() - startW) / 1e9

@@ -928,10 +928,15 @@ object Inference {
       val ranked = m.filter(col("sw") > 0L).select(mr.as("mr"),
         row_number().over(Window.orderBy(mr, col("r"))).as("rk"))
       val f = p.agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"))
-      f.crossJoin(broadcast(ranked.filter(col("rk") === 3)
-          .select(Det.r6(col("mr")).as("ci_lo"))))
-        .crossJoin(broadcast(ranked.filter(col("rk") === 98)
-          .select(Det.r6(col("mr")).as("ci_hi"))))
+      // the CI bounds attach as ONE 1-row global aggregate (max-of-when
+      // rank selection), not filtered-frame crossJoins: a degenerate
+      // corpus where fewer than 98 replicas survive the sw>0 filter must
+      // yield NULL bounds on a present row — exactly DuckDB's empty
+      // scalar-subquery semantics — never drop the output row (ADVICE r10)
+      val ci = ranked.agg(
+        Det.r6(max(when(col("rk") === 3, col("mr")))).as("ci_lo"),
+        Det.r6(max(when(col("rk") === 98, col("mr")))).as("ci_hi"))
+      f.crossJoin(broadcast(ci))
         .select(col("n"),
           Det.r6(col("sv") * lit(1.0) / col("n") / lit(100.0)).as("mean"),
           col("ci_lo"), col("ci_hi"))

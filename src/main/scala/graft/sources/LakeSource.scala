@@ -167,7 +167,15 @@ object LakeSource {
     * through untouched (an object-store deployment would swap the
     * manifest I/O seam wholesale, not this normalization). */
   private[sources] def localPath(p: String): String =
-    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    if (p.startsWith("file:"))
+      // an unencoded user-supplied URI ("file:/a b") throws on parse, and
+      // an encoded one with no path component parses to null — both must
+      // degrade to prefix-stripping, not an opaque URISyntaxException
+      // (ADVICE r10)
+      try Option(new java.net.URI(p).getPath)
+        .getOrElse(p.stripPrefix("file:"))
+      catch { case _: java.net.URISyntaxException => p.stripPrefix("file:") }
+    else p
 }
 
 object LakeRelation {

@@ -558,7 +558,7 @@ class ScaleSpec extends SparkTestBase {
     "q_text_bpe", // per-round 1-row argmax-pair broadcast
     "q_eval_communities", // two 1-row scalar attaches (m2, intra)
     "q_events_ljungbox", // 1-row moment/denominator/term-sum attaches
-    "q_agg_bootstrap", // two 1-row rank-selected CI-bound attaches
+    "q_agg_bootstrap", // one 1-row rank-selected CI-bound attach
     "q_text_kl", // 1-row global-total attach (top-K table is equi-keyed)
     // (b) documented exact baselines (ANN/banded twins are the scale path)
     "q_sim_knn", "q_sim_topk", "q_sim_cosine_dup", "q_vec_knn_classify",
