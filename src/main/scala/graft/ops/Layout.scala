@@ -978,6 +978,65 @@ object Layout {
               s"the date range must prune files: ${scanned.size} of " +
               s"${LakeTable.currentFiles(dir).size}")
       out
+    },
+
+    /** SQL DML over the lake (r11, verdict ask #2): the full
+      * catalog-table lifecycle a SQL-only user runs — `CREATE TABLE ...
+      * USING graft-lake`, then `INSERT INTO ... SELECT` (the zero-rewrite
+      * append: v2's manifest carries v1's files verbatim, required
+      * below), read the end state back THROUGH SQL. The v1 seed is the
+      * pre-1997 per-customer rollup; the insert adds the 1997+ era's
+      * rows, so the oracle — the same rollup grouped by (custkey, era)
+      * straight from `orders` — hash-matches only if `INSERT INTO`
+      * committed exactly the selected rows through write-audit-publish
+      * and the catalog read resolved the NEW live version (the relation
+      * re-derives the live version per scan precisely so cached catalog
+      * resolutions don't freeze at CREATE time). INSERT OVERWRITE,
+      * time-travel-refusal, and multi-insert sequencing are
+      * SourceFormatSpec's pins. */
+    OpDef(
+      "q_lake_sql_insert",
+      """SELECT o_custkey AS custkey,
+        |  CAST(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |       THEN 0 ELSE 1 END AS BIGINT) AS era,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1, 2 ORDER BY custkey, era""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_dml_").toString
+      val o = orders(s, d)
+      def roll(df: DataFrame, era: Long) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("era", lit(era))
+      val cut = lit("1997-01-01").cast("timestamp")
+      require(LakeTable.commit(s, dir,
+                roll(o.filter(col("o_orderdate") < cut), 0L))(_ => None)
+                == Right(1L), "v1 seed commit failed")
+      // unique CATALOG name (not Views.reg — a same-named temp view would
+      // shadow the table in INSERT/SELECT resolution)
+      val t = "graft_dml_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING `graft-lake` OPTIONS (path '$dir')")
+      try {
+        val inc = Views.reg(roll(o.filter(col("o_orderdate") >= cut), 1L),
+                            "dml_inc")
+        val before = LakeTable.currentFiles(dir).toSet
+        s.sql(s"INSERT INTO $t SELECT custkey, n_orders, cents, era " +
+              s"FROM $inc")
+        require(LakeTable.currentVersion(dir).contains(2L),
+                "INSERT INTO must publish v2")
+        require(before.subsetOf(LakeTable.currentFiles(dir).toSet),
+                "INSERT INTO must be a zero-rewrite append (carry v1)")
+        s.sql(s"SELECT custkey, era, n_orders, cents FROM $t " +
+              "ORDER BY custkey, era")
+      } finally s.sql(s"DROP TABLE $t")
     }
   )
 }

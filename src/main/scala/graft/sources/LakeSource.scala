@@ -98,7 +98,11 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
     val dir = LakeSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-lake requires option 'path'")))
     new LakeRelation(sqlContext, dir,
-                     parameters.get("versionAsOf").map(_.toLong))
+                     parameters.get("versionAsOf").map(_.toLong),
+                     parameters.get("layoutBy"),
+                     parameters.get("statsBy")
+                       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                       .getOrElse(Seq.empty))
   }
 
   /** The WRITE path — `df.write.format("graft-lake").mode(...).save()`:
@@ -256,10 +260,24 @@ object LakeRelation {
   }
 }
 
-class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
+                   layoutBy: Option[String] = None,
+                   statsBy: Seq[String] = Seq.empty)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  private val version: Long = versionAsOf
+  /** The version a scan reads: `versionAsOf` pins it; otherwise the LIVE
+    * version is re-derived PER SCAN, not at construction — Spark's
+    * session catalog caches one resolved relation per table name, so a
+    * construction-pinned version would freeze a `USING graft-lake`
+    * catalog table at its first read and make SQL `INSERT INTO` appear
+    * to do nothing until a manual REFRESH TABLE. Each scan captures the
+    * value ONCE (manifests are immutable, so one version = one
+    * consistent file/stats/schema view). The relation's `schema` stays
+    * fixed at construction — the BaseRelation contract — which after an
+    * additive evolution means new columns surface on re-resolution
+    * (REFRESH TABLE / next session), exactly the catalog-lag Delta has
+    * on a Hive metastore. */
+  private def liveVersion: Long = versionAsOf
     .orElse(LakeTable.currentVersion(dir))
     .getOrElse(throw new IllegalArgumentException(
       s"no published version in $dir"))
@@ -267,6 +285,7 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long])
   override def sqlContext: SQLContext = ctx
 
   override val schema: StructType = {
+    val version = liveVersion
     val recorded = LakeTable.schemaOf(dir, version)
     if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
     else LakeTable.readVersion(ctx.sparkSession, dir, version).schema
@@ -290,8 +309,40 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long])
     * size, so it stays minor at 100 TB. Re-measure if a consumer ever
     * pulls wide unaggregated rows through the source in bulk — that is
     * the one shape where external-Row conversion dominates. */
+  /** SQL DML — `INSERT INTO`/`INSERT OVERWRITE` a catalog table created
+    * with `USING graft-lake` (r10 verdict ask #2: the DDL surface invites
+    * SQL users who hit the missing DML in their first session). Spark's
+    * `InsertIntoDataSourceCommand` resolves the VALUES/SELECT source by
+    * position against this relation's schema and calls this hook:
+    *  - `overwrite = false` (INSERT INTO) → the ZERO-REWRITE append —
+    *    the new version carries every live file verbatim, manifest
+    *    arithmetic only;
+    *  - `overwrite = true` (INSERT OVERWRITE) → a full overwrite commit.
+    * Both ride the SERIALIZED write-audit-publish loop (evolution gate
+    * included), mint a new version, and preserve time travel — identical
+    * semantics to the DataFrame `.write.format("graft-lake")` path. The
+    * table's `layoutBy`/`statsBy` options carry through, so SQL inserts
+    * keep the layout metadata later partial merges prune by. A
+    * time-travel relation (`versionAsOf`) refuses: history is immutable,
+    * writes target only the live table. */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    require(versionAsOf.isEmpty,
+      s"cannot INSERT into a versionAsOf (time travel) relation on $dir " +
+      "— history is immutable; insert into the live table instead")
+    val spark = ctx.sparkSession
+    val r =
+      if (overwrite) LakeTable.commit(spark, dir, data, layoutBy, statsBy)(_ => None)
+      else LakeTable.append(spark, dir, data, layoutBy, statsBy)(_ => None)
+    r match {
+      case Right(_) => ()
+      case Left(reason) => throw new IllegalStateException(reason)
+    }
+  }
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    val version = liveVersion // captured once: a consistent manifest view
     val stats = LakeTable.statsOf(dir, version)
     val statsCols = stats.keysIterator.map(_._2).toSet
     val files = LakeTable.filesOf(dir, version).filter { f =>

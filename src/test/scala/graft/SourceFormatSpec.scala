@@ -165,6 +165,59 @@ class SourceFormatSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE lake_sql_t")
   }
 
+  test("graft-lake SQL DML: INSERT INTO appends a version, " +
+       "INSERT OVERWRITE replaces, time travel spans both") {
+    import graft.sources.LakeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_dml").toString
+    val base = graft.ops.Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("k"),
+              col("n_name").as("name"))
+    assert(LakeTable.commit(spark, dir, base)(_ => None) == Right(1L))
+    spark.sql("DROP TABLE IF EXISTS lake_dml_t")
+    spark.sql(s"CREATE TABLE lake_dml_t USING `graft-lake` " +
+      s"OPTIONS (path '$dir')")
+    try {
+      val n0 = base.count()
+      // INSERT INTO → zero-rewrite append: version bumps, prior files carry
+      val filesBefore = LakeTable.currentFiles(dir).toSet
+      spark.sql("INSERT INTO lake_dml_t VALUES (100, 'ATLANTIS'), " +
+                "(101, 'LEMURIA')")
+      assert(LakeTable.currentVersion(dir).contains(2L),
+        "INSERT INTO must publish a new version")
+      assert(filesBefore.subsetOf(LakeTable.currentFiles(dir).toSet),
+        "append must carry every prior live file verbatim")
+      assert(spark.sql("SELECT count(*) FROM lake_dml_t").head.getLong(0)
+        == n0 + 2)
+      assert(spark.sql(
+        "SELECT name FROM lake_dml_t WHERE k = 100").head.getString(0)
+        == "ATLANTIS")
+      // INSERT from a SELECT (the realistic shape) appends again
+      spark.sql("INSERT INTO lake_dml_t " +
+                "SELECT k + 200, name FROM lake_dml_t WHERE k >= 100")
+      assert(LakeTable.currentVersion(dir).contains(3L))
+      assert(spark.sql("SELECT count(*) FROM lake_dml_t").head.getLong(0)
+        == n0 + 4)
+      // INSERT OVERWRITE → a full overwrite commit; history stays readable
+      spark.sql("INSERT OVERWRITE lake_dml_t VALUES (7, 'MU')")
+      assert(LakeTable.currentVersion(dir).contains(4L))
+      assert(spark.sql("SELECT k, name FROM lake_dml_t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "MU")))
+      assert(LakeTable.readVersion(spark, dir, 2L).count() == n0 + 2,
+        "pre-overwrite versions must stay time-travel-readable")
+      // a time-travel relation refuses DML
+      spark.sql("DROP TABLE IF EXISTS lake_dml_v2")
+      spark.sql(s"CREATE TABLE lake_dml_v2 USING `graft-lake` " +
+        s"OPTIONS (path '$dir', versionAsOf '2')")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("INSERT INTO lake_dml_v2 VALUES (999, 'NOPE')")
+        }
+        assert(e.getMessage.contains("time travel"),
+          s"unexpected refusal message: ${e.getMessage}")
+      } finally spark.sql("DROP TABLE lake_dml_v2")
+    } finally spark.sql("DROP TABLE lake_dml_t")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
