@@ -134,6 +134,31 @@ object LakeTable {
     claimed.filter(marked.contains).sorted
   }
 
+  /** Loop iterations [[versionsAbove]] has spent across the JVM — the
+    * test seam pinning that a streaming trigger's version discovery is
+    * O(pending window), not O(history) (r11, verdict ask #5). */
+  private[graft] val probeCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Published versions in `(floor, ∞)`, ascending, WITHOUT listing the
+    * directory (r11): manifest CLAIMS are dense by construction
+    * ([[writeManifest]] always mints max-claim + 1, and a lost CAS
+    * retries at the next number), so probing floor+1, floor+2, … until
+    * the first unclaimed number visits exactly the pending window —
+    * O(new versions) existence checks per streaming trigger instead of
+    * a full history listing. A claimed-but-unmarked number (in-flight or
+    * fenced publish) is skipped but does NOT stop the walk — markers may
+    * have gaps, claims cannot. On an object store these are O(1) HEADs
+    * where the listing is a paginated LIST of the table's whole life. */
+  private[graft] def versionsAbove(dir: String, floor: Long): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    var v = math.max(0L, floor) + 1L
+    while ({ probeCount.incrementAndGet(); Files.exists(manifestPath(dir, v)) }) {
+      if (Files.exists(markerPath(dir, v))) out += v
+      v += 1L
+    }
+    out.result()
+  }
+
   /** Currently-published version, if any — DERIVED: the highest version
     * with both a manifest and a commit marker. No stored pointer exists
     * (r9), so every process view — including a fresh JVM that reads only
@@ -835,6 +860,36 @@ object LakeTable {
     }
   }
 
+  /** Single-pass sink APPEND (r11, verdict ask #4): stage FIRST, then
+    * publish only if the staged write actually produced files — the
+    * streaming sink's empty-epoch check rides the staging job itself
+    * instead of a dedicated `isEmpty` pre-materialization (which cost
+    * every non-empty micro-batch one extra evaluation of the batch
+    * plan). `Right(None)` = the batch was empty: nothing published, no
+    * version minted, the per-sink watermark untouched (staged zero-file
+    * garbage is invisible to readers and reclaimed by [[vacuum]]). */
+  private[sources] def sinkAppend(spark: SparkSession, dir: String,
+                                  df: DataFrame, layoutBy: Option[String],
+                                  statsBy: Seq[String],
+                                  batches: Map[String, Long])(
+      check: DataFrame => Option[String]): Either[String, Option[Long]] = {
+    Files.createDirectories(Paths.get(dir))
+    val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
+    // an empty micro-batch can still stage ONE schema-only parquet file
+    // (Spark records the schema of a zero-partition write), so the
+    // emptiness check reads the STAGED files back — a footer-bounded
+    // probe of freshly-written bytes, never a second evaluation of the
+    // epoch's batch plan
+    val empty = fresh.files.isEmpty ||
+      spark.read.parquet(
+        fresh.files.map(f => Paths.get(dir, f).toString): _*).isEmpty
+    if (empty) Right(None)
+    else commitSerialized(dir) { base =>
+      val st = assemble(dir, base, fresh, filesOf(dir, base), "append")
+      audit(spark, st.copy(batches = st.batches ++ batches))(check)
+    }.map(Some(_))
+  }
+
   /** Partial-rewrite MERGE — the 100 TB upsert: `upserts` (one row per
     * key, each carrying the table's layout column) replace same-key rows,
     * and only the files whose `_layout=<value>` path metadata intersects
@@ -894,6 +949,40 @@ object LakeTable {
       case other => other
     }
 
+  /** Single-pass sink MERGE (r11): [[mergePartial]] with the
+    * empty-epoch no-op riding the touched-value collect — `Right(None)`
+    * = empty batch, nothing published, watermark untouched. */
+  private[sources] def sinkMerge(spark: SparkSession, dir: String,
+                                 upserts: DataFrame, keys: Seq[String],
+                                 layoutCol: String, batch: Long,
+                                 statsBy: Seq[String], sink: String)(
+      check: DataFrame => Option[String]): Either[String, Option[Long]] =
+    partialRewrite(spark, dir, upserts, None, upserts, keys, layoutCol,
+                   Some(batch), statsBy, sink, "merge", emptyNoOp = true)(
+      check).map(v => if (v == 0L) None else Some(v))
+
+  /** Single-pass sink CDC APPLY (r11): [[applyCdcPartial]] with the
+    * empty-epoch no-op — `Right(None)` = empty batch, nothing
+    * published, watermark untouched. */
+  private[sources] def sinkCdc(spark: SparkSession, dir: String,
+                               changes: DataFrame, keys: Seq[String],
+                               layoutCol: String, batch: Long,
+                               sink: String)(
+      check: DataFrame => Option[String]): Either[String, Option[Long]] =
+    partialRewrite(spark, dir, changes.filter(col("op") =!= "D").drop("op"),
+                   Some(changes.filter(col("op") === "D")
+                     .select(keys.map(col): _*)),
+                   changes.drop("op"),
+                   keys, layoutCol, Some(batch), Seq.empty, sink, "cdc",
+                   emptyNoOp = true)(check) match {
+      case Left(r) if r.contains("lists no files") =>
+        Left("empty table after CDC apply (full-table delete needs " +
+             "schema-in-manifest support)")
+      case Left(other) => Left(other)
+      case Right(0L) => Right(None)
+      case Right(v) => Right(Some(v))
+    }
+
   /** Shared partial-rewrite engine for [[mergePartial]] /
     * [[applyCdcPartial]]. `upserts` re-enter; `deleted` keys (CDC only)
     * tombstone; `touching` is the frame whose layout values define the
@@ -906,12 +995,19 @@ object LakeTable {
                              touching: DataFrame,
                              keys: Seq[String], layoutCol: String,
                              batch: Option[Long], statsBy: Seq[String],
-                             sink: String, op: String)(
+                             sink: String, op: String,
+                             emptyNoOp: Boolean = false)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     require(sink.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"sink id must be [A-Za-z0-9_-]*: '$sink'")
     Files.createDirectories(Paths.get(dir))
     val touchedRows = touching.select(layoutCol).distinct().collect()
+    // single-pass sink epochs (r11): the touched-value collect above
+    // already materialized the change set once — an empty set under
+    // emptyNoOp short-circuits to the sentinel (0L is never a real
+    // version) with nothing staged and the watermark untouched, so the
+    // streaming sink needs no dedicated isEmpty pre-pass
+    if (emptyNoOp && touchedRows.isEmpty) return Right(0L)
     // a NULL layout value would route to Hive's default-partition path
     // while String.valueOf renders "null" — the mismatch silently carries
     // the stale file, so refuse loudly instead (real tables make the

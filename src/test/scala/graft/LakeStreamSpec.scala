@@ -366,6 +366,87 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sink epochs are single-pass: the batch plan evaluates once, " +
+       "empty epochs publish nothing (r11 ask #4)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakesink_1pass_").toString
+    // seed v1 so the append has something to carry
+    assert(LakeTable.commit(spark, dir,
+      Seq((1L, 10L)).toDF("custkey", "cents"))(_ => None) == Right(1L))
+    val sink = new graft.sources.LakeStreamSink(dir, "append", None,
+      Seq.empty, Seq.empty, "graft-lake-stream")
+    // an evaluation-counting column: the accumulator ticks once per row
+    // ACTUALLY COMPUTED, so a dedicated isEmpty pre-pass (or any double
+    // materialization of the epoch's plan) shows up as extra ticks
+    val evals = spark.sparkContext.longAccumulator("epoch_evals")
+    val tick = udf { (x: Long) => evals.add(1L); x }
+    val batch = Seq((2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("custkey", "k0")
+      .select(col("custkey"), tick(col("k0")).as("cents"))
+    sink.addBatch(0L, batch)
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(evals.value == 4L,
+      s"a non-empty append epoch must evaluate the batch plan exactly " +
+      s"once (4 rows): ${evals.value} row evaluations")
+    // empty epoch: nothing published, the watermark does not advance
+    sink.addBatch(1L, batch.filter(col("custkey") < 0L))
+    assert(LakeTable.currentVersion(dir).contains(2L),
+      "an empty epoch must not mint a version")
+    assert(LakeTable.appliedBatch(dir, "graft-lake-stream").contains(0L),
+      "an empty epoch must not consume the watermark")
+    // a later non-empty epoch still lands (the skipped epoch left no
+    // fenced state behind)
+    sink.addBatch(2L, Seq((9L, 90L)).toDF("custkey", "cents"))
+    assert(LakeTable.currentVersion(dir).contains(3L))
+    assert(LakeTable.appliedBatch(dir, "graft-lake-stream").contains(2L))
+
+    // merge mode: an empty epoch is likewise a publish-free no-op (its
+    // emptiness check rides the touched-value collect, not a pre-pass)
+    val mdir = Files.createTempDirectory("graft_lakesink_1passm_").toString
+    val msink = new graft.sources.LakeStreamSink(mdir, "merge", Some("band"),
+      Seq.empty, Seq("custkey"), "graft-lake-stream")
+    msink.addBatch(0L, Seq((1L, 10L)).toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 4))
+    assert(LakeTable.currentVersion(mdir).contains(1L))
+    msink.addBatch(1L, Seq((1L, 10L)).toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 4).filter(col("custkey") < 0L))
+    assert(LakeTable.currentVersion(mdir).contains(1L))
+    assert(LakeTable.appliedBatch(mdir, "graft-lake-stream").contains(0L))
+  }
+
+  test("getOffset probes only the window above the last offset, " +
+       "not the full history (r11 ask #5)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakestream_probe_").toString
+    val meta = Files.createTempDirectory("graft_lakestream_probemeta_")
+      .toString
+    val n = 12
+    for (i <- 1 to n)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    val src = new graft.sources.LakeStreamSource(
+      spark.sqlContext, dir, 0L, meta, None)
+    // first trigger of a fresh stream: pays the one-time walk from
+    // startingVersion and advertises the head
+    assert(src.getOffset.map(_.json.trim.toLong).contains(n.toLong))
+    // quiet trigger: exactly ONE probe past the floor (the first
+    // unclaimed number), independent of the n-version history
+    val q0 = LakeTable.probeCount.get()
+    assert(src.getOffset.map(_.json.trim.toLong).contains(n.toLong))
+    assert(LakeTable.probeCount.get() - q0 <= 2L,
+      s"a quiet trigger must probe O(1), not O(history): " +
+      s"${LakeTable.probeCount.get() - q0} probes")
+    // one new commit: the discovery walk touches only (floor, current]
+    assert(LakeTable.append(spark, dir,
+      Seq((99L, 99L)).toDF("k", "v"))(_ => None) == Right(n + 1L))
+    val q1 = LakeTable.probeCount.get()
+    assert(src.getOffset.map(_.json.trim.toLong).contains(n + 1L))
+    assert(LakeTable.probeCount.get() - q1 <= 3L,
+      s"discovering one new version must probe the window only: " +
+      s"${LakeTable.probeCount.get() - q1} probes")
+  }
+
   test("startingVersion tails new commits without replaying history") {
     val dir = Files.createTempDirectory("graft_lakestream_tail_").toString
     val cp = Files.createTempDirectory("graft_lakestream_tailcp_").toString
