@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftshim.StreamShim
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
 /** Structured Streaming READ of a graft-lake table — the change feed as a
   * first-class `readStream.format("graft-lake")` source (r10; closes the
@@ -207,6 +207,10 @@ object LakeStreamSource {
     }
     StructType(table.fields ++ Array(
       StructField("_change_type", StringType, nullable = false),
-      StructField("_commit_version", LongType, nullable = false)))
+      StructField("_commit_version", LongType, nullable = false),
+      // behavior 41 (r11): publish-instant event time — downstream
+      // streaming aggregations can `withWatermark("_commit_timestamp",
+      // ...)` directly on feed rows
+      StructField("_commit_timestamp", TimestampType, nullable = false)))
   }
 }

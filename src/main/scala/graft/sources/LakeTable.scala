@@ -1205,6 +1205,7 @@ object LakeTable {
         val after = filesOf(dir, v)
         val removed = before.filterNot(after.contains)
         val added = after.filterNot(before.contains)
+        val ts = commitTimeOf(dir, v)
         def side(files: Seq[String], schemaV: Long, kind: String) =
           if (files.isEmpty) None
           else {
@@ -1216,7 +1217,8 @@ object LakeTable {
                 .schema(StructType.fromDDL(recorded.mkString(", ")))
                 .parquet(paths: _*)
             Some(df.withColumn("_change_type", lit(kind))
-                   .withColumn("_commit_version", lit(v)))
+                   .withColumn("_commit_version", lit(v))
+                   .withColumn("_commit_timestamp", lit(ts)))
           }
         side(removed, prev, "delete").toSeq ++ side(added, v, "insert").toSeq
       }
@@ -1224,11 +1226,29 @@ object LakeTable {
     parts match {
       case Seq() =>
         // an empty feed still needs the table's shape: current schema +
-        // the two feed columns, zero rows
+        // the three feed columns, zero rows
         read(spark, dir).limit(0)
           .withColumn("_change_type", lit(""))
           .withColumn("_commit_version", lit(0L))
+          .withColumn("_commit_timestamp",
+            lit(null).cast(org.apache.spark.sql.types.TimestampType))
       case seq => seq.reduce(_.unionByName(_, allowMissingColumns = true))
     }
+  }
+
+  /** EVENT TIME of a published version (r11, behavior 41): the commit
+    * marker's mtime — stamped by the filesystem at the publish instant
+    * (step 2 of the two-step publish), immutable afterwards, and read
+    * by every process identically, so the feed's `_commit_timestamp` is
+    * stable across replays (the exactly-once contract extends to event
+    * time). Delta's CDF stamps the same way (the commit file's
+    * modification time). Millis → java.sql.Timestamp in UTC. */
+  private[graft] def commitTimeOf(dir: String, version: Long)
+      : java.sql.Timestamp = {
+    val p = markerPath(dir, version)
+    val ms =
+      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis
+      else Files.getLastModifiedTime(manifestPath(dir, version)).toMillis
+    new java.sql.Timestamp(ms)
   }
 }

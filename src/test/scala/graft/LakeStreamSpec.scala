@@ -366,6 +366,73 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("behavior 41: _commit_timestamp is watermarkable event time — " +
+       "windowed aggregation over the feed, late versions dropped") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_lakestream_b41_").toString
+    val cp = Files.createTempDirectory("graft_lakestream_b41cp_").toString
+    def backdate(v: Long, minutesAgo: Long): Unit =
+      JFiles.setLastModifiedTime(Paths.get(dir, s"commit-v$v"),
+        FileTime.fromMillis(System.currentTimeMillis() - minutesAgo * 60000L))
+    // v1 (overwrite) and v2 (append) publish, then are BACKDATED to
+    // distinct minutes so their event-time windows can close in-test
+    assert(LakeTable.commit(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))(_ => None) == Right(1L))
+    assert(LakeTable.append(spark, dir,
+      Seq((3L, 7L)).toDF("k", "v"))(_ => None) == Right(2L))
+    backdate(1L, 10L); backdate(2L, 5L)
+
+    val out = mutable.ArrayBuffer.empty[(Long, Long)] // (n, net) per window
+    def run(): Unit = {
+      val feed = spark.readStream.format("graft-lake")
+        .option("path", dir).load()
+      assert(feed.schema("_commit_timestamp").dataType
+        == org.apache.spark.sql.types.TimestampType)
+      val agg = feed.withWatermark("_commit_timestamp", "30 seconds")
+        .groupBy(window(col("_commit_timestamp"), "1 minute"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("_change_type") === "insert", col("v"))
+               .otherwise(-col("v"))).as("net"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          out.synchronized {
+            out ++= df.collect().map(r =>
+              (r.getAs[Long]("n"), r.getAs[Long]("net")))
+          }
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // a fresh commit at NOW pushes the watermark past the backdated
+        // windows; the no-data batch then emits them in append mode
+        if (LakeTable.currentVersion(dir).contains(2L)) {
+          assert(LakeTable.append(spark, dir,
+            Seq((4L, 100L)).toDF("k", "v"))(_ => None) == Right(3L))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    run()
+    assert(out.toSet == Set((2L, 30L), (1L, 7L)),
+      s"the two backdated windows must emit exactly once: $out")
+
+    // LATE VERSION: v4 commits while the stream is down and is backdated
+    // 20 minutes — behind the checkpointed watermark. The source still
+    // delivers its rows in order (versions are the offset log; lateness
+    // is an event-time property), but the watermarked aggregation drops
+    // them: no new window emits, the standard late-data contract.
+    assert(LakeTable.append(spark, dir,
+      Seq((5L, 999L)).toDF("k", "v"))(_ => None) == Right(4L))
+    backdate(4L, 20L)
+    run()
+    assert(out.toSet == Set((2L, 30L), (1L, 7L)),
+      s"a version behind the watermark must not emit a window: $out")
+  }
+
   test("sink epochs are single-pass: the batch plan evaluates once, " +
        "empty epochs publish nothing (r11 ask #4)") {
     import spark.implicits._
