@@ -22,6 +22,13 @@ object Inference {
 
   private val Day = "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)"
 
+  /** q_text_jarowinkler's per-block skew cap (r11): a p_size block with
+    * more members than this sub-blocks on the first name token, bounding
+    * the block self-join at sub-block² instead of block². Mirrored
+    * LITERALLY (`> 1000`) in the oracle CTE so both engines cap
+    * identically — change both together. */
+  private[graft] val jwBlockCap = 1000L
+
   val ops: Seq[OpDef] = Seq(
 
     /** Mann–Whitney U (Wilcoxon rank-sum) per day: purchase vs click
@@ -1059,30 +1066,55 @@ object Inference {
       * "old anvil"/"cold anvil" typo-distance linkage this scorer
       * exists for). Blocked by p_size (50 blocks); at 100 TB the block
       * self-join is the standard LSH-style bounded expansion — the op's
-      * cost is Σ block², never corpus², and a skewed block would get a
-      * second blocking key exactly like the dedup family's band caps. */
+      * cost is Σ block², with the Σ ENFORCED (r11, verdict ask #3): a
+      * block larger than [[jwBlockCap]] members gains a SECONDARY
+      * blocking key (the first name token), so a skewed or adversarial
+      * hot block sub-blocks instead of going quadratic — the dedup
+      * family's hot-gram/band-cap discipline applied to record linkage.
+      * The cap is mirrored in the oracle CTE (both engines compute the
+      * identical window count and sub-key), so parity holds whether or
+      * not the cap binds; on the TPC-H fixtures (~400 parts per size at
+      * sf0.1) it is inert. Cross-first-token matches inside an over-cap
+      * block are the documented loss, same trade as every blocking key;
+      * HostileCorpusSpec pins the single-hot-block behavior. */
     OpDef(
       "q_text_jarowinkler",
-      """WITH pr AS (
+      """WITH bl AS (
+        |  SELECT p_partkey, p_name, p_size,
+        |    CASE WHEN count(*) OVER (PARTITION BY p_size) > 1000
+        |         THEN split_part(p_name, ' ', 1) ELSE '' END AS sub
+        |  FROM part),
+        |pr AS (
         |  SELECT a.p_partkey AS p1, b.p_partkey AS p2,
         |    a.p_name AS name1, b.p_name AS name2,
         |    floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000.0
         |          + 0.5) / 1000000.0 AS jw
-        |  FROM part a JOIN part b
-        |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |  FROM bl a JOIN bl b
+        |    ON a.p_size = b.p_size AND a.sub = b.sub
+        |   AND a.p_partkey < b.p_partkey
         |   AND a.p_name <> b.p_name)
         |SELECT p1, p2, name1, name2, jw
         |FROM pr WHERE jw >= 0.9
         |ORDER BY jw DESC, p1, p2""".stripMargin
     ) { (s, d) =>
       graft.GraftFunctions.register(s)
-      val p = part(s, d).select(col("p_partkey"), col("p_name"),
-                                col("p_size"))
+      val p0 = part(s, d).select(col("p_partkey"), col("p_name"),
+                                 col("p_size"))
+      // per-block member counts attach via a broadcast (bounded by the
+      // block-key cardinality — the same planner-metadata scale as any
+      // format's file stats); over-cap blocks get the secondary key
+      val counts = p0.groupBy("p_size").agg(count(lit(1)).as("bn"))
+      val p = p0.join(broadcast(counts), Seq("p_size"))
+        .withColumn("sub",
+          when(col("bn") > lit(jwBlockCap),
+               split_part(col("p_name"), lit(" "), lit(1)))
+            .otherwise(lit("")))
       val a = p.select(col("p_partkey").as("p1"), col("p_name").as("name1"),
-                       col("p_size").as("s1"))
+                       col("p_size").as("s1"), col("sub").as("sub1"))
       val b = p.select(col("p_partkey").as("p2"), col("p_name").as("name2"),
-                       col("p_size").as("s2"))
-      a.join(b, col("s1") === col("s2") && col("p1") < col("p2") &&
+                       col("p_size").as("s2"), col("sub").as("sub2"))
+      a.join(b, col("s1") === col("s2") && col("sub1") === col("sub2") &&
+               col("p1") < col("p2") &&
                col("name1") =!= col("name2"))
         .withColumn("jw", Det.r6(expr("graft_jaro_winkler(name1, name2)")))
         .filter(col("jw") >= 0.9)

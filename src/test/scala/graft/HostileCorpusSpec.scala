@@ -115,6 +115,54 @@ class HostileCorpusSpec extends SparkTestBase {
       s"hostile corpus pushed a band bucket to $maxBand past the cap")
   }
 
+  test("jarowinkler block cap binds on a single hot block (r11 ask #3)") {
+    import spark.implicits._
+    // 1200 parts, ALL in one p_size block (over the 1000 cap): the
+    // secondary first-token key must sub-block the candidate set
+    val hot = (1 to 1200).map { i =>
+      val tok = Seq("alpha", "beta", "gamma", "delta")(i % 4)
+      // two planted near-pairs INSIDE the alpha sub-block (ids 4,8 get
+      // names one edit apart); everything else is far apart
+      val name =
+        if (i == 4) "alpha anvil linen rose"
+        else if (i == 8) "alpha anvil linen rosy"
+        else s"$tok item number $i distinct"
+      (i.toLong, name, 7)
+    }
+    // one near-pair that CROSSES sub-blocks — the documented loss when
+    // the cap binds (uncapped blocking would have scored it)
+    val cross = Seq(
+      (5001L, "omega anvil linen rose", 7),
+      (5002L, "omeba anvil linen rose", 7))
+    val d = java.nio.file.Files.createTempDirectory("graft_jwhot").toString
+    (hot ++ cross).toDF("p_partkey", "p_name", "p_size")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val out = graft.ops.Inference.ops.find(_.name == "q_text_jarowinkler")
+      .get.fn(spark, d).collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("p1"), r.getAs[Long]("p2"))).toSet
+    assert(pairs.contains((4L, 8L)),
+      s"the within-sub-block near-pair must survive the cap: $pairs")
+    assert(!pairs.contains((5001L, 5002L)),
+      "a cross-first-token pair inside an over-cap block is the " +
+      "documented blocking loss")
+    // every returned pair shares the secondary key: the enforced bound
+    val names = out.map(r =>
+      (r.getAs[String]("name1").split(" ").head,
+       r.getAs[String]("name2").split(" ").head))
+    assert(names.forall { case (x, y) => x == y },
+      s"over-cap block pairs must share the first token: ${names.toSeq}")
+    // and an UNDER-cap table keeps cross-token matches (cap inert)
+    val d2 = java.nio.file.Files.createTempDirectory("graft_jwcold").toString
+    (hot.take(100) ++ cross).toDF("p_partkey", "p_name", "p_size")
+      .write.mode("overwrite").parquet(s"$d2/part.parquet")
+    val out2 = graft.ops.Inference.ops.find(_.name == "q_text_jarowinkler")
+      .get.fn(spark, d2).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"))).toSet
+    assert(out2.contains((5001L, 5002L)),
+      s"under the cap the secondary key must stay inert: $out2")
+  }
+
   test("CDC chunk bounds bind on boundary-dense and boundary-free text") {
     corpus
     import graft.ops.LlmOps
