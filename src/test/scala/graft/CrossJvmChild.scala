@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-process committer for [[CrossJvmSpec]] (r11, verdict ask #7):
+  * a SECOND JVM with its own SparkSession racing partial merges against
+  * the parent's committer on one lake table. The commit protocol's only
+  * cross-process channels are atomic filesystem primitives (create-new
+  * hard links for manifest claims, create-file for markers/fences), so
+  * nothing here shares memory with the parent — which is the point: the
+  * serialized-commit loop must hold across REAL process boundaries, not
+  * just across threads under one JVM lock.
+  *
+  * Protocol: write the `ready` file once the session is up, wait for the
+  * parent's `go` file (so both sides' commit loops overlap in time), run
+  * `rounds` sequential merges of this side's key range, exit 0 on all
+  * commits accepted / 2 on any Left.
+  */
+object CrossJvmChild {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, roundsS, readyS) = args
+    val rounds = roundsS.toInt
+    val ready = java.nio.file.Paths.get(readyS)
+    val go = ready.resolveSibling("go")
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    java.nio.file.Files.createFile(ready)
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (!java.nio.file.Files.exists(go)) {
+      if (System.nanoTime() > deadline) sys.exit(3)
+      Thread.sleep(10)
+    }
+    for (i <- 1 to rounds) {
+      val ups = Seq.tabulate(20) { k =>
+        (100L + k, s"child_$i", (100L + k) % 4)
+      }.toDF("k", "v", "band")
+      graft.sources.LakeTable.mergePartial(
+        spark, dir, ups, Seq("k"), "band")(_ => None) match {
+        case Right(_) => ()
+        case Left(reason) =>
+          System.err.println(s"child commit $i rejected: $reason")
+          spark.stop()
+          sys.exit(2)
+      }
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LakeTable
+
+/** TWO-JVM commit race (r11, verdict ask #7 — closes SURVEY §8i's
+  * "in-process tests only" caveat): the write-audit-publish protocol's
+  * concurrency story rests on atomic create-new filesystem primitives,
+  * which a single-JVM test can never fully exercise because
+  * [[LakeTable]]'s publish/fence pair is ALSO serialized on a JVM lock.
+  * Here a child `java` process (same classpath, its own SparkSession)
+  * runs partial merges on the SAME table and the SAME layout values as
+  * this suite's committer, concurrently — every interleaving crosses
+  * real process boundaries, so only the filesystem CAS protects the
+  * manifest log. Serializability is asserted from outcomes: every
+  * acknowledged commit from both sides must survive into the final
+  * state (no lost update), exactly one published version per
+  * acknowledged commit (no double-mint), and the version chain's
+  * per-version manifests must all parse and fold to the live state.
+  */
+class CrossJvmSpec extends SparkTestBase {
+
+  test("two JVMs racing partial merges on one table: " +
+       "no lost update, one version per acknowledged commit") {
+    import spark.implicits._
+    val rounds = 4
+    val dir = Files.createTempDirectory("graft_xjvm_").toString
+    val sig = Files.createTempDirectory("graft_xjvm_sig_")
+    val ready = sig.resolve("ready")
+
+    // v1 seed: both sides' key ranges, laid out by band — the child and
+    // parent key sets are DISJOINT (end state checkable) but hash to the
+    // SAME band values (every concurrent plan is stale → the conflict
+    // re-plan path is exercised whenever commits interleave)
+    val seed = ((0L until 20L) ++ (100L until 120L))
+      .map(k => (k, "seed", k % 4)).toDF("k", "v", "band")
+    assert(LakeTable.commit(spark, dir, seed, Some("band"))(_ => None)
+      == Right(1L))
+
+    // spawn the child with this JVM's own module/system flags (Spark on
+    // JDK 17 needs the add-opens set) but its own small heap
+    val jvmFlags = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports")
+        || (a.startsWith("-D") && !a.startsWith("-Dderby"))
+        || a.startsWith("--add-modules"))
+      .toSeq
+    val cmd = Seq(
+      Paths.get(sys.props("java.home"), "bin", "java").toString) ++
+      jvmFlags ++ Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+      "graft.CrossJvmChild", dir, rounds.toString, ready.toString)
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        sig.resolve("child.log").toFile))
+      .start()
+    try {
+      // wait for the child session, then release both loops together
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!Files.exists(ready)) {
+        assert(proc.isAlive, "child JVM died before becoming ready: " +
+          new String(Files.readAllBytes(sig.resolve("child.log"))).takeRight(500))
+        assert(System.nanoTime() < deadline, "child JVM never became ready")
+        Thread.sleep(20)
+      }
+      Files.createFile(sig.resolve("go"))
+      for (i <- 1 to rounds) {
+        val ups = Seq.tabulate(20)(k => (k.toLong, s"parent_$i", k % 4))
+          .toDF("k", "v", "band")
+        assert(LakeTable.mergePartial(spark, dir, ups,
+          Seq("k"), "band")(_ => None).isRight,
+          s"parent commit $i must be accepted")
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS), "child JVM hung")
+      assert(proc.exitValue() == 0, "child commits rejected: " +
+        new String(Files.readAllBytes(sig.resolve("child.log"))).takeRight(800))
+    } finally if (proc.isAlive) proc.destroyForcibly()
+
+    // one published version per acknowledged commit: the seed + each
+    // side's `rounds` merges — no double-mint, no swallowed publish
+    // (fenced claims are allowed on disk; they are not published)
+    val vs = LakeTable.versions(dir)
+    assert(vs.size == 1 + 2 * rounds,
+      s"expected ${1 + 2 * rounds} published versions, got $vs")
+
+    // no lost update: each side's LAST acknowledged merge must be the
+    // final state of its keys — a carry that shadowed the other JVM's
+    // rewrite would resurrect older values
+    val live = LakeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(live.size == 40, s"row count drifted: ${live.size}")
+    for (k <- 0L until 20L)
+      assert(live(k) == s"parent_$rounds",
+        s"parent key $k lost its final write: ${live(k)}")
+    for (k <- 100L until 120L)
+      assert(live(k) == s"child_$rounds",
+        s"child key $k lost its final write: ${live(k)}")
+
+    // the chain folds: replaying the change feed over v1 reproduces the
+    // live state byte-for-byte (manifest history stayed coherent under
+    // cross-process racing)
+    val feed = LakeTable.changesBetween(spark, dir, 1L, vs.last)
+    val cols = Seq("k", "v", "band")
+    def w(df: org.apache.spark.sql.DataFrame, weight: Int) =
+      df.select(cols.map(col): _*).withColumn("_w", lit(weight))
+    val folded = w(LakeTable.readVersion(spark, dir, 1L), 1)
+      .unionAll(w(feed.filter(col("_change_type") === "insert"), 1))
+      .unionAll(w(feed.filter(col("_change_type") === "delete"), -1))
+      .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("m"))
+      .filter(col("m") > 0).select(cols.map(col): _*)
+    assert(w(folded, 1).unionAll(w(LakeTable.read(spark, dir), -1))
+      .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("m"))
+      .filter(col("m") =!= 0).isEmpty,
+      "the cross-process version chain must fold to the live state")
+  }
+}
