@@ -1163,4 +1163,90 @@ class StreamingSpec extends SparkTestBase {
       s"maintained aggregate must equal the direct one: $mv vs $direct")
     assert(!mv.contains(2L), "a fully-deleted group must vanish from the MV")
   }
+
+  test("genre composition end-to-end (r11 ask #8): events -> session " +
+       "windows + watermark -> lake merge sink -> feed -> MV == batch twin") {
+    import spark.implicits._
+    import graft.sources.LakeTable
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_genre_").toString
+    val cpW = java.nio.file.Files
+      .createTempDirectory("graft_genre_w_").toString
+    val cpR = java.nio.file.Files
+      .createTempDirectory("graft_genre_r_").toString
+    // THE reference pipeline shape at production discipline: an event
+    // stream sessionized with a watermark, persisted exactly-once into a
+    // transactional table, whose change feed maintains a downstream MV.
+    // Kafka swap is a one-liner: replace the MemoryStream source with
+    // StreamOps.kafkaEvents(spark, servers, topic) (format("kafka")) and
+    // every transform below is unchanged (§1.4 — the connector jar is
+    // absent in this offline image; MemoryStream drives the identical
+    // MicroBatchExecution path).
+    val ms = MemoryStream[Event]
+    val sessions = StreamOps.sessionCounts(ms.toDF())
+      .withColumn("band", col("user_id") % 2)
+    val w = sessions.writeStream.format("graft-lake")
+      .option("path", dir).option("checkpointLocation", cpW)
+      .option("commitMode", "merge")
+      .option("keys", "user_id,sess_start").option("layoutBy", "band")
+      .start()
+    val mainEvents = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:05:00", 1, "click", 2.0), // same session
+      ev(3, "2024-01-01 11:00:00", 1, "view", 4.0), // new session (>10m)
+      ev(4, "2024-01-01 10:00:00", 2, "click", 8.0),
+      ev(5, "2024-01-01 10:20:00", 2, "view", 16.0)) // new session
+    try {
+      ms.addData(mainEvents: _*)
+      w.processAllAvailable()
+      // the flusher pushes the watermark past every session above; its
+      // own session stays open in state and must NOT reach the table
+      ms.addData(ev(99, "2024-01-01 15:00:00", 9, "click", 0.5))
+      w.processAllAvailable()
+    } finally w.stop()
+
+    // batch twin of the CLOSED sessions: the identical session_window
+    // aggregation over the same events, run as a plain batch query
+    val twin = mainEvents.toDF()
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("sess_start"),
+              col("user_id"), col("n"), col("total"))
+      .withColumn("band", col("user_id") % 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("sess_start").getTime,
+       r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+       r.getAs[Double]("total"), r.getAs[Long]("band"))
+    val persisted = LakeTable.read(spark, dir)
+      .select("sess_start", "user_id", "n", "total", "band")
+      .collect().map(key).toSet
+    assert(persisted == twin.collect().map(key).toSet,
+      s"the persisted sessions must equal the batch twin: $persisted")
+
+    // the MV leg: stream the table's change feed into the declarative
+    // signed aggregation (behavior 40) and land it complete-mode
+    val feed = spark.readStream.format("graft-lake")
+      .option("path", dir).load()
+    val name = nextName()
+    val q2 = StreamOps.lakeMv(feed, Seq("band"), Seq("n", "total"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").option("checkpointLocation", cpR)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val mv = spark.table(name).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_sum"),
+          r.getAs[Double]("total_sum"))))
+      .toMap
+    val twinMv = twin.groupBy("band")
+      .agg(count(lit(1)).as("nr"), sum("n").as("ns"), sum("total").as("ts"))
+      .collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("nr"), r.getAs[Long]("ns"),
+          r.getAs[Double]("ts"))))
+      .toMap
+    assert(mv == twinMv,
+      s"the feed-maintained MV must equal the batch twin's: $mv vs $twinMv")
+  }
 }
