@@ -363,7 +363,12 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
       val cols =
         if (requiredColumns.isEmpty) schema.fieldNames.toSeq
         else requiredColumns.toSeq
-      ctx.sparkSession.read.schema(schema).parquet(paths: _*)
+      // DV-bearing versions (r11) filter deleted positions before the
+      // projection — pruning composes: a dropped file's positions simply
+      // never come up, and the anti-join is a broadcast, no shuffle
+      LakeTable.applyDv(ctx.sparkSession, dir,
+          ctx.sparkSession.read.schema(schema).parquet(paths: _*),
+          LakeTable.dvOf(dir, version))
         .select(cols.map(col): _*)
         .rdd
     }

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Write-audit-publish table commit — the transactional-sink capability a
@@ -94,7 +94,8 @@ object LakeTable {
                           schema: Seq[String] = Seq.empty,
                           stats: Seq[String] = Seq.empty,
                           baseVersion: Long = 0L,
-                          op: String = "overwrite")
+                          op: String = "overwrite",
+                          dv: Seq[String] = Seq.empty)
 
   /** List a directory's entries with the stream CLOSED on exit —
     * `Files.list` leaks a directory file descriptor until GC otherwise,
@@ -198,6 +199,19 @@ object LakeTable {
     "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
       .getOrElse("overwrite")
 
+  /** Recorded deletion-vector sidecar paths (r11 DV prototype). Sidecars
+    * are parquet files of `(file STRING, pos BIGINT)` deleted-row
+    * positions, named `*.dv` ON PURPOSE: the file-list regex requires a
+    * closing quote right after `.parquet`, so a sidecar entry can never
+    * be mistaken for a data file. */
+  private def manifestDv(json: String): Seq[String] =
+    "\"dv\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).map(_.group(1))
+      .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  private[graft] def dvOf(dir: String, version: Long): Seq[String] =
+    readManifest(dir, version).map(manifestDv).getOrElse(Seq.empty)
+
   /** Stream-epoch watermark the published version records for `sink` —
     * it rides the same atomic publish as the data, so "applied batch ≥ N"
     * is exactly "epoch N's merge is visible". Each concurrent sink onto
@@ -262,19 +276,58 @@ object LakeTable {
         }
       }.toMap
 
+  /** Manifest-relative spelling of the parquet reader's absolute
+    * `_metadata.file_path` — every data file lives under `data/<uuid>/`,
+    * and staging uuids / `_layout=` segments can never themselves spell
+    * a `/data/` path segment, so splitting on the LAST occurrence is
+    * exact. */
+  private def relFileCol: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.concat(
+      lit("data/"),
+      org.apache.spark.sql.functions.substring_index(
+        col("_metadata.file_path"), "/data/", -1))
+
+  /** Apply deletion-vector sidecars to a parquet-source frame (r11 DV
+    * prototype): anti-join on (manifest-relative file, row position) via
+    * the reader's `_metadata` columns. The sidecar union is the table's
+    * DELETED set — bounded by deletes since the last OPTIMIZE purge —
+    * and broadcasts; the data-side cost is two derived columns inside
+    * the scan, no shuffle. `reader` must be the raw file-source frame
+    * (metadata columns resolve only there). */
+  private[graft] def applyDv(spark: SparkSession, dir: String,
+                             reader: DataFrame,
+                             dv: Seq[String]): DataFrame = {
+    if (dv.isEmpty) reader
+    else {
+      val cols = reader.columns.toSeq
+      val dvDf = spark.read.parquet(
+        dv.map(s => Paths.get(dir, s).toString): _*)
+        .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+      reader
+        .withColumn("_dv_file", relFileCol)
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(dvDf), Seq("_dv_file", "_dv_pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
   private def readFiles(spark: SparkSession, dir: String, json: String,
                         what: String): DataFrame = {
     val files = manifestFiles(json).map(f => Paths.get(dir, f).toString)
     require(files.nonEmpty, s"$what lists no files in $dir")
     val recorded = manifestSchema(json)
-    if (recorded.isEmpty) spark.read.parquet(files: _*)
-    else
-      // read under the RECORDED schema: columns come back in the
-      // manifest-recorded order regardless of physical file layout, and a
-      // carried pre-evolution file null-fills the columns it predates —
-      // deterministic reads on evolved tables (no footer race)
-      spark.read.schema(StructType.fromDDL(recorded.mkString(", ")))
-        .parquet(files: _*)
+    val base =
+      if (recorded.isEmpty) spark.read.parquet(files: _*)
+      else
+        // read under the RECORDED schema: columns come back in the
+        // manifest-recorded order regardless of physical file layout, and a
+        // carried pre-evolution file null-fills the columns it predates —
+        // deterministic reads on evolved tables (no footer race)
+        spark.read.schema(StructType.fromDDL(recorded.mkString(", ")))
+          .parquet(files: _*)
+    // DV-bearing versions filter deleted positions; DV-free versions
+    // (the overwhelmingly common case) take the identical plan as before
+    applyDv(spark, dir, base, manifestDv(json))
   }
 
   /** Read the table THROUGH the manifest — the only sanctioned read path.
@@ -328,7 +381,11 @@ object LakeTable {
       .filterNot(v => keep.contains(v) || published.contains(v))
     val drop = published.filterNot(keep.contains) ++ orphans
     val keptFiles = keep.toSeq
-      .flatMap(v => readManifest(dir, v).map(manifestFiles).getOrElse(Nil))
+      .flatMap(v => readManifest(dir, v).map(j =>
+        // DV sidecars referenced by retained manifests survive alongside
+        // data files (r11): membership here both blocks the whole-subtree
+        // sweep and exempts them from per-file reclaim
+        manifestFiles(j) ++ manifestDv(j)).getOrElse(Nil))
       .toSet
     drop.foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
@@ -567,7 +624,13 @@ object LakeTable {
              if (carry.isEmpty) fresh.schema
              else mergeSchemas(baseSchema, fresh.schema),
            stats = carriedStats(dir, base, carry) ++ fresh.stats,
-           baseVersion = base, op = op)
+           baseVersion = base, op = op,
+           // a carry commit preserves the base's deletes (an append must
+           // not resurrect DV'd rows of carried files); a fresh rewrite
+           // (overwrite, OPTIMIZE) starts DV-free — OPTIMIZE is thereby
+           // the DV PURGE: its snapshot read already applied the vectors
+           dv = if (carry.nonEmpty && base > 0L) dvOf(dir, base)
+                else Seq.empty)
   }
 
   /** Files of the live version whose recorded [lo, hi] stats range for an
@@ -670,10 +733,16 @@ object LakeTable {
       if (staged.stats.isEmpty) ""
       else staged.stats.map("\"" + _ + "\"")
         .mkString("\"stats\":[", ",", "],")
+    // DV sidecar paths end ".dv", never ".parquet" — invisible to the
+    // file-list regex by construction (r11 DV prototype)
+    val dvField =
+      if (staged.dv.isEmpty) ""
+      else staged.dv.map("\"" + _ + "\"")
+        .mkString("\"dv\":[", ",", "],")
     staged.files.map("\"" + _ + "\"")
       .mkString(s"""{"version":$v,"base":${staged.baseVersion},""" +
                 s""""op":"${staged.op}",$batchesField$schemaField""" +
-                s"""$statsField"files":[""", ",", "]}")
+                s"""$statsField$dvField"files":[""", ",", "]}")
   }
 
   /** Publish a staged version: claim a version number via the manifest
@@ -983,6 +1052,86 @@ object LakeTable {
       case Right(v) => Right(Some(v))
     }
 
+  /** DELETE WHERE via DELETION VECTORS (r11 prototype, verdict ask #9):
+    * instead of rewriting every file that holds a matching row — the
+    * write amplification that makes fine-grained deletes on a 100 TB
+    * table prohibitive — publish a SIDECAR of deleted `(file, row
+    * position)` pairs and leave every data file byte-identical. The new
+    * manifest carries the same file list plus the sidecar (op
+    * `dvdelete`); readers anti-join positions via the parquet reader's
+    * `_metadata.row_index` ([[applyDv]]); time travel keeps working
+    * because each version's manifest pins its own vector set; the
+    * change feed replays the delete as retractions of exactly the DV'd
+    * rows; and [[optimize]] is the natural PURGE (its snapshot read
+    * applies the vectors, its rewrite starts DV-free) — Delta/Iceberg
+    * v3's deletion-vector design reduced to this layout. Positions are
+    * computed over the LIVE view (already-deleted positions are not
+    * re-recorded), and the audit re-reads the staged version through
+    * its vectors and blocks publish if any matching row survives.
+    * Recorded limitations (prototype): a partial merge/CDC apply on a
+    * DV-bearing table refuses (rewrites read files raw) until an
+    * OPTIMIZE purge; a predicate matching nothing aborts with a
+    * no-rows message rather than minting a trivial version. */
+  def deleteWhereDv(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column)(
+      check: DataFrame => Option[String]): Either[String, Long] =
+    commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version to delete from in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val files = manifestFiles(json)
+        val recorded = manifestSchema(json)
+        val paths = files.map(f => Paths.get(dir, f).toString)
+        val reader =
+          if (recorded.isEmpty) spark.read.parquet(paths: _*)
+          else spark.read
+            .schema(StructType.fromDDL(recorded.mkString(", ")))
+            .parquet(paths: _*)
+        val prevDv = manifestDv(json)
+        val matchPos = reader.filter(predicate)
+          .select(relFileCol.as("file"),
+                  col("_metadata.row_index").as("pos"))
+        val freshPos =
+          if (prevDv.isEmpty) matchPos
+          else matchPos.join(
+            broadcast(spark.read.parquet(
+              prevDv.map(s => Paths.get(dir, s).toString): _*)
+              .select("file", "pos")),
+            Seq("file", "pos"), "left_anti")
+        if (freshPos.isEmpty)
+          Left(s"DELETE matched no live rows in $dir: nothing to publish")
+        else {
+          val uuid = java.util.UUID.randomUUID().toString
+          val tmpOut = Paths.get(dir, "data", uuid, "dvw")
+          freshPos.coalesce(1).write.parquet(tmpOut.toString)
+          val part = listDir(tmpOut).filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) && n.endsWith(".parquet") &&
+              !n.startsWith(".")
+          }.head
+          val sidecar = Paths.get(dir, "data", uuid, "dv-0.dv")
+          Files.move(part, sidecar)
+          walkDir(tmpOut).reverse.foreach(Files.deleteIfExists)
+          val st = Staged(dir, base + 1L, files,
+            batches = batchesOf(dir, base),
+            schema = recorded, stats = manifestStats(json),
+            baseVersion = base, op = "dvdelete",
+            dv = prevDv :+ s"data/$uuid/dv-0.dv")
+          // audit AS A READER WOULD SEE IT: the staged manifest's own
+          // vector set must hide every matching row before publish
+          val stagedDf =
+            readFiles(spark, dir, manifestJson(st, base + 1L),
+                      "staged dvdelete")
+          val leak = stagedDf.filter(predicate).count()
+          if (leak > 0L)
+            Left(s"audit failed for v${st.version}: $leak " +
+                 "predicate-matching row(s) survive the deletion vector")
+          else check(stagedDf)
+            .map(r => s"audit failed for v${st.version}: $r").toLeft(st)
+        }
+      }
+    }
+
   /** Shared partial-rewrite engine for [[mergePartial]] /
     * [[applyCdcPartial]]. `upserts` re-enter; `deleted` keys (CDC only)
     * tombstone; `touching` is the frame whose layout values define the
@@ -1024,6 +1173,15 @@ object LakeTable {
     var stagedVals = Map.empty[String, Fresh]
     var planned = false
     val result = commitSerialized(dir) { base =>
+      // recorded r11 limitation: the rewrite reads stale files RAW, so a
+      // partial merge over a DV-bearing table would resurrect deleted
+      // rows in the rewritten files — refuse loudly (a plan Left aborts
+      // the whole commit); OPTIMIZE purges the vectors (its snapshot
+      // read applies them) and the merge then proceeds on a clean base
+      if (dvOf(dir, base).nonEmpty)
+        Left(s"partial rewrite on a DV-bearing table in $dir is " +
+          "not supported: run optimize to purge deletion vectors first")
+      else {
       val live = filesOf(dir, base)
       val (rewriteFiles, carried) = live.partition(f =>
         layoutValueOf(f).forall(touched.contains))
@@ -1086,6 +1244,7 @@ object LakeTable {
                     "apply: a 'D' row's layout value does not match the " +
                     "value its key is stored under (ghost undelete)")
         })
+      }
       }
     }
     result
@@ -1164,7 +1323,8 @@ object LakeTable {
                                  else Map.empty,
                        schema = manifestSchema(json),
                        stats = manifestStats(json),
-                       baseVersion = base, op = "restore"))
+                       baseVersion = base, op = "restore",
+                       dv = manifestDv(json)))
         }
     }
   }
@@ -1199,27 +1359,55 @@ object LakeTable {
       v > fromVersion && v <= toVersion)).distinct.sorted
     val steps = window.zip(window.tail)
     val parts = steps.flatMap { case (prev, v) =>
+      val ts = commitTimeOf(dir, v)
+      def stamp(df: DataFrame, kind: String) =
+        df.withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", lit(ts))
+      def rawRead(files: Seq[String], schemaV: Long) = {
+        val recorded = schemaOf(dir, schemaV)
+        val paths = files.map(f => Paths.get(dir, f).toString)
+        if (recorded.isEmpty) spark.read.parquet(paths: _*)
+        else spark.read
+          .schema(StructType.fromDDL(recorded.mkString(", ")))
+          .parquet(paths: _*)
+      }
       if (opOf(dir, v) == "optimize") Seq.empty
-      else {
+      else if (opOf(dir, v) == "dvdelete") {
+        // a DV delete changes no files: replay it as retractions of
+        // exactly the NEWLY-vectored positions (r11) — read only the
+        // affected files, semi-join the fresh sidecars on position
+        val newDv = dvOf(dir, v).filterNot(dvOf(dir, prev).toSet)
+        if (newDv.isEmpty) Seq.empty
+        else {
+          val dvDf = spark.read.parquet(
+            newDv.map(s => Paths.get(dir, s).toString): _*)
+            .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+          val affected = dvDf.select("_dv_file").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          val rows = rawRead(affected, v)
+          val cols = rows.columns.toSeq
+          Seq(stamp(rows
+            .withColumn("_dv_file", relFileCol)
+            .withColumn("_dv_pos", col("_metadata.row_index"))
+            .join(broadcast(dvDf), Seq("_dv_file", "_dv_pos"), "left_semi")
+            .select(cols.map(col): _*), "delete"))
+        }
+      } else {
         val before = if (prev == 0L) Seq.empty else filesOf(dir, prev)
         val after = filesOf(dir, v)
         val removed = before.filterNot(after.contains)
         val added = after.filterNot(before.contains)
-        val ts = commitTimeOf(dir, v)
+        // each side reads under — and applies the DELETION VECTORS of —
+        // the version whose content it represents, so an overwrite or
+        // restore over a DV-bearing version never retracts or re-inserts
+        // rows that version had already hidden
         def side(files: Seq[String], schemaV: Long, kind: String) =
           if (files.isEmpty) None
-          else {
-            val recorded = schemaOf(dir, schemaV)
-            val paths = files.map(f => Paths.get(dir, f).toString)
-            val df =
-              if (recorded.isEmpty) spark.read.parquet(paths: _*)
-              else spark.read
-                .schema(StructType.fromDDL(recorded.mkString(", ")))
-                .parquet(paths: _*)
-            Some(df.withColumn("_change_type", lit(kind))
-                   .withColumn("_commit_version", lit(v))
-                   .withColumn("_commit_timestamp", lit(ts)))
-          }
+          else Some(stamp(
+            applyDv(spark, dir, rawRead(files, schemaV),
+                    if (schemaV == 0L) Seq.empty else dvOf(dir, schemaV)),
+            kind))
         side(removed, prev, "delete").toSeq ++ side(added, v, "insert").toSeq
       }
     }

@@ -889,4 +889,84 @@ class LakeSpec extends SparkTestBase {
     assert(r.isRight)
     assert(auditedRows == snap(80).count())
   }
+
+  test("deletion vectors (r11 prototype): zero-rewrite delete, time " +
+       "travel, feed retractions, optimize purge, merge guard") {
+    val dir = Files.createTempDirectory("graft_lake_dv_").toString
+    val table = snap(200).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, table, Some("band"))(_ => None)
+      == Right(1L))
+    val filesV1 = LakeTable.currentFiles(dir)
+    val fullCount = table.count()
+    val hit = col("custkey") % 10 === 3
+
+    // the delete publishes a sidecar, not a rewrite: file list identical
+    assert(LakeTable.deleteWhereDv(spark, dir, hit)(_ => None) == Right(2L))
+    assert(LakeTable.currentFiles(dir) == filesV1,
+      "a DV delete must not rewrite or drop any data file")
+    assert(LakeTable.dvOf(dir, 2L).size == 1
+      && LakeTable.dvOf(dir, 2L).forall(_.endsWith(".dv")))
+    val live = LakeTable.read(spark, dir)
+    assert(live.filter(hit).isEmpty, "deleted rows must be hidden")
+    assert(live.count() == table.filter(!hit).count())
+    // row-level equality, not just counts
+    assert(live.exceptAll(table.filter(!hit)).isEmpty &&
+           table.filter(!hit).exceptAll(live).isEmpty)
+
+    // time travel: v1 still reads the FULL pre-delete content
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == fullCount)
+
+    // the feed replays the delete as retractions of exactly the DV'd rows
+    val feed = LakeTable.changesBetween(spark, dir, 1L, 2L)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    val retracted = feed.select("custkey", "n_orders", "band")
+    val expected = table.filter(hit)
+    assert(retracted.exceptAll(expected).isEmpty &&
+           expected.exceptAll(retracted).isEmpty,
+      "feed retractions must equal the deleted rows")
+
+    // a second delete STACKS (already-deleted positions not re-recorded)
+    val hit2 = col("custkey") % 10 === 4
+    assert(LakeTable.deleteWhereDv(spark, dir, hit2)(_ => None)
+      == Right(3L))
+    assert(LakeTable.dvOf(dir, 3L).size == 2)
+    assert(LakeTable.read(spark, dir).count()
+      == table.filter(!hit && !hit2).count())
+    // a no-match delete aborts instead of minting a trivial version
+    assert(LakeTable.deleteWhereDv(spark, dir, lit(false))(_ => None)
+      .swap.exists(_.contains("matched no live rows")))
+
+    // the standard source applies vectors too (with pruning composed)
+    val viaSource = spark.read.format("graft-lake").option("path", dir)
+      .load()
+    assert(viaSource.filter(hit || hit2).isEmpty)
+    assert(viaSource.count() == table.filter(!hit && !hit2).count())
+
+    // recorded limitation: partial rewrites refuse on a DV-bearing table
+    val up = table.filter(col("custkey") === 1L)
+      .withColumn("n_orders", lit(999L))
+    assert(LakeTable.mergePartial(spark, dir, up, Seq("custkey"), "band")(
+      _ => None).swap.exists(_.contains("deletion vectors")),
+      "merge on a DV table must refuse until a purge")
+
+    // OPTIMIZE is the purge: snapshot read applies vectors, the rewrite
+    // starts DV-free, rows conserve, and the merge then proceeds
+    assert(LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+      Some("band")) == Right(4L))
+    assert(LakeTable.dvOf(dir, 4L).isEmpty, "optimize must purge vectors")
+    assert(LakeTable.read(spark, dir).count()
+      == table.filter(!hit && !hit2).count())
+    assert(LakeTable.mergePartial(spark, dir, up, Seq("custkey"), "band")(
+      _ => None) == Right(5L))
+
+    // vacuum keeps sidecars referenced by retained DV versions: keep the
+    // last 4 (v2..v5) and v2/v3 must still time-travel through their
+    // vectors
+    LakeTable.vacuum(dir, 4)
+    assert(LakeTable.readVersion(spark, dir, 2L).count()
+      == table.filter(!hit).count(),
+      "a retained DV version must keep its sidecars through vacuum")
+    assert(LakeTable.readVersion(spark, dir, 3L).filter(hit2).isEmpty)
+  }
 }
