@@ -1037,6 +1037,52 @@ object Layout {
         s.sql(s"SELECT custkey, era, n_orders, cents FROM $t " +
               "ORDER BY custkey, era")
       } finally s.sql(s"DROP TABLE $t")
+    },
+
+    /** DELETION-VECTOR delete through the manifest (r11, verdict ask
+      * #9): commit the per-customer rollup, [[graft.sources.LakeTable
+      * .deleteWhereDv]] every custkey ≡ 3 (mod 10) — which publishes a
+      * POSITION SIDECAR and leaves every data file byte-identical
+      * (required below) — and read the live table back through the
+      * vector filter. The oracle computes the post-delete rollup
+      * straight from `orders`, so the hash-match proves the sidecar
+      * anti-join hides exactly the deleted rows and nothing else; the
+      * requires pin the zero-rewrite property and v1's intact time
+      * travel. Feed retractions, stacking, OPTIMIZE purge, vacuum
+      * retention, and the merge guard are LakeSpec's pins. At 100 TB
+      * this is the fine-grained delete that costs O(deleted positions)
+      * instead of rewriting every touched file — the GDPR/right-to-be-
+      * forgotten path every lakehouse grows eventually. */
+    OpDef(
+      "q_lake_dv",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders WHERE (o_custkey % 10) <> 3
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_dv_").toString
+      val table = orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr("custkey div 32"))
+      require(LakeTable.commit(s, dir, table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val filesV1 = LakeTable.currentFiles(dir)
+      require(LakeTable.deleteWhereDv(s, dir,
+                col("custkey") % 10 === 3)(_ => None) == Right(2L),
+              "DV delete failed")
+      require(LakeTable.currentFiles(dir) == filesV1,
+              "a DV delete must leave every data file in place")
+      require(LakeTable.readVersion(s, dir, 1L).count() == table.count(),
+              "v1 must time-travel to the full pre-delete content")
+      LakeTable.read(s, dir)
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
     }
   )
 }

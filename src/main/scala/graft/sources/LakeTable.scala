@@ -1168,7 +1168,7 @@ object LakeTable {
     val changeKeys = touching.select(keys.map(col): _*).distinct()
     // incremental re-plan cache: per layout value, the live input files
     // the staged output was computed from, and that staged output
-    val FLAT = " flat"
+    val FLAT = "\u0000flat"
     var prevInputs = Map.empty[String, Seq[String]]
     var stagedVals = Map.empty[String, Fresh]
     var planned = false
