@@ -885,6 +885,14 @@ object LakeTable {
     * thread races are also exercised, but cannot target the window). */
   private[graft] var testAfterPlanHook: Int => Unit = _ => ()
 
+  /** Hard bound on the distinct layout values one partial rewrite may
+    * touch (r11): the touched-value set is the ONE thing the commit
+    * planner collects to the driver, and past this it is no longer a
+    * "partial" rewrite in any meaningful sense. 100k values × ~tens of
+    * bytes ≈ a few MB of driver memory — far above any sane layout
+    * cardinality for a batch, far below harm. */
+  private[sources] val maxTouchedLayoutValues = 100000
+
   /** The full write-audit-publish commit. Returns Left without touching
     * any reader-visible state if the audit (evolution contract included)
     * rejects. `layoutBy` lays the version out Hive-partitioned by the
@@ -1150,7 +1158,23 @@ object LakeTable {
     require(sink.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"sink id must be [A-Za-z0-9_-]*: '$sink'")
     Files.createDirectories(Paths.get(dir))
-    val touchedRows = touching.select(layoutCol).distinct().collect()
+    // PLANNER-PLANE collect, and the lake layer's sanctioned exemption
+    // from the ops-layer "no collect()" rule (OpDef.scala): what crosses
+    // the driver is the DISTINCT LAYOUT VALUES the batch touches —
+    // commit-planning metadata, the same thing Delta/Iceberg's driver
+    // holds when it prunes a MERGE's rewrite set by partition/file
+    // stats — never row data. It is explicitly BOUNDED (r10 ADVICE
+    // "document the bound or cap it"): a batch spraying more distinct
+    // values than the cap is not a partial rewrite any more (its rewrite
+    // set approaches the table), so refuse loudly and point at the
+    // overwrite path rather than silently assembling an unbounded
+    // driver-side set. limit(cap+1) bounds the collect itself.
+    val touchedRows = touching.select(layoutCol).distinct()
+      .limit(maxTouchedLayoutValues + 1).collect()
+    require(touchedRows.length <= maxTouchedLayoutValues,
+      s"partial rewrite touches more than $maxTouchedLayoutValues " +
+      s"distinct '$layoutCol' values: that is a table-scale rewrite — " +
+      "use an overwrite commit (or raise the cap) instead")
     // single-pass sink epochs (r11): the touched-value collect above
     // already materialized the change set once — an empty set under
     // emptyNoOp short-circuits to the sentinel (0L is never a real
