@@ -106,14 +106,18 @@ object Bench {
     def scanProbe(): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
+      // a probe that THROWS (missing/broken lineitem) must read as
+      // not-calm, not as a near-zero pass — the admission would otherwise
+      // admit exactly the runs where bandwidth was never measured (ADVICE
+      // r11)
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         li.select(org.apache.spark.sql.functions.xxhash64(
             li.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
           .as("h"))
           .agg(org.apache.spark.sql.functions.sum("h")).count()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.MaxValue }
     }
     val gaugeMax = sys.env.get("SPARK_GRAFT_GAUGE_MAX").map(_.toDouble)
       .getOrElse(0.55)
@@ -151,8 +155,36 @@ object Bench {
       if (s.isEmpty) 0.0 else s(s.length / 2)
     }
     val fnOf = selected.toMap
+    // previous round's per-query detail snapshot: a second re-measure
+    // trigger — a query regressing >2.5x against its own last-round
+    // number is either a real regression (re-measures to the same value)
+    // or a stall victim the 3x-median gate missed because the WHOLE run's
+    // median drifted with it (r11 verdict ask #6: partition_prune at 7.9x
+    // sailed 9 ms under the median gate). Floor 0.15 s keeps millisecond
+    // noise out.
+    val prevDetail: Map[String, Double] = try {
+      val dir = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")).getParent
+      val snapRe = "BENCH_DETAIL_r(\\d+)\\.json".r
+      val snaps = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+        _.iterator().asScala
+          .flatMap(p => snapRe.findFirstMatchIn(p.getFileName.toString)
+            .filter(_.matched == p.getFileName.toString)
+            .map(m => m.group(1).toInt -> p)).toSeq
+      }.sortBy(_._1).map(_._2) // numeric round order, not lexicographic
+      snaps.lastOption.map { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+          .map(body => "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          .getOrElse(Map.empty[String, Double])
+      }.getOrElse(Map.empty[String, Double])
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val results = first.map { case (name, (t, ok)) =>
-      if (ok && t > math.max(1.0, 3.0 * med))
+      val overMedian = t > math.max(1.0, 3.0 * med)
+      val overPrev = t > 0.15 &&
+        prevDetail.get(name).exists(p => t > 2.5 * p)
+      if (ok && (overMedian || overPrev))
         (name,
          Seq(t, measure(name, fnOf(name))._1, measure(name, fnOf(name))._1).min,
          ok, true)

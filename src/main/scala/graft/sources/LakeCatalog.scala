@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The lake as a DataSourceV2 CATALOG (r12, verdict ask #4) — the
+  * engine's first DSv2 surface, and the binding SQL `DELETE FROM` needs:
+  * Spark routes DELETE only to a [[SupportsDeleteV2]] table resolved
+  * through a `TableCatalog`, which V1 relations can never be. Register
+  * once per session:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+  * spark.conf.set("spark.sql.catalog.lake.warehouse", "/data/lake")
+  * spark.sql("DELETE FROM lake.default.orders WHERE band = 3")
+  * spark.table("lake.default.orders")            // SELECT works too
+  * }}}
+  *
+  * Identifier `ns.tbl` maps to directory `<warehouse>/ns/tbl`; a table
+  * EXISTS iff that directory has a published version (tables are born
+  * through [[LakeTable.commit]] / the `graft-lake` writer — `CREATE
+  * TABLE` through this catalog refuses and points there, because this
+  * layout cannot publish an empty version: schema lives in non-empty
+  * manifests).
+  *
+  * DELETE binds to [[LakeTable.deleteWhereDv]] — the zero-rewrite
+  * deletion-vector path — via the V1 `Filter` bridge ([[SupportsDelete]];
+  * Spark converts its V2 predicates and refuses un-convertible
+  * conditions BEFORE calling, so a non-pushable DELETE fails loudly at
+  * analysis rather than half-applying). An empty match is a no-op
+  * success, Delta semantics (r12). READS go through a [[V1Scan]] shim
+  * onto the same manifest read path as everything else (DV filtering,
+  * recorded schema) — the high-throughput scan surface remains the V1
+  * `graft-lake` format whose pruning contract is measured in
+  * [[LakeRelation]]; this catalog buys SQL DML, not a second scan
+  * engine. */
+class LakeCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = LakeSource.localPath(
+      Option(options.get("warehouse")).getOrElse(throw
+        new IllegalArgumentException(
+          s"catalog $name requires option 'warehouse' " +
+          s"(spark.sql.catalog.$name.warehouse=<dir>)")))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(Paths.get(warehouse)) { (p, seg) =>
+        require(!seg.contains('/') && !seg.contains(0x00.toChar) &&
+                seg.nonEmpty && seg != ".." && seg != ".",
+          s"illegal identifier segment '$seg'")
+        p.resolve(seg)
+      }.toString
+
+  override def tableExists(ident: Identifier): Boolean =
+    LakeTable.currentVersion(dirOf(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (LakeTable.currentVersion(dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(Paths.get(warehouse))(_.resolve(_))
+    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
+    val out = Files.list(nsDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        LakeTable.currentVersion(p.toString).nonEmpty)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    out
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"graft-lake tables are born through LakeTable.commit or " +
+      s"df.write.format(\"graft-lake\") at ${dirOf(ident)} — this layout " +
+      "cannot publish an empty version (schema lives in non-empty " +
+      "manifests)")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolution happens through commits (additive columns on " +
+      "write); ALTER TABLE has no manifest representation")
+
+  /** DROP = vacuum-to-nothing: removes the table directory wholesale.
+    * The catalog's delete surface is version-granular ([[vacuum]]); DROP
+    * is the one irreversible admin op, same as any filesystem table. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(dirOf(ident))
+    if (!Files.isDirectory(dir)) false
+    else {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val from = Paths.get(dirOf(oldIdent))
+    val to = Paths.get(dirOf(newIdent))
+    if (!Files.isDirectory(from)) throw new NoSuchTableException(oldIdent)
+    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+}
+
+/** One lake table seen through the DSv2 `Table` contract: reads resolve
+  * the LIVE version per scan (same non-freezing discipline as
+  * [[LakeRelation.liveVersion]]), deletes ride the deletion-vector
+  * commit. */
+class LakeV2Table(dir: String, ident: String)
+    extends Table with SupportsRead with SupportsDelete {
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val recorded = LakeTable.currentSchema(dir)
+    if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
+    else LakeTable.read(SparkSession.active, dir).schema
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val resolved = schema()
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = resolved
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new LakeV2ScanShim(context, dir, resolved)
+            .asInstanceOf[T]
+      }
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => LakeV2Table.filterToColumn(f).nonEmpty)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(LakeV2Table.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    LakeTable.deleteWhereDv(SparkSession.active, dir, cond)(_ => None) match {
+      case Right(_) => ()
+      case Left(reason) => throw new IllegalStateException(
+        s"DELETE FROM $ident failed: $reason")
+    }
+  }
+}
+
+object LakeV2Table {
+  /** V1 `Filter` → `Column`, total over the shapes Spark's predicate
+    * bridge emits; None = not translatable, which [[LakeV2Table
+    * .canDeleteWhere]] turns into an analysis-time refusal (the DELETE
+    * never half-applies). */
+  private[sources] def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case sources.StringContains(a, p) => Some(col(a).contains(p))
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
+/** The [[V1Scan]] exit: a TableScan-shaped relation over the manifest
+  * read path (recorded schema, DV filtering). Spark applies the query's
+  * own filters/projections above this scan; heavy pruned scans belong to
+  * the V1 `graft-lake` format. */
+private[sources] class LakeV2ScanShim(ctx: SQLContext, dir: String,
+                                      val schema: StructType)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    LakeTable.read(ctx.sparkSession, dir)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
+}

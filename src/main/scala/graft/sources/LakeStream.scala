@@ -93,8 +93,17 @@ class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
       if (maxVersionsPerTrigger.nonEmpty) readCursor() else None
     val floor = math.max(knownMax,
       math.max(cursor.getOrElse(Long.MinValue), startingVersion))
-    val pending = LakeTable.versionsAbove(dir, floor)
+    val walked = LakeTable.versionsAbove(dir, floor)
     val primed = knownMax >= 0L || cursor.nonEmpty
+    // unprimed-listing fallback (r12, ADVICE r11 high): on a table
+    // vacuumed by a build that predates the vacuum-floor hint, the dense
+    // walk from an unprimed floor finds nothing even though published
+    // versions exist above it — one full directory listing (only while
+    // unprimed, so at most until the first offset) primes the stream
+    // past the gap instead of silently never emitting.
+    val pending =
+      if (walked.nonEmpty || primed) walked
+      else LakeTable.versions(dir).filter(_ > floor)
     if (pending.isEmpty && !primed) None
     else {
       val off = maxVersionsPerTrigger match {

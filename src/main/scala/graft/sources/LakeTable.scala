@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.StructType
   *         CREATE-NEW (hard link from a private tmp — `Files.createLink`
   *         fails with FileAlreadyExistsException if the name is taken).
   *         Two racing committers can never mint the same version.
-  *      2. MARK it published: create the empty `commit-v{N}` marker.
+  *      2. MARK it published: create the `commit-v{N}` marker (its
+  *         content is the publish instant in epoch millis — event time).
   *         A version is PUBLISHED iff manifest AND marker both exist.
   *
   * There is NO stored "latest" pointer (r9): the live version is DERIVED —
@@ -153,11 +154,34 @@ object LakeTable {
   private[graft] def versionsAbove(dir: String, floor: Long): Seq[Long] = {
     val out = Seq.newBuilder[Long]
     var v = math.max(0L, floor) + 1L
+    // VACUUM-GAP JUMP (r12, ADVICE r11 high): claims are dense only above
+    // the vacuum floor — [[vacuum]] reclaims manifests below it, so a walk
+    // whose floor fell inside the reclaimed gap (fresh stream on a
+    // previously-vacuumed table, or a lagging restart) would find nothing
+    // at floor+1 and stall forever. When the FIRST probe would miss, read
+    // the floor hint vacuum records and resume the walk there. Cost: the
+    // gap path pays one extra existence check + one tiny read; a quiet
+    // trigger at the live tip pays the same two O(1) file ops and never
+    // jumps (its floor is already at or above the hint).
+    if (!Files.exists(manifestPath(dir, v)))
+      vacuumFloorHint(dir).filter(_ > v).foreach(h => v = h)
     while ({ probeCount.incrementAndGet(); Files.exists(manifestPath(dir, v)) }) {
       if (Files.exists(markerPath(dir, v))) out += v
       v += 1L
     }
     out.result()
+  }
+
+  /** Lowest retained published version as recorded by the last [[vacuum]]
+    * — the gap boundary [[versionsAbove]] jumps to. None: never vacuumed
+    * (claims dense from 1), or a legacy table vacuumed before the hint
+    * existed (the streaming source's unprimed-listing fallback covers
+    * that case). */
+  private def vacuumFloorHint(dir: String): Option[Long] = {
+    val p = Paths.get(dir, "vacuum-floor")
+    if (!Files.exists(p)) None
+    else scala.util.Try(
+      new String(Files.readAllBytes(p), UTF_8).trim.toLong).toOption
   }
 
   /** Currently-published version, if any — DERIVED: the highest version
@@ -300,13 +324,24 @@ object LakeTable {
     if (dv.isEmpty) reader
     else {
       val cols = reader.columns.toSeq
+      // uniquified temp names (r12, ADVICE r11): a user table with a
+      // column literally named _dv_file/_dv_pos would otherwise have it
+      // silently REPLACED by the derived value — underscore-extend until
+      // free instead of corrupting
+      def free(base: String): String = {
+        var n = base
+        while (cols.contains(n)) n += "_"
+        n
+      }
+      val fCol = free("_dv_file")
+      val pCol = free("_dv_pos")
       val dvDf = spark.read.parquet(
         dv.map(s => Paths.get(dir, s).toString): _*)
-        .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+        .select(col("file").as(fCol), col("pos").as(pCol))
       reader
-        .withColumn("_dv_file", relFileCol)
-        .withColumn("_dv_pos", col("_metadata.row_index"))
-        .join(broadcast(dvDf), Seq("_dv_file", "_dv_pos"), "left_anti")
+        .withColumn(fCol, relFileCol)
+        .withColumn(pCol, col("_metadata.row_index"))
+        .join(broadcast(dvDf), Seq(fCol, pCol), "left_anti")
         .select(cols.map(col): _*)
     }
   }
@@ -377,20 +412,47 @@ object LakeTable {
   def vacuum(dir: String, keepVersions: Int): (Int, Int) = {
     val published = versions(dir)
     val keep = published.takeRight(math.max(keepVersions, 1)).toSet
+    val keepFloor = if (keep.isEmpty) 0L else keep.min
+    // reclaim orphaned claims ONLY below the kept window (r12): claims at
+    // or above the lowest kept version stay — even fenced/crashed ones —
+    // because [[versionsAbove]]'s dense-claim walk must be able to step
+    // OVER them; deleting an interior orphan's manifest would cut the
+    // walk short of live versions beyond it. Orphans below the floor are
+    // reclaimed as before and the floor itself is recorded as a hint so
+    // a walk starting below it can jump the vacuumed gap.
     val orphans = manifestVersions(dir)
       .filterNot(v => keep.contains(v) || published.contains(v))
+      .filter(_ < keepFloor)
     val drop = published.filterNot(keep.contains) ++ orphans
-    val keptFiles = keep.toSeq
+    // files of EVERY retained manifest survive — kept published versions
+    // AND retained orphan claims (r12): an in-flight commit racing the
+    // vacuum keeps both its claim and its staged files, so it completes
+    // normally instead of publishing a version whose files were swept;
+    // its disk is reclaimed by a later vacuum once the claim falls below
+    // the floor. DV sidecars ride the same membership (r11): it both
+    // blocks the whole-subtree sweep and exempts them from per-file
+    // reclaim.
+    val dropSet = drop.toSet
+    val keptFiles = manifestVersions(dir).filterNot(dropSet.contains)
       .flatMap(v => readManifest(dir, v).map(j =>
-        // DV sidecars referenced by retained manifests survive alongside
-        // data files (r11): membership here both blocks the whole-subtree
-        // sweep and exempts them from per-file reclaim
         manifestFiles(j) ++ manifestDv(j)).getOrElse(Nil))
       .toSet
     drop.foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
       Files.deleteIfExists(markerPath(dir, v))
       Files.deleteIfExists(fencePath(dir, v))
+    }
+    // record the gap boundary for [[versionsAbove]] (r12, ADVICE r11
+    // high): the lowest retained published version, written atomically
+    // (tmp + move) so a concurrent reader never sees a torn value. A
+    // fresh or lagging stream whose walk floor fell inside the vacuumed
+    // gap reads this once and resumes the dense walk above it.
+    if (keep.nonEmpty) {
+      val tmp = Paths.get(dir, s".vacuum-floor-${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, keepFloor.toString.getBytes(UTF_8))
+      Files.move(tmp, Paths.get(dir, "vacuum-floor"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // stray fences whose claim never landed (or was already reclaimed)
     listDir(Paths.get(dir)).foreach { p =>
@@ -692,9 +754,12 @@ object LakeTable {
     }
   }
 
-  /** Audit the staged files AS WRITTEN: the schema-evolution contract
-    * first, then the caller's check against the staged files read back
-    * under the RECORDED schema (deterministic on evolved tables).
+  /** Audit the staged files AS A READER WOULD SEE THEM: the
+    * schema-evolution contract first, then the caller's check against
+    * the staged files read back under the RECORDED schema (deterministic
+    * on evolved tables) THROUGH the staged version's deletion vectors
+    * (r12 — a carried file's DV-hidden rows must not reach the check, or
+    * a tombstone gate would see ghosts that no reader can).
     * Left(reason) blocks publish. */
   def audit(spark: SparkSession, staged: Staged)(
       check: DataFrame => Option[String]): Either[String, Staged] = {
@@ -702,11 +767,12 @@ object LakeTable {
       case Some(reason) => Left(s"audit failed for v${staged.version}: $reason")
       case None =>
         val paths = staged.files.map(f => Paths.get(staged.dir, f).toString)
-        val df =
+        val raw =
           if (staged.schema.isEmpty) spark.read.parquet(paths: _*)
           else spark.read
             .schema(StructType.fromDDL(staged.schema.mkString(", ")))
             .parquet(paths: _*)
+        val df = applyDv(spark, staged.dir, raw, staged.dv)
         check(df) match {
           case Some(reason) =>
             Left(s"audit failed for v${staged.version}: $reason")
@@ -805,7 +871,15 @@ object LakeTable {
           "(a vacuum reclaimed the in-flight claim)")
       if (Files.exists(fencePath(dir, version))) false
       else {
-        try Files.createFile(markerPath(dir, version))
+        // the marker CONTENT is the publish instant (r12): event time
+        // travels with the bytes, so a copied/restored table keeps its
+        // `_commit_timestamp` (mtime does not survive a copy). CREATE_NEW
+        // keeps first-marker-wins; a reader racing the write may see an
+        // empty marker for a moment — [[commitTimeOf]] falls back to the
+        // marker's mtime, which stamps the same instant.
+        try Files.write(markerPath(dir, version),
+          String.valueOf(System.currentTimeMillis()).getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         catch { case _: FileAlreadyExistsException => () }
         currentVersion(dir).contains(version)
       }
@@ -1076,14 +1150,23 @@ object LakeTable {
     * computed over the LIVE view (already-deleted positions are not
     * re-recorded), and the audit re-reads the staged version through
     * its vectors and blocks publish if any matching row survives.
-    * Recorded limitations (prototype): a partial merge/CDC apply on a
-    * DV-bearing table refuses (rewrites read files raw) until an
-    * OPTIMIZE purge; a predicate matching nothing aborts with a
-    * no-rows message rather than minting a trivial version. */
+    * A predicate matching NO live rows is a NO-OP SUCCESS returning the
+    * still-live version — Delta/Iceberg semantics (r12; `strict = true`
+    * restores the abort for callers that treat an empty match as a bug).
+    * The sidecar write SHARDS by source file (r12): a large delete's
+    * position set spreads over up to 16 writers instead of serializing
+    * through one task. Partial merges/CDC applies on a DV-bearing table
+    * read rewritten files through the vectors (r12, [[partialRewrite]])
+    * — no purge-between required. */
   def deleteWhereDv(spark: SparkSession, dir: String,
-                    predicate: org.apache.spark.sql.Column)(
-      check: DataFrame => Option[String]): Either[String, Long] =
-    commitSerialized(dir) { base =>
+                    predicate: org.apache.spark.sql.Column,
+                    strict: Boolean = false)(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    // in-band no-op channel: commitSerialized's plan can only abort via
+    // Left, so the no-op rides a sentinel no real audit message can spell
+    // (NUL prefix) and is translated back to success below
+    val noop = "\u0000dv-noop:"
+    val r = commitSerialized(dir) { base =>
       if (base == 0L) Left(s"no published version to delete from in $dir")
       else {
         val json = readManifest(dir, base).get
@@ -1106,25 +1189,35 @@ object LakeTable {
               prevDv.map(s => Paths.get(dir, s).toString): _*)
               .select("file", "pos")),
             Seq("file", "pos"), "left_anti")
-        if (freshPos.isEmpty)
-          Left(s"DELETE matched no live rows in $dir: nothing to publish")
-        else {
+        if (freshPos.isEmpty) {
+          if (strict)
+            Left(s"DELETE matched no live rows in $dir: nothing to publish")
+          else Left(noop + base)
+        } else {
           val uuid = java.util.UUID.randomUUID().toString
           val tmpOut = Paths.get(dir, "data", uuid, "dvw")
-          freshPos.coalesce(1).write.parquet(tmpOut.toString)
-          val part = listDir(tmpOut).filter { p =>
+          // shard by source file: positions of one file land in one
+          // sidecar shard (locality for a per-file reader), bounded at 16
+          // writers; empty shards write no file, so a small delete still
+          // produces one sidecar
+          val shards = math.max(1, math.min(16, files.length / 4))
+          freshPos.repartition(shards, col("file"))
+            .write.parquet(tmpOut.toString)
+          val parts = listDir(tmpOut).filter { p =>
             val n = p.getFileName.toString
             Files.isRegularFile(p) && n.endsWith(".parquet") &&
               !n.startsWith(".")
-          }.head
-          val sidecar = Paths.get(dir, "data", uuid, "dv-0.dv")
-          Files.move(part, sidecar)
+          }.sortBy(_.getFileName.toString)
+          val sidecars = parts.zipWithIndex.map { case (p, i) =>
+            Files.move(p, Paths.get(dir, "data", uuid, s"dv-$i.dv"))
+            s"data/$uuid/dv-$i.dv"
+          }
           walkDir(tmpOut).reverse.foreach(Files.deleteIfExists)
           val st = Staged(dir, base + 1L, files,
             batches = batchesOf(dir, base),
             schema = recorded, stats = manifestStats(json),
             baseVersion = base, op = "dvdelete",
-            dv = prevDv :+ s"data/$uuid/dv-0.dv")
+            dv = prevDv ++ sidecars)
           // audit AS A READER WOULD SEE IT: the staged manifest's own
           // vector set must hide every matching row before publish
           val stagedDf =
@@ -1139,6 +1232,15 @@ object LakeTable {
         }
       }
     }
+    r match {
+      // empty-match no-op: succeed with the still-live version, publish
+      // nothing (the version carried on the sentinel is the base the
+      // empty match was established against)
+      case Left(m) if m.startsWith(noop) =>
+        Right(m.substring(noop.length).toLong)
+      case other => other
+    }
+  }
 
   /** Shared partial-rewrite engine for [[mergePartial]] /
     * [[applyCdcPartial]]. `upserts` re-enter; `deleted` keys (CDC only)
@@ -1196,16 +1298,24 @@ object LakeTable {
     var prevInputs = Map.empty[String, Seq[String]]
     var stagedVals = Map.empty[String, Fresh]
     var planned = false
+    var prevDv: Seq[String] = null
     val result = commitSerialized(dir) { base =>
-      // recorded r11 limitation: the rewrite reads stale files RAW, so a
-      // partial merge over a DV-bearing table would resurrect deleted
-      // rows in the rewritten files — refuse loudly (a plan Left aborts
-      // the whole commit); OPTIMIZE purges the vectors (its snapshot
-      // read applies them) and the merge then proceeds on a clean base
-      if (dvOf(dir, base).nonEmpty)
-        Left(s"partial rewrite on a DV-bearing table in $dir is " +
-          "not supported: run optimize to purge deletion vectors first")
-      else {
+      // DV-AWARE rewrite (r12, lifts the r11 refusal): rewritten files
+      // are read THROUGH the base version's deletion vectors — a raw
+      // read would resurrect DV-deleted rows into the rewritten output.
+      // Carried files keep their vector entries ([[assemble]] carries
+      // the base's sidecar list forward); entries naming rewritten files
+      // go inert because those file names leave the manifest. OPTIMIZE
+      // remains the purge, but no purge-between is required any more —
+      // a table taking streaming upserts AND fine-grained deletes
+      // interleaves them freely.
+      val dvNow = dvOf(dir, base)
+      if (planned && prevDv != dvNow) {
+        // the base's vector set moved under a re-plan: every staged
+        // output was computed against the old vectors — start over
+        stagedVals = Map.empty; prevInputs = Map.empty; planned = false
+      }
+      prevDv = dvNow
       val live = filesOf(dir, base)
       val (rewriteFiles, carried) = live.partition(f =>
         layoutValueOf(f).forall(touched.contains))
@@ -1226,8 +1336,9 @@ object LakeTable {
             col(layoutCol).cast("string").isin(stale.toSeq: _*))
         val baseRows =
           if (staleFiles.isEmpty) ups.limit(0)
-          else spark.read
-            .parquet(staleFiles.map(f => Paths.get(dir, f).toString): _*)
+          else applyDv(spark, dir, spark.read
+            .parquet(staleFiles.map(f => Paths.get(dir, f).toString): _*),
+            dvNow)
             // the FULL change-key set anti-joins (not just the stale
             // values'): a key whose change row claims a different layout
             // value than it is stored under must still leave its old row
@@ -1268,7 +1379,6 @@ object LakeTable {
                     "apply: a 'D' row's layout value does not match the " +
                     "value its key is stored under (ghost undelete)")
         })
-      }
       }
     }
     result
@@ -1407,8 +1517,15 @@ object LakeTable {
           val dvDf = spark.read.parquet(
             newDv.map(s => Paths.get(dir, s).toString): _*)
             .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+          // sidecar `file` values are URI-form (derived from the reader's
+          // `_metadata.file_path`, which percent-encodes); resolving them
+          // back to DISK paths needs one percent-decode — a layout dir
+          // spelled `_layout=EUROPE%2FWEST` on disk reads as `%252F` in
+          // URI form, and a raw Paths.get of that misses the real file
+          // (ADVICE r11). The in-plan joins below stay URI-form on both
+          // sides, so only this resolution decodes.
           val affected = dvDf.select("_dv_file").distinct()
-            .collect().map(_.getString(0)).toSeq.sorted
+            .collect().map(r => percentDecode(r.getString(0))).toSeq.sorted
           val rows = rawRead(affected, v)
           val cols = rows.columns.toSeq
           Seq(stamp(rows
@@ -1448,19 +1565,48 @@ object LakeTable {
     }
   }
 
-  /** EVENT TIME of a published version (r11, behavior 41): the commit
-    * marker's mtime — stamped by the filesystem at the publish instant
-    * (step 2 of the two-step publish), immutable afterwards, and read
-    * by every process identically, so the feed's `_commit_timestamp` is
-    * stable across replays (the exactly-once contract extends to event
-    * time). Delta's CDF stamps the same way (the commit file's
-    * modification time). Millis → java.sql.Timestamp in UTC. */
+  /** EVENT TIME of a published version (r11, behavior 41): the publish
+    * instant RECORDED INSIDE the commit marker at mark time (r12 —
+    * content-addressed, so copying/restoring the table directory keeps
+    * event time stable, where an mtime-derived stamp would shift with
+    * the copy; ADVICE r11). Markers written by earlier builds are empty:
+    * those fall back to the marker's mtime (then the manifest's), the
+    * r11 behavior, with the recorded relocation caveat. Millis →
+    * java.sql.Timestamp in UTC. */
   private[graft] def commitTimeOf(dir: String, version: Long)
       : java.sql.Timestamp = {
     val p = markerPath(dir, version)
     val ms =
-      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis
+      if (Files.exists(p))
+        scala.util.Try(new String(Files.readAllBytes(p), UTF_8).trim.toLong)
+          .getOrElse(Files.getLastModifiedTime(p).toMillis)
       else Files.getLastModifiedTime(manifestPath(dir, version)).toMillis
     new java.sql.Timestamp(ms)
+  }
+
+  /** Invert the URI percent-encoding of `_metadata.file_path` fragments
+    * byte-exactly — `URLDecoder` is wrong here (it maps '+' to space; a
+    * literal '+' in a file name must survive). Multi-byte UTF-8 escape
+    * runs decode through the byte buffer. Malformed escapes pass
+    * through literally (defensive: a raw '%' that was never encoded). */
+  private[graft] def percentDecode(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val out = new java.io.ByteArrayOutputStream(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } else {
+          out.write(c.toString.getBytes(UTF_8))
+          i += 1
+        }
+      }
+      new String(out.toByteArray, UTF_8)
+    }
   }
 }

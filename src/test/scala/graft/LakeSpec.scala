@@ -213,12 +213,18 @@ class LakeSpec extends SparkTestBase {
     // a reader HOLDING a retained version across the vacuum never breaks
     val held = LakeTable.readVersion(spark, dir, 2L)
     val (mDropped, fReclaimed) = LakeTable.vacuum(dir, keepVersions = 2)
-    assert(mDropped == 2,
-      "v1 falls outside keep=2 and the orphan claim is reclaimed — the " +
-      "keep set counts PUBLISHED versions only, so the never-readable " +
-      "orphan cannot displace a real one")
-    assert(fReclaimed > 0, "v1's files and the orphaned stagings must go")
-    assert(!Files.exists(Paths.get(dir, s"manifest-v$orphanV.json")))
+    // r12: the claim ABOVE the keep floor survives, WITH its staged
+    // files — reclaiming an interior/in-flight claim would punch a hole
+    // in the dense-claim walk (stream discovery stops short of live
+    // versions beyond it) or let a racing committer publish a version
+    // whose files were swept; reclaim is DEFERRED until the claim falls
+    // below the floor (pinned below). Only v1 drops here.
+    assert(mDropped == 1,
+      "v1 falls outside keep=2; the orphan claim above the floor is " +
+      "retained (deferred reclaim, r12)")
+    assert(fReclaimed > 0, "v1's files and the stage-only orphan must go")
+    assert(Files.exists(Paths.get(dir, s"manifest-v$orphanV.json")),
+      "a claim above the keep floor must survive the vacuum")
     // retained history still time-travels; the live version is untouched
     assert(LakeTable.versions(dir) == Seq(2L, 3L))
     assert(held.count() == snap(50).count(),
@@ -226,11 +232,19 @@ class LakeSpec extends SparkTestBase {
     assert(LakeTable.readVersion(spark, dir, 2L).count() == snap(50).count())
     assert(readKeys(dir) == snap(80).collect()
       .map(_.getAs[Long]("custkey")).toSet)
-    assert(Files.list(Paths.get(dir, "data")).count() == 2,
-      "only the two retained versions' data dirs survive")
+    assert(Files.list(Paths.get(dir, "data")).count() == 3,
+      "two retained versions' dirs + the retained claim's staging survive")
     intercept[IllegalArgumentException] {
       LakeTable.readVersion(spark, dir, 1L)
     }
+    // DEFERRED reclaim: once later publishes move the keep floor past the
+    // orphan claim, the next vacuum sweeps its manifest AND staging
+    assert(LakeTable.commit(spark, dir, snap(30))(gate) == Right(5L))
+    assert(LakeTable.commit(spark, dir, snap(40))(gate) == Right(6L))
+    val (mDropped2, _) = LakeTable.vacuum(dir, keepVersions = 2)
+    assert(mDropped2 == 3, "v2, v3 and the now-below-floor orphan drop")
+    assert(!Files.exists(Paths.get(dir, s"manifest-v$orphanV.json")))
+    assert(Files.list(Paths.get(dir, "data")).count() == 2)
   }
 
   test("partial MERGE rewrites only touched layout values; vacuum keeps carried files") {
@@ -664,20 +678,31 @@ class LakeSpec extends SparkTestBase {
              .count() == snap(100).count())
   }
 
-  test("vacuum racing an in-flight commit fails the publish loudly, not the table") {
+  test("vacuum leaves an in-flight claim intact (the racing commit " +
+       "completes); a truly-gone manifest still fails the mark loudly") {
     val dir = Files.createTempDirectory("graft_lake_vacrace_").toString
     assert(LakeTable.commit(spark, dir, snap(50))(gate) == Right(1L))
     val claimed = LakeTable.writeManifest(LakeTable.stage(spark, dir, snap(80)))
-    // the admin op reclaims the claimed-but-unmarked manifest
+    // r12: the admin op RETAINS claims at/above the keep floor, files
+    // included — the old reclaim either killed the racing committer
+    // (manifest swept → mark threw) or, worse, would have let it publish
+    // a version whose files were swept; deferred reclaim does neither
     LakeTable.vacuum(dir, keepVersions = 1)
-    assert(!Files.exists(Paths.get(dir, s"manifest-v$claimed.json")))
-    // the committer's mark step must FAIL rather than publish a version
-    // whose manifest is gone (the r8 hazard: a pointer to a deleted
-    // manifest broke every read of the table)
-    intercept[IllegalStateException] { LakeTable.markPublished(dir, claimed) }
-    assert(LakeTable.currentVersion(dir).contains(1L))
-    assert(readKeys(dir) == snap(50).collect()
+    assert(Files.exists(Paths.get(dir, s"manifest-v$claimed.json")),
+      "vacuum must not reclaim an in-flight claim above the floor")
+    assert(LakeTable.markPublished(dir, claimed),
+      "the racing commit completes normally after the vacuum")
+    assert(LakeTable.currentVersion(dir).contains(claimed))
+    assert(readKeys(dir) == snap(80).collect()
       .map(_.getAs[Long]("custkey")).toSet,
+      "the completed commit must read back intact (files survived)")
+    // the fail-loudly guard REMAINS for a manifest that is truly gone
+    // (legacy vacuum, manual cleanup): mark refuses rather than pointing
+    // readers at a deleted manifest — the r8 hazard
+    val c2 = LakeTable.writeManifest(LakeTable.stage(spark, dir, snap(100)))
+    Files.delete(Paths.get(dir, s"manifest-v$c2.json"))
+    intercept[IllegalStateException] { LakeTable.markPublished(dir, c2) }
+    assert(LakeTable.currentVersion(dir).contains(claimed),
       "the table must stay intact after the failed publish")
   }
 
@@ -933,9 +958,14 @@ class LakeSpec extends SparkTestBase {
     assert(LakeTable.dvOf(dir, 3L).size == 2)
     assert(LakeTable.read(spark, dir).count()
       == table.filter(!hit && !hit2).count())
-    // a no-match delete aborts instead of minting a trivial version
+    // a no-match delete is a NO-OP SUCCESS returning the live version
+    // (Delta semantics, r12); strict=true restores the abort
     assert(LakeTable.deleteWhereDv(spark, dir, lit(false))(_ => None)
-      .swap.exists(_.contains("matched no live rows")))
+      == Right(3L), "empty-match delete must be a no-op success")
+    assert(LakeTable.currentVersion(dir).contains(3L),
+      "a no-op delete must not mint a version")
+    assert(LakeTable.deleteWhereDv(spark, dir, lit(false), strict = true)(
+      _ => None).swap.exists(_.contains("matched no live rows")))
 
     // the standard source applies vectors too (with pruning composed)
     val viaSource = spark.read.format("graft-lake").option("path", dir)
@@ -943,30 +973,139 @@ class LakeSpec extends SparkTestBase {
     assert(viaSource.filter(hit || hit2).isEmpty)
     assert(viaSource.count() == table.filter(!hit && !hit2).count())
 
-    // recorded limitation: partial rewrites refuse on a DV-bearing table
+    // DV-AWARE partial rewrite (r12, lifts the r11 refusal): merge on the
+    // DV-bearing table WITHOUT a purge — the touched band's rewrite must
+    // read through the vectors (no resurrection), untouched bands carry
+    // their vector entries forward, and time travel through v3 survives
     val up = table.filter(col("custkey") === 1L)
       .withColumn("n_orders", lit(999L))
     assert(LakeTable.mergePartial(spark, dir, up, Seq("custkey"), "band")(
-      _ => None).swap.exists(_.contains("deletion vectors")),
-      "merge on a DV table must refuse until a purge")
+      _ => None) == Right(4L))
+    assert(LakeTable.dvOf(dir, 4L).nonEmpty,
+      "carried files must keep their vector entries through a merge")
+    val afterMerge = LakeTable.read(spark, dir)
+    assert(afterMerge.filter(hit || hit2).isEmpty,
+      "a DV-aware merge must not resurrect deleted rows")
+    val expectedAfter = table.filter(!hit && !hit2)
+      .withColumn("n_orders",
+        when(col("custkey") === 1L, lit(999L)).otherwise(col("n_orders")))
+    assert(afterMerge.exceptAll(expectedAfter).isEmpty &&
+           expectedAfter.exceptAll(afterMerge).isEmpty,
+      "merge on a DV table: upsert applied, deletes preserved, row-exact")
+    assert(LakeTable.readVersion(spark, dir, 3L)
+      .filter(col("custkey") === 1L).head.getAs[Long]("n_orders") != 999L,
+      "pre-merge version must time-travel to pre-merge content")
 
-    // OPTIMIZE is the purge: snapshot read applies vectors, the rewrite
-    // starts DV-free, rows conserve, and the merge then proceeds
+    // CDC apply interleaves the same way: tombstone a key on the still
+    // DV-bearing table, no purge between
+    val tomb = table.filter(col("custkey") === 2L).withColumn("op", lit("D"))
+    assert(LakeTable.applyCdcPartial(spark, dir, tomb,
+      Seq("custkey"), "band")(_ => None) == Right(5L))
+    assert(LakeTable.read(spark, dir).filter(col("custkey") === 2L).isEmpty)
+    assert(LakeTable.read(spark, dir).filter(hit || hit2).isEmpty)
+
+    // OPTIMIZE remains the PURGE: snapshot read applies vectors, the
+    // rewrite starts DV-free, rows conserve
     assert(LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
-      Some("band")) == Right(4L))
-    assert(LakeTable.dvOf(dir, 4L).isEmpty, "optimize must purge vectors")
+      Some("band")) == Right(6L))
+    assert(LakeTable.dvOf(dir, 6L).isEmpty, "optimize must purge vectors")
     assert(LakeTable.read(spark, dir).count()
-      == table.filter(!hit && !hit2).count())
-    assert(LakeTable.mergePartial(spark, dir, up, Seq("custkey"), "band")(
-      _ => None) == Right(5L))
+      == expectedAfter.filter(col("custkey") =!= 2L).count())
 
     // vacuum keeps sidecars referenced by retained DV versions: keep the
-    // last 4 (v2..v5) and v2/v3 must still time-travel through their
+    // last 5 (v2..v6) and v2/v3 must still time-travel through their
     // vectors
-    LakeTable.vacuum(dir, 4)
+    LakeTable.vacuum(dir, 5)
     assert(LakeTable.readVersion(spark, dir, 2L).count()
       == table.filter(!hit).count(),
       "a retained DV version must keep its sidecars through vacuum")
     assert(LakeTable.readVersion(spark, dir, 3L).filter(hit2).isEmpty)
+  }
+
+  test("DV sidecar sharding: a delete spanning many files writes " +
+       "sharded sidecars, read-back exact (r12)") {
+    val dir = Files.createTempDirectory("graft_lake_dvshard_").toString
+    // many small files: band = custkey div 4 → ~50 layout dirs at the
+    // 200-key snapshot, files.length/4 ≥ 2 shards requested
+    val table = snap(200).withColumn("band", expr("custkey div 4"))
+    assert(LakeTable.commit(spark, dir, table, Some("band"))(_ => None)
+      == Right(1L))
+    val nFiles = LakeTable.currentFiles(dir).size
+    assert(nFiles >= 8, s"fixture needs many files, got $nFiles")
+    val hit = col("custkey") % 2 === 1
+    assert(LakeTable.deleteWhereDv(spark, dir, hit)(_ => None) == Right(2L))
+    val dv = LakeTable.dvOf(dir, 2L)
+    assert(dv.size > 1 && dv.size <= 16,
+      s"a many-file delete must shard its sidecar write: ${dv.size} shards")
+    val live = LakeTable.read(spark, dir)
+    assert(live.filter(hit).isEmpty)
+    assert(live.exceptAll(table.filter(!hit)).isEmpty &&
+           table.filter(!hit).exceptAll(live).isEmpty,
+      "sharded sidecars must hide exactly the deleted rows")
+    // feed replay folds the sharded delete exactly once
+    val feed = LakeTable.changesBetween(spark, dir, 1L, 2L)
+    assert(feed.count() == table.filter(hit).count())
+  }
+
+  test("DV delete + feed replay on a layout value containing '/' and '%' " +
+       "(percent-escaped layout dirs, ADVICE r11)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_dvesc_").toString
+    val df = Seq(
+      (1L, "EUROPE/WEST", 10L), (2L, "EUROPE/WEST", 20L),
+      (3L, "AS%IA", 30L), (4L, "AS%IA", 40L))
+      .toDF("k", "region", "v")
+    assert(LakeTable.commit(spark, dir, df, Some("region"))(_ => None)
+      == Right(1L))
+    // the layout dirs really are percent-escaped on disk
+    assert(LakeTable.currentFiles(dir).exists(_.contains("%")),
+      s"fixture must produce escaped layout dirs: ${LakeTable.currentFiles(dir)}")
+    assert(LakeTable.deleteWhereDv(spark, dir, col("k") % 2 === 0)(_ => None)
+      == Right(2L))
+    val live = LakeTable.read(spark, dir)
+    assert(live.select("k").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the feed's dvdelete replay resolves sidecar file names back to DISK
+    // paths — the percent-escape round trip (URI-form → disk-form)
+    val feed = LakeTable.changesBetween(spark, dir, 1L, 2L)
+    assert(feed.select("k").collect().map(_.getLong(0)).toSet == Set(2L, 4L),
+      "dvdelete replay must read escaped layout dirs")
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    // and a DV-aware merge over the escaped layout still round-trips
+    val up = Seq((1L, "EUROPE/WEST", 11L)).toDF("k", "region", "v")
+    assert(LakeTable.mergePartial(spark, dir, up, Seq("k"), "region")(
+      _ => None) == Right(3L))
+    val after = LakeTable.read(spark, dir).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 11L, 3L -> 30L))
+  }
+
+  test("commit event time is content-addressed: a copied table keeps " +
+       "_commit_timestamp (r12, ADVICE r11)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_ts_").toString
+    assert(LakeTable.commit(spark, dir,
+      Seq((1L, 10L)).toDF("k", "v"))(_ => None) == Right(1L))
+    assert(LakeTable.append(spark, dir,
+      Seq((2L, 20L)).toDF("k", "v"))(_ => None) == Right(2L))
+    val t1 = LakeTable.commitTimeOf(dir, 1L)
+    val t2 = LakeTable.commitTimeOf(dir, 2L)
+    // copy the table directory (mtimes change; content does not)
+    val copy = Files.createTempDirectory("graft_lake_tscopy_").toString
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      val rel = java.nio.file.Paths.get(dir).relativize(p)
+      val q = java.nio.file.Paths.get(copy).resolve(rel)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(q)
+      else java.nio.file.Files.copy(p, q,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(LakeTable.commitTimeOf(copy, 1L) == t1 &&
+           LakeTable.commitTimeOf(copy, 2L) == t2,
+      "event time must survive a directory copy (content-addressed)")
+    // the copied table's feed stamps identically
+    val feed = LakeTable.changesBetween(spark, copy, 0L, 2L)
+    assert(feed.select("_commit_timestamp").distinct().collect()
+      .map(_.getTimestamp(0)).toSet == Set(t1, t2))
   }
 }

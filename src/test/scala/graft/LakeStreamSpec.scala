@@ -373,9 +373,16 @@ class LakeStreamSpec extends SparkTestBase {
     import java.nio.file.attribute.FileTime
     val dir = Files.createTempDirectory("graft_lakestream_b41_").toString
     val cp = Files.createTempDirectory("graft_lakestream_b41cp_").toString
-    def backdate(v: Long, minutesAgo: Long): Unit =
+    def backdate(v: Long, minutesAgo: Long): Unit = {
+      // event time is the marker CONTENT (r12, content-addressed): the
+      // backdate rewrites the recorded instant, and also the mtime so
+      // the legacy empty-marker fallback path would agree
+      val ms = System.currentTimeMillis() - minutesAgo * 60000L
+      JFiles.write(Paths.get(dir, s"commit-v$v"),
+        ms.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       JFiles.setLastModifiedTime(Paths.get(dir, s"commit-v$v"),
-        FileTime.fromMillis(System.currentTimeMillis() - minutesAgo * 60000L))
+        FileTime.fromMillis(ms))
+    }
     // v1 (overwrite) and v2 (append) publish, then are BACKDATED to
     // distinct minutes so their event-time windows can close in-test
     assert(LakeTable.commit(spark, dir,
@@ -512,6 +519,98 @@ class LakeStreamSpec extends SparkTestBase {
     assert(LakeTable.probeCount.get() - q1 <= 3L,
       s"discovering one new version must probe the window only: " +
       s"${LakeTable.probeCount.get() - q1} probes")
+  }
+
+  test("fresh stream on a vacuumed table primes past the reclaimed gap " +
+       "and delivers the live snapshot (ADVICE r11 high)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakestream_vac_").toString
+    for (i <- 1 to 6)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    // vacuum keep=1 reclaims manifests v1..v5 — a fresh stream's dense
+    // walk from floor 0 would find no manifest at v1 and stall forever
+    // without the vacuum-floor hint
+    LakeTable.vacuum(dir, 1)
+    def freshStreamKeys(): Set[Long] = {
+      val cp = Files.createTempDirectory("graft_lakestream_vaccp_").toString
+      val rows = mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft-lake")
+        .option("path", dir).load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          rows.synchronized { rows ++= df.collect() }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      rows.map(_.getAs[Long]("k")).toSet
+    }
+    assert(freshStreamKeys() == (1L to 6L).toSet,
+      "a fresh stream on a vacuumed table must deliver the live snapshot")
+    // LEGACY table (vacuumed by a build that predates the hint): remove
+    // the hint file — the source's one-time unprimed directory-listing
+    // fallback must still prime the stream past the gap
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "vacuum-floor"))
+    assert(freshStreamKeys() == (1L to 6L).toSet,
+      "the unprimed listing fallback must cover hint-less vacuumed tables")
+  }
+
+  test("DV delete lands mid-stream between two merge epochs: the feed " +
+       "folds the retraction exactly once across a restart (r12)") {
+    val dir = Files.createTempDirectory("graft_lakestream_dv_").toString
+    val cp = Files.createTempDirectory("graft_lakestream_dvcp_").toString
+    val o = graft.ops.Tables.orders(spark, sf)
+    val width = math.max(32L,
+      o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+    val full = roll(o, width)
+    assert(LakeTable.commit(spark, dir, full, Some("band"))(_ => None)
+      == Right(1L))
+    val batches = mutable.Map.empty[Long, Seq[Row]]
+    def start() = spark.readStream.format("graft-lake")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.synchronized { batches(id) = df.collect().toSeq }
+        ()
+      }
+      .start()
+    val hit = col("custkey") % 10 === 7
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // merge epoch (v2), then the DV delete lands mid-stream (v3)
+      assert(LakeTable.mergePartial(spark, dir,
+        full.filter(col("band") === 0)
+          .withColumn("cents", col("cents") + lit(1L)),
+        Seq("custkey"), "band")(_ => None) == Right(2L))
+      assert(LakeTable.deleteWhereDv(spark, dir, hit)(_ => None)
+        == Right(3L))
+      q.processAllAvailable()
+      assert(fold(batches) == liveKeys(dir),
+        "fold through the mid-stream DV delete")
+    } finally q.stop()
+    // second merge epoch lands WHILE THE STREAM IS DOWN, on the still
+    // DV-bearing table (the r12 DV-aware rewrite) — the restarted stream
+    // must deliver only v4 and the DV retraction must not replay
+    assert(LakeTable.mergePartial(spark, dir,
+      full.filter(col("band") === 1 && !hit)
+        .withColumn("n_orders", col("n_orders") + lit(5L)),
+      Seq("custkey"), "band")(_ => None) == Right(4L))
+    val pre = batches.keySet.toSet
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val newRows = batches.filterKeys(!pre.contains(_)).values.flatten
+      assert(newRows.map(_.getAs[Long]("_commit_version")).toSet == Set(4L),
+        "restart must deliver only the post-delete merge epoch")
+      assert(fold(batches) == liveKeys(dir),
+        "the DV retraction folds exactly once across the restart")
+      assert(!fold(batches).exists { case (ck, _, _, _) => ck % 10 == 7 },
+        "DV-deleted keys must stay retracted through later merges")
+    } finally q2.stop()
   }
 
   test("startingVersion tails new commits without replaying history") {

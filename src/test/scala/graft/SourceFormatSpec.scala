@@ -218,6 +218,65 @@ class SourceFormatSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE lake_dml_t")
   }
 
+  test("graft-lake DSv2 catalog: SELECT via spark.table, DELETE FROM " +
+       "binds to deletion vectors, un-pushable DELETE refuses (r12)") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec"
+    val wh = Files.createTempDirectory("graft_lake_whspec_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "t1").toString
+    val df = (1L to 40L).map(k => (k, k % 4, k * 10L))
+      .toDF("k", "band", "v")
+    assert(LakeTable.commit(spark, dir, df, Some("band"))(_ => None)
+      == Right(1L))
+
+    // catalog resolution + the V2 read path (V1Scan shim)
+    val viaTable = spark.table(s"$cat.default.t1")
+    assert(viaTable.count() == 40L)
+    assert(viaTable.schema.fieldNames.toSet == Set("k", "band", "v"))
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.default.t1")
+      .head.getLong(0) == df.agg(sum("v")).head.getLong(0))
+
+    // DELETE FROM → deleteWhereDv: zero rewrite, version bump, exact rows
+    val filesV1 = LakeTable.currentFiles(dir)
+    spark.sql(s"DELETE FROM $cat.default.t1 WHERE band = 3 OR k <= 4")
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(LakeTable.currentFiles(dir) == filesV1,
+      "SQL DELETE must publish a sidecar, not a rewrite")
+    val expect = df.filter(!(col("band") === 3 || col("k") <= 4))
+    val after = spark.table(s"$cat.default.t1")
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty,
+      "post-DELETE read-back must be row-exact through the catalog")
+    // time travel still reaches the pre-delete content (direct API)
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == 40L)
+
+    // empty-match DELETE: no-op success, no version minted (Delta
+    // semantics through SQL too)
+    spark.sql(s"DELETE FROM $cat.default.t1 WHERE k = -1")
+    assert(LakeTable.currentVersion(dir).contains(2L),
+      "an empty-match SQL DELETE must not mint a version")
+
+    // an un-pushable condition refuses at ANALYSIS time (canDeleteWhere
+    // false) — never half-applies
+    val err = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.default.t1 WHERE k % 7 = 0")
+    }
+    assert(LakeTable.currentVersion(dir).contains(2L),
+      s"a refused DELETE must leave the table untouched ($err)")
+
+    // catalog admin surface: exists / list / rename / drop
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.LakeCatalog]
+    assert(catalog.tableExists(Identifier.of(Array("default"), "t1")))
+    assert(catalog.listTables(Array("default")).map(_.name()).toSet
+      == Set("t1"))
+    spark.sql(s"DROP TABLE $cat.default.t1")
+    assert(!catalog.tableExists(Identifier.of(Array("default"), "t1")))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
