@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -41,12 +42,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Spark converts its V2 predicates and refuses un-convertible
   * conditions BEFORE calling, so a non-pushable DELETE fails loudly at
   * analysis rather than half-applying). An empty match is a no-op
-  * success, Delta semantics (r12). READS go through a [[V1Scan]] shim
-  * onto the same manifest read path as everything else (DV filtering,
-  * recorded schema) — the high-throughput scan surface remains the V1
-  * `graft-lake` format whose pruning contract is measured in
-  * [[LakeRelation]]; this catalog buys SQL DML, not a second scan
-  * engine. */
+  * success, Delta semantics (r12). TRUNCATE TABLE rides the same
+  * surface (the default `truncateTable` = delete-where-true → one DV
+  * publish, zero rewrite). INSERT INTO / INSERT OVERWRITE go through a
+  * [[V1Write]] exit onto the serialized append/overwrite commits —
+  * identical semantics to the V1 `USING graft-lake` table's DML. READS
+  * go through a [[V1Scan]] shim onto the same manifest read path as
+  * everything else (DV filtering, recorded schema) — the
+  * high-throughput scan surface remains the V1 `graft-lake` format
+  * whose pruning contract is measured in [[LakeRelation]]; this catalog
+  * buys SQL DML, not a second scan engine. */
 class LakeCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -137,7 +142,7 @@ class LakeCatalog extends TableCatalog {
   * [[LakeRelation.liveVersion]]), deletes ride the deletion-vector
   * commit. */
 class LakeV2Table(dir: String, ident: String)
-    extends Table with SupportsRead with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
 
@@ -148,7 +153,41 @@ class LakeV2Table(dir: String, ident: String)
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog: the
+    * [[V1Write]] exit onto the same serialized commit protocol as every
+    * other write — INSERT INTO is the zero-rewrite append, INSERT
+    * OVERWRITE (Spark calls `truncate()` on the builder) a full
+    * overwrite commit. Mirrors [[LakeRelation.insert]], so the V1
+    * catalog table and this V2 one behave identically under DML. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = {
+        val ovrBuilder = overwrite
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwriteFlag: Boolean): Unit = {
+                val ovr = ovrBuilder || overwriteFlag
+                val spark = SparkSession.active
+                val r =
+                  if (ovr) LakeTable.commit(spark, dir, data)(_ => None)
+                  else LakeTable.append(spark, dir, data)(_ => None)
+                r match {
+                  case Right(_) => ()
+                  case Left(reason) => throw new IllegalStateException(
+                    s"INSERT into $ident failed: $reason")
+                }
+              }
+            }
+        }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {

@@ -239,23 +239,34 @@ class SourceFormatSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.default.t1")
       .head.getLong(0) == df.agg(sum("v")).head.getLong(0))
 
-    // DELETE FROM → deleteWhereDv: zero rewrite, version bump, exact rows
+    // INSERT INTO through the catalog (V1Write exit): a zero-rewrite
+    // append — v1's files carry verbatim into v2
     val filesV1 = LakeTable.currentFiles(dir)
-    spark.sql(s"DELETE FROM $cat.default.t1 WHERE band = 3 OR k <= 4")
+    spark.sql(s"INSERT INTO $cat.default.t1 VALUES (100, 0, 1000)")
     assert(LakeTable.currentVersion(dir).contains(2L))
-    assert(LakeTable.currentFiles(dir) == filesV1,
+    assert(filesV1.toSet.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "catalog INSERT INTO must be a zero-rewrite append")
+    assert(spark.table(s"$cat.default.t1").count() == 41L)
+    val inserted = df.unionByName(
+      Seq((100L, 0L, 1000L)).toDF("k", "band", "v"))
+
+    // DELETE FROM → deleteWhereDv: zero rewrite, version bump, exact rows
+    val filesV2 = LakeTable.currentFiles(dir)
+    spark.sql(s"DELETE FROM $cat.default.t1 WHERE band = 3 OR k <= 4")
+    assert(LakeTable.currentVersion(dir).contains(3L))
+    assert(LakeTable.currentFiles(dir) == filesV2,
       "SQL DELETE must publish a sidecar, not a rewrite")
-    val expect = df.filter(!(col("band") === 3 || col("k") <= 4))
+    val expect = inserted.filter(!(col("band") === 3 || col("k") <= 4))
     val after = spark.table(s"$cat.default.t1")
     assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty,
       "post-DELETE read-back must be row-exact through the catalog")
     // time travel still reaches the pre-delete content (direct API)
-    assert(LakeTable.readVersion(spark, dir, 1L).count() == 40L)
+    assert(LakeTable.readVersion(spark, dir, 2L).count() == 41L)
 
     // empty-match DELETE: no-op success, no version minted (Delta
     // semantics through SQL too)
     spark.sql(s"DELETE FROM $cat.default.t1 WHERE k = -1")
-    assert(LakeTable.currentVersion(dir).contains(2L),
+    assert(LakeTable.currentVersion(dir).contains(3L),
       "an empty-match SQL DELETE must not mint a version")
 
     // an un-pushable condition refuses at ANALYSIS time (canDeleteWhere
@@ -263,8 +274,25 @@ class SourceFormatSpec extends SparkTestBase {
     val err = intercept[Exception] {
       spark.sql(s"DELETE FROM $cat.default.t1 WHERE k % 7 = 0")
     }
-    assert(LakeTable.currentVersion(dir).contains(2L),
+    assert(LakeTable.currentVersion(dir).contains(3L),
       s"a refused DELETE must leave the table untouched ($err)")
+
+    // TRUNCATE TABLE rides the same surface (SupportsDeleteV2's default
+    // truncate = deleteWhere(true)): zero rewrite, all rows hidden
+    val filesV3 = LakeTable.currentFiles(dir)
+    spark.sql(s"TRUNCATE TABLE $cat.default.t1")
+    assert(spark.table(s"$cat.default.t1").count() == 0L)
+    assert(LakeTable.currentFiles(dir) == filesV3,
+      "TRUNCATE must be a DV publish, not a rewrite")
+    assert(LakeTable.readVersion(spark, dir, 3L).count() == expect.count(),
+      "pre-truncate versions still time-travel")
+
+    // INSERT OVERWRITE replaces the (now empty) table wholesale
+    spark.sql(s"INSERT OVERWRITE $cat.default.t1 VALUES (7, 1, 70)")
+    assert(spark.table(s"$cat.default.t1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((7L, 1L, 70L)),
+      "catalog INSERT OVERWRITE must replace the live content")
 
     // catalog admin surface: exists / list / rename / drop
     import org.apache.spark.sql.connector.catalog.Identifier
