@@ -1154,6 +1154,60 @@ object Layout {
               "SQL DELETE must be zero-rewrite (deletion vectors)")
       s.table(s"$cat.default.$tbl")
         .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
+    /** DELETION-VECTOR UPDATE (r12): merge-on-read UPDATE in ONE atomic
+      * commit — [[graft.sources.LakeTable.updateWhereDv]] publishes a
+      * position sidecar hiding every matched live row PLUS freshly
+      * staged files carrying the updated copies; every pre-existing
+      * data file stays byte-identical (required inline: the v1 file
+      * set is a strict subset of v2's). Write cost ∝ matched rows,
+      * never touched-file size — the update analogue of q_lake_dv's
+      * delete, and the path a 100 TB table takes for a low-selectivity
+      * UPDATE where copy-on-write would rewrite whole files for a few
+      * rows each. The oracle computes the post-update rollup straight
+      * from `orders` (CASE on the same predicate), so the hash-match
+      * proves the sidecar+fresh-files composition updates exactly the
+      * matching rows and nothing else; conservation, feed replay
+      * (retract-old + insert-new), time travel, and merge interleave
+      * are LakeSpec's pins. */
+    OpDef(
+      "q_lake_dv_update",
+      """SELECT custkey,
+        |  n_orders,
+        |  CAST(CASE WHEN custkey % 10 = 3 THEN cents + 7 ELSE cents END
+        |       AS BIGINT) AS cents
+        |FROM (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |) ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_dvu_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      val table = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      require(LakeTable.commit(s, dir, table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val filesV1 = LakeTable.currentFiles(dir).toSet
+      require(LakeTable.updateWhereDv(s, dir, col("custkey") % 10 === 3,
+                Seq("cents" -> (col("cents") + lit(7L))),
+                layoutBy = Some("band"))(_ => None)
+                == Right(2L), "DV update failed")
+      require(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+              "a DV update must keep every pre-existing file in place")
+      LakeTable.read(s, dir)
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
     }
   )
 }

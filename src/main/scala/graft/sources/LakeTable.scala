@@ -1194,25 +1194,7 @@ object LakeTable {
             Left(s"DELETE matched no live rows in $dir: nothing to publish")
           else Left(noop + base)
         } else {
-          val uuid = java.util.UUID.randomUUID().toString
-          val tmpOut = Paths.get(dir, "data", uuid, "dvw")
-          // shard by source file: positions of one file land in one
-          // sidecar shard (locality for a per-file reader), bounded at 16
-          // writers; empty shards write no file, so a small delete still
-          // produces one sidecar
-          val shards = math.max(1, math.min(16, files.length / 4))
-          freshPos.repartition(shards, col("file"))
-            .write.parquet(tmpOut.toString)
-          val parts = listDir(tmpOut).filter { p =>
-            val n = p.getFileName.toString
-            Files.isRegularFile(p) && n.endsWith(".parquet") &&
-              !n.startsWith(".")
-          }.sortBy(_.getFileName.toString)
-          val sidecars = parts.zipWithIndex.map { case (p, i) =>
-            Files.move(p, Paths.get(dir, "data", uuid, s"dv-$i.dv"))
-            s"data/$uuid/dv-$i.dv"
-          }
-          walkDir(tmpOut).reverse.foreach(Files.deleteIfExists)
+          val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files,
             batches = batchesOf(dir, base),
             schema = recorded, stats = manifestStats(json),
@@ -1236,6 +1218,123 @@ object LakeTable {
       // empty-match no-op: succeed with the still-live version, publish
       // nothing (the version carried on the sentinel is the base the
       // empty match was established against)
+      case Left(m) if m.startsWith(noop) =>
+        Right(m.substring(noop.length).toLong)
+      case other => other
+    }
+  }
+
+  /** Shard-write a `(file, pos)` position set as `.dv` sidecar files
+    * under a fresh staging uuid; returns the manifest-relative sidecar
+    * paths. Sharding is by source file (positions of one file land in
+    * one shard — locality for a per-file reader), bounded at 16 writers;
+    * empty shards write no file, so a small position set still produces
+    * exactly one sidecar. */
+  private def writeDvSidecars(spark: SparkSession, dir: String,
+                              positions: DataFrame,
+                              nFiles: Int): Seq[String] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpOut = Paths.get(dir, "data", uuid, "dvw")
+    val shards = math.max(1, math.min(16, nFiles / 4))
+    positions.repartition(shards, col("file")).write.parquet(tmpOut.toString)
+    val parts = listDir(tmpOut).filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+    val sidecars = parts.zipWithIndex.map { case (p, i) =>
+      Files.move(p, Paths.get(dir, "data", uuid, s"dv-$i.dv"))
+      s"data/$uuid/dv-$i.dv"
+    }
+    walkDir(tmpOut).reverse.foreach(Files.deleteIfExists)
+    sidecars
+  }
+
+  /** UPDATE WHERE via DELETION VECTORS (r12) — merge-on-read UPDATE in
+    * ONE atomic commit: a sidecar hides every matched live row and
+    * freshly staged files carry the UPDATED copies; every pre-existing
+    * data file stays byte-identical (write cost ∝ matched rows, never
+    * touched-file size — the Delta DV-update shape). The change feed
+    * replays it as retraction-of-old + insertion-of-new (the unified
+    * DV-diff replay in [[changesBetween]]), time travel pins each
+    * version's own vector set, [[optimize]] purges as usual, and
+    * partial merges interleave (they read through vectors, r12).
+    * `set` assigns existing columns only; a type-changing assignment is
+    * rejected by the audit's schema-evolution gate. An empty match is a
+    * no-op success (`strict = true` restores the abort). The audit
+    * re-reads the staged version through its vectors and blocks publish
+    * unless rows are exactly conserved. */
+  def updateWhereDv(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    set: Seq[(String, org.apache.spark.sql.Column)],
+                    layoutBy: Option[String] = None,
+                    statsBy: Seq[String] = Seq.empty,
+                    strict: Boolean = false)(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    require(set.nonEmpty, "UPDATE requires at least one assignment")
+    val noop = "\u0000dv-noop:"
+    val r = commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version to update in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val files = manifestFiles(json)
+        val recorded = manifestSchema(json)
+        val colNames = recorded.map(_.split(" ", 2)(0))
+        set.foreach { case (c, _) =>
+          require(colNames.isEmpty || colNames.contains(c),
+            s"UPDATE assigns a column not in the table: '$c'")
+        }
+        val paths = files.map(f => Paths.get(dir, f).toString)
+        val reader =
+          if (recorded.isEmpty) spark.read.parquet(paths: _*)
+          else spark.read
+            .schema(StructType.fromDDL(recorded.mkString(", ")))
+            .parquet(paths: _*)
+        val prevDv = manifestDv(json)
+        val matchPos = reader.filter(predicate)
+          .select(relFileCol.as("file"),
+                  col("_metadata.row_index").as("pos"))
+        val freshPos =
+          if (prevDv.isEmpty) matchPos
+          else matchPos.join(
+            broadcast(spark.read.parquet(
+              prevDv.map(s => Paths.get(dir, s).toString): _*)
+              .select("file", "pos")),
+            Seq("file", "pos"), "left_anti")
+        if (freshPos.isEmpty) {
+          if (strict)
+            Left(s"UPDATE matched no live rows in $dir: nothing to publish")
+          else Left(noop + base)
+        } else {
+          val live = applyDv(spark, dir, reader, prevDv)
+          val liveCount = live.count()
+          val cols = reader.columns.toSeq
+          val updated = set.foldLeft(live.filter(predicate)) {
+            case (df, (c, v)) => df.withColumn(c, v)
+          }.select(cols.map(col): _*)
+          val fresh = stageFresh(spark, dir, updated, layoutBy, statsBy)
+          val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
+          val st = Staged(dir, base + 1L, files ++ fresh.files,
+            batches = batchesOf(dir, base),
+            schema =
+              if (recorded.isEmpty) fresh.schema
+              else mergeSchemas(recorded, fresh.schema),
+            stats = manifestStats(json) ++ fresh.stats,
+            baseVersion = base, op = "dvupdate",
+            dv = prevDv ++ sidecars)
+          // audit AS A READER WOULD SEE IT (evolution gate included —
+          // a type-changing assignment rejects here): rows conserve
+          // exactly, then the caller's check
+          audit(spark, st) { df =>
+            val after = df.count()
+            if (after != liveCount)
+              Some(s"UPDATE must conserve rows: $liveCount before, " +
+                   s"$after after")
+            else check(df)
+          }
+        }
+      }
+    }
+    r match {
       case Left(m) if m.startsWith(noop) =>
         Right(m.substring(noop.length).toLong)
       case other => other
@@ -1507,34 +1606,39 @@ object LakeTable {
           .parquet(paths: _*)
       }
       if (opOf(dir, v) == "optimize") Seq.empty
-      else if (opOf(dir, v) == "dvdelete") {
-        // a DV delete changes no files: replay it as retractions of
-        // exactly the NEWLY-vectored positions (r11) — read only the
-        // affected files, semi-join the fresh sidecars on position
+      else {
+        // UNIFIED DV-diff replay (r12): every non-optimize version
+        // contributes (a) retractions of the positions NEWLY vectored at
+        // v — the whole story for a dvdelete, the retraction half of a
+        // dvupdate, empty for everything else (carried sidecar lists are
+        // set-stable) — plus (b) the file-list diff: removed files
+        // retract, added files insert (a dvupdate's fresh updated copies
+        // arrive here as plain inserts).
         val newDv = dvOf(dir, v).filterNot(dvOf(dir, prev).toSet)
-        if (newDv.isEmpty) Seq.empty
-        else {
-          val dvDf = spark.read.parquet(
-            newDv.map(s => Paths.get(dir, s).toString): _*)
-            .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
-          // sidecar `file` values are URI-form (derived from the reader's
-          // `_metadata.file_path`, which percent-encodes); resolving them
-          // back to DISK paths needs one percent-decode — a layout dir
-          // spelled `_layout=EUROPE%2FWEST` on disk reads as `%252F` in
-          // URI form, and a raw Paths.get of that misses the real file
-          // (ADVICE r11). The in-plan joins below stay URI-form on both
-          // sides, so only this resolution decodes.
-          val affected = dvDf.select("_dv_file").distinct()
-            .collect().map(r => percentDecode(r.getString(0))).toSeq.sorted
-          val rows = rawRead(affected, v)
-          val cols = rows.columns.toSeq
-          Seq(stamp(rows
-            .withColumn("_dv_file", relFileCol)
-            .withColumn("_dv_pos", col("_metadata.row_index"))
-            .join(broadcast(dvDf), Seq("_dv_file", "_dv_pos"), "left_semi")
-            .select(cols.map(col): _*), "delete"))
-        }
-      } else {
+        val dvRetract =
+          if (newDv.isEmpty) Seq.empty
+          else {
+            val dvDf = spark.read.parquet(
+              newDv.map(s => Paths.get(dir, s).toString): _*)
+              .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+            // sidecar `file` values are URI-form (derived from the
+            // reader's `_metadata.file_path`, which percent-encodes);
+            // resolving them back to DISK paths needs one percent-decode
+            // — a layout dir spelled `_layout=EUROPE%2FWEST` on disk
+            // reads as `%252F` in URI form, and a raw Paths.get of that
+            // misses the real file (ADVICE r11). The in-plan joins below
+            // stay URI-form on both sides, so only this resolution
+            // decodes.
+            val affected = dvDf.select("_dv_file").distinct()
+              .collect().map(r => percentDecode(r.getString(0))).toSeq.sorted
+            val rows = rawRead(affected, v)
+            val cols = rows.columns.toSeq
+            Seq(stamp(rows
+              .withColumn("_dv_file", relFileCol)
+              .withColumn("_dv_pos", col("_metadata.row_index"))
+              .join(broadcast(dvDf), Seq("_dv_file", "_dv_pos"), "left_semi")
+              .select(cols.map(col): _*), "delete"))
+          }
         val before = if (prev == 0L) Seq.empty else filesOf(dir, prev)
         val after = filesOf(dir, v)
         val removed = before.filterNot(after.contains)
@@ -1549,7 +1653,9 @@ object LakeTable {
             applyDv(spark, dir, rawRead(files, schemaV),
                     if (schemaV == 0L) Seq.empty else dvOf(dir, schemaV)),
             kind))
-        side(removed, prev, "delete").toSeq ++ side(added, v, "insert").toSeq
+        dvRetract ++
+          side(removed, prev, "delete").toSeq ++
+          side(added, v, "insert").toSeq
       }
     }
     parts match {

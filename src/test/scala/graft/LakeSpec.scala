@@ -1022,6 +1022,90 @@ class LakeSpec extends SparkTestBase {
     assert(LakeTable.readVersion(spark, dir, 3L).filter(hit2).isEmpty)
   }
 
+  test("DV update (r12): one atomic commit, rows conserved, feed " +
+       "replays retract+insert, merges interleave") {
+    val dir = Files.createTempDirectory("graft_lake_dvu_").toString
+    val table = snap(200).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, table, Some("band"))(_ => None)
+      == Right(1L))
+    val filesV1 = LakeTable.currentFiles(dir).toSet
+    val fullCount = table.count()
+    val hit = col("custkey") % 10 === 3
+
+    // ONE commit: matched rows hidden by sidecar + updated copies added
+    assert(LakeTable.updateWhereDv(spark, dir, hit,
+      Seq("n_orders" -> (col("n_orders") + lit(100L))))(_ => None)
+      == Right(2L))
+    assert(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "a DV update must keep every pre-existing file")
+    assert(LakeTable.dvOf(dir, 2L).nonEmpty)
+    val live = LakeTable.read(spark, dir)
+    assert(live.count() == fullCount, "UPDATE conserves rows")
+    val expected = table.withColumn("n_orders",
+      when(hit, col("n_orders") + lit(100L)).otherwise(col("n_orders")))
+    assert(live.exceptAll(expected).isEmpty &&
+           expected.exceptAll(live).isEmpty, "row-exact update")
+    // time travel: v1 reads the pre-update content
+    assert(LakeTable.readVersion(spark, dir, 1L)
+      .exceptAll(table).isEmpty)
+
+    // the feed replays the update as retract-old + insert-new, exactly
+    val feed = LakeTable.changesBetween(spark, dir, 1L, 2L)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select(table.columns.map(col).toIndexedSeq: _*)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(table.columns.map(col).toIndexedSeq: _*)
+    assert(dels.exceptAll(table.filter(hit)).isEmpty &&
+           table.filter(hit).exceptAll(dels).isEmpty,
+      "retractions must be exactly the pre-update matched rows")
+    assert(ins.exceptAll(expected.filter(hit)).isEmpty &&
+           expected.filter(hit).exceptAll(ins).isEmpty,
+      "insertions must be exactly the updated copies")
+
+    // empty match: no-op success; strict aborts
+    assert(LakeTable.updateWhereDv(spark, dir, lit(false),
+      Seq("n_orders" -> lit(0L)))(_ => None) == Right(2L))
+    assert(LakeTable.updateWhereDv(spark, dir, lit(false),
+      Seq("n_orders" -> lit(0L)), strict = true)(_ => None)
+      .swap.exists(_.contains("matched no live rows")))
+    // a type-changing assignment is rejected by the evolution gate
+    assert(LakeTable.updateWhereDv(spark, dir, col("custkey") === 1L,
+      Seq("n_orders" -> lit("oops")))(_ => None)
+      .swap.exists(_.contains("schema evolution rejected")))
+    assert(LakeTable.currentVersion(dir).contains(2L))
+
+    // a partial merge interleaves on the DV-bearing updated table
+    val up = table.filter(col("custkey") === 2L)
+      .withColumn("n_orders", lit(999L))
+    assert(LakeTable.mergePartial(spark, dir, up, Seq("custkey"), "band")(
+      _ => None) == Right(3L))
+    val after = LakeTable.read(spark, dir)
+    assert(after.count() == fullCount)
+    assert(after.filter(col("custkey") === 2L).head.getAs[Long]("n_orders")
+      == 999L)
+    assert(after.filter(col("custkey") === 3L).head.getAs[Long]("n_orders")
+      == table.filter(col("custkey") === 3L).head.getAs[Long]("n_orders")
+         + 100L,
+      "the DV update survives a later merge on another key")
+
+    // a second update STACKS on the updated view (no double-apply)
+    assert(LakeTable.updateWhereDv(spark, dir, hit,
+      Seq("n_orders" -> (col("n_orders") + lit(1L))))(_ => None)
+      == Right(4L))
+    assert(LakeTable.read(spark, dir)
+      .filter(col("custkey") === 3L).head.getAs[Long]("n_orders")
+      == table.filter(col("custkey") === 3L).head.getAs[Long]("n_orders")
+         + 101L)
+    // OPTIMIZE purges; content identical through the purge
+    val preOpt = LakeTable.read(spark, dir).collect()
+      .map(_.toString).sorted
+    assert(LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+      Some("band")) == Right(5L))
+    assert(LakeTable.dvOf(dir, 5L).isEmpty)
+    assert(LakeTable.read(spark, dir).collect()
+      .map(_.toString).sorted.sameElements(preOpt))
+  }
+
   test("DV sidecar sharding: a delete spanning many files writes " +
        "sharded sidecars, read-back exact (r12)") {
     val dir = Files.createTempDirectory("graft_lake_dvshard_").toString
