@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.cdcChunksDescriptor)
     e.injectFunction(GraftFunctions.scoreTopKDescriptor)
     e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    // SQL UPDATE over lake tables → the merge-on-read DV update (r12);
+    // non-lake / out-of-scope UPDATEs fall through to Spark's own error
+    e.injectPostHocResolutionRule(session =>
+      new graft.sources.LakeUpdateRule(session))
   }
 }
 

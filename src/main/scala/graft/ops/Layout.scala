@@ -1156,6 +1156,68 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** SQL `UPDATE` over the lake (r12): plain
+      * `UPDATE <catalog>.default.<tbl> SET ... WHERE ...` rewritten by
+      * the [[graft.GraftExtensions]]-injected analyzer rule into the
+      * merge-on-read DV update ([[graft.sources.LakeTable
+      * .updateWhereDv]]) — one atomic commit, matched rows hidden by a
+      * position sidecar, updated copies in fresh files, zero
+      * pre-existing files rewritten (required inline). Unlike the
+      * DSv2 DELETE binding, the condition need not be
+      * source-filter-pushable (the rule carries scalar expressions by
+      * their SQL — `custkey % 10 = 3` here); out-of-scope shapes
+      * (nested fields, subqueries) fall through to Spark's own
+      * row-level-operation error, so nothing half-applies. The oracle
+      * computes the post-update rollup straight from `orders`; the
+      * hash-match proves the SQL surface, the rewrite rule, and the DV
+      * commit compose end-to-end. */
+    OpDef(
+      "q_lake_sql_update",
+      """SELECT custkey,
+        |  CAST(CASE WHEN custkey % 7 = 0 THEN n_orders * 2
+        |       ELSE n_orders END AS BIGINT) AS n_orders,
+        |  cents
+        |FROM (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |) ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      val table = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      require(LakeTable.commit(s, dir, table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val filesV1 = LakeTable.currentFiles(dir).toSet
+      s.sql(s"UPDATE $cat.default.$tbl SET n_orders = n_orders * 2 " +
+            "WHERE custkey % 7 = 0")
+      require(LakeTable.currentVersion(dir).contains(2L),
+              "SQL UPDATE must publish v2")
+      require(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+              "SQL UPDATE must keep every pre-existing file (DV path)")
+      s.table(s"$cat.default.$tbl")
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
     /** DELETION-VECTOR UPDATE (r12): merge-on-read UPDATE in ONE atomic
       * commit — [[graft.sources.LakeTable.updateWhereDv]] publishes a
       * position sidecar hiding every matched live row PLUS freshly

@@ -141,7 +141,7 @@ class LakeCatalog extends TableCatalog {
   * the LIVE version per scan (same non-freezing discipline as
   * [[LakeRelation.liveVersion]]), deletes ride the deletion-vector
   * commit. */
-class LakeV2Table(dir: String, ident: String)
+class LakeV2Table(val dir: String, ident: String)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident

@@ -265,6 +265,15 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
                    statsBy: Seq[String] = Seq.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  /** Table directory, for the SQL UPDATE rewrite ([[LakeUpdateRule]]) —
+    * live-table relations only (a versionAsOf relation must refuse DML,
+    * same contract as [[insert]]). */
+  private[graft] def tableDir: String = {
+    require(versionAsOf.isEmpty,
+      s"cannot UPDATE a versionAsOf (time travel) relation on $dir")
+    dir
+  }
+
   /** The version a scan reads: `versionAsOf` pins it; otherwise the LIVE
     * version is re-derived PER SCAN, not at construction — Spark's
     * session catalog caches one resolved relation per table name, so a

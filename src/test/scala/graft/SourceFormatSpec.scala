@@ -197,9 +197,17 @@ class SourceFormatSpec extends SparkTestBase {
       assert(LakeTable.currentVersion(dir).contains(3L))
       assert(spark.sql("SELECT count(*) FROM lake_dml_t").head.getLong(0)
         == n0 + 4)
+      // SQL UPDATE on the V1 session-catalog table (r12): the same
+      // extensions rewrite binds it to the merge-on-read DV update
+      spark.sql("UPDATE lake_dml_t SET name = upper(name) || '!' " +
+                "WHERE k = 100")
+      assert(LakeTable.currentVersion(dir).contains(4L))
+      assert(spark.sql(
+        "SELECT name FROM lake_dml_t WHERE k = 100").head.getString(0)
+        == "ATLANTIS!")
       // INSERT OVERWRITE → a full overwrite commit; history stays readable
       spark.sql("INSERT OVERWRITE lake_dml_t VALUES (7, 'MU')")
-      assert(LakeTable.currentVersion(dir).contains(4L))
+      assert(LakeTable.currentVersion(dir).contains(5L))
       assert(spark.sql("SELECT k, name FROM lake_dml_t").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "MU")))
       assert(LakeTable.readVersion(spark, dir, 2L).count() == n0 + 2,
@@ -293,6 +301,25 @@ class SourceFormatSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       == Seq((7L, 1L, 70L)),
       "catalog INSERT OVERWRITE must replace the live content")
+
+    // SQL UPDATE (the extensions-injected rewrite → merge-on-read DV
+    // update): zero pre-existing files rewritten, non-pushable
+    // expressions allowed (the rule carries SQL, not source filters)
+    val filesPre = LakeTable.currentFiles(dir).toSet
+    spark.sql(s"UPDATE $cat.default.t1 SET v = v + k % 3 WHERE k = 7")
+    assert(spark.table(s"$cat.default.t1").head.getLong(2) == 71L,
+      "SQL UPDATE must apply the assignment")
+    assert(filesPre.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "SQL UPDATE must keep every pre-existing file (DV path)")
+    // an out-of-scope UPDATE (subquery condition) falls through to
+    // Spark's own refusal and applies nothing
+    val pre = spark.table(s"$cat.default.t1").collect().toSeq
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.default.t1 SET v = 0 WHERE k IN " +
+        s"(SELECT k FROM $cat.default.t1)")
+    }
+    assert(spark.table(s"$cat.default.t1").collect().toSeq == pre,
+      "an out-of-scope UPDATE must not half-apply")
 
     // catalog admin surface: exists / list / rename / drop
     import org.apache.spark.sql.connector.catalog.Identifier
