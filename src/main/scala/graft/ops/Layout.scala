@@ -1218,6 +1218,120 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** DELETION-VECTOR MERGE (r12): the merge-on-read upsert —
+      * [[graft.sources.LakeTable.mergeDv]] replaces same-key rows and
+      * inserts new keys in ONE atomic commit that rewrites NOTHING: a
+      * position sidecar hides matched target rows, the source lands as
+      * fresh layout-aware files, every pre-existing file byte-identical
+      * (required inline). The operating-point complement of
+      * q_lake_merge_partial: the partial rewrite wins when a batch
+      * CLUSTERS in few layout values (files stay compact), this wins
+      * when it SCATTERS — a low-selectivity upsert touching every band
+      * would pay |touched files| rewrite amplification there and pays
+      * only |source| here. v1 carries DELIBERATELY STALE rows for
+      * custkey ≡ 3 (mod 10) (rolled from the pre-1997 slice — some such
+      * keys are absent entirely, so the merge exercises BOTH replace and
+      * insert); the source carries the corrected rows; the oracle is the
+      * fully-correct rollup straight from `orders`, so the hash-match
+      * proves the sidecar+fresh-file composition loses nothing. */
+    OpDef(
+      "q_lake_dv_merge",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_dvm_").toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val full = roll(o)
+      val hit = col("custkey") % 10 === 3
+      val v1Table = full.filter(!hit)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(hit))
+      require(LakeTable.commit(s, dir, v1Table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val filesV1 = LakeTable.currentFiles(dir).toSet
+      require(LakeTable.mergeDv(s, dir, full.filter(hit), Seq("custkey"),
+                layoutBy = Some("band"))(_ => None) == Right(2L),
+              "DV merge failed")
+      require(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+              "a DV merge must keep every pre-existing file in place")
+      LakeTable.read(s, dir)
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
+    /** SQL `MERGE INTO` over the lake (r12): the canonical upsert —
+      * `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`
+      * on equality keys — rewritten by the extensions-injected analyzer
+      * rule into [[graft.sources.LakeTable.mergeDv]]'s one-commit
+      * merge-on-read upsert (zero pre-existing files rewritten, required
+      * inline). Same stale-slice fixture as q_lake_dv_merge, driven
+      * entirely through SQL against the DSv2 catalog table with the
+      * source as a temp view; out-of-scope MERGE shapes (conditional
+      * clauses, non-identity assignments) fall through to Spark's own
+      * error — SourceFormatSpec pins that nothing half-applies. */
+    OpDef(
+      "q_lake_sql_merge",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val full = roll(o)
+      val hit = col("custkey") % 10 === 3
+      val v1Table = full.filter(!hit)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(hit))
+      require(LakeTable.commit(s, dir, v1Table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val filesV1 = LakeTable.currentFiles(dir).toSet
+      val src = Views.reg(full.filter(hit), "dvm_src")
+      s.sql(s"MERGE INTO $cat.default.$tbl AS t USING $src AS sr " +
+            "ON t.custkey = sr.custkey " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *")
+      require(LakeTable.currentVersion(dir).contains(2L),
+              "SQL MERGE must publish v2")
+      require(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+              "SQL MERGE must keep every pre-existing file (DV path)")
+      s.table(s"$cat.default.$tbl")
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
     /** DELETION-VECTOR UPDATE (r12): merge-on-read UPDATE in ONE atomic
       * commit — [[graft.sources.LakeTable.updateWhereDv]] publishes a
       * position sidecar hiding every matched live row PLUS freshly

@@ -1,33 +1,35 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{expr, lit}
 
-/** SQL `UPDATE` over lake tables (r12) — the analyzer rule
-  * [[graft.GraftExtensions]] injects (post-hoc resolution): an analyzed
-  * `UpdateTable` whose target resolves to a lake table — the DSv2
-  * catalog's [[LakeV2Table]] OR a session-catalog `USING graft-lake`
-  * [[LakeRelation]] — rewrites into [[UpdateLakeDvCommand]], which runs
-  * [[LakeTable.updateWhereDv]]: the merge-on-read UPDATE (one atomic
-  * commit, sidecar hides matched rows, fresh files carry updated
-  * copies, zero pre-existing files rewritten). Spark itself supports
-  * UPDATE only through `SupportsRowLevelOperations` group rewrites
-  * (copy-on-write); this rule is the extension-point spelling of the
-  * merge-on-read path.
+/** SQL `UPDATE` and `MERGE INTO` over lake tables (r12) — the analyzer
+  * rule [[graft.GraftExtensions]] injects (post-hoc resolution): an
+  * analyzed `UpdateTable` / `MergeIntoTable` whose target resolves to a
+  * lake table — the DSv2 catalog's [[LakeV2Table]] OR a session-catalog
+  * `USING graft-lake` [[LakeRelation]] — rewrites into a command running
+  * the MERGE-ON-READ DV commit ([[LakeTable.updateWhereDv]] /
+  * [[LakeTable.mergeDv]]: one atomic commit, sidecar hides matched
+  * rows, fresh files carry the new copies, zero pre-existing files
+  * rewritten). Spark itself supports these statements only through
+  * `SupportsRowLevelOperations` group rewrites (copy-on-write); this
+  * rule is the extension-point spelling of the merge-on-read path.
   *
-  * Scope, enforced here so an unsupported UPDATE fails at ANALYSIS and
-  * never half-applies: top-level column assignments only (no nested
-  * fields), no subqueries in the condition or values (the rewrite
-  * carries expressions by their generated SQL — scalar expressions over
-  * the table's own columns round-trip exactly; a subquery would not).
-  * Anything out of scope falls through untouched, so Spark's own
-  * "UPDATE requires row-level operation support" error surfaces. */
+  * Scope, enforced here so an unsupported statement fails at ANALYSIS
+  * and never half-applies: UPDATE takes top-level column assignments
+  * only (no nested fields) and no subqueries (the rewrite carries
+  * expressions by their generated SQL — scalar expressions over the
+  * table's own columns round-trip exactly; a subquery would not);
+  * MERGE takes the canonical-upsert shape (equality keys, single
+  * unconditional UPDATE SET * / INSERT * clauses). Anything out of
+  * scope falls through untouched, so Spark's own
+  * "requires row-level operation support" error surfaces. */
 class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def lakeDirOf(table: LogicalPlan): Option[(String, String)] =
     table.collectFirst {
@@ -67,7 +69,73 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
               })
           case _ => u // not a lake table / out of scope: Spark's error
         }
+
+      // SQL MERGE INTO, canonical-upsert shape only (r12): equality keys,
+      // WHEN MATCHED THEN UPDATE SET * / identity assignments, WHEN NOT
+      // MATCHED THEN INSERT * / identity — source rows replace same-key
+      // target rows and insert new keys, the exact semantics of
+      // [[LakeTable.mergeDv]]. Conditional clauses, non-identity
+      // assignments, and BY SOURCE clauses fall through to Spark's own
+      // row-level-operation error — nothing half-applies.
+      case m @ MergeIntoTable(target, source, cond,
+                              matched, notMatched, bySource, _)
+          if m.resolved && bySource.isEmpty =>
+        (lakeDirOf(target), mergeKeys(target, source, cond)) match {
+          case (Some((dir, ident)), Some(keys))
+              if replacesWholeRow(matched, source, update = true) &&
+                 replacesWholeRow(notMatched, source, update = false) &&
+                 target.output.map(_.name).toSet ==
+                   source.output.map(_.name).toSet =>
+            MergeLakeDvCommand(dir, ident, keys, source)
+          case _ => m
+        }
     }
+
+  /** The merge condition as equality KEY names — a conjunction of
+    * `t.k = s.k` pairs (same name both sides, one attribute from each
+    * relation); anything else is out of scope (None). */
+  private def mergeKeys(target: LogicalPlan, source: LogicalPlan,
+                        cond: Expression): Option[Seq[String]] = {
+    val tOut = target.outputSet
+    val sOut = source.outputSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val ks = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) && a.name == b.name =>
+        Some(a.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if sOut.contains(b) && tOut.contains(a) && a.name == b.name =>
+        Some(a.name)
+      case _ => None
+    }
+    if (ks.nonEmpty && ks.forall(_.nonEmpty)) Some(ks.flatten.distinct)
+    else None
+  }
+
+  /** Does the single unconditional action replace the whole row from the
+    * source? Star actions qualify outright; expanded assignment lists
+    * qualify when every assignment is the identity `t.c = s.c`. */
+  private def replacesWholeRow(actions: Seq[MergeAction],
+                               source: LogicalPlan,
+                               update: Boolean): Boolean = {
+    val sOut = source.outputSet
+    def identity(assigns: Seq[Assignment]): Boolean =
+      assigns.forall {
+        case Assignment(k: Attribute, v: AttributeReference) =>
+          sOut.contains(v) && k.name == v.name
+        case _ => false
+      }
+    actions match {
+      case Seq(UpdateStarAction(None)) if update => true
+      case Seq(InsertStarAction(None)) if !update => true
+      case Seq(UpdateAction(None, assigns, _)) if update => identity(assigns)
+      case Seq(InsertAction(None, assigns)) if !update => identity(assigns)
+      case _ => false
+    }
+  }
 }
 
 /** The runnable half of [[LakeUpdateRule]]: re-parses the carried SQL
@@ -86,6 +154,28 @@ case class UpdateLakeDvCommand(dir: String, ident: String,
       case Right(_) => Seq.empty
       case Left(reason) => throw new IllegalStateException(
         s"UPDATE $ident failed: $reason")
+    }
+  }
+}
+
+/** The runnable half of the MERGE rewrite: executes the captured
+  * (already-analyzed) source plan and commits through
+  * [[LakeTable.mergeDv]] — the merge-on-read upsert (one atomic commit,
+  * matched target rows hidden by sidecar, source rows in fresh files,
+  * zero pre-existing files rewritten). The source plan rides as a
+  * constructor field, not a child — it was fully resolved when
+  * captured, and the command boundary keeps the optimizer from
+  * re-planning into it. */
+case class MergeLakeDvCommand(dir: String, ident: String,
+                              keys: Seq[String], source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.StreamShim.ofRows(spark, source)
+    LakeTable.mergeDv(spark, dir, src, keys)(_ => None) match {
+      case Right(_) => Seq.empty
+      case Left(reason) => throw new IllegalStateException(
+        s"MERGE INTO $ident failed: $reason")
     }
   }
 }

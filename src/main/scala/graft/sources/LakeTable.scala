@@ -1162,10 +1162,6 @@ object LakeTable {
                     predicate: org.apache.spark.sql.Column,
                     strict: Boolean = false)(
       check: DataFrame => Option[String]): Either[String, Long] = {
-    // in-band no-op channel: commitSerialized's plan can only abort via
-    // Left, so the no-op rides a sentinel no real audit message can spell
-    // (NUL prefix) and is translated back to success below
-    val noop = "\u0000dv-noop:"
     val r = commitSerialized(dir) { base =>
       if (base == 0L) Left(s"no published version to delete from in $dir")
       else {
@@ -1192,7 +1188,7 @@ object LakeTable {
         if (freshPos.isEmpty) {
           if (strict)
             Left(s"DELETE matched no live rows in $dir: nothing to publish")
-          else Left(noop + base)
+          else Left(DvNoop + base)
         } else {
           val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files,
@@ -1214,14 +1210,21 @@ object LakeTable {
         }
       }
     }
-    r match {
-      // empty-match no-op: succeed with the still-live version, publish
-      // nothing (the version carried on the sentinel is the base the
-      // empty match was established against)
-      case Left(m) if m.startsWith(noop) =>
-        Right(m.substring(noop.length).toLong)
-      case other => other
-    }
+    translateDvNoop(r)
+  }
+
+  /** In-band no-op channel for the DV DML ops: [[commitSerialized]]'s
+    * plan can only abort via Left, so an empty-match no-op rides a
+    * sentinel no real audit message can spell (NUL prefix) and
+    * [[translateDvNoop]] turns it back into success-with-the-live-
+    * version, publishing nothing. */
+  private val DvNoop = "\u0000dv-noop:"
+
+  private def translateDvNoop(
+      r: Either[String, Long]): Either[String, Long] = r match {
+    case Left(m) if m.startsWith(DvNoop) =>
+      Right(m.substring(DvNoop.length).toLong)
+    case other => other
   }
 
   /** Shard-write a `(file, pos)` position set as `.dv` sidecar files
@@ -1271,7 +1274,6 @@ object LakeTable {
                     strict: Boolean = false)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     require(set.nonEmpty, "UPDATE requires at least one assignment")
-    val noop = "\u0000dv-noop:"
     val r = commitSerialized(dir) { base =>
       if (base == 0L) Left(s"no published version to update in $dir")
       else {
@@ -1303,7 +1305,7 @@ object LakeTable {
         if (freshPos.isEmpty) {
           if (strict)
             Left(s"UPDATE matched no live rows in $dir: nothing to publish")
-          else Left(noop + base)
+          else Left(DvNoop + base)
         } else {
           val live = applyDv(spark, dir, reader, prevDv)
           val liveCount = live.count()
@@ -1334,11 +1336,105 @@ object LakeTable {
         }
       }
     }
-    r match {
-      case Left(m) if m.startsWith(noop) =>
-        Right(m.substring(noop.length).toLong)
-      case other => other
+    translateDvNoop(r)
+  }
+
+  /** MERGE (upsert) via DELETION VECTORS (r12) — the merge-on-read twin
+    * of [[mergePartial]]: source rows REPLACE same-key target rows and
+    * insert new keys, in ONE atomic commit that rewrites NOTHING — a
+    * position sidecar hides every matched live target row, the source
+    * lands as fresh (optionally layout-aware) files, and every
+    * pre-existing data file stays byte-identical. Write cost ∝ |source|;
+    * [[mergePartial]] instead rewrites every touched layout value's
+    * files, which wins when batches CLUSTER in few partitions but pays
+    * file-size amplification for scattered low-selectivity upserts —
+    * this is the scattered-batch operating point (Delta's DV merge
+    * shape). Same-key source rows must be unique (checked); the audit
+    * re-reads the staged version through its vectors and blocks publish
+    * unless the count equation holds exactly (live − matched + |source|)
+    * and no source key is duplicated in the result. An empty source is
+    * a no-op success. OPTIMIZE purges as usual; the feed replays
+    * retract-matched + insert-source through the unified DV-diff rule. */
+  def mergeDv(spark: SparkSession, dir: String, source: DataFrame,
+              keys: Seq[String],
+              layoutBy: Option[String] = None,
+              statsBy: Seq[String] = Seq.empty,
+              batch: Option[Long] = None, sink: String = "")(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    require(keys.nonEmpty, "mergeDv requires at least one key column")
+    val r = commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version to merge into in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val files = manifestFiles(json)
+        val recorded = manifestSchema(json)
+        val paths = files.map(f => Paths.get(dir, f).toString)
+        val reader =
+          if (recorded.isEmpty) spark.read.parquet(paths: _*)
+          else spark.read
+            .schema(StructType.fromDDL(recorded.mkString(", ")))
+            .parquet(paths: _*)
+        val prevDv = manifestDv(json)
+        val srcKeys = source.select(keys.map(col): _*).distinct()
+        val srcCount = source.count()
+        if (srcCount == 0L) Left(DvNoop + base)
+        else {
+          require(srcKeys.count() == srcCount,
+            "mergeDv source must carry each key at most once")
+          // positions of live target rows whose key the source carries —
+          // the `_metadata` columns resolve only directly on the file
+          // scan, so derive (file, pos) BEFORE the semi-join
+          val matchPos = reader
+            .select((keys.map(col) :+ relFileCol.as("file") :+
+                     col("_metadata.row_index").as("pos")): _*)
+            .join(srcKeys, keys, "left_semi")
+            .select("file", "pos")
+          val freshPos =
+            if (prevDv.isEmpty) matchPos
+            else matchPos.join(
+              broadcast(spark.read.parquet(
+                prevDv.map(s => Paths.get(dir, s).toString): _*)
+                .select("file", "pos")),
+              Seq("file", "pos"), "left_anti")
+          val live = applyDv(spark, dir, reader, prevDv)
+          val liveCount = live.count()
+          val matched = live.join(srcKeys, keys, "left_semi").count()
+          val fresh = stageFresh(spark, dir, source, layoutBy, statsBy)
+          val sidecars =
+            if (matched == 0L) Seq.empty
+            else writeDvSidecars(spark, dir, freshPos, files.length)
+          val st0 = Staged(dir, base + 1L, files ++ fresh.files,
+            batches = batchesOf(dir, base),
+            schema =
+              if (recorded.isEmpty) fresh.schema
+              else mergeSchemas(recorded, fresh.schema),
+            stats = manifestStats(json) ++ fresh.stats,
+            baseVersion = base, op = "dvmerge",
+            dv = prevDv ++ sidecars)
+          val st = st0.copy(batches =
+            st0.batches ++ batch.map(b => sink -> b).toMap)
+          audit(spark, st) { df =>
+            val after = df.count()
+            val expectTotal = liveCount - matched + srcCount
+            if (after != expectTotal)
+              Some(s"MERGE count equation broken: $liveCount live − " +
+                   s"$matched matched + $srcCount source = $expectTotal, " +
+                   s"staged reads $after")
+            else {
+              // no source key may survive twice (old row not hidden)
+              val dup = df.join(srcKeys, keys, "left_semi")
+                .groupBy(keys.map(col): _*).count()
+                .filter(col("count") > 1L).count()
+              if (dup > 0L)
+                Some(s"$dup source key(s) appear more than once after " +
+                     "the merge (matched rows not fully hidden)")
+              else check(df)
+            }
+          }
+        }
+      }
     }
+    translateDvNoop(r)
   }
 
   /** Shared partial-rewrite engine for [[mergePartial]] /

@@ -23,6 +23,14 @@ object StreamShim {
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 
+  /** Execute an already-analyzed LogicalPlan as a DataFrame — the
+    * `Dataset.ofRows` doorway (`private[sql]`) the SQL MERGE rewrite
+    * command needs to run its captured source plan (r12). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** The inverse, for a V1 `Sink.addBatch`: the micro-batch DataFrame the
     * engine hands over is backed by the incremental execution — rebasing
     * it on its own `toRdd` (exactly what `ForeachBatchSink` does before

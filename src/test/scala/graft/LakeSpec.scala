@@ -1106,6 +1106,74 @@ class LakeSpec extends SparkTestBase {
       .map(_.toString).sorted.sameElements(preOpt))
   }
 
+  test("DV merge (r12): merge-on-read upsert in one commit — replace, " +
+       "insert, count equation, feed, purge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_dvm_").toString
+    val table = snap(200).withColumn("band", expr("custkey div 32"))
+    assert(LakeTable.commit(spark, dir, table, Some("band"))(_ => None)
+      == Right(1L))
+    val filesV1 = LakeTable.currentFiles(dir).toSet
+    val n0 = table.count()
+
+    // source: replacement rows for keys %10==3 (scattered across every
+    // band — the shape mergePartial would pay whole-file rewrites for)
+    // plus two brand-new keys
+    val hit = col("custkey") % 10 === 3
+    val replaced = table.filter(hit)
+      .withColumn("n_orders", col("n_orders") + lit(500L))
+    val novel = Seq((9001L, 1L, 9001L / 32), (9002L, 2L, 9002L / 32))
+      .toDF("custkey", "n_orders", "band")
+    val source = replaced.unionByName(novel)
+    assert(LakeTable.mergeDv(spark, dir, source, Seq("custkey"))(_ => None)
+      == Right(2L))
+    assert(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "a DV merge must keep every pre-existing file")
+    val live = LakeTable.read(spark, dir)
+    assert(live.count() == n0 + 2, "count equation: live − matched + |src|")
+    val expected = table.filter(!hit).unionByName(source)
+    assert(live.exceptAll(expected).isEmpty &&
+           expected.exceptAll(live).isEmpty, "row-exact upsert")
+    // time travel to the pre-merge content
+    assert(LakeTable.readVersion(spark, dir, 1L).exceptAll(table).isEmpty)
+
+    // feed: retract the replaced originals, insert the source rows
+    val feed = LakeTable.changesBetween(spark, dir, 1L, 2L)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select(table.columns.map(col).toIndexedSeq: _*)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(table.columns.map(col).toIndexedSeq: _*)
+    assert(dels.exceptAll(table.filter(hit)).isEmpty &&
+           table.filter(hit).exceptAll(dels).isEmpty)
+    assert(ins.exceptAll(source).isEmpty && source.exceptAll(ins).isEmpty)
+
+    // a duplicate-key source refuses loudly before anything stages
+    intercept[IllegalArgumentException] {
+      LakeTable.mergeDv(spark, dir,
+        novel.unionByName(novel), Seq("custkey"))(_ => None)
+    }
+    // empty source: no-op success
+    assert(LakeTable.mergeDv(spark, dir, table.filter(lit(false)),
+      Seq("custkey"))(_ => None) == Right(2L))
+    assert(LakeTable.currentVersion(dir).contains(2L))
+
+    // merges stack: a second DV merge on the DV-bearing result
+    val again = live.filter(col("custkey") === 9001L)
+      .withColumn("n_orders", lit(77L))
+    assert(LakeTable.mergeDv(spark, dir, again, Seq("custkey"))(_ => None)
+      == Right(3L))
+    assert(LakeTable.read(spark, dir).filter(col("custkey") === 9001L)
+      .head.getAs[Long]("n_orders") == 77L)
+    assert(LakeTable.read(spark, dir).count() == n0 + 2)
+    // OPTIMIZE purges, content identical
+    val pre = LakeTable.read(spark, dir).collect().map(_.toString).sorted
+    assert(LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+      Some("band")) == Right(4L))
+    assert(LakeTable.dvOf(dir, 4L).isEmpty)
+    assert(LakeTable.read(spark, dir).collect()
+      .map(_.toString).sorted.sameElements(pre))
+  }
+
   test("DV sidecar sharding: a delete spanning many files writes " +
        "sharded sidecars, read-back exact (r12)") {
     val dir = Files.createTempDirectory("graft_lake_dvshard_").toString

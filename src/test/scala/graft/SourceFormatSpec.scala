@@ -332,6 +332,52 @@ class SourceFormatSpec extends SparkTestBase {
     assert(!catalog.tableExists(Identifier.of(Array("default"), "t1")))
   }
 
+  test("graft-lake SQL MERGE INTO (r12): canonical upsert binds to the " +
+       "merge-on-read DV commit; out-of-scope shapes fall through") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec2"
+    val wh = Files.createTempDirectory("graft_lake_whspec2_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "m1").toString
+    val df = (1L to 30L).map(k => (k, k % 4, k * 10L)).toDF("k", "band", "v")
+    assert(LakeTable.commit(spark, dir, df, Some("band"))(_ => None)
+      == Right(1L))
+    val filesV1 = LakeTable.currentFiles(dir).toSet
+
+    // source: replacements for even keys ≤ 10, plus two new keys
+    Seq((2L, 2L % 4, 999L), (4L, 4L % 4, 999L), (31L, 31L % 4, 310L),
+        (32L, 32L % 4, 320L))
+      .toDF("k", "band", "v").createOrReplaceTempView("merge_src")
+    spark.sql(s"MERGE INTO $cat.default.m1 AS t USING merge_src AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "SQL MERGE must keep every pre-existing file (merge-on-read)")
+    val live = spark.table(s"$cat.default.m1")
+    assert(live.count() == 32L)
+    assert(live.filter(col("k") === 2L).head.getLong(2) == 999L)
+    assert(live.filter(col("k") === 31L).head.getLong(2) == 310L)
+    assert(live.filter(col("k") === 3L).head.getLong(2) == 30L,
+      "unmatched target rows untouched")
+
+    // out-of-scope MERGE (conditional matched clause) falls through to
+    // Spark's own refusal, nothing half-applies
+    val pre = live.collect().toSeq
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.default.m1 AS t USING merge_src AS s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 500 THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(spark.table(s"$cat.default.m1").collect().toSeq == pre,
+      "an out-of-scope MERGE must not half-apply")
+    assert(LakeTable.currentVersion(dir).contains(2L))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
