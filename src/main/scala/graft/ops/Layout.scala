@@ -1103,8 +1103,10 @@ object Layout {
       * [[graft.sources.LakeCatalog]] once per JVM, and plain SQL
       * `DELETE FROM graft_lake.default.<tbl> WHERE custkey < 100` binds
       * through `SupportsDelete` to the DELETION-VECTOR delete — Spark
-      * translates the condition to source filters at ANALYSIS time and
-      * refuses un-pushable ones, so a DELETE can never half-apply. The
+      * translates the condition to source filters at ANALYSIS time
+      * (un-pushable scalar conditions route through the analyzer-rule
+      * rewrite to the same commit instead, r12; only subqueries refuse
+      * — a DELETE can never half-apply either way). The
       * requires pin the zero-rewrite property (same files, version
       * bumped); the read back goes through `spark.table(...)` — the V2
       * read path — so the hash-match proves catalog resolution, the

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -31,14 +31,16 @@ import org.apache.spark.sql.functions.{expr, lit}
   * scope falls through untouched, so Spark's own
   * "requires row-level operation support" error surfaces. */
 class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
-  private def lakeDirOf(table: LogicalPlan): Option[(String, String)] =
+  /** (dir, display name, isV2) of the lake target, if any. */
+  private def lakeDirOf(table: LogicalPlan)
+      : Option[(String, String, Boolean)] =
     table.collectFirst {
       case r: DataSourceV2Relation if r.table.isInstanceOf[LakeV2Table] =>
         val t = r.table.asInstanceOf[LakeV2Table]
-        (t.dir, t.name())
+        (t.dir, t.name(), true)
       case l: LogicalRelation if l.relation.isInstanceOf[LakeRelation] =>
         val rel = l.relation.asInstanceOf[LakeRelation]
-        (rel.tableDir, rel.tableDir)
+        (rel.tableDir, rel.tableDir, false)
     }
 
   private def noSubquery(e: Expression): Boolean =
@@ -57,7 +59,7 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperators {
       case u @ UpdateTable(table, assignments, condition) if u.resolved =>
         lakeDirOf(table) match {
-          case Some((dir, ident))
+          case Some((dir, ident, _))
               if assignments.forall {
                    case Assignment(_: Attribute, v) => noSubquery(v)
                    case _ => false
@@ -68,6 +70,22 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
                 case Assignment(a: Attribute, v) => a.name -> bareSql(v)
               })
           case _ => u // not a lake table / out of scope: Spark's error
+        }
+
+      // SQL DELETE beyond source-filter pushability (r12): the DSv2
+      // SupportsDelete binding remains PRIMARY for pushable conditions
+      // (attribute-vs-literal comparisons — left untouched here so the
+      // native path stays exercised); scalar-but-unpushable conditions
+      // (`k % 7 = 0`) and V1 `USING graft-lake` targets (no native DELETE
+      // exists at all) rewrite to the same deletion-vector commit.
+      // Subquery conditions fall through to Spark's error.
+      case d @ DeleteFromTable(table, condition) if d.resolved =>
+        lakeDirOf(table) match {
+          case Some((dir, ident, isV2))
+              if noSubquery(condition) &&
+                 (!isV2 || !pushableCondition(condition)) =>
+            DeleteLakeDvCommand(dir, ident, bareSql(condition))
+          case _ => d
         }
 
       // SQL MERGE INTO, canonical-upsert shape only (r12): equality keys,
@@ -81,7 +99,7 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
                               matched, notMatched, bySource, _)
           if m.resolved && bySource.isEmpty =>
         (lakeDirOf(target), mergeKeys(target, source, cond)) match {
-          case (Some((dir, ident)), Some(keys))
+          case (Some((dir, ident, _)), Some(keys))
               if replacesWholeRow(matched, source, update = true) &&
                  replacesWholeRow(notMatched, source, update = false) &&
                  target.output.map(_.name).toSet ==
@@ -90,6 +108,33 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => m
         }
     }
+
+  /** Would the DSv2 `SupportsDelete` filter bridge accept this
+    * condition? Conservative on purpose: only the plain
+    * attribute-vs-literal shapes count as pushable — anything richer
+    * routes through the rewrite, which handles every scalar expression;
+    * mis-classifying pushable as not merely moves it to the equivalent
+    * DV commit. */
+  private def pushableCondition(e: Expression): Boolean = e match {
+    case And(l, r) => pushableCondition(l) && pushableCondition(r)
+    case Or(l, r) => pushableCondition(l) && pushableCondition(r)
+    case Not(c) => pushableCondition(c)
+    case EqualTo(_: AttributeReference, _: Literal) => true
+    case EqualTo(_: Literal, _: AttributeReference) => true
+    case GreaterThan(_: AttributeReference, _: Literal) => true
+    case GreaterThan(_: Literal, _: AttributeReference) => true
+    case GreaterThanOrEqual(_: AttributeReference, _: Literal) => true
+    case GreaterThanOrEqual(_: Literal, _: AttributeReference) => true
+    case LessThan(_: AttributeReference, _: Literal) => true
+    case LessThan(_: Literal, _: AttributeReference) => true
+    case LessThanOrEqual(_: AttributeReference, _: Literal) => true
+    case LessThanOrEqual(_: Literal, _: AttributeReference) => true
+    case In(_: AttributeReference, vs) => vs.forall(_.isInstanceOf[Literal])
+    case IsNull(_: AttributeReference) => true
+    case IsNotNull(_: AttributeReference) => true
+    case _: Literal => true // DELETE with no WHERE: the native TRUE path
+    case _ => false
+  }
 
   /** The merge condition as equality KEY names — a conjunction of
     * `t.k = s.k` pairs (same name both sides, one attribute from each
@@ -154,6 +199,21 @@ case class UpdateLakeDvCommand(dir: String, ident: String,
       case Right(_) => Seq.empty
       case Left(reason) => throw new IllegalStateException(
         s"UPDATE $ident failed: $reason")
+    }
+  }
+}
+
+/** The runnable half of the unpushable-DELETE rewrite: re-parses the
+  * carried condition and commits through [[LakeTable.deleteWhereDv]] —
+  * any scalar predicate, the same zero-rewrite sidecar publish. */
+case class DeleteLakeDvCommand(dir: String, ident: String,
+                               condSql: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable.deleteWhereDv(spark, dir, expr(condSql))(_ => None) match {
+      case Right(_) => Seq.empty
+      case Left(reason) => throw new IllegalStateException(
+        s"DELETE FROM $ident failed: $reason")
     }
   }
 }

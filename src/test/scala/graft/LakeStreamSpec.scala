@@ -613,6 +613,54 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("DV update and DV merge replay through the live stream as " +
+       "retract-old + insert-new (r12, behavior 44)") {
+    val dir = Files.createTempDirectory("graft_lakestream_dvu_").toString
+    val cp = Files.createTempDirectory("graft_lakestream_dvucp_").toString
+    val o = graft.ops.Tables.orders(spark, sf)
+    val width = math.max(32L,
+      o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+    val full = roll(o, width)
+    assert(LakeTable.commit(spark, dir, full, Some("band"))(_ => None)
+      == Right(1L))
+    val batches = mutable.Map.empty[Long, Seq[Row]]
+    val q = spark.readStream.format("graft-lake")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.synchronized { batches(id) = df.collect().toSeq }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // v2: DV UPDATE lands mid-stream (sidecar + fresh files, one commit)
+      assert(LakeTable.updateWhereDv(spark, dir,
+        col("custkey") % 10 === 1,
+        Seq("cents" -> (col("cents") + lit(3L))),
+        layoutBy = Some("band"))(_ => None) == Right(2L))
+      q.processAllAvailable()
+      assert(fold(batches) == liveKeys(dir), "fold through the DV update")
+      // v3: DV MERGE (scattered upsert) lands mid-stream
+      val src = LakeTable.read(spark, dir)
+        .filter(col("custkey") % 10 === 2)
+        .withColumn("n_orders", col("n_orders") + lit(9L))
+      assert(LakeTable.mergeDv(spark, dir, src, Seq("custkey"),
+        layoutBy = Some("band"))(_ => None) == Right(3L))
+      q.processAllAvailable()
+      assert(fold(batches) == liveKeys(dir), "fold through the DV merge")
+      // both ops delivered retract+insert pairs, never silence
+      val types = batches.values.flatten
+        .groupBy(_.getAs[Long]("_commit_version"))
+        .map { case (v, rs) =>
+          v -> rs.map(_.getAs[String]("_change_type")).toSet }
+      assert(types(2L) == Set("delete", "insert"),
+        s"DV update must replay as retract+insert: ${types(2L)}")
+      assert(types(3L) == Set("delete", "insert"),
+        s"DV merge must replay as retract+insert: ${types(3L)}")
+    } finally q.stop()
+  }
+
   test("startingVersion tails new commits without replaying history") {
     val dir = Files.createTempDirectory("graft_lakestream_tail_").toString
     val cp = Files.createTempDirectory("graft_lakestream_tailcp_").toString

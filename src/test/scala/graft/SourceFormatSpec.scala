@@ -205,9 +205,15 @@ class SourceFormatSpec extends SparkTestBase {
       assert(spark.sql(
         "SELECT name FROM lake_dml_t WHERE k = 100").head.getString(0)
         == "ATLANTIS!")
+      // SQL DELETE on the V1 table (r12): no native V1 DELETE exists in
+      // Spark at all — the rewrite binds it to the DV delete
+      spark.sql("DELETE FROM lake_dml_t WHERE k >= 300")
+      assert(LakeTable.currentVersion(dir).contains(5L))
+      assert(spark.sql("SELECT count(*) FROM lake_dml_t").head.getLong(0)
+        == n0 + 2)
       // INSERT OVERWRITE → a full overwrite commit; history stays readable
       spark.sql("INSERT OVERWRITE lake_dml_t VALUES (7, 'MU')")
-      assert(LakeTable.currentVersion(dir).contains(5L))
+      assert(LakeTable.currentVersion(dir).contains(6L))
       assert(spark.sql("SELECT k, name FROM lake_dml_t").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "MU")))
       assert(LakeTable.readVersion(spark, dir, 2L).count() == n0 + 2,
@@ -277,13 +283,25 @@ class SourceFormatSpec extends SparkTestBase {
     assert(LakeTable.currentVersion(dir).contains(3L),
       "an empty-match SQL DELETE must not mint a version")
 
-    // an un-pushable condition refuses at ANALYSIS time (canDeleteWhere
-    // false) — never half-applies
-    val err = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.default.t1 WHERE k % 7 = 0")
+    // an UN-PUSHABLE scalar condition routes through the analyzer-rule
+    // rewrite (r12): same DV commit, full predicate power
+    spark.sql(s"DELETE FROM $cat.default.t1 WHERE k % 7 = 0")
+    assert(LakeTable.currentVersion(dir).contains(4L),
+      "an unpushable scalar DELETE must apply via the rewrite")
+    assert(spark.table(s"$cat.default.t1").filter(col("k") % 7 === 0)
+      .isEmpty)
+    assert(LakeTable.currentFiles(dir).toSet.intersect(filesV2.toSet)
+      == filesV2.toSet, "the rewrite DELETE is still zero-rewrite")
+    // a SUBQUERY condition stays out of scope: falls through to Spark's
+    // refusal, nothing half-applies
+    val pre4 = spark.table(s"$cat.default.t1").collect().toSeq
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.default.t1 WHERE k IN " +
+        s"(SELECT k FROM $cat.default.t1 WHERE v > 100)")
     }
-    assert(LakeTable.currentVersion(dir).contains(3L),
-      s"a refused DELETE must leave the table untouched ($err)")
+    assert(spark.table(s"$cat.default.t1").collect().toSeq == pre4,
+      "a refused DELETE must leave the table untouched")
+    assert(LakeTable.currentVersion(dir).contains(4L))
 
     // TRUNCATE TABLE rides the same surface (SupportsDeleteV2's default
     // truncate = deleteWhere(true)): zero rewrite, all rows hidden
