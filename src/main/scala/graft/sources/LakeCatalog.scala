@@ -87,6 +87,23 @@ class LakeCatalog extends TableCatalog {
     new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
   }
 
+  /** SQL time travel — `SELECT ... FROM cat.ns.t VERSION AS OF <n>`:
+    * the returned table pins every scan to the requested version's own
+    * manifest (schema included); DML against it refuses — history is
+    * immutable. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-lake versions are integers, got '$version'")
+    }
+    if (LakeTable.filesOf(dir, v).isEmpty)
+      throw new NoSuchTableException(ident)
+    new LakeV2Table(dir,
+      (ident.namespace() :+ ident.name()).mkString(".") + s"@v$v",
+      versionAsOf = Some(v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = namespace.foldLeft(Paths.get(warehouse))(_.resolve(_))
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
@@ -141,15 +158,25 @@ class LakeCatalog extends TableCatalog {
   * the LIVE version per scan (same non-freezing discipline as
   * [[LakeRelation.liveVersion]]), deletes ride the deletion-vector
   * commit. */
-class LakeV2Table(val dir: String, ident: String)
+class LakeV2Table(val dir: String, ident: String,
+                  versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
 
+  private def refuseDml(what: String): Unit =
+    require(versionAsOf.isEmpty,
+      s"cannot $what a VERSION AS OF (time travel) table $ident — " +
+      "history is immutable")
+
   override def schema(): StructType = {
-    val recorded = LakeTable.currentSchema(dir)
+    val recorded = versionAsOf
+      .map(v => LakeTable.schemaOf(dir, v))
+      .getOrElse(LakeTable.currentSchema(dir))
     if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
-    else LakeTable.read(SparkSession.active, dir).schema
+    else versionAsOf
+      .map(v => LakeTable.readVersion(SparkSession.active, dir, v).schema)
+      .getOrElse(LakeTable.read(SparkSession.active, dir).schema)
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -162,7 +189,8 @@ class LakeV2Table(val dir: String, ident: String)
     * OVERWRITE (Spark calls `truncate()` on the builder) a full
     * overwrite commit. Mirrors [[LakeRelation.insert]], so the V1
     * catalog table and this V2 one behave identically under DML. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseDml("INSERT into")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -188,16 +216,18 @@ class LakeV2Table(val dir: String, ident: String)
         }
       }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val resolved = schema()
+    val pinned = versionAsOf
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = resolved
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new LakeV2ScanShim(context, dir, resolved)
+          new LakeV2ScanShim(context, dir, resolved, pinned)
             .asInstanceOf[T]
       }
     }
@@ -207,6 +237,7 @@ class LakeV2Table(val dir: String, ident: String)
     filters.forall(f => LakeV2Table.filterToColumn(f).nonEmpty)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    refuseDml("DELETE from")
     val cond = filters.flatMap(LakeV2Table.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     LakeTable.deleteWhereDv(SparkSession.active, dir, cond)(_ => None) match {
@@ -247,14 +278,19 @@ object LakeV2Table {
 }
 
 /** The [[V1Scan]] exit: a TableScan-shaped relation over the manifest
-  * read path (recorded schema, DV filtering). Spark applies the query's
-  * own filters/projections above this scan; heavy pruned scans belong to
-  * the V1 `graft-lake` format. */
+  * read path (recorded schema, DV filtering; `versionAsOf` pins time
+  * travel). Spark applies the query's own filters/projections above
+  * this scan; heavy pruned scans belong to the V1 `graft-lake`
+  * format. */
 private[sources] class LakeV2ScanShim(ctx: SQLContext, dir: String,
-                                      val schema: StructType)
+                                      val schema: StructType,
+                                      versionAsOf: Option[Long] = None)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
-  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-    LakeTable.read(ctx.sparkSession, dir)
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val df = versionAsOf
+      .map(v => LakeTable.readVersion(ctx.sparkSession, dir, v))
+      .getOrElse(LakeTable.read(ctx.sparkSession, dir))
+    df.select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
+  }
 }

@@ -339,13 +339,26 @@ class SourceFormatSpec extends SparkTestBase {
     assert(spark.table(s"$cat.default.t1").collect().toSeq == pre,
       "an out-of-scope UPDATE must not half-apply")
 
-    // catalog admin surface: exists / list / rename / drop
+    // SQL time travel through the catalog: VERSION AS OF pins the scan
+    // to that version's own manifest (DV set included), DML refuses
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.default.t1 " +
+      "VERSION AS OF 1").head.getLong(0) == 40L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.default.t1 " +
+      "VERSION AS OF 3").head.getLong(0) == expect.count())
+    // catalog admin surface: exists / list / rename / drop — and the
+    // time-travel table object refuses DML directly
     import org.apache.spark.sql.connector.catalog.Identifier
     val catalog = spark.sessionState.catalogManager.catalog(cat)
       .asInstanceOf[graft.sources.LakeCatalog]
     assert(catalog.tableExists(Identifier.of(Array("default"), "t1")))
     assert(catalog.listTables(Array("default")).map(_.name()).toSet
       == Set("t1"))
+    val pinnedTable = catalog
+      .loadTable(Identifier.of(Array("default"), "t1"), "1")
+      .asInstanceOf[graft.sources.LakeV2Table]
+    intercept[IllegalArgumentException] {
+      pinnedTable.newWriteBuilder(null)
+    }
     spark.sql(s"DROP TABLE $cat.default.t1")
     assert(!catalog.tableExists(Identifier.of(Array("default"), "t1")))
   }
