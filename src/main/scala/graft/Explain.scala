@@ -16,6 +16,7 @@ object Explain {
       "q_join_range", "q_dedup_simhash", "q_dedup_minhash", "q_sample_stratified",
       "q_sim_knn", "q_scd2_build", "q_pack_sequences", "q_sample_split")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -24,6 +24,7 @@ object GrowthBench {
     val baseVecs = sys.env.getOrElse("SPARK_GRAFT_GROWTH_VECS", "2000").toLong
     val outDir = sys.env.getOrElse("SPARK_GRAFT_GROWTH_DIR", "/tmp/graft_growth")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -24,6 +24,7 @@ object StreamBench {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "200000").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "20000").toInt
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -33,6 +33,7 @@ object TpchGrowthBench {
     val outDir = sys.env.getOrElse("SPARK_GRAFT_GROWTH_DIR",
                                    "/tmp/graft_growth_tpch")
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

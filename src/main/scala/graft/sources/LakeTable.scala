@@ -1376,10 +1376,17 @@ object LakeTable {
             .parquet(paths: _*)
         val prevDv = manifestDv(json)
         val srcKeys = source.select(keys.map(col): _*).distinct()
-        val srcCount = source.count()
+        // one pass establishes BOTH the source size and key uniqueness
+        // (max per-key multiplicity), instead of count + distinct-count
+        val kstats = source.groupBy(keys.map(col): _*).count()
+          .agg(org.apache.spark.sql.functions.sum("count")
+                 .cast("long").as("n"),
+               org.apache.spark.sql.functions.max("count")
+                 .cast("long").as("mx")).head
+        val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
         if (srcCount == 0L) Left(DvNoop + base)
         else {
-          require(srcKeys.count() == srcCount,
+          require(kstats.getLong(1) <= 1L,
             "mergeDv source must carry each key at most once")
           // positions of live target rows whose key the source carries —
           // the `_metadata` columns resolve only directly on the file
