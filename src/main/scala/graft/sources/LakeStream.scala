@@ -162,6 +162,16 @@ class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
   *    rewritten files, ghost-undelete audit-rejected) and anything else
   *    upserts; the streaming CDC-apply of behavior 34 behind the
   *    registered format.
+  *  - `dvmerge` (r12): the MERGE-ON-READ upsert via [[LakeTable
+  *    .mergeDv]] — each epoch publishes a position sidecar hiding the
+  *    matched target rows plus the batch as fresh files, rewriting NO
+  *    pre-existing file; write amplification is ∝ |batch| regardless of
+  *    how the batch scatters over partitions (the `merge` mode's
+  *    complement — use `merge` for batches that cluster in few layout
+  *    values, `dvmerge` for scattered low-selectivity upserts; run
+  *    OPTIMIZE periodically to purge accumulated vectors). Requires
+  *    option `keys`; `layoutBy` optional (fresh files carry layout
+  *    metadata when set).
   */
 class LakeStreamSink(dir: String, commitMode: String,
                      layoutBy: Option[String], statsBy: Seq[String],
@@ -195,8 +205,12 @@ class LakeStreamSink(dir: String, commitMode: String,
       case "cdc" =>
         LakeTable.sinkCdc(spark, dir, batch, keys, layout,
           batch = batchId, sink = sinkName)(_ => None)
+      case "dvmerge" =>
+        LakeTable.sinkMergeDv(spark, dir, batch, keys, layoutBy, statsBy,
+          batch = batchId, sink = sinkName)(_ => None)
       case other => throw new IllegalArgumentException(
-        s"graft-lake commitMode must be append, merge, or cdc, got '$other'")
+        s"graft-lake commitMode must be append, merge, cdc, or dvmerge, " +
+        s"got '$other'")
     }
     r match {
       case Right(_) => ()

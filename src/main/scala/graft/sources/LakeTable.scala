@@ -1360,11 +1360,59 @@ object LakeTable {
               layoutBy: Option[String] = None,
               statsBy: Seq[String] = Seq.empty,
               batch: Option[Long] = None, sink: String = "")(
+      check: DataFrame => Option[String]): Either[String, Long] =
+    translateDvNoop(
+      mergeDvImpl(spark, dir, source, keys, layoutBy, statsBy,
+                  batch, sink)(check))
+
+  /** Single-pass sink DV-MERGE (r12): [[mergeDv]] with an empty epoch
+    * surfacing as `Right(None)` — nothing published, watermark
+    * untouched (the emptiness check rides the same one-pass source
+    * stats the merge needs anyway, no dedicated pre-pass). */
+  private[sources] def sinkMergeDv(spark: SparkSession, dir: String,
+                                   source: DataFrame, keys: Seq[String],
+                                   layoutBy: Option[String],
+                                   statsBy: Seq[String],
+                                   batch: Long, sink: String)(
+      check: DataFrame => Option[String]): Either[String, Option[Long]] =
+    mergeDvImpl(spark, dir, source, keys, layoutBy, statsBy,
+                Some(batch), sink)(check) match {
+      case Left(m) if m.startsWith(DvNoop) => Right(None)
+      case Left(other) => Left(other)
+      case Right(v) => Right(Some(v))
+    }
+
+  private def mergeDvImpl(spark: SparkSession, dir: String,
+                          source: DataFrame, keys: Seq[String],
+                          layoutBy: Option[String], statsBy: Seq[String],
+                          batch: Option[Long], sink: String)(
       check: DataFrame => Option[String]): Either[String, Long] = {
     require(keys.nonEmpty, "mergeDv requires at least one key column")
-    val r = commitSerialized(dir) { base =>
-      if (base == 0L) Left(s"no published version to merge into in $dir")
+    Files.createDirectories(Paths.get(dir))
+    commitSerialized(dir) { base =>
+      val srcKeys = source.select(keys.map(col): _*).distinct()
+      // one pass establishes BOTH the source size and key uniqueness
+      // (max per-key multiplicity), instead of count + distinct-count —
+      // and doubles as the sink's empty-epoch check, no pre-pass
+      val kstats = source.groupBy(keys.map(col): _*).count()
+        .agg(org.apache.spark.sql.functions.sum("count")
+               .cast("long").as("n"),
+             org.apache.spark.sql.functions.max("count")
+               .cast("long").as("mx")).head
+      val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
+      if (srcCount == 0L) Left(DvNoop + base)
       else {
+        require(kstats.getLong(1) <= 1L,
+          "mergeDv source must carry each key at most once")
+        if (base == 0L) {
+          // fresh table: nothing to hide — the first merge is a plain
+          // initial commit of the source (the sink's first epoch)
+          val st0 = stageAt(spark, dir, 0L, source, layoutBy,
+                            Seq.empty, statsBy, "dvmerge")
+          val st = st0.copy(batches =
+            st0.batches ++ batch.map(b => sink -> b).toMap)
+          audit(spark, st)(check)
+        } else {
         val json = readManifest(dir, base).get
         val files = manifestFiles(json)
         val recorded = manifestSchema(json)
@@ -1375,19 +1423,6 @@ object LakeTable {
             .schema(StructType.fromDDL(recorded.mkString(", ")))
             .parquet(paths: _*)
         val prevDv = manifestDv(json)
-        val srcKeys = source.select(keys.map(col): _*).distinct()
-        // one pass establishes BOTH the source size and key uniqueness
-        // (max per-key multiplicity), instead of count + distinct-count
-        val kstats = source.groupBy(keys.map(col): _*).count()
-          .agg(org.apache.spark.sql.functions.sum("count")
-                 .cast("long").as("n"),
-               org.apache.spark.sql.functions.max("count")
-                 .cast("long").as("mx")).head
-        val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
-        if (srcCount == 0L) Left(DvNoop + base)
-        else {
-          require(kstats.getLong(1) <= 1L,
-            "mergeDv source must carry each key at most once")
           // positions of live target rows whose key the source carries —
           // the `_metadata` columns resolve only directly on the file
           // scan, so derive (file, pos) BEFORE the semi-join
@@ -1441,7 +1476,6 @@ object LakeTable {
         }
       }
     }
-    translateDvNoop(r)
   }
 
   /** Shared partial-rewrite engine for [[mergePartial]] /

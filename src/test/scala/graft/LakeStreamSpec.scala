@@ -226,6 +226,56 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("writeStream sink commitMode=dvmerge (r12): merge-on-read upserts " +
+       "per epoch — zero rewrite, replay skips, empty epochs no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakesink_dvm_").toString
+    val cp = Files.createTempDirectory("graft_lakesink_dvmcp_").toString
+    val ms = MemoryStream[(Long, Long)](spark)
+    val q = ms.toDF().toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 4)
+      .writeStream.format("graft-lake")
+      .option("path", dir).option("checkpointLocation", cp)
+      .option("commitMode", "dvmerge")
+      .option("keys", "custkey").option("layoutBy", "band")
+      .start()
+    try {
+      // first epoch on a FRESH table: a plain initial commit
+      ms.addData((1L, 100L), (2L, 200L), (5L, 500L))
+      q.processAllAvailable()
+      assert(LakeTable.currentVersion(dir).contains(1L))
+      val files1 = LakeTable.currentFiles(dir).toSet
+      // second epoch upserts key 1 and inserts key 3: NO pre-existing
+      // file rewrites — sidecar + fresh files only
+      ms.addData((1L, 111L), (3L, 300L))
+      q.processAllAvailable()
+      assert(LakeTable.currentVersion(dir).contains(2L))
+      assert(files1.subsetOf(LakeTable.currentFiles(dir).toSet),
+        "a dvmerge epoch must keep every pre-existing file")
+      assert(LakeTable.dvOf(dir, 2L).nonEmpty,
+        "the matched key must be hidden by a sidecar, not a rewrite")
+      val live = LakeTable.read(spark, dir).collect()
+        .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("cents")).toMap
+      assert(live == Map(1L -> 111L, 2L -> 200L, 3L -> 300L, 5L -> 500L))
+    } finally q.stop()
+
+    // direct replay of an applied batchId: no-op (manifest watermark)
+    val sink = new graft.sources.LakeStreamSink(dir, "dvmerge", Some("band"),
+      Seq.empty, Seq("custkey"), "graft-lake-stream")
+    sink.addBatch(1L, Seq((1L, 999L)).toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 4))
+    assert(LakeTable.currentVersion(dir).contains(2L),
+      "replayed batch must not publish a version")
+    assert(LakeTable.read(spark, dir).filter(col("custkey") === 1L)
+      .head.getAs[Long]("cents") == 111L)
+    // empty epoch: nothing published, watermark untouched
+    sink.addBatch(2L, Seq((1L, 0L)).toDF("custkey", "cents")
+      .withColumn("band", col("custkey") % 4).filter(col("custkey") < 0L))
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(LakeTable.appliedBatch(dir, "graft-lake-stream").contains(1L))
+  }
+
   test("writeStream sink commitMode=cdc: tombstones delete, upserts land, " +
        "replay skips") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
