@@ -104,6 +104,27 @@ class LakeCatalog extends TableCatalog {
       versionAsOf = Some(v))
   }
 
+  /** `SELECT ... FROM cat.ns.t TIMESTAMP AS OF <ts>` — Spark hands the
+    * instant over as MICROSECONDS since the epoch; it resolves to the
+    * NEWEST retained version whose recorded publish instant
+    * ([[LakeTable.commitTimeOf]] — marker-content event time, r12) is at
+    * or before it, Delta semantics. An instant before the first
+    * retained publish refuses. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (LakeTable.currentVersion(dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    val ms = Math.floorDiv(timestampMicros, 1000L)
+    val v = LakeTable.versions(dir)
+      .filter(v => LakeTable.commitTimeOf(dir, v).getTime <= ms)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no retained version of ${ident.name()} published at or before " +
+        s"epoch-millis $ms"))
+    new LakeV2Table(dir,
+      (ident.namespace() :+ ident.name()).mkString(".") + s"@t$ms",
+      versionAsOf = Some(v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = namespace.foldLeft(Paths.get(warehouse))(_.resolve(_))
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)

@@ -345,6 +345,26 @@ class SourceFormatSpec extends SparkTestBase {
       "VERSION AS OF 1").head.getLong(0) == 40L)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.default.t1 " +
       "VERSION AS OF 3").head.getLong(0) == expect.count())
+    // TIMESTAMP AS OF resolves to the newest version published at or
+    // before the instant — marker-CONTENT event time, so backdating is
+    // a content rewrite (and survives directory copies)
+    def backdate(v: Long, minAgo: Long): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"commit-v$v"),
+        (System.currentTimeMillis() - minAgo * 60000L).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    backdate(1L, 10L); backdate(2L, 5L)
+    val mid = java.time.Instant.ofEpochMilli(
+      System.currentTimeMillis() - 7L * 60000L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.default.t1 " +
+      s"TIMESTAMP AS OF '$mid'").head.getLong(0) == 40L,
+      "an instant between v1 and v2 must resolve to v1")
+    val tooEarly = java.time.Instant.ofEpochMilli(
+      System.currentTimeMillis() - 60L * 60000L)
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.default.t1 " +
+        s"TIMESTAMP AS OF '$tooEarly'").collect()
+    }
     // catalog admin surface: exists / list / rename / drop — and the
     // time-travel table object refuses DML directly
     import org.apache.spark.sql.connector.catalog.Identifier
