@@ -128,12 +128,13 @@ class LakeCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = namespace.foldLeft(Paths.get(warehouse))(_.resolve(_))
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
-    val out = Files.list(nsDir).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        LakeTable.currentVersion(p.toString).nonEmpty)
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
-    out
+    scala.util.Using.resource(Files.list(nsDir)) { stream =>
+      stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          LakeTable.currentVersion(p.toString).nonEmpty)
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -934,6 +934,14 @@ class LakeSpec extends SparkTestBase {
     val live = LakeTable.read(spark, dir)
     assert(live.filter(hit).isEmpty, "deleted rows must be hidden")
     assert(live.count() == table.filter(!hit).count())
+    // PLAN SHAPE at 100 TB: the vector filter is a BROADCAST anti-join
+    // on the scan — no shuffle of table data may appear in a plain
+    // DV-filtered read
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV filter must plan as a broadcast anti-join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a DV-filtered read must not shuffle table data:\n$plan")
     // row-level equality, not just counts
     assert(live.exceptAll(table.filter(!hit)).isEmpty &&
            table.filter(!hit).exceptAll(live).isEmpty)
