@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -105,6 +105,12 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
                  target.output.map(_.name).toSet ==
                    source.output.map(_.name).toSet =>
             MergeLakeDvCommand(dir, ident, keys, source)
+          // WHEN MATCHED THEN DELETE, no other clauses: the anti-join
+          // retention delete — matched target rows hidden by one
+          // sidecar publish, zero rewrites
+          case (Some((dir, ident, _)), Some(keys))
+              if matched == Seq(DeleteAction(None)) && notMatched.isEmpty =>
+            MergeLakeDvDeleteCommand(dir, ident, keys, source)
           case _ => m
         }
     }
@@ -214,6 +220,24 @@ case class DeleteLakeDvCommand(dir: String, ident: String,
       case Right(_) => Seq.empty
       case Left(reason) => throw new IllegalStateException(
         s"DELETE FROM $ident failed: $reason")
+    }
+  }
+}
+
+/** The runnable half of `MERGE ... WHEN MATCHED THEN DELETE`: executes
+  * the captured source plan and hides every matched target row through
+  * [[LakeTable.deleteMatchedDv]] — one sidecar publish, zero
+  * rewrites. */
+case class MergeLakeDvDeleteCommand(dir: String, ident: String,
+                                    keys: Seq[String], source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.StreamShim.ofRows(spark, source)
+    LakeTable.deleteMatchedDv(spark, dir, src, keys)(_ => None) match {
+      case Right(_) => Seq.empty
+      case Left(reason) => throw new IllegalStateException(
+        s"MERGE DELETE INTO $ident failed: $reason")
     }
   }
 }

@@ -1339,6 +1339,61 @@ object LakeTable {
     translateDvNoop(r)
   }
 
+  /** MERGE-DELETE via DELETION VECTORS (r12) — `MERGE ... WHEN MATCHED
+    * THEN DELETE`'s engine: hide every live target row whose key the
+    * source carries, one sidecar publish, zero files rewritten — the
+    * anti-join retention delete (blocklist purges, GDPR subject lists)
+    * at O(matched positions). Empty match = no-op success. The audit
+    * blocks publish if any source key survives the staged vectors. */
+  def deleteMatchedDv(spark: SparkSession, dir: String, source: DataFrame,
+                      keys: Seq[String])(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    require(keys.nonEmpty, "deleteMatchedDv requires at least one key")
+    translateDvNoop(commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version to delete from in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val files = manifestFiles(json)
+        val recorded = manifestSchema(json)
+        val paths = files.map(f => Paths.get(dir, f).toString)
+        val reader =
+          if (recorded.isEmpty) spark.read.parquet(paths: _*)
+          else spark.read
+            .schema(StructType.fromDDL(recorded.mkString(", ")))
+            .parquet(paths: _*)
+        val prevDv = manifestDv(json)
+        val srcKeys = source.select(keys.map(col): _*).distinct()
+        val matchPos = reader
+          .select((keys.map(col) :+ relFileCol.as("file") :+
+                   col("_metadata.row_index").as("pos")): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("file", "pos")
+        val freshPos =
+          if (prevDv.isEmpty) matchPos
+          else matchPos.join(
+            broadcast(spark.read.parquet(
+              prevDv.map(s => Paths.get(dir, s).toString): _*)
+              .select("file", "pos")),
+            Seq("file", "pos"), "left_anti")
+        if (freshPos.isEmpty) Left(DvNoop + base)
+        else {
+          val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
+          val st = Staged(dir, base + 1L, files,
+            batches = batchesOf(dir, base),
+            schema = recorded, stats = manifestStats(json),
+            baseVersion = base, op = "dvdelete",
+            dv = prevDv ++ sidecars)
+          audit(spark, st) { df =>
+            val leak = df.join(srcKeys, keys, "left_semi").count()
+            if (leak > 0L)
+              Some(s"$leak matched key row(s) survive the deletion vector")
+            else check(df)
+          }
+        }
+      }
+    })
+  }
+
   /** MERGE (upsert) via DELETION VECTORS (r12) — the merge-on-read twin
     * of [[mergePartial]]: source rows REPLACE same-key target rows and
     * insert new keys, in ONE atomic commit that rewrites NOTHING — a

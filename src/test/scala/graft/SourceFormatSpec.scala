@@ -415,6 +415,20 @@ class SourceFormatSpec extends SparkTestBase {
     assert(live.filter(col("k") === 3L).head.getLong(2) == 30L,
       "unmatched target rows untouched")
 
+    // WHEN MATCHED THEN DELETE (no other clauses): the anti-join
+    // retention delete — matched keys hidden by a sidecar, zero rewrite;
+    // the source needs only the key column
+    val filesPre = LakeTable.currentFiles(dir)
+    Seq(2L, 31L, 999L).toDF("k").createOrReplaceTempView("merge_del_src")
+    spark.sql(s"MERGE INTO $cat.default.m1 AS t USING merge_del_src AS s " +
+      "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    assert(LakeTable.currentVersion(dir).contains(3L))
+    assert(LakeTable.currentFiles(dir) == filesPre,
+      "MERGE DELETE must publish a sidecar, not a rewrite")
+    val afterDel = spark.table(s"$cat.default.m1")
+    assert(afterDel.count() == 30L, "keys 2 and 31 deleted; 999 unmatched")
+    assert(afterDel.filter(col("k").isin(2L, 31L)).isEmpty)
+
     // out-of-scope MERGE (conditional matched clause) falls through to
     // Spark's own refusal, nothing half-applies
     val pre = live.collect().toSeq
@@ -426,7 +440,7 @@ class SourceFormatSpec extends SparkTestBase {
     }
     assert(spark.table(s"$cat.default.m1").collect().toSeq == pre,
       "an out-of-scope MERGE must not half-apply")
-    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(LakeTable.currentVersion(dir).contains(3L))
   }
 
   test("orc round-trip preserves schema and values") {
