@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
@@ -48,10 +48,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[V1Write]] exit onto the serialized append/overwrite commits —
   * identical semantics to the V1 `USING graft-lake` table's DML. READS
   * go through a [[V1Scan]] shim onto the same manifest read path as
-  * everything else (DV filtering, recorded schema) — the
-  * high-throughput scan surface remains the V1 `graft-lake` format
-  * whose pruning contract is measured in [[LakeRelation]]; this catalog
-  * buys SQL DML, not a second scan engine. */
+  * everything else (DV filtering, recorded schema), with column pruning
+  * and filter pushdown compiled into the shim's inner parquet frame
+  * (r12) — a catalog SELECT decodes only the needed columns and its
+  * pushable predicates reach the parquet scan, same as the V1
+  * `graft-lake` format whose pruning contract is measured in
+  * [[LakeRelation]]. */
 class LakeCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -240,17 +242,48 @@ class LakeV2Table(val dir: String, ident: String,
     }
   }
 
+  /** Catalog reads push down (r12): the builder accepts Spark's column
+    * pruning and every V1-`Filter`-translatable predicate, and the shim
+    * compiles them into its inner parquet frame — so `spark.table("cat.
+    * ns.t") WHERE band = 3` decodes only the needed columns and the
+    * filter reaches the parquet scan (`PushedFilters`), exactly like the
+    * V1 `graft-lake` format. At 100 TB that is the difference between a
+    * full-table full-width decode and a pruned one on every SQL read
+    * through the catalog. `pushFilters` is conservative: pushed filters
+    * are ALSO returned as residual, so Spark re-evaluates them above the
+    * scan — pushdown here is an I/O optimization, never a semantics
+    * change (same contract as Spark's own JDBC source). */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    val resolved = schema()
+    val full = schema()
     val pinned = versionAsOf
-    new ScanBuilder {
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = resolved
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new LakeV2ScanShim(context, dir, resolved, pinned)
-            .asInstanceOf[T]
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var pruned: StructType = full
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => LakeV2Table.filterToColumn(f).nonEmpty)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // Spark hands back a subset of this table's own fields in the
+        // order the query needs; the shim selects exactly these. An empty
+        // prune (count(*)) reads zero columns — footer-bounded row counts.
+        pruned = requiredSchema
+
+      override def build(): Scan = {
+        val cols = pruned
+        val conds = pushed.flatMap(LakeV2Table.filterToColumn).toIndexedSeq
+        new V1Scan {
+          override def readSchema(): StructType = cols
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new LakeV2ScanShim(context, dir, cols, pinned, conds)
+              .asInstanceOf[T]
+        }
       }
     }
   }
@@ -301,18 +334,29 @@ object LakeV2Table {
 
 /** The [[V1Scan]] exit: a TableScan-shaped relation over the manifest
   * read path (recorded schema, DV filtering; `versionAsOf` pins time
-  * travel). Spark applies the query's own filters/projections above
-  * this scan; heavy pruned scans belong to the V1 `graft-lake`
-  * format. */
-private[sources] class LakeV2ScanShim(ctx: SQLContext, dir: String,
+  * travel). `schema` is the PRUNED column set and `pushed` the
+  * translated pushed predicates — both compile into the inner parquet
+  * frame, so pruning and pushdown happen at the file scan, not above
+  * the row bridge. Spark still applies the query's own filters above
+  * this scan (the conservative-residual contract). */
+private[graft] class LakeV2ScanShim(ctx: SQLContext, dir: String,
                                       val schema: StructType,
-                                      versionAsOf: Option[Long] = None)
+                                      versionAsOf: Option[Long] = None,
+                                      pushed: Seq[Column] = Seq.empty)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
-  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+
+  /** The compiled inner frame — exposed so tests can pin that pushed
+    * filters land in THIS sub-plan's parquet scan (`PushedFilters`) and
+    * that its `ReadSchema` holds only the pruned columns. */
+  private[graft] def innerFrame: org.apache.spark.sql.DataFrame = {
     val df = versionAsOf
       .map(v => LakeTable.readVersion(ctx.sparkSession, dir, v))
       .getOrElse(LakeTable.read(ctx.sparkSession, dir))
-    df.select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
+    val filtered = pushed.foldLeft(df)(_.filter(_))
+    filtered.select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    innerFrame.rdd
 }

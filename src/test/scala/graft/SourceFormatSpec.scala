@@ -443,6 +443,73 @@ class SourceFormatSpec extends SparkTestBase {
     assert(LakeTable.currentVersion(dir).contains(3L))
   }
 
+  test("graft-lake DSv2 catalog reads prune columns and push filters " +
+       "into the parquet scan (r12)") {
+    import graft.sources.{LakeTable, LakeV2ScanShim, LakeV2Table}
+    import org.apache.spark.sql.connector.read.{
+      SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val cat = "graft_lake_spec3"
+    val wh = Files.createTempDirectory("graft_lake_whspec3_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "p1").toString
+    val df = (1L to 60L).map(k => (k, k % 5, k * 10L, s"pad_$k"))
+      .toDF("k", "band", "v", "pad")
+    assert(LakeTable.commit(spark, dir, df)(_ => None) == Right(1L))
+
+    // builder-level pin: prune to k, push band = 3 — the shim's inner
+    // frame must compile BOTH into the parquet scan (the plan a 100 TB
+    // catalog read actually runs)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val tbl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.LakeCatalog]
+      .loadTable(Identifier.of(Array("default"), "p1"))
+      .asInstanceOf[LakeV2Table]
+    val sb = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val residual = sb.asInstanceOf[SupportsPushDownFilters]
+      .pushFilters(Array(sources.EqualTo("band", 3L)))
+    assert(residual.length == 1,
+      "pushdown is conservative: pushed filters stay residual")
+    assert(sb.asInstanceOf[SupportsPushDownFilters].pushedFilters()
+      .sameElements(Array(sources.EqualTo("band", 3L))))
+    sb.asInstanceOf[SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType.fromDDL("k BIGINT"))
+    val shim = sb.build().asInstanceOf[V1Scan]
+      .toV1TableScan[BaseRelation with TableScan](spark.sqlContext)
+      .asInstanceOf[LakeV2ScanShim]
+    val inner = shim.innerFrame
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(band,3"),
+      s"pushed filter must reach the inner parquet scan:\n$plan")
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("k") && readSchema.contains("band") &&
+           !readSchema.contains("pad") && !readSchema.contains("v:"),
+      s"the inner scan must decode only pruned+filter columns: $readSchema")
+    assert(inner.columns.toSeq == Seq("k"))
+    assert(inner.collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 60L).filter(_ % 5 == 3))
+
+    // end-to-end: SQL through the catalog returns the same rows, and an
+    // un-pushable predicate still answers exactly (residual evaluation)
+    assert(spark.sql(s"SELECT k FROM $cat.default.p1 WHERE band = 3")
+      .collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 60L).filter(_ % 5 == 3))
+    assert(spark.sql(
+      s"SELECT k FROM $cat.default.p1 WHERE k % 7 = 0 AND band = 3")
+      .collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 60L).filter(k => k % 7 == 0 && k % 5 == 3))
+    // zero-column prune: count(*) through the catalog
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.p1")
+      .head.getLong(0) == 60L)
+    spark.sql(s"DROP TABLE $cat.default.p1")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
