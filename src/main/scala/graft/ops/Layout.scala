@@ -933,6 +933,67 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** ZERO-COPY CLONE (r12) — Delta's `CREATE TABLE ... CLONE` as
+      * manifest arithmetic plus hard links:
+      * [[graft.sources.LakeTable.cloneTable]] births a second table whose
+      * v1 references the source's live bytes (O(files) metadata ops,
+      * zero data movement — requires pin the file-list identity), with
+      * stats and DELETION VECTORS carried verbatim. The op then proves
+      * total post-birth independence by diverging both sides: a DV
+      * delete lands on the source BEFORE the clone (its hidden rows must
+      * stay hidden in the clone), a second DV delete lands on the CLONE
+      * only, and an append lands on the SOURCE only (invisible in the
+      * clone). The read-back is the clone's final state; the oracle
+      * computes it straight from `orders`, so the hash-match proves the
+      * clone is byte-exact and the divergence leaked nothing either
+      * way. At 100 TB a clone costs a manifest listing — the capability
+      * behind dev/staging copies and experiment branches of production
+      * tables. */
+    OpDef(
+      "q_lake_clone",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey % 10 <> 0 AND o_custkey % 7 <> 3
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_lake_clone_").toString
+      val srcDir = s"$base/src"
+      val dstDir = s"$base/dst"
+      val snap = orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      require(LakeTable.commit(s, srcDir, snap)(_ => None) == Right(1L),
+              "v1 commit failed")
+      // a DV delete BEFORE the clone: the vector must carry into it
+      require(LakeTable.deleteWhereDv(s, srcDir,
+                col("custkey") % 10 === 0)(_ => None) == Right(2L),
+              "source DV delete failed")
+      val srcFiles = LakeTable.currentFiles(srcDir)
+      require(LakeTable.cloneTable(srcDir, dstDir) == Right(1L),
+              "clone must publish the clone's own v1")
+      require(LakeTable.currentFiles(dstDir) == srcFiles,
+              "clone is metadata + links: its v1 must reference the " +
+              "source's file list verbatim")
+      require(LakeTable.cloneTable(srcDir, dstDir).isLeft,
+              "cloning onto a non-fresh target must refuse")
+      // diverge: a clone-only DV delete ...
+      require(LakeTable.deleteWhereDv(s, dstDir,
+                col("custkey") % 7 === 3)(_ => None) == Right(2L),
+              "clone DV delete failed")
+      // ... and a source-only append, invisible in the clone
+      require(LakeTable.append(s, srcDir,
+                snap.limit(1).withColumn("custkey", lit(-1L)))(_ => None)
+                == Right(3L), "source append failed")
+      LakeTable.read(s, dstDir).orderBy("custkey")
+    },
+
     /** DATE-typed manifest-stats skipping through the standard source
       * (r9): the table is laid out by order YEAR with per-file (min, max)
       * recorded for the DATE column (`statsBy` typed encoding — epoch

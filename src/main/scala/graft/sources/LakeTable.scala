@@ -1754,6 +1754,59 @@ object LakeTable {
     }
   }
 
+  /** CLONE: birth `dstDir` as a NEW table whose v1 references the same
+    * bytes as `srcDir`'s live (or `versionAsOf`-pinned) version — the
+    * Delta `CREATE TABLE ... CLONE` capability. Data files and DV
+    * sidecars HARD-LINK into the clone at their manifest-relative paths:
+    * O(files) driver-side metadata ops, zero bytes moved, so cloning a
+    * 100 TB table costs what listing its manifest costs. Unlike Delta's
+    * shallow clone — whose clone dies when the SOURCE is vacuumed — a
+    * link keeps the underlying inode alive no matter what the source
+    * does afterwards; the object-store deployment would record absolute
+    * source URIs instead and inherit the shallow-clone retention caveat
+    * (documented trade; the local reduction gets the stronger property
+    * for free, and server-side COPY on stores that support it restores
+    * it). After birth the clone is fully independent: its own version
+    * history, DML, vacuum. Stats entries and deletion vectors carry
+    * verbatim (a DV-hidden row stays hidden); per-sink batch watermarks
+    * do NOT carry (a clone is a new table — a sink targeting it is a new
+    * sink, Delta semantics). Refuses a non-fresh target: clone births
+    * tables, it never overwrites one. */
+  def cloneTable(srcDir0: String, dstDir0: String,
+                 versionAsOf: Option[Long] = None): Either[String, Long] = {
+    val src = LakeSource.localPath(srcDir0)
+    val dst = LakeSource.localPath(dstDir0)
+    versionAsOf.orElse(currentVersion(src)) match {
+      case None => Left(s"no published version in $src")
+      case Some(v) => readManifest(src, v) match {
+        case None =>
+          Left(s"version $v not published (or vacuumed) in $src")
+        case Some(json) =>
+          if (manifestVersions(dst).nonEmpty || currentVersion(dst).nonEmpty)
+            Left(s"clone target $dst is not a fresh table directory")
+          else {
+            (manifestFiles(json) ++ manifestDv(json)).foreach { f =>
+              val from = Paths.get(src, f)
+              val to = Paths.get(dst, f)
+              Files.createDirectories(to.getParent)
+              try Files.createLink(to, from)
+              catch {
+                // cross-device / no-link filesystems: fall back to a copy
+                case _: UnsupportedOperationException =>
+                  Files.copy(from, to)
+                case e: java.nio.file.FileSystemException
+                    if !e.isInstanceOf[FileAlreadyExistsException] =>
+                  Files.copy(from, to)
+              }
+            }
+            Right(publish(Staged(dst, 1L, manifestFiles(json),
+              schema = manifestSchema(json), stats = manifestStats(json),
+              baseVersion = 0L, op = "clone", dv = manifestDv(json))))
+          }
+      }
+    }
+  }
+
   // ---- change feed (r9) -------------------------------------------------
 
   /** CDC READ of the lake — the manifest history IS a change log: for

@@ -1268,4 +1268,57 @@ class LakeSpec extends SparkTestBase {
     assert(feed.select("_commit_timestamp").distinct().collect()
       .map(_.getTimestamp(0)).toSet == Set(t1, t2))
   }
+
+  test("cloneTable (r12): zero-copy birth, DV carry, time-travel clone, " +
+       "and hard-link durability against a source vacuum") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lake_clone_").toString
+    val src = s"$root/src"
+    val df = (1L to 30L).map(k => (k, k * 10L)).toDF("k", "v")
+    assert(LakeTable.commit(spark, src, df)(_ => None) == Right(1L))
+    // a sink watermark on the source — clones must NOT inherit it
+    assert(LakeTable.append(spark, src,
+      Seq((31L, 310L)).toDF("k", "v"),
+      batches = Map("sinkA" -> 7L))(_ => None) == Right(2L))
+    assert(LakeTable.deleteWhereDv(spark, src, col("k") <= 3)(_ => None)
+      == Right(3L))
+
+    // clone of the LIVE version: byte-exact, DV applied, no watermarks
+    val live = s"$root/live"
+    assert(LakeTable.cloneTable(src, live) == Right(1L))
+    assert(LakeTable.read(spark, live).collect().map(_.getLong(0)).sorted
+      .toSeq == (4L to 31L))
+    assert(LakeTable.appliedBatch(live, "sinkA").isEmpty,
+      "per-sink batch watermarks must not carry into a clone")
+    assert(LakeTable.dvOf(live, 1L).nonEmpty,
+      "the source's deletion vectors must carry into the clone")
+
+    // clone of a PINNED version (time-travel clone): pre-delete content
+    val pinned = s"$root/pinned"
+    assert(LakeTable.cloneTable(src, pinned, Some(2L)) == Right(1L))
+    assert(LakeTable.read(spark, pinned).count() == 31L)
+
+    // a clone refuses a non-fresh target and an unknown version
+    assert(LakeTable.cloneTable(src, live).isLeft)
+    assert(LakeTable.cloneTable(src, s"$root/nope", Some(99L)).isLeft)
+
+    // hard-link durability: rewrite the source (orphaning v1-v3's files)
+    // then vacuum it to one version — the clones must still read exactly
+    assert(LakeTable.commit(spark, src,
+      Seq((100L, 1000L)).toDF("k", "v"))(_ => None) == Right(4L))
+    LakeTable.vacuum(src, keepVersions = 1)
+    assert(LakeTable.read(spark, live).collect().map(_.getLong(0)).sorted
+      .toSeq == (4L to 31L),
+      "a source vacuum must never break a clone (links hold the inodes)")
+    assert(LakeTable.read(spark, pinned).count() == 31L)
+
+    // and the clone's own lifecycle is fully independent: DML + vacuum
+    assert(LakeTable.deleteWhereDv(spark, live, col("k") > 29)(_ => None)
+      == Right(2L))
+    LakeTable.vacuum(live, keepVersions = 1)
+    assert(LakeTable.read(spark, live).collect().map(_.getLong(0)).sorted
+      .toSeq == (4L to 29L))
+    assert(LakeTable.read(spark, src).count() == 1L,
+      "clone DML must never reach the source")
+  }
 }
