@@ -1158,6 +1158,65 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** SQL `CREATE TABLE AS SELECT` through the DSv2 catalog (r12): the
+      * SQL-first table birth. CREATE records the declared layout column
+      * and stats columns as the table's `pending.json` write defaults
+      * (this layout cannot publish an empty version — schema lives in
+      * non-empty manifests), and the CTAS write itself publishes v1
+      * CARRYING them (requires pin the `_layout=` paths and the
+      * recorded per-file custkey stats); a later plain `INSERT INTO`
+      * appends v2 under the same defaults. The oracle computes the full
+      * rollup straight from `orders`, so the hash-match proves CREATE,
+      * CTAS write, defaults-carrying append, and the catalog read path
+      * compose end-to-end. At 100 TB the declared defaults are what
+      * keep every SQL INSERT prunable: layout for partial merges, stats
+      * for data skipping, with no engine-API call anywhere. */
+    OpDef(
+      "q_lake_sql_create",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      val table = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val view = Views.reg(table, "sqlcreate")
+      s.sql(s"CREATE TABLE $cat.default.$tbl PARTITIONED BY (band) " +
+        "TBLPROPERTIES ('statsBy'='custkey') AS " +
+        s"SELECT * FROM $view WHERE custkey % 2 = 0")
+      require(LakeTable.currentVersion(dir).contains(1L),
+              "CTAS must publish v1")
+      require(LakeTable.currentFiles(dir).forall(_.contains("_layout=")),
+              "CTAS must honor the declared layout column")
+      require(LakeTable.statsOf(dir, 1L).keys.exists(_._2 == "custkey"),
+              "CTAS must record the declared statsBy column")
+      s.sql(s"INSERT INTO $cat.default.$tbl " +
+        s"SELECT * FROM $view WHERE custkey % 2 = 1")
+      require(LakeTable.currentVersion(dir).contains(2L),
+              "INSERT after CTAS must append v2")
+      s.table(s"$cat.default.$tbl")
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
     /** SQL `DELETE FROM` through the DataSourceV2 catalog (r12, verdict
       * ask #4 — the engine's first DSv2 surface): the rollup commits at
       * `<warehouse>/default/<tbl>`, the session registers

@@ -31,11 +31,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   *
   * Identifier `ns.tbl` maps to directory `<warehouse>/ns/tbl`; a table
-  * EXISTS iff that directory has a published version (tables are born
-  * through [[LakeTable.commit]] / the `graft-lake` writer — `CREATE
-  * TABLE` through this catalog refuses and points there, because this
-  * layout cannot publish an empty version: schema lives in non-empty
-  * manifests).
+  * EXISTS iff that directory has a published version or a CREATE-time
+  * `pending.json` record. Tables are born through [[LakeTable.commit]] /
+  * the `graft-lake` writer, or (r12) through SQL `CREATE TABLE` /
+  * `CREATE TABLE AS SELECT` on this catalog — CREATE records the
+  * declared schema + write defaults as `pending.json` (this layout
+  * cannot publish an empty version: schema lives in non-empty
+  * manifests) and the first INSERT publishes v1.
   *
   * DELETE binds to [[LakeTable.deleteWhereDv]] — the zero-rewrite
   * deletion-vector path — via the V1 `Filter` bridge ([[SupportsDelete]];
@@ -79,12 +81,16 @@ class LakeCatalog extends TableCatalog {
         p.resolve(seg)
       }.toString
 
-  override def tableExists(ident: Identifier): Boolean =
-    LakeTable.currentVersion(dirOf(ident)).nonEmpty
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    LakeTable.currentVersion(dir).nonEmpty ||
+      LakeCatalog.readPending(dir).nonEmpty
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (LakeTable.currentVersion(dir).isEmpty)
+    if (LakeTable.currentVersion(dir).isEmpty &&
+        LakeCatalog.readPending(dir).isEmpty)
       throw new NoSuchTableException(ident)
     new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
   }
@@ -133,20 +139,50 @@ class LakeCatalog extends TableCatalog {
     scala.util.Using.resource(Files.list(nsDir)) { stream =>
       stream.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
-          LakeTable.currentVersion(p.toString).nonEmpty)
+          (LakeTable.currentVersion(p.toString).nonEmpty ||
+           LakeCatalog.readPending(p.toString).nonEmpty))
         .map(p => Identifier.of(namespace, p.getFileName.toString))
         .toArray
     }
   }
 
+  /** SQL `CREATE TABLE` / `CREATE TABLE AS SELECT` through the catalog
+    * (r12). This layout cannot publish an empty VERSION (schema lives in
+    * non-empty manifests), so CREATE records a `pending.json` — schema,
+    * optional `PARTITIONED BY (<one column>)` → the lake's `layoutBy`,
+    * optional `TBLPROPERTIES ('statsBy'='c1,c2')` → per-file stats
+    * columns — and the first INSERT publishes v1 carrying them. Until
+    * then the table EXISTS with its declared schema and reads as empty
+    * (Delta semantics: an empty table is queryable). CTAS is exactly
+    * CREATE + the first INSERT, so it lands as v1 in one statement; on
+    * CTAS failure Spark drops the pending table, leaving nothing. The
+    * pending record persists after birth as the table's write defaults
+    * (layout/stats travel with every later catalog INSERT). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"graft-lake tables are born through LakeTable.commit or " +
-      s"df.write.format(\"graft-lake\") at ${dirOf(ident)} — this layout " +
-      "cannot publish an empty version (schema lives in non-empty " +
-      "manifests)")
+                           properties: JMap[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val layout = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        Some(t.references()(0).fieldNames().mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake layout is a single identity partition column " +
+        s"(layoutBy); got [${other.mkString(", ")}]")
+    }
+    require(layout.forall(c => schema.fieldNames.contains(c)),
+      s"PARTITIONED BY column '${layout.get}' is not in the schema")
+    val statsBy = Option(
+        new CaseInsensitiveStringMap(properties).get("statsby")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    statsBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"statsBy column '$c' is not in the schema"))
+    Files.createDirectories(Paths.get(dir))
+    LakeCatalog.writePending(dir,
+      LakeCatalog.Pending(schema, layout, statsBy))
+    new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
@@ -178,6 +214,50 @@ class LakeCatalog extends TableCatalog {
   }
 }
 
+object LakeCatalog {
+  /** The CREATE-time table record: declared schema plus the write
+    * defaults (layout column, stats columns) every later catalog INSERT
+    * carries. Written once by [[LakeCatalog.createTable]]; a published
+    * version's recorded schema takes precedence for reads thereafter. */
+  private[graft] final case class Pending(schema: StructType,
+                                          layoutBy: Option[String],
+                                          statsBy: Seq[String])
+
+  private def pendingPath(dir: String): java.nio.file.Path =
+    Paths.get(dir, "pending.json")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[graft] def writePending(dir: String, p: Pending): Unit = {
+    val json = s"""{"schema":"${enc(p.schema.toDDL)}"""" +
+      p.layoutBy.map(c => s""","layoutBy":"${enc(c)}"""").getOrElse("") +
+      (if (p.statsBy.isEmpty) ""
+       else s""","statsBy":"${enc(p.statsBy.mkString(","))}"""") + "}"
+    val tmp = Paths.get(dir, s".pending-${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, pendingPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private[graft] def readPending(dir: String): Option[Pending] = {
+    val p = pendingPath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val json = new String(Files.readAllBytes(p), "UTF-8")
+      def field(k: String): Option[String] =
+        ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(json)
+          .map(m => dec(m.group(1)))
+      field("schema").map(ddl => Pending(StructType.fromDDL(ddl),
+        field("layoutBy"),
+        field("statsBy").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)))
+    }
+  }
+}
+
 /** One lake table seen through the DSv2 `Table` contract: reads resolve
   * the LIVE version per scan (same non-freezing discipline as
   * [[LakeRelation.liveVersion]]), deletes ride the deletion-vector
@@ -198,9 +278,14 @@ class LakeV2Table(val dir: String, ident: String,
       .map(v => LakeTable.schemaOf(dir, v))
       .getOrElse(LakeTable.currentSchema(dir))
     if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
-    else versionAsOf
-      .map(v => LakeTable.readVersion(SparkSession.active, dir, v).schema)
-      .getOrElse(LakeTable.read(SparkSession.active, dir).schema)
+    else LakeCatalog.readPending(dir) match {
+      // a CREATE'd-but-unborn table carries its declared schema
+      case Some(p) if versionAsOf.isEmpty &&
+          LakeTable.currentVersion(dir).isEmpty => p.schema
+      case _ => versionAsOf
+        .map(v => LakeTable.readVersion(SparkSession.active, dir, v).schema)
+        .getOrElse(LakeTable.read(SparkSession.active, dir).schema)
+    }
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -227,9 +312,17 @@ class LakeV2Table(val dir: String, ident: String,
                                   overwriteFlag: Boolean): Unit = {
                 val ovr = ovrBuilder || overwriteFlag
                 val spark = SparkSession.active
+                // write defaults declared at CREATE time (layout column,
+                // stats columns) travel with every catalog INSERT — the
+                // first one births v1 carrying them
+                val pending = LakeCatalog.readPending(dir)
+                val layout = pending.flatMap(_.layoutBy)
+                val stats = pending.map(_.statsBy).getOrElse(Seq.empty)
                 val r =
-                  if (ovr) LakeTable.commit(spark, dir, data)(_ => None)
-                  else LakeTable.append(spark, dir, data)(_ => None)
+                  if (ovr) LakeTable.commit(spark, dir, data, layout,
+                                            stats)(_ => None)
+                  else LakeTable.append(spark, dir, data, layout,
+                                        stats)(_ => None)
                 r match {
                   case Right(_) => ()
                   case Left(reason) => throw new IllegalStateException(
@@ -293,6 +386,9 @@ class LakeV2Table(val dir: String, ident: String,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     refuseDml("DELETE from")
+    // a CREATE'd-but-unborn table has nothing to delete: no-op success,
+    // same as an empty match on a born one
+    if (LakeTable.currentVersion(dir).isEmpty) return
     val cond = filters.flatMap(LakeV2Table.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     LakeTable.deleteWhereDv(SparkSession.active, dir, cond)(_ => None) match {
@@ -350,6 +446,12 @@ private[graft] class LakeV2ScanShim(ctx: SQLContext, dir: String,
     * filters land in THIS sub-plan's parquet scan (`PushedFilters`) and
     * that its `ReadSchema` holds only the pruned columns. */
   private[graft] def innerFrame: org.apache.spark.sql.DataFrame = {
+    // a CREATE'd-but-unborn table reads as empty under its declared
+    // (already pruned) schema — queryable before its first INSERT
+    if (versionAsOf.isEmpty && LakeTable.currentVersion(dir).isEmpty &&
+        LakeCatalog.readPending(dir).nonEmpty)
+      return ctx.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     val df = versionAsOf
       .map(v => LakeTable.readVersion(ctx.sparkSession, dir, v))
       .getOrElse(LakeTable.read(ctx.sparkSession, dir))

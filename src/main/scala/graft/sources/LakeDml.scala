@@ -194,11 +194,25 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
   * [[LakeTable.updateWhereDv]] (serialized write-audit-publish;
   * row-conservation + schema-evolution gates). Empty match = no-op
   * success, Delta semantics. */
+object LakeDml {
+  /** A table that EXISTS only as a CREATE-time `pending.json` record —
+    * declared schema, no published version yet. DML against it follows
+    * Delta's empty-table semantics: DELETE/UPDATE/MERGE-DELETE are
+    * no-op successes, MERGE upsert births v1. A directory with neither
+    * a version nor a pending record is NOT unborn — it is not a table,
+    * and the ops' own "no published version" refusal stands. */
+  private[sources] def unborn(dir: String): Boolean =
+    LakeTable.currentVersion(dir).isEmpty &&
+      LakeCatalog.readPending(dir).nonEmpty
+}
+
 case class UpdateLakeDvCommand(dir: String, ident: String,
                                condSql: Option[String],
                                sets: Seq[(String, String)])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // a CREATE'd-but-unborn table has no rows to update: no-op success
+    if (LakeDml.unborn(dir)) return Seq.empty
     val pred = condSql.map(expr).getOrElse(lit(true))
     LakeTable.updateWhereDv(spark, dir, pred,
         sets.map { case (c, s) => c -> expr(s) })(_ => None) match {
@@ -216,6 +230,8 @@ case class DeleteLakeDvCommand(dir: String, ident: String,
                                condSql: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // a CREATE'd-but-unborn table has nothing to delete: no-op success
+    if (LakeDml.unborn(dir)) return Seq.empty
     LakeTable.deleteWhereDv(spark, dir, expr(condSql))(_ => None) match {
       case Right(_) => Seq.empty
       case Left(reason) => throw new IllegalStateException(
@@ -233,6 +249,8 @@ case class MergeLakeDvDeleteCommand(dir: String, ident: String,
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
+    // a CREATE'd-but-unborn table matches nothing: no-op success
+    if (LakeDml.unborn(dir)) return Seq.empty
     val src = org.apache.spark.sql.graftshim.StreamShim.ofRows(spark, source)
     LakeTable.deleteMatchedDv(spark, dir, src, keys)(_ => None) match {
       case Right(_) => Seq.empty
@@ -256,6 +274,19 @@ case class MergeLakeDvCommand(dir: String, ident: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graftshim.StreamShim.ofRows(spark, source)
+    // MERGE into a CREATE'd-but-unborn table: nothing matches, so the
+    // upsert degenerates to inserting every source row — it BIRTHS v1,
+    // carrying the CREATE-time write defaults (Delta semantics: a merge
+    // into an empty table is a plain insert)
+    if (LakeDml.unborn(dir)) {
+      val p = LakeCatalog.readPending(dir)
+      LakeTable.commit(spark, dir, src, p.flatMap(_.layoutBy),
+          p.map(_.statsBy).getOrElse(Seq.empty))(_ => None) match {
+        case Right(_) => return Seq.empty
+        case Left(reason) => throw new IllegalStateException(
+          s"MERGE INTO $ident failed: $reason")
+      }
+    }
     LakeTable.mergeDv(spark, dir, src, keys)(_ => None) match {
       case Right(_) => Seq.empty
       case Left(reason) => throw new IllegalStateException(

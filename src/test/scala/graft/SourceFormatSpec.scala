@@ -510,6 +510,95 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $cat.default.p1")
   }
 
+  test("SQL CREATE TABLE / CTAS through the DSv2 catalog (r12): pending " +
+       "birth, first INSERT publishes v1 with declared layout/stats") {
+    import graft.sources.LakeTable
+    val cat = "graft_lake_spec4"
+    val wh = Files.createTempDirectory("graft_lake_whspec4_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "c1").toString
+
+    // CREATE records the declared schema + write defaults; the table
+    // exists, lists, and reads as EMPTY before its first insert
+    spark.sql(s"CREATE TABLE $cat.default.c1 " +
+      "(k BIGINT, band BIGINT, v BIGINT) PARTITIONED BY (band) " +
+      "TBLPROPERTIES ('statsBy'='k')")
+    assert(spark.table(s"$cat.default.c1").schema.fieldNames.toSeq
+      == Seq("k", "band", "v"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.c1")
+      .head.getLong(0) == 0L)
+    assert(LakeTable.currentVersion(dir).isEmpty,
+      "CREATE must not publish a version (schema lives in manifests)")
+    // DML against the unborn table: DELETE is a no-op success
+    spark.sql(s"DELETE FROM $cat.default.c1 WHERE k = 1")
+    assert(LakeTable.currentVersion(dir).isEmpty)
+    // a duplicate CREATE refuses
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.c1 (x BIGINT)")
+    }
+
+    // the first INSERT births v1 CARRYING the declared write defaults:
+    // files land under the layout column and per-file k-stats record
+    spark.sql(s"INSERT INTO $cat.default.c1 VALUES " +
+      "(1, 0, 10), (2, 1, 20), (3, 0, 30), (4, 1, 40)")
+    assert(LakeTable.currentVersion(dir).contains(1L))
+    val files = LakeTable.currentFiles(dir)
+    assert(files.forall(_.contains("_layout=")),
+      s"INSERT must honor the CREATE-time layout column: $files")
+    assert(LakeTable.statsOf(dir, 1L).keys.exists(_._2 == "k"),
+      "INSERT must record the CREATE-time statsBy column")
+    assert(spark.table(s"$cat.default.c1").count() == 4L)
+
+    // CTAS: CREATE + first insert in one statement → v1 directly
+    spark.sql(s"CREATE TABLE $cat.default.c2 AS " +
+      s"SELECT k, v FROM $cat.default.c1 WHERE band = 0")
+    val dir2 = java.nio.file.Paths.get(wh, "default", "c2").toString
+    assert(LakeTable.currentVersion(dir2).contains(1L))
+    assert(spark.table(s"$cat.default.c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Seq((1L, 10L), (3L, 30L)))
+
+    // CTAS with partitioning lays out the files
+    spark.sql(s"CREATE TABLE $cat.default.c3 PARTITIONED BY (band) AS " +
+      s"SELECT * FROM $cat.default.c1")
+    val dir3 = java.nio.file.Paths.get(wh, "default", "c3").toString
+    assert(LakeTable.currentFiles(dir3).forall(_.contains("_layout=")))
+
+    // unsupported partition shapes refuse at CREATE
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.c4 (k BIGINT, b BIGINT) " +
+        "PARTITIONED BY (k, b)")
+    }
+    // DROP removes a pending-only table too
+    spark.sql(s"CREATE TABLE $cat.default.c5 (k BIGINT)")
+    spark.sql(s"DROP TABLE $cat.default.c5")
+    intercept[Exception] { spark.table(s"$cat.default.c5").collect() }
+
+    // DML against unborn tables follows empty-table semantics: UPDATE is
+    // a no-op, MERGE upsert BIRTHS v1 (merge into empty = insert all),
+    // carrying the CREATE-time layout
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.default.c6 " +
+      "(k BIGINT, band BIGINT, v BIGINT) PARTITIONED BY (band)")
+    spark.sql(s"UPDATE $cat.default.c6 SET v = 0 WHERE k = 1")
+    val dir6 = java.nio.file.Paths.get(wh, "default", "c6").toString
+    assert(LakeTable.currentVersion(dir6).isEmpty,
+      "UPDATE on an unborn table must be a no-op")
+    Seq((1L, 0L, 10L), (2L, 1L, 20L)).toDF("k", "band", "v")
+      .createOrReplaceTempView("unborn_merge_src")
+    spark.sql(s"MERGE INTO $cat.default.c6 AS t " +
+      "USING unborn_merge_src AS s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(LakeTable.currentVersion(dir6).contains(1L),
+      "MERGE into an unborn table must birth v1")
+    assert(LakeTable.currentFiles(dir6).forall(_.contains("_layout=")),
+      "the birthing MERGE must honor the CREATE-time layout")
+    assert(spark.table(s"$cat.default.c6").count() == 2L)
+    Seq("c1", "c2", "c3", "c6").foreach(t =>
+      spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
