@@ -1217,6 +1217,60 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** SQL `ALTER TABLE ... ADD COLUMNS` through the DSv2 catalog
+      * (r12): schema evolution as a METADATA-ONLY commit — v1 holds the
+      * pre-evolution rows (custkey, n_orders for even custkeys), the
+      * ALTER publishes v2 with the SAME file list and the extended
+      * recorded schema (requires pin file-list identity — zero data
+      * movement, the write amplification a full-table null-column
+      * rewrite would cost at 100 TB), and the post-ALTER insert lands
+      * odd custkeys WITH the new `cents` column. Readers null-fill the
+      * old rows; the oracle spells the same null pattern with a CASE,
+      * so the hash-match proves the evolved read is exact across both
+      * eras. Drops/renames/type changes refuse — the additive
+      * evolution contract, now reachable from SQL. */
+    OpDef(
+      "q_lake_sql_alter",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CASE WHEN o_custkey % 2 = 1
+        |    THEN CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+        |              AS BIGINT)) AS BIGINT)
+        |    ELSE NULL END AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val table = orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      val view = Views.reg(table, "sqlalter")
+      s.sql(s"CREATE TABLE $cat.default.$tbl " +
+        "(custkey BIGINT, n_orders BIGINT)")
+      s.sql(s"INSERT INTO $cat.default.$tbl " +
+        s"SELECT custkey, n_orders FROM $view WHERE custkey % 2 = 0")
+      val filesV1 = LakeTable.currentFiles(dir)
+      s.sql(s"ALTER TABLE $cat.default.$tbl ADD COLUMNS (cents BIGINT)")
+      require(LakeTable.currentVersion(dir).contains(2L),
+              "ALTER must publish a metadata version")
+      require(LakeTable.currentFiles(dir) == filesV1,
+              "ALTER must be metadata-only: identical file list")
+      s.sql(s"INSERT INTO $cat.default.$tbl " +
+        s"SELECT custkey, n_orders, cents FROM $view WHERE custkey % 2 = 1")
+      s.table(s"$cat.default.$tbl").orderBy("custkey")
+    },
+
     /** SQL `DELETE FROM` through the DataSourceV2 catalog (r12, verdict
       * ask #4 — the engine's first DSv2 surface): the rollup commits at
       * `<warehouse>/default/<tbl>`, the session registers

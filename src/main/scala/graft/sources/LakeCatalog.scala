@@ -184,11 +184,65 @@ class LakeCatalog extends TableCatalog {
     new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
   }
 
+  /** SQL `ALTER TABLE` (r12) — exactly the manifest's additive-evolution
+    * contract: `ADD COLUMNS` publishes a METADATA-ONLY commit (same
+    * files, extended recorded schema — readers null-fill, zero data
+    * movement; on an unborn table it rewrites the pending record), and
+    * `SET TBLPROPERTIES ('statsBy'='…')` updates the table's write
+    * defaults. Drops, renames, and type changes refuse — they have no
+    * manifest representation by design (the evolution gate). */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution happens through commits (additive columns on " +
-      "write); ALTER TABLE has no manifest representation")
+                          changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (adds, rest) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (props, unsupported) =
+      rest.partition(_.isInstanceOf[TableChange.SetProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-lake evolution is additive: only ADD COLUMNS and SET " +
+        s"TBLPROPERTIES are representable; got " +
+        unsupported.map(_.getClass.getSimpleName).mkString(", "))
+    val cols = adds.map(_.asInstanceOf[TableChange.AddColumn]).map { a =>
+      require(a.fieldNames().length == 1,
+        s"nested ADD COLUMN '${a.fieldNames().mkString(".")}' is not " +
+        "representable (top-level columns only)")
+      require(a.isNullable,
+        s"ADD COLUMN '${a.fieldNames()(0)}' must be nullable: existing " +
+        "rows null-fill it")
+      a.fieldNames()(0) -> a.dataType().sql
+    }
+    if (cols.nonEmpty) {
+      LakeCatalog.readPending(dir) match {
+        case Some(p) if LakeTable.currentVersion(dir).isEmpty =>
+          // unborn: extend the declared schema in place
+          val dup = cols.map(_._1).find(p.schema.fieldNames.contains)
+          require(dup.isEmpty, s"column '${dup.get}' already exists")
+          LakeCatalog.writePending(dir, p.copy(schema = StructType.fromDDL(
+            (p.schema.toDDL +: cols.map { case (n, t) => s"$n $t" })
+              .mkString(", "))))
+        case _ =>
+          LakeTable.addColumns(dir, cols) match {
+            case Right(_) => ()
+            case Left(reason) => throw new IllegalStateException(
+              s"ALTER TABLE ${ident.name()} failed: $reason")
+          }
+      }
+    }
+    props.map(_.asInstanceOf[TableChange.SetProperty]).foreach { p =>
+      if (p.property().equalsIgnoreCase("statsby")) {
+        val statsBy = p.value().split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val cur = LakeCatalog.readPending(dir).getOrElse(
+          LakeCatalog.Pending(loadTable(ident).asInstanceOf[LakeV2Table]
+            .schema(), None, Seq.empty))
+        LakeCatalog.writePending(dir, cur.copy(statsBy = statsBy))
+      } else throw new UnsupportedOperationException(
+        s"unknown table property '${p.property()}' (only statsBy is a " +
+        "write default)")
+    }
+    loadTable(ident)
+  }
 
   /** DROP = vacuum-to-nothing: removes the table directory wholesale.
     * The catalog's delete surface is version-granular ([[vacuum]]); DROP

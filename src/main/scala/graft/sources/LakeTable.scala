@@ -1807,6 +1807,49 @@ object LakeTable {
     }
   }
 
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit (r12): publish a
+    * new version with the SAME file list and the recorded schema
+    * extended by the new `name -> TYPE-DDL` columns — zero data
+    * movement, readers null-fill the new columns for every pre-ALTER
+    * file (the additive-evolution semantics [[readFiles]] already
+    * provides), and time travel keeps each version's own schema. This is
+    * the only schema change the manifest represents: drops and type
+    * changes stay refused (the evolution contract), exactly additive
+    * evolution. The change feed emits nothing for an ALTER version
+    * (identical file list — no row changed). At 100 TB an ALTER is one
+    * manifest write; the alternative (rewriting every file with a null
+    * column) is the write amplification this exists to avoid. */
+  def addColumns(dir: String,
+                 cols: Seq[(String, String)]): Either[String, Long] = {
+    require(cols.nonEmpty, "ADD COLUMNS requires at least one column")
+    commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val recorded = manifestSchema(json)
+        if (recorded.isEmpty)
+          Left(s"cannot ALTER a schema-less (legacy) table in $dir")
+        else {
+          val names = recorded.map(_.split(" ", 2)(0)).toSet
+          cols.find(c => names.contains(c._1)) match {
+            case Some((n, _)) => Left(s"column '$n' already exists in $dir")
+            case None =>
+              val extended = recorded ++ cols.map { case (n, t) => s"$n $t" }
+              // the extended DDL must parse — refuse garbage types at
+              // commit time, not at first read
+              try StructType.fromDDL(extended.mkString(", "))
+              catch { case e: Exception =>
+                return Left(s"ADD COLUMNS rejected: ${e.getMessage}") }
+              Right(Staged(dir, base + 1L, manifestFiles(json),
+                batches = batchesOf(dir, base),
+                schema = extended, stats = manifestStats(json),
+                baseVersion = base, op = "alter", dv = manifestDv(json)))
+          }
+        }
+      }
+    }
+  }
+
   // ---- change feed (r9) -------------------------------------------------
 
   /** CDC READ of the lake — the manifest history IS a change log: for

@@ -599,6 +599,66 @@ class SourceFormatSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("SQL ALTER TABLE through the catalog (r12): ADD COLUMNS is a " +
+       "metadata-only commit; SET TBLPROPERTIES updates write defaults") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec5"
+    val wh = Files.createTempDirectory("graft_lake_whspec5_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "a1").toString
+    assert(LakeTable.commit(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))(_ => None) == Right(1L))
+    val filesV1 = LakeTable.currentFiles(dir)
+
+    // ADD COLUMNS: version bump, identical files, reads null-fill
+    spark.sql(s"ALTER TABLE $cat.default.a1 ADD COLUMNS (w BIGINT)")
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(LakeTable.currentFiles(dir) == filesV1,
+      "ALTER must be metadata-only: same file list")
+    val after = spark.table(s"$cat.default.a1")
+    assert(after.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(after.collect().forall(_.isNullAt(2)),
+      "pre-ALTER rows must null-fill the new column")
+    // the feed emits nothing for an ALTER (no row changed)
+    assert(LakeTable.changesBetween(spark, dir, 1L, 2L).isEmpty)
+    // time travel keeps the old schema
+    assert(LakeTable.readVersion(spark, dir, 1L).schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    // inserts now carry the new column
+    spark.sql(s"INSERT INTO $cat.default.a1 VALUES (3, 30, 300)")
+    assert(spark.table(s"$cat.default.a1").filter(col("k") === 3L)
+      .head.getLong(2) == 300L)
+    // a duplicate column and a DROP COLUMN refuse
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.a1 ADD COLUMNS (v BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.a1 DROP COLUMN v")
+    }
+    assert(LakeTable.currentVersion(dir).contains(3L),
+      "refused ALTERs must not mint versions")
+
+    // unborn table: ALTER extends the declared schema in place
+    spark.sql(s"CREATE TABLE $cat.default.a2 (k BIGINT)")
+    spark.sql(s"ALTER TABLE $cat.default.a2 ADD COLUMNS (v BIGINT)")
+    assert(spark.table(s"$cat.default.a2").schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    spark.sql(s"INSERT INTO $cat.default.a2 VALUES (1, 2)")
+    assert(spark.table(s"$cat.default.a2").head.getLong(1) == 2L)
+
+    // SET TBLPROPERTIES ('statsBy') changes later inserts' stats
+    val dir2 = java.nio.file.Paths.get(wh, "default", "a2").toString
+    assert(!LakeTable.statsOf(dir2, 1L).keys.exists(_._2 == "k"))
+    spark.sql(s"ALTER TABLE $cat.default.a2 " +
+      "SET TBLPROPERTIES ('statsBy'='k')")
+    spark.sql(s"INSERT INTO $cat.default.a2 VALUES (9, 9)")
+    assert(LakeTable.statsOf(dir2, 2L).keys.exists(_._2 == "k"),
+      "post-ALTER inserts must record the new statsBy column")
+    Seq("a1", "a2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
