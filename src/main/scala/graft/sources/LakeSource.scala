@@ -66,7 +66,13 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
     new LakeStreamSource(sqlContext, dir,
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       metadataPath,
-      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      // a schema WITHOUT the feed columns (readStream.table resolves the
+      // catalog table's own schema) selects rows mode: plain table rows,
+      // append-only (see LakeStreamSource rows-mode doc)
+      rowsSchema = schema.filter(s => !s.fieldNames.contains("_change_type")),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.toBoolean))
   }
 
   /** STREAM write — `df.writeStream.format("graft-lake")`: micro-batches

@@ -40,10 +40,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
                        metadataPath: String,
-                       maxVersionsPerTrigger: Option[Int])
+                       maxVersionsPerTrigger: Option[Int],
+                       rowsSchema: Option[StructType] = None,
+                       skipChangeCommits: Boolean = false)
     extends Source {
 
-  override val schema: StructType = LakeStreamSource.feedSchema(ctx, dir)
+  /** ROWS MODE (r12, behavior 46): when the engine hands a schema WITHOUT
+    * the feed columns — `spark.readStream.table(<catalog lake table>)`
+    * resolves with the table's own stored schema — the stream delivers
+    * plain table rows, append-only, Delta's `readStream` semantics: a
+    * version that removes or hides rows (rewrite, delete, DV) REFUSES
+    * loudly (silently streaming its adds would corrupt a downstream
+    * materialization), unless option `skipChangeCommits=true` drops such
+    * versions wholesale (Delta's same-named option). The change feed
+    * stays the `readStream.format("graft-lake")` surface. */
+  override val schema: StructType =
+    rowsSchema.getOrElse(LakeStreamSource.feedSchema(ctx, dir))
+
+  private val rowsMode: Boolean = rowsSchema.nonEmpty
 
   private def ver(o: OffsetV1): Long = o.json.trim.toLong
 
@@ -119,7 +133,23 @@ class LakeStreamSource(ctx: SQLContext, dir: String, startingVersion: Long,
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
     if (maxVersionsPerTrigger.nonEmpty) writeCursor(math.max(from, to))
-    val feed = LakeTable.changesBetween(ctx.sparkSession, dir, from, to)
+    val feed0 = LakeTable.changesBetween(ctx.sparkSession, dir, from, to)
+    val feed = if (!rowsMode) feed0 else {
+      // append-only contract: change commits in the window refuse (or
+      // drop wholesale under skipChangeCommits) — decided by MANIFEST
+      // arithmetic, no row is read for the check
+      val changed = LakeStreamSource.changeVersions(dir, from, to)
+      if (changed.nonEmpty && !skipChangeCommits)
+        throw new UnsupportedOperationException(
+          s"rows-mode stream on $dir hit non-append commit(s) " +
+          s"${changed.mkString("v", ", v", "")}: a table-rows stream " +
+          "cannot represent removals — read the change feed " +
+          "(readStream.format(\"graft-lake\")) or set " +
+          "skipChangeCommits=true to drop such versions")
+      val inserts = feed0.filter(col("_change_type") === "insert")
+      if (changed.isEmpty) inserts
+      else inserts.filter(!col("_commit_version").isin(changed: _*))
+    }
     // align to the declared schema: versions recorded under an older
     // schema null-fill; columns evolved onto the table after stream
     // start are dropped until a restart re-infers (the documented
@@ -222,6 +252,30 @@ class LakeStreamSink(dir: String, commitMode: String,
 }
 
 object LakeStreamSource {
+  /** Versions in `(from, to]` that REMOVE or HIDE rows — a rewrite
+    * (files leave the manifest) or a DV publish (a sidecar joins it).
+    * Pure manifest arithmetic: the rows-mode append-only gate runs on
+    * the driver without opening a file. OPTIMIZE moves files without
+    * changing rows and is exempt (its adds are also skipped by the feed
+    * itself). */
+  private[sources] def changeVersions(dir: String, from: Long,
+                                      to: Long): Seq[Long] = {
+    val vs = LakeTable.versions(dir)
+    val window = (from +: vs.filter(v => v > from && v <= to))
+      .distinct.sorted
+    window.zip(window.tail).collect {
+      case (prev, v) if LakeTable.opOf(dir, v) != "optimize" && {
+        val pf = if (prev == 0L) Set.empty[String]
+                 else LakeTable.filesOf(dir, prev).toSet
+        val removed = pf -- LakeTable.filesOf(dir, v)
+        val dvAdded = LakeTable.dvOf(dir, v).toSet --
+          (if (prev == 0L) Set.empty[String]
+           else LakeTable.dvOf(dir, prev).toSet)
+        removed.nonEmpty || dvAdded.nonEmpty
+      } => v
+    }
+  }
+
   private[sources] def feedSchema(ctx: SQLContext, dir: String): StructType = {
     val table = {
       val recorded = LakeTable.currentSchema(dir)

@@ -746,4 +746,75 @@ class LakeStreamSpec extends SparkTestBase {
       assert(bands == Set(2L), "partial merge streams only touched bands")
     } finally q.stop()
   }
+
+  test("readStream.table on a session-catalog lake table (r12, behavior " +
+       "46): plain rows, append-only, change commits refuse or skip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakestream_tbl_").toString
+    val cp = Files.createTempDirectory("graft_lakestream_tblcp_").toString
+    assert(LakeTable.commit(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))(_ => None) == Right(1L))
+    val tbl = "lake_stream_tbl_" +
+      java.util.UUID.randomUUID().toString.replace("-", "_")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-lake` " +
+      s"OPTIONS (path '$dir')")
+    val batches = mutable.Map.empty[Long, Seq[Row]]
+    val q = spark.readStream.table(tbl)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.synchronized { batches(id) = df.collect().toSeq }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val snap = batches.values.flatten.toSeq
+      assert(snap.map(_.schema.fieldNames.toSeq).distinct
+        == Seq(Seq("k", "v")),
+        "rows mode must deliver the table's own columns, no feed columns")
+      assert(snap.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L),
+        "the initial snapshot streams through the table name")
+      // a live append streams incrementally through the same query
+      assert(LakeTable.append(spark, dir,
+        Seq((3L, 30L)).toDF("k", "v"))(_ => None) == Right(2L))
+      q.processAllAvailable()
+      assert(batches.values.flatten.map(_.getAs[Long]("k")).toSeq.sorted
+        == Seq(1L, 2L, 3L))
+      // a DV delete is unrepresentable in plain rows: the stream refuses
+      assert(LakeTable.deleteWhereDv(spark, dir, col("k") === 1L)(_ => None)
+        == Right(3L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("skipChangeCommits") ||
+             Option(e.getCause).exists(_.getMessage
+               .contains("skipChangeCommits")),
+        s"the refusal must name the escape hatch: ${e.getMessage}")
+    } finally q.stop()
+
+    // skipChangeCommits=true drops the change version wholesale and the
+    // stream continues past it (fresh checkpoint: replays v1-v3, skips
+    // v3's delete, then delivers the post-delete append)
+    val cp2 = Files.createTempDirectory("graft_lakestream_tblcp2_").toString
+    val rows2 = mutable.ArrayBuffer.empty[Row]
+    val q2 = spark.readStream.option("skipChangeCommits", "true").table(tbl)
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows2.synchronized { rows2 ++= df.collect() }
+        ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(rows2.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L, 3L),
+        "skipChangeCommits must pass append versions and drop the delete")
+      assert(LakeTable.append(spark, dir,
+        Seq((4L, 40L)).toDF("k", "v"))(_ => None) == Right(4L))
+      q2.processAllAvailable()
+      assert(rows2.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L, 3L, 4L))
+    } finally {
+      q2.stop()
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }
