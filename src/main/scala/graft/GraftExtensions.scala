@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // non-lake / out-of-scope UPDATEs fall through to Spark's own error
     e.injectPostHocResolutionRule(session =>
       new graft.sources.LakeUpdateRule(session))
+    // SQL OPTIMIZE / VACUUM for lake tables (r12) — the Delta pattern:
+    // a parser that recognizes exactly these two statements and
+    // delegates everything else untouched
+    e.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
   }
 }
 

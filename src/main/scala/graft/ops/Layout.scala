@@ -1271,6 +1271,75 @@ object Layout {
       s.table(s"$cat.default.$tbl").orderBy("custkey")
     },
 
+    /** SQL `OPTIMIZE` / `VACUUM` via the injected parser (r12) — the
+      * admin statements Spark has no grammar for, added the way Delta
+      * adds its own (`SparkSessionExtensions.injectParser`; everything
+      * else delegates to Spark's parser untouched). The table is built
+      * and mutated ENTIRELY in SQL: CTAS births it laid out by band,
+      * INSERT appends (small-file growth), DELETE publishes a deletion
+      * vector, `OPTIMIZE <t>` compacts AND purges the vector (requires
+      * pin the DV-free compacted manifest + preserved layout), and
+      * `VACUUM <t> RETAIN 1 VERSIONS` reclaims all history under the
+      * live version (requires pin the single retained version). The
+      * oracle computes the post-delete rollup straight from `orders`,
+      * so the hash-match proves compaction conserved rows exactly and
+      * vacuum reclaimed only history. At 100 TB these two statements
+      * ARE the table-maintenance loop a SQL-first operator runs. */
+    OpDef(
+      "q_lake_sql_optimize",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey % 10 <> 0
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      val table = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val view = Views.reg(table, "sqloptimize")
+      s.sql(s"CREATE TABLE $cat.default.$tbl PARTITIONED BY (band) " +
+        "TBLPROPERTIES ('statsBy'='custkey') AS " +
+        s"SELECT * FROM $view WHERE custkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.default.$tbl " +
+        s"SELECT * FROM $view WHERE custkey % 2 = 1")
+      s.sql(s"DELETE FROM $cat.default.$tbl WHERE custkey % 10 = 0")
+      require(LakeTable.dvOf(dir,
+                LakeTable.currentVersion(dir).get).nonEmpty,
+              "the SQL DELETE must publish a deletion vector")
+      val ov = s.sql(s"OPTIMIZE $cat.default.$tbl").head.getLong(0)
+      require(LakeTable.currentVersion(dir).contains(ov),
+              "OPTIMIZE must publish the compacted version")
+      require(LakeTable.dvOf(dir, ov).isEmpty,
+              "OPTIMIZE is the DV purge: no vector may survive it")
+      require(LakeTable.currentFiles(dir).forall(_.contains("_layout=")),
+              "OPTIMIZE must preserve the CREATE-time layout")
+      val vac = s.sql(s"VACUUM $cat.default.$tbl RETAIN 1 VERSIONS").head
+      require(vac.getLong(0) > 0L, "VACUUM must reclaim the history")
+      require(LakeTable.versions(dir) == Seq(ov),
+              "only the live version may survive RETAIN 1")
+      s.table(s"$cat.default.$tbl")
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
     /** SQL `DELETE FROM` through the DataSourceV2 catalog (r12, verdict
       * ask #4 — the engine's first DSv2 surface): the rollup commits at
       * `<warehouse>/default/<tbl>`, the session registers

@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** SQL `OPTIMIZE` / `VACUUM` for lake tables — the admin statements Spark
+  * has no grammar for, added the way Delta adds its own: a parser
+  * injected through `SparkSessionExtensions.injectParser` that recognizes
+  * exactly these two statements and DELEGATES everything else to Spark's
+  * parser untouched (one anchored regex test per statement — zero cost on
+  * the normal SQL path).
+  *
+  * {{{
+  * OPTIMIZE <table> [TARGET <n> ROWS] [ZORDER BY (c1, c2, ...)]
+  * VACUUM <table> [RETAIN <n> VERSIONS]
+  * }}}
+  *
+  * `<table>` resolves either through a configured [[LakeCatalog]]
+  * (`cat.ns.tbl` → `<warehouse>/ns/tbl`) or through the session catalog
+  * (a `USING graft-lake` table's `path` option). OPTIMIZE binds to
+  * [[LakeTable.optimize]] — the compaction that doubles as the DV purge —
+  * carrying the table's CREATE-time write defaults (layout column, stats
+  * columns) unless `ZORDER BY` overrides the clustering; VACUUM binds to
+  * [[LakeTable.vacuum]] with a conservative default of 10 retained
+  * versions (this offline reduction gates on version count; production
+  * deployments age-gate — see the vacuum doc). Both return their result
+  * as rows (`version` / `manifests_deleted, files_deleted`), so a SQL
+  * user sees what happened without reading logs. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(ident, target, zorder) =>
+      OptimizeLakeCommand(ident,
+        Option(target).map(_.toLong),
+        Option(zorder).toSeq.flatMap(_.split(','))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+    case VacuumRe(ident, keep) =>
+      VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // anchored, case-insensitive, dotall-free: one cheap test per statement
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)""" +
+     """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
+     """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+([\w.`]+)""" +
+     """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+
+  /** Resolve a statement's table identifier to the lake directory:
+    * `cat.ns.tbl` through a configured [[LakeCatalog]]'s warehouse, or a
+    * session-catalog `USING graft-lake` table's `path` option. */
+  private[sources] def resolveDir(spark: SparkSession,
+                                  ident: String): String = {
+    val parts = ident.split('.').toSeq
+      .map(_.stripPrefix("`").stripSuffix("`"))
+    val viaCat = parts match {
+      case cat +: rest if rest.nonEmpty =>
+        spark.conf.getOption(s"spark.sql.catalog.$cat")
+          .filter(_ == classOf[LakeCatalog].getName)
+          .map { _ =>
+            val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+            rest.foldLeft(Paths.get(LakeSource.localPath(wh)))(_.resolve(_))
+              .toString
+          }
+      case _ => None
+    }
+    viaCat.getOrElse {
+      val ti = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => throw new IllegalArgumentException(
+          s"cannot resolve lake table '$ident'")
+      }
+      val meta = spark.sessionState.catalog.getTableMetadata(ti)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft-lake")),
+        s"'$ident' is not a graft-lake table (provider " +
+        s"${meta.provider.getOrElse("none")})")
+      // Spark special-cases the `path` option into storage.locationUri
+      val path = meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(_.toString))
+        .getOrElse(throw new IllegalArgumentException(
+          s"table '$ident' records no path"))
+      LakeSource.localPath(path)
+    }
+  }
+}
+
+/** `OPTIMIZE <t>` — compaction + DV purge through the serialized commit
+  * loop. CREATE-time write defaults (layout, stats) carry; `ZORDER BY`
+  * overrides clustering (range-partitioned rewrite on the named
+  * columns). Returns the published version. */
+case class OptimizeLakeCommand(ident: String, targetRows: Option[Long],
+                               zorder: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, ident)
+    val pending = LakeCatalog.readPending(dir)
+    // ZORDER overrides the layout default: a z-ordered rewrite is the
+    // caller declaring a clustering, not the table's partition layout
+    val layout = if (zorder.nonEmpty) None else pending.flatMap(_.layoutBy)
+    val stats = pending.map(_.statsBy).getOrElse(Seq.empty)
+    LakeTable.optimize(spark, dir, targetRows.getOrElse(1000000L),
+        clusterBy = zorder, layoutBy = layout, statsBy = stats) match {
+      case Right(v) => Seq(Row(v))
+      case Left(reason) => throw new IllegalStateException(
+        s"OPTIMIZE $ident failed: $reason")
+    }
+  }
+}
+
+/** `VACUUM <t> [RETAIN n VERSIONS]` — reclaim history older than the
+  * newest `n` published versions (default 10, conservative). Returns the
+  * reclaim counts. */
+case class VacuumLakeCommand(ident: String, keepVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifests_deleted", LongType, nullable = false)(),
+    AttributeReference("files_deleted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, ident)
+    require(LakeTable.currentVersion(dir).nonEmpty,
+      s"'$ident' has no published version to vacuum")
+    val (m, f) = LakeTable.vacuum(dir, keepVersions)
+    Seq(Row(m.toLong, f.toLong))
+  }
+}

@@ -659,6 +659,79 @@ class SourceFormatSpec extends SparkTestBase {
     Seq("a1", "a2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("SQL OPTIMIZE / VACUUM via the injected parser (r12): compaction " +
+       "purges DVs, vacuum reclaims history, normal SQL is untouched") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec6"
+    val wh = Files.createTempDirectory("graft_lake_whspec6_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "o1").toString
+    // a catalog-born table with declared layout, grown over several
+    // appends + a DV delete: many small files, a live sidecar
+    spark.sql(s"CREATE TABLE $cat.default.o1 " +
+      "(k BIGINT, band BIGINT, v BIGINT) PARTITIONED BY (band) " +
+      "TBLPROPERTIES ('statsBy'='k')")
+    (0 until 4).foreach { i =>
+      (1L to 10L).map(j => (i * 10L + j, (i * 10L + j) % 3, j))
+        .toDF("k", "band", "v")
+        .createOrReplaceTempView(s"opt_src_$i")
+      spark.sql(s"INSERT INTO $cat.default.o1 SELECT * FROM opt_src_$i")
+    }
+    spark.sql(s"DELETE FROM $cat.default.o1 WHERE k % 10 = 0")
+    val vDel = LakeTable.currentVersion(dir).get
+    assert(LakeTable.dvOf(dir, vDel).nonEmpty, "the delete must be a DV")
+    val before = spark.table(s"$cat.default.o1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val filesBefore = LakeTable.currentFiles(dir).size
+
+    // OPTIMIZE: fewer files, rows conserved, vectors purged, layout kept
+    val ov = spark.sql(s"OPTIMIZE $cat.default.o1").head.getLong(0)
+    assert(LakeTable.currentVersion(dir).contains(ov))
+    assert(LakeTable.dvOf(dir, ov).isEmpty,
+      "OPTIMIZE is the DV purge: the compacted version carries no vector")
+    assert(LakeTable.currentFiles(dir).size < filesBefore,
+      "OPTIMIZE must compact the small files")
+    assert(LakeTable.currentFiles(dir).forall(_.contains("_layout=")),
+      "OPTIMIZE must preserve the declared layout")
+    assert(LakeTable.statsOf(dir, ov).keys.exists(_._2 == "k"),
+      "OPTIMIZE must re-record the declared stats")
+    val after = spark.table(s"$cat.default.o1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after == before, "OPTIMIZE must conserve rows exactly")
+
+    // VACUUM RETAIN 1 VERSIONS: history reclaimed, live version intact
+    val vac = spark.sql(s"VACUUM $cat.default.o1 RETAIN 1 VERSIONS").head
+    assert(vac.getLong(0) > 0L, "vacuum must reclaim old manifests")
+    assert(LakeTable.versions(dir) == Seq(ov), "only the live version stays")
+    assert(spark.table(s"$cat.default.o1").count() == before.size.toLong)
+
+    // session-catalog (USING graft-lake) tables resolve by name too
+    val tbl = "opt_v1_" +
+      java.util.UUID.randomUUID().toString.replace("-", "_")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-lake` OPTIONS (path '$dir')")
+    val ov2 = spark.sql(s"OPTIMIZE $tbl TARGET 1000000 ROWS").head.getLong(0)
+    assert(LakeTable.currentVersion(dir).contains(ov2))
+    spark.sql(s"DROP TABLE $tbl")
+
+    // ZORDER BY clusters the rewrite instead of the layout default
+    val ov3 = spark.sql(s"OPTIMIZE $cat.default.o1 ZORDER BY (k)")
+      .head.getLong(0)
+    assert(LakeTable.currentVersion(dir).contains(ov3))
+    assert(spark.table(s"$cat.default.o1").count() == before.size.toLong)
+
+    // the injected parser must not disturb normal SQL — including
+    // statements that merely CONTAIN the keywords
+    assert(spark.sql("SELECT 'OPTIMIZE tbl' AS s").head.getString(0)
+      == "OPTIMIZE tbl")
+    intercept[Exception] { spark.sql("OPTIMIZE") } // still a syntax error
+    intercept[Exception] {
+      spark.sql(s"VACUUM $cat.default.nonexistent_t")
+    }
+    spark.sql(s"DROP TABLE $cat.default.o1")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
