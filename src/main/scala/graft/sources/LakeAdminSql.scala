@@ -46,6 +46,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
     case VacuumRe(ident, keep) =>
       VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
+    case HistoryRe(ident) => DescribeHistoryCommand(ident)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -76,6 +77,8 @@ object GraftSqlParser {
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+([\w.`]+)""" +
      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
 
   /** Resolve a statement's table identifier to the lake directory:
     * `cat.ns.tbl` through a configured [[LakeCatalog]]'s warehouse, or a
@@ -137,6 +140,31 @@ case class OptimizeLakeCommand(ident: String, targetRows: Option[Long],
       case Right(v) => Seq(Row(v))
       case Left(reason) => throw new IllegalStateException(
         s"OPTIMIZE $ident failed: $reason")
+    }
+  }
+}
+
+/** `DESCRIBE HISTORY <t>` — Delta's same-named surface: one row per
+  * RETAINED published version, newest first — version, op, file / DV
+  * sidecar counts, and the content-addressed publish instant. Pure
+  * manifest arithmetic on the driver; no data file is opened. */
+case class DescribeHistoryCommand(ident: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_dv", LongType, nullable = false)(),
+    AttributeReference("published_at",
+      org.apache.spark.sql.types.TimestampType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, ident)
+    LakeTable.versions(dir).reverse.map { v =>
+      Row(v, LakeTable.opOf(dir, v),
+          LakeTable.filesOf(dir, v).size.toLong,
+          LakeTable.dvOf(dir, v).size.toLong,
+          LakeTable.commitTimeOf(dir, v))
     }
   }
 }

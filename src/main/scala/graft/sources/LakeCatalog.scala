@@ -173,14 +173,18 @@ class LakeCatalog extends TableCatalog {
     }
     require(layout.forall(c => schema.fieldNames.contains(c)),
       s"PARTITIONED BY column '${layout.get}' is not in the schema")
-    val statsBy = Option(
-        new CaseInsensitiveStringMap(properties).get("statsby")).toSeq
+    val ci = new CaseInsensitiveStringMap(properties)
+    val statsBy = Option(ci.get("statsby")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     statsBy.foreach(c => require(schema.fieldNames.contains(c),
       s"statsBy column '$c' is not in the schema"))
+    // TBLPROPERTIES('check'='<boolean expr>') — a CHECK constraint every
+    // catalog write enforces on the incoming rows (NULL passes, FALSE
+    // refuses — the SQL-standard CHECK semantics, Delta's same contract)
+    val check = Option(ci.get("check")).map(_.trim).filter(_.nonEmpty)
     Files.createDirectories(Paths.get(dir))
     LakeCatalog.writePending(dir,
-      LakeCatalog.Pending(schema, layout, statsBy))
+      LakeCatalog.Pending(schema, layout, statsBy, check))
     new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
   }
 
@@ -230,16 +234,26 @@ class LakeCatalog extends TableCatalog {
       }
     }
     props.map(_.asInstanceOf[TableChange.SetProperty]).foreach { p =>
+      def cur = LakeCatalog.readPending(dir).getOrElse(
+        LakeCatalog.Pending(loadTable(ident).asInstanceOf[LakeV2Table]
+          .schema(), None, Seq.empty))
       if (p.property().equalsIgnoreCase("statsby")) {
         val statsBy = p.value().split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
-        val cur = LakeCatalog.readPending(dir).getOrElse(
-          LakeCatalog.Pending(loadTable(ident).asInstanceOf[LakeV2Table]
-            .schema(), None, Seq.empty))
         LakeCatalog.writePending(dir, cur.copy(statsBy = statsBy))
+      } else if (p.property().equalsIgnoreCase("check")) {
+        // adding a constraint to a table WITH rows validates them first
+        // (Delta's ADD CONSTRAINT scan): a constraint the live data
+        // already violates would make every future write path lie
+        val check = p.value().trim
+        if (check.nonEmpty && LakeTable.currentVersion(dir).nonEmpty)
+          LakeCatalog.enforceCheck(
+            LakeTable.read(SparkSession.active, dir), check, ident.name())
+        LakeCatalog.writePending(dir,
+          cur.copy(check = Some(check).filter(_.nonEmpty)))
       } else throw new UnsupportedOperationException(
-        s"unknown table property '${p.property()}' (only statsBy is a " +
-        "write default)")
+        s"unknown table property '${p.property()}' (statsBy and check " +
+        "are the write defaults)")
     }
     loadTable(ident)
   }
@@ -251,8 +265,12 @@ class LakeCatalog extends TableCatalog {
     val dir = Paths.get(dirOf(ident))
     if (!Files.isDirectory(dir)) false
     else {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      // close the walk stream (directory-handle leak otherwise — the
+      // same class of leak the r12 listTables fix closed)
+      scala.util.Using.resource(Files.walk(dir)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
       true
     }
   }
@@ -275,7 +293,8 @@ object LakeCatalog {
     * version's recorded schema takes precedence for reads thereafter. */
   private[graft] final case class Pending(schema: StructType,
                                           layoutBy: Option[String],
-                                          statsBy: Seq[String])
+                                          statsBy: Seq[String],
+                                          check: Option[String] = None)
 
   private def pendingPath(dir: String): java.nio.file.Path =
     Paths.get(dir, "pending.json")
@@ -289,12 +308,31 @@ object LakeCatalog {
     val json = s"""{"schema":"${enc(p.schema.toDDL)}"""" +
       p.layoutBy.map(c => s""","layoutBy":"${enc(c)}"""").getOrElse("") +
       (if (p.statsBy.isEmpty) ""
-       else s""","statsBy":"${enc(p.statsBy.mkString(","))}"""") + "}"
+       else s""","statsBy":"${enc(p.statsBy.mkString(","))}"""") +
+      p.check.map(c => s""","check":"${enc(c)}"""").getOrElse("") + "}"
     val tmp = Paths.get(dir, s".pending-${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, pendingPath(dir),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Enforce a CHECK constraint on the rows ABOUT TO BE WRITTEN —
+    * SQL-standard semantics (a row violates only when the expression is
+    * FALSE; NULL passes). O(batch), never O(table): the constraint held
+    * for every already-committed row when it was written, so re-checking
+    * carried data would be pure write amplification at 100 TB. Cost is
+    * one extra evaluation of the incoming frame (the same shape as
+    * Delta's per-row invariant check). */
+  private[graft] def enforceCheck(data: org.apache.spark.sql.DataFrame,
+                                  check: String, ident: String): Unit = {
+    val ok = org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.functions.expr(check).cast("boolean"),
+      org.apache.spark.sql.functions.lit(true))
+    val violations = data.filter(!ok).limit(1).count()
+    if (violations > 0L) throw new IllegalStateException(
+      s"CHECK constraint violated on $ident: ($check) is false for at " +
+      "least one incoming row; nothing was written")
   }
 
   private[graft] def readPending(dir: String): Option[Pending] = {
@@ -307,7 +345,8 @@ object LakeCatalog {
           .map(m => dec(m.group(1)))
       field("schema").map(ddl => Pending(StructType.fromDDL(ddl),
         field("layoutBy"),
-        field("statsBy").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)))
+        field("statsBy").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
+        field("check")))
     }
   }
 }
@@ -367,11 +406,13 @@ class LakeV2Table(val dir: String, ident: String,
                 val ovr = ovrBuilder || overwriteFlag
                 val spark = SparkSession.active
                 // write defaults declared at CREATE time (layout column,
-                // stats columns) travel with every catalog INSERT — the
-                // first one births v1 carrying them
+                // stats columns, CHECK constraint) travel with every
+                // catalog INSERT — the first one births v1 carrying them
                 val pending = LakeCatalog.readPending(dir)
                 val layout = pending.flatMap(_.layoutBy)
                 val stats = pending.map(_.statsBy).getOrElse(Seq.empty)
+                pending.flatMap(_.check).foreach(c =>
+                  LakeCatalog.enforceCheck(data, c, ident))
                 val r =
                   if (ovr) LakeTable.commit(spark, dir, data, layout,
                                             stats)(_ => None)

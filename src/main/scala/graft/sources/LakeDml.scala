@@ -280,6 +280,8 @@ case class MergeLakeDvCommand(dir: String, ident: String,
     // into an empty table is a plain insert)
     if (LakeDml.unborn(dir)) {
       val p = LakeCatalog.readPending(dir)
+      p.flatMap(_.check).foreach(c =>
+        LakeCatalog.enforceCheck(src, c, ident))
       LakeTable.commit(spark, dir, src, p.flatMap(_.layoutBy),
           p.map(_.statsBy).getOrElse(Seq.empty))(_ => None) match {
         case Right(_) => return Seq.empty

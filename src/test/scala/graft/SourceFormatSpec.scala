@@ -732,6 +732,63 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $cat.default.o1")
   }
 
+  test("DESCRIBE HISTORY and CHECK constraints (r12): history is manifest " +
+       "arithmetic; catalog writes enforce the declared check") {
+    import graft.sources.LakeTable
+    val cat = "graft_lake_spec7"
+    val wh = Files.createTempDirectory("graft_lake_whspec7_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "h1").toString
+    spark.sql(s"CREATE TABLE $cat.default.h1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check'='v > 0')")
+    spark.sql(s"INSERT INTO $cat.default.h1 VALUES (1, 10), (2, 20)")
+    assert(LakeTable.currentVersion(dir).contains(1L))
+
+    // a violating INSERT refuses atomically: no version, no rows
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.default.h1 VALUES (3, -1)")
+    }
+    assert(e.getMessage.contains("CHECK") ||
+           Option(e.getCause).exists(_.getMessage.contains("CHECK")),
+      s"the refusal must name the constraint: ${e.getMessage}")
+    assert(LakeTable.currentVersion(dir).contains(1L),
+      "a refused INSERT must not mint a version")
+    assert(spark.table(s"$cat.default.h1").count() == 2L)
+
+    // NULL passes CHECK (SQL-standard semantics)
+    spark.sql(s"INSERT INTO $cat.default.h1 " +
+      "VALUES (3, CAST(NULL AS BIGINT))")
+    assert(LakeTable.currentVersion(dir).contains(2L))
+
+    // DESCRIBE HISTORY: one row per retained version, newest first,
+    // with op and DV counts from pure manifest arithmetic
+    spark.sql(s"DELETE FROM $cat.default.h1 WHERE k = 1")
+    val hist = spark.sql(s"DESCRIBE HISTORY $cat.default.h1").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(hist.map(_.getString(1)).toSeq
+      == Seq("dvdelete", "append", "append"))
+    assert(hist.map(_.getLong(3)).toSeq == Seq(1L, 0L, 0L),
+      "only the delete version carries a DV sidecar")
+    assert(hist.forall(_.getTimestamp(4) != null))
+
+    // ADD CONSTRAINT validates existing rows first (refuse), then a
+    // satisfiable one applies and gates the next write
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.h1 " +
+        "SET TBLPROPERTIES ('check'='v > 100')")
+    }
+    spark.sql(s"ALTER TABLE $cat.default.h1 " +
+      "SET TBLPROPERTIES ('check'='k > 0')")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.default.h1 VALUES (-9, 1)")
+    }
+    spark.sql(s"INSERT INTO $cat.default.h1 VALUES (9, 1)")
+    assert(spark.table(s"$cat.default.h1")
+      .filter(col("k") === 9L).count() == 1L)
+    spark.sql(s"DROP TABLE $cat.default.h1")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
