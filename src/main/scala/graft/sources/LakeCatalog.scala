@@ -383,6 +383,7 @@ class LakeV2Table(val dir: String, ident: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog: the
@@ -465,12 +466,30 @@ class LakeV2Table(val dir: String, ident: String,
       override def build(): Scan = {
         val cols = pruned
         val conds = pushed.flatMap(LakeV2Table.filterToColumn).toIndexedSeq
+        val pushedV1 = pushed.toIndexedSeq
         new V1Scan {
           override def readSchema(): StructType = cols
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
             new LakeV2ScanShim(context, dir, cols, pinned, conds)
               .asInstanceOf[T]
+          /** `spark.readStream.table("<cat>.ns.t")` (r12, behavior 47):
+            * rows-mode micro-batch read through the V2 catalog — see
+            * [[LakeMicroBatchStream]]. Time-travel tables refuse
+            * (history is immutable; there is nothing to stream). */
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+            require(pinned.isEmpty,
+              s"cannot stream a VERSION AS OF (time travel) table — " +
+              "history is immutable")
+            new LakeMicroBatchStream(dir, full, cols, pushedV1,
+              startingVersion =
+                Option(options.get("startingVersion")).map(_.toLong)
+                  .getOrElse(0L),
+              skipChangeCommits =
+                Option(options.get("skipChangeCommits"))
+                  .exists(_.toBoolean))
+          }
         }
       }
     }

@@ -817,4 +817,79 @@ class LakeStreamSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE $tbl")
     }
   }
+
+  test("readStream.table through the DSv2 catalog (r12, behavior 47): " +
+       "rows-mode micro-batch scan over per-file partitions") {
+    import spark.implicits._
+    val cat = "graft_lake_streamcat"
+    val wh = Files.createTempDirectory("graft_lake_whstream_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "s1").toString
+    val cp = Files.createTempDirectory("graft_lake_streamcat_cp_").toString
+    assert(LakeTable.commit(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))(_ => None) == Right(1L))
+
+    val batches = mutable.Map.empty[Long, Seq[Row]]
+    val q = spark.readStream.table(s"$cat.default.s1")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.synchronized { batches(id) = df.collect().toSeq }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val snap = batches.values.flatten.toSeq
+      assert(snap.map(_.schema.fieldNames.toSeq).distinct
+        == Seq(Seq("k", "v")),
+        "the V2 stream delivers the table's own columns")
+      assert(snap.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L))
+      // a live SQL INSERT streams incrementally (catalog DML + V2 stream
+      // composing on one table)
+      spark.sql(s"INSERT INTO $cat.default.s1 VALUES (3, 30)")
+      q.processAllAvailable()
+      assert(batches.values.flatten.map(_.getAs[Long]("k")).toSeq.sorted
+        == Seq(1L, 2L, 3L))
+      // a delete is unrepresentable in plain rows: the stream refuses
+      spark.sql(s"DELETE FROM $cat.default.s1 WHERE k = 1")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def names(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          x.getMessage +: names(x.getCause).map(identity))
+      assert(names(e).exists(m => m != null &&
+               m.contains("skipChangeCommits")),
+        s"the refusal must name the escape hatch: ${e.getMessage}")
+    } finally q.stop()
+
+    // skipChangeCommits: fresh checkpoint streams past the delete and
+    // continues with later appends; exactly-once across a restart
+    val cp2 = Files.createTempDirectory("graft_lake_streamcat_cp2_").toString
+    val rows2 = mutable.ArrayBuffer.empty[Row]
+    def start2() = spark.readStream
+      .option("skipChangeCommits", "true").table(s"$cat.default.s1")
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows2.synchronized { rows2 ++= df.collect() }
+        ()
+      }
+      .start()
+    val q2 = start2()
+    try {
+      q2.processAllAvailable()
+      assert(rows2.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L, 3L))
+    } finally q2.stop()
+    spark.sql(s"INSERT INTO $cat.default.s1 VALUES (4, 40)")
+    val q3 = start2()
+    try {
+      q3.processAllAvailable()
+      assert(rows2.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L, 3L, 4L),
+        "the restarted stream must deliver exactly the new version")
+    } finally {
+      q3.stop()
+      spark.sql(s"DROP TABLE $cat.default.s1")
+    }
+  }
 }
