@@ -214,6 +214,16 @@ case class UpdateLakeDvCommand(dir: String, ident: String,
     // a CREATE'd-but-unborn table has no rows to update: no-op success
     if (LakeDml.unborn(dir)) return Seq.empty
     val pred = condSql.map(expr).getOrElse(lit(true))
+    // a declared CHECK constraint gates the UPDATED copies — evaluated
+    // on exactly the frame the engine will stage (same sequential
+    // assignment application), O(matched rows)
+    LakeCatalog.readPending(dir).flatMap(_.check).foreach { c =>
+      val updated = sets.foldLeft(
+          LakeTable.read(spark, dir).filter(pred)) {
+        case (df, (col, sqlExpr)) => df.withColumn(col, expr(sqlExpr))
+      }
+      LakeCatalog.enforceCheck(updated, c, ident)
+    }
     LakeTable.updateWhereDv(spark, dir, pred,
         sets.map { case (c, s) => c -> expr(s) })(_ => None) match {
       case Right(_) => Seq.empty
@@ -278,10 +288,13 @@ case class MergeLakeDvCommand(dir: String, ident: String,
     // upsert degenerates to inserting every source row — it BIRTHS v1,
     // carrying the CREATE-time write defaults (Delta semantics: a merge
     // into an empty table is a plain insert)
+    // a declared CHECK constraint gates the merge's incoming rows (the
+    // canonical upsert replaces matched rows with the source row and
+    // inserts the rest, so the source IS the new content), O(|batch|)
+    LakeCatalog.readPending(dir).flatMap(_.check).foreach(c =>
+      LakeCatalog.enforceCheck(src, c, ident))
     if (LakeDml.unborn(dir)) {
       val p = LakeCatalog.readPending(dir)
-      p.flatMap(_.check).foreach(c =>
-        LakeCatalog.enforceCheck(src, c, ident))
       LakeTable.commit(spark, dir, src, p.flatMap(_.layoutBy),
           p.map(_.statsBy).getOrElse(Seq.empty))(_ => None) match {
         case Right(_) => return Seq.empty

@@ -786,6 +786,28 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $cat.default.h1 VALUES (9, 1)")
     assert(spark.table(s"$cat.default.h1")
       .filter(col("k") === 9L).count() == 1L)
+
+    // UPDATE and MERGE are gated too: content that would violate the
+    // constraint refuses before anything stages
+    import spark.implicits._
+    val preU = LakeTable.currentVersion(dir)
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.default.h1 SET k = -k WHERE k = 9")
+    }
+    assert(LakeTable.currentVersion(dir) == preU,
+      "a check-violating UPDATE must not mint a version")
+    Seq((-5L, 1L)).toDF("k", "v").createOrReplaceTempView("chk_merge_src")
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.default.h1 AS t USING chk_merge_src " +
+        "AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(LakeTable.currentVersion(dir) == preU,
+      "a check-violating MERGE must not mint a version")
+    // and a satisfying UPDATE still applies
+    spark.sql(s"UPDATE $cat.default.h1 SET k = k + 100 WHERE k = 9")
+    assert(spark.table(s"$cat.default.h1")
+      .filter(col("k") === 109L).count() == 1L)
     spark.sql(s"DROP TABLE $cat.default.h1")
   }
 
