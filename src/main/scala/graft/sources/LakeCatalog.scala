@@ -384,7 +384,8 @@ class LakeV2Table(val dir: String, ident: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog: the
     * [[V1Write]] exit onto the same serialized commit protocol as every
@@ -394,12 +395,31 @@ class LakeV2Table(val dir: String, ident: String,
     * catalog table and this V2 one behave identically under DML. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refuseDml("INSERT into")
+    val queryId = info.queryId()
+    val writeSchema = info.schema()
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = {
         val ovrBuilder = overwrite
         new V1Write {
+          /** `df.writeStream.toTable("<cat>.ns.t")` (r12, behavior 48):
+            * the V2 streaming write — see [[LakeStreamingWrite]]. Append
+            * mode appends; Complete mode (the engine calls `truncate()`)
+            * overwrites per epoch. Refuses on layout tables: their
+            * prune metadata streams through the format sink's
+            * `layoutBy` option, and silently dropping it would cost the
+            * table its partial-merge pruning. */
+          override def toStreaming: org.apache.spark.sql.connector.write
+              .streaming.StreamingWrite = {
+            require(LakeCatalog.readPending(dir)
+                .flatMap(_.layoutBy).isEmpty,
+              s"table $ident declares a layout column — stream into it " +
+              "with writeStream.format(\"graft-lake\")" +
+              ".option(\"layoutBy\", ...) to keep its prune metadata")
+            new LakeStreamingWrite(dir, ident, writeSchema,
+              overwriteEachEpoch = ovrBuilder, queryId = queryId)
+          }
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,

@@ -112,6 +112,128 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
   override def toString: String = s"LakeMicroBatchStream[$dir]"
 }
 
+/** `df.writeStream.toTable("<lakeCatalog>.ns.t")` — the DataSourceV2
+  * STREAMING WRITE (r12, behavior 48): executor `DataWriter`s write real
+  * parquet through Spark's own serializable
+  * [[org.apache.spark.sql.execution.datasources.OutputWriterFactory]]
+  * (`graftshim.FileWriteShim`) into an epoch-scoped staging directory,
+  * and the driver's `commit(epochId, …)` publishes the collected files
+  * as ONE serialized version with the epochId recorded as the per-query
+  * sink watermark — data and idempotence handle land atomically, so a
+  * replayed epoch publishes nothing (its staged files become orphans
+  * vacuum reclaims; an aborted epoch deletes them eagerly). A lazy
+  * writer that saw no row creates no file, so empty epochs publish
+  * nothing and consume nothing — the engine-wide sink contract. Append
+  * output mode appends (zero-rewrite carry); Complete mode (Spark calls
+  * `truncate()` on the builder) makes each epoch a full overwrite. A
+  * declared CHECK constraint gates each epoch's staged read-back
+  * (O(epoch)). Layout-partitioned writes stream through
+  * `writeStream.format("graft-lake").option("layoutBy", …)` — this
+  * surface refuses on layout tables rather than silently dropping their
+  * prune metadata. */
+private[sources] class LakeStreamingWrite(dir: String, ident: String,
+    schema: StructType, overwriteEachEpoch: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val writeUuid = java.util.UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val (factory, conf, ext) = org.apache.spark.sql.graftshim.FileWriteShim
+      .parquetWriterFactory(SparkSession.active, schema)
+    new LakeStreamingDataWriterFactory(dir, writeUuid, schema,
+      factory, conf, ext)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.flatMap {
+      case LakeWriterMessage(fs) => fs
+      case _ => Seq.empty
+    }.toSeq
+    val spark = SparkSession.active
+    val pending = LakeCatalog.readPending(dir)
+    val gate: org.apache.spark.sql.DataFrame => Option[String] = df =>
+      pending.flatMap(_.check).flatMap { c =>
+        // gate the staged read-back; for append the audit frame includes
+        // carried files, so restrict the check to this epoch's rows via
+        // a direct read of the fresh files (O(epoch))
+        try {
+          LakeCatalog.enforceCheck(spark.read.parquet(
+            files.map(f => java.nio.file.Paths.get(dir, f).toString): _*),
+            c, ident)
+          None
+        } catch { case e: IllegalStateException => Some(e.getMessage) }
+      }
+    LakeTable.sinkCommitStaged(spark, dir, files,
+        statsBy = pending.map(_.statsBy).getOrElse(Seq.empty),
+        overwrite = overwriteEachEpoch,
+        batch = epochId, sink = s"v2s-$queryId")(gate) match {
+      case Right(_) => ()
+      case Left(reason) => throw new IllegalStateException(
+        s"streaming write into $ident failed at epoch $epochId: $reason")
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LakeWriterMessage(fs) => fs.foreach { f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f))
+      }
+      case _ => ()
+    }
+
+  override def toString: String = s"LakeStreamingWrite[$dir]"
+}
+
+/** One staged file per (epoch, partition, task attempt) — the writer
+  * opens lazily on the first row, so empty partitions stage nothing. */
+private[sources] case class LakeWriterMessage(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class LakeStreamingDataWriterFactory(
+    dir: String, writeUuid: String, schema: StructType,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration, ext: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var rel: String = _
+
+      override def write(row: InternalRow): Unit = {
+        if (writer == null) {
+          rel = s"data/$writeUuid-e$epochId/" +
+            f"part-$partitionId%05d-$taskId$ext"
+          val abs = Paths.get(dir, rel)
+          Files.createDirectories(abs.getParent)
+          writer = org.apache.spark.sql.graftshim.FileWriteShim
+            .newWriter(factory, abs.toString, schema, conf, partitionId)
+        }
+        writer.write(row)
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (writer != null) { writer.close(); writer = null }
+        LakeWriterMessage(Option(rel).toSeq)
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) { writer.close(); writer = null }
+        if (rel != null) Files.deleteIfExists(Paths.get(dir, rel))
+      }
+
+      override def close(): Unit =
+        if (writer != null) { writer.close(); writer = null }
+    }
+}
+
 /** Ships Spark's own parquet-reader closure to tasks; each partition
   * reads its one whole file. The V2 scan exec projects every row to
   * unsafe on consumption, so the reader's mutable row reuse is safe. */

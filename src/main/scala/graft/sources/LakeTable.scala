@@ -1041,6 +1041,39 @@ object LakeTable {
     }.map(Some(_))
   }
 
+  /** Commit parquet files ALREADY STAGED under `dir` (manifest-relative
+    * paths) as one serialized version — the V2 STREAMING-WRITE epoch
+    * commit (r12): executor-side `DataWriter`s wrote the files, the
+    * driver derives schema (one footer) + stats and publishes
+    * atomically with the epoch watermark. `overwrite=true` carries
+    * nothing (Complete output mode: each epoch replaces the table);
+    * append carries every live file. A replayed epoch (watermark ≥
+    * batch) publishes nothing — its staged files become orphans vacuum
+    * reclaims. Empty epochs never reach here (a lazy writer that saw no
+    * row creates no file; no files → the caller skips). */
+  private[sources] def sinkCommitStaged(spark: SparkSession, dir: String,
+                                        relFiles: Seq[String],
+                                        statsBy: Seq[String],
+                                        overwrite: Boolean,
+                                        batch: Long, sink: String)(
+      check: DataFrame => Option[String]): Either[String, Option[Long]] = {
+    if (appliedBatch(dir, sink).exists(_ >= batch)) return Right(None)
+    if (relFiles.isEmpty) return Right(None)
+    val read = spark.read.parquet(
+      relFiles.map(f => Paths.get(dir, f).toString): _*)
+    if (read.isEmpty) return Right(None) // footer-bounded emptiness probe
+    val schema = read.schema.fields.toSeq
+      .map(f => s"${f.name} ${f.dataType.sql}")
+    val fresh = Fresh(relFiles.sorted, schema,
+      statsEntries(spark, dir, read, relFiles, statsBy))
+    commitSerialized(dir) { base =>
+      val st = assemble(dir, base, fresh,
+        if (overwrite) Seq.empty else filesOf(dir, base),
+        if (overwrite) "overwrite" else "append")
+      audit(spark, st.copy(batches = st.batches ++ Map(sink -> batch)))(check)
+    }.map(Some(_))
+  }
+
   /** Partial-rewrite MERGE — the 100 TB upsert: `upserts` (one row per
     * key, each carrying the table's layout column) replace same-key rows,
     * and only the files whose `_layout=<value>` path metadata intersects

@@ -60,3 +60,41 @@ object FileReadShim {
       case r: InternalRow => Iterator.single(r)
     }
 }
+
+/** The WRITE half of the doorway: Spark's own serializable parquet
+  * [[org.apache.spark.sql.execution.datasources.OutputWriterFactory]]
+  * (from [[ParquetFileFormat.prepareWrite]]) plus the job configuration
+  * it parameterized, shipped to V2 streaming `DataWriter`s so executors
+  * write real parquet without a second writer implementation. */
+object FileWriteShim {
+  import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+  import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+  import org.apache.spark.util.SerializableConfiguration
+
+  /** Driver-side: prepare the factory and the configured job conf.
+    * Returns (factory, serializable conf, file extension). */
+  def parquetWriterFactory(spark: SparkSession, dataSchema: StructType)
+      : (OutputWriterFactory, SerializableConfiguration, String) = {
+    val job = Job.getInstance(
+      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    val factory =
+      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
+    val conf = new SerializableConfiguration(job.getConfiguration)
+    val ext = factory.getFileExtension(
+      new TaskAttemptContextImpl(job.getConfiguration,
+        new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
+          "graft", 0), TaskType.MAP, 0), 0)))
+    (factory, conf, ext)
+  }
+
+  /** Executor-side: open one parquet writer at `path`. */
+  def newWriter(factory: OutputWriterFactory, path: String,
+                dataSchema: StructType,
+                conf: SerializableConfiguration,
+                partitionId: Int): OutputWriter =
+    factory.newInstance(path, dataSchema,
+      new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
+          "graft", 0), TaskType.MAP, partitionId), 0)))
+}

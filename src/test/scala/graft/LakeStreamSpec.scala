@@ -892,4 +892,115 @@ class LakeStreamSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE $cat.default.s1")
     }
   }
+
+  test("writeStream.toTable through the DSv2 catalog (r12, behavior 48): " +
+       "exactly-once epoch appends, Complete overwrites, CHECK gates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = "graft_lake_writecat"
+    val wh = Files.createTempDirectory("graft_lake_whwrite_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "w1").toString
+    spark.sql(s"CREATE TABLE $cat.default.w1 (k BIGINT, v BIGINT)")
+
+    // APPEND mode: the first epoch births v1, later epochs are
+    // zero-rewrite appends, empty epochs publish nothing
+    val mem = MemoryStream[(Long, Long)]
+    val cp = Files.createTempDirectory("graft_lake_writecat_cp_").toString
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", cp)
+      .toTable(s"$cat.default.w1")
+    try {
+      mem.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      assert(LakeTable.currentVersion(dir).contains(1L),
+        "the first streamed epoch must birth v1")
+      assert(spark.table(s"$cat.default.w1").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      val filesV1 = LakeTable.currentFiles(dir).toSet
+      mem.addData((3L, 30L))
+      q.processAllAvailable()
+      assert(LakeTable.currentVersion(dir).contains(2L))
+      assert(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+        "a streamed epoch append must carry every live file (zero rewrite)")
+      assert(spark.table(s"$cat.default.w1").count() == 3L)
+      // an empty trigger publishes nothing and consumes nothing
+      q.processAllAvailable()
+      assert(LakeTable.currentVersion(dir).contains(2L))
+      // the epoch watermark rides the manifest under the query's own key
+      assert(LakeTable.appliedBatch(dir).isEmpty &&
+        spark.sql(s"DESCRIBE HISTORY $cat.default.w1").count() == 2L)
+    } finally q.stop()
+    // batch reads, SQL DML, and the V2 stream write compose on one table
+    spark.sql(s"DELETE FROM $cat.default.w1 WHERE k = 1")
+    assert(spark.table(s"$cat.default.w1").count() == 2L)
+
+    // COMPLETE mode: a streaming aggregate overwrites the table per epoch
+    spark.sql(s"CREATE TABLE $cat.default.w2 (k BIGINT, n BIGINT)")
+    val dir2 = java.nio.file.Paths.get(wh, "default", "w2").toString
+    val mem2 = MemoryStream[Long]
+    val cp2 = Files.createTempDirectory("graft_lake_writecat_cp2_").toString
+    val q2 = mem2.toDF().toDF("k")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", cp2)
+      .toTable(s"$cat.default.w2")
+    try {
+      mem2.addData(7L, 7L, 8L)
+      q2.processAllAvailable()
+      assert(spark.table(s"$cat.default.w2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == Seq((7L, 2L), (8L, 1L)))
+      mem2.addData(7L)
+      q2.processAllAvailable()
+      assert(spark.table(s"$cat.default.w2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == Seq((7L, 3L), (8L, 1L)),
+        "Complete mode must replace the table content each epoch")
+      assert(LakeTable.opOf(dir2,
+        LakeTable.currentVersion(dir2).get) == "overwrite")
+    } finally q2.stop()
+
+    // a declared CHECK gates streamed epochs: the violating epoch fails
+    // the query and publishes nothing
+    spark.sql(s"CREATE TABLE $cat.default.w3 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check'='v > 0')")
+    val dir3 = java.nio.file.Paths.get(wh, "default", "w3").toString
+    val mem3 = MemoryStream[(Long, Long)]
+    val cp3 = Files.createTempDirectory("graft_lake_writecat_cp3_").toString
+    val q3 = mem3.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", cp3)
+      .toTable(s"$cat.default.w3")
+    try {
+      mem3.addData((1L, -5L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(LakeTable.currentVersion(dir3).isEmpty,
+        "a CHECK-violating epoch must publish nothing")
+    } finally q3.stop()
+
+    // a layout table refuses the V2 streaming write (prune metadata
+    // streams through the format sink instead)
+    spark.sql(s"CREATE TABLE $cat.default.w4 " +
+      "(k BIGINT, band BIGINT) PARTITIONED BY (band)")
+    val mem4 = MemoryStream[(Long, Long)]
+    val cp4 = Files.createTempDirectory("graft_lake_writecat_cp4_").toString
+    val e4 = intercept[Exception] {
+      val q4 = mem4.toDF().toDF("k", "band").writeStream
+        .option("checkpointLocation", cp4)
+        .toTable(s"$cat.default.w4")
+      try { mem4.addData((1L, 0L)); q4.processAllAvailable() }
+      finally q4.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e4).exists(_.contains("layoutBy")),
+      s"the refusal must point at the format sink: ${e4.getMessage}")
+    Seq("w1", "w2", "w3", "w4").foreach(t =>
+      spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
 }
