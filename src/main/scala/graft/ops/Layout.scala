@@ -1340,6 +1340,69 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** SQL `INSERT INTO ... REPLACE WHERE` (r12) — Delta's
+      * `replaceWhere`, the IDEMPOTENT BACKFILL: one atomic commit
+      * deletes every live row of band 2 (a position sidecar — requires
+      * pin that every pre-existing file carries verbatim, zero rewrite)
+      * and inserts the recomputed rows, write amplification ∝ the
+      * replaced range, never table size. Incoming rows outside the
+      * range REFUSE before anything stages (the leak validation —
+      * without it a backfill could silently write into ranges it did
+      * not replace; pinned in SourceFormatSpec along with the
+      * `writeTo(...).overwrite(cond)` spelling). The oracle recomputes
+      * the post-backfill state straight from `orders` with the same
+      * width arithmetic, so the hash-match proves the replaced range
+      * holds exactly the new rows and every other band is bit-exact. */
+    OpDef(
+      "q_lake_sql_replace",
+      """WITH r AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT greatest(32, CAST(max(custkey) // 8 + 1 AS BIGINT))
+        |        AS width FROM r)
+        |SELECT custkey, n_orders,
+        |  CASE WHEN custkey // width = 2 THEN cents * 2
+        |       ELSE cents END AS cents,
+        |  CAST(custkey // width AS BIGINT) AS band
+        |FROM r, w ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      val table = o
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val view = Views.reg(table, "sqlreplace")
+      s.sql(s"CREATE TABLE $cat.default.$tbl AS SELECT * FROM $view")
+      val filesV1 = LakeTable.currentFiles(dir).toSet
+      // the backfill: band 2 recomputed (cents doubled), one commit
+      s.sql(s"INSERT INTO $cat.default.$tbl REPLACE WHERE band = 2 " +
+        s"SELECT custkey, n_orders, cents * 2 AS cents, band " +
+        s"FROM $view WHERE band = 2")
+      require(LakeTable.currentVersion(dir).contains(2L),
+              "REPLACE WHERE must publish one version")
+      require(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+              "REPLACE WHERE must carry every pre-existing file verbatim")
+      s.table(s"$cat.default.$tbl").orderBy("custkey")
+    },
+
     /** SQL `DELETE FROM` through the DataSourceV2 catalog (r12, verdict
       * ask #4 — the engine's first DSv2 surface): the rollup commits at
       * `<warehouse>/default/<tbl>`, the session registers

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -385,6 +385,7 @@ class LakeV2Table(val dir: String, ident: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog: the
@@ -397,11 +398,31 @@ class LakeV2Table(val dir: String, ident: String,
     refuseDml("INSERT into")
     val queryId = info.queryId()
     val writeSchema = info.schema()
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var overwrite = false
+      private var replaceCond: Option[Column] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      /** `INSERT INTO ... REPLACE WHERE <cond>` / `df.writeTo(t)
+        * .overwrite(cond)` (r12): Delta's replaceWhere — the idempotent
+        * backfill. AlwaysTrue degenerates to the full overwrite;
+        * anything else binds to [[LakeTable.replaceWhereDv]] (one
+        * atomic commit: DV hides the range's old rows, the new data
+        * lands as fresh files, everything else carries). */
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty ||
+            filters.forall(_ == sources.AlwaysTrue())) overwrite = true
+        else {
+          val conds = filters.map(LakeV2Table.filterToColumn)
+          require(conds.forall(_.nonEmpty),
+            s"REPLACE WHERE condition is not translatable to source " +
+            s"filters: ${filters.mkString(", ")}")
+          replaceCond = Some(conds.flatten.reduce(_ && _))
+        }
+        this
+      }
       override def build(): Write = {
         val ovrBuilder = overwrite
+        val replace = replaceCond
         new V1Write {
           /** `df.writeStream.toTable("<cat>.ns.t")` (r12, behavior 48):
             * the V2 streaming write — see [[LakeStreamingWrite]]. Append
@@ -435,8 +456,16 @@ class LakeV2Table(val dir: String, ident: String,
                 pending.flatMap(_.check).foreach(c =>
                   LakeCatalog.enforceCheck(data, c, ident))
                 val r =
-                  if (ovr) LakeTable.commit(spark, dir, data, layout,
-                                            stats)(_ => None)
+                  if (replace.nonEmpty &&
+                      LakeTable.currentVersion(dir).nonEmpty)
+                    LakeTable.replaceWhereDv(spark, dir, replace.get,
+                                             data, layout, stats)(_ => None)
+                  else if (ovr || replace.nonEmpty)
+                    // full overwrite — or REPLACE WHERE into a table with
+                    // no published version yet (replacing an empty range
+                    // IS the first backfill)
+                    LakeTable.commit(spark, dir, data, layout,
+                                     stats)(_ => None)
                   else LakeTable.append(spark, dir, data, layout,
                                         stats)(_ => None)
                 r match {

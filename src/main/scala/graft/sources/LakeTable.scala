@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Write-audit-publish table commit — the transactional-sink capability a
@@ -1370,6 +1370,84 @@ object LakeTable {
       }
     }
     translateDvNoop(r)
+  }
+
+  /** REPLACE WHERE via DELETION VECTORS (r12) — Delta's `replaceWhere`:
+    * atomically DELETE every live row matching `predicate` and INSERT
+    * `data`, in ONE commit — the idempotent backfill primitive (re-run a
+    * day's pipeline: the day's old rows vanish, the recomputed rows
+    * land, nothing else moves). Zero pre-existing files rewrite: a
+    * position sidecar hides the matched rows and the new data lands as
+    * fresh files; write amplification is ∝ |data| + |matched positions|,
+    * never touched-file size. Every incoming row must itself satisfy
+    * `predicate` (the Delta validation — without it a "backfill" could
+    * silently leak rows into ranges it did not replace); violations
+    * refuse before anything stages. An empty match still commits (the
+    * insert half proceeds — replacing an empty range IS the first
+    * backfill). The staged data is base-independent, so a conflict
+    * re-plan re-anchors without re-staging. */
+  def replaceWhereDv(spark: SparkSession, dir: String,
+                     predicate: org.apache.spark.sql.Column,
+                     data: DataFrame,
+                     layoutBy: Option[String] = None,
+                     statsBy: Seq[String] = Seq.empty)(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    val stray = data.filter(!coalesce(predicate.cast("boolean"), lit(false)))
+      .limit(1).count()
+    if (stray > 0L)
+      return Left("REPLACE WHERE rejected: at least one incoming row " +
+        s"does not satisfy the predicate — a backfill must not leak " +
+        "rows outside the range it replaces")
+    val freshStage = stageFresh(spark, dir, data, layoutBy, statsBy)
+    commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val files = manifestFiles(json)
+        val recorded = manifestSchema(json)
+        val paths = files.map(f => Paths.get(dir, f).toString)
+        val reader =
+          if (recorded.isEmpty) spark.read.parquet(paths: _*)
+          else spark.read
+            .schema(StructType.fromDDL(recorded.mkString(", ")))
+            .parquet(paths: _*)
+        val prevDv = manifestDv(json)
+        val matchPos = reader.filter(predicate)
+          .select(relFileCol.as("file"),
+                  col("_metadata.row_index").as("pos"))
+        val freshPos =
+          if (prevDv.isEmpty) matchPos
+          else matchPos.join(
+            broadcast(spark.read.parquet(
+              prevDv.map(s => Paths.get(dir, s).toString): _*)
+              .select("file", "pos")),
+            Seq("file", "pos"), "left_anti")
+        val sidecars =
+          if (freshPos.isEmpty) Seq.empty
+          else writeDvSidecars(spark, dir, freshPos, files.length)
+        val st = Staged(dir, base + 1L, files ++ freshStage.files,
+          batches = batchesOf(dir, base),
+          schema =
+            if (recorded.isEmpty) freshStage.schema
+            else mergeSchemas(recorded, freshStage.schema),
+          stats = manifestStats(json) ++ freshStage.stats,
+          baseVersion = base, op = "replacewhere",
+          dv = prevDv ++ sidecars)
+        // audit AS A READER WOULD SEE IT: every row matching the
+        // predicate in the staged version must come from the NEW data —
+        // count-compare against the staged fresh files directly
+        val freshCount = spark.read.parquet(
+          freshStage.files.map(f => Paths.get(dir, f).toString): _*).count()
+        audit(spark, st) { df =>
+          val matching = df.filter(predicate).count()
+          if (matching != freshCount)
+            Some(s"REPLACE WHERE leak: $matching predicate-matching " +
+                 s"row(s) visible, expected exactly the $freshCount " +
+                 "incoming row(s)")
+          else check(df)
+        }
+      }
+    }
   }
 
   /** MERGE-DELETE via DELETION VECTORS (r12) — `MERGE ... WHEN MATCHED

@@ -811,6 +811,61 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $cat.default.h1")
   }
 
+  test("INSERT INTO ... REPLACE WHERE / writeTo.overwrite (r12): atomic " +
+       "DV-backed range replacement, leak validation") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec8"
+    val wh = Files.createTempDirectory("graft_lake_whspec8_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "r1").toString
+    (1L to 20L).map(k => (k, k % 4, k * 10L)).toDF("k", "band", "v")
+      .createOrReplaceTempView("rw_src")
+    spark.sql(s"CREATE TABLE $cat.default.r1 AS SELECT * FROM rw_src")
+    val filesV1 = LakeTable.currentFiles(dir).toSet
+
+    // the idempotent backfill: band 2's rows replaced atomically, every
+    // pre-existing file carried (DV hides the old range)
+    spark.sql(s"INSERT INTO $cat.default.r1 REPLACE WHERE band = 2 " +
+      "SELECT k, 2 AS band, k * 1000 AS v FROM rw_src WHERE k % 4 = 2")
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "REPLACE WHERE must carry every pre-existing file (DV path)")
+    val after = spark.table(s"$cat.default.r1")
+    assert(after.count() == 20L)
+    assert(after.filter(col("band") === 2L).collect()
+      .forall(_.getLong(2) >= 1000L),
+      "the replaced range must hold exactly the new rows")
+    assert(after.filter(col("band") === 1L).collect()
+      .forall(_.getLong(2) < 1000L), "other ranges untouched")
+    // re-running the same backfill is idempotent in content
+    spark.sql(s"INSERT INTO $cat.default.r1 REPLACE WHERE band = 2 " +
+      "SELECT k, 2 AS band, k * 1000 AS v FROM rw_src WHERE k % 4 = 2")
+    assert(spark.table(s"$cat.default.r1").count() == 20L)
+
+    // leak validation: incoming rows outside the range refuse atomically
+    val preV = LakeTable.currentVersion(dir)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.default.r1 REPLACE WHERE band = 2 " +
+        "SELECT k, 3 AS band, v FROM rw_src WHERE k % 4 = 3")
+    }
+    assert(LakeTable.currentVersion(dir) == preV,
+      "a leaking REPLACE WHERE must not mint a version")
+    assert(spark.table(s"$cat.default.r1").count() == 20L)
+
+    // the DataFrameWriterV2 spelling drives the same commit
+    Seq((101L, 1L, 9999L)).toDF("k", "band", "v")
+      .writeTo(s"$cat.default.r1").overwrite(col("band") === 1L)
+    val b1 = spark.table(s"$cat.default.r1").filter(col("band") === 1L)
+    assert(b1.count() == 1L && b1.head.getLong(2) == 9999L,
+      "writeTo.overwrite(cond) must replace exactly the range")
+    assert(spark.table(s"$cat.default.r1").count() == 16L)
+    // history stays time-travel-readable across the replacements
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == 20L)
+    spark.sql(s"DROP TABLE $cat.default.r1")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
