@@ -56,7 +56,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pushable predicates reach the parquet scan, same as the V1
   * `graft-lake` format whose pruning contract is measured in
   * [[LakeRelation]]. */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -283,6 +283,86 @@ class LakeCatalog extends TableCatalog {
     if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to)
+  }
+
+  // ---- namespaces (r12): directories under the warehouse ---------------
+  // A namespace IS a directory that is not itself a table; `SHOW
+  // NAMESPACES`, `CREATE NAMESPACE`, and `USE <cat>.<ns>` work the
+  // obvious filesystem way. Metadata properties have no representation
+  // (empty map; ALTER refuses).
+
+  private def nsDirOf(namespace: Array[String]): java.nio.file.Path =
+    namespace.foldLeft(Paths.get(warehouse)) { (p, seg) =>
+      require(!seg.contains('/') && !seg.contains(0x00.toChar) &&
+              seg.nonEmpty && seg != ".." && seg != ".",
+        s"illegal namespace segment '$seg'")
+      p.resolve(seg)
+    }
+
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    LakeTable.currentVersion(p.toString).nonEmpty ||
+      LakeCatalog.readPending(p.toString).nonEmpty
+
+  override def listNamespaces(): Array[Array[String]] =
+    scala.util.Using.resource(Files.list(Paths.get(warehouse))) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTableDir(p))
+        .map(p => Array(p.getFileName.toString))
+        .toArray
+    }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDirOf(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTableDir(p))
+        .map(p => namespace :+ p.getFileName.toString)
+        .toArray
+    }
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    val dir = nsDirOf(namespace)
+    if (!Files.isDirectory(dir) || isTableDir(dir))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val dir = nsDirOf(namespace)
+    if (Files.isDirectory(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespace properties have no representation in this catalog")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = nsDirOf(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val empty = scala.util.Using.resource(Files.list(dir)) { st =>
+        !st.iterator().hasNext
+      }
+      require(empty || cascade,
+        s"namespace ${namespace.mkString(".")} is not empty " +
+        "(use CASCADE to drop its tables)")
+      scala.util.Using.resource(Files.walk(dir)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      true
+    }
   }
 }
 

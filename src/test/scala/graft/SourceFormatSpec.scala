@@ -866,6 +866,29 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $cat.default.r1")
   }
 
+  test("catalog namespaces (r12): SHOW/CREATE/DROP NAMESPACE as " +
+       "warehouse directories") {
+    val cat = "graft_lake_spec9"
+    val wh = Files.createTempDirectory("graft_lake_whspec9_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns2")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ns2"))
+    intercept[Exception] { spark.sql(s"CREATE NAMESPACE $cat.ns2") }
+    spark.sql(s"CREATE TABLE $cat.ns2.t1 (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns2.t1 VALUES (5)")
+    assert(spark.table(s"$cat.ns2.t1").head.getLong(0) == 5L)
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns2").collect()
+      .map(_.getString(1)).contains("t1"))
+    // RESTRICT (default) refuses a non-empty namespace; CASCADE drops it
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.ns2") }
+    spark.sql(s"DROP NAMESPACE $cat.ns2 CASCADE")
+    intercept[Exception] { spark.table(s"$cat.ns2.t1").collect() }
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ns2"))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
