@@ -47,6 +47,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case VacuumRe(ident, keep) =>
       VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
     case HistoryRe(ident) => DescribeHistoryCommand(ident)
+    case CloneRe(dst, src, version) =>
+      CloneLakeCommand(dst, src, Option(version).map(_.toLong))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -79,6 +81,9 @@ object GraftSqlParser {
      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:SHALLOW\s+)?CLONE\s+""" +
+     """([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   /** Resolve a statement's table identifier to the lake directory:
     * `cat.ns.tbl` through a configured [[LakeCatalog]]'s warehouse, or a
@@ -165,6 +170,46 @@ case class DescribeHistoryCommand(ident: String)
           LakeTable.filesOf(dir, v).size.toLong,
           LakeTable.dvOf(dir, v).size.toLong,
           LakeTable.commitTimeOf(dir, v))
+    }
+  }
+}
+
+/** `CREATE TABLE <dst> [SHALLOW] CLONE <src> [VERSION AS OF n]` —
+  * Delta's clone statement bound to [[LakeTable.cloneTable]]: hard-linked
+  * zero-copy birth of `dst` from `src`'s live (or pinned) version; stats
+  * and deletion vectors carry, watermarks drop, and the clone is durable
+  * against a source vacuum (stronger than the SHALLOW the syntax
+  * accepts). `dst` resolves like any statement identifier; it must not
+  * already exist. Returns the clone's published version. */
+case class CloneLakeCommand(dst: String, src: String,
+                            versionAsOf: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDir = GraftSqlParser.resolveDir(spark, src)
+    // the destination may not exist yet — resolve through the catalog
+    // warehouse mapping without the exists check resolveDir's session
+    // path performs
+    val parts = dst.split('.').toSeq
+      .map(_.stripPrefix("`").stripSuffix("`"))
+    val dstDir = (parts match {
+      case cat +: rest if rest.nonEmpty =>
+        spark.conf.getOption(s"spark.sql.catalog.$cat")
+          .filter(_ == classOf[LakeCatalog].getName)
+          .map { _ =>
+            val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+            rest.foldLeft(Paths.get(LakeSource.localPath(wh)))(_.resolve(_))
+              .toString
+          }
+      case _ => None
+    }).getOrElse(throw new IllegalArgumentException(
+      s"CLONE destination '$dst' must be a <lakeCatalog>.ns.tbl " +
+      "identifier (the clone is born in a catalog warehouse)"))
+    LakeTable.cloneTable(srcDir, dstDir, versionAsOf) match {
+      case Right(v) => Seq(Row(v))
+      case Left(reason) => throw new IllegalStateException(
+        s"CLONE $src -> $dst failed: $reason")
     }
   }
 }

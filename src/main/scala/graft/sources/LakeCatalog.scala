@@ -182,6 +182,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     // catalog write enforces on the incoming rows (NULL passes, FALSE
     // refuses — the SQL-standard CHECK semantics, Delta's same contract)
     val check = Option(ci.get("check")).map(_.trim).filter(_.nonEmpty)
+    check.foreach(org.apache.spark.sql.functions.expr) // must PARSE now
     Files.createDirectories(Paths.get(dir))
     LakeCatalog.writePending(dir,
       LakeCatalog.Pending(schema, layout, statsBy, check))
@@ -246,6 +247,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         // (Delta's ADD CONSTRAINT scan): a constraint the live data
         // already violates would make every future write path lie
         val check = p.value().trim
+        if (check.nonEmpty)
+          org.apache.spark.sql.functions.expr(check) // must PARSE now
         if (check.nonEmpty && LakeTable.currentVersion(dir).nonEmpty)
           LakeCatalog.enforceCheck(
             LakeTable.read(SparkSession.active, dir), check, ident.name())

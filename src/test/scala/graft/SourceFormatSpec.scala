@@ -889,6 +889,47 @@ class SourceFormatSpec extends SparkTestBase {
       .map(_.getString(0)).contains("ns2"))
   }
 
+  test("SQL CREATE TABLE ... CLONE (r12): zero-copy clone through the " +
+       "injected parser, version-pinned clones, refusal on existing") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec10"
+    val wh = Files.createTempDirectory("graft_lake_whspec10_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = java.nio.file.Paths.get(wh, "default", "c_src").toString
+    (1L to 10L).map(k => (k, k * 10L)).toDF("k", "v")
+      .createOrReplaceTempView("clone_src_v")
+    spark.sql(s"CREATE TABLE $cat.default.c_src AS " +
+      "SELECT * FROM clone_src_v")
+    spark.sql(s"INSERT INTO $cat.default.c_src VALUES (11, 110)")
+
+    // live clone: byte-exact, independent
+    val v = spark.sql(s"CREATE TABLE $cat.default.c_live " +
+      s"SHALLOW CLONE $cat.default.c_src").head.getLong(0)
+    assert(v == 1L)
+    assert(spark.table(s"$cat.default.c_live").count() == 11L)
+    val dstDir = java.nio.file.Paths.get(wh, "default", "c_live").toString
+    assert(LakeTable.currentFiles(dstDir) == LakeTable.currentFiles(src))
+    spark.sql(s"DELETE FROM $cat.default.c_live WHERE k > 9")
+    assert(spark.table(s"$cat.default.c_live").count() == 9L)
+    assert(spark.table(s"$cat.default.c_src").count() == 11L,
+      "clone DML must never reach the source")
+
+    // version-pinned clone (pre-insert content)
+    spark.sql(s"CREATE TABLE $cat.default.c_v1 CLONE $cat.default.c_src " +
+      "VERSION AS OF 1")
+    assert(spark.table(s"$cat.default.c_v1").count() == 10L)
+
+    // cloning onto an existing table refuses
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.c_live CLONE " +
+        s"$cat.default.c_src")
+    }
+    Seq("c_src", "c_live", "c_v1").foreach(t =>
+      spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
