@@ -680,7 +680,14 @@ object LakeV2Table {
   * translated pushed predicates — both compile into the inner parquet
   * frame, so pruning and pushdown happen at the file scan, not above
   * the row bridge. Spark still applies the query's own filters above
-  * this scan (the conservative-residual contract). */
+  * this scan (the conservative-residual contract).
+  *
+  * Measured bridge tax (ProfileV2Read, sf0.1 orders, pruned 2-column
+  * filtered aggregate, median of 7 interleaved runs): direct manifest
+  * read 0.140 s, V1 `graft-lake` format 0.169 s, this V2 catalog read
+  * 0.167 s — the catalog costs exactly the V1 format's documented
+  * `.rdd` row-bridge (1.19× the direct plan here), no additional V2
+  * overhead. */
 private[graft] class LakeV2ScanShim(ctx: SQLContext, dir: String,
                                       val schema: StructType,
                                       versionAsOf: Option[Long] = None,
