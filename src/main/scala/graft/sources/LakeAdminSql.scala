@@ -135,6 +135,9 @@ case class OptimizeLakeCommand(ident: String, targetRows: Option[Long],
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.resolveDir(spark, ident)
+    require(LakeTable.currentVersion(dir).nonEmpty,
+      s"'$ident' has no published version to optimize (a CREATE'd table " +
+      "compacts after its first INSERT)")
     val pending = LakeCatalog.readPending(dir)
     // ZORDER overrides the layout default: a z-ordered rewrite is the
     // caller declaring a clustering, not the table's partition layout

@@ -18,7 +18,12 @@ import org.apache.spark.sql.SparkSession
   */
 object CrossJvmChild {
   def main(args: Array[String]): Unit = {
-    val Array(dir, roundsS, readyS) = args
+    val (dir, roundsS, readyS) = (args(0), args(1), args(2))
+    // mode "merge" (default): partial merges on the banded table;
+    // mode "append": plain zero-rewrite appends of disjoint keys on a
+    // flat table — the batch committer racing the parent's V2 STREAMING
+    // write (r12, behavior 48's cross-process story)
+    val mode = args.lift(3).getOrElse("merge")
     val rounds = roundsS.toInt
     val ready = java.nio.file.Paths.get(readyS)
     val go = ready.resolveSibling("go")
@@ -36,11 +41,20 @@ object CrossJvmChild {
       Thread.sleep(10)
     }
     for (i <- 1 to rounds) {
-      val ups = Seq.tabulate(20) { k =>
-        (100L + k, s"child_$i", (100L + k) % 4)
-      }.toDF("k", "v", "band")
-      graft.sources.LakeTable.mergePartial(
-        spark, dir, ups, Seq("k"), "band")(_ => None) match {
+      val r: Either[String, Long] = mode match {
+        case "append" =>
+          val rows = Seq.tabulate(20) { k =>
+            (1000L * i + 100L + k, s"child_$i")
+          }.toDF("k", "v")
+          graft.sources.LakeTable.append(spark, dir, rows)(_ => None)
+        case _ =>
+          val ups = Seq.tabulate(20) { k =>
+            (100L + k, s"child_$i", (100L + k) % 4)
+          }.toDF("k", "v", "band")
+          graft.sources.LakeTable.mergePartial(
+            spark, dir, ups, Seq("k"), "band")(_ => None)
+      }
+      r match {
         case Right(_) => ()
         case Left(reason) =>
           System.err.println(s"child commit $i rejected: $reason")

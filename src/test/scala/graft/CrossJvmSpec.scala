@@ -119,4 +119,81 @@ class CrossJvmSpec extends SparkTestBase {
       .filter(col("m") =!= 0).isEmpty,
       "the cross-process version chain must fold to the live state")
   }
+
+  test("V2 streaming write racing a second JVM's batch appends: " +
+       "every acknowledged row survives, one version per commit (r12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val epochs = 4
+    val rounds = 4
+    val cat = "graft_xjvm_cat"
+    val wh = Files.createTempDirectory("graft_xjvm_wh_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = Paths.get(wh, "default", "x1").toString
+    spark.sql(s"CREATE TABLE $cat.default.x1 (k BIGINT, v STRING)")
+    val sig = Files.createTempDirectory("graft_xjvm2_sig_")
+    val ready = sig.resolve("ready")
+
+    val jvmFlags = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports")
+        || (a.startsWith("-D") && !a.startsWith("-Dderby"))
+        || a.startsWith("--add-modules"))
+      .toSeq
+    val cmd = Seq(
+      Paths.get(sys.props("java.home"), "bin", "java").toString) ++
+      jvmFlags ++ Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+      "graft.CrossJvmChild", dir, rounds.toString, ready.toString, "append")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        sig.resolve("child.log").toFile))
+      .start()
+
+    val mem = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft_xjvm2_cp_").toString
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", cp)
+      .toTable(s"$cat.default.x1")
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!Files.exists(ready)) {
+        assert(proc.isAlive, "child JVM died before becoming ready: " +
+          new String(Files.readAllBytes(sig.resolve("child.log"))).takeRight(500))
+        assert(System.nanoTime() < deadline, "child JVM never became ready")
+        Thread.sleep(20)
+      }
+      Files.createFile(sig.resolve("go"))
+      for (i <- 1 to epochs) {
+        mem.addData((1 to 10).map(k => (10000L * i + k, s"parent_$i")): _*)
+        q.processAllAvailable()
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS), "child JVM hung")
+      assert(proc.exitValue() == 0, "child commits rejected: " +
+        new String(Files.readAllBytes(sig.resolve("child.log"))).takeRight(800))
+    } finally {
+      q.stop()
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+
+    // one version per acknowledged commit: `epochs` streamed epochs +
+    // `rounds` batch appends, interleaved across process boundaries
+    val vs = LakeTable.versions(dir)
+    assert(vs.size == epochs + rounds,
+      s"expected ${epochs + rounds} published versions, got $vs")
+    // no lost update in either direction, exactly-once everywhere
+    val live = spark.table(s"$cat.default.x1").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(live.length == epochs * 10 + rounds * 20,
+      s"row count drifted: ${live.length}")
+    assert(live.map(_._1).distinct.length == live.length,
+      "no row may appear twice (exactly-once across the race)")
+    for (i <- 1 to epochs; k <- 1 to 10)
+      assert(live.toMap.get(10000L * i + k).contains(s"parent_$i"))
+    for (i <- 1 to rounds; k <- 0 until 20)
+      assert(live.toMap.get(1000L * i + 100L + k).contains(s"child_$i"))
+    spark.sql(s"DROP TABLE $cat.default.x1")
+  }
 }
