@@ -174,6 +174,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     require(layout.forall(c => schema.fieldNames.contains(c)),
       s"PARTITIONED BY column '${layout.get}' is not in the schema")
     val ci = new CaseInsensitiveStringMap(properties)
+    // a LOCATION clause would be silently ignored (tables live at
+    // <warehouse>/<ns>/<table> by construction) — refuse it instead
+    require(Option(ci.get("location")).isEmpty,
+      s"graft-lake tables live at <warehouse>/<ns>/<table> " +
+      s"(${dirOf(ident)}); LOCATION is not supported")
     val statsBy = Option(ci.get("statsby")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     statsBy.foreach(c => require(schema.fieldNames.contains(c),

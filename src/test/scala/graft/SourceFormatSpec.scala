@@ -570,6 +570,12 @@ class SourceFormatSpec extends SparkTestBase {
       spark.sql(s"CREATE TABLE $cat.default.c4 (k BIGINT, b BIGINT) " +
         "PARTITIONED BY (k, b)")
     }
+    // LOCATION would be silently ignored (tables live in the
+    // warehouse) — it refuses instead
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.c4b (k BIGINT) " +
+        "LOCATION '/tmp/elsewhere'")
+    }
     // DROP removes a pending-only table too
     spark.sql(s"CREATE TABLE $cat.default.c5 (k BIGINT)")
     spark.sql(s"DROP TABLE $cat.default.c5")
