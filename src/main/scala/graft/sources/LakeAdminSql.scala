@@ -38,19 +38,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(ident, target, zorder) =>
-      OptimizeLakeCommand(ident,
-        Option(target).map(_.toLong),
-        Option(zorder).toSeq.flatMap(_.split(','))
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-    case VacuumRe(ident, keep) =>
-      VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
-    case HistoryRe(ident) => DescribeHistoryCommand(ident)
-    case CloneRe(dst, src, version) =>
-      CloneLakeCommand(dst, src, Option(version).map(_.toLong))
-    case _ => delegate.parsePlan(sqlText)
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.stripLeadingComments(sqlText) match {
+      // matching runs on the comment-stripped text; everything that
+      // falls through delegates the ORIGINAL text untouched
+      case OptimizeRe(ident, target, zorder) =>
+        OptimizeLakeCommand(ident,
+          Option(target).map(_.toLong),
+          Option(zorder).toSeq.flatMap(_.split(','))
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      case VacuumRe(ident, keep) =>
+        VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
+      case HistoryRe(ident) => DescribeHistoryCommand(ident)
+      case CloneRe(dst, src, version) =>
+        CloneLakeCommand(dst, src, Option(version).map(_.toLong))
+      case _ => delegate.parsePlan(sqlText)
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -84,6 +87,29 @@ object GraftSqlParser {
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:SHALLOW\s+)?CLONE\s+""" +
      """([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+
+  /** Leading `--` line comments and `/* */` blocks before the first
+    * token, stripped so a commented admin statement still matches the
+    * anchored regexes. Only the MATCH sees the stripped text — a
+    * non-match delegates the original, so Spark's own error positions
+    * stay exact. */
+  private[sources] def stripLeadingComments(sql: String): String = {
+    var s = sql
+    var moved = true
+    while (moved) {
+      val t = s.dropWhile(_.isWhitespace)
+      val next =
+        if (t.startsWith("--")) t.dropWhile(_ != '\n')
+        else if (t.startsWith("/*")) {
+          val end = t.indexOf("*/")
+          if (end < 0) return sql // unterminated: let Spark complain
+          t.substring(end + 2)
+        } else t
+      moved = next ne t
+      s = next
+    }
+    s
+  }
 
   /** Resolve a statement's table identifier to the lake directory:
     * `cat.ns.tbl` through a configured [[LakeCatalog]]'s warehouse, or a

@@ -727,6 +727,13 @@ class SourceFormatSpec extends SparkTestBase {
     assert(LakeTable.currentVersion(dir).contains(ov3))
     assert(spark.table(s"$cat.default.o1").count() == before.size.toLong)
 
+    // a commented admin statement still matches (leading -- and /* */
+    // strip before the anchored regexes; non-matches delegate verbatim)
+    val ov4 = spark.sql(
+      s"-- nightly maintenance\n/* keep small */ OPTIMIZE $cat.default.o1")
+      .head.getLong(0)
+    assert(LakeTable.currentVersion(dir).contains(ov4))
+
     // the injected parser must not disturb normal SQL — including
     // statements that merely CONTAIN the keywords
     assert(spark.sql("SELECT 'OPTIMIZE tbl' AS s").head.getString(0)
