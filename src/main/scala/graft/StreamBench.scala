@@ -204,9 +204,52 @@ object StreamBench {
         s""""rows_per_sec":${r3(feedRows / secR)}}"""
     }
 
+    // DSv2 catalog streaming pair (r12, behaviors 47/48): rows/sec
+    // through `writeStream.toTable` (executor parquet DataWriters + one
+    // serialized epoch commit with the epochId watermark) and back out
+    // through `readStream.table`'s per-file micro-batch scan. Append
+    // mode, flat table — the zero-rewrite epoch shape; same honest
+    // durable-commit pricing note as the format sink above.
+    val v2Pair = {
+      val cat = "graft_streambench_cat"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_streambench_v2wh_").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.default.sb (k BIGINT, v BIGINT)")
+      val cpW = java.nio.file.Files
+        .createTempDirectory("graft_streambench_v2w_").toString
+      val cpR = java.nio.file.Files
+        .createTempDirectory("graft_streambench_v2r_").toString
+      val rows = (0 until nDocs).map(i => (i.toLong, i.toLong))
+      val chunk = math.max(1, rows.size / 10)
+      val ms = MemoryStream[(Long, Long)]
+      val w = ms.toDS().toDF("k", "v").writeStream
+        .option("checkpointLocation", cpW)
+        .toTable(s"$cat.default.sb")
+      val startW = System.nanoTime()
+      rows.grouped(chunk).foreach { c =>
+        ms.addData(c); w.processAllAvailable()
+      }
+      val secW = (System.nanoTime() - startW) / 1e9
+      w.stop()
+      val r = spark.readStream.table(s"$cat.default.sb")
+        .writeStream.format("noop")
+        .option("checkpointLocation", cpR).start()
+      val startR = System.nanoTime()
+      r.processAllAvailable()
+      val secR = (System.nanoTime() - startR) / 1e9
+      val readRows = r.recentProgress.toSeq.map(_.numInputRows).sum
+      r.stop()
+      s""""lake_v2_table_write":{"rows":${rows.size},"sec":${r3(secW)},""" +
+        s""""rows_per_sec":${r3(rows.size / secW)}},""" +
+        s""""lake_v2_table_read":{"rows":$readRows,"sec":${r3(secR)},""" +
+        s""""rows_per_sec":${r3(readRows / secR)}}"""
+    }
+
     println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
       s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota,$asof,""" +
-      s"""$nearDupR,$quotaR,$lakeSinkSrc}}""")
+      s"""$nearDupR,$quotaR,$lakeSinkSrc,$v2Pair}}""")
     spark.stop()
   }
 }
