@@ -142,19 +142,6 @@ object Bench {
         Thread.sleep(retrySleepSec * 1000L)
     }
     val gaugeStart = admissionGauge.min
-    val first = selected.map { case (name, fn) => (name, measure(name, fn)) }
-    // the shared host stalls in multi-second bands (observed: a contiguous
-    // alphabetical run at 15–23x while the rest of the same run sat at
-    // ambient); re-measure only the outliers — a query 3x over the run's
-    // median and over 1 s — and keep the MIN OF 3 runs (r8 verdict ask
-    // #8: one re-run still landed inside a stall band often enough to
-    // make round-over-round deltas unreadable). A genuine heavy query
-    // re-measures to the same value (two bounded extra runs); a stall
-    // victim recovers its real cost. Median is over SUCCESSFUL runs only.
-    val med = {
-      val s = first.collect { case (_, (t, true)) => t }.sorted
-      if (s.isEmpty) 0.0 else s(s.length / 2)
-    }
     val fnOf = selected.toMap
     // previous round's per-query detail snapshot: a second re-measure
     // trigger — a query regressing >2.5x against its own last-round
@@ -181,15 +168,74 @@ object Bench {
           .getOrElse(Map.empty[String, Double])
       }.getOrElse(Map.empty[String, Double])
     } catch { case _: Throwable => Map.empty[String, Double] }
-    val results = first.map { case (name, (t, ok)) =>
-      val overMedian = t > math.max(1.0, 3.0 * med)
-      val overPrev = t > 0.15 &&
-        prevDetail.get(name).exists(p => t > 2.5 * p)
-      if (ok && (overMedian || overPrev))
-        (name,
-         Seq(t, measure(name, fnOf(name))._1, measure(name, fnOf(name))._1).min,
-         ok, true)
-      else (name, t, ok, false)
+    // ---- drift self-reporting (r12 verdict ask #1) ---------------------
+    // Identical code benched 174 s and 240 s the same day, BOTH
+    // calm-admitted: the admission probes bracket the sweep but cannot see
+    // contention that arrives mid-run. So the sweep itself interleaves the
+    // cheap gauge every ~25 queries and reports a run-level drift factor:
+    // median(interleaved gauge) / calm floor. A reader comparing totals
+    // across rounds divides by drift_factor before concluding anything
+    // about the code. The floor is the documented calm-day gauge min for
+    // this host (env-overridable for others).
+    val gaugeFloor = sys.env.get("SPARK_GRAFT_GAUGE_FLOOR").map(_.toDouble)
+      .getOrElse(0.25)
+    val gaugeEvery = sys.env.get("SPARK_GRAFT_GAUGE_EVERY").map(_.toInt)
+      .getOrElse(25)
+    def sweep(): (Seq[(String, Double, Boolean, Boolean)], Seq[Double]) = {
+      val series = scala.collection.mutable.ArrayBuffer[Double]()
+      val first = selected.zipWithIndex.map { case ((name, fn), i) =>
+        if (i % gaugeEvery == 0) series += gauge()
+        (name, measure(name, fn))
+      }
+      val med = {
+        val s = first.collect { case (_, (t, true)) => t }.sorted
+        if (s.isEmpty) 0.0 else s(s.length / 2)
+      }
+      // outlier re-measure (r8 ask #8): a query 3x over the run median (or
+      // 2.5x over its own prev-round number) re-runs twice more, keeping
+      // the min — a stall victim recovers its real cost, a genuine heavy
+      // query reads the same all three times
+      val res = first.map { case (name, (t, ok)) =>
+        val overMedian = t > math.max(1.0, 3.0 * med)
+        val overPrev = t > 0.15 &&
+          prevDetail.get(name).exists(p => t > 2.5 * p)
+        if (ok && (overMedian || overPrev))
+          (name,
+           Seq(t, measure(name, fnOf(name))._1,
+               measure(name, fnOf(name))._1).min,
+           ok, true)
+        else (name, t, ok, false)
+      }
+      (res, series.toSeq)
+    }
+    val (pass1, series1) = sweep()
+    // hot-window retry (r12 verdict ask #1): when a large share of the
+    // sweep trips the prev-round/median re-measure, the WINDOW was hot —
+    // individual min-of-3 rescues don't fix a run whose every measurement
+    // paid ambient tax (83/326 fired in the r12 driver run and the total
+    // still read 1.37x the calm snapshot). Re-run the sweep ONCE and keep
+    // the per-query min across passes: for stall noise, min is the
+    // unbiased estimator; a genuine regression reads the same both times.
+    val hotFrac = sys.env.get("SPARK_GRAFT_HOT_FRAC").map(_.toDouble)
+      .getOrElse(0.20)
+    val hotRetry = pass1.nonEmpty &&
+      pass1.count(_._4) > hotFrac * pass1.length
+    val (results, gaugeSeries) = if (hotRetry) {
+      val (pass2, series2) = sweep()
+      val byName = pass1.map(r => r._1 -> r).toMap
+      val merged = pass2.map { case (n, t, ok, rm) =>
+        val p = byName(n)
+        val best =
+          if (p._3 && ok) math.min(p._2, t)
+          else if (ok) t else p._2
+        (n, best, ok || p._3, rm || p._4)
+      }
+      (merged, series1 ++ series2)
+    } else (pass1, series1)
+    val driftFactor = {
+      val s = gaugeSeries.filter(_ >= 0).sorted
+      if (s.isEmpty || gaugeFloor <= 0) 1.0
+      else s(s.length / 2) / gaugeFloor
     }
     val gaugeEnd = gauge()
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
@@ -208,6 +254,10 @@ object Bench {
          |"doc_warm_sec":${r3(docWarmSec)},
          |"calm_gauge_start_sec":${r3(gaugeStart)},
          |"calm_gauge_end_sec":${r3(gaugeEnd)},
+         |"gauge_series":${gaugeSeries.map(r3).mkString("[", ",", "]")},
+         |"gauge_floor":${r3(gaugeFloor)},
+         |"drift_factor":${r3(driftFactor)},
+         |"hot_retry":$hotRetry,
          |"admission":{"calm":$calm,"attempts":$admissionAttempts,
          |"gauge_sec":${admissionGauge.map(r3).mkString("[", ",", "]")},
          |"scan_sec":${admissionScan.map(r3).mkString("[", ",", "]")},
@@ -274,8 +324,8 @@ object Bench {
     // full contract line (with the per-query map) first; then a SHORT
     // summary line LAST and on its own, so tail-truncation of the captured
     // log can never destroy the line the driver parses
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","drift_factor":${r3(driftFactor)},"hot_retry":$hotRetry,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","drift_factor":${r3(driftFactor)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
