@@ -171,7 +171,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         s"graft-lake layout is a single identity partition column " +
         s"(layoutBy); got [${other.mkString(", ")}]")
     }
-    require(layout.forall(c => schema.fieldNames.contains(c)),
+    require(layout.forall(c => LakeCatalog.resolves(schema, c)),
       s"PARTITIONED BY column '${layout.get}' is not in the schema")
     val ci = new CaseInsensitiveStringMap(properties)
     // a LOCATION clause would be silently ignored (tables live at
@@ -181,7 +181,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       s"(${dirOf(ident)}); LOCATION is not supported")
     val statsBy = Option(ci.get("statsby")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    statsBy.foreach(c => require(schema.fieldNames.contains(c),
+    statsBy.foreach(c => require(LakeCatalog.resolves(schema, c),
       s"statsBy column '$c' is not in the schema"))
     // TBLPROPERTIES('check'='<boolean expr>') — a CHECK constraint every
     // catalog write enforces on the incoming rows (NULL passes, FALSE
@@ -189,8 +189,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val check = Option(ci.get("check")).map(_.trim).filter(_.nonEmpty)
     check.foreach(org.apache.spark.sql.functions.expr) // must PARSE now
     Files.createDirectories(Paths.get(dir))
-    LakeCatalog.writePending(dir,
-      LakeCatalog.Pending(schema, layout, statsBy, check))
+    try LakeCatalog.writePending(dir,
+      LakeCatalog.Pending(schema, layout, statsBy, check),
+      failIfExists = true)
+    catch {
+      // the check-then-act gap: a concurrent CREATE won the race
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
     new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
   }
 
@@ -246,6 +252,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       if (p.property().equalsIgnoreCase("statsby")) {
         val statsBy = p.value().split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
+        // same schema validation as CREATE: a typo'd column here would
+        // otherwise silently disable stats on every later write (ADVICE
+        // r12). Validate against the LIVE schema (loadTable), not
+        // cur.schema — a born table's pending record keeps the CREATE-
+        // time schema and would spuriously refuse columns added since.
+        val live = loadTable(ident).asInstanceOf[LakeV2Table].schema()
+        statsBy.foreach(c => require(LakeCatalog.resolves(live, c),
+          s"statsBy column '$c' is not in the schema"))
         LakeCatalog.writePending(dir, cur.copy(statsBy = statsBy))
       } else if (p.property().equalsIgnoreCase("check")) {
         // adding a constraint to a table WITH rows validates them first
@@ -387,12 +401,32 @@ object LakeCatalog {
   private def pendingPath(dir: String): java.nio.file.Path =
     Paths.get(dir, "pending.json")
 
+  /** Column-name resolution honoring `spark.sql.caseSensitive`: Spark's
+    * SQL analysis is case-insensitive by default, so DDL validation must
+    * be too — `PARTITIONED BY (BAND)` on column `band` is valid SQL and
+    * a case-sensitive contains() would refuse it spuriously (ADVICE
+    * r12). */
+  private[graft] def resolves(schema: StructType, col: String): Boolean = {
+    val cs = try SparkSession.active.sessionState.conf.caseSensitiveAnalysis
+             catch { case _: Throwable => false }
+    if (cs) schema.fieldNames.contains(col)
+    else schema.fieldNames.exists(_.equalsIgnoreCase(col))
+  }
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private[graft] def writePending(dir: String, p: Pending): Unit = {
+  /** `failIfExists=true` is the CREATE path: tableExists-then-write is
+    * check-then-act, so two racing CREATE TABLEs could both pass the
+    * check and the loser would silently replace the winner's declared
+    * schema (ADVICE r12). A hard link publishes the full content
+    * atomically AND fails with FileAlreadyExistsException when the
+    * target exists — POSIX rename() would silently replace. ALTER keeps
+    * the replacing move: it updates a record it just read. */
+  private[graft] def writePending(dir: String, p: Pending,
+                                  failIfExists: Boolean = false): Unit = {
     val json = s"""{"schema":"${enc(p.schema.toDDL)}"""" +
       p.layoutBy.map(c => s""","layoutBy":"${enc(c)}"""").getOrElse("") +
       (if (p.statsBy.isEmpty) ""
@@ -400,9 +434,13 @@ object LakeCatalog {
       p.check.map(c => s""","check":"${enc(c)}"""").getOrElse("") + "}"
     val tmp = Paths.get(dir, s".pending-${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, pendingPath(dir),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (failIfExists) {
+      try Files.createLink(pendingPath(dir), tmp)
+      finally Files.deleteIfExists(tmp)
+    } else
+      Files.move(tmp, pendingPath(dir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Enforce a CHECK constraint on the rows ABOUT TO BE WRITTEN —
@@ -541,20 +579,54 @@ class LakeV2Table(val dir: String, ident: String,
                 val pending = LakeCatalog.readPending(dir)
                 val layout = pending.flatMap(_.layoutBy)
                 val stats = pending.map(_.statsBy).getOrElse(Seq.empty)
+                // a CHECK (and the REPLACE WHERE stray-row validation
+                // below) pre-reads the incoming frame in a separate job
+                // from the write — for a NON-DETERMINISTIC source query
+                // (rand(), uuid(), …) the rows checked could differ from
+                // the rows staged, letting a violating row slip through.
+                // Pin such frames once (O(batch) local checkpoint) so
+                // check and write see identical rows; deterministic
+                // plans — the overwhelming case — pay nothing (ADVICE
+                // r12).
+                val deterministic = data.queryExecution.analyzed.find(
+                  p => p.expressions.exists(_.exists(!_.deterministic))
+                ).isEmpty
+                val in =
+                  if (deterministic ||
+                      (pending.flatMap(_.check).isEmpty && replace.isEmpty))
+                    data
+                  else data.localCheckpoint()
                 pending.flatMap(_.check).foreach(c =>
-                  LakeCatalog.enforceCheck(data, c, ident))
+                  LakeCatalog.enforceCheck(in, c, ident))
                 val r =
                   if (replace.nonEmpty &&
                       LakeTable.currentVersion(dir).nonEmpty)
                     LakeTable.replaceWhereDv(spark, dir, replace.get,
-                                             data, layout, stats)(_ => None)
-                  else if (ovr || replace.nonEmpty)
+                                             in, layout, stats)(_ => None)
+                  else if (ovr || replace.nonEmpty) {
                     // full overwrite — or REPLACE WHERE into a table with
                     // no published version yet (replacing an empty range
-                    // IS the first backfill)
-                    LakeTable.commit(spark, dir, data, layout,
+                    // IS the first backfill). The unborn-table branch
+                    // still validates the incoming rows against the
+                    // predicate — violations refuse BEFORE anything
+                    // stages, same contract as replaceWhereDv (ADVICE
+                    // r12).
+                    replace.foreach { pred =>
+                      val stray = in.filter(
+                        !org.apache.spark.sql.functions.coalesce(
+                          pred.cast("boolean"),
+                          org.apache.spark.sql.functions.lit(false)))
+                        .limit(1).count()
+                      if (stray > 0L) throw new IllegalStateException(
+                        s"INSERT into $ident failed: REPLACE WHERE " +
+                        "rejected: at least one incoming row does not " +
+                        "satisfy the predicate — a backfill must not " +
+                        "leak rows outside the range it replaces")
+                    }
+                    LakeTable.commit(spark, dir, in, layout,
                                      stats)(_ => None)
-                  else LakeTable.append(spark, dir, data, layout,
+                  }
+                  else LakeTable.append(spark, dir, in, layout,
                                         stats)(_ => None)
                 r match {
                   case Right(_) => ()

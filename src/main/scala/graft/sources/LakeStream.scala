@@ -261,6 +261,18 @@ object LakeStreamSource {
   private[sources] def changeVersions(dir: String, from: Long,
                                       to: Long): Seq[Long] = {
     val vs = LakeTable.versions(dir)
+    // a checkpointed start version whose manifest was vacuumed must
+    // refuse loudly, mirroring changesBetween's guard: treating it as an
+    // empty file list would re-emit every carried file of the next
+    // version as newly added (duplicate rows — broken exactly-once), and
+    // non-append commits across the gap would go undetected (ADVICE r12).
+    // Both stream paths route here before planning a batch: the V2
+    // planInputPartitions directly, the V1 getBatch via changesBetween's
+    // own require plus this one.
+    require(from == 0L || vs.contains(from),
+      s"version $from not published (or vacuumed) in $dir")
+    require(vs.contains(to) || to == from,
+      s"version $to not published (or vacuumed) in $dir")
     val window = (from +: vs.filter(v => v > from && v <= to))
       .distinct.sorted
     window.zip(window.tail).collect {

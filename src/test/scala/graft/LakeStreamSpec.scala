@@ -893,6 +893,55 @@ class LakeStreamSpec extends SparkTestBase {
     }
   }
 
+  test("V2 stream restart from a vacuumed checkpoint version refuses " +
+       "loudly instead of re-emitting carried files (ADVICE r12)") {
+    import spark.implicits._
+    val cat = "graft_lake_vaccat"
+    val wh = Files.createTempDirectory("graft_lake_whvacv2_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "vt").toString
+    val cp = Files.createTempDirectory("graft_lake_vacv2_cp_").toString
+    for (i <- 1 to 3)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    val rows = mutable.ArrayBuffer.empty[Row]
+    def start() = spark.readStream.table(s"$cat.default.vt")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }
+        ()
+      }
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L, 3L))
+    // two more appends land while the stream is down, then vacuum
+    // reclaims every manifest below the live version — INCLUDING v3,
+    // the checkpointed offset. filesOf(v3) would read empty, so v4's
+    // carried files (= all of v1..v3's data) would re-emit as "added":
+    // silent duplicates. The restart must refuse instead.
+    for (i <- 4 to 5)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    LakeTable.vacuum(dir, 1)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def names(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ names(x.getCause))
+    assert(names(e).exists(_.contains("vacuumed")),
+      s"the refusal must name the vacuumed version: ${e.getMessage}")
+    assert(rows.map(_.getAs[Long]("k")).sorted == Seq(1L, 2L, 3L),
+      "no duplicate or partial rows may be delivered past the gap")
+    spark.sql(s"DROP TABLE $cat.default.vt")
+  }
+
   test("writeStream.toTable through the DSv2 catalog (r12, behavior 48): " +
        "exactly-once epoch appends, Complete overwrites, CHECK gates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -943,6 +943,81 @@ class SourceFormatSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("catalog DDL hardening (ADVICE r12): unborn REPLACE WHERE " +
+       "validates, case-insensitive DDL columns, statsBy ALTER " +
+       "validation, atomic CREATE, non-deterministic CHECK insert") {
+    import graft.sources.{LakeCatalog, LakeTable}
+    import spark.implicits._
+    val cat = "graft_lake_spec11"
+    val wh = Files.createTempDirectory("graft_lake_whspec11_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+
+    // case-insensitive column references in DDL (Spark analysis default):
+    // PARTITIONED BY (BAND) on column `band`, statsBy 'K' on column `k`
+    spark.sql(s"CREATE TABLE $cat.default.ci1 (k BIGINT, band BIGINT) " +
+      "PARTITIONED BY (BAND) TBLPROPERTIES ('statsBy'='K')")
+    spark.sql(s"INSERT INTO $cat.default.ci1 VALUES (1, 2)")
+    assert(spark.table(s"$cat.default.ci1").count() == 1L)
+
+    // REPLACE WHERE into an UNBORN table still validates the incoming
+    // rows: a leaking backfill refuses BEFORE anything stages
+    spark.sql(s"CREATE TABLE $cat.default.u1 (k BIGINT, band BIGINT)")
+    val uDir = java.nio.file.Paths.get(wh, "default", "u1").toString
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.default.u1 REPLACE WHERE band = 2 " +
+        "SELECT 1L AS k, 3L AS band")
+    }
+    assert(LakeTable.currentVersion(uDir).isEmpty,
+      "a leaking unborn-table REPLACE WHERE must not birth a version")
+    spark.sql(s"INSERT INTO $cat.default.u1 REPLACE WHERE band = 2 " +
+      "SELECT 1L AS k, 2L AS band")
+    assert(spark.table(s"$cat.default.u1").count() == 1L)
+
+    // ALTER SET statsBy validates against the LIVE schema: a typo
+    // refuses; a column added after CREATE is legal
+    spark.sql(s"ALTER TABLE $cat.default.u1 ADD COLUMNS (w BIGINT)")
+    spark.sql(s"ALTER TABLE $cat.default.u1 SET TBLPROPERTIES " +
+      "('statsBy'='w')")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.u1 SET TBLPROPERTIES " +
+        "('statsBy'='no_such_col')")
+    }
+
+    // atomic CREATE: the pending record publishes with fail-if-exists
+    // semantics, so a racing CREATE cannot silently replace the winner's
+    // declared schema
+    val rDir = java.nio.file.Paths.get(wh, "default", "race1").toString
+    Files.createDirectories(java.nio.file.Paths.get(rDir))
+    val p = LakeCatalog.Pending(
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"),
+      None, Seq.empty)
+    LakeCatalog.writePending(rDir, p, failIfExists = true)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      LakeCatalog.writePending(rDir, p, failIfExists = true)
+    }
+    // and the SQL surface maps it to the standard exists error
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.race1 (other STRING)")
+    }
+    assert(spark.table(s"$cat.default.race1").schema.fieldNames.toSeq
+      == Seq("k"), "the CREATE loser must not replace the winner's schema")
+
+    // a non-deterministic source with a CHECK constraint: check and
+    // write must see the SAME rows (the frame pins via localCheckpoint),
+    // so every written row satisfies the constraint
+    spark.sql(s"CREATE TABLE $cat.default.nd1 (k BIGINT) " +
+      "TBLPROPERTIES ('check'='k >= 0')")
+    spark.sql(s"INSERT INTO $cat.default.nd1 " +
+      "SELECT CAST(rand() * 100 AS BIGINT) AS k FROM range(50)")
+    val nd = spark.table(s"$cat.default.nd1")
+    assert(nd.count() == 50L)
+    assert(nd.filter(col("k") < 0L).count() == 0L)
+
+    Seq("ci1", "u1", "nd1").foreach(t =>
+      spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
