@@ -1640,6 +1640,103 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** GENERAL SQL `MERGE INTO` (r13): conditional WHEN clauses, partial
+      * assignments, and a conditional partial INSERT — the shapes beyond
+      * the canonical upsert, rewritten by the analyzer rule into
+      * [[graft.sources.LakeTable.mergeConditionalDv]]'s ONE merge-on-read
+      * DV commit (first-applicable-clause semantics; zero pre-existing
+      * files rewritten, required inline). Fixture: v1 holds a stale
+      * rollup slice for `custkey%10=3` customers and OMITS the
+      * `custkey%10=7` ones; the source carries both slices fresh. The
+      * MERGE refreshes grown stale customers (`s.n_orders >
+      * t.n_orders`), ages out the unchanged ones (the fall-through
+      * DELETE clause), and back-inserts only even missing customers —
+      * every clause branch exercised, and the oracle recomputes the
+      * survivor set relationally in DuckDB, so the hash-match proves the
+      * conditional CASE routing, the hide set, and the insert filter all
+      * at once. At 100 TB the plan is one key-equi-join plus two
+      * anti-joins, write cost ∝ touched rows (sidecar + fresh files) —
+      * never table size. */
+    OpDef(
+      "q_lake_sql_merge_cond",
+      """WITH full_r AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |stale AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT * FROM full_r
+        |  WHERE custkey % 10 <> 3 AND custkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT * FROM stale WHERE custkey % 10 = 3),
+        |s AS (SELECT * FROM full_r WHERE custkey % 10 IN (3, 7))
+        |SELECT custkey, n_orders, cents FROM t
+        |WHERE custkey NOT IN (SELECT custkey FROM s)
+        |UNION ALL
+        |SELECT t.custkey, s.n_orders, s.cents
+        |FROM t JOIN s ON t.custkey = s.custkey
+        |WHERE s.n_orders > t.n_orders
+        |UNION ALL
+        |SELECT custkey, n_orders, cents FROM s
+        |WHERE custkey NOT IN (SELECT custkey FROM t)
+        |  AND custkey % 2 = 0
+        |ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+      val full = roll(o)
+      val hit3 = col("custkey") % 10 === 3
+      val hit7 = col("custkey") % 10 === 7
+      val v1Table = full.filter(!hit3 && !hit7)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(hit3))
+      require(LakeTable.commit(s, dir, v1Table, Some("band"))(_ => None)
+                == Right(1L), "v1 commit failed")
+      val filesV1 = LakeTable.currentFiles(dir).toSet
+      val src = Views.reg(full.filter(hit3 || hit7), "dvmc_src")
+      s.sql(s"MERGE INTO $cat.default.$tbl AS t USING $src AS s " +
+            "ON t.custkey = s.custkey " +
+            "WHEN MATCHED AND s.n_orders > t.n_orders THEN UPDATE SET " +
+            "n_orders = s.n_orders, cents = s.cents " +
+            "WHEN MATCHED THEN DELETE " +
+            "WHEN NOT MATCHED AND s.custkey % 2 = 0 THEN INSERT " +
+            "(custkey, n_orders, cents, band) VALUES " +
+            "(s.custkey, s.n_orders, s.cents, s.band)")
+      require(LakeTable.currentVersion(dir).contains(2L),
+              "general SQL MERGE must publish v2")
+      require(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+              "general SQL MERGE must keep every pre-existing file")
+      s.table(s"$cat.default.$tbl")
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
     /** DELETION-VECTOR UPDATE (r12): merge-on-read UPDATE in ONE atomic
       * commit — [[graft.sources.LakeTable.updateWhereDv]] publishes a
       * position sidecar hiding every matched live row PLUS freshly

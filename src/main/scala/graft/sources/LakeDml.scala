@@ -88,19 +88,22 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => d
         }
 
-      // SQL MERGE INTO, canonical-upsert shape only (r12): equality keys,
-      // WHEN MATCHED THEN UPDATE SET * / identity assignments, WHEN NOT
-      // MATCHED THEN INSERT * / identity — source rows replace same-key
-      // target rows and insert new keys, the exact semantics of
-      // [[LakeTable.mergeDv]]. Conditional clauses, non-identity
-      // assignments, and BY SOURCE clauses fall through to Spark's own
+      // SQL MERGE INTO (r12, generalized r13). The canonical-upsert and
+      // matched-delete shapes keep their dedicated one-join commands
+      // ([[LakeTable.mergeDv]] / [[LakeTable.deleteMatchedDv]]); every
+      // other scalar shape — conditional WHEN clauses, partial /
+      // non-identity assignments, partial-column INSERT, and WHEN NOT
+      // MATCHED BY SOURCE — compiles to [[LakeTable.mergeConditionalDv]]
+      // (first-applicable-clause CASE semantics, one merge-on-read DV
+      // commit). Subquery conditions/values fall through to Spark's own
       // row-level-operation error — nothing half-applies.
       case m @ MergeIntoTable(target, source, cond,
                               matched, notMatched, bySource, _)
-          if m.resolved && bySource.isEmpty =>
+          if m.resolved =>
         (lakeDirOf(target), mergeKeys(target, source, cond)) match {
           case (Some((dir, ident, _)), Some(keys))
-              if replacesWholeRow(matched, source, update = true) &&
+              if bySource.isEmpty &&
+                 replacesWholeRow(matched, source, update = true) &&
                  replacesWholeRow(notMatched, source, update = false) &&
                  target.output.map(_.name).toSet ==
                    source.output.map(_.name).toSet =>
@@ -109,11 +112,99 @@ class LakeUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
           // retention delete — matched target rows hidden by one
           // sidecar publish, zero rewrites
           case (Some((dir, ident, _)), Some(keys))
-              if matched == Seq(DeleteAction(None)) && notMatched.isEmpty =>
+              if bySource.isEmpty &&
+                 matched == Seq(DeleteAction(None)) && notMatched.isEmpty =>
             MergeLakeDvDeleteCommand(dir, ident, keys, source)
+          case (Some((dir, ident, _)), Some(keys)) =>
+            generalClauses(target, source, matched, notMatched, bySource)
+              .map { case (mm, nn, bb) =>
+                MergeLakeGeneralCommand(dir, ident, keys, source,
+                                        mm, nn, bb): LogicalPlan
+              }.getOrElse(m)
           case _ => m
         }
     }
+
+  /** Expression rendered as SQL over the aliases `t` (target) and `s`
+    * (source) — the joined-frame spelling [[LakeTable
+    * .mergeConditionalDv]] re-parses. */
+  private def tsSql(e: Expression, target: LogicalPlan,
+                    source: LogicalPlan): String = {
+    val tOut = target.outputSet
+    val sOut = source.outputSet
+    e.transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        a.withQualifier(Seq("t"))
+      case a: AttributeReference if sOut.contains(a) =>
+        a.withQualifier(Seq("s"))
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+  }
+
+  /** Compile the three WHEN-clause lists to carried SQL fragments, or
+    * None when any clause is out of scope (a subquery anywhere, a
+    * nested-field or non-attribute assignment target, an exotic action
+    * type) — the caller then leaves the plan to Spark's own error. */
+  private def generalClauses(target: LogicalPlan, source: LogicalPlan,
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+      bySource: Seq[MergeAction])
+      : Option[(Seq[(Option[String], Option[Seq[(String, String)]])],
+                Seq[(Option[String], Seq[(String, String)])],
+                Seq[(Option[String], Option[Seq[(String, String)]])])] = {
+    val tOut = target.outputSet
+    def ts(e: Expression): Option[String] =
+      if (noSubquery(e)) Some(tsSql(e, target, source)) else None
+    def cond(c: Option[Expression]): Option[Option[String]] = c match {
+      case None => Some(None)
+      case Some(e) => ts(e).map(Some(_))
+    }
+    def assignsOf(assigns: Seq[Assignment])
+        : Option[Seq[(String, String)]] = {
+      val rendered = assigns.map {
+        case Assignment(k: AttributeReference, v) if tOut.contains(k) =>
+          ts(v).map(k.name -> _)
+        case _ => None
+      }
+      if (rendered.forall(_.nonEmpty)) Some(rendered.flatten) else None
+    }
+    // SET * / INSERT *: identity from the same-named source column —
+    // requires every target column to exist in the source
+    def starAssigns: Option[Seq[(String, String)]] = {
+      val byName = source.output.map(a => a.name -> a).toMap
+      val rendered = target.output.map(a =>
+        byName.get(a.name).map(sa => a.name -> tsSql(sa, target, source)))
+      if (rendered.forall(_.nonEmpty)) Some(rendered.flatten) else None
+    }
+    val mm = matched.map {
+      case UpdateAction(c, assigns, _) =>
+        for { cc <- cond(c); aa <- assignsOf(assigns) }
+          yield (cc, Some(aa): Option[Seq[(String, String)]])
+      case UpdateStarAction(c) =>
+        for { cc <- cond(c); aa <- starAssigns }
+          yield (cc, Some(aa): Option[Seq[(String, String)]])
+      case DeleteAction(c) =>
+        cond(c).map(cc => (cc, None: Option[Seq[(String, String)]]))
+      case _ => None
+    }
+    val nn = notMatched.map {
+      case InsertAction(c, assigns) =>
+        for { cc <- cond(c); aa <- assignsOf(assigns) } yield (cc, aa)
+      case InsertStarAction(c) =>
+        for { cc <- cond(c); aa <- starAssigns } yield (cc, aa)
+      case _ => None
+    }
+    val bb = bySource.map {
+      case UpdateAction(c, assigns, _) =>
+        for { cc <- cond(c); aa <- assignsOf(assigns) }
+          yield (cc, Some(aa): Option[Seq[(String, String)]])
+      case DeleteAction(c) =>
+        cond(c).map(cc => (cc, None: Option[Seq[(String, String)]]))
+      case _ => None
+    }
+    if ((mm ++ bb).forall(_.nonEmpty) && nn.forall(_.nonEmpty))
+      Some((mm.flatten, nn.flatten, bb.flatten))
+    else None
+  }
 
   /** Would the DSv2 `SupportsDelete` filter bridge accept this
     * condition? Conservative on purpose: only the plain
@@ -303,6 +394,72 @@ case class MergeLakeDvCommand(dir: String, ident: String,
       }
     }
     LakeTable.mergeDv(spark, dir, src, keys)(_ => None) match {
+      case Right(_) => Seq.empty
+      case Left(reason) => throw new IllegalStateException(
+        s"MERGE INTO $ident failed: $reason")
+    }
+  }
+}
+
+/** The runnable half of the GENERAL MERGE rewrite (r13): conditional
+  * WHEN clauses, partial assignments, partial-column INSERT, and WHEN
+  * NOT MATCHED BY SOURCE, compiled to carried SQL fragments over the
+  * aliases `t`/`s` and executed by [[LakeTable.mergeConditionalDv]] —
+  * one merge-on-read DV commit, first-applicable-clause semantics,
+  * count-equation audited. A declared CHECK constraint gates the staged
+  * NEW rows (updated copies + inserts), O(batch). */
+case class MergeLakeGeneralCommand(dir: String, ident: String,
+    keys: Seq[String], source: LogicalPlan,
+    matched: Seq[(Option[String], Option[Seq[(String, String)]])],
+    notMatched: Seq[(Option[String], Seq[(String, String)])],
+    bySource: Seq[(Option[String], Option[Seq[(String, String)]])])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.StreamShim.ofRows(spark, source)
+    val pending = LakeCatalog.readPending(dir)
+    val declaredCheck = pending.flatMap(_.check)
+    def checkFresh(df: org.apache.spark.sql.DataFrame): Option[String] =
+      declaredCheck.flatMap { c =>
+        try { LakeCatalog.enforceCheck(df, c, ident); None }
+        catch { case e: IllegalStateException => Some(e.getMessage) }
+      }
+    if (LakeDml.unborn(dir)) {
+      // nothing can match an empty table: only the NOT MATCHED clauses
+      // act — apply them to the source (first applicable wins,
+      // unassigned columns null-fill against the DECLARED schema) and
+      // birth v1 when any row lands; an all-filtered merge is a no-op
+      val schema = pending.get.schema
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      def cTrue(c: Option[String]) = c.map(x =>
+        org.apache.spark.sql.functions.coalesce(
+          expr(x).cast("boolean"), lit(false))).getOrElse(lit(true))
+      val conds = notMatched.map(_._1)
+      val s = src.alias("s")
+      val frames = notMatched.zipWithIndex.map { case ((_, assigns), i) =>
+        val first = conds.take(i).foldLeft(cTrue(conds(i)))(
+          (acc, prev) => acc && !cTrue(prev))
+        val am = assigns.toMap
+        s.filter(first).select(schema.fieldNames.toSeq.map(c =>
+          am.get(c).map(a => expr(a).cast(types(c)))
+            .getOrElse(lit(null).cast(types(c))).as(c)): _*)
+      }
+      val inserts = frames.reduceOption(_ union _)
+      if (inserts.isEmpty || inserts.get.isEmpty) return Seq.empty
+      checkFresh(inserts.get).foreach(r => throw new IllegalStateException(
+        s"MERGE INTO $ident failed: $r"))
+      LakeTable.commit(spark, dir, inserts.get, pending.flatMap(_.layoutBy),
+          pending.map(_.statsBy).getOrElse(Seq.empty))(_ => None) match {
+        case Right(_) => return Seq.empty
+        case Left(reason) => throw new IllegalStateException(
+          s"MERGE INTO $ident failed: $reason")
+      }
+    }
+    LakeTable.mergeConditionalDv(spark, dir, src, keys,
+        matched, notMatched, bySource,
+        layoutBy = pending.flatMap(_.layoutBy),
+        statsBy = pending.map(_.statsBy).getOrElse(Seq.empty),
+        checkFresh = checkFresh)(_ => None) match {
       case Right(_) => Seq.empty
       case Left(reason) => throw new IllegalStateException(
         s"MERGE INTO $ident failed: $reason")

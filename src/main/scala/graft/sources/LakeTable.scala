@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Write-audit-publish table commit — the transactional-sink capability a
@@ -1642,6 +1642,192 @@ object LakeTable {
         }
       }
     }
+  }
+
+  /** GENERAL conditional MERGE via DELETION VECTORS (r13) — the full SQL
+    * MERGE shape family in ONE atomic merge-on-read commit: conditional
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET c = expr / DELETE` clauses
+    * (first applicable clause wins, SQL semantics), conditional
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)`
+    * (unassigned columns null-fill, Delta semantics), and
+    * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE`.
+    * Conditions and assignment values arrive as SQL fragments over the
+    * aliases `t` (target) and `s` (source) — rendered by the analyzer
+    * rule from the resolved MERGE plan, re-parsed here against the
+    * joined frame, so arbitrary scalar expressions work and subqueries
+    * were already refused at analysis.
+    *
+    * Plan shape at 100 TB: one equi-join target×source on the keys
+    * (AQE free to broadcast a small source), one anti-join each way for
+    * the insert / by-source sides — all key-partitioned shuffles, no
+    * cartesian anywhere. Write cost ∝ |touched rows|: a position sidecar
+    * hides every updated/deleted live row, fresh files carry the new
+    * copies and inserts, and every pre-existing data file stays
+    * byte-identical ([[mergeDv]]'s complement for non-canonical
+    * shapes). The audit re-reads the staged version through its vectors
+    * and blocks publish unless `live − hidden + fresh` holds exactly.
+    * An all-no-op merge (nothing hidden, nothing inserted) publishes
+    * nothing and returns the live version. `checkFresh` gates the
+    * staged NEW rows only (O(batch)) — the CHECK-constraint hook. */
+  def mergeConditionalDv(spark: SparkSession, dir: String,
+      source: DataFrame, keys: Seq[String],
+      matched: Seq[(Option[String], Option[Seq[(String, String)]])],
+      notMatched: Seq[(Option[String], Seq[(String, String)])],
+      bySource: Seq[(Option[String], Option[Seq[(String, String)]])],
+      layoutBy: Option[String] = None,
+      statsBy: Seq[String] = Seq.empty,
+      checkFresh: DataFrame => Option[String] = _ => None)(
+      check: DataFrame => Option[String]): Either[String, Long] = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "merge requires at least one WHEN clause")
+    // SQL-truth of an optional clause condition: NULL is "does not apply"
+    def cTrue(cond: Option[String]): org.apache.spark.sql.Column =
+      cond.map(c => coalesce(expr(c).cast("boolean"), lit(false)))
+        .getOrElse(lit(true))
+    // first-applicable-clause-wins: clause i fires iff its condition
+    // holds and no earlier clause's does
+    def firstOf(conds: Seq[Option[String]], i: Int)
+        : org.apache.spark.sql.Column =
+      conds.take(i).foldLeft(cTrue(conds(i)))((acc, prev) =>
+        acc && !cTrue(prev))
+    def anyOf(conds: Seq[Option[String]]): org.apache.spark.sql.Column =
+      conds.map(cTrue).reduceOption(_ || _).getOrElse(lit(false))
+    translateDvNoop(commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version to merge into in $dir")
+      else {
+        val srcKeys = source.select(keys.map(col): _*).distinct()
+        if (matched.nonEmpty || bySource.nonEmpty) {
+          // a target row matching >1 source rows makes the update
+          // ambiguous (the Delta/SQL-standard cardinality violation)
+          val mx = source.groupBy(keys.map(col): _*).count()
+            .agg(org.apache.spark.sql.functions.max("count")).head
+          require(mx.isNullAt(0) || mx.getLong(0) <= 1L,
+            "MERGE source must carry each key at most once")
+        }
+        val json = readManifest(dir, base).get
+        val files = manifestFiles(json)
+        val recorded = manifestSchema(json)
+        val paths = files.map(f => Paths.get(dir, f).toString)
+        val reader =
+          if (recorded.isEmpty) spark.read.parquet(paths: _*)
+          else spark.read
+            .schema(StructType.fromDDL(recorded.mkString(", ")))
+            .parquet(paths: _*)
+        val prevDv = manifestDv(json)
+        val cols = reader.columns.toSeq
+        val types = reader.schema.fields.map(f => f.name -> f.dataType).toMap
+        def free(b: String): String = {
+          var n = b
+          while (cols.contains(n) || source.columns.contains(n)) n += "_"
+          n
+        }
+        val fCol = free("_dv_file")
+        val pCol = free("_dv_pos")
+        // live rows WITH their (file, pos) identity, read through the
+        // current vector set — the frame every side below derives from
+        val withPos = reader
+          .withColumn(fCol, relFileCol)
+          .withColumn(pCol, col("_metadata.row_index"))
+        val livePos =
+          if (prevDv.isEmpty) withPos
+          else withPos.join(
+            broadcast(spark.read.parquet(
+              prevDv.map(s => Paths.get(dir, s).toString): _*)
+              .select(col("file").as(fCol), col("pos").as(pCol))),
+            Seq(fCol, pCol), "left_anti")
+        // ---- matched side: inner join on the keys ----
+        val joinCond = keys.map(k =>
+          col(s"t.`$k`") === col(s"s.`$k`")).reduce(_ && _)
+        val m = livePos.alias("t").join(source.alias("s"), joinCond)
+        val mConds = matched.map(_._1)
+        val hideMatched =
+          if (matched.isEmpty) None
+          else Some(m.filter(anyOf(mConds))
+            .select(col(s"t.`$fCol`").as("file"),
+                    col(s"t.`$pCol`").as("pos")))
+        def rowFrom(frame: DataFrame, assigns: Map[String, String],
+                    carry: String => org.apache.spark.sql.Column)
+            : DataFrame =
+          frame.select(cols.map(c =>
+            assigns.get(c).map(a => expr(a).cast(types(c)))
+              .getOrElse(carry(c)).as(c)): _*)
+        val matchedUpdates = matched.zipWithIndex.collect {
+          case ((_, Some(assigns)), i) =>
+            rowFrom(m.filter(firstOf(mConds, i)), assigns.toMap,
+                    c => col(s"t.`$c`"))
+        }
+        // ---- not-matched side: source keys absent from the live table ----
+        val insBase = source.join(
+          livePos.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .alias("s")
+        val iConds = notMatched.map(_._1)
+        val inserts = notMatched.zipWithIndex.map {
+          case ((_, assigns), i) =>
+            rowFrom(insBase.filter(firstOf(iConds, i)), assigns.toMap,
+                    c => lit(null).cast(types(c)))
+        }
+        // ---- by-source side: live rows whose key the source lacks ----
+        val tOnly = livePos.join(srcKeys, keys, "left_anti").alias("t")
+        val bConds = bySource.map(_._1)
+        val hideBySource =
+          if (bySource.isEmpty) None
+          else Some(tOnly.filter(anyOf(bConds))
+            .select(col(s"t.`$fCol`").as("file"),
+                    col(s"t.`$pCol`").as("pos")))
+        val bySourceUpdates = bySource.zipWithIndex.collect {
+          case ((_, Some(assigns)), i) =>
+            rowFrom(tOnly.filter(firstOf(bConds, i)), assigns.toMap,
+                    c => col(s"t.`$c`"))
+        }
+        val hidden = (hideMatched.toSeq ++ hideBySource.toSeq)
+          .reduceOption(_ union _)
+        val freshRows = (matchedUpdates ++ inserts ++ bySourceUpdates)
+          .reduceOption(_ union _)
+        val liveCount = livePos.count()
+        val hiddenCount = hidden.map(_.count()).getOrElse(0L)
+        // stage the fresh rows, then read them back footer-bounded: a
+        // zero-row stage (every clause filtered everything out) must not
+        // put schema-only litter in the manifest
+        val fresh = freshRows.map(fr =>
+          stageFresh(spark, dir, fr, layoutBy, statsBy))
+        val freshFiles = fresh.map(_.files).getOrElse(Seq.empty)
+        val freshDf =
+          if (freshFiles.isEmpty) None
+          else Some(spark.read.parquet(
+            freshFiles.map(f => Paths.get(dir, f).toString): _*))
+        val freshCount = freshDf.map(_.count()).getOrElse(0L)
+        if (hiddenCount == 0L && freshCount == 0L) Left(DvNoop + base)
+        else freshDf.flatMap(df => checkFresh(df)) match {
+          case Some(reason) =>
+            Left(s"merge into $dir rejected: $reason")
+          case None =>
+            val keepFresh = if (freshCount == 0L) None else fresh
+            val sidecars =
+              if (hiddenCount == 0L) Seq.empty
+              else writeDvSidecars(spark, dir, hidden.get, files.length)
+            val st = Staged(dir, base + 1L,
+              files ++ keepFresh.map(_.files).getOrElse(Seq.empty),
+              batches = batchesOf(dir, base),
+              schema = keepFresh.map(f =>
+                if (recorded.isEmpty) f.schema
+                else mergeSchemas(recorded, f.schema)).getOrElse(recorded),
+              stats = manifestStats(json) ++
+                keepFresh.map(_.stats).getOrElse(Seq.empty),
+              baseVersion = base, op = "dvmerge",
+              dv = prevDv ++ sidecars)
+            audit(spark, st) { df =>
+              val after = df.count()
+              val expect = liveCount - hiddenCount + freshCount
+              if (after != expect)
+                Some(s"MERGE count equation broken: $liveCount live − " +
+                     s"$hiddenCount hidden + $freshCount fresh = " +
+                     s"$expect, staged reads $after")
+              else check(df)
+            }
+        }
+      }
+    })
   }
 
   /** Shared partial-rewrite engine for [[mergePartial]] /

@@ -1018,6 +1018,107 @@ class SourceFormatSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("general MERGE shapes (r13): conditional clauses, partial " +
+       "assignments, partial INSERT, NOT MATCHED BY SOURCE — one DV " +
+       "commit; subqueries still refuse") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec12"
+    val wh = Files.createTempDirectory("graft_lake_whspec12_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "g1").toString
+    // target: k 1..8, v = k*10, flag = k%2
+    (1L to 8L).map(k => (k, k * 10L, k % 2L)).toDF("k", "v", "flag")
+      .createOrReplaceTempView("gm_t_src")
+    spark.sql(s"CREATE TABLE $cat.default.g1 AS SELECT * FROM gm_t_src")
+    val filesV1 = LakeTable.currentFiles(dir).toSet
+    // source: keys 5..12, delta = k*100
+    (5L to 12L).map(k => (k, k * 100L)).toDF("k", "delta")
+      .createOrReplaceTempView("gm_s")
+
+    // conditional matched clauses (first-applicable-wins), partial
+    // assignment mixing t and s, conditional partial-column INSERT
+    spark.sql(s"""MERGE INTO $cat.default.g1 AS t USING gm_s AS s
+      ON t.k = s.k
+      WHEN MATCHED AND t.flag = 1 THEN UPDATE SET v = t.v + s.delta
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.k <= 10 THEN INSERT (k, v) VALUES (s.k, s.delta)""")
+    assert(LakeTable.currentVersion(dir).contains(2L))
+    assert(filesV1.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "general MERGE must keep every pre-existing file (DV path)")
+    val after = spark.table(s"$cat.default.g1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // k=1..4 untouched; k=5,7 matched flag=1 → v += delta;
+    // k=6,8 matched flag=0 → deleted; k=9,10 inserted (flag NULL);
+    // k=11,12 filtered out by the insert condition
+    assert(after.keySet == Set(1L, 2L, 3L, 4L, 5L, 7L, 9L, 10L),
+      s"wrong survivor set: ${after.keySet.toSeq.sorted}")
+    assert(after(5L) == (50L + 500L, 1L) && after(7L) == (70L + 700L, 1L))
+    assert(after(1L) == (10L, 1L) && after(4L) == (40L, 0L))
+    assert(after(9L) == (900L, -1L) && after(10L) == (1000L, -1L),
+      "partial INSERT must null-fill unassigned columns")
+
+    // NOT MATCHED BY SOURCE: age out target rows the source no longer
+    // carries, update the rest it misses
+    (5L to 10L).map(k => (k, 0L)).toDF("k", "delta")
+      .createOrReplaceTempView("gm_s2")
+    spark.sql(s"""MERGE INTO $cat.default.g1 AS t USING gm_s2 AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + 1
+      WHEN NOT MATCHED BY SOURCE AND t.k <= 2 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0""")
+    val m2 = spark.table(s"$cat.default.g1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2.keySet == Set(3L, 4L, 5L, 7L, 9L, 10L),
+      s"BY SOURCE delete must age out k=1,2: ${m2.keySet.toSeq.sorted}")
+    assert(m2(3L) == 0L && m2(4L) == 0L, "BY SOURCE update sets v = 0")
+    assert(m2(5L) == 551L && m2(9L) == 901L, "matched rows increment")
+
+    // cardinality violation: a duplicate-key source refuses atomically
+    val preV = LakeTable.currentVersion(dir)
+    Seq((5L, 1L), (5L, 2L)).toDF("k", "delta")
+      .createOrReplaceTempView("gm_dup")
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.default.g1 AS t USING gm_dup AS s
+        ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.delta""")
+    }
+    assert(LakeTable.currentVersion(dir) == preV,
+      "a cardinality-violating MERGE must not mint a version")
+
+    // subquery conditions stay out of scope: Spark's own error, nothing
+    // half-applies
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.default.g1 AS t USING gm_s2 AS s
+        ON t.k = s.k
+        WHEN MATCHED AND t.v > (SELECT avg(delta) FROM gm_s2)
+        THEN UPDATE SET v = 0""")
+    }
+    assert(LakeTable.currentVersion(dir) == preV,
+      s"a subquery MERGE must not commit: ${e.getMessage}")
+
+    // all-no-op merge (every clause filters everything) publishes nothing
+    spark.sql(s"""MERGE INTO $cat.default.g1 AS t USING gm_s2 AS s
+      ON t.k = s.k
+      WHEN MATCHED AND t.k > 1000 THEN UPDATE SET v = 0""")
+    assert(LakeTable.currentVersion(dir) == preV,
+      "an all-no-op MERGE must not mint a version")
+
+    // unborn table: only the NOT MATCHED clauses act, birthing v1
+    spark.sql(s"CREATE TABLE $cat.default.g2 (k BIGINT, v BIGINT)")
+    spark.sql(s"""MERGE INTO $cat.default.g2 AS t USING gm_s2 AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.delta
+      WHEN NOT MATCHED AND s.k <= 7 THEN INSERT (k) VALUES (s.k)""")
+    val g2 = spark.table(s"$cat.default.g2").collect()
+    assert(g2.map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L) &&
+           g2.forall(_.isNullAt(1)),
+      "unborn MERGE births v1 from the conditional INSERT clause only")
+
+    Seq("g1", "g2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
