@@ -90,8 +90,21 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (LakeTable.currentVersion(dir).isEmpty &&
-        LakeCatalog.readPending(dir).isEmpty)
+        LakeCatalog.readPending(dir).isEmpty) {
+      // `ns.t.changes` — the CHANGE DATA FEED of `ns.t` as its own table
+      // identity (r13, the Iceberg-metadata-table spelling: a reader
+      // option cannot ride loadTable, so the feed schema gets a name).
+      // Resolved only when no REAL table shadows the suffix.
+      if (ident.name == "changes" && ident.namespace().nonEmpty) {
+        val parent = dirOf(Identifier.of(
+          ident.namespace().init, ident.namespace().last))
+        if (LakeTable.currentVersion(parent).nonEmpty ||
+            LakeCatalog.readPending(parent).nonEmpty)
+          return new LakeFeedTable(parent,
+            (ident.namespace() :+ ident.name()).mkString("."))
+      }
       throw new NoSuchTableException(ident)
+    }
     new LakeV2Table(dir, (ident.namespace() :+ ident.name()).mkString("."))
   }
 

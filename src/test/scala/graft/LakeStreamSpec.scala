@@ -893,6 +893,92 @@ class LakeStreamSpec extends SparkTestBase {
     }
   }
 
+  test("change feed through the DSv2 catalog (r13, behavior 49): " +
+       "`ns.t.changes` streams _change_type rows exactly-once across " +
+       "restart; batch read replays the history") {
+    val cat = "graft_lake_cdfcat"
+    val wh = Files.createTempDirectory("graft_lake_whcdf_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "ft").toString
+    val cp = Files.createTempDirectory("graft_lake_cdfcp_").toString
+    val o = graft.ops.Tables.orders(spark, sf)
+    val width = math.max(32L,
+      o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+    val full = roll(o, width)
+    val v1 = full.filter(col("band") =!= 0)
+      .unionByName(roll(o.filter(
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp")), width)
+        .filter(col("band") === 0))
+    assert(LakeTable.commit(spark, dir, v1, Some("band"))(_ => None)
+      == Right(1L))
+
+    val batches = mutable.Map.empty[Long, Seq[Row]]
+    def start() = spark.readStream.table(s"$cat.default.ft.changes")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.synchronized { batches(id) = df.collect().toSeq }
+        ()
+      }
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val first = batches.values.flatten.toSeq
+      assert(first.nonEmpty &&
+        first.forall(_.getAs[String]("_change_type") == "insert"),
+        "the initial snapshot replays as inserts")
+      assert(first.forall(r => !r.isNullAt(
+        r.fieldIndex("_commit_timestamp"))),
+        "every feed row carries its publish instant")
+      assert(fold(batches) == liveKeys(dir), "v1 snapshot folds to live")
+
+      // DV delete mid-stream: retractions, exactly once
+      assert(LakeTable.deleteWhereDv(spark, dir,
+        col("custkey") % 10 === 7)(_ => None) == Right(2L))
+      q.processAllAvailable()
+      assert(fold(batches) == liveKeys(dir), "DV delete folds to live")
+
+      // DV merge: retract matched + insert fresh copies
+      assert(LakeTable.mergeDv(spark, dir,
+        full.filter(col("band") === 0), Seq("custkey"),
+        layoutBy = Some("band"))(_ => None) == Right(3L))
+      q.processAllAvailable()
+      assert(fold(batches) == liveKeys(dir), "DV merge folds to live")
+
+      // OPTIMIZE is silent in the feed
+      val before = batches.values.map(_.size).sum
+      assert(LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+        layoutBy = Some("band")) == Right(4L))
+      q.processAllAvailable()
+      assert(batches.values.map(_.size).sum == before,
+        "optimize rewrites layout, not rows — the feed stays silent")
+    } finally q.stop()
+
+    // exactly-once across a restart: an append lands while the stream is
+    // down; the restarted stream delivers exactly the new version
+    assert(LakeTable.append(spark, dir,
+      v1.limit(1).withColumn("custkey", col("custkey") + 1000000L))(
+      _ => None) == Right(5L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(fold(batches) == liveKeys(dir),
+        "the restarted stream must fold to the live table exactly once")
+    } finally q2.stop()
+
+    // the batch spelling of the same surface replays the whole history
+    val hist = spark.table(s"$cat.default.ft.changes")
+    val histFold = hist.collect()
+      .foldLeft(Map.empty[Key, Long]) { (m, r) =>
+        val w = if (r.getAs[String]("_change_type") == "delete") -1L else 1L
+        m.updated(key(r), m.getOrElse(key(r), 0L) + w)
+      }.collect { case (k, m) if m > 0 => k }.toSet
+    assert(histFold == liveKeys(dir),
+      "batch `.changes` read folds the retained history to the live table")
+    spark.sql(s"DROP TABLE $cat.default.ft")
+  }
+
   test("V2 stream restart from a vacuumed checkpoint version refuses " +
        "loudly instead of re-emitting carried files (ADVICE r12)") {
     import spark.implicits._
