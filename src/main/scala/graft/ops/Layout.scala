@@ -83,8 +83,7 @@ object Layout {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def partitionedEvents(s: SparkSession, d: String): String =
     prunePaths.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_events_bydate_").toString
+      val dir = TempDirs.create("graft_events_bydate_")
       events(s, d)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(dir)
@@ -102,8 +101,7 @@ object Layout {
     bucketTables.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val (oT, lT) = (s"graft_orders_b$tag", s"graft_lineitem_b$tag")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_").toString
+      val base = TempDirs.create("graft_bucketed_")
       orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.format("parquet").option("path", s"$base/orders")
@@ -291,8 +289,7 @@ object Layout {
         |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_").toString
+      val dir = TempDirs.create("graft_lake_")
       def snap(df: DataFrame) = df
         .groupBy(col("o_custkey").as("custkey"))
         .agg(count(lit(1)).cast("long").as("n_orders"),
@@ -341,8 +338,7 @@ object Layout {
         |GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_tt_").toString
+      val dir = TempDirs.create("graft_lake_tt_")
       def snap(df: DataFrame) = df
         .groupBy(col("o_custkey").as("custkey"))
         .agg(count(lit(1)).cast("long").as("n_orders"),
@@ -377,8 +373,7 @@ object Layout {
         |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_evo_").toString
+      val dir = TempDirs.create("graft_lake_evo_")
       val o = orders(s, d)
       def narrow(df: DataFrame) = df
         .groupBy(col("o_custkey").as("custkey"))
@@ -431,8 +426,7 @@ object Layout {
         |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_opt_").toString
+      val dir = TempDirs.create("graft_lake_opt_")
       val snap = orders(s, d)
         .groupBy(col("o_custkey").as("custkey"))
         .agg(count(lit(1)).cast("long").as("n_orders"),
@@ -476,8 +470,7 @@ object Layout {
         |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_pm_").toString
+      val dir = TempDirs.create("graft_lake_pm_")
       val o = orders(s, d)
       // scale-adaptive band width: ~8 bands at every SF (a fixed width
       // means 1 band at sf0.001 or 469 partition dirs at sf0.1 — the
@@ -535,8 +528,7 @@ object Layout {
         |GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_skip_").toString
+      val dir = TempDirs.create("graft_lake_skip_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
@@ -581,8 +573,7 @@ object Layout {
         |GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.{LakeRelation, LakeTable}
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_srcop_").toString
+      val dir = TempDirs.create("graft_lake_srcop_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
@@ -639,8 +630,7 @@ object Layout {
         |GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_feed_").toString
+      val dir = TempDirs.create("graft_lake_feed_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
@@ -734,12 +724,9 @@ object Layout {
         |GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_stream_").toString
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_lake_stream_sink_").toString
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft_lake_stream_cp_").toString
+      val dir = TempDirs.create("graft_lake_stream_")
+      val stage = TempDirs.create("graft_lake_stream_sink_")
+      val cp = TempDirs.create("graft_lake_stream_cp_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
@@ -824,8 +811,7 @@ object Layout {
         |FROM r GROUP BY 1 ORDER BY band""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_mv_").toString
+      val dir = TempDirs.create("graft_lake_mv_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
@@ -900,8 +886,7 @@ object Layout {
         |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_restore_").toString
+      val dir = TempDirs.create("graft_lake_restore_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
@@ -960,8 +945,7 @@ object Layout {
         |GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_lake_clone_").toString
+      val base = TempDirs.create("graft_lake_clone_")
       val srcDir = s"$base/src"
       val dstDir = s"$base/dst"
       val snap = orders(s, d)
@@ -1017,8 +1001,7 @@ object Layout {
         |GROUP BY 1 ORDER BY od""".stripMargin
     ) { (s, d) =>
       import graft.sources.{LakeRelation, LakeTable}
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_skipdate_").toString
+      val dir = TempDirs.create("graft_lake_skipdate_")
       val table = orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("od"))
         .agg(count(lit(1)).cast("long").as("n_orders"),
@@ -1066,8 +1049,7 @@ object Layout {
         |FROM orders GROUP BY 1, 2 ORDER BY custkey, era""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_dml_").toString
+      val dir = TempDirs.create("graft_lake_dml_")
       val o = orders(s, d)
       def roll(df: DataFrame, era: Long) = df
         .groupBy(col("o_custkey").as("custkey"))
@@ -1124,8 +1106,7 @@ object Layout {
         |GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_dv_").toString
+      val dir = TempDirs.create("graft_lake_dv_")
       val o = orders(s, d)
       // scale-adaptive band width, the q_lake_merge_partial discipline:
       // ~8 bands at every SF (a fixed `div 32` wrote 469 partition dirs
@@ -1184,7 +1165,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1227,8 +1208,14 @@ object Layout {
       * odd custkeys WITH the new `cents` column. Readers null-fill the
       * old rows; the oracle spells the same null pattern with a CASE,
       * so the hash-match proves the evolved read is exact across both
-      * eras. Drops/renames/type changes refuse — the additive
-      * evolution contract, now reachable from SQL. */
+      * eras. RENAME COLUMN (r13) is metadata-only too, via COLUMN
+      * MAPPING: the files and the manifest's recorded schema keep the
+      * physical name forever, a display map rides the commit, every
+      * pre-rename file stays readable (requires pin file-list identity
+      * across the rename AND that old rows read back under the new
+      * name — the hash-match covers both eras' rows under the renamed
+      * column). Drops/type changes refuse — the evolution contract,
+      * now reachable from SQL. */
     OpDef(
       "q_lake_sql_alter",
       """SELECT o_custkey AS custkey,
@@ -1236,7 +1223,7 @@ object Layout {
         |  CASE WHEN o_custkey % 2 = 1
         |    THEN CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
         |              AS BIGINT)) AS BIGINT)
-        |    ELSE NULL END AS cents
+        |    ELSE NULL END AS cents_total
         |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
@@ -1244,7 +1231,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1268,6 +1255,19 @@ object Layout {
               "ALTER must be metadata-only: identical file list")
       s.sql(s"INSERT INTO $cat.default.$tbl " +
         s"SELECT custkey, n_orders, cents FROM $view WHERE custkey % 2 = 1")
+      // RENAME COLUMN (r13): metadata-only via column mapping — file
+      // list identical, both eras' rows readable under the new name,
+      // time travel still shows each version's own names
+      val filesV3 = LakeTable.currentFiles(dir)
+      s.sql(s"ALTER TABLE $cat.default.$tbl " +
+        "RENAME COLUMN cents TO cents_total")
+      require(LakeTable.currentVersion(dir).contains(4L),
+              "RENAME must publish a metadata version")
+      require(LakeTable.currentFiles(dir) == filesV3,
+              "RENAME must be metadata-only: identical file list")
+      require(LakeTable.readVersion(s, dir, 3L)
+                .columns.contains("cents"),
+              "time travel across the rename keeps the old name")
       s.table(s"$cat.default.$tbl").orderBy("custkey")
     },
 
@@ -1300,7 +1300,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1374,7 +1374,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1437,7 +1437,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1498,7 +1498,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1551,8 +1551,7 @@ object Layout {
         |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_dvm_").toString
+      val dir = TempDirs.create("graft_lake_dvm_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
@@ -1603,7 +1602,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1695,7 +1694,7 @@ object Layout {
       if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_lake_wh_").toString)
+          TempDirs.create("graft_lake_wh_"))
       }
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tbl = "t_" +
@@ -1767,8 +1766,7 @@ object Layout {
         |) ORDER BY custkey""".stripMargin
     ) { (s, d) =>
       import graft.sources.LakeTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lake_dvu_").toString
+      val dir = TempDirs.create("graft_lake_dvu_")
       val o = orders(s, d)
       val width = math.max(32L,
         o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)

@@ -225,13 +225,43 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (adds, rest) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (rens, rest2) =
+      rest.partition(_.isInstanceOf[TableChange.RenameColumn])
     val (props, unsupported) =
-      rest.partition(_.isInstanceOf[TableChange.SetProperty])
+      rest2.partition(_.isInstanceOf[TableChange.SetProperty])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"graft-lake evolution is additive: only ADD COLUMNS and SET " +
-        s"TBLPROPERTIES are representable; got " +
+        s"graft-lake evolution is additive: only ADD COLUMNS, RENAME " +
+        s"COLUMN, and SET TBLPROPERTIES are representable; got " +
         unsupported.map(_.getClass.getSimpleName).mkString(", "))
+    // RENAME COLUMN (r13): metadata-only via column mapping — physical
+    // names in files never change, the display map gains an entry, old
+    // files stay readable, time travel shows each version's own names
+    rens.map(_.asInstanceOf[TableChange.RenameColumn]).foreach { rc =>
+      require(rc.fieldNames().length == 1,
+        s"nested RENAME COLUMN '${rc.fieldNames().mkString(".")}' is " +
+        "not representable (top-level columns only)")
+      val from = rc.fieldNames()(0)
+      val to = rc.newName()
+      LakeCatalog.readPending(dir) match {
+        case Some(p) if LakeTable.currentVersion(dir).isEmpty =>
+          // unborn: no files exist yet, so the declared schema renames
+          // in place (the first write will mint `to` as the physical)
+          require(p.schema.fieldNames.contains(from),
+            s"RENAME COLUMN: no column '$from'")
+          require(!p.schema.fieldNames.contains(to),
+            s"RENAME COLUMN: column '$to' already exists")
+          LakeCatalog.writePending(dir, p.copy(schema = StructType(
+            p.schema.fields.map(f =>
+              if (f.name == from) f.copy(name = to) else f))))
+        case _ =>
+          LakeTable.renameColumn(dir, from, to) match {
+            case Right(_) => ()
+            case Left(reason) => throw new IllegalStateException(
+              s"ALTER TABLE ${ident.name()} failed: $reason")
+          }
+      }
+    }
     val cols = adds.map(_.asInstanceOf[TableChange.AddColumn]).map { a =>
       require(a.fieldNames().length == 1,
         s"nested ADD COLUMN '${a.fieldNames().mkString(".")}' is not " +
@@ -506,9 +536,11 @@ class LakeV2Table(val dir: String, ident: String,
       "history is immutable")
 
   override def schema(): StructType = {
+    // LOGICAL names (r13 column mapping): renamed columns surface under
+    // their display names; time travel shows each version's own
     val recorded = versionAsOf
-      .map(v => LakeTable.schemaOf(dir, v))
-      .getOrElse(LakeTable.currentSchema(dir))
+      .map(v => LakeTable.logicalSchemaOf(dir, v))
+      .getOrElse(LakeTable.currentLogicalSchema(dir))
     if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
     else LakeCatalog.readPending(dir) match {
       // a CREATE'd-but-unborn table carries its declared schema
@@ -563,23 +595,18 @@ class LakeV2Table(val dir: String, ident: String,
         val ovrBuilder = overwrite
         val replace = replaceCond
         new V1Write {
-          /** `df.writeStream.toTable("<cat>.ns.t")` (r12, behavior 48):
-            * the V2 streaming write — see [[LakeStreamingWrite]]. Append
-            * mode appends; Complete mode (the engine calls `truncate()`)
-            * overwrites per epoch. Refuses on layout tables: their
-            * prune metadata streams through the format sink's
-            * `layoutBy` option, and silently dropping it would cost the
-            * table its partial-merge pruning. */
+          /** `df.writeStream.toTable("<cat>.ns.t")` (r12, behavior 48;
+            * r13 behavior 50 lifts the layout refusal): the V2 streaming
+            * write — see [[LakeStreamingWrite]]. Append mode appends;
+            * Complete mode (the engine calls `truncate()`) overwrites
+            * per epoch. A table declaring a layout column streams with
+            * its prune metadata intact: executor writers stage one file
+            * per layout value under `_layout=<value>/` segments. */
           override def toStreaming: org.apache.spark.sql.connector.write
-              .streaming.StreamingWrite = {
-            require(LakeCatalog.readPending(dir)
-                .flatMap(_.layoutBy).isEmpty,
-              s"table $ident declares a layout column — stream into it " +
-              "with writeStream.format(\"graft-lake\")" +
-              ".option(\"layoutBy\", ...) to keep its prune metadata")
+              .streaming.StreamingWrite =
             new LakeStreamingWrite(dir, ident, writeSchema,
-              overwriteEachEpoch = ovrBuilder, queryId = queryId)
-          }
+              overwriteEachEpoch = ovrBuilder, queryId = queryId,
+              layoutBy = LakeCatalog.readPending(dir).flatMap(_.layoutBy))
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,

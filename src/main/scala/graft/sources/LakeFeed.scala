@@ -76,7 +76,7 @@ private[sources] class LakeFeedTable(val dir: String, ident: String)
 private[sources] object LakeFeedTable {
   private[sources] def feedSchemaOf(dir: String): StructType = {
     val base = {
-      val recorded = LakeTable.currentSchema(dir)
+      val recorded = LakeTable.currentLogicalSchema(dir)
       if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
       else LakeCatalog.readPending(dir).map(_.schema).getOrElse(
         LakeTable.read(SparkSession.active, dir).schema)
@@ -238,13 +238,22 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // column mapping (r13): files carry PHYSICAL names; the reader
+    // closure requests them positionally (InternalRows are nameless, so
+    // the logical output shape is preserved for free)
+    val renames = LakeTable.currentRenames(dir)
+    val physSchema =
+      if (renames.isEmpty) tableSchema
+      else StructType(tableSchema.fields.map(f =>
+        f.copy(name = LakeTable.physicalNameOf(renames, f.name))))
     new LakeFeedReaderFactory(
-      FileReadShim.parquetReader(SparkSession.active, tableSchema,
-                                 tableSchema, Seq.empty),
+      FileReadShim.parquetReader(SparkSession.active, physSchema,
+                                 physSchema, Seq.empty),
       FileReadShim.parquetReader(SparkSession.active,
         LakeFeedMicroBatchStream.sidecarSchema,
         LakeFeedMicroBatchStream.sidecarSchema, Seq.empty))
+  }
 
   override def commit(end: Offset): Unit = () // retention is vacuum's job
   override def stop(): Unit = ()

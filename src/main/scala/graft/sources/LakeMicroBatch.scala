@@ -103,9 +103,20 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // column mapping (r13): files carry PHYSICAL names — request them
+    // positionally (InternalRows are nameless). Pushed filters name
+    // LOGICAL columns; they are a row-group-pruning hint only, so on a
+    // renamed table they drop rather than translate.
+    val renames = LakeTable.currentRenames(dir)
+    def phys(s: StructType): StructType =
+      if (renames.isEmpty) s
+      else StructType(s.fields.map(f =>
+        f.copy(name = LakeTable.physicalNameOf(renames, f.name))))
     new LakeFileReaderFactory(FileReadShim.parquetReader(
-      SparkSession.active, dataSchema, requiredSchema, pushed))
+      SparkSession.active, phys(dataSchema), phys(requiredSchema),
+      if (renames.isEmpty) pushed else Seq.empty))
+  }
 
   override def commit(end: Offset): Unit = () // retention is vacuum's job
   override def stop(): Unit = ()
@@ -132,7 +143,8 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
   * surface refuses on layout tables rather than silently dropping their
   * prune metadata. */
 private[sources] class LakeStreamingWrite(dir: String, ident: String,
-    schema: StructType, overwriteEachEpoch: Boolean, queryId: String)
+    schema: StructType, overwriteEachEpoch: Boolean, queryId: String,
+    layoutBy: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -141,10 +153,26 @@ private[sources] class LakeStreamingWrite(dir: String, ident: String,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
+    // column mapping (r13): epochs arrive in LOGICAL shape; files are
+    // written under PHYSICAL names (positional — rows are nameless)
+    val renames = LakeTable.currentRenames(dir)
+    val physSchema =
+      if (renames.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(name = LakeTable.physicalNameOf(renames, f.name))))
     val (factory, conf, ext) = org.apache.spark.sql.graftshim.FileWriteShim
-      .parquetWriterFactory(SparkSession.active, schema)
-    new LakeStreamingDataWriterFactory(dir, writeUuid, schema,
-      factory, conf, ext)
+      .parquetWriterFactory(SparkSession.active, physSchema)
+    // layout tables (r13, behavior 50): executor writers stage one file
+    // per layout VALUE under `_layout=<value>/` path segments — the same
+    // prune metadata stageFresh's Hive-partitioned write records, so
+    // partial merges and skipping reads prune streamed files too
+    val layoutIdx = layoutBy.map { c =>
+      val i = physSchema.fieldNames.indexOf(c)
+      require(i >= 0, s"layout column '$c' missing from the stream schema")
+      i -> physSchema.fields(i).dataType
+    }
+    new LakeStreamingDataWriterFactory(dir, writeUuid, physSchema,
+      factory, conf, ext, layoutIdx)
   }
 
   override def commit(epochId: Long,
@@ -161,9 +189,12 @@ private[sources] class LakeStreamingWrite(dir: String, ident: String,
         // carried files, so restrict the check to this epoch's rows via
         // a direct read of the fresh files (O(epoch))
         try {
-          LakeCatalog.enforceCheck(spark.read.parquet(
-            files.map(f => java.nio.file.Paths.get(dir, f).toString): _*),
-            c, ident)
+          // staged files carry PHYSICAL names; the CHECK expression is
+          // written against LOGICAL ones (r13)
+          LakeCatalog.enforceCheck(LakeTable.toLogical(
+            spark.read.parquet(
+              files.map(f => java.nio.file.Paths.get(dir, f).toString): _*),
+            LakeTable.currentRenames(dir)), c, ident)
           None
         } catch { case e: IllegalStateException => Some(e.getMessage) }
       }
@@ -197,40 +228,72 @@ private[sources] case class LakeWriterMessage(files: Seq[String])
 private[sources] class LakeStreamingDataWriterFactory(
     dir: String, writeUuid: String, schema: StructType,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: org.apache.spark.util.SerializableConfiguration, ext: String)
+    conf: org.apache.spark.util.SerializableConfiguration, ext: String,
+    layoutIdx: Option[(Int, org.apache.spark.sql.types.DataType)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
-      private var rel: String = _
+      // one lazily-opened writer per layout value ("" = flat table):
+      // empty partitions stage nothing, and a layout table's files carry
+      // the `_layout=<value>` path segment partial merges prune by
+      private val writers = new java.util.HashMap[String,
+        (org.apache.spark.sql.execution.datasources.OutputWriter, String)]()
 
-      override def write(row: InternalRow): Unit = {
-        if (writer == null) {
-          rel = s"data/$writeUuid-e$epochId/" +
+      private def writerFor(row: InternalRow)
+          : org.apache.spark.sql.execution.datasources.OutputWriter = {
+        val seg = layoutIdx match {
+          case None => ""
+          case Some((i, dt)) =>
+            require(!row.isNullAt(i),
+              "layout column must be non-null on every streamed row")
+            "_layout=" + org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils
+              .escapePathName(String.valueOf(row.get(i, dt))) + "/"
+        }
+        var w = writers.get(seg)
+        if (w == null) {
+          val rel = s"data/$writeUuid-e$epochId/$seg" +
             f"part-$partitionId%05d-$taskId$ext"
           val abs = Paths.get(dir, rel)
           Files.createDirectories(abs.getParent)
-          writer = org.apache.spark.sql.graftshim.FileWriteShim
-            .newWriter(factory, abs.toString, schema, conf, partitionId)
+          w = (org.apache.spark.sql.graftshim.FileWriteShim
+            .newWriter(factory, abs.toString, schema, conf, partitionId),
+            rel)
+          writers.put(seg, w)
         }
-        writer.write(row)
+        w._1
       }
+
+      private def closeAll(): Unit = {
+        writers.values().forEach(w => w._1.close())
+      }
+      private def rels: Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        writers.values().asScala.map(_._2).toSeq.sorted
+      }
+
+      override def write(row: InternalRow): Unit = writerFor(row).write(row)
 
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-        if (writer != null) { writer.close(); writer = null }
-        LakeWriterMessage(Option(rel).toSeq)
+        closeAll()
+        val out = LakeWriterMessage(rels)
+        writers.clear()
+        out
       }
 
       override def abort(): Unit = {
-        if (writer != null) { writer.close(); writer = null }
-        if (rel != null) Files.deleteIfExists(Paths.get(dir, rel))
+        closeAll()
+        rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+        writers.clear()
       }
 
-      override def close(): Unit =
-        if (writer != null) { writer.close(); writer = null }
+      override def close(): Unit = {
+        closeAll()
+        writers.clear()
+      }
     }
 }
 

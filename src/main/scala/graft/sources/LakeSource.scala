@@ -301,7 +301,8 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
 
   override val schema: StructType = {
     val version = liveVersion
-    val recorded = LakeTable.schemaOf(dir, version)
+    // LOGICAL names (r13 column mapping)
+    val recorded = LakeTable.logicalSchemaOf(dir, version)
     if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
     else LakeTable.readVersion(ctx.sparkSession, dir, version).schema
   }
@@ -358,13 +359,17 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val version = liveVersion // captured once: a consistent manifest view
+    val renames = LakeTable.renamesOf(dir, version)
     val stats = LakeTable.statsOf(dir, version)
     val statsCols = stats.keysIterator.map(_._2).toSet
     val files = LakeTable.filesOf(dir, version).filter { f =>
       statsCols.forall { c =>
         stats.get((f, c)) match {
           case Some(st) =>
-            filters.forall(LakeRelation.mightMatch(_, c, st))
+            // stats entries carry PHYSICAL names; query filters carry
+            // LOGICAL ones (r13) — translate before matching
+            filters.forall(
+              LakeRelation.mightMatch(_, renames.getOrElse(c, c), st))
           case None => true // no recorded stats: must keep
         }
       }
@@ -378,12 +383,20 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
       val cols =
         if (requiredColumns.isEmpty) schema.fieldNames.toSeq
         else requiredColumns.toSeq
+      // files read under their PHYSICAL schema, then the logical
+      // projection (r13) — identity when nothing was ever renamed
+      val physical = {
+        val recorded = LakeTable.schemaOf(dir, version)
+        if (recorded.isEmpty) schema
+        else StructType.fromDDL(recorded.mkString(", "))
+      }
       // DV-bearing versions (r11) filter deleted positions before the
       // projection — pruning composes: a dropped file's positions simply
       // never come up, and the anti-join is a broadcast, no shuffle
-      LakeTable.applyDv(ctx.sparkSession, dir,
-          ctx.sparkSession.read.schema(schema).parquet(paths: _*),
-          LakeTable.dvOf(dir, version))
+      LakeTable.toLogical(
+          LakeTable.applyDv(ctx.sparkSession, dir,
+            ctx.sparkSession.read.schema(physical).parquet(paths: _*),
+            LakeTable.dvOf(dir, version)), renames)
         .select(cols.map(col): _*)
         .rdd
     }

@@ -290,7 +290,7 @@ object LakeStreamSource {
 
   private[sources] def feedSchema(ctx: SQLContext, dir: String): StructType = {
     val table = {
-      val recorded = LakeTable.currentSchema(dir)
+      val recorded = LakeTable.currentLogicalSchema(dir)
       if (recorded.nonEmpty) StructType.fromDDL(recorded.mkString(", "))
       else LakeTable.read(ctx.sparkSession, dir).schema
     }

@@ -96,7 +96,8 @@ object LakeTable {
                           stats: Seq[String] = Seq.empty,
                           baseVersion: Long = 0L,
                           op: String = "overwrite",
-                          dv: Seq[String] = Seq.empty)
+                          dv: Seq[String] = Seq.empty,
+                          renames: Map[String, String] = Map.empty)
 
   /** List a directory's entries with the stream CLOSED on exit —
     * `Files.list` leaks a directory file descriptor until GC otherwise,
@@ -236,6 +237,58 @@ object LakeTable {
   private[graft] def dvOf(dir: String, version: Long): Seq[String] =
     readManifest(dir, version).map(manifestDv).getOrElse(Seq.empty)
 
+  /** COLUMN MAPPING (r13): `"renames":{"<physical>":"<logical>"}` — the
+    * display map of renamed columns. The manifest's `schema` and `stats`
+    * entries, the data files, and every internal commit structure stay
+    * in PHYSICAL names forever (a column's physical name is fixed at
+    * first write — Delta's column-mapping invariant), so a rename is a
+    * METADATA-ONLY commit and every already-written file stays readable;
+    * logical names surface only at the user read/DML boundary. */
+  private def manifestRenames(json: String): Map[String, String] =
+    "\"renames\":\\{([^}]*)\\}".r.findFirstMatchIn(json).map(_.group(1))
+      .map(s => "\"([^\"]+)\":\"([^\"]+)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2)).toMap)
+      .getOrElse(Map.empty)
+
+  private[graft] def renamesOf(dir: String, version: Long)
+      : Map[String, String] =
+    readManifest(dir, version).map(manifestRenames).getOrElse(Map.empty)
+
+  private[graft] def currentRenames(dir: String): Map[String, String] =
+    currentVersion(dir).map(renamesOf(dir, _)).getOrElse(Map.empty)
+
+  /** Project a PHYSICAL-named frame to its logical names. Safe only
+    * where `_metadata` access is no longer needed (it is a Project). */
+  private[graft] def toLogical(df: DataFrame,
+                        renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(n =>
+      col(n).as(renames.getOrElse(n, n))): _*)
+
+  /** `name TYPE` entries with physical names replaced by logical. */
+  private[sources] def logicalSchema(recorded: Seq[String],
+                                     renames: Map[String, String])
+      : Seq[String] =
+    if (renames.isEmpty) recorded
+    else recorded.map { e =>
+      val a = e.split(" ", 2)
+      s"${renames.getOrElse(a(0), a(0))} ${a(1)}"
+    }
+
+  /** Current schema in LOGICAL names — the user/catalog boundary. */
+  def currentLogicalSchema(dir: String): Seq[String] =
+    logicalSchema(currentSchema(dir), currentRenames(dir))
+
+  private[sources] def logicalSchemaOf(dir: String, version: Long)
+      : Seq[String] =
+    logicalSchema(schemaOf(dir, version), renamesOf(dir, version))
+
+  /** logical → physical (identity for never-renamed columns). */
+  private[sources] def physicalNameOf(renames: Map[String, String],
+                                      logical: String): String =
+    renames.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
   /** Stream-epoch watermark the published version records for `sink` —
     * it rides the same atomic publish as the data, so "applied batch ≥ N"
     * is exactly "epoch N's merge is visible". Each concurrent sink onto
@@ -346,6 +399,48 @@ object LakeTable {
     }
   }
 
+  /** The LIVE rows of a manifest in LOGICAL column names, tagged with
+    * their (file, pos) identity under collision-free names — the one
+    * frame every DV DML op plans from (r13): physical-schema file read,
+    * position capture off `_metadata` BEFORE any projection, prior-DV
+    * anti-join, then the logical rename boundary. Returns
+    * (frame, fileCol, posCol). */
+  private def liveTagged(spark: SparkSession, dir: String, json: String)
+      : (DataFrame, String, String) = {
+    val files = manifestFiles(json)
+    val recorded = manifestSchema(json)
+    val renames = manifestRenames(json)
+    val paths = files.map(f => Paths.get(dir, f).toString)
+    val reader =
+      if (recorded.isEmpty) spark.read.parquet(paths: _*)
+      else spark.read
+        .schema(StructType.fromDDL(recorded.mkString(", ")))
+        .parquet(paths: _*)
+    val cols = reader.columns.toSeq
+    val taken = cols ++ renames.values
+    def free(b: String): String = {
+      var n = b
+      while (taken.contains(n)) n += "_"
+      n
+    }
+    val fCol = free("_dv_file")
+    val pCol = free("_dv_pos")
+    val tagged = reader
+      .withColumn(fCol, relFileCol)
+      .withColumn(pCol, col("_metadata.row_index"))
+    val prevDv = manifestDv(json)
+    val live =
+      if (prevDv.isEmpty) tagged
+      else tagged.join(
+        broadcast(spark.read.parquet(
+          prevDv.map(s => Paths.get(dir, s).toString): _*)
+          .select(col("file").as(fCol), col("pos").as(pCol))),
+        Seq(fCol, pCol), "left_anti")
+    val out = live.select((cols.map(n =>
+      col(n).as(renames.getOrElse(n, n))) :+ col(fCol) :+ col(pCol)): _*)
+    (out, fCol, pCol)
+  }
+
   private def readFiles(spark: SparkSession, dir: String, json: String,
                         what: String): DataFrame = {
     val files = manifestFiles(json).map(f => Paths.get(dir, f).toString)
@@ -361,8 +456,11 @@ object LakeTable {
         spark.read.schema(StructType.fromDDL(recorded.mkString(", ")))
           .parquet(files: _*)
     // DV-bearing versions filter deleted positions; DV-free versions
-    // (the overwhelmingly common case) take the identical plan as before
-    applyDv(spark, dir, base, manifestDv(json))
+    // (the overwhelmingly common case) take the identical plan as before;
+    // renamed columns surface under their LOGICAL names (r13 — applyDv
+    // captures its _metadata positions before this projection)
+    toLogical(applyDv(spark, dir, base, manifestDv(json)),
+              manifestRenames(json))
   }
 
   /** Read the table THROUGH the manifest — the only sanctioned read path.
@@ -522,9 +620,21 @@ object LakeTable {
     * return what the manifest will record for it. Pure WRITE — nothing is
     * visible to readers, and the directory is version-independent (a
     * publish loser re-manifests, never re-stages). */
-  private def stageFresh(spark: SparkSession, dir: String, df: DataFrame,
-                         layoutBy: Option[String],
-                         statsBy: Seq[String]): Fresh = {
+  private def stageFresh(spark: SparkSession, dir: String, df0: DataFrame,
+                         layoutBy0: Option[String],
+                         statsBy0: Seq[String]): Fresh = {
+    // column mapping (r13): frames arrive in LOGICAL names; files are
+    // written in PHYSICAL names forever, so a renamed table's new files
+    // stay consistent with every already-written one. Identity for the
+    // never-renamed (overwhelmingly common) case.
+    val renames = currentRenames(dir)
+    val l2p = renames.map(_.swap)
+    val df =
+      if (l2p.isEmpty) df0
+      else df0.select(df0.columns.toSeq.map(n =>
+        col(n).as(l2p.getOrElse(n, n))): _*)
+    val layoutBy = layoutBy0.map(c => l2p.getOrElse(c, c))
+    val statsBy = statsBy0.map(c => l2p.getOrElse(c, c))
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(dir, "data", uuid)
     layoutBy match {
@@ -692,7 +802,10 @@ object LakeTable {
            // (overwrite, OPTIMIZE) starts DV-free — OPTIMIZE is thereby
            // the DV PURGE: its snapshot read already applied the vectors
            dv = if (carry.nonEmpty && base > 0L) dvOf(dir, base)
-                else Seq.empty)
+                else Seq.empty,
+           // column-mapping display names always travel (physical names
+           // in files are forever; only the display map rides forward)
+           renames = if (base > 0L) renamesOf(dir, base) else Map.empty)
   }
 
   /** Files of the live version whose recorded [lo, hi] stats range for an
@@ -702,9 +815,11 @@ object LakeTable {
     * runs on manifest metadata only, no file is opened. Typed (string /
     * date / double) pruning is [[LakeRelation]]'s `mightMatch` over the
     * same entries, reached through `spark.read.format("graft-lake")`. */
-  def filesWhere(dir: String, colName: String, lo: Long, hi: Long): Seq[String] = {
+  def filesWhere(dir: String, colName0: String, lo: Long, hi: Long): Seq[String] = {
     val v = currentVersion(dir).getOrElse(0L)
     val stats = statsOf(dir, v)
+    // stats entries are recorded under PHYSICAL column names (r13)
+    val colName = physicalNameOf(renamesOf(dir, v), colName0)
     filesOf(dir, v).filter(f => stats.get((f, colName)) match {
       case Some(s) => (s.minLong, s.maxLong) match {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
@@ -723,10 +838,12 @@ object LakeTable {
     require(files.nonEmpty,
       s"no live file can hold $colName in [$lo, $hi] in $dir")
     val recorded = currentSchema(dir)
-    if (recorded.isEmpty)
-      spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
-    else spark.read.schema(StructType.fromDDL(recorded.mkString(", ")))
-      .parquet(files.map(f => Paths.get(dir, f).toString): _*)
+    val raw =
+      if (recorded.isEmpty)
+        spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
+      else spark.read.schema(StructType.fromDDL(recorded.mkString(", ")))
+        .parquet(files.map(f => Paths.get(dir, f).toString): _*)
+    toLogical(raw, currentRenames(dir))
   }
 
   /** The evolution contract, checked against the version the staging was
@@ -772,7 +889,10 @@ object LakeTable {
           else spark.read
             .schema(StructType.fromDDL(staged.schema.mkString(", ")))
             .parquet(paths: _*)
-        val df = applyDv(spark, staged.dir, raw, staged.dv)
+        // the check sees LOGICAL names — user-declared constraints and
+        // key-based audit callbacks are written against them (r13)
+        val df = toLogical(applyDv(spark, staged.dir, raw, staged.dv),
+                           staged.renames)
         check(df) match {
           case Some(reason) =>
             Left(s"audit failed for v${staged.version}: $reason")
@@ -805,10 +925,16 @@ object LakeTable {
       if (staged.dv.isEmpty) ""
       else staged.dv.map("\"" + _ + "\"")
         .mkString("\"dv\":[", ",", "],")
+    // column-mapping display names (r13): physical -> logical
+    val renamesField =
+      if (staged.renames.isEmpty) ""
+      else staged.renames.toSeq.sorted
+        .map { case (p, l) => s""""$p":"$l"""" }
+        .mkString("\"renames\":{", ",", "},")
     staged.files.map("\"" + _ + "\"")
       .mkString(s"""{"version":$v,"base":${staged.baseVersion},""" +
                 s""""op":"${staged.op}",$batchesField$schemaField""" +
-                s"""$statsField$dvField"files":[""", ",", "]}")
+                s"""$statsField$dvField$renamesField"files":[""", ",", "]}")
   }
 
   /** Publish a staged version: claim a version number via the manifest
@@ -1201,23 +1327,13 @@ object LakeTable {
         val json = readManifest(dir, base).get
         val files = manifestFiles(json)
         val recorded = manifestSchema(json)
-        val paths = files.map(f => Paths.get(dir, f).toString)
-        val reader =
-          if (recorded.isEmpty) spark.read.parquet(paths: _*)
-          else spark.read
-            .schema(StructType.fromDDL(recorded.mkString(", ")))
-            .parquet(paths: _*)
         val prevDv = manifestDv(json)
-        val matchPos = reader.filter(predicate)
-          .select(relFileCol.as("file"),
-                  col("_metadata.row_index").as("pos"))
-        val freshPos =
-          if (prevDv.isEmpty) matchPos
-          else matchPos.join(
-            broadcast(spark.read.parquet(
-              prevDv.map(s => Paths.get(dir, s).toString): _*)
-              .select("file", "pos")),
-            Seq("file", "pos"), "left_anti")
+        // the LIVE tagged frame (r13): predicate applies over LOGICAL
+        // names, positions were captured pre-projection, prior DVs are
+        // already excluded — no separate anti-join needed
+        val (live, fCol, pCol) = liveTagged(spark, dir, json)
+        val freshPos = live.filter(predicate)
+          .select(col(fCol).as("file"), col(pCol).as("pos"))
         if (freshPos.isEmpty) {
           if (strict)
             Left(s"DELETE matched no live rows in $dir: nothing to publish")
@@ -1228,7 +1344,8 @@ object LakeTable {
             batches = batchesOf(dir, base),
             schema = recorded, stats = manifestStats(json),
             baseVersion = base, op = "dvdelete",
-            dv = prevDv ++ sidecars)
+            dv = prevDv ++ sidecars,
+            renames = manifestRenames(json))
           // audit AS A READER WOULD SEE IT: the staged manifest's own
           // vector set must hide every matching row before publish
           val stagedDf =
@@ -1313,36 +1430,27 @@ object LakeTable {
         val json = readManifest(dir, base).get
         val files = manifestFiles(json)
         val recorded = manifestSchema(json)
-        val colNames = recorded.map(_.split(" ", 2)(0))
+        val renames = manifestRenames(json)
+        val colNames = logicalSchema(recorded, renames)
+          .map(_.split(" ", 2)(0))
         set.foreach { case (c, _) =>
           require(colNames.isEmpty || colNames.contains(c),
             s"UPDATE assigns a column not in the table: '$c'")
         }
-        val paths = files.map(f => Paths.get(dir, f).toString)
-        val reader =
-          if (recorded.isEmpty) spark.read.parquet(paths: _*)
-          else spark.read
-            .schema(StructType.fromDDL(recorded.mkString(", ")))
-            .parquet(paths: _*)
         val prevDv = manifestDv(json)
-        val matchPos = reader.filter(predicate)
-          .select(relFileCol.as("file"),
-                  col("_metadata.row_index").as("pos"))
-        val freshPos =
-          if (prevDv.isEmpty) matchPos
-          else matchPos.join(
-            broadcast(spark.read.parquet(
-              prevDv.map(s => Paths.get(dir, s).toString): _*)
-              .select("file", "pos")),
-            Seq("file", "pos"), "left_anti")
+        // LIVE tagged frame (r13): logical names, positions captured
+        // pre-projection, prior DVs already excluded
+        val (liveT, fCol, pCol) = liveTagged(spark, dir, json)
+        val freshPos = liveT.filter(predicate)
+          .select(col(fCol).as("file"), col(pCol).as("pos"))
         if (freshPos.isEmpty) {
           if (strict)
             Left(s"UPDATE matched no live rows in $dir: nothing to publish")
           else Left(DvNoop + base)
         } else {
-          val live = applyDv(spark, dir, reader, prevDv)
+          val live = liveT.drop(fCol, pCol)
           val liveCount = live.count()
-          val cols = reader.columns.toSeq
+          val cols = live.columns.toSeq
           val updated = set.foldLeft(live.filter(predicate)) {
             case (df, (c, v)) => df.withColumn(c, v)
           }.select(cols.map(col): _*)
@@ -1355,7 +1463,8 @@ object LakeTable {
               else mergeSchemas(recorded, fresh.schema),
             stats = manifestStats(json) ++ fresh.stats,
             baseVersion = base, op = "dvupdate",
-            dv = prevDv ++ sidecars)
+            dv = prevDv ++ sidecars,
+            renames = renames)
           // audit AS A READER WOULD SEE IT (evolution gate included —
           // a type-changing assignment rejects here): rows conserve
           // exactly, then the caller's check
@@ -1405,23 +1514,12 @@ object LakeTable {
         val json = readManifest(dir, base).get
         val files = manifestFiles(json)
         val recorded = manifestSchema(json)
-        val paths = files.map(f => Paths.get(dir, f).toString)
-        val reader =
-          if (recorded.isEmpty) spark.read.parquet(paths: _*)
-          else spark.read
-            .schema(StructType.fromDDL(recorded.mkString(", ")))
-            .parquet(paths: _*)
         val prevDv = manifestDv(json)
-        val matchPos = reader.filter(predicate)
-          .select(relFileCol.as("file"),
-                  col("_metadata.row_index").as("pos"))
-        val freshPos =
-          if (prevDv.isEmpty) matchPos
-          else matchPos.join(
-            broadcast(spark.read.parquet(
-              prevDv.map(s => Paths.get(dir, s).toString): _*)
-              .select("file", "pos")),
-            Seq("file", "pos"), "left_anti")
+        // LIVE tagged frame (r13): predicate over LOGICAL names,
+        // positions captured pre-projection, prior DVs excluded
+        val (liveT, fCol, pCol) = liveTagged(spark, dir, json)
+        val freshPos = liveT.filter(predicate)
+          .select(col(fCol).as("file"), col(pCol).as("pos"))
         val sidecars =
           if (freshPos.isEmpty) Seq.empty
           else writeDvSidecars(spark, dir, freshPos, files.length)
@@ -1432,7 +1530,8 @@ object LakeTable {
             else mergeSchemas(recorded, freshStage.schema),
           stats = manifestStats(json) ++ freshStage.stats,
           baseVersion = base, op = "replacewhere",
-          dv = prevDv ++ sidecars)
+          dv = prevDv ++ sidecars,
+          renames = manifestRenames(json))
         // audit AS A READER WOULD SEE IT: every row matching the
         // predicate in the staged version must come from the NEW data —
         // count-compare against the staged fresh files directly
@@ -1466,26 +1565,14 @@ object LakeTable {
         val json = readManifest(dir, base).get
         val files = manifestFiles(json)
         val recorded = manifestSchema(json)
-        val paths = files.map(f => Paths.get(dir, f).toString)
-        val reader =
-          if (recorded.isEmpty) spark.read.parquet(paths: _*)
-          else spark.read
-            .schema(StructType.fromDDL(recorded.mkString(", ")))
-            .parquet(paths: _*)
         val prevDv = manifestDv(json)
         val srcKeys = source.select(keys.map(col): _*).distinct()
-        val matchPos = reader
-          .select((keys.map(col) :+ relFileCol.as("file") :+
-                   col("_metadata.row_index").as("pos")): _*)
+        // LIVE tagged frame (r13): key semi-join over LOGICAL names,
+        // positions captured pre-projection, prior DVs excluded
+        val (liveT, fCol, pCol) = liveTagged(spark, dir, json)
+        val freshPos = liveT
           .join(srcKeys, keys, "left_semi")
-          .select("file", "pos")
-        val freshPos =
-          if (prevDv.isEmpty) matchPos
-          else matchPos.join(
-            broadcast(spark.read.parquet(
-              prevDv.map(s => Paths.get(dir, s).toString): _*)
-              .select("file", "pos")),
-            Seq("file", "pos"), "left_anti")
+          .select(col(fCol).as("file"), col(pCol).as("pos"))
         if (freshPos.isEmpty) Left(DvNoop + base)
         else {
           val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
@@ -1493,7 +1580,8 @@ object LakeTable {
             batches = batchesOf(dir, base),
             schema = recorded, stats = manifestStats(json),
             baseVersion = base, op = "dvdelete",
-            dv = prevDv ++ sidecars)
+            dv = prevDv ++ sidecars,
+            renames = manifestRenames(json))
           audit(spark, st) { df =>
             val leak = df.join(srcKeys, keys, "left_semi").count()
             if (leak > 0L)
@@ -1582,29 +1670,15 @@ object LakeTable {
         val json = readManifest(dir, base).get
         val files = manifestFiles(json)
         val recorded = manifestSchema(json)
-        val paths = files.map(f => Paths.get(dir, f).toString)
-        val reader =
-          if (recorded.isEmpty) spark.read.parquet(paths: _*)
-          else spark.read
-            .schema(StructType.fromDDL(recorded.mkString(", ")))
-            .parquet(paths: _*)
         val prevDv = manifestDv(json)
           // positions of live target rows whose key the source carries —
-          // the `_metadata` columns resolve only directly on the file
-          // scan, so derive (file, pos) BEFORE the semi-join
-          val matchPos = reader
-            .select((keys.map(col) :+ relFileCol.as("file") :+
-                     col("_metadata.row_index").as("pos")): _*)
+          // the LIVE tagged frame (r13): logical names, positions
+          // captured pre-projection, prior DVs already excluded
+          val (liveT, fCol, pCol) = liveTagged(spark, dir, json)
+          val freshPos = liveT
             .join(srcKeys, keys, "left_semi")
-            .select("file", "pos")
-          val freshPos =
-            if (prevDv.isEmpty) matchPos
-            else matchPos.join(
-              broadcast(spark.read.parquet(
-                prevDv.map(s => Paths.get(dir, s).toString): _*)
-                .select("file", "pos")),
-              Seq("file", "pos"), "left_anti")
-          val live = applyDv(spark, dir, reader, prevDv)
+            .select(col(fCol).as("file"), col(pCol).as("pos"))
+          val live = liveT.drop(fCol, pCol)
           val liveCount = live.count()
           val matched = live.join(srcKeys, keys, "left_semi").count()
           val fresh = stageFresh(spark, dir, source, layoutBy, statsBy)
@@ -1618,7 +1692,8 @@ object LakeTable {
               else mergeSchemas(recorded, fresh.schema),
             stats = manifestStats(json) ++ fresh.stats,
             baseVersion = base, op = "dvmerge",
-            dv = prevDv ++ sidecars)
+            dv = prevDv ++ sidecars,
+            renames = manifestRenames(json))
           val st = st0.copy(batches =
             st0.batches ++ batch.map(b => sink -> b).toMap)
           audit(spark, st) { df =>
@@ -1708,34 +1783,14 @@ object LakeTable {
         val json = readManifest(dir, base).get
         val files = manifestFiles(json)
         val recorded = manifestSchema(json)
-        val paths = files.map(f => Paths.get(dir, f).toString)
-        val reader =
-          if (recorded.isEmpty) spark.read.parquet(paths: _*)
-          else spark.read
-            .schema(StructType.fromDDL(recorded.mkString(", ")))
-            .parquet(paths: _*)
         val prevDv = manifestDv(json)
-        val cols = reader.columns.toSeq
-        val types = reader.schema.fields.map(f => f.name -> f.dataType).toMap
-        def free(b: String): String = {
-          var n = b
-          while (cols.contains(n) || source.columns.contains(n)) n += "_"
-          n
-        }
-        val fCol = free("_dv_file")
-        val pCol = free("_dv_pos")
         // live rows WITH their (file, pos) identity, read through the
-        // current vector set — the frame every side below derives from
-        val withPos = reader
-          .withColumn(fCol, relFileCol)
-          .withColumn(pCol, col("_metadata.row_index"))
-        val livePos =
-          if (prevDv.isEmpty) withPos
-          else withPos.join(
-            broadcast(spark.read.parquet(
-              prevDv.map(s => Paths.get(dir, s).toString): _*)
-              .select(col("file").as(fCol), col("pos").as(pCol))),
-            Seq(fCol, pCol), "left_anti")
+        // current vector set in LOGICAL names (r13) — the frame every
+        // side below derives from
+        val (livePos, fCol, pCol) = liveTagged(spark, dir, json)
+        val cols = livePos.columns.toSeq.filterNot(Set(fCol, pCol))
+        val types = livePos.schema.fields
+          .map(f => f.name -> f.dataType).toMap
         // ---- matched side: inner join on the keys ----
         val joinCond = keys.map(k =>
           col(s"t.`$k`") === col(s"s.`$k`")).reduce(_ && _)
@@ -1815,7 +1870,8 @@ object LakeTable {
               stats = manifestStats(json) ++
                 keepFresh.map(_.stats).getOrElse(Seq.empty),
               baseVersion = base, op = "dvmerge",
-              dv = prevDv ++ sidecars)
+              dv = prevDv ++ sidecars,
+              renames = manifestRenames(json))
             audit(spark, st) { df =>
               val after = df.count()
               val expect = liveCount - hiddenCount + freshCount
@@ -1924,9 +1980,9 @@ object LakeTable {
             col(layoutCol).cast("string").isin(stale.toSeq: _*))
         val baseRows =
           if (staleFiles.isEmpty) ups.limit(0)
-          else applyDv(spark, dir, spark.read
+          else toLogical(applyDv(spark, dir, spark.read
             .parquet(staleFiles.map(f => Paths.get(dir, f).toString): _*),
-            dvNow)
+            dvNow), renamesOf(dir, base))
             // the FULL change-key set anti-joins (not just the stale
             // values'): a key whose change row claims a different layout
             // value than it is stored under must still leave its old row
@@ -2046,7 +2102,10 @@ object LakeTable {
                        schema = manifestSchema(json),
                        stats = manifestStats(json),
                        baseVersion = base, op = "restore",
-                       dv = manifestDv(json)))
+                       dv = manifestDv(json),
+                       // a restore resurrects the restored version's
+                       // display names along with its schema
+                       renames = manifestRenames(json)))
         }
     }
   }
@@ -2098,7 +2157,8 @@ object LakeTable {
             }
             Right(publish(Staged(dst, 1L, manifestFiles(json),
               schema = manifestSchema(json), stats = manifestStats(json),
-              baseVersion = 0L, op = "clone", dv = manifestDv(json))))
+              baseVersion = 0L, op = "clone", dv = manifestDv(json),
+              renames = manifestRenames(json))))
           }
       }
     }
@@ -2127,7 +2187,11 @@ object LakeTable {
         if (recorded.isEmpty)
           Left(s"cannot ALTER a schema-less (legacy) table in $dir")
         else {
-          val names = recorded.map(_.split(" ", 2)(0)).toSet
+          // collision against PHYSICAL and LOGICAL names alike: a new
+          // column named like a renamed-away physical name would alias
+          // two logical columns onto one file column (r13)
+          val names = recorded.map(_.split(" ", 2)(0)).toSet ++
+            manifestRenames(json).values
           cols.find(c => names.contains(c._1)) match {
             case Some((n, _)) => Left(s"column '$n' already exists in $dir")
             case None =>
@@ -2140,7 +2204,49 @@ object LakeTable {
               Right(Staged(dir, base + 1L, manifestFiles(json),
                 batches = batchesOf(dir, base),
                 schema = extended, stats = manifestStats(json),
-                baseVersion = base, op = "alter", dv = manifestDv(json)))
+                baseVersion = base, op = "alter", dv = manifestDv(json),
+                renames = manifestRenames(json)))
+          }
+        }
+      }
+    }
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` (r13, verdict ask #4) — a
+    * METADATA-ONLY commit via column mapping: the manifest's `schema`,
+    * `stats`, and every data file keep the column's PHYSICAL name (fixed
+    * at first write, forever), and the `renames` display map gains
+    * `physical -> to`. Old files stay readable with zero rewrites; reads
+    * and DML surface the new logical name immediately; time travel shows
+    * each version under its own names. The new name must collide with
+    * neither a logical nor a physical name (a physical collision would
+    * alias two logical columns onto one file column). */
+  def renameColumn(dir: String, from: String,
+                   to: String): Either[String, Long] = {
+    require(from.nonEmpty && to.nonEmpty, "RENAME needs both names")
+    commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val recorded = manifestSchema(json)
+        if (recorded.isEmpty)
+          Left(s"cannot ALTER a schema-less (legacy) table in $dir")
+        else {
+          val renames = manifestRenames(json)
+          val physNames = recorded.map(_.split(" ", 2)(0))
+          val logicalNames = physNames.map(n => renames.getOrElse(n, n))
+          if (!logicalNames.contains(from))
+            Left(s"RENAME COLUMN: no column '$from' in $dir")
+          else if (logicalNames.contains(to) || physNames.contains(to))
+            Left(s"RENAME COLUMN: '$to' collides with an existing " +
+                 s"column (logical or physical) in $dir")
+          else {
+            val phys = physicalNameOf(renames, from)
+            Right(Staged(dir, base + 1L, manifestFiles(json),
+              batches = batchesOf(dir, base),
+              schema = recorded, stats = manifestStats(json),
+              baseVersion = base, op = "alter", dv = manifestDv(json),
+              renames = renames + (phys -> to)))
           }
         }
       }
@@ -2218,11 +2324,11 @@ object LakeTable {
               .collect().map(r => percentDecode(r.getString(0))).toSeq.sorted
             val rows = rawRead(affected, v)
             val cols = rows.columns.toSeq
-            Seq(stamp(rows
+            Seq(stamp(toLogical(rows
               .withColumn("_dv_file", relFileCol)
               .withColumn("_dv_pos", col("_metadata.row_index"))
               .join(broadcast(dvDf), Seq("_dv_file", "_dv_pos"), "left_semi")
-              .select(cols.map(col): _*), "delete"))
+              .select(cols.map(col): _*), renamesOf(dir, v)), "delete"))
           }
         val before = if (prev == 0L) Seq.empty else filesOf(dir, prev)
         val after = filesOf(dir, v)
@@ -2234,10 +2340,11 @@ object LakeTable {
         // rows that version had already hidden
         def side(files: Seq[String], schemaV: Long, kind: String) =
           if (files.isEmpty) None
-          else Some(stamp(
+          else Some(stamp(toLogical(
             applyDv(spark, dir, rawRead(files, schemaV),
                     if (schemaV == 0L) Seq.empty else dvOf(dir, schemaV)),
-            kind))
+            if (schemaV == 0L) Map.empty
+            else renamesOf(dir, schemaV)), kind))
         dvRetract ++
           side(removed, prev, "delete").toSeq ++
           side(added, v, "insert").toSeq

@@ -1117,24 +1117,47 @@ class LakeStreamSpec extends SparkTestBase {
         "a CHECK-violating epoch must publish nothing")
     } finally q3.stop()
 
-    // a layout table refuses the V2 streaming write (prune metadata
-    // streams through the format sink instead)
+    // behavior 50 (r13): a LAYOUT table streams through the V2 write
+    // WITH its prune metadata — executor writers stage one file per
+    // layout value under `_layout=<value>/` segments, so partial merges
+    // prune streamed files exactly like batch-written ones
     spark.sql(s"CREATE TABLE $cat.default.w4 " +
-      "(k BIGINT, band BIGINT) PARTITIONED BY (band)")
+      "(k BIGINT, band BIGINT) PARTITIONED BY (band) " +
+      "TBLPROPERTIES ('statsBy'='k')")
+    val dir4 = java.nio.file.Paths.get(wh, "default", "w4").toString
     val mem4 = MemoryStream[(Long, Long)]
     val cp4 = Files.createTempDirectory("graft_lake_writecat_cp4_").toString
-    val e4 = intercept[Exception] {
-      val q4 = mem4.toDF().toDF("k", "band").writeStream
-        .option("checkpointLocation", cp4)
-        .toTable(s"$cat.default.w4")
-      try { mem4.addData((1L, 0L)); q4.processAllAvailable() }
-      finally q4.stop()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
-        msgs(x.getCause))
-    assert(msgs(e4).exists(_.contains("layoutBy")),
-      s"the refusal must point at the format sink: ${e4.getMessage}")
+    val q4 = mem4.toDF().toDF("k", "band").writeStream
+      .option("checkpointLocation", cp4)
+      .toTable(s"$cat.default.w4")
+    try {
+      mem4.addData((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L))
+      q4.processAllAvailable()
+      mem4.addData((5L, 1L))
+      q4.processAllAvailable()
+    } finally q4.stop()
+    assert(spark.table(s"$cat.default.w4").count() == 5L)
+    val files4 = LakeTable.currentFiles(dir4)
+    assert(files4.nonEmpty && files4.forall(_.contains("_layout=")),
+      s"streamed files must carry layout segments: $files4")
+    assert(Seq("0", "1", "2").forall(b =>
+      files4.exists(_.contains(s"_layout=$b/"))),
+      s"one staged file per touched band per epoch: $files4")
+    assert(LakeTable.statsOf(dir4,
+      LakeTable.currentVersion(dir4).get).keys.exists(_._2 == "k"),
+      "the declared statsBy column must record for streamed files")
+    // the prune metadata WORKS: a partial merge touching band 1 carries
+    // every band-0/band-2 streamed file verbatim and rewrites band 1
+    val untouched = files4.filterNot(_.contains("_layout=1/")).toSet
+    val touched = files4.filter(_.contains("_layout=1/")).toSet
+    import spark.implicits._
+    assert(LakeTable.mergePartial(spark, dir4,
+      Seq((5L, 1L)).toDF("k", "band"), Seq("k"), "band")(_ => None).isRight)
+    val after4 = LakeTable.currentFiles(dir4).toSet
+    assert(untouched.subsetOf(after4),
+      "untouched bands' streamed files must carry verbatim")
+    assert(touched.forall(f => !after4.contains(f)),
+      "the touched band's streamed files must rewrite")
     Seq("w1", "w2", "w3", "w4").foreach(t =>
       spark.sql(s"DROP TABLE $cat.default.$t"))
   }

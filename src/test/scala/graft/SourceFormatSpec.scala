@@ -384,7 +384,7 @@ class SourceFormatSpec extends SparkTestBase {
   }
 
   test("graft-lake SQL MERGE INTO (r12): canonical upsert binds to the " +
-       "merge-on-read DV commit; out-of-scope shapes fall through") {
+       "merge-on-read DV commit; subquery shapes fall through") {
     import graft.sources.LakeTable
     import spark.implicits._
     val cat = "graft_lake_spec2"
@@ -429,18 +429,37 @@ class SourceFormatSpec extends SparkTestBase {
     assert(afterDel.count() == 30L, "keys 2 and 31 deleted; 999 unmatched")
     assert(afterDel.filter(col("k").isin(2L, 31L)).isEmpty)
 
-    // out-of-scope MERGE (conditional matched clause) falls through to
-    // Spark's own refusal, nothing half-applies
-    val pre = live.collect().toSeq
+    // conditional matched clause (r13): now IN scope — routed to the
+    // general conditional DV merge. Keys 2 and 31 were deleted above, so
+    // they re-enter via the INSERT side; key 4 matches with s.v=999>500
+    // and updates; key 32 matches with s.v=320 (clause condition false)
+    // and carries unchanged.
+    spark.sql(s"MERGE INTO $cat.default.m1 AS t USING merge_src AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND s.v > 500 THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(LakeTable.currentVersion(dir).contains(4L))
+    val afterCond = spark.table(s"$cat.default.m1")
+    assert(afterCond.count() == 32L)
+    assert(afterCond.filter(col("k") === 4L).head.getLong(2) == 999L)
+    assert(afterCond.filter(col("k") === 32L).head.getLong(2) == 320L,
+      "a matched row whose clause condition is false carries unchanged")
+    assert(afterCond.filter(col("k") === 2L).head.getLong(2) == 999L,
+      "previously deleted keys re-enter through the INSERT side")
+
+    // still out of scope: a SUBQUERY condition falls through to Spark's
+    // own refusal, nothing half-applies
+    val pre = afterCond.collect().toSeq
     intercept[Exception] {
       spark.sql(s"MERGE INTO $cat.default.m1 AS t USING merge_src AS s " +
         "ON t.k = s.k " +
-        "WHEN MATCHED AND s.v > 500 THEN UPDATE SET * " +
+        "WHEN MATCHED AND s.v > (SELECT avg(v) FROM merge_src) " +
+        "THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
     }
     assert(spark.table(s"$cat.default.m1").collect().toSeq == pre,
       "an out-of-scope MERGE must not half-apply")
-    assert(LakeTable.currentVersion(dir).contains(3L))
+    assert(LakeTable.currentVersion(dir).contains(4L))
   }
 
   test("graft-lake DSv2 catalog reads prune columns and push filters " +
@@ -1117,6 +1136,75 @@ class SourceFormatSpec extends SparkTestBase {
       "unborn MERGE births v1 from the conditional INSERT clause only")
 
     Seq("g1", "g2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
+  test("RENAME COLUMN via column mapping (r13): metadata-only, DML and " +
+       "reads under the new name, time travel, collision refusals") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec13"
+    val wh = Files.createTempDirectory("graft_lake_whspec13_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "rn1").toString
+    (1L to 8L).map(k => (k, k * 10L)).toDF("k", "v")
+      .createOrReplaceTempView("rn_src")
+    spark.sql(s"CREATE TABLE $cat.default.rn1 AS SELECT * FROM rn_src")
+    val filesV1 = LakeTable.currentFiles(dir)
+
+    spark.sql(s"ALTER TABLE $cat.default.rn1 RENAME COLUMN v TO amount")
+    assert(LakeTable.currentFiles(dir) == filesV1,
+      "RENAME must be metadata-only: identical file list")
+    val t = spark.table(s"$cat.default.rn1")
+    assert(t.columns.toSeq == Seq("k", "amount"),
+      s"the logical schema renames: ${t.columns.toSeq}")
+    assert(t.orderBy("k").collect().map(_.getLong(1)).toSeq
+      == (1L to 8L).map(_ * 10L), "pre-rename files read under the new name")
+    // time travel shows each version's own names
+    assert(LakeTable.readVersion(spark, dir, 1L).columns.toSeq
+      == Seq("k", "v"))
+
+    // DML against the NEW name, end to end on the DV paths
+    spark.sql(s"UPDATE $cat.default.rn1 SET amount = amount + 1 WHERE k = 1")
+    spark.sql(s"DELETE FROM $cat.default.rn1 WHERE amount = 80")
+    Seq((2L, 999L), (9L, 90L)).toDF("k", "amount")
+      .createOrReplaceTempView("rn_up")
+    spark.sql(s"""MERGE INTO $cat.default.rn1 AS t USING rn_up AS s
+      ON t.k = s.k
+      WHEN MATCHED AND s.amount > t.amount THEN UPDATE SET amount = s.amount
+      WHEN NOT MATCHED THEN INSERT (k, amount) VALUES (s.k, s.amount)""")
+    spark.sql(s"INSERT INTO $cat.default.rn1 VALUES (10, 100)")
+    val m = spark.table(s"$cat.default.rn1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 11L, 2L -> 999L, 3L -> 30L, 4L -> 40L,
+                    5L -> 50L, 6L -> 60L, 7L -> 70L, 9L -> 90L,
+                    10L -> 100L), s"post-rename DML state wrong: $m")
+    // every data file still physically carries the ORIGINAL name
+    assert(LakeTable.currentSchema(dir).exists(_.startsWith("v ")),
+      "the manifest's physical schema keeps the original column name")
+
+    // the change feed surfaces the logical name for post-rename versions
+    val feed = spark.table(s"$cat.default.rn1.changes")
+    assert(feed.columns.contains("amount") &&
+           feed.columns.contains("_change_type"))
+
+    // collisions refuse: existing logical, retired physical, and an ADD
+    // of the retired physical name (two logicals on one file column)
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.rn1 RENAME COLUMN k TO amount") }
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.rn1 RENAME COLUMN k TO v") }
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.rn1 ADD COLUMNS (v BIGINT)") }
+
+    // unborn table: the declared schema renames in place
+    spark.sql(s"CREATE TABLE $cat.default.rn2 (a BIGINT, b BIGINT)")
+    spark.sql(s"ALTER TABLE $cat.default.rn2 RENAME COLUMN b TO c")
+    assert(spark.table(s"$cat.default.rn2").columns.toSeq == Seq("a", "c"))
+    spark.sql(s"INSERT INTO $cat.default.rn2 VALUES (1, 2)")
+    assert(spark.table(s"$cat.default.rn2").head.getLong(1) == 2L)
+
+    Seq("rn1", "rn2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
   test("orc round-trip preserves schema and values") {
