@@ -163,12 +163,9 @@ object StreamBench {
     // each output row a manifest-diff read — the honest price of
     // exactly-once persistence, measured rather than hand-waved.
     val lakeSinkSrc = {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_streambench_lake_").toString
-      val cpW = java.nio.file.Files
-        .createTempDirectory("graft_streambench_lakew_").toString
-      val cpR = java.nio.file.Files
-        .createTempDirectory("graft_streambench_laker_").toString
+      val dir = graft.ops.TempDirs.create("graft_streambench_lake_")
+      val cpW = graft.ops.TempDirs.create("graft_streambench_lakew_")
+      val cpR = graft.ops.TempDirs.create("graft_streambench_laker_")
       import org.apache.spark.sql.functions.col
       // chunk ≤ key modulus: merge mode audits per-batch key uniqueness,
       // so a chunk larger than 5000 rows would repeat a key inside one
@@ -212,15 +209,12 @@ object StreamBench {
     // durable-commit pricing note as the format sink above.
     val v2Pair = {
       val cat = "graft_streambench_cat"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_streambench_v2wh_").toString
+      val wh = graft.ops.TempDirs.create("graft_streambench_v2wh_")
       spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       spark.sql(s"CREATE TABLE $cat.default.sb (k BIGINT, v BIGINT)")
-      val cpW = java.nio.file.Files
-        .createTempDirectory("graft_streambench_v2w_").toString
-      val cpR = java.nio.file.Files
-        .createTempDirectory("graft_streambench_v2r_").toString
+      val cpW = graft.ops.TempDirs.create("graft_streambench_v2w_")
+      val cpR = graft.ops.TempDirs.create("graft_streambench_v2r_")
       val rows = (0 until nDocs).map(i => (i.toLong, i.toLong))
       val chunk = math.max(1, rows.size / 10)
       val ms = MemoryStream[(Long, Long)]
