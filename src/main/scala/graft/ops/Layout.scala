@@ -1268,6 +1268,17 @@ object Layout {
       require(LakeTable.readVersion(s, dir, 3L)
                 .columns.contains("cents"),
               "time travel across the rename keeps the old name")
+      // DROP COLUMN (r13): also metadata-only via column mapping — the
+      // throwaway column leaves the recorded schema (readers stop
+      // requesting it, zero data movement) and its physical name
+      // tombstones against resurrection
+      s.sql(s"ALTER TABLE $cat.default.$tbl ADD COLUMNS (tmp BIGINT)")
+      val filesV5 = LakeTable.currentFiles(dir)
+      s.sql(s"ALTER TABLE $cat.default.$tbl DROP COLUMN tmp")
+      require(LakeTable.currentVersion(dir).contains(6L),
+              "DROP must publish a metadata version")
+      require(LakeTable.currentFiles(dir) == filesV5,
+              "DROP must be metadata-only: identical file list")
       s.table(s"$cat.default.$tbl").orderBy("custkey")
     },
 

@@ -227,13 +227,48 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val (adds, rest) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
     val (rens, rest2) =
       rest.partition(_.isInstanceOf[TableChange.RenameColumn])
+    val (drops, rest3) =
+      rest2.partition(_.isInstanceOf[TableChange.DeleteColumn])
     val (props, unsupported) =
-      rest2.partition(_.isInstanceOf[TableChange.SetProperty])
+      rest3.partition(_.isInstanceOf[TableChange.SetProperty])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"graft-lake evolution is additive: only ADD COLUMNS, RENAME " +
-        s"COLUMN, and SET TBLPROPERTIES are representable; got " +
+        s"graft-lake evolution supports ADD COLUMNS, RENAME COLUMN, " +
+        s"DROP COLUMN, and SET TBLPROPERTIES; got " +
         unsupported.map(_.getClass.getSimpleName).mkString(", "))
+    // DROP COLUMN (r13): metadata-only via column mapping — the physical
+    // name tombstones so no later ADD/RENAME resurrects the data still
+    // sitting in carried files. The declared layout column refuses (the
+    // table's files are laid out by it); a dropped statsBy default
+    // silently leaves the write defaults.
+    drops.map(_.asInstanceOf[TableChange.DeleteColumn]).foreach { dc =>
+      require(dc.fieldNames().length == 1,
+        s"nested DROP COLUMN '${dc.fieldNames().mkString(".")}' is not " +
+        "representable (top-level columns only)")
+      val name = dc.fieldNames()(0)
+      val pendingNow = LakeCatalog.readPending(dir)
+      require(!pendingNow.flatMap(_.layoutBy).exists(_.equalsIgnoreCase(name)),
+        s"DROP COLUMN: '$name' is the table's layout column")
+      pendingNow match {
+        case Some(p) if LakeTable.currentVersion(dir).isEmpty =>
+          require(p.schema.fieldNames.contains(name),
+            s"DROP COLUMN: no column '$name'")
+          require(p.schema.fields.length > 1,
+            "DROP COLUMN: cannot drop the only column")
+          LakeCatalog.writePending(dir, p.copy(
+            schema = StructType(p.schema.fields.filterNot(_.name == name)),
+            statsBy = p.statsBy.filterNot(_ == name)))
+        case _ =>
+          LakeTable.dropColumn(dir, name) match {
+            case Right(_) =>
+              pendingNow.filter(_.statsBy.contains(name)).foreach(p =>
+                LakeCatalog.writePending(dir,
+                  p.copy(statsBy = p.statsBy.filterNot(_ == name))))
+            case Left(reason) => throw new IllegalStateException(
+              s"ALTER TABLE ${ident.name()} failed: $reason")
+          }
+      }
+    }
     // RENAME COLUMN (r13): metadata-only via column mapping — physical
     // names in files never change, the display map gains an entry, old
     // files stay readable, time travel shows each version's own names

@@ -97,7 +97,8 @@ object LakeTable {
                           baseVersion: Long = 0L,
                           op: String = "overwrite",
                           dv: Seq[String] = Seq.empty,
-                          renames: Map[String, String] = Map.empty)
+                          renames: Map[String, String] = Map.empty,
+                          dropped: Seq[String] = Seq.empty)
 
   /** List a directory's entries with the stream CLOSED on exit —
     * `Files.list` leaks a directory file descriptor until GC otherwise,
@@ -253,6 +254,18 @@ object LakeTable {
   private[graft] def renamesOf(dir: String, version: Long)
       : Map[String, String] =
     readManifest(dir, version).map(manifestRenames).getOrElse(Map.empty)
+
+  /** DROPPED physical names (r13): tombstones that make `DROP COLUMN`
+    * metadata-only AND safe — a later ADD/RENAME may never reuse a
+    * dropped physical name, because carried files still hold its data
+    * and a same-named column would silently resurrect it. */
+  private def manifestDropped(json: String): Seq[String] =
+    "\"dropped\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).map(_.group(1))
+      .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  private[graft] def droppedOf(dir: String, version: Long): Seq[String] =
+    readManifest(dir, version).map(manifestDropped).getOrElse(Seq.empty)
 
   private[graft] def currentRenames(dir: String): Map[String, String] =
     currentVersion(dir).map(renamesOf(dir, _)).getOrElse(Map.empty)
@@ -803,9 +816,10 @@ object LakeTable {
            // the DV PURGE: its snapshot read already applied the vectors
            dv = if (carry.nonEmpty && base > 0L) dvOf(dir, base)
                 else Seq.empty,
-           // column-mapping display names always travel (physical names
-           // in files are forever; only the display map rides forward)
-           renames = if (base > 0L) renamesOf(dir, base) else Map.empty)
+           // column-mapping display names and drop tombstones always
+           // travel (physical names in files are forever)
+           renames = if (base > 0L) renamesOf(dir, base) else Map.empty,
+           dropped = if (base > 0L) droppedOf(dir, base) else Seq.empty)
   }
 
   /** Files of the live version whose recorded [lo, hi] stats range for an
@@ -851,6 +865,17 @@ object LakeTable {
     * type (no drops, no type changes); NEW columns are additive evolution,
     * allowed and recorded. Returns the violation, if any. */
   private[graft] def evolutionError(staged: Staged): Option[String] = {
+    // drop tombstones (r13): a staged column whose name matches a
+    // DROPPED physical name would silently resurrect the old data still
+    // sitting in carried files — refuse (re-add under a new name)
+    if (staged.dropped.nonEmpty) {
+      val ghost = staged.schema.map(_.split(" ", 2)(0))
+        .find(staged.dropped.contains)
+      if (ghost.nonEmpty)
+        return Some(s"schema evolution rejected: column '${ghost.get}' " +
+          "was DROPPED — carried files still hold its data, so re-adding " +
+          "the same name would resurrect it; pick a new name")
+    }
     val live =
       if (staged.baseVersion > 0L) schemaOf(staged.dir, staged.baseVersion)
       else Seq.empty
@@ -931,10 +956,15 @@ object LakeTable {
       else staged.renames.toSeq.sorted
         .map { case (p, l) => s""""$p":"$l"""" }
         .mkString("\"renames\":{", ",", "},")
+    // dropped-physical-name tombstones (r13)
+    val droppedField =
+      if (staged.dropped.isEmpty) ""
+      else staged.dropped.sorted.map("\"" + _ + "\"")
+        .mkString("\"dropped\":[", ",", "],")
     staged.files.map("\"" + _ + "\"")
       .mkString(s"""{"version":$v,"base":${staged.baseVersion},""" +
                 s""""op":"${staged.op}",$batchesField$schemaField""" +
-                s"""$statsField$dvField$renamesField"files":[""", ",", "]}")
+                s"""$statsField$dvField$renamesField$droppedField"files":[""", ",", "]}")
   }
 
   /** Publish a staged version: claim a version number via the manifest
@@ -1345,7 +1375,8 @@ object LakeTable {
             schema = recorded, stats = manifestStats(json),
             baseVersion = base, op = "dvdelete",
             dv = prevDv ++ sidecars,
-            renames = manifestRenames(json))
+            renames = manifestRenames(json),
+            dropped = manifestDropped(json))
           // audit AS A READER WOULD SEE IT: the staged manifest's own
           // vector set must hide every matching row before publish
           val stagedDf =
@@ -1464,7 +1495,8 @@ object LakeTable {
             stats = manifestStats(json) ++ fresh.stats,
             baseVersion = base, op = "dvupdate",
             dv = prevDv ++ sidecars,
-            renames = renames)
+            renames = renames,
+            dropped = manifestDropped(json))
           // audit AS A READER WOULD SEE IT (evolution gate included —
           // a type-changing assignment rejects here): rows conserve
           // exactly, then the caller's check
@@ -1531,7 +1563,8 @@ object LakeTable {
           stats = manifestStats(json) ++ freshStage.stats,
           baseVersion = base, op = "replacewhere",
           dv = prevDv ++ sidecars,
-          renames = manifestRenames(json))
+          renames = manifestRenames(json),
+          dropped = manifestDropped(json))
         // audit AS A READER WOULD SEE IT: every row matching the
         // predicate in the staged version must come from the NEW data —
         // count-compare against the staged fresh files directly
@@ -1581,7 +1614,8 @@ object LakeTable {
             schema = recorded, stats = manifestStats(json),
             baseVersion = base, op = "dvdelete",
             dv = prevDv ++ sidecars,
-            renames = manifestRenames(json))
+            renames = manifestRenames(json),
+            dropped = manifestDropped(json))
           audit(spark, st) { df =>
             val leak = df.join(srcKeys, keys, "left_semi").count()
             if (leak > 0L)
@@ -1693,7 +1727,8 @@ object LakeTable {
             stats = manifestStats(json) ++ fresh.stats,
             baseVersion = base, op = "dvmerge",
             dv = prevDv ++ sidecars,
-            renames = manifestRenames(json))
+            renames = manifestRenames(json),
+            dropped = manifestDropped(json))
           val st = st0.copy(batches =
             st0.batches ++ batch.map(b => sink -> b).toMap)
           audit(spark, st) { df =>
@@ -1871,7 +1906,8 @@ object LakeTable {
                 keepFresh.map(_.stats).getOrElse(Seq.empty),
               baseVersion = base, op = "dvmerge",
               dv = prevDv ++ sidecars,
-              renames = manifestRenames(json))
+              renames = manifestRenames(json),
+              dropped = manifestDropped(json))
             audit(spark, st) { df =>
               val after = df.count()
               val expect = liveCount - hiddenCount + freshCount
@@ -2104,8 +2140,22 @@ object LakeTable {
                        baseVersion = base, op = "restore",
                        dv = manifestDv(json),
                        // a restore resurrects the restored version's
-                       // display names along with its schema
-                       renames = manifestRenames(json)))
+                       // display names along with its schema. Drop
+                       // tombstones union from both eras, EXCEPT names
+                       // the restored schema itself carries — restoring
+                       // a pre-drop version deliberately brings the
+                       // column (and its data) back, so its tombstone
+                       // lifts; all other tombstones stay (reuse is
+                       // still unsafe for them)
+                       renames = manifestRenames(json),
+                       dropped = {
+                         val back = manifestSchema(json)
+                           .map(_.split(" ", 2)(0)).toSet
+                         (manifestDropped(json) ++
+                          currentVersion(dir).map(droppedOf(dir, _))
+                            .getOrElse(Seq.empty))
+                           .distinct.filterNot(back.contains)
+                       }))
         }
     }
   }
@@ -2158,7 +2208,8 @@ object LakeTable {
             Right(publish(Staged(dst, 1L, manifestFiles(json),
               schema = manifestSchema(json), stats = manifestStats(json),
               baseVersion = 0L, op = "clone", dv = manifestDv(json),
-              renames = manifestRenames(json))))
+              renames = manifestRenames(json),
+              dropped = manifestDropped(json))))
           }
       }
     }
@@ -2187,11 +2238,12 @@ object LakeTable {
         if (recorded.isEmpty)
           Left(s"cannot ALTER a schema-less (legacy) table in $dir")
         else {
-          // collision against PHYSICAL and LOGICAL names alike: a new
-          // column named like a renamed-away physical name would alias
-          // two logical columns onto one file column (r13)
+          // collision against PHYSICAL, LOGICAL, and DROPPED names
+          // alike: a renamed-away physical would alias two logicals onto
+          // one file column; a dropped physical would resurrect the old
+          // data still in carried files (r13)
           val names = recorded.map(_.split(" ", 2)(0)).toSet ++
-            manifestRenames(json).values
+            manifestRenames(json).values ++ manifestDropped(json)
           cols.find(c => names.contains(c._1)) match {
             case Some((n, _)) => Left(s"column '$n' already exists in $dir")
             case None =>
@@ -2205,7 +2257,52 @@ object LakeTable {
                 batches = batchesOf(dir, base),
                 schema = extended, stats = manifestStats(json),
                 baseVersion = base, op = "alter", dv = manifestDv(json),
-                renames = manifestRenames(json)))
+                renames = manifestRenames(json),
+                dropped = manifestDropped(json)))
+          }
+        }
+      }
+    }
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` (r13) — METADATA-ONLY via column
+    * mapping, the capability Delta gates behind the same feature: the
+    * column leaves the recorded schema (readers simply stop requesting
+    * it — zero data movement; the bytes stay in carried files,
+    * invisible), its stats entries drop, its rename entry clears, and
+    * its PHYSICAL name lands on the `dropped` tombstone list so no later
+    * ADD/RENAME can reuse it (carried files still hold the data —
+    * reusing the name would silently resurrect it; the evolution gate
+    * enforces this on every later commit). Time travel keeps each
+    * version's own schema; RESTORE to a pre-drop version deliberately
+    * lifts the tombstone. */
+  def dropColumn(dir: String, name: String): Either[String, Long] = {
+    require(name.nonEmpty, "DROP COLUMN needs a name")
+    commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val recorded = manifestSchema(json)
+        if (recorded.isEmpty)
+          Left(s"cannot ALTER a schema-less (legacy) table in $dir")
+        else {
+          val renames = manifestRenames(json)
+          val physNames = recorded.map(_.split(" ", 2)(0))
+          val logicalNames = physNames.map(n => renames.getOrElse(n, n))
+          if (!logicalNames.contains(name))
+            Left(s"DROP COLUMN: no column '$name' in $dir")
+          else if (recorded.length == 1)
+            Left(s"DROP COLUMN: cannot drop the only column of $dir")
+          else {
+            val phys = physicalNameOf(renames, name)
+            Right(Staged(dir, base + 1L, manifestFiles(json),
+              batches = batchesOf(dir, base),
+              schema = recorded.filterNot(_.split(" ", 2)(0) == phys),
+              stats = manifestStats(json)
+                .filterNot(_.split('|')(1) == phys),
+              baseVersion = base, op = "alter", dv = manifestDv(json),
+              renames = renames - phys,
+              dropped = (manifestDropped(json) :+ phys).distinct))
           }
         }
       }
@@ -2237,16 +2334,18 @@ object LakeTable {
           val logicalNames = physNames.map(n => renames.getOrElse(n, n))
           if (!logicalNames.contains(from))
             Left(s"RENAME COLUMN: no column '$from' in $dir")
-          else if (logicalNames.contains(to) || physNames.contains(to))
+          else if (logicalNames.contains(to) || physNames.contains(to) ||
+                   manifestDropped(json).contains(to))
             Left(s"RENAME COLUMN: '$to' collides with an existing " +
-                 s"column (logical or physical) in $dir")
+                 s"(or dropped) column in $dir")
           else {
             val phys = physicalNameOf(renames, from)
             Right(Staged(dir, base + 1L, manifestFiles(json),
               batches = batchesOf(dir, base),
               schema = recorded, stats = manifestStats(json),
               baseVersion = base, op = "alter", dv = manifestDv(json),
-              renames = renames + (phys -> to)))
+              renames = renames + (phys -> to),
+              dropped = manifestDropped(json)))
           }
         }
       }

@@ -1207,6 +1207,80 @@ class SourceFormatSpec extends SparkTestBase {
     Seq("rn1", "rn2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("DROP COLUMN via column mapping (r13): metadata-only, data " +
+       "invisible not rewritten, tombstoned against resurrection, " +
+       "restore lifts the tombstone") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec14"
+    val wh = Files.createTempDirectory("graft_lake_whspec14_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "d1").toString
+    (1L to 6L).map(k => (k, k * 10L, k * 100L)).toDF("k", "v", "w")
+      .createOrReplaceTempView("dc_src")
+    spark.sql(s"CREATE TABLE $cat.default.d1 AS SELECT * FROM dc_src")
+    val filesV1 = LakeTable.currentFiles(dir)
+
+    spark.sql(s"ALTER TABLE $cat.default.d1 DROP COLUMN v")
+    assert(LakeTable.currentFiles(dir) == filesV1,
+      "DROP must be metadata-only: identical file list")
+    val t = spark.table(s"$cat.default.d1")
+    assert(t.columns.toSeq == Seq("k", "w"))
+    assert(t.orderBy("k").collect().map(_.getLong(1)).toSeq
+      == (1L to 6L).map(_ * 100L))
+    // time travel still shows the dropped column's data
+    assert(LakeTable.readVersion(spark, dir, 1L)
+      .orderBy("k").collect().map(_.getLong(1)).toSeq
+      == (1L to 6L).map(_ * 10L))
+
+    // resurrection refused: re-adding the dropped name fails the
+    // evolution gate on BOTH the ALTER and the sneak-append path
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.d1 ADD COLUMNS (v BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.d1 RENAME COLUMN w TO v")
+    }
+    val sneak = Seq((7L, 7L, 700L)).toDF("k", "v", "w")
+    assert(LakeTable.append(spark, dir, sneak)(_ => None).isLeft,
+      "an append carrying the dropped name must refuse (resurrection)")
+    // a NEW name is fine and null-fills
+    spark.sql(s"ALTER TABLE $cat.default.d1 ADD COLUMNS (v2 BIGINT)")
+    assert(spark.table(s"$cat.default.d1").columns.toSeq
+      == Seq("k", "w", "v2"))
+
+    // DML keeps working on the narrowed table
+    spark.sql(s"UPDATE $cat.default.d1 SET w = w + 1 WHERE k = 1")
+    assert(spark.table(s"$cat.default.d1")
+      .filter(col("k") === 1L).head.getLong(1) == 101L)
+
+    // RESTORE to the pre-drop version lifts the tombstone: the column
+    // (and its data) comes back deliberately, and appends with it work
+    assert(LakeTable.restore(spark, dir, 1L).isRight)
+    val back = spark.table(s"$cat.default.d1")
+    assert(back.columns.toSeq == Seq("k", "v", "w"))
+    assert(back.filter(col("k") === 2L).head.getLong(1) == 20L,
+      "restore resurrects the dropped column's data by design")
+    assert(LakeTable.append(spark, dir,
+      Seq((7L, 70L, 700L)).toDF("k", "v", "w"))(_ => None).isRight,
+      "the lifted tombstone admits the column again")
+
+    // guardrails: the layout column and the only column refuse
+    spark.sql(s"CREATE TABLE $cat.default.d2 (k BIGINT, band BIGINT) " +
+      "PARTITIONED BY (band)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.d2 DROP COLUMN band")
+    }
+    // unborn: the declared schema narrows in place
+    spark.sql(s"ALTER TABLE $cat.default.d2 DROP COLUMN k")
+    assert(spark.table(s"$cat.default.d2").columns.toSeq == Seq("band"))
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.d2 DROP COLUMN band")
+    }
+    Seq("d1", "d2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
