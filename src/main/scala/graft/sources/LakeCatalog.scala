@@ -772,7 +772,9 @@ class LakeV2Table(val dir: String, ident: String,
                   .getOrElse(0L),
               skipChangeCommits =
                 Option(options.get("skipChangeCommits"))
-                  .exists(_.toBoolean))
+                  .exists(_.toBoolean),
+              maxVersionsPerTrigger =
+                Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
           }
         }
       }

@@ -65,7 +65,9 @@ private[sources] class LakeFeedTable(val dir: String, ident: String)
           new LakeFeedMicroBatchStream(dir, tableCols,
             startingVersion =
               Option(options.get("startingVersion")).map(_.toLong)
-                .getOrElse(0L))
+                .getOrElse(0L),
+            maxVersionsPerTrigger =
+              Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
       }
     }
   }
@@ -146,8 +148,11 @@ private[sources] case class LakeFeedPartition(
   * ever dropped or retyped), so one reader closure serves every
   * version. */
 private[sources] class LakeFeedMicroBatchStream(dir: String,
-    tableSchema: StructType, startingVersion: Long)
-    extends MicroBatchStream {
+    tableSchema: StructType, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private def ver(o: Offset): Long = o match {
     case LakeOffset(v) => v
@@ -163,13 +168,35 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
 
   /** O(pending) discovery — same dense-claim walk + unprimed listing
     * fallback as [[LakeMicroBatchStream.latestOffset]]. */
+  private def discover(floor0: Long): Seq[Long] = {
+    val floor = math.max(floor0, startingVersion)
+    val walked = LakeTable.versionsAbove(dir, floor)
+    if (walked.nonEmpty || knownMax >= 0L) walked
+    else LakeTable.versions(dir).filter(_ > floor)
+  }
+
   override def latestOffset(): Offset = {
     val floor = math.max(knownMax, startingVersion)
-    val walked = LakeTable.versionsAbove(dir, floor)
-    val pending =
-      if (walked.nonEmpty || knownMax >= 0L) walked
-      else LakeTable.versions(dir).filter(_ > floor)
-    val off = pending.lastOption.getOrElse(floor)
+    val off = discover(floor).lastOption.getOrElse(floor)
+    knownMax = math.max(knownMax, off)
+    LakeOffset(off)
+  }
+
+  /** Rate limiting (r13): `maxVersionsPerTrigger` caps each feed batch
+    * to the next N commit versions (V1-source parity through the
+    * admission-control seam — `start` is the committed floor, restarts
+    * included). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val floor = math.max(ver(start), startingVersion)
+    val pending = discover(floor)
+    val off = (maxVersionsPerTrigger match {
+      case Some(n) if pending.nonEmpty => Some(pending.take(n).last)
+      case _ => pending.lastOption
+    }).getOrElse(floor)
     knownMax = math.max(knownMax, off)
     LakeOffset(off)
   }

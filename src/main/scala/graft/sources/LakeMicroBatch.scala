@@ -42,8 +42,11 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
                            requiredSchema: StructType,
                            pushed: Seq[Filter],
                            startingVersion: Long,
-                           skipChangeCommits: Boolean)
-    extends MicroBatchStream {
+                           skipChangeCommits: Boolean,
+                           maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private def ver(o: Offset): Long = o match {
     case LakeOffset(v) => v
@@ -62,13 +65,36 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
   /** O(pending) discovery — the dense-claim walk above the floor, with
     * the one-listing fallback past vacuumed gaps while unprimed (same
     * discipline as the V1 source, r11/r12). */
+  private def discover(floor0: Long): Seq[Long] = {
+    val floor = math.max(floor0, startingVersion)
+    val walked = LakeTable.versionsAbove(dir, floor)
+    if (walked.nonEmpty || knownMax >= 0L) walked
+    else LakeTable.versions(dir).filter(_ > floor)
+  }
+
   override def latestOffset(): Offset = {
     val floor = math.max(knownMax, startingVersion)
-    val walked = LakeTable.versionsAbove(dir, floor)
-    val pending =
-      if (walked.nonEmpty || knownMax >= 0L) walked
-      else LakeTable.versions(dir).filter(_ > floor)
-    val off = pending.lastOption.getOrElse(floor)
+    val off = discover(floor).lastOption.getOrElse(floor)
+    knownMax = math.max(knownMax, off)
+    LakeOffset(off)
+  }
+
+  /** Rate limiting (r13): `maxVersionsPerTrigger` caps each micro-batch
+    * to the next N commit versions — V1-source parity, spelled through
+    * the engine's admission-control seam so the capped offset is the
+    * one the engine WALs (no side cursor needed; `start` is the
+    * committed floor on every call, restarts included). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val floor = math.max(ver(start), startingVersion)
+    val pending = discover(floor)
+    val off = (maxVersionsPerTrigger match {
+      case Some(n) if pending.nonEmpty => Some(pending.take(n).last)
+      case _ => pending.lastOption
+    }).getOrElse(floor)
     knownMax = math.max(knownMax, off)
     LakeOffset(off)
   }

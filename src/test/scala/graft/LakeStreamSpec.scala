@@ -979,6 +979,62 @@ class LakeStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $cat.default.ft")
   }
 
+  test("V2 stream rate limiting (r13, behavior 51): maxVersionsPerTrigger " +
+       "caps each micro-batch to N commit versions on rows and feed " +
+       "streams, exactly-once preserved") {
+    import spark.implicits._
+    val cat = "graft_lake_ratecat"
+    val wh = Files.createTempDirectory("graft_lake_whrate_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "rt").toString
+    for (i <- 1 to 5)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+
+    // rows mode: 5 pending versions at 1/trigger = exactly 5 batches
+    val cp = Files.createTempDirectory("graft_lake_rate_cp_").toString
+    val batches = mutable.Map.empty[Long, Seq[Row]]
+    val q = spark.readStream.option("maxVersionsPerTrigger", "1")
+      .table(s"$cat.default.rt")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.synchronized { batches(id) = df.collect().toSeq }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    assert(nonEmpty.size == 5,
+      s"5 versions at 1/trigger must arrive as 5 batches: " +
+      s"${batches.view.mapValues(_.size).toMap}")
+    assert(nonEmpty.values.forall(_.size == 1),
+      "each capped batch carries exactly one version's rows")
+    assert(batches.values.flatten.map(_.getAs[Long]("k")).toSeq.sorted
+      == (1L to 5L), "exactly-once across the capped batches")
+
+    // feed stream: same cap, same per-version delivery
+    val cp2 = Files.createTempDirectory("graft_lake_rate_cp2_").toString
+    val batches2 = mutable.Map.empty[Long, Seq[Row]]
+    val q2 = spark.readStream.option("maxVersionsPerTrigger", "2")
+      .table(s"$cat.default.rt.changes")
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches2.synchronized { batches2(id) = df.collect().toSeq }
+        ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ne2 = batches2.filter(_._2.nonEmpty)
+    assert(ne2.size == 3,
+      s"5 versions at 2/trigger = 3 feed batches: " +
+      s"${batches2.view.mapValues(_.size).toMap}")
+    assert(batches2.values.flatten
+      .map(_.getAs[Long]("_commit_version")).toSet == (1L to 5L).toSet)
+    spark.sql(s"DROP TABLE $cat.default.rt")
+  }
+
   test("V2 stream restart from a vacuumed checkpoint version refuses " +
        "loudly instead of re-emitting carried files (ADVICE r12)") {
     import spark.implicits._
