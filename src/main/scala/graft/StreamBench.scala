@@ -241,9 +241,29 @@ object StreamBench {
         s""""rows_per_sec":${r3(readRows / secR)}}"""
     }
 
+    // DSv2 change-feed read (r13, behavior 49): rows/sec draining the
+    // `ns.t.changes` suffix table's full history — per-file tasks with
+    // the three stamps joined on, the catalog-first CDF subscription.
+    // Reuses the v2Pair's table (written just above) so the measured
+    // feed covers a real multi-epoch history.
+    val v2Feed = {
+      val cat = "graft_streambench_cat"
+      val cpF = graft.ops.TempDirs.create("graft_streambench_v2f_")
+      val r = spark.readStream.table(s"$cat.default.sb.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation", cpF).start()
+      val startR = System.nanoTime()
+      r.processAllAvailable()
+      val secR = (System.nanoTime() - startR) / 1e9
+      val rows = r.recentProgress.toSeq.map(_.numInputRows).sum
+      r.stop()
+      s""""lake_v2_changes_read":{"rows":$rows,"sec":${r3(secR)},""" +
+        s""""rows_per_sec":${r3(rows / secR)}}"""
+    }
+
     println(s"""{"metric":"stream","events":$nEvents,"docs":$nDocs,""" +
       s""""ops":{$tumbling,$ohlc,$nearDup,$ssJoin,$quota,$asof,""" +
-      s"""$nearDupR,$quotaR,$lakeSinkSrc,$v2Pair}}""")
+      s"""$nearDupR,$quotaR,$lakeSinkSrc,$v2Pair,$v2Feed}}""")
     spark.stop()
   }
 }

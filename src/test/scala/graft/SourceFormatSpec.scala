@@ -655,12 +655,13 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $cat.default.a1 VALUES (3, 30, 300)")
     assert(spark.table(s"$cat.default.a1").filter(col("k") === 3L)
       .head.getLong(2) == 300L)
-    // a duplicate column and a DROP COLUMN refuse
+    // a duplicate column and a TYPE CHANGE refuse (DROP COLUMN became
+    // legal in r13 — its own column-mapping test covers it)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.default.a1 ADD COLUMNS (v BIGINT)")
     }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.default.a1 DROP COLUMN v")
+      spark.sql(s"ALTER TABLE $cat.default.a1 ALTER COLUMN v TYPE STRING")
     }
     assert(LakeTable.currentVersion(dir).contains(3L),
       "refused ALTERs must not mint versions")
