@@ -218,8 +218,21 @@ object Bench {
     // unbiased estimator; a genuine regression reads the same both times.
     val hotFrac = sys.env.get("SPARK_GRAFT_HOT_FRAC").map(_.toDouble)
       .getOrElse(0.20)
+    def driftOf(series: Seq[Double]): Double = {
+      val s = series.filter(_ >= 0).sorted
+      if (s.isEmpty || gaugeFloor <= 0) 1.0
+      else s(s.length / 2) / gaugeFloor
+    }
+    // second trigger (validated on the first r13 full run: remeasured
+    // 13% — under the 20% gate — while the interleaved gauges read a
+    // 1.50x drift that the per-query shared-sum ratio confirmed to
+    // within 0.2%): a run-level drift factor past ~1.35 IS a hot
+    // window even when individual queries dodge the outlier gates
+    val driftMax = sys.env.get("SPARK_GRAFT_DRIFT_MAX").map(_.toDouble)
+      .getOrElse(1.35)
     val hotRetry = pass1.nonEmpty &&
-      pass1.count(_._4) > hotFrac * pass1.length
+      (pass1.count(_._4) > hotFrac * pass1.length ||
+       driftOf(series1) > driftMax)
     val (results, gaugeSeries) = if (hotRetry) {
       val (pass2, series2) = sweep()
       val byName = pass1.map(r => r._1 -> r).toMap
