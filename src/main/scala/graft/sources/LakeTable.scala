@@ -1836,27 +1836,50 @@ object LakeTable {
           else Some(m.filter(anyOf(mConds))
             .select(col(s"t.`$fCol`").as("file"),
                     col(s"t.`$pCol`").as("pos")))
-        def rowFrom(frame: DataFrame, assigns: Map[String, String],
-                    carry: String => org.apache.spark.sql.Column)
-            : DataFrame =
-          frame.select(cols.map(c =>
-            assigns.get(c).map(a => expr(a).cast(types(c)))
-              .getOrElse(carry(c)).as(c)): _*)
-        val matchedUpdates = matched.zipWithIndex.collect {
-          case ((_, Some(assigns)), i) =>
-            rowFrom(m.filter(firstOf(mConds, i)), assigns.toMap,
-                    c => col(s"t.`$c`"))
-        }
+        // ALL of one side's UPDATE/INSERT clauses collapse into ONE
+        // CASE-projected pass over that side's frame — a U-clause merge
+        // costs the same number of target-file scans as a 1-clause one
+        // (the mutually-exclusive first-applicable predicates nest as a
+        // when-chain per column; at 100 TB extra clauses are extra
+        // expressions, never extra passes).
+        def casePass(frame: DataFrame,
+                     conds: Seq[Option[String]],
+                     clauses: Seq[(Int, Map[String, String])],
+                     carry: String => org.apache.spark.sql.Column)
+            : Option[DataFrame] =
+          if (clauses.isEmpty) None
+          else Some(frame
+            .filter(clauses.map { case (i, _) => firstOf(conds, i) }
+              .reduce(_ || _))
+            .select(cols.map { c =>
+              clauses.foldRight(carry(c)) { case ((i, assigns), fallback) =>
+                assigns.get(c)
+                  .map(a => org.apache.spark.sql.functions
+                    .when(firstOf(conds, i), expr(a).cast(types(c)))
+                    .otherwise(fallback))
+                  .getOrElse(fallback)
+              }.cast(types(c)).as(c)
+            }: _*))
+        def updateClausesOf(
+            acts: Seq[(Option[String], Option[Seq[(String, String)]])])
+            : Seq[(Int, Map[String, String])] =
+          acts.zipWithIndex.collect {
+            case ((_, Some(assigns)), i) => (i, assigns.toMap)
+          }
+        val matchedUpdates =
+          casePass(m, mConds, updateClausesOf(matched),
+                   c => col(s"t.`$c`")).toSeq
         // ---- not-matched side: source keys absent from the live table ----
         val insBase = source.join(
           livePos.select(keys.map(col): _*).distinct(), keys, "left_anti")
           .alias("s")
         val iConds = notMatched.map(_._1)
-        val inserts = notMatched.zipWithIndex.map {
-          case ((_, assigns), i) =>
-            rowFrom(insBase.filter(firstOf(iConds, i)), assigns.toMap,
-                    c => lit(null).cast(types(c)))
-        }
+        val inserts =
+          casePass(insBase, iConds,
+                   notMatched.zipWithIndex.map { case ((_, assigns), i) =>
+                     (i, assigns.toMap)
+                   },
+                   c => lit(null).cast(types(c))).toSeq
         // ---- by-source side: live rows whose key the source lacks ----
         val tOnly = livePos.join(srcKeys, keys, "left_anti").alias("t")
         val bConds = bySource.map(_._1)
@@ -1865,11 +1888,9 @@ object LakeTable {
           else Some(tOnly.filter(anyOf(bConds))
             .select(col(s"t.`$fCol`").as("file"),
                     col(s"t.`$pCol`").as("pos")))
-        val bySourceUpdates = bySource.zipWithIndex.collect {
-          case ((_, Some(assigns)), i) =>
-            rowFrom(tOnly.filter(firstOf(bConds, i)), assigns.toMap,
-                    c => col(s"t.`$c`"))
-        }
+        val bySourceUpdates =
+          casePass(tOnly, bConds, updateClausesOf(bySource),
+                   c => col(s"t.`$c`")).toSeq
         val hidden = (hideMatched.toSeq ++ hideBySource.toSeq)
           .reduceOption(_ union _)
         val freshRows = (matchedUpdates ++ inserts ++ bySourceUpdates)

@@ -1125,6 +1125,24 @@ class SourceFormatSpec extends SparkTestBase {
     assert(LakeTable.currentVersion(dir) == preV,
       "an all-no-op MERGE must not mint a version")
 
+    // MULTIPLE update clauses route first-applicable-wins through ONE
+    // CASE-projected pass (r13): k=3 hits the first clause, k=4 falls
+    // to the second, k=5 hits the interleaved DELETE, k=7 matches no
+    // clause and carries
+    (3L to 7L).map(k => (k, k)).toDF("k", "delta")
+      .createOrReplaceTempView("gm_s3")
+    spark.sql(s"""MERGE INTO $cat.default.g1 AS t USING gm_s3 AS s
+      ON t.k = s.k
+      WHEN MATCHED AND t.k = 3 THEN UPDATE SET v = 1000 + s.delta
+      WHEN MATCHED AND t.k = 5 THEN DELETE
+      WHEN MATCHED AND t.k <= 5 THEN UPDATE SET v = 2000 + s.delta""")
+    val m3 = spark.table(s"$cat.default.g1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m3(3L) == 1003L, "first clause wins for k=3")
+    assert(m3(4L) == 2004L, "second update clause catches k=4")
+    assert(!m3.contains(5L), "the interleaved DELETE takes k=5")
+    assert(m3(7L) == 771L, "no-clause matched rows carry unchanged")
+
     // unborn table: only the NOT MATCHED clauses act, birthing v1
     spark.sql(s"CREATE TABLE $cat.default.g2 (k BIGINT, v BIGINT)")
     spark.sql(s"""MERGE INTO $cat.default.g2 AS t USING gm_s2 AS s
