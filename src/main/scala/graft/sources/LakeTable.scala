@@ -1681,16 +1681,24 @@ object LakeTable {
       val srcKeys = source.select(keys.map(col): _*).distinct()
       // one pass establishes BOTH the source size and key uniqueness
       // (max per-key multiplicity), instead of count + distinct-count —
-      // and doubles as the sink's empty-epoch check, no pre-pass
-      val kstats = source.groupBy(keys.map(col): _*).count()
+      // and doubles as the sink's empty-epoch check, no pre-pass.
+      // Uniqueness applies to MATCHABLE keys only (every component
+      // non-null): SQL equality makes a null-keyed row match nothing,
+      // so duplicates among them are legal plain inserts (r13)
+      val matchable = keys.map(col(_).isNotNull)
+        .reduce(_ && _)
+      val kstats = source.groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"),
+             org.apache.spark.sql.functions.max(matchable).as("m"))
         .agg(org.apache.spark.sql.functions.sum("count")
                .cast("long").as("n"),
-             org.apache.spark.sql.functions.max("count")
-               .cast("long").as("mx")).head
+             org.apache.spark.sql.functions.max(
+               org.apache.spark.sql.functions.when(col("m"), col("count"))
+                 .otherwise(lit(0L))).cast("long").as("mx")).head
       val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
       if (srcCount == 0L) Left(DvNoop + base)
       else {
-        require(kstats.getLong(1) <= 1L,
+        require(kstats.isNullAt(1) || kstats.getLong(1) <= 1L,
           "mergeDv source must carry each key at most once")
         if (base == 0L) {
           // fresh table: nothing to hide — the first merge is a plain
@@ -1809,8 +1817,13 @@ object LakeTable {
         val srcKeys = source.select(keys.map(col): _*).distinct()
         if (matched.nonEmpty || bySource.nonEmpty) {
           // a target row matching >1 source rows makes the update
-          // ambiguous (the Delta/SQL-standard cardinality violation)
-          val mx = source.groupBy(keys.map(col): _*).count()
+          // ambiguous (the Delta/SQL-standard cardinality violation) —
+          // but only MATCHABLE keys count: a null-keyed source row
+          // matches nothing under SQL equality, so duplicates among
+          // them are legal inserts (r13)
+          val matchable = keys.map(col(_).isNotNull).reduce(_ && _)
+          val mx = source.filter(matchable)
+            .groupBy(keys.map(col): _*).count()
             .agg(org.apache.spark.sql.functions.max("count")).head
           require(mx.isNullAt(0) || mx.getLong(0) <= 1L,
             "MERGE source must carry each key at most once")

@@ -29,6 +29,125 @@ class LakeSpec extends SparkTestBase {
   private def readKeys(dir: String): Set[Long] =
     LakeTable.read(spark, dir).collect().map(_.getAs[Long]("custkey")).toSet
 
+  test("column mapping composes with the whole protocol (r13): rename × " +
+       "partial merge × DV DML × optimize × clone × feed × restore") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_cmap_").toString
+    // v1: laid out by band, stats on k
+    val base = (1L to 40L).map(k => (k, k % 4, k * 10L))
+      .toDF("k", "band", "v")
+    assert(LakeTable.commit(spark, dir, base, Some("band"),
+      Seq("k"))(_ => None) == Right(1L))
+    assert(LakeTable.renameColumn(dir, "v", "amount") == Right(2L))
+
+    // partial merge on the RENAMED layout table: upserts arrive in the
+    // new logical shape, only the touched band rewrites
+    val filesPre = LakeTable.currentFiles(dir)
+    val untouched = filesPre.filterNot(_.contains("_layout=1")).toSet
+    assert(LakeTable.mergePartial(spark, dir,
+      Seq((1L, 1L, 9999L)).toDF("k", "band", "amount"),
+      Seq("k"), "band")(_ => None) == Right(3L))
+    assert(untouched.subsetOf(LakeTable.currentFiles(dir).toSet),
+      "partial merge on a renamed table must still prune by band")
+    assert(LakeTable.read(spark, dir).filter(col("k") === 1L)
+      .head.getAs[Long]("amount") == 9999L)
+
+    // DV update + delete through the logical name
+    assert(LakeTable.updateWhereDv(spark, dir, col("k") === 2L,
+      Seq("amount" -> lit(7L)))(_ => None) == Right(4L))
+    assert(LakeTable.deleteWhereDv(spark, dir,
+      col("amount") === 30L)(_ => None) == Right(5L))
+    val expect = (1L to 40L).filterNot(_ == 3L).map(k =>
+      k -> (if (k == 1L) 9999L else if (k == 2L) 7L else k * 10L)).toMap
+    def state(): Map[Long, Long] = LakeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("amount")).toMap
+    assert(state() == expect, "DV DML under the renamed column")
+
+    // the change feed replays each version under its own names and
+    // folds to the live table on the renamed column
+    val feed = LakeTable.changesBetween(spark, dir, 0L, 5L)
+    assert(feed.columns.contains("v") && feed.columns.contains("amount"),
+      "pre-rename versions keep their era's name in the feed")
+    val folded = feed.collect()
+      .foldLeft(Map.empty[Long, (Long, Long)]) { (m, r) =>
+        val k = r.getAs[Long]("k")
+        val a = if (r.isNullAt(r.fieldIndex("amount")))
+                  r.getAs[Long]("v") else r.getAs[Long]("amount")
+        val w = if (r.getAs[String]("_change_type") == "delete") -1L else 1L
+        val (cnt, _) = m.getOrElse(k, (0L, 0L))
+        m.updated(k, (cnt + w, a))
+      }.collect { case (k, (c, a)) if c > 0 => k -> a }
+    assert(folded == expect, "the feed folds to the live renamed state")
+
+    // OPTIMIZE purges the vectors and keeps the display map
+    assert(LakeTable.optimize(spark, dir, Long.MaxValue, Seq.empty,
+      layoutBy = Some("band")) == Right(6L))
+    assert(state() == expect, "optimize conserves the renamed state")
+    assert(LakeTable.currentLogicalSchema(dir).exists(_.startsWith("amount ")),
+      "the display map survives compaction")
+    // stats pruning answers under the LOGICAL name after optimize
+    assert(LakeTable.filesWhere(dir, "k", 1L, 1L).nonEmpty)
+
+    // CLONE carries the mapping
+    val dst = Files.createTempDirectory("graft_lake_cmapclone_").toString
+    assert(LakeTable.cloneTable(dir, dst).isRight)
+    assert(LakeTable.read(spark, dst).columns.contains("amount"))
+
+    // RESTORE to the pre-rename era resurrects the old name
+    assert(LakeTable.restore(spark, dir, 1L) == Right(7L))
+    assert(LakeTable.read(spark, dir).columns.toSeq == Seq("k", "band", "v"))
+    assert(LakeTable.read(spark, dir).filter(col("k") === 1L)
+      .head.getAs[Long]("v") == 10L, "v1's content returns with its name")
+  }
+
+  test("MERGE null-key semantics (r13): null-keyed rows match nothing — " +
+       "source nulls insert (duplicates legal), target nulls fall to " +
+       "BY SOURCE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_nullmerge_").toString
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val target = Seq((L(1L), L(10L)), (L(2L), L(20L)),
+                     (null.asInstanceOf[java.lang.Long], L(99L)))
+      .toDF("k", "v")
+    assert(LakeTable.commit(spark, dir, target)(_ => None) == Right(1L))
+
+    // canonical upsert with TWO null-keyed source rows: both are plain
+    // inserts (SQL equality never matches them), not a cardinality
+    // violation; the non-null key updates
+    val src = Seq((L(1L), L(11L)),
+                  (null.asInstanceOf[java.lang.Long], L(77L)),
+                  (null.asInstanceOf[java.lang.Long], L(88L)))
+      .toDF("k", "v")
+    assert(LakeTable.mergeDv(spark, dir, src, Seq("k"))(_ => None)
+      == Right(2L))
+    val vs = LakeTable.read(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(vs == Seq((-1L, 77L), (-1L, 88L), (-1L, 99L),
+                     (1L, 11L), (2L, 20L)),
+      s"null source rows insert, null target rows survive: $vs")
+
+    // conditional merge: the null-keyed target rows are NOT MATCHED BY
+    // SOURCE and age out; duplicate non-null keys still refuse
+    assert(LakeTable.mergeConditionalDv(spark, dir,
+      Seq((L(1L), L(0L))).toDF("k", "v"), Seq("k"),
+      matched = Seq((None, Some(Seq("v" -> "s.`v`")))),
+      notMatched = Seq.empty,
+      bySource = Seq((Some("t.`k` IS NULL"), None)))(_ => None)
+      == Right(3L))
+    val vs2 = LakeTable.read(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(vs2 == Seq((1L, 0L), (2L, 20L)),
+      s"BY SOURCE must take the null-keyed target rows: $vs2")
+    intercept[IllegalArgumentException] {
+      LakeTable.mergeConditionalDv(spark, dir,
+        Seq((L(1L), L(0L)), (L(1L), L(5L))).toDF("k", "v"), Seq("k"),
+        matched = Seq((None, Some(Seq("v" -> "s.`v`")))),
+        notMatched = Seq.empty, bySource = Seq.empty)(_ => None)
+    }
+  }
+
   test("a crash at every protocol stage leaves the old version live") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val v1Keys = snap(50).collect().map(_.getAs[Long]("custkey")).toSet
