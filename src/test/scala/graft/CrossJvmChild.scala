@@ -40,6 +40,31 @@ object CrossJvmChild {
       if (System.nanoTime() > deadline) sys.exit(3)
       Thread.sleep(10)
     }
+    // mode "create" (r13): one CREATE TABLE race per round against the
+    // parent on table rt_<i> — the pending.json hard-link CAS is the
+    // only arbiter across the process boundary. Prints WIN/LOSE per
+    // round for the parent to reconcile; any other failure exits 2.
+    if (mode == "create") {
+      spark.conf.set("spark.sql.catalog.xj", "graft.sources.LakeCatalog")
+      spark.conf.set("spark.sql.catalog.xj.warehouse", dir)
+      for (i <- 1 to rounds) {
+        try {
+          spark.sql(s"CREATE TABLE xj.default.rt_$i (child_col BIGINT)")
+          println(s"CREATE-WIN $i")
+        } catch {
+          case e: Throwable
+              if Option(e.getMessage).exists(_.toLowerCase
+                .contains("already exists")) =>
+            println(s"CREATE-LOSE $i")
+          case e: Throwable =>
+            System.err.println(s"child create $i unexpected: $e")
+            spark.stop()
+            sys.exit(2)
+        }
+      }
+      spark.stop()
+      sys.exit(0)
+    }
     for (i <- 1 to rounds) {
       val r: Either[String, Long] = mode match {
         case "append" =>

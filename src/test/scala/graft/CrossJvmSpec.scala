@@ -120,6 +120,75 @@ class CrossJvmSpec extends SparkTestBase {
       "the cross-process version chain must fold to the live state")
   }
 
+  test("two JVMs racing CREATE TABLE on the same identifiers: exactly " +
+       "one winner per table, the loser never replaces the winner's " +
+       "schema (r13, ADVICE r12)") {
+    val rounds = 12
+    val wh = Files.createTempDirectory("graft_xjvm_create_").toString
+    val sig = Files.createTempDirectory("graft_xjvm_create_sig_")
+    val ready = sig.resolve("ready")
+    val cat = "graft_xjvm_createcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+
+    val jvmFlags = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports")
+        || (a.startsWith("-D") && !a.startsWith("-Dderby"))
+        || a.startsWith("--add-modules"))
+      .toSeq
+    val cmd = Seq(
+      Paths.get(sys.props("java.home"), "bin", "java").toString) ++
+      jvmFlags ++ Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+      "graft.CrossJvmChild", wh, rounds.toString, ready.toString, "create")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        sig.resolve("child.log").toFile))
+      .start()
+    val parentWins = scala.collection.mutable.Set.empty[Int]
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!Files.exists(ready)) {
+        assert(proc.isAlive, "child JVM died before becoming ready: " +
+          new String(Files.readAllBytes(sig.resolve("child.log"))).takeRight(500))
+        assert(System.nanoTime() < deadline, "child JVM never became ready")
+        Thread.sleep(20)
+      }
+      Files.createFile(sig.resolve("go"))
+      for (i <- 1 to rounds) {
+        try {
+          spark.sql(s"CREATE TABLE $cat.default.rt_$i (parent_col BIGINT)")
+          parentWins += i
+        } catch {
+          case e: Throwable
+              if Option(e.getMessage).exists(_.toLowerCase
+                .contains("already exists")) => ()
+        }
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS), "child JVM hung")
+      assert(proc.exitValue() == 0, "child create crashed: " +
+        new String(Files.readAllBytes(sig.resolve("child.log"))).takeRight(800))
+    } finally if (proc.isAlive) proc.destroyForcibly()
+
+    val childLog = new String(Files.readAllBytes(sig.resolve("child.log")))
+    val childWins = "CREATE-WIN (\\d+)".r.findAllMatchIn(childLog)
+      .map(_.group(1).toInt).toSet
+    // exactly one winner per table across the two processes, and the
+    // surviving declared schema is the WINNER's — the pending.json CAS
+    // must never let the loser silently replace it
+    for (i <- 1 to rounds) {
+      assert(parentWins.contains(i) ^ childWins.contains(i),
+        s"table rt_$i needs exactly one winner " +
+        s"(parent=${parentWins.contains(i)}, child=${childWins.contains(i)})")
+      val schema = spark.table(s"$cat.default.rt_$i").schema.fieldNames.toSeq
+      val expect = if (parentWins.contains(i)) Seq("parent_col")
+                   else Seq("child_col")
+      assert(schema == expect,
+        s"table rt_$i carries the loser's schema: $schema")
+    }
+  }
+
   test("V2 streaming write racing a second JVM's batch appends: " +
        "every acknowledged row survives, one version per commit (r12)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
