@@ -50,6 +50,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case VacuumRe(ident, keep) =>
         VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
       case HistoryRe(ident) => DescribeHistoryCommand(ident)
+      case DetailRe(ident) => DescribeDetailCommand(ident)
+      case RestoreRe(ident, version) =>
+        RestoreLakeCommand(ident, version.toLong)
       case CloneRe(dst, src, version) =>
         CloneLakeCommand(dst, src, Option(version).map(_.toLong))
       case _ => delegate.parsePlan(sqlText)
@@ -84,6 +87,11 @@ object GraftSqlParser {
      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+""" +
+     """AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:SHALLOW\s+)?CLONE\s+""" +
      """([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
@@ -199,6 +207,64 @@ case class DescribeHistoryCommand(ident: String)
           LakeTable.filesOf(dir, v).size.toLong,
           LakeTable.dvOf(dir, v).size.toLong,
           LakeTable.commitTimeOf(dir, v))
+    }
+  }
+}
+
+/** `DESCRIBE DETAIL <table>` (r13) — Delta's table-level summary as one
+  * row of manifest arithmetic (no file is opened): live version, op,
+  * file/DV counts, total referenced bytes, layout column, logical
+  * schema, and the publish instant. The one-stop answer to "what state
+  * is this table in" a SQL-first operator otherwise assembles from
+  * DESCRIBE HISTORY + filesystem spelunking. */
+case class DescribeDetailCommand(ident: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_dv", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("layout_by", org.apache.spark.sql.types.StringType,
+      nullable = true)(),
+    AttributeReference("schema", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("published_at",
+      org.apache.spark.sql.types.TimestampType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, ident)
+    val v = LakeTable.currentVersion(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version in $dir"))
+    val files = LakeTable.filesOf(dir, v)
+    val bytes = files.map(f =>
+      try java.nio.file.Files.size(Paths.get(dir, f))
+      catch { case _: Throwable => 0L }).sum
+    Seq(Row(v, LakeTable.opOf(dir, v), files.size.toLong,
+      LakeTable.dvOf(dir, v).size.toLong, bytes,
+      LakeCatalog.readPending(dir).flatMap(_.layoutBy).orNull,
+      LakeTable.logicalSchemaOf(dir, v).mkString(", "),
+      LakeTable.commitTimeOf(dir, v)))
+  }
+}
+
+/** `RESTORE TABLE <t> TO VERSION AS OF <n>` (r13) — Delta's RESTORE
+  * statement bound to [[LakeTable.restore]]: publishes a NEW version
+  * whose manifest references the restored version's files/schema/DVs
+  * verbatim (zero data movement; history stays intact and re-restorable;
+  * column-mapping display names travel, drop tombstones lift for
+  * restored columns). Returns the newly published version. */
+case class RestoreLakeCommand(ident: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, ident)
+    LakeTable.restore(spark, dir, toVersion) match {
+      case Right(v) => Seq(Row(v))
+      case Left(reason) => throw new IllegalStateException(
+        s"RESTORE TABLE $ident failed: $reason")
     }
   }
 }

@@ -841,6 +841,30 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"UPDATE $cat.default.h1 SET k = k + 100 WHERE k = 9")
     assert(spark.table(s"$cat.default.h1")
       .filter(col("k") === 109L).count() == 1L)
+
+    // DESCRIBE DETAIL (r13): one row of manifest arithmetic — live
+    // version, op, counts, bytes, logical schema, publish instant
+    val det = spark.sql(s"DESCRIBE DETAIL $cat.default.h1").collect()
+    assert(det.length == 1)
+    val dRow = det.head
+    assert(dRow.getLong(0) == LakeTable.currentVersion(dir).get)
+    assert(dRow.getLong(2) > 0L && dRow.getLong(4) > 0L,
+      "file count and byte size must be real")
+    assert(dRow.getString(6).startsWith("k BIGINT"),
+      s"the logical schema rides the detail row: ${dRow.getString(6)}")
+    assert(dRow.getTimestamp(7) != null)
+
+    // RESTORE TABLE ... TO VERSION AS OF (r13): SQL spelling of the
+    // zero-movement restore — v1's two rows return, history intact
+    val preR = spark.table(s"$cat.default.h1").count()
+    val rv = spark.sql(s"RESTORE TABLE $cat.default.h1 " +
+      "TO VERSION AS OF 1").head.getLong(0)
+    assert(rv == LakeTable.currentVersion(dir).get)
+    assert(spark.table(s"$cat.default.h1").count() != preR &&
+           spark.table(s"$cat.default.h1").count() == 2L,
+      "RESTORE must republish v1's content")
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == 2L,
+      "history stays intact and re-restorable across a SQL RESTORE")
     spark.sql(s"DROP TABLE $cat.default.h1")
   }
 
