@@ -195,11 +195,31 @@ object Bench {
       // 2.5x over its own prev-round number) re-runs twice more, keeping
       // the min — a stall victim recovers its real cost, a genuine heavy
       // query reads the same all three times
-      val res = first.map { case (name, (t, ok)) =>
+      //
+      // gauge-proximity trigger (r14 verdict ask #1): the r13 gauge
+      // series proved LOCALIZED hot windows (one sample spiking to 1.16 s
+      // against a 0.25 s floor) that inflate the alphabetical
+      // neighborhood 1.5–3.8x while the run-level drift factor stays
+      // under the 1.35 hot-retry gate and neither per-query gate fires
+      // (the inflation is under 2.5x prev and the median drifted along).
+      // So: a query >1.5x its own prev-round record whose NEAREST
+      // interleaved gauge samples (the one opening its ~25-query block,
+      // or the one closing it) read hot (>1.5x floor) re-measures too —
+      // the min-of-3 then reads its calm cost once the spike passes.
+      val gaugeHotAt: Int => Boolean = { i =>
+        val j = i / gaugeEvery
+        def hot(k: Int): Boolean =
+          k >= 0 && k < series.length && gaugeFloor > 0 &&
+            series(k) > 1.5 * gaugeFloor
+        hot(j) || hot(j + 1)
+      }
+      val res = first.zipWithIndex.map { case ((name, (t, ok)), i) =>
         val overMedian = t > math.max(1.0, 3.0 * med)
         val overPrev = t > 0.15 &&
           prevDetail.get(name).exists(p => t > 2.5 * p)
-        if (ok && (overMedian || overPrev))
+        val overGauge = t > 0.15 && gaugeHotAt(i) &&
+          prevDetail.get(name).exists(p => t > 1.5 * p)
+        if (ok && (overMedian || overPrev || overGauge))
           (name,
            Seq(t, measure(name, fnOf(name))._1,
                measure(name, fnOf(name))._1).min,

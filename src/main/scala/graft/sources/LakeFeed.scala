@@ -265,11 +265,17 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
     }.toArray
   }
 
+  // column mapping (r13): files carry PHYSICAL names; the reader closure
+  // requests them positionally (InternalRows are nameless, so the logical
+  // output shape is preserved for free). PINNED at stream construction
+  // with the captured schema (r14, ADVICE r13): a mid-stream second
+  // rename would otherwise miss the lookup under the stale logical name
+  // and silently null-fill; renames are append-only per physical name,
+  // so the pinned map stays correct for the captured schema.
+  private val pinnedRenames = LakeTable.currentRenames(dir)
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    // column mapping (r13): files carry PHYSICAL names; the reader
-    // closure requests them positionally (InternalRows are nameless, so
-    // the logical output shape is preserved for free)
-    val renames = LakeTable.currentRenames(dir)
+    val renames = pinnedRenames
     val physSchema =
       if (renames.isEmpty) tableSchema
       else StructType(tableSchema.fields.map(f =>

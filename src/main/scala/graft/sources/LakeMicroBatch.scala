@@ -129,12 +129,20 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
     }.toArray
   }
 
+  // column mapping (r13): files carry PHYSICAL names — request them
+  // positionally (InternalRows are nameless). Pushed filters name
+  // LOGICAL columns; they are a row-group-pruning hint only, so on a
+  // renamed table they drop rather than translate. The map is PINNED at
+  // stream construction, together with the captured logical schema (r14,
+  // ADVICE r13): a column renamed AGAIN mid-stream would otherwise miss
+  // the lookup under its stale logical name and the parquet reader would
+  // silently null-fill a nonexistent column. Renames are append-only per
+  // physical name, so the pinned map stays correct for the captured
+  // schema forever.
+  private val pinnedRenames = LakeTable.currentRenames(dir)
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    // column mapping (r13): files carry PHYSICAL names — request them
-    // positionally (InternalRows are nameless). Pushed filters name
-    // LOGICAL columns; they are a row-group-pruning hint only, so on a
-    // renamed table they drop rather than translate.
-    val renames = LakeTable.currentRenames(dir)
+    val renames = pinnedRenames
     def phys(s: StructType): StructType =
       if (renames.isEmpty) s
       else StructType(s.fields.map(f =>

@@ -1861,18 +1861,39 @@ object LakeTable {
                      carry: String => org.apache.spark.sql.Column)
             : Option[DataFrame] =
           if (clauses.isEmpty) None
-          else Some(frame
-            .filter(clauses.map { case (i, _) => firstOf(conds, i) }
-              .reduce(_ || _))
-            .select(cols.map { c =>
-              clauses.foldRight(carry(c)) { case ((i, assigns), fallback) =>
-                assigns.get(c)
-                  .map(a => org.apache.spark.sql.functions
-                    .when(firstOf(conds, i), expr(a).cast(types(c)))
-                    .otherwise(fallback))
-                  .getOrElse(fallback)
-              }.cast(types(c)).as(c)
-            }: _*))
+          else {
+            // hoist the first-applicable predicates (r14 verdict ask #7):
+            // clause i's firstOf chain is projected ONCE per row as a
+            // boolean helper column; the filter and every per-column CASE
+            // chain reference the boolean, so codegen evaluates each
+            // condition once per row — O(columns + clauses) expression
+            // work, not O(columns × clauses) re-evaluations. Helper names
+            // underscore-extend past any user column; the final select
+            // lists `cols` only, so they never reach the staged files.
+            val taken = frame.columns.toSet
+            def freeName(b: String): String = {
+              var n = b
+              while (taken.contains(n)) n += "_"
+              n
+            }
+            val condCol: Map[Int, String] =
+              clauses.map { case (i, _) => i -> freeName(s"_c$i") }.toMap
+            val hoisted = clauses.foldLeft(frame) { case (df, (i, _)) =>
+              df.withColumn(condCol(i), firstOf(conds, i))
+            }
+            Some(hoisted
+              .filter(clauses.map { case (i, _) => col(condCol(i)) }
+                .reduce(_ || _))
+              .select(cols.map { c =>
+                clauses.foldRight(carry(c)) { case ((i, assigns), fallback) =>
+                  assigns.get(c)
+                    .map(a => org.apache.spark.sql.functions
+                      .when(col(condCol(i)), expr(a).cast(types(c)))
+                      .otherwise(fallback))
+                    .getOrElse(fallback)
+                }.cast(types(c)).as(c)
+              }: _*))
+          }
         def updateClausesOf(
             acts: Seq[(Option[String], Option[Seq[(String, String)]])])
             : Seq[(Int, Map[String, String])] =
@@ -1922,7 +1943,12 @@ object LakeTable {
             freshFiles.map(f => Paths.get(dir, f).toString): _*))
         val freshCount = freshDf.map(_.count()).getOrElse(0L)
         if (hiddenCount == 0L && freshCount == 0L) Left(DvNoop + base)
-        else freshDf.flatMap(df => checkFresh(df)) match {
+        // the staged read is in PHYSICAL names (stageFresh writes files
+        // that way forever); a declared CHECK constraint is written
+        // against LOGICAL names, so project before the gate (r14, ADVICE
+        // r13 — LakeStreamingWrite.commit and audit() already do)
+        else freshDf.flatMap(df =>
+          checkFresh(toLogical(df, manifestRenames(json)))) match {
           case Some(reason) =>
             Left(s"merge into $dir rejected: $reason")
           case None =>
@@ -2332,8 +2358,13 @@ object LakeTable {
             Right(Staged(dir, base + 1L, manifestFiles(json),
               batches = batchesOf(dir, base),
               schema = recorded.filterNot(_.split(" ", 2)(0) == phys),
-              stats = manifestStats(json)
-                .filterNot(_.split('|')(1) == phys),
+              // defensive split (r14, ADVICE r13): statsOf tolerates
+              // malformed entries with a None case — this filter must
+              // skip them too, not crash the ALTER on a missing '|'
+              stats = manifestStats(json).filterNot { e =>
+                val a = e.split('|')
+                a.length > 1 && a(1) == phys
+              },
               baseVersion = base, op = "alter", dv = manifestDv(json),
               renames = renames - phys,
               dropped = (manifestDropped(json) :+ phys).distinct))
@@ -2368,18 +2399,26 @@ object LakeTable {
           val logicalNames = physNames.map(n => renames.getOrElse(n, n))
           if (!logicalNames.contains(from))
             Left(s"RENAME COLUMN: no column '$from' in $dir")
-          else if (logicalNames.contains(to) || physNames.contains(to) ||
-                   manifestDropped(json).contains(to))
-            Left(s"RENAME COLUMN: '$to' collides with an existing " +
-                 s"(or dropped) column in $dir")
           else {
             val phys = physicalNameOf(renames, from)
-            Right(Staged(dir, base + 1L, manifestFiles(json),
-              batches = batchesOf(dir, base),
-              schema = recorded, stats = manifestStats(json),
-              baseVersion = base, op = "alter", dv = manifestDv(json),
-              renames = renames + (phys -> to),
-              dropped = manifestDropped(json)))
+            // renaming BACK to the column's own physical name is legal —
+            // it just clears the mapping entry (Delta semantics; r14,
+            // ADVICE r13: `rename v→amount then amount→v` must round-trip)
+            val renameBack = to == phys
+            if (!renameBack &&
+                (logicalNames.contains(to) || physNames.contains(to) ||
+                 manifestDropped(json).contains(to)))
+              Left(s"RENAME COLUMN: '$to' collides with an existing " +
+                   s"(or dropped) column in $dir")
+            else
+              Right(Staged(dir, base + 1L, manifestFiles(json),
+                batches = batchesOf(dir, base),
+                schema = recorded, stats = manifestStats(json),
+                baseVersion = base, op = "alter", dv = manifestDv(json),
+                renames =
+                  if (renameBack) renames - phys
+                  else renames + (phys -> to),
+                dropped = manifestDropped(json)))
           }
         }
       }

@@ -1324,6 +1324,72 @@ class SourceFormatSpec extends SparkTestBase {
     Seq("d1", "d2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("column mapping r14: rename round-trips back to the physical " +
+       "name; CHECK gates a general MERGE through the logical names") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec_r14rn"
+    val wh = Files.createTempDirectory("graft_lake_whr14rn_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "rb1").toString
+    (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v")
+      .createOrReplaceTempView("rb_src")
+    spark.sql(s"CREATE TABLE $cat.default.rb1 AS SELECT * FROM rb_src")
+
+    // rename v -> amount, then BACK amount -> v: legal (it just clears
+    // the mapping entry — Delta semantics; ADVICE r13), and the display
+    // map is empty again afterwards
+    spark.sql(s"ALTER TABLE $cat.default.rb1 RENAME COLUMN v TO amount")
+    spark.sql(s"ALTER TABLE $cat.default.rb1 RENAME COLUMN amount TO v")
+    assert(spark.table(s"$cat.default.rb1").columns.toSeq == Seq("k", "v"))
+    assert(LakeTable.currentRenames(dir).isEmpty,
+      "rename-back must clear the mapping entry, not stack a new one")
+    assert(spark.table(s"$cat.default.rb1").orderBy("k").collect()
+      .map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L, 40L))
+    // a rename to a DIFFERENT column's physical name still refuses
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.rb1 RENAME COLUMN k TO v") }
+
+    // CHECK through a general conditional MERGE on a renamed table: the
+    // staged fresh files carry PHYSICAL names, the constraint is written
+    // against LOGICAL ones — the gate must evaluate through the display
+    // map (ADVICE r13 medium). Declared AFTER the rename so the
+    // constraint names the logical-only name.
+    spark.sql(s"ALTER TABLE $cat.default.rb1 RENAME COLUMN v TO amount")
+    spark.sql(s"ALTER TABLE $cat.default.rb1 " +
+      "SET TBLPROPERTIES ('check'='amount > 0')")
+    Seq((1L, -5L), (9L, 90L)).toDF("k", "amount")
+      .createOrReplaceTempView("rb_up")
+    val e = intercept[Exception] { spark.sql(
+      s"""MERGE INTO $cat.default.rb1 AS t USING rb_up AS s
+          ON t.k = s.k
+          WHEN MATCHED AND s.amount < t.amount THEN UPDATE
+            SET amount = s.amount
+          WHEN NOT MATCHED THEN INSERT (k, amount)
+            VALUES (s.k, s.amount)""") }
+    assert(e.getMessage.contains("CHECK") ||
+           Option(e.getCause).exists(_.getMessage.contains("CHECK")),
+      s"the refusal must name the constraint, not an unresolved " +
+      s"column: ${e.getMessage}")
+    assert(spark.table(s"$cat.default.rb1").count() == 4L,
+      "a refused MERGE publishes nothing")
+    // the non-violating shape of the same merge commits
+    Seq((1L, 111L), (9L, 90L)).toDF("k", "amount")
+      .createOrReplaceTempView("rb_up2")
+    spark.sql(s"""MERGE INTO $cat.default.rb1 AS t USING rb_up2 AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.amount > t.amount THEN UPDATE
+          SET amount = s.amount
+        WHEN NOT MATCHED THEN INSERT (k, amount)
+          VALUES (s.k, s.amount)""")
+    val got = spark.table(s"$cat.default.rb1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 111L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+                      9L -> 90L), s"post-merge state wrong: $got")
+    spark.sql(s"DROP TABLE $cat.default.rb1")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.ops.Tables.customer(spark, sf)
