@@ -98,7 +98,8 @@ object LakeTable {
                           op: String = "overwrite",
                           dv: Seq[String] = Seq.empty,
                           renames: Map[String, String] = Map.empty,
-                          dropped: Seq[String] = Seq.empty)
+                          dropped: Seq[String] = Seq.empty,
+                          rows: Map[String, Long] = Map.empty)
 
   /** List a directory's entries with the stream CLOSED on exit —
     * `Files.list` leaks a directory file descriptor until GC otherwise,
@@ -220,6 +221,63 @@ object LakeTable {
       .map(s => "\"([^\"]*)\":(-?\\d+)".r.findAllMatchIn(s)
         .map(m => m.group(1) -> m.group(2).toLong).toMap)
       .getOrElse(Map.empty)
+
+  /** Per-file recorded ROW COUNTS (r14, verdict ask #4):
+    * `"rows":["<file>|<n>", …]` over data files AND `.dv` sidecars —
+    * the stats-entry encoding, so a member path ending `.parquet` is
+    * followed by `|`, never a closing quote, and the file-list regex
+    * can't mistake a rows entry for a file. With an entry for every
+    * listed member, the live cardinality is manifest ARITHMETIC —
+    * Σ(data rows) − Σ(sidecar positions) — and the DV DML
+    * count-equation audits cost zero table scans at commit time.
+    * Manifests written before r14 lack the field; every derivation
+    * falls back to counting when any entry is missing. */
+  private def manifestRows(json: String): Map[String, Long] =
+    "\"rowcounts\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .map(s => "\"([^\"]+)\\|(\\d+)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
+  private[graft] def rowsOf(dir: String, version: Long): Map[String, Long] =
+    readManifest(dir, version).map(manifestRows).getOrElse(Map.empty)
+
+  /** A manifest's recorded rows map restricted to the members a new
+    * version still lists — the carry-forward of [[manifestRows]]. */
+  private def carryRows(json: String,
+                        keep: Seq[String]): Map[String, Long] = {
+    val rows = manifestRows(json)
+    if (rows.isEmpty) rows
+    else {
+      val k = keep.toSet
+      rows.filter { case (f, _) => k.contains(f) }
+    }
+  }
+
+  /** Live cardinality by manifest ARITHMETIC: Σ(file rows) − Σ(DV
+    * positions), available iff every listed data file and sidecar has a
+    * recorded count (tables whose whole history was written by r14+
+    * code). None → the caller counts. */
+  private def liveCountFromManifest(json: String): Option[Long] = {
+    val rows = manifestRows(json)
+    val files = manifestFiles(json)
+    val dv = manifestDv(json)
+    if (files.forall(rows.contains) && dv.forall(rows.contains))
+      Some(files.iterator.map(rows).sum - dv.iterator.map(rows).sum)
+    else None
+  }
+
+  /** Paranoid-audit switch (r14, verdict ask #4): `true` restores the
+    * full-scan commit-time audits (count equations, leak joins, dup
+    * checks) the manifest row-count arithmetic replaced. The default
+    * trusts the recorded counts — they come from the same staged reads
+    * the scans re-derived — so a DV DML commit runs ZERO audit table
+    * passes; flip the conf (or system property) in deployments that
+    * want every publish re-verified against the bytes. */
+  private[graft] def paranoidAudit(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.lake.paranoidAudit")
+      .orElse(sys.props.get("graft.lake.paranoidAudit"))
+      .exists(_.trim.equalsIgnoreCase("true"))
 
   private def manifestOp(json: String): String =
     "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
@@ -625,9 +683,14 @@ object LakeTable {
   // ---- staging ---------------------------------------------------------
 
   /** One physical staging pass's outputs: manifest-relative file paths,
-    * `name TYPE` schema as written, and typed per-file stats entries. */
+    * `name TYPE` schema as written, typed per-file stats entries, and
+    * per-file row counts (r14 — the manifest arithmetic the commit-time
+    * count-equation audits run on instead of table scans). */
   private final case class Fresh(files: Seq[String], schema: Seq[String],
-                                 stats: Seq[String])
+                                 stats: Seq[String],
+                                 rows: Map[String, Long] = Map.empty) {
+    def rowTotal: Long = rows.values.sum
+  }
 
   /** Write `df` under an isolated `data/<uuid>/` staging directory and
     * return what the manifest will record for it. Pure WRITE — nothing is
@@ -672,23 +735,34 @@ object LakeTable {
         fresh.map(f => Paths.get(dir, f).toString): _*)
       val schema = read.schema.fields.toSeq
         .map(f => s"${f.name} ${f.dataType.sql}")
-      Fresh(fresh, schema, statsEntries(spark, dir, read, fresh, statsBy))
+      val (stats, rows) = statsAndRows(spark, dir, read, fresh, statsBy)
+      Fresh(fresh, schema, stats, rows)
     }
   }
 
-  /** Per-(file, column) typed min/max for the named stats columns — one
-    * grouped pass over the fresh files keyed on input_file_name. Columns
-    * whose type has no ordered file-prune domain (decimal, binary,
-    * nested) and files whose min/max are NULL (all-null column) record no
-    * entry — pruning treats missing stats as keep-file, so skipping them
-    * is always safe (the r8 NPE on all-null stats columns). */
-  private def statsEntries(spark: SparkSession, dir: String, read: DataFrame,
-                           fresh: Seq[String],
-                           statsBy: Seq[String]): Seq[String] = {
+  /** Per-(file, column) typed min/max for the named stats columns AND
+    * per-file row counts (r14) — ONE grouped pass over the fresh files
+    * keyed on input_file_name serves both. Columns whose type has no
+    * ordered file-prune domain (decimal, binary, nested) and files whose
+    * min/max are NULL (all-null column) record no stats entry — pruning
+    * treats missing stats as keep-file, so skipping them is always safe
+    * (the r8 NPE on all-null stats columns). Every fresh file gets a
+    * rows entry — a schema-only zero-row file (absent from the grouped
+    * result) records 0, so the manifest-arithmetic cardinality stays
+    * exact and zero-row staging litter is still detectable. */
+  private def statsAndRows(spark: SparkSession, dir: String,
+                           read: DataFrame, fresh: Seq[String],
+                           statsBy: Seq[String])
+      : (Seq[String], Map[String, Long]) = {
     import org.apache.spark.sql.functions.{input_file_name, max, min}
     import org.apache.spark.sql.types._
+    // per-file row counts come from the parquet FOOTERS — driver-side
+    // metadata reads bounded by fresh-file count, zero Spark jobs (r14:
+    // the first cut ran a grouped count pass per staging and made every
+    // DV DML op measurably slower than the scans it replaced)
+    val rows = fresh.map(f => f -> footerRowCount(dir, f)).toMap
     val present = statsBy.filter(read.columns.contains)
-    if (present.isEmpty) Seq.empty
+    if (present.isEmpty) (Seq.empty, rows)
     else {
       val aggs = present.flatMap(c =>
         Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
@@ -716,20 +790,43 @@ object LakeTable {
           Some(('U', (i.getEpochSecond * 1000000L + i.getNano / 1000).toString))
         case _ => None
       }
-      read.groupBy(input_file_name().as("_f")).agg(aggs.head, aggs.tail: _*)
+      val grouped = read.groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect() // bounded by fresh-file count — planner-side metadata
-        .toSeq.flatMap { r =>
-          val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
-          val rel = Paths.get(dir).toAbsolutePath.normalize
-            .relativize(name.toAbsolutePath.normalize).toString
-          present.flatMap { c =>
-            for {
-              (k, mn) <- enc(byType(c), r.get(r.fieldIndex(s"_mn_$c")))
-              (_, mx) <- enc(byType(c), r.get(r.fieldIndex(s"_mx_$c")))
-            } yield s"$rel|$c|$k|$mn|$mx"
-          }
-        }.sorted
+        .toSeq
+      val stats = grouped.flatMap { r =>
+        val rel = relPath(dir, r.getString(0))
+        present.flatMap { c =>
+          for {
+            (k, mn) <- enc(byType(c), r.get(r.fieldIndex(s"_mn_$c")))
+            (_, mx) <- enc(byType(c), r.get(r.fieldIndex(s"_mx_$c")))
+          } yield s"$rel|$c|$k|$mn|$mx"
+        }
+      }.sorted
+      (stats, rows)
     }
+  }
+
+  /** Row count straight off one parquet file's FOOTER — driver-side
+    * metadata, no job, no data decode. The counts the manifest records
+    * (r14) all come from here: footers are written by the same task
+    * that wrote the rows, so they are exact by construction. */
+  // one shared conf: Configuration() re-parses the default XML resources
+  // on every instantiation — measurable × files-per-staging
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
+  private def footerRowCount(dir: String, rel: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(dir, rel).toUri), footerConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Manifest-relative spelling of a reader-reported absolute file URI. */
+  private def relPath(dir: String, uri: String): String = {
+    val name = Paths.get(new java.net.URI(uri).getPath)
+    Paths.get(dir).toAbsolutePath.normalize
+      .relativize(name.toAbsolutePath.normalize).toString
   }
 
   /** The base version's stats entries for files being carried over. */
@@ -803,6 +900,14 @@ object LakeTable {
   private def assemble(dir: String, base: Long, fresh: Fresh,
                        carry: Seq[String], op: String): Staged = {
     val baseSchema = if (base > 0L) schemaOf(dir, base) else Seq.empty
+    val carriedDv = if (carry.nonEmpty && base > 0L) dvOf(dir, base)
+                    else Seq.empty
+    val carriedRows =
+      if (base > 0L)
+        readManifest(dir, base)
+          .map(j => carryRows(j, carry ++ carriedDv))
+          .getOrElse(Map.empty[String, Long])
+      else Map.empty[String, Long]
     Staged(dir, base + 1L, carry ++ fresh.files,
            batches = if (base > 0L) batchesOf(dir, base) else Map.empty,
            schema =
@@ -814,8 +919,8 @@ object LakeTable {
            // not resurrect DV'd rows of carried files); a fresh rewrite
            // (overwrite, OPTIMIZE) starts DV-free — OPTIMIZE is thereby
            // the DV PURGE: its snapshot read already applied the vectors
-           dv = if (carry.nonEmpty && base > 0L) dvOf(dir, base)
-                else Seq.empty,
+           dv = carriedDv,
+           rows = carriedRows ++ fresh.rows,
            // column-mapping display names and drop tombstones always
            // travel (physical names in files are forever)
            renames = if (base > 0L) renamesOf(dir, base) else Map.empty,
@@ -961,10 +1066,17 @@ object LakeTable {
       if (staged.dropped.isEmpty) ""
       else staged.dropped.sorted.map("\"" + _ + "\"")
         .mkString("\"dropped\":[", ",", "],")
+    // per-member row counts (r14): `<file>|<n>` entries — `.parquet` is
+    // followed by `|`, so the file-list regex can never match one
+    val rowsField =
+      if (staged.rows.isEmpty) ""
+      else staged.rows.toSeq.sorted
+        .map { case (f, n) => s""""$f|$n"""" }
+        .mkString("\"rowcounts\":[", ",", "],")
     staged.files.map("\"" + _ + "\"")
       .mkString(s"""{"version":$v,"base":${staged.baseVersion},""" +
                 s""""op":"${staged.op}",$batchesField$schemaField""" +
-                s"""$statsField$dvField$renamesField$droppedField"files":[""", ",", "]}")
+                s"""$statsField$dvField$renamesField$droppedField$rowsField"files":[""", ",", "]}")
   }
 
   /** Publish a staged version: claim a version number via the manifest
@@ -1184,13 +1296,10 @@ object LakeTable {
     val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
     // an empty micro-batch can still stage ONE schema-only parquet file
     // (Spark records the schema of a zero-partition write), so the
-    // emptiness check reads the STAGED files back — a footer-bounded
-    // probe of freshly-written bytes, never a second evaluation of the
-    // epoch's batch plan
-    val empty = fresh.files.isEmpty ||
-      spark.read.parquet(
-        fresh.files.map(f => Paths.get(dir, f).toString): _*).isEmpty
-    if (empty) Right(None)
+    // emptiness check is the staged FOOTER row total (r14) — pure
+    // driver-side metadata, never a second evaluation of the epoch's
+    // batch plan and no probe job either
+    if (fresh.rowTotal == 0L) Right(None)
     else commitSerialized(dir) { base =>
       val st = assemble(dir, base, fresh, filesOf(dir, base), "append")
       audit(spark, st.copy(batches = st.batches ++ batches))(check)
@@ -1217,11 +1326,13 @@ object LakeTable {
     if (relFiles.isEmpty) return Right(None)
     val read = spark.read.parquet(
       relFiles.map(f => Paths.get(dir, f).toString): _*)
-    if (read.isEmpty) return Right(None) // footer-bounded emptiness probe
     val schema = read.schema.fields.toSeq
       .map(f => s"${f.name} ${f.dataType.sql}")
-    val fresh = Fresh(relFiles.sorted, schema,
-      statsEntries(spark, dir, read, relFiles, statsBy))
+    val (entries, rowCounts) =
+      statsAndRows(spark, dir, read, relFiles, statsBy)
+    // emptiness by footer row total (r14) — no probe job
+    if (rowCounts.values.sum == 0L) return Right(None)
+    val fresh = Fresh(relFiles.sorted, schema, entries, rowCounts)
     commitSerialized(dir) { base =>
       val st = assemble(dir, base, fresh,
         if (overwrite) Seq.empty else filesOf(dir, base),
@@ -1369,20 +1480,29 @@ object LakeTable {
             Left(s"DELETE matched no live rows in $dir: nothing to publish")
           else Left(DvNoop + base)
         } else {
-          val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
+          val (sidecars, dvRows) =
+            writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files,
             batches = batchesOf(dir, base),
             schema = recorded, stats = manifestStats(json),
             baseVersion = base, op = "dvdelete",
             dv = prevDv ++ sidecars,
             renames = manifestRenames(json),
-            dropped = manifestDropped(json))
+            dropped = manifestDropped(json),
+            rows = carryRows(json, files ++ prevDv) ++ dvRows)
           // audit AS A READER WOULD SEE IT: the staged manifest's own
-          // vector set must hide every matching row before publish
+          // vector set must hide every matching row before publish.
+          // The leak re-scan is a PARANOID-mode re-verification (r14):
+          // the sidecar positions came from the same predicate over the
+          // same live frame, so the default trusts them and the commit
+          // runs zero audit table passes; the caller's check still
+          // gates (its frame is lazy — a no-op check scans nothing).
           val stagedDf =
             readFiles(spark, dir, manifestJson(st, base + 1L),
                       "staged dvdelete")
-          val leak = stagedDf.filter(predicate).count()
+          val leak =
+            if (paranoidAudit(spark)) stagedDf.filter(predicate).count()
+            else 0L
           if (leak > 0L)
             Left(s"audit failed for v${st.version}: $leak " +
                  "predicate-matching row(s) survive the deletion vector")
@@ -1410,13 +1530,20 @@ object LakeTable {
 
   /** Shard-write a `(file, pos)` position set as `.dv` sidecar files
     * under a fresh staging uuid; returns the manifest-relative sidecar
-    * paths. Sharding is by source file (positions of one file land in
-    * one shard — locality for a per-file reader), bounded at 16 writers;
-    * empty shards write no file, so a small position set still produces
-    * exactly one sidecar. */
+    * paths WITH their row counts (r14 — the sidecar read-back is
+    * footer-bounded metadata over freshly-written tiny files; recording
+    * the counts here is what lets every hidden-position cardinality
+    * downstream be manifest arithmetic instead of a join re-evaluation).
+    * Sharding is by source file (positions of one file land in one shard
+    * — locality for a per-file reader), bounded at 16 writers; empty
+    * shards write no file, so a small position set still produces
+    * exactly one sidecar. A zero-row sidecar (every position filtered
+    * out upstream) records 0 — callers treat a zero total as "nothing
+    * hidden" and drop the sidecars from the manifest. */
   private def writeDvSidecars(spark: SparkSession, dir: String,
                               positions: DataFrame,
-                              nFiles: Int): Seq[String] = {
+                              nFiles: Int)
+      : (Seq[String], Map[String, Long]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val tmpOut = Paths.get(dir, "data", uuid, "dvw")
     val shards = math.max(1, math.min(16, nFiles / 4))
@@ -1430,7 +1557,10 @@ object LakeTable {
       s"data/$uuid/dv-$i.dv"
     }
     walkDir(tmpOut).reverse.foreach(Files.deleteIfExists)
-    sidecars
+    // footer counts: driver-side metadata over the just-written tiny
+    // files — no job, and the sum IS the hidden-position cardinality
+    val rows = sidecars.map(s => s -> footerRowCount(dir, s)).toMap
+    (sidecars, rows)
   }
 
   /** UPDATE WHERE via DELETION VECTORS (r12) — merge-on-read UPDATE in
@@ -1480,13 +1610,13 @@ object LakeTable {
           else Left(DvNoop + base)
         } else {
           val live = liveT.drop(fCol, pCol)
-          val liveCount = live.count()
           val cols = live.columns.toSeq
           val updated = set.foldLeft(live.filter(predicate)) {
             case (df, (c, v)) => df.withColumn(c, v)
           }.select(cols.map(col): _*)
           val fresh = stageFresh(spark, dir, updated, layoutBy, statsBy)
-          val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
+          val (sidecars, dvRows) =
+            writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files ++ fresh.files,
             batches = batchesOf(dir, base),
             schema =
@@ -1496,16 +1626,29 @@ object LakeTable {
             baseVersion = base, op = "dvupdate",
             dv = prevDv ++ sidecars,
             renames = renames,
-            dropped = manifestDropped(json))
-          // audit AS A READER WOULD SEE IT (evolution gate included —
-          // a type-changing assignment rejects here): rows conserve
-          // exactly, then the caller's check
-          audit(spark, st) { df =>
-            val after = df.count()
-            if (after != liveCount)
-              Some(s"UPDATE must conserve rows: $liveCount before, " +
-                   s"$after after")
-            else check(df)
+            dropped = manifestDropped(json),
+            rows = carryRows(json, files ++ prevDv) ++ fresh.rows ++ dvRows)
+          // conservation holds by manifest ARITHMETIC when every count
+          // is recorded (hidden positions == staged updated copies, both
+          // from the staging reads themselves, r14); the equation
+          // re-verifies by full scan only in paranoid mode. The
+          // evolution gate (a type-changing assignment rejects) always
+          // runs inside audit.
+          val hiddenCount = dvRows.values.sum
+          val freshCount = fresh.rowTotal
+          if (hiddenCount != freshCount)
+            Left(s"UPDATE must conserve rows: $hiddenCount hidden, " +
+                 s"$freshCount updated copies staged")
+          else audit(spark, st) { df =>
+            if (paranoidAudit(spark)) {
+              val liveCount = liveCountFromManifest(json)
+                .getOrElse(live.count())
+              val after = df.count()
+              if (after != liveCount)
+                Some(s"UPDATE must conserve rows: $liveCount before, " +
+                     s"$after after")
+              else check(df)
+            } else check(df)
           }
         }
       }
@@ -1552,8 +1695,8 @@ object LakeTable {
         val (liveT, fCol, pCol) = liveTagged(spark, dir, json)
         val freshPos = liveT.filter(predicate)
           .select(col(fCol).as("file"), col(pCol).as("pos"))
-        val sidecars =
-          if (freshPos.isEmpty) Seq.empty
+        val (sidecars, dvRows) =
+          if (freshPos.isEmpty) (Seq.empty[String], Map.empty[String, Long])
           else writeDvSidecars(spark, dir, freshPos, files.length)
         val st = Staged(dir, base + 1L, files ++ freshStage.files,
           batches = batchesOf(dir, base),
@@ -1564,19 +1707,25 @@ object LakeTable {
           baseVersion = base, op = "replacewhere",
           dv = prevDv ++ sidecars,
           renames = manifestRenames(json),
-          dropped = manifestDropped(json))
+          dropped = manifestDropped(json),
+          rows = carryRows(json, files ++ prevDv) ++ freshStage.rows
+            ++ dvRows)
         // audit AS A READER WOULD SEE IT: every row matching the
-        // predicate in the staged version must come from the NEW data —
-        // count-compare against the staged fresh files directly
-        val freshCount = spark.read.parquet(
-          freshStage.files.map(f => Paths.get(dir, f).toString): _*).count()
+        // predicate in the staged version must come from the NEW data.
+        // The staged-scan count-compare is PARANOID-mode (r14): the
+        // hidden positions came from the same predicate over the live
+        // frame and every incoming row was validated to satisfy it, so
+        // the default publishes on the recorded counts alone.
+        val freshCount = freshStage.rowTotal
         audit(spark, st) { df =>
-          val matching = df.filter(predicate).count()
-          if (matching != freshCount)
-            Some(s"REPLACE WHERE leak: $matching predicate-matching " +
-                 s"row(s) visible, expected exactly the $freshCount " +
-                 "incoming row(s)")
-          else check(df)
+          if (paranoidAudit(spark)) {
+            val matching = df.filter(predicate).count()
+            if (matching != freshCount)
+              Some(s"REPLACE WHERE leak: $matching predicate-matching " +
+                   s"row(s) visible, expected exactly the $freshCount " +
+                   "incoming row(s)")
+            else check(df)
+          } else check(df)
         }
       }
     }
@@ -1608,16 +1757,23 @@ object LakeTable {
           .select(col(fCol).as("file"), col(pCol).as("pos"))
         if (freshPos.isEmpty) Left(DvNoop + base)
         else {
-          val sidecars = writeDvSidecars(spark, dir, freshPos, files.length)
+          val (sidecars, dvRows) =
+            writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files,
             batches = batchesOf(dir, base),
             schema = recorded, stats = manifestStats(json),
             baseVersion = base, op = "dvdelete",
             dv = prevDv ++ sidecars,
             renames = manifestRenames(json),
-            dropped = manifestDropped(json))
+            dropped = manifestDropped(json),
+            rows = carryRows(json, files ++ prevDv) ++ dvRows)
+          // leak re-join is PARANOID-mode (r14): the positions came from
+          // the same semi-join; the default trusts the recorded counts
           audit(spark, st) { df =>
-            val leak = df.join(srcKeys, keys, "left_semi").count()
+            val leak =
+              if (paranoidAudit(spark))
+                df.join(srcKeys, keys, "left_semi").count()
+              else 0L
             if (leak > 0L)
               Some(s"$leak matched key row(s) survive the deletion vector")
             else check(df)
@@ -1720,13 +1876,23 @@ object LakeTable {
           val freshPos = liveT
             .join(srcKeys, keys, "left_semi")
             .select(col(fCol).as("file"), col(pCol).as("pos"))
-          val live = liveT.drop(fCol, pCol)
-          val liveCount = live.count()
-          val matched = live.join(srcKeys, keys, "left_semi").count()
           val fresh = stageFresh(spark, dir, source, layoutBy, statsBy)
-          val sidecars =
-            if (matched == 0L) Seq.empty
-            else writeDvSidecars(spark, dir, freshPos, files.length)
+          // the matched cardinality IS the sidecar row total (r14,
+          // verdict ask #4): write the sidecars, read the count off the
+          // written files — ONE evaluation of the target semi-join
+          // instead of a count() + a re-evaluation inside the writer,
+          // and zero full-table passes (the old liveCount scan)
+          val (sidecars0, dvRows) =
+            writeDvSidecars(spark, dir, freshPos, files.length)
+          val matched = dvRows.values.sum
+          val sidecars = if (matched == 0L) Seq.empty else sidecars0
+          // free cross-check: the staged source must carry exactly the
+          // rows the key-stats pass counted (a lossy staging would break
+          // the count equation silently otherwise)
+          if (fresh.rowTotal != srcCount)
+            Left(s"MERGE staging lost rows: $srcCount in the source, " +
+                 s"${fresh.rowTotal} staged")
+          else {
           val st0 = Staged(dir, base + 1L, files ++ fresh.files,
             batches = batchesOf(dir, base),
             schema =
@@ -1736,26 +1902,37 @@ object LakeTable {
             baseVersion = base, op = "dvmerge",
             dv = prevDv ++ sidecars,
             renames = manifestRenames(json),
-            dropped = manifestDropped(json))
+            dropped = manifestDropped(json),
+            rows = carryRows(json, files ++ prevDv) ++ fresh.rows ++
+              (if (matched == 0L) Map.empty[String, Long] else dvRows))
           val st = st0.copy(batches =
             st0.batches ++ batch.map(b => sink -> b).toMap)
+          // the full count-equation + duplicate-survivor scans are
+          // PARANOID-mode (r14): the default derives live − matched +
+          // source from recorded counts alone — zero commit-time passes
           audit(spark, st) { df =>
-            val after = df.count()
-            val expectTotal = liveCount - matched + srcCount
-            if (after != expectTotal)
-              Some(s"MERGE count equation broken: $liveCount live − " +
-                   s"$matched matched + $srcCount source = $expectTotal, " +
-                   s"staged reads $after")
+            if (!paranoidAudit(spark)) check(df)
             else {
-              // no source key may survive twice (old row not hidden)
-              val dup = df.join(srcKeys, keys, "left_semi")
-                .groupBy(keys.map(col): _*).count()
-                .filter(col("count") > 1L).count()
-              if (dup > 0L)
-                Some(s"$dup source key(s) appear more than once after " +
-                     "the merge (matched rows not fully hidden)")
-              else check(df)
+              val liveCount = liveCountFromManifest(json)
+                .getOrElse(liveT.drop(fCol, pCol).count())
+              val after = df.count()
+              val expectTotal = liveCount - matched + srcCount
+              if (after != expectTotal)
+                Some(s"MERGE count equation broken: $liveCount live − " +
+                     s"$matched matched + $srcCount source = $expectTotal, " +
+                     s"staged reads $after")
+              else {
+                // no source key may survive twice (old row not hidden)
+                val dup = df.join(srcKeys, keys, "left_semi")
+                  .groupBy(keys.map(col): _*).count()
+                  .filter(col("count") > 1L).count()
+                if (dup > 0L)
+                  Some(s"$dup source key(s) appear more than once after " +
+                       "the merge (matched rows not fully hidden)")
+                else check(df)
+              }
             }
+          }
           }
         }
       }
@@ -1929,54 +2106,73 @@ object LakeTable {
           .reduceOption(_ union _)
         val freshRows = (matchedUpdates ++ inserts ++ bySourceUpdates)
           .reduceOption(_ union _)
-        val liveCount = livePos.count()
-        val hiddenCount = hidden.map(_.count()).getOrElse(0L)
-        // stage the fresh rows, then read them back footer-bounded: a
-        // zero-row stage (every clause filtered everything out) must not
-        // put schema-only litter in the manifest
+        // stage the fresh rows and write the hidden-position sidecars
+        // FIRST: the row counts recorded off those writes ARE the
+        // cardinalities the commit needs (r14, verdict ask #4) — the old
+        // shape paid a livePos.count() full-table pass, a hidden.count()
+        // join re-evaluation, and a staged-read count; now every number
+        // is manifest/staging arithmetic and the commit runs ZERO audit
+        // table passes (paranoid mode restores the full-scan equation).
+        // A zero-row stage (every clause filtered everything out) must
+        // not put schema-only litter in the manifest; an all-no-op merge
+        // leaves only unreferenced staging files vacuum reclaims.
         val fresh = freshRows.map(fr =>
           stageFresh(spark, dir, fr, layoutBy, statsBy))
         val freshFiles = fresh.map(_.files).getOrElse(Seq.empty)
-        val freshDf =
-          if (freshFiles.isEmpty) None
-          else Some(spark.read.parquet(
-            freshFiles.map(f => Paths.get(dir, f).toString): _*))
-        val freshCount = freshDf.map(_.count()).getOrElse(0L)
+        val freshCount = fresh.map(_.rowTotal).getOrElse(0L)
+        val (sidecars0, dvRows) = hidden.map(h =>
+          writeDvSidecars(spark, dir, h, files.length))
+          .getOrElse((Seq.empty[String], Map.empty[String, Long]))
+        val hiddenCount = dvRows.values.sum
         if (hiddenCount == 0L && freshCount == 0L) Left(DvNoop + base)
-        // the staged read is in PHYSICAL names (stageFresh writes files
-        // that way forever); a declared CHECK constraint is written
-        // against LOGICAL names, so project before the gate (r14, ADVICE
-        // r13 — LakeStreamingWrite.commit and audit() already do)
-        else freshDf.flatMap(df =>
-          checkFresh(toLogical(df, manifestRenames(json)))) match {
-          case Some(reason) =>
-            Left(s"merge into $dir rejected: $reason")
-          case None =>
-            val keepFresh = if (freshCount == 0L) None else fresh
-            val sidecars =
-              if (hiddenCount == 0L) Seq.empty
-              else writeDvSidecars(spark, dir, hidden.get, files.length)
-            val st = Staged(dir, base + 1L,
-              files ++ keepFresh.map(_.files).getOrElse(Seq.empty),
-              batches = batchesOf(dir, base),
-              schema = keepFresh.map(f =>
-                if (recorded.isEmpty) f.schema
-                else mergeSchemas(recorded, f.schema)).getOrElse(recorded),
-              stats = manifestStats(json) ++
-                keepFresh.map(_.stats).getOrElse(Seq.empty),
-              baseVersion = base, op = "dvmerge",
-              dv = prevDv ++ sidecars,
-              renames = manifestRenames(json),
-              dropped = manifestDropped(json))
-            audit(spark, st) { df =>
-              val after = df.count()
-              val expect = liveCount - hiddenCount + freshCount
-              if (after != expect)
-                Some(s"MERGE count equation broken: $liveCount live − " +
-                     s"$hiddenCount hidden + $freshCount fresh = " +
-                     s"$expect, staged reads $after")
-              else check(df)
-            }
+        else {
+          // the staged read is in PHYSICAL names (stageFresh writes
+          // files that way forever); a declared CHECK constraint is
+          // written against LOGICAL names, so project before the gate
+          // (r14, ADVICE r13 — LakeStreamingWrite.commit and audit()
+          // already do)
+          val freshDf =
+            if (freshFiles.isEmpty || freshCount == 0L) None
+            else Some(spark.read.parquet(
+              freshFiles.map(f => Paths.get(dir, f).toString): _*))
+          freshDf.flatMap(df =>
+            checkFresh(toLogical(df, manifestRenames(json)))) match {
+            case Some(reason) =>
+              Left(s"merge into $dir rejected: $reason")
+            case None =>
+              val keepFresh = if (freshCount == 0L) None else fresh
+              val sidecars = if (hiddenCount == 0L) Seq.empty else sidecars0
+              val st = Staged(dir, base + 1L,
+                files ++ keepFresh.map(_.files).getOrElse(Seq.empty),
+                batches = batchesOf(dir, base),
+                schema = keepFresh.map(f =>
+                  if (recorded.isEmpty) f.schema
+                  else mergeSchemas(recorded, f.schema)).getOrElse(recorded),
+                stats = manifestStats(json) ++
+                  keepFresh.map(_.stats).getOrElse(Seq.empty),
+                baseVersion = base, op = "dvmerge",
+                dv = prevDv ++ sidecars,
+                renames = manifestRenames(json),
+                dropped = manifestDropped(json),
+                rows = carryRows(json, files ++ prevDv) ++
+                  keepFresh.map(_.rows).getOrElse(Map.empty[String, Long]) ++
+                  (if (hiddenCount == 0L) Map.empty[String, Long]
+                   else dvRows))
+              audit(spark, st) { df =>
+                if (!paranoidAudit(spark)) check(df)
+                else {
+                  val liveCount = liveCountFromManifest(json)
+                    .getOrElse(livePos.count())
+                  val after = df.count()
+                  val expect = liveCount - hiddenCount + freshCount
+                  if (after != expect)
+                    Some(s"MERGE count equation broken: $liveCount live − " +
+                         s"$hiddenCount hidden + $freshCount fresh = " +
+                         s"$expect, staged reads $after")
+                  else check(df)
+                }
+              }
+          }
         }
       }
     })
@@ -2155,7 +2351,11 @@ object LakeTable {
     // reusable by construction).
     commitSerialized(dir) { base =>
       val snap = readVersion(spark, dir, base)
-      val n = snap.count()
+      // live cardinality by manifest arithmetic when recorded (r14) —
+      // saves one full pre-rewrite pass; the staged re-count below still
+      // independently verifies the rewrite conserved rows
+      val n = readManifest(dir, base).flatMap(liveCountFromManifest)
+        .getOrElse(snap.count())
       val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
       val laid = layoutBy match {
         // layout-preserving compaction: one shuffle keyed on the layout
@@ -2197,6 +2397,7 @@ object LakeTable {
                                  else Map.empty,
                        schema = manifestSchema(json),
                        stats = manifestStats(json),
+                       rows = manifestRows(json),
                        baseVersion = base, op = "restore",
                        dv = manifestDv(json),
                        // a restore resurrects the restored version's
@@ -2269,7 +2470,8 @@ object LakeTable {
               schema = manifestSchema(json), stats = manifestStats(json),
               baseVersion = 0L, op = "clone", dv = manifestDv(json),
               renames = manifestRenames(json),
-              dropped = manifestDropped(json))))
+              dropped = manifestDropped(json),
+              rows = manifestRows(json))))
           }
       }
     }
@@ -2318,7 +2520,8 @@ object LakeTable {
                 schema = extended, stats = manifestStats(json),
                 baseVersion = base, op = "alter", dv = manifestDv(json),
                 renames = manifestRenames(json),
-                dropped = manifestDropped(json)))
+                dropped = manifestDropped(json),
+                rows = manifestRows(json)))
           }
         }
       }
@@ -2365,6 +2568,7 @@ object LakeTable {
                 val a = e.split('|')
                 a.length > 1 && a(1) == phys
               },
+              rows = manifestRows(json),
               baseVersion = base, op = "alter", dv = manifestDv(json),
               renames = renames - phys,
               dropped = (manifestDropped(json) :+ phys).distinct))
@@ -2418,7 +2622,8 @@ object LakeTable {
                 renames =
                   if (renameBack) renames - phys
                   else renames + (phys -> to),
-                dropped = manifestDropped(json)))
+                dropped = manifestDropped(json),
+                rows = manifestRows(json)))
           }
         }
       }

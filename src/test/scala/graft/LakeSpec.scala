@@ -148,6 +148,74 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("manifest row counts (r14): every listed file and sidecar has a " +
+       "recorded count, the live cardinality is manifest arithmetic, " +
+       "and paranoid mode still full-scan-verifies") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_rows14_").toString
+    def liveByArithmetic(v: Long): Long = {
+      val rows = LakeTable.rowsOf(dir, v)
+      val files = LakeTable.filesOf(dir, v)
+      val dv = LakeTable.dvOf(dir, v)
+      assert((files ++ dv).forall(rows.contains),
+        s"v$v must record a row count for every member: " +
+        s"missing ${(files ++ dv).filterNot(rows.contains)}")
+      files.map(rows).sum - dv.map(rows).sum
+    }
+    def assertEquation(v: Long): Unit =
+      assert(liveByArithmetic(v) == LakeTable.read(spark, dir).count(),
+        s"v$v: manifest arithmetic must equal the scanned cardinality")
+
+    assert(LakeTable.commit(spark, dir,
+      (1L to 100L).map(k => (k, k * 2L)).toDF("k", "v"))(_ => None)
+      == Right(1L))
+    assertEquation(1L)
+    // DV merge: hidden positions + fresh files, all counted
+    assert(LakeTable.mergeDv(spark, dir,
+      Seq((1L, 111L), (200L, 400L)).toDF("k", "v"), Seq("k"))(_ => None)
+      == Right(2L))
+    assertEquation(2L)
+    // DV delete: sidecar-only commit
+    assert(LakeTable.deleteWhereDv(spark, dir,
+      org.apache.spark.sql.functions.col("k") <= 10L)(_ => None)
+      == Right(3L))
+    assertEquation(3L)
+    // DV update: conservation now holds by hidden == staged arithmetic
+    assert(LakeTable.updateWhereDv(spark, dir,
+      org.apache.spark.sql.functions.col("k") === 50L,
+      Seq("v" -> org.apache.spark.sql.functions.lit(0L)))(_ => None)
+      == Right(4L))
+    assertEquation(4L)
+    // general conditional merge
+    assert(LakeTable.mergeConditionalDv(spark, dir,
+      Seq((60L, 1L), (300L, 3L)).toDF("k", "v"), Seq("k"),
+      matched = Seq((Some("s.`v` > 0"), Some(Seq("v" -> "s.`v`")))),
+      notMatched = Seq((None, Seq("k" -> "s.`k`", "v" -> "s.`v`"))),
+      bySource = Seq.empty)(_ => None) == Right(5L))
+    assertEquation(5L)
+    assert(LakeTable.read(spark, dir).count() == 92L,
+      "100 − 10 deleted + 1 merged insert (200) + 1 merged insert (300)")
+
+    // paranoid mode restores the full-scan equations and still publishes
+    spark.conf.set("spark.graft.lake.paranoidAudit", "true")
+    try {
+      assert(LakeTable.mergeDv(spark, dir,
+        Seq((2L, 222L)).toDF("k", "v"), Seq("k"))(_ => None) == Right(6L))
+      assert(LakeTable.updateWhereDv(spark, dir,
+        org.apache.spark.sql.functions.col("k") === 30L,
+        Seq("v" -> org.apache.spark.sql.functions.lit(9L)))(_ => None)
+        == Right(7L))
+      assertEquation(7L)
+    } finally spark.conf.unset("spark.graft.lake.paranoidAudit")
+
+    // OPTIMIZE (purge) and RESTORE keep the counts coherent
+    assert(LakeTable.optimize(spark, dir, 1000L, Seq.empty).isRight)
+    val v8 = LakeTable.currentVersion(dir).get
+    assertEquation(v8)
+    assert(LakeTable.restore(spark, dir, 5L) == Right(v8 + 1L))
+    assertEquation(v8 + 1L)
+  }
+
   test("a crash at every protocol stage leaves the old version live") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val v1Keys = snap(50).collect().map(_.getAs[Long]("custkey")).toSet
