@@ -47,8 +47,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           Option(target).map(_.toLong),
           Option(zorder).toSeq.flatMap(_.split(','))
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-      case VacuumRe(ident, keep) =>
-        VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
+      case VacuumRe(ident, keep, unit) =>
+        // RETAIN n HOURS (r14) = wall-clock retention; RETAIN n
+        // VERSIONS (and the bare default, 10) = version-count retention
+        if (Option(unit).exists(_.toUpperCase.startsWith("HOUR")))
+          VacuumLakeCommand(ident, 0, retainHours = Some(keep.toLong))
+        else
+          VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
       case HistoryRe(ident) => DescribeHistoryCommand(ident)
       case DetailRe(ident) => DescribeDetailCommand(ident)
       case RestoreRe(ident, version) =>
@@ -84,7 +89,7 @@ object GraftSqlParser {
      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+([\w.`]+)""" +
-     """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+     """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val DetailRe =
@@ -309,10 +314,13 @@ case class CloneLakeCommand(dst: String, src: String,
   }
 }
 
-/** `VACUUM <t> [RETAIN n VERSIONS]` — reclaim history older than the
-  * newest `n` published versions (default 10, conservative). Returns the
-  * reclaim counts. */
-case class VacuumLakeCommand(ident: String, keepVersions: Int)
+/** `VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS]` — reclaim history
+  * older than the newest `n` published versions (default 10,
+  * conservative), or (r14) older than `n` wall-clock hours by the
+  * content-addressed commit stamps — the Delta spelling; the live
+  * version always survives. Returns the reclaim counts. */
+case class VacuumLakeCommand(ident: String, keepVersions: Int,
+                             retainHours: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("manifests_deleted", LongType, nullable = false)(),
@@ -321,7 +329,10 @@ case class VacuumLakeCommand(ident: String, keepVersions: Int)
     val dir = GraftSqlParser.resolveDir(spark, ident)
     require(LakeTable.currentVersion(dir).nonEmpty,
       s"'$ident' has no published version to vacuum")
-    val (m, f) = LakeTable.vacuum(dir, keepVersions)
+    val (m, f) = retainHours match {
+      case Some(h) => LakeTable.vacuumRetainHours(dir, h)
+      case None => LakeTable.vacuum(dir, keepVersions)
+    }
     Seq(Row(m.toLong, f.toLong))
   }
 }

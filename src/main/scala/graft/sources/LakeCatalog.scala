@@ -767,9 +767,11 @@ class LakeV2Table(val dir: String, ident: String,
               s"cannot stream a VERSION AS OF (time travel) table — " +
               "history is immutable")
             new LakeMicroBatchStream(dir, full, cols, pushedV1,
-              startingVersion =
-                Option(options.get("startingVersion")).map(_.toLong)
-                  .getOrElse(0L),
+              // startingTimestamp (r14): the batch TIMESTAMP AS OF rule
+              // resolves the floor once at stream construction
+              startingVersion = LakeTable.startingVersionOf(dir,
+                Option(options.get("startingVersion")),
+                Option(options.get("startingTimestamp"))),
               skipChangeCommits =
                 Option(options.get("skipChangeCommits"))
                   .exists(_.toBoolean),

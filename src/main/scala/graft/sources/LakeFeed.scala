@@ -63,9 +63,11 @@ private[sources] class LakeFeedTable(val dir: String, ident: String)
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
           new LakeFeedMicroBatchStream(dir, tableCols,
-            startingVersion =
-              Option(options.get("startingVersion")).map(_.toLong)
-                .getOrElse(0L),
+            // startingTimestamp (r14): batch TIMESTAMP AS OF rule,
+            // resolved once at stream construction
+            startingVersion = LakeTable.startingVersionOf(dir,
+              Option(options.get("startingVersion")),
+              Option(options.get("startingTimestamp"))),
             maxVersionsPerTrigger =
               Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
       }

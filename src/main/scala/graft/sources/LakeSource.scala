@@ -64,7 +64,12 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
     val dir = LakeSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-lake requires option 'path'")))
     new LakeStreamSource(sqlContext, dir,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      // startingVersion / startingTimestamp (r14) share one resolver:
+      // the batch TIMESTAMP AS OF rule maps the instant to the newest
+      // version at-or-before it, once, at stream construction
+      LakeTable.startingVersionOf(dir,
+        parameters.get("startingVersion"),
+        parameters.get("startingTimestamp")),
       metadataPath,
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
       // a schema WITHOUT the feed columns (readStream.table resolves the

@@ -580,7 +580,36 @@ object LakeTable {
     * deleted. */
   def vacuum(dir: String, keepVersions: Int): (Int, Int) = {
     val published = versions(dir)
-    val keep = published.takeRight(math.max(keepVersions, 1)).toSet
+    vacuumKeeping(dir, published,
+      published.takeRight(math.max(keepVersions, 1)).toSet)
+  }
+
+  /** `VACUUM ... RETAIN n HOURS` (r14, verdict ask #5) — WALL-CLOCK
+    * retention, the Delta spelling: keep every published version whose
+    * commit stamp is within the window, always including the live one
+    * (so `RETAIN 0 HOURS` reduces to `RETAIN 1 VERSIONS`, never an empty
+    * table). Age comes from [[commitTimeOf]] — the content-addressed
+    * stamp INSIDE the commit marker, so relocating/copying the table
+    * directory does not re-young its history the way mtime would (and a
+    * test can backdate a marker deterministically). Commit stamps are
+    * monotone in version order, so the kept set is always a suffix —
+    * the same shape the version-count vacuum keeps, and every
+    * concurrency/orphan/floor-hint property of [[vacuumKeeping]] holds
+    * unchanged. */
+  def vacuumRetainHours(dir: String, hours: Long,
+                        nowMillis: Long = System.currentTimeMillis())
+      : (Int, Int) = {
+    require(hours >= 0L, "RETAIN hours must be non-negative")
+    val published = versions(dir)
+    val cutoff = nowMillis - hours * 3600000L
+    val keep = published
+      .filter(v => commitTimeOf(dir, v).getTime >= cutoff)
+      .toSet ++ published.lastOption
+    vacuumKeeping(dir, published, keep)
+  }
+
+  private def vacuumKeeping(dir: String, published: Seq[Long],
+                            keep: Set[Long]): (Int, Int) = {
     val keepFloor = if (keep.isEmpty) 0L else keep.min
     // reclaim orphaned claims ONLY below the kept window (r12): claims at
     // or above the lowest kept version stay — even fenced/crashed ones —
@@ -2757,6 +2786,43 @@ object LakeTable {
           .getOrElse(Files.getLastModifiedTime(p).toMillis)
       else Files.getLastModifiedTime(manifestPath(dir, version)).toMillis
     new java.sql.Timestamp(ms)
+  }
+
+  /** `startingTimestamp` → starting-version floor for the streaming
+    * sources (r14, verdict ask #6): the NEWEST retained version whose
+    * commit stamp ([[commitTimeOf]] — marker-content event time) is at
+    * or before the instant — the batch `TIMESTAMP AS OF` rule — so the
+    * stream delivers exactly the versions committed AFTER it. An
+    * instant before the first retained publish floors at 0 (full
+    * replay); an instant at or past the live version tails new commits
+    * only. Accepts epoch millis, `yyyy-[m]m-[d]d hh:mm:ss[.f…]`
+    * (JVM-local zone, the java.sql.Timestamp grammar), or an ISO-8601
+    * instant. The resolution runs ONCE at stream construction; the
+    * checkpointed offsets the engine WALs are plain versions, so
+    * restarts replay identically even if the clock mapping would have
+    * moved (markers vacuumed meanwhile). */
+  private[graft] def startingVersionAt(dir: String, raw: String): Long = {
+    val t = raw.trim
+    val ms = scala.util.Try(t.toLong).getOrElse(
+      scala.util.Try(java.sql.Timestamp.valueOf(t).getTime).getOrElse(
+        scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot parse startingTimestamp '$raw': use epoch millis, " +
+            "'yyyy-MM-dd HH:mm:ss[.f]', or an ISO-8601 instant"))))
+    versions(dir).filter(v => commitTimeOf(dir, v).getTime <= ms)
+      .lastOption.getOrElse(0L)
+  }
+
+  /** Shared option plumbing: `startingVersion` / `startingTimestamp`
+    * (mutually exclusive) → the stream's starting-version floor. */
+  private[graft] def startingVersionOf(dir: String,
+                                         version: Option[String],
+                                         timestamp: Option[String]): Long = {
+    require(version.isEmpty || timestamp.isEmpty,
+      "set either startingVersion or startingTimestamp, not both")
+    version.map(_.trim.toLong)
+      .orElse(timestamp.map(startingVersionAt(dir, _)))
+      .getOrElse(0L)
   }
 
   /** Invert the URI percent-encoding of `_metadata.file_path` fragments

@@ -571,6 +571,81 @@ class LakeStreamSpec extends SparkTestBase {
       s"${LakeTable.probeCount.get() - q1} probes")
   }
 
+  test("startingTimestamp (r14): resolves to the newest version at or " +
+       "before the instant, tails from there, and a restart replays the " +
+       "WALed versions, not the clock") {
+    import spark.implicits._
+    val cat = "graft_lake_stscat"
+    val wh = Files.createTempDirectory("graft_lake_whsts_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "ts1").toString
+    val cp = Files.createTempDirectory("graft_lake_sts_cp_").toString
+    for (i <- 1 to 3)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    // deterministic commit stamps (content-addressed markers): v1 @ t0,
+    // v2 @ t0+1000, v3 @ t0+2000
+    val t0 = System.currentTimeMillis() - 60000L
+    for (v <- 1 to 3)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"commit-v$v"),
+        (t0 + (v - 1) * 1000L).toString.getBytes("UTF-8"))
+
+    val rows = mutable.ArrayBuffer.empty[Row]
+    def start() = spark.readStream
+      .option("startingTimestamp", (t0 + 1500L).toString)
+      .table(s"$cat.default.ts1")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }
+        ()
+      }
+      .start()
+    // t0+1500 resolves to v2 (newest at-or-before) => deliver v3 only
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.map(_.getAs[Long]("k")).sorted == Seq(3L),
+      s"only the versions committed AFTER the instant stream: $rows")
+    // restart: the WALed version offsets drive replay — a new commit
+    // arrives, the old ones do not re-emit even though the timestamp
+    // mapping is re-evaluable
+    assert(LakeTable.append(spark, dir,
+      Seq((4L, 40L)).toDF("k", "v"))(_ => None) == Right(4L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows.map(_.getAs[Long]("k")).sorted == Seq(3L, 4L),
+      s"restart must tail from the checkpoint: $rows")
+
+    // the CDF stream takes the same option
+    val feedRows = mutable.ArrayBuffer.empty[Row]
+    val cp2 = Files.createTempDirectory("graft_lake_sts_cp2_").toString
+    val qf = spark.readStream
+      .option("startingTimestamp", (t0 + 1500L).toString)
+      .table(s"$cat.default.ts1.changes")
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        feedRows.synchronized { feedRows ++= df.collect() }
+        ()
+      }
+      .start()
+    try qf.processAllAvailable() finally qf.stop()
+    assert(feedRows.map(_.getAs[Long]("_commit_version")).toSet == Set(3L, 4L),
+      s"the feed tails the same floor: $feedRows")
+    // an instant before the first retained publish floors at 0 (full
+    // replay); startingVersion and startingTimestamp refuse together
+    assert(LakeTable.startingVersionOf(dir, None, Some((t0 - 5L).toString))
+      == 0L)
+    intercept[IllegalArgumentException] {
+      LakeTable.startingVersionOf(dir, Some("1"), Some(t0.toString))
+    }
+    // ISO-8601 instants parse too
+    assert(LakeTable.startingVersionOf(dir, None,
+      Some(java.time.Instant.ofEpochMilli(t0 + 2500L).toString)) == 3L)
+    spark.sql(s"DROP TABLE $cat.default.ts1")
+  }
+
   test("fresh stream on a vacuumed table primes past the reclaimed gap " +
        "and delivers the live snapshot (ADVICE r11 high)") {
     import spark.implicits._

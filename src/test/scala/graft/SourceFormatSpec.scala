@@ -1324,6 +1324,83 @@ class SourceFormatSpec extends SparkTestBase {
     Seq("d1", "d2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("VACUUM RETAIN n HOURS (r14): backdated commit stamps reclaim " +
+       "exactly the stale versions; floor hint written; a stream past " +
+       "the floor refuses loudly") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec_r14vh"
+    val wh = Files.createTempDirectory("graft_lake_whr14vh_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "vh1").toString
+    for (i <- 1 to 4)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    // BACKDATE v1/v2: the commit stamp is content-addressed (it lives
+    // INSIDE the marker), so aging history for the test is a
+    // deterministic write, not an mtime trick
+    val oldMs = System.currentTimeMillis() - 10L * 3600000L
+    for (v <- 1 to 2)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"commit-v$v"),
+        oldMs.toString.getBytes("UTF-8"))
+
+    val vac = spark.sql(s"VACUUM $cat.default.vh1 RETAIN 5 HOURS").head
+    assert(vac.getLong(0) == 2L,
+      s"exactly the two backdated versions reclaim: $vac")
+    assert(LakeTable.versions(dir) == Seq(3L, 4L),
+      "v3/v4 are inside the window and survive")
+    // kept history still time-travels; reclaimed history refuses
+    assert(LakeTable.readVersion(spark, dir, 3L).count() == 3L)
+    intercept[Exception] { LakeTable.readVersion(spark, dir, 2L).count() }
+    // the vacuum-floor hint records the kept window's lower bound
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "vacuum-floor")), "UTF-8").trim == "3",
+      "the floor hint must be written exactly as the version vacuum does")
+    // RETAIN 0 HOURS keeps at least the live version
+    val vac2 = spark.sql(s"VACUUM $cat.default.vh1 RETAIN 0 HOURS").head
+    assert(LakeTable.versions(dir) == Seq(4L),
+      s"RETAIN 0 HOURS reduces to keep-live-only: $vac2")
+    assert(spark.table(s"$cat.default.vh1").count() == 4L)
+
+    // a stream whose checkpointed offset fell below the floor refuses
+    // loudly — same contract as the version-count vacuum
+    val dir2 = java.nio.file.Paths.get(wh, "default", "vh2").toString
+    val cp = Files.createTempDirectory("graft_vh2_cp_").toString
+    for (i <- 1 to 2)
+      assert(LakeTable.append(spark, dir2,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    def start() = spark.readStream.table(s"$cat.default.vh2")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    for (i <- 3 to 4)
+      assert(LakeTable.append(spark, dir2,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    for (v <- 1 to 3)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir2, s"commit-v$v"),
+        oldMs.toString.getBytes("UTF-8"))
+    assert(LakeTable.vacuumRetainHours(dir2, 5L)._1 == 3)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def names(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ names(x.getCause))
+    assert(names(e).exists(_.contains("vacuumed")),
+      s"the refusal must name the vacuumed version: ${e.getMessage}")
+    Seq("vh1", "vh2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("column mapping r14: rename round-trips back to the physical " +
        "name; CHECK gates a general MERGE through the logical names") {
     import graft.sources.LakeTable
