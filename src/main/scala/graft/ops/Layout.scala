@@ -1243,29 +1243,51 @@ object Layout {
              sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
                  .cast("long")).cast("long").as("cents"))
       val view = Views.reg(table, "sqlalter")
+      // n_orders is born INT: the widening leg below proves the v1
+      // files' INT32 encoding up-casts at read after ALTER COLUMN TYPE
       s.sql(s"CREATE TABLE $cat.default.$tbl " +
-        "(custkey BIGINT, n_orders BIGINT)")
+        "(custkey BIGINT, n_orders INT)")
       s.sql(s"INSERT INTO $cat.default.$tbl " +
-        s"SELECT custkey, n_orders FROM $view WHERE custkey % 2 = 0")
+        s"SELECT custkey, CAST(n_orders AS INT) FROM $view " +
+        "WHERE custkey % 2 = 0")
       val filesV1 = LakeTable.currentFiles(dir)
-      s.sql(s"ALTER TABLE $cat.default.$tbl ADD COLUMNS (cents BIGINT)")
+      // ALTER COLUMN TYPE widening (r14): metadata-only via the
+      // column-mapping seam — files keep INT32 forever, readers up-cast
+      // at the scan boundary, fresh inserts land INT64, time travel
+      // shows each version's own type, DESCRIBE DETAIL the logical one
+      s.sql(s"ALTER TABLE $cat.default.$tbl " +
+        "ALTER COLUMN n_orders TYPE BIGINT")
       require(LakeTable.currentVersion(dir).contains(2L),
-              "ALTER must publish a metadata version")
+              "TYPE widening must publish a metadata version")
       require(LakeTable.currentFiles(dir) == filesV1,
-              "ALTER must be metadata-only: identical file list")
+              "TYPE widening must be metadata-only: identical file list")
+      require(LakeTable.readVersion(s, dir, 1L)
+                .schema("n_orders").dataType ==
+              org.apache.spark.sql.types.IntegerType,
+              "time travel shows v1 under its own (narrow) type")
+      require(s.table(s"$cat.default.$tbl")
+                .schema("n_orders").dataType ==
+              org.apache.spark.sql.types.LongType,
+              "the live logical type is the widened one")
+      require(s.sql(s"DESCRIBE DETAIL $cat.default.$tbl").collect()
+                .exists(_.toString.contains("n_orders BIGINT")),
+              "DESCRIBE DETAIL reports the widened logical type")
+      s.sql(s"ALTER TABLE $cat.default.$tbl ADD COLUMNS (cents BIGINT)")
+      require(LakeTable.currentVersion(dir).contains(3L),
+              "ALTER must publish a metadata version")
       s.sql(s"INSERT INTO $cat.default.$tbl " +
         s"SELECT custkey, n_orders, cents FROM $view WHERE custkey % 2 = 1")
       // RENAME COLUMN (r13): metadata-only via column mapping — file
       // list identical, both eras' rows readable under the new name,
       // time travel still shows each version's own names
-      val filesV3 = LakeTable.currentFiles(dir)
+      val filesV4 = LakeTable.currentFiles(dir)
       s.sql(s"ALTER TABLE $cat.default.$tbl " +
         "RENAME COLUMN cents TO cents_total")
-      require(LakeTable.currentVersion(dir).contains(4L),
+      require(LakeTable.currentVersion(dir).contains(5L),
               "RENAME must publish a metadata version")
-      require(LakeTable.currentFiles(dir) == filesV3,
+      require(LakeTable.currentFiles(dir) == filesV4,
               "RENAME must be metadata-only: identical file list")
-      require(LakeTable.readVersion(s, dir, 3L)
+      require(LakeTable.readVersion(s, dir, 4L)
                 .columns.contains("cents"),
               "time travel across the rename keeps the old name")
       // DROP COLUMN (r13): also metadata-only via column mapping — the
@@ -1273,11 +1295,11 @@ object Layout {
       // requesting it, zero data movement) and its physical name
       // tombstones against resurrection
       s.sql(s"ALTER TABLE $cat.default.$tbl ADD COLUMNS (tmp BIGINT)")
-      val filesV5 = LakeTable.currentFiles(dir)
+      val filesV6 = LakeTable.currentFiles(dir)
       s.sql(s"ALTER TABLE $cat.default.$tbl DROP COLUMN tmp")
-      require(LakeTable.currentVersion(dir).contains(6L),
+      require(LakeTable.currentVersion(dir).contains(7L),
               "DROP must publish a metadata version")
-      require(LakeTable.currentFiles(dir) == filesV5,
+      require(LakeTable.currentFiles(dir) == filesV6,
               "DROP must be metadata-only: identical file list")
       s.table(s"$cat.default.$tbl").orderBy("custkey")
     },

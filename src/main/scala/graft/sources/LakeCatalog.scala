@@ -229,13 +229,41 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       rest.partition(_.isInstanceOf[TableChange.RenameColumn])
     val (drops, rest3) =
       rest2.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    val (retypes, rest4) =
+      rest3.partition(_.isInstanceOf[TableChange.UpdateColumnType])
     val (props, unsupported) =
-      rest3.partition(_.isInstanceOf[TableChange.SetProperty])
+      rest4.partition(_.isInstanceOf[TableChange.SetProperty])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         s"graft-lake evolution supports ADD COLUMNS, RENAME COLUMN, " +
-        s"DROP COLUMN, and SET TBLPROPERTIES; got " +
+        s"DROP COLUMN, ALTER COLUMN TYPE (widening), and SET " +
+        s"TBLPROPERTIES; got " +
         unsupported.map(_.getClass.getSimpleName).mkString(", "))
+    // ALTER COLUMN TYPE (r14): lossless widening as a metadata-only
+    // commit via column mapping — files keep the narrow physical type,
+    // readers up-cast at the scan boundary. Unborn tables retype the
+    // declared schema in place (no files constrain them yet).
+    retypes.map(_.asInstanceOf[TableChange.UpdateColumnType]).foreach { uc =>
+      require(uc.fieldNames().length == 1,
+        s"nested ALTER COLUMN '${uc.fieldNames().mkString(".")}' is " +
+        "not representable (top-level columns only)")
+      val name = uc.fieldNames()(0)
+      LakeCatalog.readPending(dir) match {
+        case Some(p) if LakeTable.currentVersion(dir).isEmpty =>
+          require(p.schema.fieldNames.contains(name),
+            s"ALTER COLUMN TYPE: no column '$name'")
+          LakeCatalog.writePending(dir, p.copy(schema = StructType(
+            p.schema.fields.map(f =>
+              if (f.name == name) f.copy(dataType = uc.newDataType())
+              else f))))
+        case _ =>
+          LakeTable.alterColumnType(dir, name, uc.newDataType().sql) match {
+            case Right(_) => ()
+            case Left(reason) => throw new IllegalStateException(
+              s"ALTER TABLE ${ident.name()} failed: $reason")
+          }
+      }
+    }
     // DROP COLUMN (r13): metadata-only via column mapping — the physical
     // name tombstones so no later ADD/RENAME resurrects the data still
     // sitting in carried files. The declared layout column refuses (the

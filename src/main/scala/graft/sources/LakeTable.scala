@@ -2557,6 +2557,70 @@ object LakeTable {
     }
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` (r14, verdict ask #3) —
+    * TYPE WIDENING as a METADATA-ONLY commit, Delta's type-widening
+    * feature on the column-mapping seam: the recorded schema entry for
+    * the column's PHYSICAL name flips to the wider type while every
+    * already-written file keeps its narrow physical encoding forever;
+    * readers up-cast at the scan boundary (Spark's parquet readers
+    * widen INT32→INT64 and FLOAT→DOUBLE natively, the machinery Delta
+    * type widening rides), fresh files land in the wide type, and time
+    * travel shows each version under its own type. Only lossless
+    * widenings commit — the integral chain TINYINT<SMALLINT<INT<BIGINT
+    * and FLOAT→DOUBLE; narrowing (and any cross-family change) refuses,
+    * because carried files' values could not be represented. At 100 TB
+    * this is one manifest write; the alternative is rewriting every
+    * file that carries the column. */
+  def alterColumnType(dir: String, name: String,
+                      newType: String): Either[String, Long] = {
+    val integralRank =
+      Map("TINYINT" -> 1, "SMALLINT" -> 2, "INT" -> 3, "BIGINT" -> 4)
+    val floatRank = Map("FLOAT" -> 1, "DOUBLE" -> 2)
+    def widens(from: String, to: String): Boolean = {
+      val (f, t) = (from.trim.toUpperCase, to.trim.toUpperCase)
+      (integralRank.contains(f) && integralRank.contains(t) &&
+        integralRank(f) < integralRank(t)) ||
+      (floatRank.contains(f) && floatRank.contains(t) &&
+        floatRank(f) < floatRank(t))
+    }
+    commitSerialized(dir) { base =>
+      if (base == 0L) Left(s"no published version in $dir")
+      else {
+        val json = readManifest(dir, base).get
+        val recorded = manifestSchema(json)
+        if (recorded.isEmpty)
+          Left(s"cannot ALTER a schema-less (legacy) table in $dir")
+        else {
+          val renames = manifestRenames(json)
+          val phys = physicalNameOf(renames, name)
+          recorded.map(_.split(" ", 2)).find(_(0) == phys) match {
+            case None =>
+              Left(s"ALTER COLUMN TYPE: no column '$name' in $dir")
+            case Some(a) if !widens(a(1), newType) =>
+              Left(s"ALTER COLUMN TYPE: '$name' ${a(1)} → $newType is " +
+                   "not a lossless widening (allowed: " +
+                   "TINYINT<SMALLINT<INT<BIGINT, FLOAT<DOUBLE) — " +
+                   "carried files keep their physical encoding, so a " +
+                   "narrowing could not represent their values")
+            case Some(_) =>
+              val widened = recorded.map { e =>
+                val a = e.split(" ", 2)
+                if (a(0) == phys) s"$phys ${newType.trim.toUpperCase}"
+                else e
+              }
+              Right(Staged(dir, base + 1L, manifestFiles(json),
+                batches = batchesOf(dir, base),
+                schema = widened, stats = manifestStats(json),
+                baseVersion = base, op = "alter", dv = manifestDv(json),
+                renames = renames,
+                dropped = manifestDropped(json),
+                rows = manifestRows(json)))
+          }
+        }
+      }
+    }
+  }
+
   /** `ALTER TABLE ... DROP COLUMN` (r13) — METADATA-ONLY via column
     * mapping, the capability Delta gates behind the same feature: the
     * column leaves the recorded schema (readers simply stop requesting

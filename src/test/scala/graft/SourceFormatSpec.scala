@@ -1401,6 +1401,86 @@ class SourceFormatSpec extends SparkTestBase {
     Seq("vh1", "vh2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("ALTER COLUMN TYPE widening (r14): metadata-only, carried files " +
+       "keep the narrow encoding and up-cast at read, time travel shows " +
+       "each version's own type, narrowing refuses") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec_r14w"
+    val wh = Files.createTempDirectory("graft_lake_whr14w_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "w1").toString
+    (1 to 6).map(k => (k, k.toFloat / 2.0f)).toDF("k", "r")
+      .createOrReplaceTempView("w_src")
+    spark.sql(s"CREATE TABLE $cat.default.w1 AS SELECT * FROM w_src")
+    val filesV1 = LakeTable.currentFiles(dir)
+
+    spark.sql(s"ALTER TABLE $cat.default.w1 ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.default.w1 ALTER COLUMN r TYPE DOUBLE")
+    assert(LakeTable.currentFiles(dir) == filesV1,
+      "widening must be metadata-only: identical file list")
+    val t = spark.table(s"$cat.default.w1")
+    assert(t.schema("k").dataType ==
+           org.apache.spark.sql.types.LongType)
+    assert(t.schema("r").dataType ==
+           org.apache.spark.sql.types.DoubleType)
+    // the INT32/FLOAT files up-cast at read
+    assert(t.orderBy("k").collect().map(_.getLong(0)).toSeq
+      == (1L to 6L), "carried int32 values read back as longs")
+    assert(math.abs(t.orderBy("k").collect().map(_.getDouble(1)).sum
+      - (1 to 6).map(_ / 2.0).sum) < 1e-9)
+    // time travel shows each version's own type
+    assert(LakeTable.readVersion(spark, dir, 1L).schema("k").dataType ==
+           org.apache.spark.sql.types.IntegerType)
+    assert(LakeTable.readVersion(spark, dir, 3L).schema("k").dataType ==
+           org.apache.spark.sql.types.LongType)
+    // DESCRIBE DETAIL reports the widened logical type
+    val detail = spark.sql(s"DESCRIBE DETAIL $cat.default.w1").collect()
+    assert(detail.exists(_.toString.contains("BIGINT")),
+      s"DESCRIBE DETAIL must report the widened type: " +
+      detail.mkString("; "))
+
+    // DML across mixed-width files: new rows land wide, merges read
+    // both generations through one plan
+    spark.sql(s"INSERT INTO $cat.default.w1 VALUES " +
+      s"(${Long.MaxValue}, 9.5)")
+    spark.sql(s"UPDATE $cat.default.w1 SET r = r + 1.0 WHERE k = 2")
+    val got = spark.table(s"$cat.default.w1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(Long.MaxValue) == 9.5 && got(2L) == 2.0,
+      s"post-widening DML over mixed-width files: $got")
+
+    // narrowing refuses at ANALYSIS (Spark's own up-cast gate fires
+    // before the catalog — the same pre-gate Delta rides)
+    val e = intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.w1 ALTER COLUMN k TYPE INT") }
+    assert(Option(e.getMessage)
+      .exists(_.contains("NOT_SUPPORTED_CHANGE_COLUMN")),
+      s"narrowing must refuse at analysis: $e")
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.w1 ALTER COLUMN r TYPE BIGINT") }
+    // a lossless-but-cross-family up-cast passes Spark's gate and must
+    // refuse at OUR gate (files keep the physical encoding; only the
+    // in-family widenings the parquet readers up-cast are legal)
+    val e2 = intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.w1 ALTER COLUMN k TYPE STRING") }
+    assert((Option(e2.getMessage).toSeq ++
+            Option(e2.getCause).flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("widening")), s"refusal names the rule: $e2")
+
+    // widening a RENAMED column resolves through the display map
+    spark.sql(s"CREATE TABLE $cat.default.w2 (a INT, b INT) ")
+    spark.sql(s"INSERT INTO $cat.default.w2 VALUES (1, 2)")
+    spark.sql(s"ALTER TABLE $cat.default.w2 RENAME COLUMN b TO c")
+    spark.sql(s"ALTER TABLE $cat.default.w2 ALTER COLUMN c TYPE BIGINT")
+    val w2 = spark.table(s"$cat.default.w2")
+    assert(w2.schema("c").dataType ==
+           org.apache.spark.sql.types.LongType)
+    assert(w2.head.getLong(1) == 2L)
+    Seq("w1", "w2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("column mapping r14: rename round-trips back to the physical " +
        "name; CHECK gates a general MERGE through the logical names") {
     import graft.sources.LakeTable
