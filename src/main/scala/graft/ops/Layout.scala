@@ -507,6 +507,70 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** Multi-column PARTITIONED BY (r14, verdict ask #2): the table is
+      * laid out by a TWO-column tuple — `_layout=<band>/_layout2=<par>`
+      * path segments composed in declaration order — and a partial
+      * merge touching exactly ONE (band, parity) tuple rewrites only
+      * that tuple's files while every other tuple carries over verbatim
+      * (requires pin both directions: untouched tuples carried
+      * byte-identical, the touched tuple rewritten). The touched-value
+      * routing, the carry planner, and the staged grouping all key on
+      * the full tuple, so at 100 TB a 2-column layout prunes a MERGE's
+      * rewrite set to the intersection of both dimensions — the
+      * composite-partition discipline every warehouse table with
+      * (date, region)-style layouts runs on. The oracle computes the
+      * corrected rollup straight from `orders`, so the hash-match
+      * proves the tuple-pruned rewrite lost nothing. */
+    OpDef(
+      "q_lake_multipart",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val dir = TempDirs.create("graft_lake_mp_")
+      val o = orders(s, d)
+      val width = math.max(32L,
+        o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+        .withColumn("band", expr(s"custkey div $width"))
+        .withColumn("parity", expr("custkey % 2"))
+      val full = roll(o)
+      val inTuple = col("band") === 0 && col("parity") === 0
+      // v1: the (band 0, parity 0) tuple is stale (pre-1997 slice),
+      // every other tuple correct
+      val v1Table = full.filter(!inTuple)
+        .unionByName(roll(o.filter(
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+          .filter(inTuple))
+      require(LakeTable.commit(s, dir, v1Table,
+                Some("band,parity"))(_ => None) == Right(1L),
+              "v1 commit failed")
+      val v1Files = LakeTable.currentFiles(dir)
+      require(v1Files.forall(f =>
+                LakeTable.layoutValuesOf(f).length == 2),
+              "every staged file composes both layout segments")
+      val v2 = LakeTable.mergePartial(s, dir, full.filter(inTuple),
+                 Seq("custkey"), "band,parity")(_ => None)
+      require(v2 == Right(2L), s"multi-column partial merge failed: $v2")
+      val v2Files = LakeTable.currentFiles(dir)
+      val untouched = v1Files.filter(f =>
+        LakeTable.layoutValuesOf(f) != Seq("0", "0"))
+      require(untouched.forall(v2Files.contains),
+              "untouched (band, parity) tuples must carry verbatim")
+      require(!v2Files.exists(f => v1Files.contains(f) &&
+                LakeTable.layoutValuesOf(f) == Seq("0", "0")),
+              "the touched tuple must be rewritten, not carried")
+      LakeTable.read(s, dir)
+        .select("custkey", "n_orders", "cents").orderBy("custkey")
+    },
+
     /** Manifest-stats data skipping (r8): the version is committed with
       * per-file (min, max) custkey stats recorded in the manifest, and
       * the range query routes through

@@ -176,16 +176,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
                            properties: JMap[String, String]): Table = {
     val dir = dirOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val layout = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-        Some(t.references()(0).fieldNames().mkString("."))
+    // multi-column PARTITIONED BY (r14, verdict ask #2): each identity
+    // transform becomes one layout column; the spec travels as the
+    // comma-joined string every layout surface already carries, and
+    // staged paths compose `_layout=<v1>/_layout2=<v2>/…` in
+    // declaration order
+    val layoutCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
       case other => throw new UnsupportedOperationException(
-        s"graft-lake layout is a single identity partition column " +
-        s"(layoutBy); got [${other.mkString(", ")}]")
+        s"graft-lake layout takes identity partition columns " +
+        s"(layoutBy); got [$other]")
     }
-    require(layout.forall(c => LakeCatalog.resolves(schema, c)),
-      s"PARTITIONED BY column '${layout.get}' is not in the schema")
+    layoutCols.foreach(c => require(LakeCatalog.resolves(schema, c),
+      s"PARTITIONED BY column '$c' is not in the schema"))
+    val layout =
+      if (layoutCols.isEmpty) None else Some(layoutCols.mkString(","))
     val ci = new CaseInsensitiveStringMap(properties)
     // a LOCATION clause would be silently ignored (tables live at
     // <warehouse>/<ns>/<table> by construction) — refuse it instead
@@ -275,7 +281,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         "representable (top-level columns only)")
       val name = dc.fieldNames()(0)
       val pendingNow = LakeCatalog.readPending(dir)
-      require(!pendingNow.flatMap(_.layoutBy).exists(_.equalsIgnoreCase(name)),
+      require(!pendingNow.flatMap(_.layoutBy).toSeq
+          .flatMap(_.split(',')).map(_.trim)
+          .exists(_.equalsIgnoreCase(name)),
         s"DROP COLUMN: '$name' is the table's layout column")
       pendingNow match {
         case Some(p) if LakeTable.currentVersion(dir).isEmpty =>

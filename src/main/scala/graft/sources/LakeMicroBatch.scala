@@ -196,11 +196,12 @@ private[sources] class LakeStreamingWrite(dir: String, ident: String,
         f.copy(name = LakeTable.physicalNameOf(renames, f.name))))
     val (factory, conf, ext) = org.apache.spark.sql.graftshim.FileWriteShim
       .parquetWriterFactory(SparkSession.active, physSchema)
-    // layout tables (r13, behavior 50): executor writers stage one file
-    // per layout VALUE under `_layout=<value>/` path segments — the same
-    // prune metadata stageFresh's Hive-partitioned write records, so
-    // partial merges and skipping reads prune streamed files too
-    val layoutIdx = layoutBy.map { c =>
+    // layout tables (r13, behavior 50; r14 multi-column): executor
+    // writers stage one file per layout value TUPLE under
+    // `_layout=<v1>/_layout2=<v2>/…` path segments — the same prune
+    // metadata stageFresh's Hive-partitioned write records, so partial
+    // merges and skipping reads prune streamed files too
+    val layoutIdx = LakeTable.layoutColsOf(layoutBy).map { c =>
       val i = physSchema.fieldNames.indexOf(c)
       require(i >= 0, s"layout column '$c' missing from the stream schema")
       i -> physSchema.fields(i).dataType
@@ -263,7 +264,7 @@ private[sources] class LakeStreamingDataWriterFactory(
     dir: String, writeUuid: String, schema: StructType,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration, ext: String,
-    layoutIdx: Option[(Int, org.apache.spark.sql.types.DataType)] = None)
+    layoutIdx: Seq[(Int, org.apache.spark.sql.types.DataType)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
@@ -277,15 +278,13 @@ private[sources] class LakeStreamingDataWriterFactory(
 
       private def writerFor(row: InternalRow)
           : org.apache.spark.sql.execution.datasources.OutputWriter = {
-        val seg = layoutIdx match {
-          case None => ""
-          case Some((i, dt)) =>
-            require(!row.isNullAt(i),
-              "layout column must be non-null on every streamed row")
-            "_layout=" + org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils
+        val seg = layoutIdx.zipWithIndex.map { case ((i, dt), n) =>
+          require(!row.isNullAt(i),
+            "layout column must be non-null on every streamed row")
+          LakeTable.layoutShadow(n) + "=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .escapePathName(String.valueOf(row.get(i, dt))) + "/"
-        }
+        }.mkString
         var w = writers.get(seg)
         if (w == null) {
           val rel = s"data/$writeUuid-e$epochId/$seg" +

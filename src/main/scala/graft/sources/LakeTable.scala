@@ -99,7 +99,8 @@ object LakeTable {
                           dv: Seq[String] = Seq.empty,
                           renames: Map[String, String] = Map.empty,
                           dropped: Seq[String] = Seq.empty,
-                          rows: Map[String, Long] = Map.empty)
+                          rows: Map[String, Long] = Map.empty,
+                          hidden: Map[String, Long] = Map.empty)
 
   /** List a directory's entries with the stream CLOSED on exit —
     * `Files.list` leaks a directory file descriptor until GC otherwise,
@@ -254,16 +255,39 @@ object LakeTable {
     }
   }
 
-  /** Live cardinality by manifest ARITHMETIC: Σ(file rows) − Σ(DV
-    * positions), available iff every listed data file and sidecar has a
-    * recorded count (tables whose whole history was written by r14+
-    * code). None → the caller counts. */
+  /** Per-LIVE-data-file DV-HIDDEN position counts (r14):
+    * `"hidden":["<file>|<n>", …]` — cumulative across the file's
+    * sidecar entries. Keyed by the TARGET data file, not the sidecar,
+    * because a carried sidecar can hold INERT positions (naming files a
+    * partial rewrite removed from the manifest) — per-target entries
+    * drop with their file, so Σ(hidden over listed files) is exactly
+    * the live deficit while Σ(sidecar rows) would overcount. */
+  private def manifestHidden(json: String): Map[String, Long] =
+    "\"hidden\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .map(s => "\"([^\"]+)\\|(\\d+)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
+  private def mergeHidden(base: Map[String, Long],
+                          add: Map[String, Long]): Map[String, Long] =
+    add.foldLeft(base) { case (m, (f, n)) =>
+      m.updated(f, m.getOrElse(f, 0L) + n)
+    }
+
+  /** Live cardinality by manifest ARITHMETIC: Σ(file rows) − Σ(hidden
+    * positions of listed files), available iff every listed data file
+    * has a recorded count and — when deletion vectors ride the version
+    * — the per-file hidden map was recorded too (tables whose whole
+    * history was written by r14+ code). None → the caller counts. */
   private def liveCountFromManifest(json: String): Option[Long] = {
     val rows = manifestRows(json)
     val files = manifestFiles(json)
     val dv = manifestDv(json)
-    if (files.forall(rows.contains) && dv.forall(rows.contains))
-      Some(files.iterator.map(rows).sum - dv.iterator.map(rows).sum)
+    val hidden = manifestHidden(json)
+    if (files.forall(rows.contains) && (dv.isEmpty || hidden.nonEmpty))
+      Some(files.iterator.map(rows).sum -
+           files.iterator.map(f => hidden.getOrElse(f, 0L)).sum)
     else None
   }
 
@@ -694,20 +718,42 @@ object LakeTable {
     (drop.size, reclaimed)
   }
 
-  /** Layout value a staged file path carries, if the file was written
-    * under a `_layout=<value>` directory — the manifest-level partition
-    * metadata that lets a MERGE prune its rewrite set to the touched
-    * values and carry every other file forward verbatim. Hive-style
-    * partition writing percent-ESCAPES special characters (space, '=',
-    * '/', …) into the path, so the raw segment is unescaped back to the
-    * COLUMN value before any comparison with a batch's touched set — a
-    * value like "EUROPE/WEST" must route its rewrite correctly, not
-    * silently carry the stale file because "EUROPE%2FWEST" ≠ the raw
-    * string (r9; pinned in LakeSpec). */
+  /** A layout SPEC is one or more column names, comma-separated — the
+    * natural multi-column spelling for every option-string surface
+    * (`option("layoutBy", "band,region")`, `TBLPROPERTIES`, pending
+    * JSON) and backward-identical for the single-column case (r14,
+    * verdict ask #2). */
+  private[graft] def layoutColsOf(spec: Option[String]): Seq[String] =
+    spec.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** The i-th layout shadow column / path-segment name: `_layout`,
+    * `_layout2`, `_layout3`, … — so a single-column table's paths are
+    * byte-identical to every earlier round's. */
+  private[graft] def layoutShadow(i: Int): String =
+    if (i == 0) "_layout" else s"_layout${i + 1}"
+
+  /** Layout values a staged file path carries, IN DECLARATION ORDER, if
+    * the file was written under `_layout=<v1>/_layout2=<v2>/…`
+    * directories — the manifest-level partition metadata that lets a
+    * MERGE prune its rewrite set to the touched value TUPLES and carry
+    * every other file forward verbatim. Hive-style partition writing
+    * percent-ESCAPES special characters (space, '=', '/', …) into the
+    * path, so each raw segment is unescaped back to the COLUMN value
+    * before any comparison with a batch's touched set — a value like
+    * "EUROPE/WEST" must route its rewrite correctly, not silently carry
+    * the stale file because "EUROPE%2FWEST" ≠ the raw string (r9;
+    * pinned in LakeSpec). Path order IS declaration order: partitionBy
+    * nests directories in the order given. */
+  private[graft] def layoutValuesOf(file: String): Seq[String] =
+    file.split('/').toSeq.flatMap { seg =>
+      "^_layout\\d*=(.+)$".r.findFirstMatchIn(seg).map(m =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(m.group(1)))
+    }
+
+  /** First (or only) layout value — the single-column fast path. */
   private[graft] def layoutValueOf(file: String): Option[String] =
-    "/_layout=([^/]+)/".r.findFirstMatchIn(file).map(m =>
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(m.group(1)))
+    layoutValuesOf(file).headOption
 
   // ---- staging ---------------------------------------------------------
 
@@ -738,15 +784,21 @@ object LakeTable {
       if (l2p.isEmpty) df0
       else df0.select(df0.columns.toSeq.map(n =>
         col(n).as(l2p.getOrElse(n, n))): _*)
-    val layoutBy = layoutBy0.map(c => l2p.getOrElse(c, c))
+    val layoutCols = layoutColsOf(layoutBy0).map(c => l2p.getOrElse(c, c))
     val statsBy = statsBy0.map(c => l2p.getOrElse(c, c))
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(dir, "data", uuid)
-    layoutBy match {
-      case Some(c) =>
-        df.withColumn("_layout", col(c))
-          .write.partitionBy("_layout").parquet(staging.toString)
-      case None => df.write.parquet(staging.toString)
+    if (layoutCols.isEmpty) df.write.parquet(staging.toString)
+    else {
+      // one shadow column per layout column (r14: multi-column layout) —
+      // partitionBy nests `_layout=<v1>/_layout2=<v2>/…` in declaration
+      // order, keeping each column itself in the data
+      val shadows = layoutCols.zipWithIndex.map { case (c, i) =>
+        layoutShadow(i) -> c
+      }
+      shadows.foldLeft(df) { case (d, (s, c)) => d.withColumn(s, col(c)) }
+        .write.partitionBy(shadows.map(_._1): _*)
+        .parquet(staging.toString)
     }
     val fresh = walkDir(staging)
       .filter(p => Files.isRegularFile(p))
@@ -931,12 +983,21 @@ object LakeTable {
     val baseSchema = if (base > 0L) schemaOf(dir, base) else Seq.empty
     val carriedDv = if (carry.nonEmpty && base > 0L) dvOf(dir, base)
                     else Seq.empty
-    val carriedRows =
-      if (base > 0L)
-        readManifest(dir, base)
-          .map(j => carryRows(j, carry ++ carriedDv))
-          .getOrElse(Map.empty[String, Long])
-      else Map.empty[String, Long]
+    val baseJson = if (base > 0L) readManifest(dir, base) else None
+    val carriedRows = baseJson
+      .map(j => carryRows(j, carry ++ carriedDv))
+      .getOrElse(Map.empty[String, Long])
+    // hidden entries follow their data file: carried files keep theirs,
+    // rewritten/removed files' entries drop — which is exactly what
+    // keeps the live-count arithmetic exact when carried sidecars hold
+    // inert positions (r14)
+    val carriedHidden =
+      if (carriedDv.isEmpty) Map.empty[String, Long]
+      else {
+        val keep = carry.toSet
+        baseJson.map(manifestHidden).getOrElse(Map.empty)
+          .filter { case (f, _) => keep.contains(f) }
+      }
     Staged(dir, base + 1L, carry ++ fresh.files,
            batches = if (base > 0L) batchesOf(dir, base) else Map.empty,
            schema =
@@ -950,6 +1011,7 @@ object LakeTable {
            // the DV PURGE: its snapshot read already applied the vectors
            dv = carriedDv,
            rows = carriedRows ++ fresh.rows,
+           hidden = carriedHidden,
            // column-mapping display names and drop tombstones always
            // travel (physical names in files are forever)
            renames = if (base > 0L) renamesOf(dir, base) else Map.empty,
@@ -1102,10 +1164,18 @@ object LakeTable {
       else staged.rows.toSeq.sorted
         .map { case (f, n) => s""""$f|$n"""" }
         .mkString("\"rowcounts\":[", ",", "],")
+    // per-data-file DV-hidden position counts (r14) — same encoding
+    val hiddenField = {
+      val nz = staged.hidden.filter(_._2 > 0L)
+      if (nz.isEmpty) ""
+      else nz.toSeq.sorted
+        .map { case (f, n) => s""""$f|$n"""" }
+        .mkString("\"hidden\":[", ",", "],")
+    }
     staged.files.map("\"" + _ + "\"")
       .mkString(s"""{"version":$v,"base":${staged.baseVersion},""" +
                 s""""op":"${staged.op}",$batchesField$schemaField""" +
-                s"""$statsField$dvField$renamesField$droppedField$rowsField"files":[""", ",", "]}")
+                s"""$statsField$dvField$renamesField$droppedField$rowsField$hiddenField"files":[""", ",", "]}")
   }
 
   /** Publish a staged version: claim a version number via the manifest
@@ -1509,7 +1579,7 @@ object LakeTable {
             Left(s"DELETE matched no live rows in $dir: nothing to publish")
           else Left(DvNoop + base)
         } else {
-          val (sidecars, dvRows) =
+          val (sidecars, dvRows, dvHidden) =
             writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files,
             batches = batchesOf(dir, base),
@@ -1518,7 +1588,8 @@ object LakeTable {
             dv = prevDv ++ sidecars,
             renames = manifestRenames(json),
             dropped = manifestDropped(json),
-            rows = carryRows(json, files ++ prevDv) ++ dvRows)
+            rows = carryRows(json, files ++ prevDv) ++ dvRows,
+            hidden = mergeHidden(manifestHidden(json), dvHidden))
           // audit AS A READER WOULD SEE IT: the staged manifest's own
           // vector set must hide every matching row before publish.
           // The leak re-scan is a PARANOID-mode re-verification (r14):
@@ -1572,7 +1643,7 @@ object LakeTable {
   private def writeDvSidecars(spark: SparkSession, dir: String,
                               positions: DataFrame,
                               nFiles: Int)
-      : (Seq[String], Map[String, Long]) = {
+      : (Seq[String], Map[String, Long], Map[String, Long]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val tmpOut = Paths.get(dir, "data", uuid, "dvw")
     val shards = math.max(1, math.min(16, nFiles / 4))
@@ -1589,7 +1660,21 @@ object LakeTable {
     // footer counts: driver-side metadata over the just-written tiny
     // files — no job, and the sum IS the hidden-position cardinality
     val rows = sidecars.map(s => s -> footerRowCount(dir, s)).toMap
-    (sidecars, rows)
+    // per-TARGET-file hidden counts (r14): one grouped pass over the
+    // just-written sidecars (KB-scale, page-cache hot) keyed by the
+    // manifest spelling of the target file — the granularity that lets
+    // a later partial rewrite drop a removed file's hidden entries and
+    // keep the live-count arithmetic exact (sidecar totals would count
+    // inert positions)
+    val perTarget =
+      if (rows.values.sum == 0L) Map.empty[String, Long]
+      else spark.read.parquet(
+          sidecars.map(s => Paths.get(dir, s).toString): _*)
+        .groupBy(col("file"))
+        .agg(org.apache.spark.sql.functions.count(lit(1L)).as("n"))
+        .collect()
+        .map(r => percentDecode(r.getString(0)) -> r.getLong(1)).toMap
+    (sidecars, rows, perTarget)
   }
 
   /** UPDATE WHERE via DELETION VECTORS (r12) — merge-on-read UPDATE in
@@ -1644,7 +1729,7 @@ object LakeTable {
             case (df, (c, v)) => df.withColumn(c, v)
           }.select(cols.map(col): _*)
           val fresh = stageFresh(spark, dir, updated, layoutBy, statsBy)
-          val (sidecars, dvRows) =
+          val (sidecars, dvRows, dvHidden) =
             writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files ++ fresh.files,
             batches = batchesOf(dir, base),
@@ -1656,7 +1741,8 @@ object LakeTable {
             dv = prevDv ++ sidecars,
             renames = renames,
             dropped = manifestDropped(json),
-            rows = carryRows(json, files ++ prevDv) ++ fresh.rows ++ dvRows)
+            rows = carryRows(json, files ++ prevDv) ++ fresh.rows ++ dvRows,
+            hidden = mergeHidden(manifestHidden(json), dvHidden))
           // conservation holds by manifest ARITHMETIC when every count
           // is recorded (hidden positions == staged updated copies, both
           // from the staging reads themselves, r14); the equation
@@ -1724,8 +1810,10 @@ object LakeTable {
         val (liveT, fCol, pCol) = liveTagged(spark, dir, json)
         val freshPos = liveT.filter(predicate)
           .select(col(fCol).as("file"), col(pCol).as("pos"))
-        val (sidecars, dvRows) =
-          if (freshPos.isEmpty) (Seq.empty[String], Map.empty[String, Long])
+        val (sidecars, dvRows, dvHidden) =
+          if (freshPos.isEmpty)
+            (Seq.empty[String], Map.empty[String, Long],
+             Map.empty[String, Long])
           else writeDvSidecars(spark, dir, freshPos, files.length)
         val st = Staged(dir, base + 1L, files ++ freshStage.files,
           batches = batchesOf(dir, base),
@@ -1738,7 +1826,8 @@ object LakeTable {
           renames = manifestRenames(json),
           dropped = manifestDropped(json),
           rows = carryRows(json, files ++ prevDv) ++ freshStage.rows
-            ++ dvRows)
+            ++ dvRows,
+          hidden = mergeHidden(manifestHidden(json), dvHidden))
         // audit AS A READER WOULD SEE IT: every row matching the
         // predicate in the staged version must come from the NEW data.
         // The staged-scan count-compare is PARANOID-mode (r14): the
@@ -1786,7 +1875,7 @@ object LakeTable {
           .select(col(fCol).as("file"), col(pCol).as("pos"))
         if (freshPos.isEmpty) Left(DvNoop + base)
         else {
-          val (sidecars, dvRows) =
+          val (sidecars, dvRows, dvHidden) =
             writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files,
             batches = batchesOf(dir, base),
@@ -1795,7 +1884,8 @@ object LakeTable {
             dv = prevDv ++ sidecars,
             renames = manifestRenames(json),
             dropped = manifestDropped(json),
-            rows = carryRows(json, files ++ prevDv) ++ dvRows)
+            rows = carryRows(json, files ++ prevDv) ++ dvRows,
+            hidden = mergeHidden(manifestHidden(json), dvHidden))
           // leak re-join is PARANOID-mode (r14): the positions came from
           // the same semi-join; the default trusts the recorded counts
           audit(spark, st) { df =>
@@ -1911,7 +2001,7 @@ object LakeTable {
           // written files — ONE evaluation of the target semi-join
           // instead of a count() + a re-evaluation inside the writer,
           // and zero full-table passes (the old liveCount scan)
-          val (sidecars0, dvRows) =
+          val (sidecars0, dvRows, dvHidden) =
             writeDvSidecars(spark, dir, freshPos, files.length)
           val matched = dvRows.values.sum
           val sidecars = if (matched == 0L) Seq.empty else sidecars0
@@ -1933,7 +2023,9 @@ object LakeTable {
             renames = manifestRenames(json),
             dropped = manifestDropped(json),
             rows = carryRows(json, files ++ prevDv) ++ fresh.rows ++
-              (if (matched == 0L) Map.empty[String, Long] else dvRows))
+              (if (matched == 0L) Map.empty[String, Long] else dvRows),
+            hidden = mergeHidden(manifestHidden(json),
+              if (matched == 0L) Map.empty[String, Long] else dvHidden))
           val st = st0.copy(batches =
             st0.batches ++ batch.map(b => sink -> b).toMap)
           // the full count-equation + duplicate-survivor scans are
@@ -2149,9 +2241,10 @@ object LakeTable {
           stageFresh(spark, dir, fr, layoutBy, statsBy))
         val freshFiles = fresh.map(_.files).getOrElse(Seq.empty)
         val freshCount = fresh.map(_.rowTotal).getOrElse(0L)
-        val (sidecars0, dvRows) = hidden.map(h =>
+        val (sidecars0, dvRows, dvHidden) = hidden.map(h =>
           writeDvSidecars(spark, dir, h, files.length))
-          .getOrElse((Seq.empty[String], Map.empty[String, Long]))
+          .getOrElse((Seq.empty[String], Map.empty[String, Long],
+                      Map.empty[String, Long]))
         val hiddenCount = dvRows.values.sum
         if (hiddenCount == 0L && freshCount == 0L) Left(DvNoop + base)
         else {
@@ -2186,7 +2279,10 @@ object LakeTable {
                 rows = carryRows(json, files ++ prevDv) ++
                   keepFresh.map(_.rows).getOrElse(Map.empty[String, Long]) ++
                   (if (hiddenCount == 0L) Map.empty[String, Long]
-                   else dvRows))
+                   else dvRows),
+                hidden = mergeHidden(manifestHidden(json),
+                  if (hiddenCount == 0L) Map.empty[String, Long]
+                  else dvHidden))
               audit(spark, st) { df =>
                 if (!paranoidAudit(spark)) check(df)
                 else {
@@ -2236,7 +2332,11 @@ object LakeTable {
     // set approaches the table), so refuse loudly and point at the
     // overwrite path rather than silently assembling an unbounded
     // driver-side set. limit(cap+1) bounds the collect itself.
-    val touchedRows = touching.select(layoutCol).distinct()
+    // multi-column layout (r14): the spec is comma-separated; touched
+    // values are TUPLES in declaration order
+    val layoutCols = layoutColsOf(Some(layoutCol))
+    require(layoutCols.nonEmpty, "partial rewrite needs a layout column")
+    val touchedRows = touching.select(layoutCols.map(col): _*).distinct()
       .limit(maxTouchedLayoutValues + 1).collect()
     require(touchedRows.length <= maxTouchedLayoutValues,
       s"partial rewrite touches more than $maxTouchedLayoutValues " +
@@ -2252,16 +2352,18 @@ object LakeTable {
     // while String.valueOf renders "null" — the mismatch silently carries
     // the stale file, so refuse loudly instead (real tables make the
     // layout column NOT NULL for the same reason)
-    require(!touchedRows.exists(_.isNullAt(0)),
+    require(!touchedRows.exists(r => layoutCols.indices.exists(r.isNullAt)),
       s"partial rewrite requires a non-null layout value on every change " +
       s"row ('$layoutCol' has nulls)")
-    val touched = touchedRows.map(r => String.valueOf(r.get(0))).toSet
+    val touched: Set[Seq[String]] = touchedRows
+      .map(r => layoutCols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+      .toSet
     val changeKeys = touching.select(keys.map(col): _*).distinct()
-    // incremental re-plan cache: per layout value, the live input files
-    // the staged output was computed from, and that staged output
-    val FLAT = "\u0000flat"
-    var prevInputs = Map.empty[String, Seq[String]]
-    var stagedVals = Map.empty[String, Fresh]
+    // incremental re-plan cache: per layout value TUPLE, the live input
+    // files the staged output was computed from, and that staged output
+    val FLAT = Seq("\u0000flat")
+    var prevInputs = Map.empty[Seq[String], Seq[String]]
+    var stagedVals = Map.empty[Seq[String], Fresh]
     var planned = false
     var prevDv: Seq[String] = null
     val result = commitSerialized(dir) { base =>
@@ -2282,14 +2384,19 @@ object LakeTable {
       }
       prevDv = dvNow
       val live = filesOf(dir, base)
-      val (rewriteFiles, carried) = live.partition(f =>
-        layoutValueOf(f).forall(touched.contains))
-      val hasFlat = rewriteFiles.exists(f => layoutValueOf(f).isEmpty)
-      val inputs: Map[String, Seq[String]] =
+      // a file rewrites when its layout tuple is touched OR it carries
+      // no complete tuple (flat/legacy layout — conservative rewrite)
+      val (rewriteFiles, carried) = live.partition { f =>
+        val vs = layoutValuesOf(f)
+        vs.length != layoutCols.length || touched.contains(vs)
+      }
+      val hasFlat = rewriteFiles.exists(f =>
+        layoutValuesOf(f).length != layoutCols.length)
+      val inputs: Map[Seq[String], Seq[String]] =
         if (hasFlat) Map(FLAT -> rewriteFiles.sorted)
-        else rewriteFiles.groupBy(f => layoutValueOf(f).get)
+        else rewriteFiles.groupBy(layoutValuesOf)
           .map { case (v, fs) => v -> fs.sorted }
-      val values: Set[String] = if (hasFlat) Set(FLAT) else touched
+      val values: Set[Seq[String]] = if (hasFlat) Set(FLAT) else touched
       val stale = values.filter(v =>
         !planned || !stagedVals.contains(v)
           || prevInputs.getOrElse(v, Nil) != inputs.getOrElse(v, Nil))
@@ -2297,8 +2404,10 @@ object LakeTable {
         val staleFiles = stale.toSeq.flatMap(inputs.getOrElse(_, Nil))
         val ups =
           if (hasFlat || stale == values) upserts
-          else upserts.filter(
-            col(layoutCol).cast("string").isin(stale.toSeq: _*))
+          else upserts.filter(stale.toSeq.map(t =>
+            layoutCols.zip(t).map { case (c, v) =>
+              col(c).cast("string") === lit(v)
+            }.reduce(_ && _)).reduce(_ || _))
         val baseRows =
           if (staleFiles.isEmpty) ups.limit(0)
           else toLogical(applyDv(spark, dir, spark.read
@@ -2311,22 +2420,28 @@ object LakeTable {
         val fresh = stageFresh(spark, dir, baseRows.unionByName(ups),
                                Some(layoutCol), statsBy)
         val byVal = fresh.files.groupBy(f =>
-          if (hasFlat) FLAT else layoutValueOf(f).getOrElse(FLAT))
+          if (hasFlat) FLAT else layoutValuesOf(f) match {
+            case vs if vs.length == layoutCols.length => vs
+            case _ => FLAT
+          })
         val statFiles = fresh.stats.groupBy(_.split('|').head)
         stagedVals = stagedVals ++ stale.map { v =>
           val fs = byVal.getOrElse(v, Seq.empty).sorted
           v -> Fresh(fs, fresh.schema,
-                     fs.flatMap(statFiles.getOrElse(_, Nil)))
+                     fs.flatMap(statFiles.getOrElse(_, Nil)),
+                     fs.map(f => f -> fresh.rows.getOrElse(f, 0L)).toMap)
         }
         prevInputs = stale.foldLeft(prevInputs)((m, v) =>
           m.updated(v, inputs.getOrElse(v, Nil)))
         planned = true
       }
+      val sortedVals = stagedVals.toSeq.sortBy(_._1.mkString("\u0000"))
       val freshAll = Fresh(
-        stagedVals.toSeq.sortBy(_._1).flatMap(_._2.files),
+        sortedVals.flatMap(_._2.files),
         stagedVals.values.find(_.schema.nonEmpty)
           .map(_.schema).getOrElse(Seq.empty),
-        stagedVals.toSeq.sortBy(_._1).flatMap(_._2.stats))
+        sortedVals.flatMap(_._2.stats),
+        sortedVals.flatMap(_._2.rows).toMap)
       val st0 = assemble(dir, base, freshAll, carried, op)
       val st = st0.copy(batches =
         st0.batches ++ batch.map(b => sink -> b).toMap)
@@ -2386,13 +2501,13 @@ object LakeTable {
       val n = readManifest(dir, base).flatMap(liveCountFromManifest)
         .getOrElse(snap.count())
       val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
-      val laid = layoutBy match {
+      val laid = layoutColsOf(layoutBy) match {
         // layout-preserving compaction: one shuffle keyed on the layout
-        // column makes partitionBy write ONE file per layout value, so
-        // later partial merges keep their prune metadata
-        case Some(c) => snap.repartition(col(c))
-        case None if clusterBy.isEmpty => snap.coalesce(bins)
-        case None => snap.repartitionByRange(bins, clusterBy.map(col): _*)
+        // column(s) makes partitionBy write ONE file per layout value
+        // tuple, so later partial merges keep their prune metadata
+        case cs if cs.nonEmpty => snap.repartition(cs.map(col): _*)
+        case _ if clusterBy.isEmpty => snap.coalesce(bins)
+        case _ => snap.repartitionByRange(bins, clusterBy.map(col): _*)
       }
       audit(spark, stageAt(spark, dir, base, laid, layoutBy, Seq.empty,
                            statsBy, "optimize")) { df =>
@@ -2427,6 +2542,7 @@ object LakeTable {
                        schema = manifestSchema(json),
                        stats = manifestStats(json),
                        rows = manifestRows(json),
+                       hidden = manifestHidden(json),
                        baseVersion = base, op = "restore",
                        dv = manifestDv(json),
                        // a restore resurrects the restored version's
@@ -2500,7 +2616,8 @@ object LakeTable {
               baseVersion = 0L, op = "clone", dv = manifestDv(json),
               renames = manifestRenames(json),
               dropped = manifestDropped(json),
-              rows = manifestRows(json))))
+              rows = manifestRows(json),
+              hidden = manifestHidden(json))))
           }
       }
     }
@@ -2550,7 +2667,8 @@ object LakeTable {
                 baseVersion = base, op = "alter", dv = manifestDv(json),
                 renames = manifestRenames(json),
                 dropped = manifestDropped(json),
-                rows = manifestRows(json)))
+                rows = manifestRows(json),
+                hidden = manifestHidden(json)))
           }
         }
       }
@@ -2614,7 +2732,8 @@ object LakeTable {
                 baseVersion = base, op = "alter", dv = manifestDv(json),
                 renames = renames,
                 dropped = manifestDropped(json),
-                rows = manifestRows(json)))
+                rows = manifestRows(json),
+                hidden = manifestHidden(json)))
           }
         }
       }
@@ -2662,6 +2781,7 @@ object LakeTable {
                 a.length > 1 && a(1) == phys
               },
               rows = manifestRows(json),
+              hidden = manifestHidden(json),
               baseVersion = base, op = "alter", dv = manifestDv(json),
               renames = renames - phys,
               dropped = (manifestDropped(json) :+ phys).distinct))
@@ -2716,7 +2836,8 @@ object LakeTable {
                   if (renameBack) renames - phys
                   else renames + (phys -> to),
                 dropped = manifestDropped(json),
-                rows = manifestRows(json)))
+                rows = manifestRows(json),
+                hidden = manifestHidden(json)))
           }
         }
       }

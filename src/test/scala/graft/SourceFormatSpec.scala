@@ -584,10 +584,14 @@ class SourceFormatSpec extends SparkTestBase {
     val dir3 = java.nio.file.Paths.get(wh, "default", "c3").toString
     assert(LakeTable.currentFiles(dir3).forall(_.contains("_layout=")))
 
-    // unsupported partition shapes refuse at CREATE
+    // multi-column identity layout is supported since r14; only
+    // non-identity transforms (bucket/days/…) refuse at CREATE
+    spark.sql(s"CREATE TABLE $cat.default.c4 (k BIGINT, b BIGINT) " +
+      "PARTITIONED BY (k, b)")
+    spark.sql(s"DROP TABLE $cat.default.c4")
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.default.c4 (k BIGINT, b BIGINT) " +
-        "PARTITIONED BY (k, b)")
+      spark.sql(s"CREATE TABLE $cat.default.c4x (k BIGINT, b BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
     }
     // LOCATION would be silently ignored (tables live in the
     // warehouse) — it refuses instead
@@ -1322,6 +1326,80 @@ class SourceFormatSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $cat.default.d2 DROP COLUMN band")
     }
     Seq("d1", "d2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
+  test("multi-column PARTITIONED BY (r14): composed _layout segments, " +
+       "partial merge carries untouched (v1,v2) bands verbatim, " +
+       "streamed epochs land per-tuple") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec_r14mc"
+    val wh = Files.createTempDirectory("graft_lake_whr14mc_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "mc1").toString
+    (1L to 40L).map(k => (k, k % 4L,
+                          if ((k / 4L) % 2L == 0L) "E" else "W",
+                          k * 10L))
+      .toDF("k", "band", "hemi", "v").createOrReplaceTempView("mc_src")
+    spark.sql(s"CREATE TABLE $cat.default.mc1 " +
+      "PARTITIONED BY (band, hemi) AS SELECT * FROM mc_src")
+    val filesV1 = LakeTable.currentFiles(dir)
+    assert(filesV1.nonEmpty && filesV1.forall(f =>
+      f.contains("_layout=") && f.contains("_layout2=")),
+      s"CTAS composes both layout segments: $filesV1")
+    // every (band, hemi) tuple present: 4 bands x 2 hemis
+    assert(filesV1.map(LakeTable.layoutValuesOf).map(_.toList).toSet
+      .size == 8, "one directory tuple per (band, hemi)")
+    assert(spark.table(s"$cat.default.mc1").count() == 40L)
+
+    // partial merge touching ONE tuple: every other (band, hemi)
+    // band's files carry VERBATIM
+    // k=8 lives at (band 0, hemi E); k=44 is a fresh key claiming the
+    // same tuple
+    val ups = Seq((8L, 0L, "E", 999L), (44L, 0L, "E", 440L))
+      .toDF("k", "band", "hemi", "v")
+    assert(LakeTable.mergePartial(spark, dir, ups, Seq("k"),
+      "band,hemi")(_ => None) == Right(2L))
+    val filesV2 = LakeTable.currentFiles(dir)
+    val untouchedV1 = filesV1.filterNot(f =>
+      LakeTable.layoutValuesOf(f) == Seq("0", "E"))
+    assert(untouchedV1.forall(filesV2.contains),
+      "untouched (band, hemi) bands must carry verbatim")
+    assert(!filesV2.exists(f => filesV1.contains(f) &&
+      LakeTable.layoutValuesOf(f) == Seq("0", "E")),
+      "the touched tuple's files must be rewritten, not carried")
+    val m = spark.table(s"$cat.default.mc1").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m.size == 41 && m(8L) == 999L && m(44L) == 440L &&
+           m(4L) == 40L && m(12L) == 120L,
+           s"merge routed by the tuple: ${m.toSeq.sorted}")
+    // manifest row counts stay complete through the partial merge
+    val v2 = LakeTable.currentVersion(dir).get
+    val rows2 = LakeTable.rowsOf(dir, v2)
+    assert(filesV2.forall(rows2.contains),
+      "every carried AND rewritten file keeps a row count")
+    assert(filesV2.map(rows2).sum == 41L)
+
+    // a streamed epoch onto the 2-column layout stages per-tuple files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val cp = Files.createTempDirectory("graft_mc_cp_").toString
+    val q = mem.toDF().toDF("k", "band", "hemi", "v")
+      .writeStream.option("checkpointLocation", cp)
+      .toTable(s"$cat.default.mc1")
+    mem.addData((100L, 1L, "E", 1L), (101L, 2L, "W", 2L))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = LakeTable.currentFiles(dir).filterNot(filesV2.contains)
+    assert(streamed.nonEmpty && streamed.forall(f =>
+      LakeTable.layoutValuesOf(f).length == 2),
+      s"streamed files carry both segments: $streamed")
+    assert(streamed.map(LakeTable.layoutValuesOf).map(_.toList).toSet ==
+      Set(List("1", "E"), List("2", "W")),
+      s"one file per streamed (band, hemi) tuple: $streamed")
+    assert(spark.table(s"$cat.default.mc1").count() == 43L)
+    spark.sql(s"DROP TABLE $cat.default.mc1")
   }
 
   test("VACUUM RETAIN n HOURS (r14): backdated commit stamps reclaim " +
