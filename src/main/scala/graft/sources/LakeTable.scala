@@ -816,8 +816,46 @@ object LakeTable {
         fresh.map(f => Paths.get(dir, f).toString): _*)
       val schema = read.schema.fields.toSeq
         .map(f => s"${f.name} ${f.dataType.sql}")
-      val (stats, rows) = statsAndRows(spark, dir, read, fresh, statsBy)
-      Fresh(fresh, schema, stats, rows)
+      // layout columns get their per-file stats SYNTHESIZED from the
+      // path segments (r14): a layout file's value is its min = max, so
+      // every layout table prunes reads on its partition columns through
+      // the existing typed-stats machinery — partition pruning for free,
+      // zero extra scan, no statsBy declaration needed. The grouped
+      // stats pass covers only the remaining declared columns.
+      val types = read.schema.fields.map(f => f.name -> f.dataType).toMap
+      val layoutStats = fresh.flatMap { f =>
+        val vs = layoutValuesOf(f)
+        if (vs.length != layoutCols.length) Seq.empty
+        else layoutCols.zip(vs).flatMap { case (c, v) =>
+          encPathStat(types.get(c), v).map { case (k, e) =>
+            s"$f|$c|$k|$e|$e"
+          }
+        }
+      }
+      val (stats, rows) = statsAndRows(spark, dir, read, fresh,
+        statsBy.filterNot(layoutCols.contains))
+      Fresh(fresh, schema, (stats ++ layoutStats).sorted, rows)
+    }
+  }
+
+  /** Typed stats encoding of a layout PATH value (already unescaped) in
+    * the column's own comparison domain — None (no entry = keep-file)
+    * for the Hive null partition, unparseable values, and types without
+    * an ordered prune domain. */
+  private def encPathStat(dt: Option[org.apache.spark.sql.types.DataType],
+                          raw: String): Option[(Char, String)] = {
+    import org.apache.spark.sql.types._
+    if (raw == "__HIVE_DEFAULT_PARTITION__") None
+    else dt.flatMap {
+      case ByteType | ShortType | IntegerType | LongType =>
+        scala.util.Try(raw.toLong).toOption.map(v => ('L', v.toString))
+      case FloatType | DoubleType =>
+        scala.util.Try(raw.toDouble).toOption.map(v => ('D', v.toString))
+      case StringType => Some(('S', encodeStatString(raw)))
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay)
+          .toOption.map(v => ('A', v.toString))
+      case _ => None
     }
   }
 

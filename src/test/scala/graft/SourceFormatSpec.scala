@@ -1381,6 +1381,28 @@ class SourceFormatSpec extends SparkTestBase {
       "every carried AND rewritten file keeps a row count")
     assert(filesV2.map(rows2).sum == 41L)
 
+    // layout columns prune READS with zero statsBy declaration (r14):
+    // each file's path value is synthesized into the manifest as a
+    // typed min = max stats entry, so an equality filter on either
+    // layout column drops every other tuple's files before any footer
+    // is opened — partition pruning through the stats machinery
+    val v2ver = LakeTable.currentVersion(dir).get
+    assert(LakeTable.statsOf(dir, v2ver).keys.exists(_._2 == "band") &&
+           LakeTable.statsOf(dir, v2ver).keys.exists(_._2 == "hemi"),
+      "layout columns carry synthesized per-file stats")
+    val pruned = spark.read.format("graft-lake")
+      .option("path", dir).load()
+      .filter(col("band") === 1L && col("hemi") === "E")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 40L).filter(k => k % 4L == 1L && (k / 4L) % 2L == 0L),
+      "the pruned read returns exactly the tuple's rows")
+    val scanned = graft.sources.LakeRelation.lastScanFiles.get()
+    assert(scanned.forall(f =>
+      LakeTable.layoutValuesOf(f) == Seq("1", "E")),
+      s"only the (1, E) tuple's files may be scanned: $scanned")
+    assert(scanned.size < filesV2.size,
+      "the prune must actually drop files")
+
     // a streamed epoch onto the 2-column layout stages per-tuple files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
