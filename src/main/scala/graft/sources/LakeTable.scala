@@ -2737,7 +2737,12 @@ object LakeTable {
       (integralRank.contains(f) && integralRank.contains(t) &&
         integralRank(f) < integralRank(t)) ||
       (floatRank.contains(f) && floatRank.contains(t) &&
-        floatRank(f) < floatRank(t))
+        floatRank(f) < floatRank(t)) ||
+      // the one LOSSLESS cross-family widening the parquet readers
+      // up-cast natively (probed on this Spark): sub-64-bit integrals
+      // fit a double exactly; BIGINT→DOUBLE stays refused (lossy past
+      // 2^53) — the Delta type-widening set
+      (Set("TINYINT", "SMALLINT", "INT").contains(f) && t == "DOUBLE")
     }
     commitSerialized(dir) { base =>
       if (base == 0L) Left(s"no published version in $dir")

@@ -1569,6 +1569,17 @@ class SourceFormatSpec extends SparkTestBase {
             Option(e2.getCause).flatMap(c => Option(c.getMessage)))
       .exists(_.contains("widening")), s"refusal names the rule: $e2")
 
+    // the lossless cross-family widening: INT -> DOUBLE (sub-64-bit
+    // integrals fit a double exactly; the parquet readers up-cast
+    // INT32 natively). BIGINT -> DOUBLE stays refused (lossy past 2^53).
+    spark.sql(s"CREATE TABLE $cat.default.w3 (a INT, b BIGINT)")
+    spark.sql(s"INSERT INTO $cat.default.w3 VALUES (7, 9)")
+    spark.sql(s"ALTER TABLE $cat.default.w3 ALTER COLUMN a TYPE DOUBLE")
+    assert(spark.table(s"$cat.default.w3").head.getDouble(0) == 7.0)
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.default.w3 ALTER COLUMN b TYPE DOUBLE") }
+    spark.sql(s"DROP TABLE $cat.default.w3")
+
     // widening a RENAMED column resolves through the display map
     spark.sql(s"CREATE TABLE $cat.default.w2 (a INT, b INT) ")
     spark.sql(s"INSERT INTO $cat.default.w2 VALUES (1, 2)")
