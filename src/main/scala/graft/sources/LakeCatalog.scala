@@ -628,7 +628,16 @@ class LakeV2Table(val dir: String, ident: String,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // MERGE ... WITH SCHEMA EVOLUTION (r14): Spark's own
+      // ResolveMergeIntoSchemaEvolution computes the source/target
+      // schema diff and drives it through TableCatalog.alterTable —
+      // landing on the SAME metadata-only AddColumn / lossless
+      // type-widening commits the explicit ALTER statements use; the
+      // evolved relation then reloads and the merge binds as usual.
+      // Unsupported diffs (narrowing, cross-family) refuse through the
+      // same gates as explicit ALTERs.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog: the
     * [[V1Write]] exit onto the same serialized commit protocol as every

@@ -1328,6 +1328,69 @@ class SourceFormatSpec extends SparkTestBase {
     Seq("d1", "d2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION (r14): new source columns evolve " +
+       "the target additively, widening evolves the type, plain MERGE " +
+       "still refuses unknown columns") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec_r14me"
+    val wh = Files.createTempDirectory("graft_lake_whr14me_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "me1").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("me_t")
+    spark.sql(s"CREATE TABLE $cat.default.me1 AS SELECT * FROM me_t")
+    Seq((2L, 22L, "x"), (3L, 33L, "y")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("me_s")
+
+    // WITHOUT the keyword, an unknown column still refuses at analysis
+    val e = intercept[Exception] { spark.sql(
+      s"""MERGE INTO $cat.default.me1 AS t USING me_s AS s ON t.k = s.k
+          WHEN NOT MATCHED THEN INSERT (k, v, tag)
+            VALUES (s.k, s.v, s.tag)""") }
+    assert(Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")),
+      s"plain MERGE must refuse the unknown column: $e")
+
+    // WITH SCHEMA EVOLUTION: Spark's analyzer computes the diff and
+    // drives it through the catalog's alterTable — the same
+    // metadata-only ADD COLUMNS commit the explicit ALTER uses — then
+    // the merge binds as usual; old rows null-fill the new column
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.default.me1 AS t
+          USING me_s AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+          WHEN NOT MATCHED THEN INSERT (k, v, tag)
+            VALUES (s.k, s.v, s.tag)""")
+    val got = spark.table(s"$cat.default.me1").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, 10L, null), (2L, 22L, "x"), (3L, 33L, "y")),
+      s"evolved merge state wrong: $got")
+    // the evolution rode the metadata-only commit: the pre-merge data
+    // files are all still listed (the merge added sidecars + fresh
+    // files, rewrote nothing)
+    assert(LakeTable.currentLogicalSchema(dir)
+      .exists(_.startsWith("tag ")), "the recorded schema evolved")
+
+    // type widening through evolution: a BIGINT source column against
+    // an INT target column widens the target in the same statement
+    val dir2 = java.nio.file.Paths.get(wh, "default", "me2").toString
+    spark.sql(s"CREATE TABLE $cat.default.me2 (k BIGINT, n INT)")
+    spark.sql(s"INSERT INTO $cat.default.me2 VALUES (1, 5)")
+    Seq((2L, 7L)).toDF("k", "n").createOrReplaceTempView("me_s2")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.default.me2 AS t
+          USING me_s2 AS s ON t.k = s.k
+          WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.n)""")
+    assert(spark.table(s"$cat.default.me2").schema("n").dataType ==
+           org.apache.spark.sql.types.LongType,
+      "the INT target column widens to the source's BIGINT")
+    assert(spark.table(s"$cat.default.me2").orderBy("k").collect()
+      .map(_.getLong(1)).toSeq == Seq(5L, 7L))
+    Seq("me1", "me2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("multi-column PARTITIONED BY (r14): composed _layout segments, " +
        "partial merge carries untouched (v1,v2) bands verbatim, " +
        "streamed epochs land per-tuple") {
