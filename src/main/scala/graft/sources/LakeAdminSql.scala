@@ -231,6 +231,9 @@ case class DescribeDetailCommand(ident: String)
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("n_dv", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
+    // live cardinality by manifest arithmetic (r14): Σ(file rows) −
+    // Σ(DV-hidden); NULL on pre-r14 history where counts are unrecorded
+    AttributeReference("n_rows", LongType, nullable = true)(),
     AttributeReference("layout_by", org.apache.spark.sql.types.StringType,
       nullable = true)(),
     AttributeReference("schema", org.apache.spark.sql.types.StringType,
@@ -248,6 +251,8 @@ case class DescribeDetailCommand(ident: String)
       catch { case _: Throwable => 0L }).sum
     Seq(Row(v, LakeTable.opOf(dir, v), files.size.toLong,
       LakeTable.dvOf(dir, v).size.toLong, bytes,
+      LakeTable.liveRowCountOf(dir, v)
+        .map(java.lang.Long.valueOf).orNull,
       LakeCatalog.readPending(dir).flatMap(_.layoutBy).orNull,
       LakeTable.logicalSchemaOf(dir, v).mkString(", "),
       LakeTable.commitTimeOf(dir, v)))

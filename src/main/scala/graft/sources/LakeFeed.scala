@@ -92,11 +92,15 @@ private[sources] object LakeFeedTable {
   }
 }
 
-/** Batch half of the `.changes` table: the full retained history as one
-  * frame — [[LakeTable.changesBetween]] over `(0, current]`, exactly the
-  * batch q_lake_changes surface behind a catalog name. */
+/** Batch half of the `.changes` table: the retained history as one
+  * frame — [[LakeTable.changesBetween]] over `(from, to]` (full history
+  * by default), exactly the batch q_lake_changes surface behind a
+  * catalog name; the V1 `readChangeFeed` relation passes explicit
+  * bounds (r14). */
 private[graft] class LakeChangesScanShim(ctx: SQLContext, dir: String,
-                                         val schema: StructType)
+                                         val schema: StructType,
+                                         from: Option[Long] = None,
+                                         to: Option[Long] = None)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
 
@@ -109,7 +113,11 @@ private[graft] class LakeChangesScanShim(ctx: SQLContext, dir: String,
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema)
       case Some(v) =>
-        LakeTable.changesBetween(spark, dir, 0L, v)
+        val lo = from.getOrElse(0L)
+        val hi = to.getOrElse(v)
+        require(hi >= lo,
+          s"change-feed window is empty or inverted: ($lo, $hi]")
+        LakeTable.changesBetween(spark, dir, lo, hi)
           .select(schema.fieldNames.toIndexedSeq
             .map(org.apache.spark.sql.functions.col): _*)
     }

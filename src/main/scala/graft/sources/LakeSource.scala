@@ -108,6 +108,32 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val dir = LakeSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-lake requires option 'path'")))
+    // BATCH change-feed read (r14, the Delta `readChangeFeed` spelling):
+    // the retained history as stamped change rows, bounded by INCLUSIVE
+    // `startingVersion`/`endingVersion` (or their timestamp twins —
+    // start means "committed at or after", end "at or before"; defaults:
+    // full retained history). changesBetween's vacuum guards refuse a
+    // reclaimed bound loudly.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      require(parameters.get("versionAsOf").isEmpty,
+        "readChangeFeed and versionAsOf cannot combine — bound the feed " +
+        "with startingVersion/endingVersion instead")
+      require(parameters.get("startingVersion").isEmpty ||
+              parameters.get("startingTimestamp").isEmpty,
+        "set either startingVersion or startingTimestamp, not both")
+      require(parameters.get("endingVersion").isEmpty ||
+              parameters.get("endingTimestamp").isEmpty,
+        "set either endingVersion or endingTimestamp, not both")
+      // inclusive start → exclusive changesBetween floor
+      val from = parameters.get("startingVersion").map(_.toLong - 1L)
+        .orElse(parameters.get("startingTimestamp")
+          .map(LakeTable.versionFloorBefore(dir, _)))
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .orElse(parameters.get("endingTimestamp")
+          .map(LakeTable.startingVersionAt(dir, _)))
+      return new LakeChangesScanShim(sqlContext, dir,
+        LakeFeedTable.feedSchemaOf(dir), from, to)
+    }
     new LakeRelation(sqlContext, dir,
                      parameters.get("versionAsOf").map(_.toLong),
                      parameters.get("layoutBy"),

@@ -291,6 +291,14 @@ object LakeTable {
     else None
   }
 
+  /** A version's LIVE row count by manifest arithmetic (r14) — None on
+    * pre-r14 history where counts are unrecorded. The observability
+    * spelling of [[liveCountFromManifest]] (DESCRIBE DETAIL's `n_rows`):
+    * zero scans, zero footers. */
+  private[sources] def liveRowCountOf(dir: String,
+                                      version: Long): Option[Long] =
+    readManifest(dir, version).flatMap(liveCountFromManifest)
+
   /** Paranoid-audit switch (r14, verdict ask #4): `true` restores the
     * full-scan commit-time audits (count equations, leak joins, dup
     * checks) the manifest row-count arithmetic replaced. The default
@@ -3029,16 +3037,28 @@ object LakeTable {
     * checkpointed offsets the engine WALs are plain versions, so
     * restarts replay identically even if the clock mapping would have
     * moved (markers vacuumed meanwhile). */
-  private[graft] def startingVersionAt(dir: String, raw: String): Long = {
+  private[graft] def startingVersionAt(dir: String, raw: String): Long =
+    versions(dir)
+      .filter(v => commitTimeOf(dir, v).getTime <= parseInstantMillis(raw))
+      .lastOption.getOrElse(0L)
+
+  /** Newest version committed STRICTLY BEFORE the instant — the
+    * EXCLUSIVE floor for a change-feed window whose `startingTimestamp`
+    * is inclusive (Delta CDF semantics: changes committed at or after
+    * the instant are delivered). */
+  private[sources] def versionFloorBefore(dir: String, raw: String): Long =
+    versions(dir)
+      .filter(v => commitTimeOf(dir, v).getTime < parseInstantMillis(raw))
+      .lastOption.getOrElse(0L)
+
+  private def parseInstantMillis(raw: String): Long = {
     val t = raw.trim
-    val ms = scala.util.Try(t.toLong).getOrElse(
+    scala.util.Try(t.toLong).getOrElse(
       scala.util.Try(java.sql.Timestamp.valueOf(t).getTime).getOrElse(
         scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
           .getOrElse(throw new IllegalArgumentException(
-            s"cannot parse startingTimestamp '$raw': use epoch millis, " +
+            s"cannot parse timestamp '$raw': use epoch millis, " +
             "'yyyy-MM-dd HH:mm:ss[.f]', or an ISO-8601 instant"))))
-    versions(dir).filter(v => commitTimeOf(dir, v).getTime <= ms)
-      .lastOption.getOrElse(0L)
   }
 
   /** Shared option plumbing: `startingVersion` / `startingTimestamp`

@@ -854,9 +854,13 @@ class SourceFormatSpec extends SparkTestBase {
     assert(dRow.getLong(0) == LakeTable.currentVersion(dir).get)
     assert(dRow.getLong(2) > 0L && dRow.getLong(4) > 0L,
       "file count and byte size must be real")
-    assert(dRow.getString(6).startsWith("k BIGINT"),
-      s"the logical schema rides the detail row: ${dRow.getString(6)}")
-    assert(dRow.getTimestamp(7) != null)
+    // n_rows (r14): live cardinality by manifest arithmetic — must
+    // equal the scanned count with zero scans behind it
+    assert(dRow.getLong(5) == spark.table(s"$cat.default.h1").count(),
+      s"n_rows must be the live cardinality: $dRow")
+    assert(dRow.getString(7).startsWith("k BIGINT"),
+      s"the logical schema rides the detail row: ${dRow.getString(7)}")
+    assert(dRow.getTimestamp(8) != null)
 
     // RESTORE TABLE ... TO VERSION AS OF (r13): SQL spelling of the
     // zero-movement restore — v1's two rows return, history intact
@@ -1326,6 +1330,60 @@ class SourceFormatSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $cat.default.d2 DROP COLUMN band")
     }
     Seq("d1", "d2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
+  test("batch readChangeFeed (r14): inclusive version/timestamp bounds " +
+       "window the feed; defaults replay the full retained history; " +
+       "vacuumed bounds refuse") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdf_batch_").toString
+    for (i <- 1 to 4)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i.toLong * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    // deterministic stamps: v(i) at t0 + i seconds
+    val t0 = System.currentTimeMillis() - 60000L
+    for (v <- 1 to 4)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"commit-v$v"),
+        (t0 + v * 1000L).toString.getBytes("UTF-8"))
+    def feed(opts: (String, String)*): Seq[(Long, Long)] = {
+      val r = opts.foldLeft(spark.read.format("graft-lake")
+          .option("path", dir).option("readChangeFeed", "true")) {
+        case (b, (k, vv)) => b.option(k, vv)
+      }.load()
+      r.orderBy("_commit_version", "k").collect()
+        .map(x => (x.getAs[Long]("_commit_version"), x.getAs[Long]("k")))
+        .toSeq
+    }
+    assert(feed() == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)),
+      "default = the full retained history")
+    assert(feed("startingVersion" -> "3") == Seq((3L, 3L), (4L, 4L)),
+      "startingVersion is INCLUSIVE")
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "3")
+      == Seq((2L, 2L), (3L, 3L)), "endingVersion is INCLUSIVE")
+    // timestamp twins: start = at-or-after, end = at-or-before
+    assert(feed("startingTimestamp" -> (t0 + 3000L).toString)
+      == Seq((3L, 3L), (4L, 4L)))
+    assert(feed("startingTimestamp" -> (t0 + 2500L).toString,
+                "endingTimestamp" -> (t0 + 3500L).toString)
+      == Seq((3L, 3L)))
+    // stamped columns ride along
+    val one = spark.read.format("graft-lake").option("path", dir)
+      .option("readChangeFeed", "true").option("startingVersion", "4")
+      .load().collect().head
+    assert(one.getAs[String]("_change_type") == "insert" &&
+           one.getAs[java.sql.Timestamp]("_commit_timestamp") != null)
+    // option conflicts and vacuumed bounds refuse loudly
+    intercept[Exception] { feed("startingVersion" -> "1",
+                                "startingTimestamp" -> t0.toString) }
+    intercept[Exception] { feed("startingVersion" -> "4",
+                                "endingVersion" -> "2") }
+    LakeTable.vacuum(dir, 2)
+    intercept[Exception] { feed("startingVersion" -> "2") }
+    assert(feed("startingVersion" -> "4") == Seq((4L, 4L)),
+      "bounds inside the retained window keep working after vacuum")
   }
 
   test("MERGE WITH SCHEMA EVOLUTION (r14): new source columns evolve " +
