@@ -47,17 +47,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           Option(target).map(_.toLong),
           Option(zorder).toSeq.flatMap(_.split(','))
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-      case VacuumRe(ident, keep, unit) =>
+      case VacuumRe(ident, keep, unit, dry) =>
         // RETAIN n HOURS (r14) = wall-clock retention; RETAIN n
-        // VERSIONS (and the bare default, 10) = version-count retention
+        // VERSIONS (and the bare default, 10) = version-count
+        // retention; DRY RUN (r14) plans and counts, mutates nothing
+        val dryRun = dry != null
         if (Option(unit).exists(_.toUpperCase.startsWith("HOUR")))
-          VacuumLakeCommand(ident, 0, retainHours = Some(keep.toLong))
+          VacuumLakeCommand(ident, 0, retainHours = Some(keep.toLong),
+                            dryRun = dryRun)
         else
-          VacuumLakeCommand(ident, Option(keep).map(_.toInt).getOrElse(10))
+          VacuumLakeCommand(ident,
+            Option(keep).map(_.toInt).getOrElse(10), dryRun = dryRun)
       case HistoryRe(ident) => DescribeHistoryCommand(ident)
       case DetailRe(ident) => DescribeDetailCommand(ident)
       case RestoreRe(ident, version) =>
         RestoreLakeCommand(ident, version.toLong)
+      case RestoreTsRe(ident, quoted, bare) =>
+        RestoreLakeCommand(ident, -1L,
+          timestamp = Some(Option(quoted).getOrElse(bare)))
       case CloneRe(dst, src, version) =>
         CloneLakeCommand(dst, src, Option(version).map(_.toLong))
       case _ => delegate.parsePlan(sqlText)
@@ -89,7 +96,8 @@ object GraftSqlParser {
      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+([\w.`]+)""" +
-     """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?\s*;?\s*$""").r
+     """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?""" +
+     """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val DetailRe =
@@ -97,6 +105,11 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+""" +
      """AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  // RESTORE ... TO TIMESTAMP AS OF '<instant>' (r14): quoted instant or
+  // bare epoch millis, resolved by the batch TIMESTAMP AS OF rule
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+TIMESTAMP\s+""" +
+     """AS\s+OF\s+(?:'([^']+)'|(\d+))\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:SHALLOW\s+)?CLONE\s+""" +
      """([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
@@ -203,6 +216,9 @@ case class DescribeHistoryCommand(ident: String)
       nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("n_dv", LongType, nullable = false)(),
+    // per-version live cardinality by manifest arithmetic (r14); NULL
+    // on history that predates the recorded counts
+    AttributeReference("n_rows", LongType, nullable = true)(),
     AttributeReference("published_at",
       org.apache.spark.sql.types.TimestampType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -211,6 +227,8 @@ case class DescribeHistoryCommand(ident: String)
       Row(v, LakeTable.opOf(dir, v),
           LakeTable.filesOf(dir, v).size.toLong,
           LakeTable.dvOf(dir, v).size.toLong,
+          LakeTable.liveRowCountOf(dir, v)
+            .map(java.lang.Long.valueOf).orNull,
           LakeTable.commitTimeOf(dir, v))
     }
   }
@@ -265,14 +283,26 @@ case class DescribeDetailCommand(ident: String)
   * verbatim (zero data movement; history stays intact and re-restorable;
   * column-mapping display names travel, drop tombstones lift for
   * restored columns). Returns the newly published version. */
-case class RestoreLakeCommand(ident: String, toVersion: Long)
+case class RestoreLakeCommand(ident: String, toVersion: Long,
+                              timestamp: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.resolveDir(spark, ident)
-    LakeTable.restore(spark, dir, toVersion) match {
-      case Right(v) => Seq(Row(v))
+    // TIMESTAMP AS OF (r14): the batch rule — newest retained version
+    // committed at or before the instant; an instant before the first
+    // retained publish refuses (version 0 is not restorable)
+    val v = timestamp match {
+      case Some(ts) =>
+        val rv = LakeTable.startingVersionAt(dir, ts)
+        require(rv > 0L,
+          s"no retained version of $ident published at or before '$ts'")
+        rv
+      case None => toVersion
+    }
+    LakeTable.restore(spark, dir, v) match {
+      case Right(out) => Seq(Row(out))
       case Left(reason) => throw new IllegalStateException(
         s"RESTORE TABLE $ident failed: $reason")
     }
@@ -325,7 +355,8 @@ case class CloneLakeCommand(dst: String, src: String,
   * content-addressed commit stamps — the Delta spelling; the live
   * version always survives. Returns the reclaim counts. */
 case class VacuumLakeCommand(ident: String, keepVersions: Int,
-                             retainHours: Option[Long] = None)
+                             retainHours: Option[Long] = None,
+                             dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("manifests_deleted", LongType, nullable = false)(),
@@ -335,8 +366,9 @@ case class VacuumLakeCommand(ident: String, keepVersions: Int,
     require(LakeTable.currentVersion(dir).nonEmpty,
       s"'$ident' has no published version to vacuum")
     val (m, f) = retainHours match {
-      case Some(h) => LakeTable.vacuumRetainHours(dir, h)
-      case None => LakeTable.vacuum(dir, keepVersions)
+      case Some(h) =>
+        LakeTable.vacuumRetainHours(dir, h, dryRun = dryRun)
+      case None => LakeTable.vacuum(dir, keepVersions, dryRun = dryRun)
     }
     Seq(Row(m.toLong, f.toLong))
   }

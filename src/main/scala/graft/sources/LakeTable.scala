@@ -610,10 +610,11 @@ object LakeTable {
     * offline reduction gates on version count and documents the age gate
     * rather than simulating a clock. Returns (#manifests, #data files)
     * deleted. */
-  def vacuum(dir: String, keepVersions: Int): (Int, Int) = {
+  def vacuum(dir: String, keepVersions: Int,
+             dryRun: Boolean = false): (Int, Int) = {
     val published = versions(dir)
     vacuumKeeping(dir, published,
-      published.takeRight(math.max(keepVersions, 1)).toSet)
+      published.takeRight(math.max(keepVersions, 1)).toSet, dryRun)
   }
 
   /** `VACUUM ... RETAIN n HOURS` (r14, verdict ask #5) — WALL-CLOCK
@@ -629,7 +630,8 @@ object LakeTable {
     * concurrency/orphan/floor-hint property of [[vacuumKeeping]] holds
     * unchanged. */
   def vacuumRetainHours(dir: String, hours: Long,
-                        nowMillis: Long = System.currentTimeMillis())
+                        nowMillis: Long = System.currentTimeMillis(),
+                        dryRun: Boolean = false)
       : (Int, Int) = {
     require(hours >= 0L, "RETAIN hours must be non-negative")
     val published = versions(dir)
@@ -637,11 +639,12 @@ object LakeTable {
     val keep = published
       .filter(v => commitTimeOf(dir, v).getTime >= cutoff)
       .toSet ++ published.lastOption
-    vacuumKeeping(dir, published, keep)
+    vacuumKeeping(dir, published, keep, dryRun)
   }
 
   private def vacuumKeeping(dir: String, published: Seq[Long],
-                            keep: Set[Long]): (Int, Int) = {
+                            keep: Set[Long],
+                            dryRun: Boolean = false): (Int, Int) = {
     val keepFloor = if (keep.isEmpty) 0L else keep.min
     // reclaim orphaned claims ONLY below the kept window (r12): claims at
     // or above the lowest kept version stay — even fenced/crashed ones —
@@ -667,7 +670,9 @@ object LakeTable {
       .flatMap(v => readManifest(dir, v).map(j =>
         manifestFiles(j) ++ manifestDv(j)).getOrElse(Nil))
       .toSet
-    drop.foreach { v =>
+    // DRY RUN (r14): plan and count, mutate nothing — no manifest
+    // drops, no floor-hint write, no fence cleanup, no file reclaim
+    if (!dryRun) drop.foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
       Files.deleteIfExists(markerPath(dir, v))
       Files.deleteIfExists(fencePath(dir, v))
@@ -677,7 +682,7 @@ object LakeTable {
     // (tmp + move) so a concurrent reader never sees a torn value. A
     // fresh or lagging stream whose walk floor fell inside the vacuumed
     // gap reads this once and resumes the dense walk above it.
-    if (keep.nonEmpty) {
+    if (!dryRun && keep.nonEmpty) {
       val tmp = Paths.get(dir, s".vacuum-floor-${java.util.UUID.randomUUID()}.tmp")
       Files.write(tmp, keepFloor.toString.getBytes(UTF_8))
       Files.move(tmp, Paths.get(dir, "vacuum-floor"),
@@ -685,7 +690,7 @@ object LakeTable {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // stray fences whose claim never landed (or was already reclaimed)
-    listDir(Paths.get(dir)).foreach { p =>
+    if (!dryRun) listDir(Paths.get(dir)).foreach { p =>
       "^abort-v(\\d+)$".r.findFirstMatchIn(p.getFileName.toString)
         .map(_.group(1).toLong)
         .foreach(v => if (!Files.exists(manifestPath(dir, v)))
@@ -703,7 +708,8 @@ object LakeTable {
           // nothing referenced: sweep the whole staging subtree
           entries.reverse.foreach { p =>
             if (p.toString.endsWith(".parquet")) reclaimed += 1
-            Files.deleteIfExists(p)
+            if (!dryRun) Files.deleteIfExists(p)
+            ()
           }
         } else {
           // carry-over survivor: reclaim only the UNREFERENCED parquet
@@ -714,8 +720,11 @@ object LakeTable {
                 && !name.startsWith(".")
                 && !keptFiles.contains(root.relativize(p).toString)) {
               reclaimed += 1
-              Files.deleteIfExists(p)
-              Files.deleteIfExists(p.resolveSibling(s".$name.crc"))
+              if (!dryRun) {
+                Files.deleteIfExists(p)
+                Files.deleteIfExists(p.resolveSibling(s".$name.crc"))
+                ()
+              }
             }
             ()
           }

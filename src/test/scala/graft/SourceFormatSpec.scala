@@ -807,7 +807,10 @@ class SourceFormatSpec extends SparkTestBase {
       == Seq("dvdelete", "append", "append"))
     assert(hist.map(_.getLong(3)).toSeq == Seq(1L, 0L, 0L),
       "only the delete version carries a DV sidecar")
-    assert(hist.forall(_.getTimestamp(4) != null))
+    // n_rows (r14): per-version live cardinality by manifest arithmetic
+    assert(hist.map(_.getLong(4)).toSeq == Seq(2L, 3L, 2L),
+      s"history rows: ${hist.mkString("; ")}")
+    assert(hist.forall(_.getTimestamp(5) != null))
 
     // ADD CONSTRAINT validates existing rows first (refuse), then a
     // satisfiable one applies and gates the next write
@@ -1568,11 +1571,36 @@ class SourceFormatSpec extends SparkTestBase {
         java.nio.file.Paths.get(dir, s"commit-v$v"),
         oldMs.toString.getBytes("UTF-8"))
 
+    // RESTORE TO TIMESTAMP AS OF (r14): resolves to the newest version
+    // at or before the instant (v2 here, committed at oldMs), restores
+    // it as a NEW version, then the content rolls forward again
+    val rts = spark.sql(s"RESTORE TABLE $cat.default.vh1 " +
+      s"TO TIMESTAMP AS OF ${oldMs + 1L}").head.getLong(0)
+    assert(rts == 5L && spark.table(s"$cat.default.vh1").count() == 2L,
+      "restore-to-timestamp must republish v2's content")
+    val r5 = spark.sql(s"RESTORE TABLE $cat.default.vh1 " +
+      "TO VERSION AS OF 4").head.getLong(0)
+    assert(r5 == 6L && spark.table(s"$cat.default.vh1").count() == 4L)
+    intercept[Exception] { spark.sql(s"RESTORE TABLE $cat.default.vh1 " +
+      s"TO TIMESTAMP AS OF ${oldMs - 10L}") }
+
+    // DRY RUN (r14): counts the reclaim, mutates NOTHING — no manifest
+    // drops, no floor hint
+    val dry = spark.sql(
+      s"VACUUM $cat.default.vh1 RETAIN 5 HOURS DRY RUN").head
+    assert(dry.getLong(0) == 2L,
+      s"DRY RUN counts the two backdated versions: $dry")
+    assert(LakeTable.versions(dir) == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "DRY RUN must not delete manifests")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "vacuum-floor")),
+      "DRY RUN must not write the floor hint")
+
     val vac = spark.sql(s"VACUUM $cat.default.vh1 RETAIN 5 HOURS").head
     assert(vac.getLong(0) == 2L,
       s"exactly the two backdated versions reclaim: $vac")
-    assert(LakeTable.versions(dir) == Seq(3L, 4L),
-      "v3/v4 are inside the window and survive")
+    assert(LakeTable.versions(dir) == Seq(3L, 4L, 5L, 6L),
+      "versions inside the window survive")
     // kept history still time-travels; reclaimed history refuses
     assert(LakeTable.readVersion(spark, dir, 3L).count() == 3L)
     intercept[Exception] { LakeTable.readVersion(spark, dir, 2L).count() }
@@ -1580,9 +1608,10 @@ class SourceFormatSpec extends SparkTestBase {
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "vacuum-floor")), "UTF-8").trim == "3",
       "the floor hint must be written exactly as the version vacuum does")
-    // RETAIN 0 HOURS keeps at least the live version
+    // RETAIN 0 HOURS keeps at least the live version (v6 = the v4
+    // restore, 4 rows)
     val vac2 = spark.sql(s"VACUUM $cat.default.vh1 RETAIN 0 HOURS").head
-    assert(LakeTable.versions(dir) == Seq(4L),
+    assert(LakeTable.versions(dir) == Seq(6L),
       s"RETAIN 0 HOURS reduces to keep-live-only: $vac2")
     assert(spark.table(s"$cat.default.vh1").count() == 4L)
 
