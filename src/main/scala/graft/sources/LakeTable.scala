@@ -2542,35 +2542,97 @@ object LakeTable {
                clusterBy: Seq[String],
                layoutBy: Option[String] = None,
                statsBy: Seq[String] = Seq.empty): Either[String, Long] =
-    // SERIALIZED with a full re-plan on conflict: a compaction is a
-    // whole-table rewrite of a SNAPSHOT, so publishing one planned
-    // against a base that moved would silently undo the interleaved
-    // commit's rows — the stalest lost update of all. On conflict the
-    // rewrite re-reads the new base (data changed; nothing staged is
-    // reusable by construction).
-    commitSerialized(dir) { base =>
-      val snap = readVersion(spark, dir, base)
-      // live cardinality by manifest arithmetic when recorded (r14) —
-      // saves one full pre-rewrite pass; the staged re-count below still
-      // independently verifies the rewrite conserved rows
-      val n = readManifest(dir, base).flatMap(liveCountFromManifest)
-        .getOrElse(snap.count())
-      val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
-      val laid = layoutColsOf(layoutBy) match {
-        // layout-preserving compaction: one shuffle keyed on the layout
-        // column(s) makes partitionBy write ONE file per layout value
-        // tuple, so later partial merges keep their prune metadata
-        case cs if cs.nonEmpty => snap.repartition(cs.map(col): _*)
-        case _ if clusterBy.isEmpty => snap.coalesce(bins)
-        case _ => snap.repartitionByRange(bins, clusterBy.map(col): _*)
+    // SERIALIZED with a full re-plan on conflict: a compaction rewrites
+    // a SNAPSHOT of its input files, so publishing one planned against
+    // a base that moved would silently undo the interleaved commit's
+    // rows — the stalest lost update of all. On conflict the rewrite
+    // re-reads the new base (data changed; nothing staged is reusable
+    // by construction).
+    translateDvNoop(commitSerialized(dir) { base =>
+      val json = readManifest(dir, base).get
+      val files = manifestFiles(json)
+      val rows = manifestRows(json)
+      val hiddenMap = manifestHidden(json)
+      val prevDv = manifestDv(json)
+      val recorded = manifestSchema(json)
+      // INCREMENTAL compaction (r14): with per-file row counts and
+      // per-file hidden counts recorded, a file already at-or-above the
+      // bin target with no DV-hidden positions is ALREADY OPTIMIZED —
+      // it CARRIES verbatim and only the small and the vectored files
+      // rewrite, so OPTIMIZE costs ∝ |small ∪ vectored|, never table
+      // size (Delta's small-file compaction discipline — the 100 TB
+      // property a full-table rewrite forfeits). ZORDER (clusterBy) is
+      // a RE-CLUSTERING: it deliberately rewrites everything. Legacy
+      // manifests without recorded counts rewrite everything too (the
+      // pre-r14 behavior, also the conservative fallback).
+      val incremental = clusterBy.isEmpty &&
+        files.forall(rows.contains) && (prevDv.isEmpty || hiddenMap.nonEmpty)
+      val (carry, rewrite) =
+        if (!incremental) (Seq.empty[String], files)
+        else {
+          val (vectored, clean) =
+            files.partition(f => hiddenMap.getOrElse(f, 0L) > 0L)
+          val (small, compact) =
+            clean.partition(f => rows(f) < targetRows)
+          // a LONE small clean file is as compact as it gets — rewriting
+          // it alone gains nothing and would make OPTIMIZE non-convergent
+          // (the output is small again); two or more small files merge
+          val smallRewrite = if (small.length >= 2) small
+                             else Seq.empty[String]
+          (compact ++ (small diff smallRewrite),
+           vectored ++ smallRewrite)
+        }
+      if (rewrite.isEmpty) Left(DvNoop + base) // fully compacted: no-op
+      else {
+        // the REWRITE SET read through the base's vectors in LOGICAL
+        // names — carried files are never opened
+        val raw =
+          if (recorded.isEmpty) spark.read.parquet(
+            rewrite.map(f => Paths.get(dir, f).toString): _*)
+          else spark.read
+            .schema(StructType.fromDDL(recorded.mkString(", ")))
+            .parquet(rewrite.map(f => Paths.get(dir, f).toString): _*)
+        val snap = toLogical(applyDv(spark, dir, raw, prevDv),
+                             manifestRenames(json))
+        // live cardinality of the rewrite set by manifest arithmetic
+        // when recorded — zero pre-rewrite passes
+        val n =
+          if (incremental)
+            rewrite.map(rows).sum -
+              rewrite.map(f => hiddenMap.getOrElse(f, 0L)).sum
+          else liveCountFromManifest(json).getOrElse(snap.count())
+        val bins = math.max(1L, (n + targetRows - 1L) / targetRows).toInt
+        val laid = layoutColsOf(layoutBy) match {
+          // layout-preserving compaction: one shuffle keyed on the
+          // layout column(s) makes partitionBy write ONE file per
+          // layout value tuple, so later partial merges keep their
+          // prune metadata
+          case cs if cs.nonEmpty => snap.repartition(cs.map(col): _*)
+          case _ if clusterBy.isEmpty => snap.coalesce(bins)
+          case _ => snap.repartitionByRange(bins, clusterBy.map(col): _*)
+        }
+        val fresh = stageFresh(spark, dir, laid, layoutBy, statsBy)
+        val st0 = assemble(dir, base, fresh, carry, "optimize")
+        // carried files have NO hidden positions by construction (any
+        // vectored file is in the rewrite set), so the compacted
+        // version is DV-FREE — OPTIMIZE stays the purge; a carried
+        // sidecar would be fully inert dead weight
+        val st = st0.copy(dv = Seq.empty,
+                          hidden = Map.empty[String, Long])
+        audit(spark, st) { df =>
+          // conservation: the staged rewrite's FOOTER total must equal
+          // the rewrite set's recorded live cardinality — no scan; the
+          // full staged re-count stays available in paranoid mode
+          val m =
+            if (paranoidAudit(spark)) df.count() -
+              (if (incremental)
+                 carry.map(rows).sum else 0L)
+            else fresh.rowTotal
+          if (m == n) None
+          else Some(s"compaction must conserve rows: $n before, $m after")
+        }
       }
-      audit(spark, stageAt(spark, dir, base, laid, layoutBy, Seq.empty,
-                           statsBy, "optimize")) { df =>
-        val m = df.count()
-        if (m == n) None
-        else Some(s"compaction must conserve rows: $n before, $m after")
-      }
-    }
+    })
 
   /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF` (r9): re-
     * publish a retained version's EXACT file list, schema, and stats as

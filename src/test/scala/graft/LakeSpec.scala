@@ -216,6 +216,57 @@ class LakeSpec extends SparkTestBase {
     assertEquation(v8 + 1L)
   }
 
+  test("incremental OPTIMIZE (r14): already-compact files carry " +
+       "verbatim, small and DV-bearing files rewrite, a fully-compacted " +
+       "table no-ops, ZORDER still rewrites everything") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_incopt_").toString
+    // v1: one BIG file (300 rows, above the 200-row target)
+    assert(LakeTable.commit(spark, dir,
+      (1L to 300L).map(k => (k, k)).toDF("k", "v").coalesce(1))(_ => None)
+      == Right(1L))
+    // v2..v4: three small appends (10 rows each)
+    for (i <- 0 to 2)
+      assert(LakeTable.append(spark, dir,
+        (301L + i * 10L until 311L + i * 10L).map(k => (k, k))
+          .toDF("k", "v").coalesce(1))(_ => None) == Right(2L + i))
+    val big = LakeTable.currentFiles(dir).filter(f =>
+      LakeTable.rowsOf(dir, 4L)(f) >= 200L)
+    assert(big.size == 1, "exactly one file is already compact")
+
+    assert(LakeTable.optimize(spark, dir, 200L, Seq.empty)
+      == Right(5L))
+    val after = LakeTable.currentFiles(dir)
+    assert(after.contains(big.head),
+      "the already-compact file must CARRY verbatim, not rewrite")
+    assert(after.size < 4, s"the three small files compact: $after")
+    assert(LakeTable.read(spark, dir).count() == 330L)
+
+    // fully compacted now: another OPTIMIZE is a NO-OP returning the
+    // live version, publishing nothing
+    assert(LakeTable.optimize(spark, dir, 200L, Seq.empty)
+      == Right(5L))
+    assert(LakeTable.currentVersion(dir).contains(5L))
+
+    // a DV on the big file forces it into the rewrite set (the purge)
+    assert(LakeTable.deleteWhereDv(spark, dir,
+      org.apache.spark.sql.functions.col("k") === 5L)(_ => None)
+      == Right(6L))
+    assert(LakeTable.optimize(spark, dir, 200L, Seq.empty)
+      == Right(7L))
+    assert(!LakeTable.currentFiles(dir).contains(big.head),
+      "a vectored file must rewrite (the DV purge)")
+    assert(LakeTable.dvOf(dir, 7L).isEmpty, "OPTIMIZE stays the purge")
+    assert(LakeTable.read(spark, dir).count() == 329L)
+
+    // ZORDER is a re-clustering: it rewrites EVERYTHING, carried or not
+    val pre = LakeTable.currentFiles(dir)
+    assert(LakeTable.optimize(spark, dir, 200L, Seq("k")) == Right(8L))
+    assert(LakeTable.currentFiles(dir).forall(f => !pre.contains(f)),
+      "ZORDER must rewrite every file")
+    assert(LakeTable.read(spark, dir).count() == 329L)
+  }
+
   test("a crash at every protocol stage leaves the old version live") {
     val dir = Files.createTempDirectory("graft_lake_spec_").toString
     val v1Keys = snap(50).collect().map(_.getAs[Long]("custkey")).toSet
