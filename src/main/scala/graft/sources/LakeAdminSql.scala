@@ -65,8 +65,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case RestoreTsRe(ident, quoted, bare) =>
         RestoreLakeCommand(ident, -1L,
           timestamp = Some(Option(quoted).getOrElse(bare)))
-      case CloneRe(dst, src, version) =>
-        CloneLakeCommand(dst, src, Option(version).map(_.toLong))
+      case CloneRe(dst, src, version, tsQuoted, tsBare) =>
+        CloneLakeCommand(dst, src, Option(version).map(_.toLong),
+          timestamp = Option(tsQuoted).orElse(Option(tsBare)))
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -112,7 +113,8 @@ object GraftSqlParser {
      """AS\s+OF\s+(?:'([^']+)'|(\d+))\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:SHALLOW\s+)?CLONE\s+""" +
-     """([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+     """([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+""" +
+     """OF\s+(?:'([^']+)'|(\d+)))?\s*;?\s*$""").r
 
   /** Leading `--` line comments and `/* */` blocks before the first
     * token, stripped so a commented admin statement still matches the
@@ -317,12 +319,23 @@ case class RestoreLakeCommand(ident: String, toVersion: Long,
   * accepts). `dst` resolves like any statement identifier; it must not
   * already exist. Returns the clone's published version. */
 case class CloneLakeCommand(dst: String, src: String,
-                            versionAsOf: Option[Long])
+                            versionAsOf: Option[Long],
+                            timestamp: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val srcDir = GraftSqlParser.resolveDir(spark, src)
+    // TIMESTAMP AS OF (r14): the batch rule — clone the newest retained
+    // source version committed at or before the instant
+    val pinned = timestamp match {
+      case Some(ts) =>
+        val rv = LakeTable.startingVersionAt(srcDir, ts)
+        require(rv > 0L,
+          s"no retained version of $src published at or before '$ts'")
+        Some(rv)
+      case None => versionAsOf
+    }
     // the destination may not exist yet — resolve through the catalog
     // warehouse mapping without the exists check resolveDir's session
     // path performs
@@ -341,7 +354,7 @@ case class CloneLakeCommand(dst: String, src: String,
     }).getOrElse(throw new IllegalArgumentException(
       s"CLONE destination '$dst' must be a <lakeCatalog>.ns.tbl " +
       "identifier (the clone is born in a catalog warehouse)"))
-    LakeTable.cloneTable(srcDir, dstDir, versionAsOf) match {
+    LakeTable.cloneTable(srcDir, dstDir, pinned) match {
       case Right(v) => Seq(Row(v))
       case Left(reason) => throw new IllegalStateException(
         s"CLONE $src -> $dst failed: $reason")

@@ -989,12 +989,27 @@ class SourceFormatSpec extends SparkTestBase {
       "VERSION AS OF 1")
     assert(spark.table(s"$cat.default.c_v1").count() == 10L)
 
+    // timestamp-pinned clone (r14): backdate v1's stamp, pin between
+    // the two commits — the batch TIMESTAMP AS OF rule resolves to v1
+    val t0 = System.currentTimeMillis()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "commit-v1"),
+      (t0 - 7200000L).toString.getBytes("UTF-8"))
+    spark.sql(s"CREATE TABLE $cat.default.c_ts CLONE $cat.default.c_src " +
+      s"TIMESTAMP AS OF ${t0 - 3600000L}")
+    assert(spark.table(s"$cat.default.c_ts").count() == 10L,
+      "the timestamp pin must resolve to v1's content")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.c_ts2 CLONE " +
+        s"$cat.default.c_src TIMESTAMP AS OF ${t0 - 9999999L}")
+    }
+
     // cloning onto an existing table refuses
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.default.c_live CLONE " +
         s"$cat.default.c_src")
     }
-    Seq("c_src", "c_live", "c_v1").foreach(t =>
+    Seq("c_src", "c_live", "c_v1", "c_ts").foreach(t =>
       spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
