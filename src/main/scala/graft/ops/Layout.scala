@@ -1262,6 +1262,66 @@ object Layout {
         .select("custkey", "n_orders", "cents").orderBy("custkey")
     },
 
+    /** SQL `COPY INTO` (r14) — Delta's idempotent batch file ingestion:
+      * the cron-safe loading pattern every warehouse runs. Source
+      * parquet files land in two waves; the FIRST copy loads wave one,
+      * the SECOND loads exactly the new files (requires pin the counts),
+      * and a RE-RUN loads nothing and mints no version — the copied-set
+      * rides the manifest like any watermark, so orchestrator retries
+      * and crash-replays never double-load. At 100 TB this is the
+      * idempotence contract that makes file-drop ingestion exactly-once
+      * without an external ledger. The oracle computes the rollup
+      * straight from `orders`, so the hash-match proves both waves
+      * landed exactly once. */
+    OpDef(
+      "q_lake_sql_copy",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val cat = "graft_lake"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          TempDirs.create("graft_lake_wh_"))
+      }
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
+      val dir = java.nio.file.Paths.get(wh, "default", tbl).toString
+      val rollup = orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                 .cast("long")).cast("long").as("cents"))
+      val src = TempDirs.create("graft_copy_src_")
+      rollup.filter(col("custkey") % 2 === 0)
+        .write.parquet(s"$src/wave1")
+      s.sql(s"CREATE TABLE $cat.default.$tbl " +
+        "(custkey BIGINT, n_orders BIGINT, cents BIGINT)")
+      def copy() = s.sql(s"COPY INTO $cat.default.$tbl FROM '$src' " +
+        "FILEFORMAT = PARQUET").head
+      val c1 = copy()
+      require(c1.getLong(0) > 0L, "wave one must load files")
+      val vAfter1 = LakeTable.currentVersion(dir)
+      // IDEMPOTENT: the re-run loads nothing and publishes nothing
+      val c2 = copy()
+      require(c2.getLong(0) == 0L && c2.getLong(1) == 0L,
+              "a COPY INTO re-run must load nothing")
+      require(LakeTable.currentVersion(dir) == vAfter1,
+              "a no-op COPY INTO must not mint a version")
+      // wave two: only the NEW files load
+      rollup.filter(col("custkey") % 2 === 1)
+        .write.parquet(s"$src/wave2")
+      val c3 = copy()
+      require(c3.getLong(0) > 0L, "wave two must load the new files")
+      require(copy().getLong(0) == 0L, "and then it is loaded")
+      s.table(s"$cat.default.$tbl").orderBy("custkey")
+    },
+
     /** SQL `ALTER TABLE ... ADD COLUMNS` through the DSv2 catalog
       * (r12): schema evolution as a METADATA-ONLY commit — v1 holds the
       * pre-evolution rows (custkey, n_orders for even custkeys), the

@@ -58,6 +58,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         else
           VacuumLakeCommand(ident,
             Option(keep).map(_.toInt).getOrElse(10), dryRun = dryRun)
+      case CopyIntoRe(ident, src, fmt, pat) =>
+        CopyIntoLakeCommand(ident, src, fmt, Option(pat))
       case HistoryRe(ident) => DescribeHistoryCommand(ident)
       case DetailRe(ident) => DescribeDetailCommand(ident)
       case RestoreRe(ident, version) =>
@@ -99,6 +101,11 @@ object GraftSqlParser {
     ("""(?is)^\s*VACUUM\s+([\w.`]+)""" +
      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?""" +
      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  // COPY INTO (r14): idempotent batch file ingestion, Delta's spelling
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'\s+""" +
+     """FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+     """\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val DetailRe =
@@ -358,6 +365,39 @@ case class CloneLakeCommand(dst: String, src: String,
       case Right(v) => Seq(Row(v))
       case Left(reason) => throw new IllegalStateException(
         s"CLONE $src -> $dst failed: $reason")
+    }
+  }
+}
+
+/** `COPY INTO <t> FROM '<path>' FILEFORMAT = <fmt> [PATTERN = '<glob>']`
+  * (r14) — Delta's idempotent batch file ingestion bound to
+  * [[LakeTable.copyInto]]: loads only source files not yet recorded as
+  * copied, one atomic append commit that also records their
+  * identities; re-runs load nothing, new files load exactly once. A
+  * declared CHECK constraint gates the staged batch; the declared
+  * layout/stats write defaults travel as with every catalog INSERT.
+  * Returns (files_loaded, rows_loaded). */
+case class CopyIntoLakeCommand(ident: String, source: String,
+                               format: String, pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, ident)
+    val pending = LakeCatalog.readPending(dir)
+    val gate: org.apache.spark.sql.DataFrame => Option[String] = df =>
+      pending.flatMap(_.check).flatMap { c =>
+        try { LakeCatalog.enforceCheck(df, c, ident); None }
+        catch { case e: IllegalStateException => Some(e.getMessage) }
+      }
+    LakeTable.copyInto(spark, dir, source, format, pattern,
+        layoutBy = pending.flatMap(_.layoutBy),
+        statsBy = pending.map(_.statsBy).getOrElse(Seq.empty),
+        declaredSchema = pending.map(_.schema))(gate) match {
+      case Right((_, nf, nr)) => Seq(Row(nf, nr))
+      case Left(reason) => throw new IllegalStateException(
+        s"COPY INTO $ident failed: $reason")
     }
   }
 }

@@ -1433,6 +1433,94 @@ object LakeTable {
     }
   }
 
+  /** COPY INTO (r14) — Delta's IDEMPOTENT batch file ingestion: load
+    * the source files not yet recorded as copied, as ONE append commit
+    * that atomically records their identities, so a re-run (cron
+    * double-fire, orchestrator retry, crash-and-replay) loads NOTHING
+    * and a partially-new listing loads exactly the new files. The
+    * copied-set rides the manifest's per-sink `batches` map (one
+    * `copy:<encoded-path>` key per ingested file — carried by every
+    * commit like any watermark, so interleaved DML never forgets what
+    * was loaded; the set is file-NAME metadata, the same scale as the
+    * manifest's own file list). Two racing copies serialize: a full
+    * subset no-ops, a partial overlap refuses with a retry message
+    * rather than double-loading. CSV/JSON read under the table's
+    * LOGICAL schema (header expected on CSV); parquet/orc bring their
+    * own. Returns (version, filesLoaded, rowsLoaded). */
+  def copyInto(spark: SparkSession, dir: String, source: String,
+               format: String = "parquet",
+               pattern: Option[String] = None,
+               layoutBy: Option[String] = None,
+               statsBy: Seq[String] = Seq.empty,
+               declaredSchema: Option[StructType] = None)(
+      check: DataFrame => Option[String])
+      : Either[String, (Long, Long, Long)] = {
+    val fmt = format.trim.toLowerCase
+    if (!Set("parquet", "orc", "csv", "json").contains(fmt))
+      return Left(s"COPY INTO supports parquet/orc/csv/json, not '$fmt'")
+    val srcRoot = Paths.get(LakeSource.localPath(source))
+      .toAbsolutePath.normalize
+    if (!Files.exists(srcRoot))
+      return Left(s"COPY INTO source does not exist: $srcRoot")
+    val matcher = pattern.map(p =>
+      srcRoot.getFileSystem.getPathMatcher("glob:" + p))
+    val candidates =
+      (if (Files.isDirectory(srcRoot))
+         walkDir(srcRoot).filter(Files.isRegularFile(_))
+       else Seq(srcRoot))
+        .filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith(".") && !n.startsWith("_") &&
+            matcher.forall(_.matches(srcRoot.relativize(p)))
+        }
+        .map(_.toAbsolutePath.normalize).sortBy(_.toString)
+    def keyOf(p: Path): String = "copy:" + encodeStatString(p.toString)
+    val appliedNow = currentVersion(dir)
+      .flatMap(v => readManifest(dir, v)).map(manifestBatches(_).keySet)
+      .getOrElse(Set.empty[String])
+    val newFiles = candidates.filterNot(p => appliedNow.contains(keyOf(p)))
+    if (newFiles.isEmpty)
+      return Right((currentVersion(dir).getOrElse(0L), 0L, 0L))
+    val paths = newFiles.map(_.toString)
+    // the read schema: the live logical schema, or (unborn tables) the
+    // declared pending schema the caller passes
+    val logical = currentLogicalSchema(dir)
+    val df = fmt match {
+      case "parquet" => spark.read.parquet(paths: _*)
+      case "orc" => spark.read.orc(paths: _*)
+      case other =>
+        val s0 =
+          if (logical.nonEmpty)
+            Some(StructType.fromDDL(logical.mkString(", ")))
+          else declaredSchema
+        val s = s0.getOrElse(
+          return Left(s"COPY INTO FILEFORMAT=$other needs the target's " +
+            "schema — create the table (or load parquet/orc) first"))
+        if (other == "csv")
+          spark.read.schema(s).option("header", "true").csv(paths: _*)
+        else spark.read.schema(s).json(paths: _*)
+    }
+    Files.createDirectories(Paths.get(dir))
+    val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
+    val mine = newFiles.map(p => keyOf(p) -> 1L).toMap
+    val r = commitSerialized(dir) { base =>
+      // re-check against the SERIALIZED base: a racing copy that landed
+      // first must not be double-loaded
+      val already = batchesOf(dir, base).keySet
+      if (mine.keySet.subsetOf(already)) Left(DvNoop + base)
+      else if (mine.keySet.exists(already.contains))
+        Left("concurrent COPY INTO loaded part of this file set — " +
+             "re-run to pick up only the remainder")
+      else {
+        val st = assemble(dir, base, fresh, filesOf(dir, base), "append")
+        audit(spark, st.copy(batches = st.batches ++ mine))(check)
+      }
+    }
+    translateDvNoop(r).map(v =>
+      if (r.isLeft) (v, 0L, 0L) // noop sentinel: the race winner loaded
+      else (v, newFiles.length.toLong, fresh.rowTotal))
+  }
+
   /** Single-pass sink APPEND (r11, verdict ask #4): stage FIRST, then
     * publish only if the staged write actually produced files — the
     * streaming sink's empty-epoch check rides the staging job itself

@@ -1350,6 +1350,67 @@ class SourceFormatSpec extends SparkTestBase {
     Seq("d1", "d2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
+  test("COPY INTO (r14): idempotent file ingestion — re-runs load " +
+       "nothing, new files load exactly once, CHECK gates, CSV reads " +
+       "under the target schema") {
+    import graft.sources.LakeTable
+    import spark.implicits._
+    val cat = "graft_lake_spec_r14cp"
+    val wh = Files.createTempDirectory("graft_lake_whr14cp_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "cp1").toString
+    spark.sql(s"CREATE TABLE $cat.default.cp1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check'='v > 0')")
+    // two source parquet files
+    val srcDir = Files.createTempDirectory("graft_copy_src_").toString
+    (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    (5L to 6L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$srcDir/b")
+    def copy(): (Long, Long) = {
+      val r = spark.sql(s"COPY INTO $cat.default.cp1 FROM '$srcDir' " +
+        "FILEFORMAT = PARQUET PATTERN = '**.parquet'").head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(copy() == ((2L, 6L)), "two files, six rows load")
+    assert(spark.table(s"$cat.default.cp1").count() == 6L)
+    // IDEMPOTENT: the re-run loads nothing and publishes nothing
+    val vBefore = LakeTable.currentVersion(dir).get
+    assert(copy() == ((0L, 0L)), "a re-run must load nothing")
+    assert(LakeTable.currentVersion(dir).contains(vBefore),
+      "a no-op COPY INTO must not mint a version")
+    // a new file loads exactly once; the old ones stay skipped
+    (7L to 7L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$srcDir/c")
+    assert(copy() == ((1L, 1L)), "only the new file loads")
+    assert(spark.table(s"$cat.default.cp1").count() == 7L)
+    // CHECK refuses atomically: the violating batch publishes nothing
+    Seq((99L, -1L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$srcDir/bad")
+    val e = intercept[Exception] { copy() }
+    assert((Option(e.getMessage).toSeq ++
+            Option(e.getCause).flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("CHECK")), s"the refusal names the check: $e")
+    assert(spark.table(s"$cat.default.cp1").count() == 7L)
+
+    // CSV under the target schema (header expected)
+    val dir2 = java.nio.file.Paths.get(wh, "default", "cp2").toString
+    spark.sql(s"CREATE TABLE $cat.default.cp2 (k BIGINT, v BIGINT)")
+    val csvDir = Files.createTempDirectory("graft_copy_csv_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(csvDir, "x.csv"),
+      "k,v\n1,11\n2,22\n".getBytes("UTF-8"))
+    val r2 = spark.sql(s"COPY INTO $cat.default.cp2 FROM '$csvDir' " +
+      "FILEFORMAT = CSV").head
+    assert((r2.getLong(0), r2.getLong(1)) == ((1L, 2L)))
+    assert(spark.table(s"$cat.default.cp2").orderBy("k").collect()
+      .map(_.getLong(1)).toSeq == Seq(11L, 22L))
+    assert(LakeTable.rowsOf(dir2,
+      LakeTable.currentVersion(dir2).get).values.sum == 2L)
+    Seq("cp1", "cp2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+  }
+
   test("batch readChangeFeed (r14): inclusive version/timestamp bounds " +
        "window the feed; defaults replay the full retained history; " +
        "vacuumed bounds refuse") {
