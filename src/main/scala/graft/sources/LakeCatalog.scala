@@ -821,7 +821,9 @@ class LakeV2Table(val dir: String, ident: String,
                 Option(options.get("skipChangeCommits"))
                   .exists(_.toBoolean),
               maxVersionsPerTrigger =
-                Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+                Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+              maxFilesPerTrigger =
+                Option(options.get("maxFilesPerTrigger")).map(_.toInt))
           }
         }
       }

@@ -69,7 +69,9 @@ private[sources] class LakeFeedTable(val dir: String, ident: String)
               Option(options.get("startingVersion")),
               Option(options.get("startingTimestamp"))),
             maxVersionsPerTrigger =
-              Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+              Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+            maxFilesPerTrigger =
+              Option(options.get("maxFilesPerTrigger")).map(_.toInt))
       }
     }
   }
@@ -159,7 +161,8 @@ private[sources] case class LakeFeedPartition(
   * version. */
 private[sources] class LakeFeedMicroBatchStream(dir: String,
     tableSchema: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -197,16 +200,26 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
     * admission-control seam — `start` is the committed floor, restarts
     * included). */
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+    maxVersionsPerTrigger.orElse(maxFilesPerTrigger)
+      .map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val floor = math.max(ver(start), startingVersion)
     val pending = discover(floor)
-    val off = (maxVersionsPerTrigger match {
-      case Some(n) if pending.nonEmpty => Some(pending.take(n).last)
-      case _ => pending.lastOption
-    }).getOrElse(floor)
+    val byVersions = maxVersionsPerTrigger match {
+      case Some(n) if pending.nonEmpty => pending.take(n)
+      case _ => pending
+    }
+    // maxFilesPerTrigger (r14): admit by the ADDED-file budget — the
+    // dominant cost of a feed batch; removal/DV partitions ride along
+    // with their version (same budget rule as the rows-mode stream)
+    val admitted = maxFilesPerTrigger match {
+      case Some(nf) if byVersions.nonEmpty =>
+        LakeMicroBatchStream.admitByFiles(dir, floor, byVersions, nf)
+      case _ => byVersions
+    }
+    val off = admitted.lastOption.getOrElse(floor)
     knownMax = math.max(knownMax, off)
     LakeOffset(off)
   }

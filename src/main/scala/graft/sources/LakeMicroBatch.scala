@@ -43,7 +43,8 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
                            pushed: Seq[Filter],
                            startingVersion: Long,
                            skipChangeCommits: Boolean,
-                           maxVersionsPerTrigger: Option[Int] = None)
+                           maxVersionsPerTrigger: Option[Int] = None,
+                           maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -85,16 +86,28 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
     * one the engine WALs (no side cursor needed; `start` is the
     * committed floor on every call, restarts included). */
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+    maxVersionsPerTrigger.orElse(maxFilesPerTrigger)
+      .map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val floor = math.max(ver(start), startingVersion)
     val pending = discover(floor)
-    val off = (maxVersionsPerTrigger match {
-      case Some(n) if pending.nonEmpty => Some(pending.take(n).last)
-      case _ => pending.lastOption
-    }).getOrElse(floor)
+    val byVersions = maxVersionsPerTrigger match {
+      case Some(n) if pending.nonEmpty => pending.take(n)
+      case _ => pending
+    }
+    // maxFilesPerTrigger (r14, the Delta spelling): admit pending
+    // versions until the ADDED-file budget is spent — always at least
+    // one, so a single oversized commit still drains. The per-version
+    // counts are manifest arithmetic on the driver (same diffs
+    // planInputPartitions runs), O(pending) manifest reads, no listing.
+    val admitted = maxFilesPerTrigger match {
+      case Some(nf) if byVersions.nonEmpty =>
+        LakeMicroBatchStream.admitByFiles(dir, floor, byVersions, nf)
+      case _ => byVersions
+    }
+    val off = admitted.lastOption.getOrElse(floor)
     knownMax = math.max(knownMax, off)
     LakeOffset(off)
   }
@@ -155,6 +168,32 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
   override def commit(end: Offset): Unit = () // retention is vacuum's job
   override def stop(): Unit = ()
   override def toString: String = s"LakeMicroBatchStream[$dir]"
+}
+
+private[sources] object LakeMicroBatchStream {
+  /** Prefix of `pending` whose cumulative ADDED-file count stays within
+    * `budget` — always at least the first element (a single oversized
+    * commit must still drain). Shared by the rows-mode and change-feed
+    * V2 streams (r14, maxFilesPerTrigger). */
+  private[sources] def admitByFiles(dir: String, floor: Long,
+                                    pending: Seq[Long],
+                                    budget: Int): Seq[Long] = {
+    var acc = 0L
+    var prev = floor
+    val out = Seq.newBuilder[Long]
+    var open = true
+    pending.foreach { v =>
+      if (open) {
+        val pf = if (prev == 0L) Set.empty[String]
+                 else LakeTable.filesOf(dir, prev).toSet
+        val added = LakeTable.filesOf(dir, v).count(!pf.contains(_))
+        if (acc == 0L || acc + added <= budget) {
+          out += v; acc += added; prev = v
+        } else open = false
+      }
+    }
+    out.result()
+  }
 }
 
 /** `df.writeStream.toTable("<lakeCatalog>.ns.t")` — the DataSourceV2

@@ -571,6 +571,69 @@ class LakeStreamSpec extends SparkTestBase {
       s"${LakeTable.probeCount.get() - q1} probes")
   }
 
+  test("maxFilesPerTrigger (r14, behavior 52): pending versions admit " +
+       "by the added-file budget, at least one per batch, on both V2 " +
+       "streams") {
+    import spark.implicits._
+    val cat = "graft_lake_mftcat"
+    val wh = Files.createTempDirectory("graft_lake_whmft_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "mft").toString
+    // three appends of TWO one-row files each (6 rows, 6 files)
+    for (i <- 0 to 2)
+      assert(LakeTable.append(spark, dir,
+        Seq((i * 2L, 1L), (i * 2L + 1L, 1L)).toDF("k", "v")
+          .repartition(2))(_ => None) == Right(i + 1L))
+    assert(LakeTable.filesOf(dir, 3L).size == 6,
+      "fixture: two files per version")
+    def drain(maxFiles: Int): Seq[Int] = {
+      val sizes = mutable.ArrayBuffer.empty[Int]
+      val cp = Files.createTempDirectory("graft_mft_cp_").toString
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .table(s"$cat.default.mft")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val n = df.count().toInt
+          if (n > 0) sizes.synchronized { sizes += n }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sizes.toSeq
+    }
+    // budget 3: each 2-file version fits alone (2 ≤ 3) but two don't
+    // (4 > 3) → one version per batch
+    assert(drain(3) == Seq(2, 2, 2),
+      "budget 3 admits one 2-file version per batch")
+    // budget 4: two versions per batch, then the remainder
+    assert(drain(4) == Seq(4, 2),
+      "budget 4 admits two versions, then the tail")
+    // budget 1: smaller than any single version — at least one version
+    // still drains per batch (progress guarantee)
+    assert(drain(1) == Seq(2, 2, 2),
+      "an oversized first commit still drains")
+
+    // the change-feed stream takes the same option
+    val feedSizes = mutable.ArrayBuffer.empty[Int]
+    val cp2 = Files.createTempDirectory("graft_mft_cp2_").toString
+    val qf = spark.readStream
+      .option("maxFilesPerTrigger", "3")
+      .table(s"$cat.default.mft.changes")
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) feedSizes.synchronized { feedSizes += n }
+        ()
+      }
+      .start()
+    try qf.processAllAvailable() finally qf.stop()
+    assert(feedSizes.toSeq == Seq(2, 2, 2),
+      s"the feed admits by the same budget: $feedSizes")
+    spark.sql(s"DROP TABLE $cat.default.mft")
+  }
+
   test("startingTimestamp (r14): resolves to the newest version at or " +
        "before the instant, tails from there, and a restart replays the " +
        "WALed versions, not the clock") {
