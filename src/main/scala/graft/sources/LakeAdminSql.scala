@@ -58,8 +58,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         else
           VacuumLakeCommand(ident,
             Option(keep).map(_.toInt).getOrElse(10), dryRun = dryRun)
-      case CopyIntoRe(ident, src, fmt, pat) =>
-        CopyIntoLakeCommand(ident, src, fmt, Option(pat))
+      case CopyIntoRe(ident, src, fmt, pat, merge) =>
+        CopyIntoLakeCommand(ident, src, fmt, Option(pat),
+          Option(merge).exists(_.equalsIgnoreCase("true")))
       case HistoryRe(ident) => DescribeHistoryCommand(ident)
       case DetailRe(ident) => DescribeDetailCommand(ident)
       case RestoreRe(ident, version) =>
@@ -101,10 +102,14 @@ object GraftSqlParser {
     ("""(?is)^\s*VACUUM\s+([\w.`]+)""" +
      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?""" +
      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
-  // COPY INTO (r14): idempotent batch file ingestion, Delta's spelling
+  // COPY INTO (r14): idempotent batch file ingestion, Delta's spelling.
+  // COPY_OPTIONS ('mergeSchema' = 'true') opts into additive schema
+  // evolution from the source files (r15, ADVICE r14 — without it a
+  // mismatched parquet/orc source is refused, Delta's contract).
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'\s+""" +
      """FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+     """(?:\s+COPY_OPTIONS\s*\(\s*'mergeSchema'\s*=\s*'(true|false)'\s*\))?""" +
      """\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
@@ -378,7 +383,8 @@ case class CloneLakeCommand(dst: String, src: String,
   * layout/stats write defaults travel as with every catalog INSERT.
   * Returns (files_loaded, rows_loaded). */
 case class CopyIntoLakeCommand(ident: String, source: String,
-                               format: String, pattern: Option[String])
+                               format: String, pattern: Option[String],
+                               mergeSchema: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_loaded", LongType, nullable = false)(),
@@ -394,7 +400,8 @@ case class CopyIntoLakeCommand(ident: String, source: String,
     LakeTable.copyInto(spark, dir, source, format, pattern,
         layoutBy = pending.flatMap(_.layoutBy),
         statsBy = pending.map(_.statsBy).getOrElse(Seq.empty),
-        declaredSchema = pending.map(_.schema))(gate) match {
+        declaredSchema = pending.map(_.schema),
+        mergeSchema = mergeSchema)(gate) match {
       case Right((_, nf, nr)) => Seq(Row(nf, nr))
       case Left(reason) => throw new IllegalStateException(
         s"COPY INTO $ident failed: $reason")

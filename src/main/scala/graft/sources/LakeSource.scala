@@ -124,8 +124,13 @@ class LakeSource extends RelationProvider with CreatableRelationProvider
       require(parameters.get("endingVersion").isEmpty ||
               parameters.get("endingTimestamp").isEmpty,
         "set either endingVersion or endingTimestamp, not both")
-      // inclusive start → exclusive changesBetween floor
-      val from = parameters.get("startingVersion").map(_.toLong - 1L)
+      // inclusive start → exclusive changesBetween floor, clamped at 0
+      // (r15, ADVICE r14): startingVersion=0 is the common Delta
+      // spelling for "full history" — without the clamp it floored at
+      // -1 and changesBetween threw a confusing "version -1 not
+      // published"; 0 and 1 both mean the full retained feed
+      val from = parameters.get("startingVersion")
+        .map(v => math.max(0L, v.toLong - 1L))
         .orElse(parameters.get("startingTimestamp")
           .map(LakeTable.versionFloorBefore(dir, _)))
       val to = parameters.get("endingVersion").map(_.toLong)

@@ -299,13 +299,16 @@ object LakeTable {
                                       version: Long): Option[Long] =
     readManifest(dir, version).flatMap(liveCountFromManifest)
 
-  /** Paranoid-audit switch (r14, verdict ask #4): `true` restores the
-    * full-scan commit-time audits (count equations, leak joins, dup
-    * checks) the manifest row-count arithmetic replaced. The default
-    * trusts the recorded counts — they come from the same staged reads
-    * the scans re-derived — so a DV DML commit runs ZERO audit table
-    * passes; flip the conf (or system property) in deployments that
-    * want every publish re-verified against the bytes. */
+  /** Paranoid-audit switch (r14, verdict ask #4): `true` RESTORES THE
+    * FULL-SCAN COMMIT-TIME GUARANTEES — every count equation, leak
+    * re-join, and duplicate-survivor check re-verified against the
+    * bytes before publish, exactly the pre-r14 behavior. The default
+    * trusts the recorded counts (they come from the same staged reads
+    * the scans re-derived) plus one sampled end-to-end DV content spot
+    * check per sidecar-writing commit ([[writeDvSidecars]], r15) — so a
+    * DV DML commit runs one bounded single-file job, not table passes.
+    * Flip the conf (or system property) in deployments that want every
+    * publish re-verified in full. */
   private[graft] def paranoidAudit(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.lake.paranoidAudit")
       .orElse(sys.props.get("graft.lake.paranoidAudit"))
@@ -624,11 +627,16 @@ object LakeTable {
     * table). Age comes from [[commitTimeOf]] — the content-addressed
     * stamp INSIDE the commit marker, so relocating/copying the table
     * directory does not re-young its history the way mtime would (and a
-    * test can backdate a marker deterministically). Commit stamps are
-    * monotone in version order, so the kept set is always a suffix —
-    * the same shape the version-count vacuum keeps, and every
-    * concurrency/orphan/floor-hint property of [[vacuumKeeping]] holds
-    * unchanged. */
+    * test can backdate a marker deterministically). The kept set is
+    * FORCED to a version-order suffix (r15, ADVICE r14): stamps are
+    * monotone in the normal case, but an NTP step-back between commits
+    * or commitTimeOf's mtime fallback after a table copy can regress a
+    * stamp, and a per-stamp filter would then drop an INTERIOR version
+    * — truncating [[versionsAbove]]'s dense-claim walk and hiding every
+    * newer live version from streams and readers. Keeping everything
+    * from the OLDEST in-window version upward can only over-retain,
+    * never corrupt; the suffix shape is what every concurrency/orphan/
+    * floor-hint property of [[vacuumKeeping]] assumes. */
   def vacuumRetainHours(dir: String, hours: Long,
                         nowMillis: Long = System.currentTimeMillis(),
                         dryRun: Boolean = false)
@@ -637,7 +645,7 @@ object LakeTable {
     val published = versions(dir)
     val cutoff = nowMillis - hours * 3600000L
     val keep = published
-      .filter(v => commitTimeOf(dir, v).getTime >= cutoff)
+      .dropWhile(v => commitTimeOf(dir, v).getTime < cutoff)
       .toSet ++ published.lastOption
     vacuumKeeping(dir, published, keep, dryRun)
   }
@@ -849,9 +857,29 @@ object LakeTable {
           }
         }
       }
+      // only layout columns whose TYPE the path synthesis can actually
+      // encode leave the grouped pass (r15, ADVICE r14): a TIMESTAMP
+      // layout column has no encPathStat domain, so dropping it
+      // unconditionally silently lost the 'U' stats the grouped pass
+      // used to record — pruning stayed safe (missing = keep-file) but
+      // data skipping on that column regressed
+      val synthesized = layoutCols.filter(c => pathStatEncodable(types.get(c)))
       val (stats, rows) = statsAndRows(spark, dir, read, fresh,
-        statsBy.filterNot(layoutCols.contains))
+        statsBy.filterNot(synthesized.contains))
       Fresh(fresh, schema, (stats ++ layoutStats).sorted, rows)
+    }
+  }
+
+  /** Whether [[encPathStat]] has an encoding for this type — the gate
+    * deciding which layout columns may skip the grouped stats pass. */
+  private def pathStatEncodable(
+      dt: Option[org.apache.spark.sql.types.DataType]): Boolean = {
+    import org.apache.spark.sql.types._
+    dt.exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType => true
+      case StringType | DateType => true
+      case _ => false
     }
   }
 
@@ -1452,7 +1480,8 @@ object LakeTable {
                pattern: Option[String] = None,
                layoutBy: Option[String] = None,
                statsBy: Seq[String] = Seq.empty,
-               declaredSchema: Option[StructType] = None)(
+               declaredSchema: Option[StructType] = None,
+               mergeSchema: Boolean = false)(
       check: DataFrame => Option[String])
       : Either[String, (Long, Long, Long)] = {
     val fmt = format.trim.toLowerCase
@@ -1499,6 +1528,32 @@ object LakeTable {
         if (other == "csv")
           spark.read.schema(s).option("header", "true").csv(paths: _*)
         else spark.read.schema(s).json(paths: _*)
+    }
+    // self-describing sources are validated against the table's logical
+    // schema BEFORE staging (r15, ADVICE r14): without the gate a file
+    // dropped into the source directory with extra columns silently
+    // EVOLVED the table schema as a side effect of ingestion —
+    // Delta's COPY INTO refuses the mismatch unless mergeSchema is
+    // explicitly requested. Missing columns stay fine (append
+    // null-fills them, the additive-evolution read contract); type
+    // changes on shared columns are refused either way (the evolution
+    // audit would reject them at publish — this just says why sooner).
+    if (logical.nonEmpty && Set("parquet", "orc").contains(fmt)) {
+      val table = logical.map(_.split(" ", 2)).map(a => a(0) -> a(1)).toMap
+      val extra = df.schema.fields.filterNot(f => table.contains(f.name))
+      if (extra.nonEmpty && !mergeSchema)
+        return Left("COPY INTO schema mismatch: source files carry " +
+          s"column(s) ${extra.map(_.name).mkString(", ")} absent from " +
+          "the table — pass COPY_OPTIONS ('mergeSchema' = 'true') to " +
+          "evolve additively, or fix the source")
+      val changed = df.schema.fields
+        .filter(f => table.get(f.name).exists(_ != f.dataType.sql))
+      if (changed.nonEmpty)
+        return Left("COPY INTO schema mismatch: source files change " +
+          changed.map(f =>
+            s"column '${f.name}' from ${table(f.name)} to " +
+            f.dataType.sql).mkString("; ") +
+          " — type changes never ingest (rewrite the source)")
     }
     Files.createDirectories(Paths.get(dir))
     val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
@@ -1809,14 +1864,47 @@ object LakeTable {
     // a later partial rewrite drop a removed file's hidden entries and
     // keep the live-count arithmetic exact (sidecar totals would count
     // inert positions)
-    val perTarget =
-      if (rows.values.sum == 0L) Map.empty[String, Long]
+    val grouped =
+      if (rows.values.sum == 0L) Seq.empty[(String, Long, Long)]
       else spark.read.parquet(
           sidecars.map(s => Paths.get(dir, s).toString): _*)
         .groupBy(col("file"))
-        .agg(org.apache.spark.sql.functions.count(lit(1L)).as("n"))
+        .agg(org.apache.spark.sql.functions.count(lit(1L)).as("n"),
+             org.apache.spark.sql.functions.min(col("pos")).as("p"))
         .collect()
-        .map(r => percentDecode(r.getString(0)) -> r.getLong(1)).toMap
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val perTarget =
+      grouped.map { case (f, n, _) => percentDecode(f) -> n }.toMap
+    // DEFAULT-PATH CONTENT SPOT CHECK (r15, ADVICE r14 medium): the
+    // count-only audits that replaced the full scans can't catch a DV
+    // bug that hides the WRONG positions at the right cardinality —
+    // e.g. a regression in relFileCol / percent-encoding matching would
+    // make applyDv's anti-join miss every sidecar row and publish
+    // corrupted data silently. So every DV commit verifies ONE sampled
+    // (file, pos) end to end: read the sampled TARGET file raw (one
+    // file, one tiny job) and require that exactly one row resolves to
+    // that identity under the same relFileCol + row_index derivation
+    // applyDv joins on. A hit proves the sidecar spelling round-trips
+    // the read path (so the anti-join provably hides it); a miss means
+    // encoding drift or an out-of-bounds position — fail the commit
+    // LOUDLY before publish. Paranoid mode skips it: the restored
+    // full-scan equations subsume the sample. The sample is the
+    // lexicographically-first target's min position — deterministic, so
+    // a replayed commit re-verifies the same row.
+    if (grouped.nonEmpty && !paranoidAudit(spark)) {
+      val (tgt, _, pos) = grouped.minBy(_._1)
+      val hit = spark.read.parquet(
+          Paths.get(dir, percentDecode(tgt)).toString)
+        .filter(relFileCol === lit(tgt) &&
+                col("_metadata.row_index") === lit(pos))
+        .count()
+      if (hit != 1L)
+        throw new IllegalStateException(
+          s"DV spot check failed in $dir: sidecar position ($tgt, $pos) " +
+          s"resolved to $hit row(s) under the reader's file/position " +
+          "derivation (expected exactly 1) — the vector would not hide " +
+          "what it claims; refusing to publish")
+    }
     (sidecars, rows, perTarget)
   }
 

@@ -1002,6 +1002,20 @@ class LakeSpec extends SparkTestBase {
              == LakeTable.currentFiles(dir2).size,
       "missing stats must keep every file")
     assert(LakeTable.read(spark, dir2).count() == snap(50).count())
+    // a TIMESTAMP layout column declared in statsBy keeps its grouped
+    // 'U' stats (r15, ADVICE r14): the path synthesis has no timestamp
+    // encoding, so excluding every layout column from the grouped pass
+    // unconditionally silently lost data skipping on it
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val dir3 = Files.createTempDirectory("graft_lake_tslayout_").toString
+    val tsDf = snap(20).withColumn("ts",
+      sqlExpr("timestamp_seconds(custkey * 3600)"))
+    assert(LakeTable.commit(spark, dir3, tsDf, Some("ts"),
+                            Seq("ts"))(gate) == Right(1L))
+    val tsStats = LakeTable.statsOf(dir3, 1L)
+      .collect { case ((_, c), s) if c == "ts" => s.kind }
+    assert(tsStats.nonEmpty && tsStats.forall(_ == 'U'),
+      s"timestamp layout column must keep grouped 'U' stats: $tsStats")
   }
 
   test("racing appends both keep both file sets") {

@@ -1408,6 +1408,37 @@ class SourceFormatSpec extends SparkTestBase {
       .map(_.getLong(1)).toSeq == Seq(11L, 22L))
     assert(LakeTable.rowsOf(dir2,
       LakeTable.currentVersion(dir2).get).values.sum == 2L)
+
+    // SCHEMA GATE (r15, ADVICE r14): a parquet source file with an
+    // extra column must NOT silently evolve the table as a side effect
+    // of ingestion — refused without mergeSchema, loaded additively
+    // with COPY_OPTIONS ('mergeSchema' = 'true'); a type change never
+    // ingests either way
+    val extraDir = Files.createTempDirectory("graft_copy_extra_").toString
+    Seq((8L, 80L, "x")).toDF("k", "v", "note")
+      .coalesce(1).write.parquet(s"$extraDir/a")
+    val eSchema = intercept[Exception] {
+      spark.sql(s"COPY INTO $cat.default.cp1 FROM '$extraDir' " +
+        "FILEFORMAT = PARQUET")
+    }
+    assert(eSchema.getMessage.contains("mergeSchema"),
+      s"the refusal names the opt-in: ${eSchema.getMessage}")
+    assert(spark.table(s"$cat.default.cp1").columns.toSeq
+      == Seq("k", "v"), "the refused copy must not evolve the schema")
+    val rm = spark.sql(s"COPY INTO $cat.default.cp1 FROM '$extraDir' " +
+      "FILEFORMAT = PARQUET COPY_OPTIONS ('mergeSchema' = 'true')").head
+    assert((rm.getLong(0), rm.getLong(1)) == ((1L, 1L)))
+    assert(spark.table(s"$cat.default.cp1").columns.toSeq
+      == Seq("k", "v", "note"), "mergeSchema evolves additively")
+    val badTypeDir = Files.createTempDirectory("graft_copy_badt_").toString
+    Seq(("9", 90L)).toDF("k", "v") // k is STRING, table says BIGINT
+      .coalesce(1).write.parquet(s"$badTypeDir/a")
+    val eType = intercept[Exception] {
+      spark.sql(s"COPY INTO $cat.default.cp1 FROM '$badTypeDir' " +
+        "FILEFORMAT = PARQUET COPY_OPTIONS ('mergeSchema' = 'true')")
+    }
+    assert(eType.getMessage.contains("type"),
+      s"type changes never ingest: ${eType.getMessage}")
     Seq("cp1", "cp2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
@@ -1438,6 +1469,12 @@ class SourceFormatSpec extends SparkTestBase {
     }
     assert(feed() == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)),
       "default = the full retained history")
+    // startingVersion=0 — the common Delta spelling for "from the
+    // beginning" — must mean the full retained feed, not a confusing
+    // "version -1 not published" refusal (r15, ADVICE r14)
+    assert(feed("startingVersion" -> "0")
+      == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)),
+      "startingVersion=0 = full history, same as 1")
     assert(feed("startingVersion" -> "3") == Seq((3L, 3L), (4L, 4L)),
       "startingVersion is INCLUSIVE")
     assert(feed("startingVersion" -> "2", "endingVersion" -> "3")
@@ -1724,7 +1761,30 @@ class SourceFormatSpec extends SparkTestBase {
         Option(x.getMessage).toSeq ++ names(x.getCause))
     assert(names(e).exists(_.contains("vacuumed")),
       s"the refusal must name the vacuumed version: ${e.getMessage}")
-    Seq("vh1", "vh2").foreach(t => spark.sql(s"DROP TABLE $cat.default.$t"))
+
+    // SUFFIX FORCE (r15, ADVICE r14): a commit stamp that REGRESSED
+    // (NTP step-back, or the mtime fallback after a table copy) must
+    // never let the retention filter drop an INTERIOR version — that
+    // would truncate the dense-claim walk and hide every newer live
+    // version. Backdate v2 of a 3-version table below the window while
+    // v1 and v3 stay inside: the kept set is forced to the suffix from
+    // the OLDEST in-window version, so nothing drops.
+    val dir3 = java.nio.file.Paths.get(wh, "default", "vh3").toString
+    spark.sql(s"CREATE TABLE $cat.default.vh3 (k BIGINT, v BIGINT)")
+    for (i <- 1 to 3)
+      assert(LakeTable.append(spark, dir3,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir3, "commit-v2"),
+      oldMs.toString.getBytes("UTF-8"))
+    assert(LakeTable.vacuumRetainHours(dir3, 5L) == ((0, 0)),
+      "a regressed interior stamp must not drop the interior version")
+    assert(LakeTable.versions(dir3) == Seq(1L, 2L, 3L))
+    assert(LakeTable.readVersion(spark, dir3, 2L).count() == 2L,
+      "the interior version stays readable (two appended rows)")
+    Seq("vh1", "vh2", "vh3").foreach(t =>
+      spark.sql(s"DROP TABLE $cat.default.$t"))
   }
 
   test("ALTER COLUMN TYPE widening (r14): metadata-only, carried files " +
