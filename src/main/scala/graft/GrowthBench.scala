@@ -78,8 +78,55 @@ object GrowthBench {
       }
       s""""$name":{${cells.mkString(",")}}"""
     }
+
+    // LIVE-FILE-COUNT axis (r15, verdict ask #1): per-MERGE commit
+    // latency and manifest BYTES at 1x/10x/100x live files with FIXED
+    // total rows — the empirical backing for the incremental manifest
+    // log. Before r15 every commit serialized the full live file list
+    // (O(live files) metadata per commit); with ADD/REMOVE delta
+    // manifests + periodic checkpoints, a band-local merge's manifest
+    // should stay O(touched) no matter how many files the table holds.
+    // Each scale: a band-partitioned table with ~F files, then three
+    // single-band merges; report the median commit latency and the
+    // median DELTA manifest size (checkpoint commits are full by
+    // design — the amortized cost — and report separately).
+    import graft.sources.LakeTable
+    import org.apache.spark.sql.functions.{col, expr => sexpr}
+    val bands = 10
+    val fileCells = Seq(50, 500, 5000).map { f =>
+      val dir = s"$outDir/lakefiles_$f"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val rows = 200000L
+      val df = spark.range(rows)
+        .withColumn("band", col("id") % bands)
+        .withColumn("v", col("id") * 2L)
+        .repartition(math.max(1, f / bands), col("band"))
+      require(LakeTable.commit(spark, dir, df, Some("band"),
+        Seq("id"))(_ => None) == Right(1L))
+      val nFiles = LakeTable.currentFiles(dir).size
+      val merges = (1 to 3).map { i =>
+        val upsert = spark.range(i * 100L, i * 100L + 50L)
+          .withColumn("band", col("id") % bands)
+          .withColumn("v", col("id") * 3L)
+          .filter(col("band") === (i % bands))
+        val t0 = System.nanoTime()
+        val r = LakeTable.mergePartial(spark, dir, upsert,
+          Seq("id"), "band")(_ => None)
+        val sec = r3((System.nanoTime() - t0) / 1e9)
+        val v = r.toOption.get
+        val mBytes = java.nio.file.Files.size(
+          java.nio.file.Paths.get(dir, s"manifest-v$v.json"))
+        (sec, mBytes)
+      }
+      val medSec = merges.map(_._1).sorted.apply(1)
+      val medBytes = merges.map(_._2).sorted.apply(1)
+      s""""f$f":{"files":$nFiles,"merge_sec":$medSec,""" +
+        s""""manifest_bytes":$medBytes}"""
+    }
+
     println(s"""{"metric":"growth","base_docs":$baseDocs,"base_vecs":$baseVecs,""" +
-      s""""ops":{${lines.mkString(",")}}}""")
+      s""""ops":{${lines.mkString(",")}},""" +
+      s""""lake_files":{${fileCells.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -610,6 +610,13 @@ object Layout {
                 && kept.size < LakeTable.currentFiles(dir).size,
               s"stats must skip files: kept ${kept.size} of " +
               s"${LakeTable.currentFiles(dir).size}")
+      // UNDECLARED-column skipping (r15, verdict ask #5): `cents` is
+      // not in statsBy, yet the commit-time footer pass recorded its
+      // min/max automatically (Delta's first-32-columns rule) — a probe
+      // below every file's range must scan FEWER files than the table
+      // holds (here: none; pruning on declared columns is unchanged)
+      require(LakeTable.filesWhere(dir, "cents", -10L, -1L).isEmpty,
+              "footer stats on an undeclared column must prune")
       LakeTable.readWhere(s, dir, "custkey", 1L, 100L)
         .filter(col("custkey").between(1L, 100L))
         .select("custkey", "n_orders", "cents").orderBy("custkey")

@@ -100,7 +100,8 @@ object LakeTable {
                           renames: Map[String, String] = Map.empty,
                           dropped: Seq[String] = Seq.empty,
                           rows: Map[String, Long] = Map.empty,
-                          hidden: Map[String, Long] = Map.empty)
+                          hidden: Map[String, Long] = Map.empty,
+                          bytes: Map[String, Long] = Map.empty)
 
   /** List a directory's entries with the stream CLOSED on exit —
     * `Files.list` leaks a directory file descriptor until GC otherwise,
@@ -118,6 +119,8 @@ object LakeTable {
     Paths.get(dir, s"commit-v$v")
   private def fencePath(dir: String, v: Long): Path =
     Paths.get(dir, s"abort-v$v")
+  private def checkpointPath(dir: String, v: Long): Path =
+    Paths.get(dir, s"checkpoint-v$v.json")
 
   /** Every manifest claim on disk, ascending (published, orphaned, and
     * fenced alike). */
@@ -195,9 +198,296 @@ object LakeTable {
     * names, and the answer is monotonic because markers only accumulate. */
   def currentVersion(dir: String): Option[Long] = versions(dir).lastOption
 
+  // ---- incremental manifest log (r15, verdict ask #1) ------------------
+  //
+  // Before r15 every manifest was a FULL SNAPSHOT: the whole live file
+  // list plus per-file rows/hidden/stats/bytes entries, rewritten on
+  // EVERY commit — O(live files) metadata per commit and per cold read,
+  // the one structural scale-killer at 100 TB (10⁵–10⁷ files: a MERGE
+  // touching one layout band would serialize a multi-MB manifest).
+  // Since r15 `manifest-v{N}.json` carries only the DELTA against its
+  // base version — ADD/REMOVE file and sidecar lists, set/del entries
+  // for the per-file maps, the (small) schema/renames/dropped/batches
+  // metadata in full — and every [[checkpointInterval]]-deep chain gets
+  // a `checkpoint-v{N}.json` FULL snapshot (as does the oldest version
+  // a vacuum retains, so a resolution chain never crosses a reclaimed
+  // version). Readers RESOLVE a version by folding checkpoint + delta
+  // suffix — O(touched) amortized, O(K·touched + live/K) worst-case
+  // cold — through [[readManifest]], which still hands every caller the
+  // exact full-snapshot JSON the old format stored (same renderer, same
+  // field encodings), so the forty-odd accessor call sites and every
+  // pre-r15 manifest on disk keep working unchanged. Resolved snapshots
+  // are immutable once published and cache process-wide (byte-budgeted
+  // LRU). Commits whose delta would not be smaller than the snapshot
+  // (overwrites, clones, restores) write the full form directly — the
+  // delta is an optimization, never a requirement: any commit may write
+  // a full manifest and the chain simply anchors there.
+
+  /** Commits between full checkpoints (the Delta-protocol default). */
+  private def checkpointInterval: Int =
+    sys.props.get("graft.lake.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > 0).getOrElse(10)
+
+  private def isDeltaRecord(raw: String): Boolean =
+    raw.contains("\"delta\":1")
+
+  private def recordBase(raw: String): Long =
+    "\"base\":(-?\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+      .getOrElse(0L)
+
+  // resolved-snapshot cache: (canonical dir)#v(version) -> (full JSON,
+  // chain depth). Entries are immutable once written — manifests never
+  // change under their name — so the cache needs no invalidation, only
+  // a byte budget (a stream walking a long history would otherwise pin
+  // O(versions × live files) of JSON).
+  private val resolveCache =
+    new java.util.LinkedHashMap[String, (String, Int)](64, 0.75f, true)
+  private var resolveCacheBytes = 0L
+  private val resolveCacheBudget = 64L << 20
+
+  private def cacheKey(dir: String, v: Long): String =
+    Paths.get(dir).toAbsolutePath.normalize.toString + "#v" + v
+
+  private def cacheGet(k: String): Option[(String, Int)] =
+    resolveCache.synchronized(Option(resolveCache.get(k)))
+
+  /** Test seam: force the next resolution COLD (a fresh JVM's view). */
+  private[graft] def clearResolveCache(): Unit =
+    resolveCache.synchronized {
+      resolveCache.clear()
+      resolveCacheBytes = 0L
+    }
+
+  private def cachePut(k: String, v: (String, Int)): Unit =
+    resolveCache.synchronized {
+      val old = resolveCache.put(k, v)
+      resolveCacheBytes +=
+        v._1.length.toLong - Option(old).map(_._1.length.toLong).getOrElse(0L)
+      val it = resolveCache.entrySet().iterator()
+      while (resolveCacheBytes > resolveCacheBudget && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) {
+          resolveCacheBytes -= e.getValue._1.length.toLong
+          it.remove()
+        }
+      }
+    }
+
+  /** Resolve version `v` to its FULL snapshot JSON + chain depth (0 =
+    * anchored here: a full manifest or a checkpoint). The caller has
+    * checked the manifest exists; a broken chain (delta against a
+    * version that is gone without a checkpoint) throws loudly — it
+    * means the table directory was altered outside the protocol. */
+  private def resolveFull(dir: String, v: Long): (String, Int) = {
+    val key = cacheKey(dir, v)
+    cacheGet(key).getOrElse {
+      val ck = checkpointPath(dir, v)
+      val out =
+        if (Files.exists(ck)) (new String(Files.readAllBytes(ck), UTF_8), 0)
+        else {
+          val raw = new String(
+            Files.readAllBytes(manifestPath(dir, v)), UTF_8)
+          if (!isDeltaRecord(raw)) (raw, 0)
+          else {
+            val b = recordBase(raw)
+            if (b <= 0L || (!Files.exists(manifestPath(dir, b)) &&
+                            !Files.exists(checkpointPath(dir, b))))
+              throw new IllegalStateException(
+                s"manifest chain broken in $dir: v$v is a delta against " +
+                s"v$b, which has neither manifest nor checkpoint — the " +
+                "directory was altered outside the commit/vacuum protocol")
+            val (bj, bd) = resolveFull(dir, b)
+            (applyDelta(dir, bj, raw, v), bd + 1)
+          }
+        }
+      cachePut(key, out)
+      out
+    }
+  }
+
+  /** Parse a FULL snapshot JSON back into its [[Staged]]-shaped state —
+    * the fold seed for delta application and the diff base for delta
+    * rendering. */
+  private def stateOf(dir: String, json: String): Staged =
+    Staged(dir, 0L, manifestFiles(json),
+           batches = manifestBatches(json),
+           schema = manifestSchema(json),
+           stats = manifestStats(json),
+           baseVersion = recordBase(json),
+           op = manifestOp(json),
+           dv = manifestDv(json),
+           renames = manifestRenames(json),
+           dropped = manifestDropped(json),
+           rows = manifestRows(json),
+           hidden = manifestHidden(json),
+           bytes = manifestBytes(json))
+
+  // delta-record field parsers — `d_`-prefixed names so no full-format
+  // regex can ever match them (and vice versa)
+  private def dStrs(json: String, field: String): Seq[String] =
+    ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .map(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  private def dPairs(json: String, field: String): Map[String, Long] =
+    ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .map(s => "\"([^\"]+)\\|(-?\\d+)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
+  private def dLongMap(json: String, field: String): Map[String, Long] =
+    ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .map(s => "\"([^\"]*)\":(-?\\d+)".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
+  /** Fold one delta record over its base's full snapshot and re-render
+    * the full form — by construction byte-identical to what the old
+    * full-manifest writer would have stored for this version
+    * ([[deltaJson]] refuses to write a delta whose fold would not
+    * reproduce the staged state exactly). */
+  private def applyDelta(dir: String, baseJson: String, delta: String,
+                         v: Long): String = {
+    val base = stateOf(dir, baseJson)
+    val rmf = dStrs(delta, "d_rmf").toSet
+    val rmdv = dStrs(delta, "d_rmdv").toSet
+    val rmstats = dStrs(delta, "d_rmstats").toSet
+    def fold(b: Map[String, Long], setF: String, delF: String) =
+      b -- dStrs(delta, delF) ++ dPairs(delta, setF)
+    manifestJson(Staged(dir, v,
+      files = base.files.filterNot(rmf) ++ dStrs(delta, "d_addf"),
+      batches = base.batches -- dStrs(delta, "d_delbatches") ++
+        dLongMap(delta, "d_setbatches"),
+      schema = manifestSchema(delta),
+      stats = base.stats.filterNot(rmstats) ++ dStrs(delta, "d_addstats"),
+      baseVersion = recordBase(delta),
+      op = manifestOp(delta),
+      dv = base.dv.filterNot(rmdv) ++ dStrs(delta, "d_adddv"),
+      renames = manifestRenames(delta),
+      dropped = manifestDropped(delta),
+      rows = fold(base.rows, "d_setrows", "d_delrows"),
+      hidden = fold(base.hidden, "d_sethidden", "d_delhidden"),
+      bytes = fold(base.bytes, "d_setbytes", "d_delbytes")), v)
+  }
+
+  /** Render `staged` as a DELTA against its base's resolved state —
+    * None when the fold would not reproduce the staged member ORDER
+    * exactly (restores and other order-shuffling commits write full
+    * manifests, keeping resolution byte-identical to the legacy
+    * format), or when the delta would not be smaller than the full
+    * snapshot (overwrites: the removal list IS the old file list). */
+  private def deltaJson(staged0: Staged, base: Staged,
+                        v: Long): Option[String] = {
+    // normalize exactly as manifestJson renders: hidden drops zeros
+    val staged = staged0.copy(hidden = staged0.hidden.filter(_._2 > 0L))
+    def arrDiff(bs: Seq[String], ss: Seq[String])
+        : Option[(Seq[String], Seq[String])] = {
+      val sSet = ss.toSet
+      val bSet = bs.toSet
+      val rm = bs.filterNot(sSet.contains)
+      val add = ss.filterNot(bSet.contains)
+      val rmSet = rm.toSet
+      if ((bs.filterNot(rmSet.contains) ++ add) == ss) Some((add, rm))
+      else None
+    }
+    def mapDiff(b: Map[String, Long], s: Map[String, Long])
+        : (Seq[(String, Long)], Seq[String]) = {
+      val set = s.toSeq.filter { case (k, n) => !b.get(k).contains(n) }
+      val del = b.keysIterator.filterNot(s.contains).toSeq
+      (set, del)
+    }
+    for {
+      (addf, rmf) <- arrDiff(base.files, staged.files)
+      (adddv, rmdv) <- arrDiff(base.dv, staged.dv)
+      (addstats, rmstats) <- arrDiff(base.stats, staged.stats)
+      (setRows, delRows) = mapDiff(base.rows, staged.rows)
+      (setHid, delHid) = mapDiff(base.hidden, staged.hidden)
+      (setBytes, delBytes) = mapDiff(base.bytes, staged.bytes)
+      (setBatches, delBatches) = mapDiff(base.batches, staged.batches)
+      deltaN = addf.size + rmf.size + adddv.size + rmdv.size +
+        addstats.size + rmstats.size + setRows.size + delRows.size +
+        setHid.size + delHid.size + setBytes.size + delBytes.size +
+        setBatches.size + delBatches.size
+      fullN = staged.files.size + staged.dv.size + staged.stats.size +
+        staged.rows.size + staged.hidden.size + staged.bytes.size +
+        staged.batches.size
+      if deltaN < fullN
+    } yield {
+      def sArr(field: String, xs: Seq[String]): String =
+        if (xs.isEmpty) ""
+        else xs.map("\"" + _ + "\"").mkString(s""""$field":[""", ",", "],")
+      def sPairs(field: String, xs: Seq[(String, Long)]): String =
+        if (xs.isEmpty) ""
+        else xs.sorted.map { case (f, n) => s""""$f|$n"""" }
+          .mkString(s""""$field":[""", ",", "],")
+      def sMap(field: String, xs: Seq[(String, Long)]): String =
+        if (xs.isEmpty) ""
+        else xs.sorted.map { case (k, n) => s""""$k":$n""" }
+          .mkString(s""""$field":{""", ",", "},")
+      val schemaField = staged.schema.map("\"" + _ + "\"")
+        .mkString("\"schema\":[", ",", "],")
+      val renamesField =
+        if (staged.renames.isEmpty) ""
+        else staged.renames.toSeq.sorted
+          .map { case (p, l) => s""""$p":"$l"""" }
+          .mkString("\"renames\":{", ",", "},")
+      val droppedField =
+        if (staged.dropped.isEmpty) ""
+        else staged.dropped.sorted.map("\"" + _ + "\"")
+          .mkString("\"dropped\":[", ",", "],")
+      s"""{"version":$v,"base":${staged.baseVersion},""" +
+        s""""op":"${staged.op}","delta":1,""" +
+        schemaField + renamesField + droppedField +
+        sArr("d_addf", addf) + sArr("d_rmf", rmf) +
+        sArr("d_adddv", adddv) + sArr("d_rmdv", rmdv) +
+        sArr("d_addstats", addstats) + sArr("d_rmstats", rmstats) +
+        sPairs("d_setrows", setRows) + sArr("d_delrows", delRows) +
+        sPairs("d_sethidden", setHid) + sArr("d_delhidden", delHid) +
+        sPairs("d_setbytes", setBytes) + sArr("d_delbytes", delBytes) +
+        sMap("d_setbatches", setBatches) +
+        sArr("d_delbatches", delBatches) +
+        "\"end\":1}"
+    }
+  }
+
+  /** Write `checkpoint-v{N}.json` atomically (create-new; a concurrent
+    * writer of the same immutable content simply loses the race). */
+  private def writeCheckpoint(dir: String, v: Long, full: String): Unit = {
+    val tmp = Paths.get(dir,
+      s".checkpoint-${java.util.UUID.randomUUID()}.tmp")
+    try {
+      Files.write(tmp, full.getBytes(UTF_8))
+      try Files.createLink(checkpointPath(dir, v), tmp)
+      catch { case _: FileAlreadyExistsException => () }
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** Whether `v0`'s resolution chain would cross a dropped version —
+    * the vacuum-time predicate deciding which retained claims need a
+    * checkpoint anchor before reclaim proceeds. */
+  private def chainCrossesDropped(dir: String, v0: Long,
+                                  drop: Set[Long]): Boolean = {
+    var v = v0
+    while (true) {
+      if (Files.exists(checkpointPath(dir, v))) return false
+      val mp = manifestPath(dir, v)
+      if (!Files.exists(mp)) return true // legacy hole: anchor above it
+      val raw = new String(Files.readAllBytes(mp), UTF_8)
+      if (!isDeltaRecord(raw)) return false
+      val b = recordBase(raw)
+      if (b <= 0L || drop.contains(b)) return b > 0L
+      v = b
+    }
+    false
+  }
+
   private def readManifest(dir: String, version: Long): Option[String] = {
     val m = manifestPath(dir, version)
-    if (Files.exists(m)) Some(new String(Files.readAllBytes(m), UTF_8))
+    if (Files.exists(m)) Some(resolveFull(dir, version)._1)
     else None
   }
 
@@ -242,6 +532,25 @@ object LakeTable {
 
   private[graft] def rowsOf(dir: String, version: Long): Map[String, Long] =
     readManifest(dir, version).map(manifestRows).getOrElse(Map.empty)
+
+  /** Per-member BYTE SIZES (r15, verdict ask #4): `"bytecounts":
+    * ["<file>|<n>", …]` over data files and sidecars — the same
+    * encoding as `rowcounts`. Synthesized at CLAIM time ([[claimAt]]):
+    * carried members copy the base manifest's entry, new members cost
+    * one driver-side stat each — O(touched) per commit, and the
+    * streaming admission control can then budget micro-batches by
+    * ADDED bytes (`maxBytesPerTrigger`) without per-trigger file-system
+    * stats. Manifests written before r15 lack the field; consumers
+    * fall back to `Files.size`. */
+  private def manifestBytes(json: String): Map[String, Long] =
+    "\"bytecounts\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .map(s => "\"([^\"]+)\\|(\\d+)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
+  private[graft] def bytesOf(dir: String, version: Long): Map[String, Long] =
+    readManifest(dir, version).map(manifestBytes).getOrElse(Map.empty)
 
   /** A manifest's recorded rows map restricted to the members a new
     * version still lists — the carry-forward of [[manifestRows]]. */
@@ -550,8 +859,18 @@ object LakeTable {
   private def readFiles(spark: SparkSession, dir: String, json: String,
                         what: String): DataFrame = {
     val files = manifestFiles(json).map(f => Paths.get(dir, f).toString)
-    require(files.nonEmpty, s"$what lists no files in $dir")
     val recorded = manifestSchema(json)
+    // a ZERO-FILE version with a recorded schema is a legal live state
+    // since r15 (behavior 34's full-truncate CDC epoch): the schema
+    // rides the manifest, so readers get the right empty shape instead
+    // of a refusal, and the next epoch repopulates normally
+    if (files.isEmpty && recorded.nonEmpty)
+      return toLogical(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(recorded.mkString(", "))),
+        manifestRenames(json))
+    require(files.nonEmpty, s"$what lists no files in $dir")
     val base =
       if (recorded.isEmpty) spark.read.parquet(files: _*)
       else
@@ -678,12 +997,32 @@ object LakeTable {
       .flatMap(v => readManifest(dir, v).map(j =>
         manifestFiles(j) ++ manifestDv(j)).getOrElse(Nil))
       .toSet
+    // INCREMENTAL-MANIFEST GUARD (r15): a retained claim whose delta
+    // chain passes through a version being dropped must get a full
+    // checkpoint BEFORE anything deletes, or its resolution breaks.
+    // Kept published versions chain down through the lowest kept one;
+    // retained orphan claims (in-flight commits above the floor) chain
+    // to whatever base they planned against — walk each retained claim
+    // and anchor the ones that would cross the reclaimed set. Crash
+    // safety: checkpoints are written first, so a vacuum killed
+    // mid-delete leaves at worst extra checkpoints, never a broken
+    // chain.
+    if (!dryRun) {
+      manifestVersions(dir).filterNot(dropSet.contains).foreach { r =>
+        if (chainCrossesDropped(dir, r, dropSet)) {
+          val (full, _) = resolveFull(dir, r)
+          writeCheckpoint(dir, r, full)
+          cachePut(cacheKey(dir, r), (full, 0))
+        }
+      }
+    }
     // DRY RUN (r14): plan and count, mutate nothing — no manifest
     // drops, no floor-hint write, no fence cleanup, no file reclaim
     if (!dryRun) drop.foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v))
       Files.deleteIfExists(markerPath(dir, v))
       Files.deleteIfExists(fencePath(dir, v))
+      Files.deleteIfExists(checkpointPath(dir, v))
     }
     // record the gap boundary for [[versionsAbove]] (r12, ADVICE r11
     // high): the lowest retained published version, written atomically
@@ -904,87 +1243,277 @@ object LakeTable {
     }
   }
 
-  /** Per-(file, column) typed min/max for the named stats columns AND
-    * per-file row counts (r14) — ONE grouped pass over the fresh files
-    * keyed on input_file_name serves both. Columns whose type has no
-    * ordered file-prune domain (decimal, binary, nested) and files whose
-    * min/max are NULL (all-null column) record no stats entry — pruning
-    * treats missing stats as keep-file, so skipping them is always safe
-    * (the r8 NPE on all-null stats columns). Every fresh file gets a
-    * rows entry — a schema-only zero-row file (absent from the grouped
-    * result) records 0, so the manifest-arithmetic cardinality stays
-    * exact and zero-row staging litter is still detectable. */
+  /** Per-(file, column) typed min/max AND per-file row counts — since
+    * r15 ONE PARALLEL FOOTER PASS over the fresh files serves both,
+    * zero Spark jobs. Two r14 problems die here:
+    *
+    *  - the r14 row-count pass opened each fresh footer SEQUENTIALLY on
+    *    the driver (~7.5 ms/open measured locally), so a commit staging
+    *    ~300 files paid ~2.2 s of pure footer latency — the whole
+    *    q_lake_dv/changes/clone/source regression the r14 verdict
+    *    flagged. The pass is now fork-join parallel AND also harvests
+    *    the min/max the separate grouped Spark job used to compute.
+    *  - stats existed only for DECLARED statsBy columns, so a filter on
+    *    any other column pruned nothing. The footers already hold
+    *    min/max for every column; the pass records them for the first
+    *    [[statsColumnCap]] leaf columns (Delta's default-32 rule) plus
+    *    every declared column — undeclared-column data skipping for
+    *    free (r15, verdict ask #5).
+    *
+    * Footer bounds are valid-or-wider by the parquet spec (truncated
+    * binary stats keep min ≤ true min and max ≥ true max), so pruning
+    * against them is always a superset of the answer; parquet-mr
+    * already vets away stats written with untrustworthy sort orders
+    * (the same trust Spark's own row-group pushdown extends). Columns
+    * whose type has no ordered prune domain, all-null chunks, NaN
+    * float bounds, and INT96 timestamps record no entry — and a
+    * DECLARED column the footers covered nowhere falls back to the
+    * old grouped Spark pass (restricted to just those columns), so a
+    * statsBy declaration never silently loses skipping. Every fresh
+    * file gets a rows entry — a schema-only zero-row file records 0,
+    * keeping the manifest-arithmetic cardinality exact. */
   private def statsAndRows(spark: SparkSession, dir: String,
                            read: DataFrame, fresh: Seq[String],
                            statsBy: Seq[String])
       : (Seq[String], Map[String, Long]) = {
-    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    val fields = read.schema.fields.toSeq
+    val byType = fields.map(f => f.name -> f.dataType).toMap
+    val declared = statsBy.filter(byType.contains)
+    val wanted = (fields.take(statsColumnCap).map(_.name) ++ declared)
+      .distinct.filter(c => footerDomainOf(byType(c)).nonEmpty)
+      .map(c => c -> byType(c))
+    val harvested = footerHarvest(dir, fresh, wanted)
+    val rows = harvested.map { case (f, m) => f -> m.rows }.toMap
+    val footerStats = harvested.flatMap(_._2.stats)
+    // grouped-pass fallback: a declared column with rows on disk but no
+    // footer entry anywhere (INT96 timestamps, vetted-away stats) —
+    // rare, and absent entirely for the common Spark-written types
+    val entered = footerStats.map(_.split('|')(1)).toSet
+    val missing = declared.filterNot(entered.contains)
+      .filter(c => footerDomainOf(byType(c)).nonEmpty ||
+                   groupedEncodable(byType(c)))
+    val grouped =
+      if (missing.isEmpty || rows.values.sum == 0L) Seq.empty
+      else groupedStatsPass(dir, read, missing, byType)
+    ((footerStats ++ grouped).sorted, rows)
+  }
+
+  /** First-N-leaf-columns cap for automatic footer stats (Delta records
+    * 32 by default); 0 restricts stats to declared columns only. */
+  private def statsColumnCap: Int =
+    sys.props.get("graft.lake.statsColumns")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ >= 0).getOrElse(32)
+
+  /** The typed comparison domain a column's FOOTER stats land in, if
+    * any — mirrors [[ColStat]]'s kinds. */
+  private def footerDomainOf(
+      dt: org.apache.spark.sql.types.DataType): Option[Char] = {
     import org.apache.spark.sql.types._
-    // per-file row counts come from the parquet FOOTERS — driver-side
-    // metadata reads bounded by fresh-file count, zero Spark jobs (r14:
-    // the first cut ran a grouped count pass per staging and made every
-    // DV DML op measurably slower than the scans it replaced)
-    val rows = fresh.map(f => f -> footerRowCount(dir, f)).toMap
-    val present = statsBy.filter(read.columns.contains)
-    if (present.isEmpty) (Seq.empty, rows)
-    else {
-      val aggs = present.flatMap(c =>
-        Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
-      val byType = present.map(c =>
-        c -> read.schema(c).dataType).toMap
-      def enc(dt: DataType, v: Any): Option[(Char, String)] = (dt, v) match {
-        case (_, null) => None
-        case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
-          Some(('L', n.longValue().toString))
-        case (FloatType | DoubleType, n: Number) =>
-          Some(('D', n.doubleValue().toString))
-        case (StringType, s: String) => Some(('S', encodeStatString(s)))
-        case (DateType, d: java.sql.Date) =>
-          Some(('A', d.toLocalDate.toEpochDay.toString))
-        case (DateType, d: java.time.LocalDate) =>
-          Some(('A', d.toEpochDay.toString))
-        case (TimestampType, t: java.sql.Timestamp) =>
-          Some(('U', (t.getTime * 1000L + t.getNanos / 1000 % 1000).toString))
-        case (TimestampType, t: java.time.Instant) =>
-          Some(('U', (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
-        case (TimestampNTZType, t: java.time.LocalDateTime) =>
-          // NTZ is wall-clock: anchor at UTC on BOTH sides (stats and
-          // filter) so the comparison domain is consistent
-          val i = t.toInstant(java.time.ZoneOffset.UTC)
-          Some(('U', (i.getEpochSecond * 1000000L + i.getNano / 1000).toString))
-        case _ => None
-      }
-      val grouped = read.groupBy(input_file_name().as("_f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect() // bounded by fresh-file count — planner-side metadata
-        .toSeq
-      val stats = grouped.flatMap { r =>
-        val rel = relPath(dir, r.getString(0))
-        present.flatMap { c =>
-          for {
-            (k, mn) <- enc(byType(c), r.get(r.fieldIndex(s"_mn_$c")))
-            (_, mx) <- enc(byType(c), r.get(r.fieldIndex(s"_mx_$c")))
-          } yield s"$rel|$c|$k|$mn|$mx"
-        }
-      }.sorted
-      (stats, rows)
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some('L')
+      case FloatType | DoubleType => Some('D')
+      case StringType => Some('S')
+      case DateType => Some('A')
+      case TimestampType | TimestampNTZType => Some('U')
+      case _ => None
     }
   }
 
-  /** Row count straight off one parquet file's FOOTER — driver-side
-    * metadata, no job, no data decode. The counts the manifest records
-    * (r14) all come from here: footers are written by the same task
-    * that wrote the rows, so they are exact by construction. */
-  // one shared conf: Configuration() re-parses the default XML resources
-  // on every instantiation — measurable × files-per-staging
-  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+  private def groupedEncodable(
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    footerDomainOf(dt).nonEmpty
 
-  private def footerRowCount(dir: String, rel: String): Long = {
+  private final case class FooterMeta(rows: Long, stats: Seq[String])
+
+  /** Open every file's parquet footer IN PARALLEL (fork-join over the
+    * driver's cores — these are independent ~ms metadata reads) and
+    * harvest row counts plus typed per-column min/max entries. */
+  private def footerHarvest(dir: String, files: Seq[String],
+                            wanted: Seq[(String,
+                              org.apache.spark.sql.types.DataType)])
+      : Seq[(String, FooterMeta)] = {
+    import scala.collection.parallel.CollectionConverters._
+    if (files.isEmpty) Seq.empty
+    else files.par.map(f => f -> harvestOne(dir, f, wanted)).seq.toSeq
+  }
+
+  private def harvestOne(dir: String, rel: String,
+                         wanted: Seq[(String,
+                           org.apache.spark.sql.types.DataType)])
+      : FooterMeta = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(Paths.get(dir, rel).toUri), footerConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val md = r.getFooter
+      val rows = r.getRecordCount
+      val entries =
+        if (rows == 0L) Seq.empty[String]
+        else wanted.flatMap { case (name, dt) =>
+          footerMinMax(md, name, dt).map { case (k, mn, mx) =>
+            s"$rel|$name|$k|$mn|$mx"
+          }
+        }
+      FooterMeta(rows, entries)
+    } finally r.close()
   }
+
+  /** Merge one column's chunk statistics across a footer's row groups
+    * into ONE typed (kind, min, max) — None (no entry = keep-file) when
+    * any populated row group lacks trustworthy stats, when the type
+    * needs a conversion the footer cannot provide (INT96 timestamps),
+    * or when a float bound is NaN. All-null chunks contribute nothing
+    * (min/max ignore nulls — the same semantics as the grouped pass,
+    * and range predicates never match null rows). */
+  private def footerMinMax(
+      md: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      name: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[(Char, String, String)] = {
+    import org.apache.spark.sql.types._
+    val kind = footerDomainOf(dt).getOrElse(return None)
+    // timestamps: only INT64 micros/millis annotations convert exactly
+    // into the 'U' (epoch-micros) domain; INT96 has no usable stats
+    val tsScale: Long =
+      if (kind != 'U') 1L
+      else {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val schema = md.getFileMetaData.getSchema
+        if (!schema.containsField(name)) return None
+        val t = schema.getType(Seq(name): _*)
+        if (t.isPrimitive &&
+            t.asPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64)
+          t.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                case _ => return None // nanos would overflow micros
+              }
+            case _ => return None
+          }
+        else return None
+      }
+    var longMin = Long.MaxValue; var longMax = Long.MinValue
+    var dblMin = Double.PositiveInfinity; var dblMax = Double.NegativeInfinity
+    var strMin: String = null; var strMax: String = null
+    var seen = false
+    val blocks = md.getBlocks.asScala
+    blocks.foreach { b =>
+      if (b.getRowCount > 0L) {
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == name).getOrElse(return None)
+        val s = cc.getStatistics
+        if (s == null || s.isEmpty) return None
+        if (!s.hasNonNullValue) {
+          // all-null chunk: contributes nothing; anything else
+          // unexplained is untrustworthy — keep-file
+          if (!(s.isNumNullsSet && s.getNumNulls == cc.getValueCount))
+            return None
+        } else kind match {
+          case 'L' | 'A' | 'U' =>
+            val mn = s.genericGetMin.asInstanceOf[Number].longValue * tsScale
+            val mx = s.genericGetMax.asInstanceOf[Number].longValue * tsScale
+            longMin = math.min(longMin, mn); longMax = math.max(longMax, mx)
+            seen = true
+          case 'D' =>
+            val mn = s.genericGetMin.asInstanceOf[Number].doubleValue
+            val mx = s.genericGetMax.asInstanceOf[Number].doubleValue
+            if (mn.isNaN || mx.isNaN) return None
+            dblMin = math.min(dblMin, mn); dblMax = math.max(dblMax, mx)
+            seen = true
+          case 'S' =>
+            val mn = new String(s.getMinBytes, UTF_8)
+            val mx = new String(s.getMaxBytes, UTF_8)
+            // merge in UTF-8 BINARY order — the order parquet computed
+            // the per-chunk bounds in (and the order Spark's own string
+            // min/max use), so the merged bounds stay valid
+            strMin = if (strMin == null || cmpUtf8(mn, strMin) < 0) mn
+                     else strMin
+            strMax = if (strMax == null || cmpUtf8(mx, strMax) > 0) mx
+                     else strMax
+            seen = true
+          case _ => return None
+        }
+      }
+    }
+    if (!seen) None
+    else kind match {
+      case 'L' | 'A' | 'U' =>
+        Some((kind, longMin.toString, longMax.toString))
+      case 'D' => Some((kind, dblMin.toString, dblMax.toString))
+      case 'S' => Some((kind, encodeStatString(strMin),
+                        encodeStatString(strMax)))
+      case _ => None
+    }
+  }
+
+  /** Unsigned UTF-8 byte comparison — code-point order, matching both
+    * parquet's UTF8 stats order and Spark's UTF8String ordering. */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The pre-r15 grouped min/max Spark job, kept as the fallback for
+    * declared columns the footers cannot cover. */
+  private def groupedStatsPass(dir: String, read: DataFrame,
+                               present: Seq[String],
+                               byType: Map[String,
+                                 org.apache.spark.sql.types.DataType])
+      : Seq[String] = {
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    import org.apache.spark.sql.types._
+    def enc(dt: DataType, v: Any): Option[(Char, String)] = (dt, v) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(('L', n.longValue().toString))
+      case (FloatType | DoubleType, n: Number) =>
+        Some(('D', n.doubleValue().toString))
+      case (StringType, s: String) => Some(('S', encodeStatString(s)))
+      case (DateType, d: java.sql.Date) =>
+        Some(('A', d.toLocalDate.toEpochDay.toString))
+      case (DateType, d: java.time.LocalDate) =>
+        Some(('A', d.toEpochDay.toString))
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(('U', (t.getTime * 1000L + t.getNanos / 1000 % 1000).toString))
+      case (TimestampType, t: java.time.Instant) =>
+        Some(('U', (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        // NTZ is wall-clock: anchor at UTC on BOTH sides (stats and
+        // filter) so the comparison domain is consistent
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        Some(('U', (i.getEpochSecond * 1000000L + i.getNano / 1000).toString))
+      case _ => None
+    }
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+    val grouped = read.groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded by fresh-file count — planner-side metadata
+      .toSeq
+    grouped.flatMap { r =>
+      val rel = relPath(dir, r.getString(0))
+      present.flatMap { c =>
+        for {
+          (k, mn) <- enc(byType(c), r.get(r.fieldIndex(s"_mn_$c")))
+          (_, mx) <- enc(byType(c), r.get(r.fieldIndex(s"_mx_$c")))
+        } yield s"$rel|$c|$k|$mn|$mx"
+      }
+    }.sorted
+  }
+
+  // one shared conf: Configuration() re-parses the default XML resources
+  // on every instantiation — measurable × files-per-staging
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
 
   /** Manifest-relative spelling of a reader-reported absolute file URI. */
   private def relPath(dir: String, uri: String): String = {
@@ -1188,8 +1717,15 @@ object LakeTable {
       case Some(reason) => Left(s"audit failed for v${staged.version}: $reason")
       case None =>
         val paths = staged.files.map(f => Paths.get(staged.dir, f).toString)
+        // a zero-file staged version with a recorded schema audits as
+        // the empty frame it will read back as (r15, behavior 34 —
+        // full-truncate publishes)
         val raw =
-          if (staged.schema.isEmpty) spark.read.parquet(paths: _*)
+          if (paths.isEmpty && staged.schema.nonEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType.fromDDL(staged.schema.mkString(", ")))
+          else if (staged.schema.isEmpty) spark.read.parquet(paths: _*)
           else spark.read
             .schema(StructType.fromDDL(staged.schema.mkString(", ")))
             .parquet(paths: _*)
@@ -1255,10 +1791,16 @@ object LakeTable {
         .map { case (f, n) => s""""$f|$n"""" }
         .mkString("\"hidden\":[", ",", "],")
     }
+    // per-member byte sizes (r15) — same encoding as rowcounts
+    val bytesField =
+      if (staged.bytes.isEmpty) ""
+      else staged.bytes.toSeq.sorted
+        .map { case (f, n) => s""""$f|$n"""" }
+        .mkString("\"bytecounts\":[", ",", "],")
     staged.files.map("\"" + _ + "\"")
       .mkString(s"""{"version":$v,"base":${staged.baseVersion},""" +
                 s""""op":"${staged.op}",$batchesField$schemaField""" +
-                s"""$statsField$dvField$renamesField$droppedField$rowsField$hiddenField"files":[""", ",", "]}")
+                s"""$statsField$dvField$renamesField$droppedField$rowsField$hiddenField$bytesField"files":[""", ",", "]}")
   }
 
   /** Publish a staged version: claim a version number via the manifest
@@ -1293,12 +1835,65 @@ object LakeTable {
     claimed
   }
 
-  /** Claim EXACTLY version `v` — true iff this call created the manifest. */
+  /** Per-member byte sizes for the manifest (r15): carried members copy
+    * the base manifest's recorded entry; new members cost one stat each
+    * — O(touched) per commit, the one seam every commit type passes
+    * through, so no per-op plumbing. A member whose size cannot be
+    * statted (should not happen — staged files are immutable) records
+    * no entry and consumers fall back to `Files.size`. */
+  private def withBytes(dir: String, staged: Staged): Staged = {
+    val carried: Map[String, Long] =
+      if (staged.baseVersion > 0L)
+        readManifest(dir, staged.baseVersion)
+          .map(manifestBytes).getOrElse(Map.empty)
+      else Map.empty
+    val bytes = (staged.files ++ staged.dv).flatMap { f =>
+      carried.get(f)
+        .orElse(scala.util.Try(Files.size(Paths.get(dir, f))).toOption)
+        .map(f -> _)
+    }.toMap
+    staged.copy(bytes = bytes)
+  }
+
+  /** Render the claim payload: the delta form when the base resolves
+    * and the delta is both exact and smaller, the full form otherwise.
+    * Returns (bytes to write, full snapshot, chain depth). */
+  private def renderForClaim(dir: String, staged0: Staged, v: Long)
+      : (String, String, Int) = {
+    val staged = withBytes(dir, staged0)
+    val full = manifestJson(staged, v)
+    if (staged.baseVersion <= 0L) (full, full, 0)
+    else if (!Files.exists(manifestPath(dir, staged.baseVersion)) &&
+             !Files.exists(checkpointPath(dir, staged.baseVersion)))
+      (full, full, 0) // base gone (raw replay seam): self-contained
+    else {
+      val (bj, bd) = resolveFull(dir, staged.baseVersion)
+      deltaJson(staged, stateOf(dir, bj), v) match {
+        case Some(d) => (d, full, bd + 1)
+        case None => (full, full, 0)
+      }
+    }
+  }
+
+  /** Claim EXACTLY version `v` — true iff this call created the manifest.
+    * The winner seeds the resolution cache with the full snapshot it
+    * already holds and, every [[checkpointInterval]] chain links, writes
+    * the `checkpoint-v{N}.json` anchor that bounds cold-resolution depth
+    * (and amortizes full-snapshot serialization to one in K commits). */
   private def claimAt(dir: String, staged: Staged, v: Long,
                       tmp: Path): Boolean = {
-    Files.write(tmp, manifestJson(staged, v).getBytes(UTF_8))
-    try { Files.createLink(manifestPath(dir, v), tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
+    val (payload, full, depth) = renderForClaim(dir, staged, v)
+    Files.write(tmp, payload.getBytes(UTF_8))
+    val won =
+      try { Files.createLink(manifestPath(dir, v), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    if (won) {
+      if (depth >= checkpointInterval) {
+        writeCheckpoint(dir, v, full)
+        cachePut(cacheKey(dir, v), (full, 0)) // re-anchored here
+      } else cachePut(cacheKey(dir, v), (full, depth))
+    }
+    won
   }
 
   private val publishLock = new Object
@@ -1856,8 +2451,10 @@ object LakeTable {
     }
     walkDir(tmpOut).reverse.foreach(Files.deleteIfExists)
     // footer counts: driver-side metadata over the just-written tiny
-    // files — no job, and the sum IS the hidden-position cardinality
-    val rows = sidecars.map(s => s -> footerRowCount(dir, s)).toMap
+    // files — no job, and the sum IS the hidden-position cardinality;
+    // parallel like every footer pass since r15
+    val rows = footerHarvest(dir, sidecars, Seq.empty)
+      .map { case (s, m) => s -> m.rows }.toMap
     // per-TARGET-file hidden counts (r14): one grouped pass over the
     // just-written sidecars (KB-scale, page-cache hot) keyed by the
     // manifest spelling of the target file — the granularity that lets

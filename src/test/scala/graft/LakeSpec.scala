@@ -554,8 +554,13 @@ class LakeSpec extends SparkTestBase {
       .filter(col("custkey").between(10L, 20L))
       .collect().map(_.getAs[Long]("custkey")).toSet
     assert(pruned == full, "pruned read must lose nothing in range")
-    // an unknown stats column prunes nothing (every file kept)
-    assert(LakeTable.filesWhere(dir, "n_orders", 0L, 0L).size == all.size)
+    // a column with NO stats anywhere prunes nothing (every file kept)
+    assert(LakeTable.filesWhere(dir, "no_such_col", 0L, 0L).size == all.size)
+    // an UNDECLARED column skips too since r15 — the footer pass
+    // records leading-column min/max automatically (verdict ask #5):
+    // n_orders ≥ 1 everywhere, so a [0, 0] probe prunes every file
+    assert(LakeTable.filesWhere(dir, "n_orders", 0L, 0L).isEmpty,
+      "automatic footer stats on an undeclared column must prune")
     // partial merge: rewritten band-0 files get FRESH stats, carried
     // files keep their origin stats — skipping still correct on v2
     val upserts = bucketed(31).withColumn("n_orders", col("n_orders") + 7L)
@@ -1572,5 +1577,144 @@ class LakeSpec extends SparkTestBase {
       .toSeq == (4L to 29L))
     assert(LakeTable.read(spark, src).count() == 1L,
       "clone DML must never reach the source")
+  }
+
+  test("incremental manifest log (r15): carry commits write O(touched) " +
+       "deltas, resolution reproduces every version exactly, and cold " +
+       "reads fold checkpoint + suffix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_mlog_").toString
+    def raw(v: Long): String = new String(
+      Files.readAllBytes(Paths.get(dir, s"manifest-v$v.json")), "UTF-8")
+    // v1: a many-file layout table (full manifest — nothing to delta
+    // against)
+    val base = (1L to 400L).map(k => (k, k % 8, k * 10L))
+      .toDF("k", "band", "v").repartition(8, col("band"))
+    assert(LakeTable.commit(spark, dir, base, Some("band"),
+      Seq("k"))(_ => None) == Right(1L))
+    assert(!raw(1L).contains("\"delta\":1"), "v1 anchors the chain")
+    val v1Files = LakeTable.currentFiles(dir)
+    assert(v1Files.size >= 8)
+
+    // appends and a single-band merge write DELTAS that do not re-list
+    // the carried files
+    assert(LakeTable.append(spark, dir,
+      Seq((401L, 1L, 4010L)).toDF("k", "band", "v"))(_ => None)
+      == Right(2L))
+    assert(raw(2L).contains("\"delta\":1"), "an append is a delta record")
+    assert(!raw(2L).contains(v1Files.head),
+      "a delta must not re-list carried files")
+    assert(raw(2L).length < raw(1L).length / 4,
+      s"delta (${raw(2L).length} B) must be far smaller than the " +
+      s"snapshot (${raw(1L).length} B)")
+    assert(LakeTable.mergePartial(spark, dir,
+      Seq((7L, 7L, 777L)).toDF("k", "band", "v"),
+      Seq("k"), "band")(_ => None) == Right(3L))
+    assert(raw(3L).contains("\"delta\":1"), "a partial merge is a delta")
+    // DV delete: sidecar rides the delta
+    assert(LakeTable.deleteWhereDv(spark, dir, col("k") === 10L)(_ => None)
+      == Right(4L))
+    assert(raw(4L).contains("\"delta\":1") && raw(4L).contains(".dv"))
+
+    // resolution reproduces every version byte-for-byte on a COLD cache
+    def view(v: Long) =
+      (LakeTable.filesOf(dir, v), LakeTable.rowsOf(dir, v),
+       LakeTable.dvOf(dir, v), LakeTable.bytesOf(dir, v))
+    val warm = (1L to 4L).map(v => v -> view(v)).toMap
+    LakeTable.clearResolveCache()
+    (1L to 4L).foreach { v =>
+      assert(view(v) == warm(v), s"cold resolution of v$v must match")
+    }
+    assert(LakeTable.read(spark, dir).filter(col("k") === 7L)
+      .head.getAs[Long]("v") == 777L)
+    assert(LakeTable.read(spark, dir).filter(col("k") === 10L).isEmpty,
+      "the DV delete must survive resolution")
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == 400L)
+
+    // byte sizes ride every manifest (r15): every member has an entry
+    val bytes = LakeTable.bytesOf(dir,
+      LakeTable.currentVersion(dir).get)
+    val members = LakeTable.currentFiles(dir) ++
+      LakeTable.dvOf(dir, LakeTable.currentVersion(dir).get)
+    assert(members.forall(bytes.contains),
+      "every live member needs a recorded byte size")
+    assert(members.forall(f =>
+      bytes(f) == Files.size(Paths.get(dir, f))),
+      "recorded sizes must match the bytes on disk")
+
+    // an OVERWRITE naturally writes the full form (its removal list
+    // would be the whole old file list)
+    assert(LakeTable.commit(spark, dir,
+      Seq((1L, 0L, 1L)).toDF("k", "band", "v"))(_ => None) == Right(5L))
+    assert(!raw(5L).contains("\"delta\":1"),
+      "an overwrite re-anchors with a full manifest")
+  }
+
+  test("incremental manifest log (r15): checkpoint cadence bounds cold " +
+       "resolution, vacuum anchors retained claims before reclaim, and " +
+       "an orphan claim over a vacuumed base still publishes readable") {
+    import spark.implicits._
+    val prev = sys.props.put("graft.lake.checkpointInterval", "3")
+    try {
+      val dir = Files.createTempDirectory("graft_lake_mckpt_").toString
+      assert(LakeTable.commit(spark, dir,
+        Seq((1L, 10L)).toDF("k", "v"))(_ => None) == Right(1L))
+      for (i <- 2 to 8)
+        assert(LakeTable.append(spark, dir,
+          Seq((i.toLong, i * 10L)).toDF("k", "v"))(_ => None)
+          == Right(i.toLong))
+      // chain depths: v1 full(0), v2..v8 deltas — depth hits 3 at v4
+      // and re-anchors, then again at v7
+      assert(Files.exists(Paths.get(dir, "checkpoint-v4.json")),
+        "depth-K chain must write a checkpoint")
+      assert(Files.exists(Paths.get(dir, "checkpoint-v7.json")))
+      assert(!Files.exists(Paths.get(dir, "checkpoint-v5.json")),
+        "checkpoints land every K commits, not every commit")
+      LakeTable.clearResolveCache()
+      assert(LakeTable.read(spark, dir).count() == 8L)
+      assert(LakeTable.readVersion(spark, dir, 6L).count() == 6L)
+
+      // vacuum keep-3 retains v6..v8. Chains walk DOWN through base
+      // links: v8 anchors at checkpoint-v7, but v6's chain passes
+      // through the dropped v5 — the guard must checkpoint v6 before
+      // anything deletes
+      val (dropped, _) = LakeTable.vacuum(dir, keepVersions = 3)
+      assert(dropped == 5)
+      assert(Files.exists(Paths.get(dir, "checkpoint-v6.json")),
+        "vacuum must anchor the lowest kept version before reclaim")
+      LakeTable.clearResolveCache()
+      assert(LakeTable.versions(dir) == Seq(6L, 7L, 8L))
+      (6L to 8L).foreach(v =>
+        assert(LakeTable.readVersion(spark, dir, v).count() == v,
+          s"v$v must stay readable after the vacuum"))
+
+      // ORPHAN CLAIM whose base falls below the floor: stage a carry
+      // commit against v6, claim it (crash before mark), then vacuum
+      // keep-1 — v6 and v7, the claim's WHOLE resolution chain, drop.
+      // The guard must anchor the retained claim so the resumed
+      // publish still resolves (the r12 deferred-reclaim promise now
+      // extends to the delta chain).
+      val st = LakeTable.stageAt(spark, dir, 6L,
+        Seq((99L, 990L)).toDF("k", "v"), None,
+        LakeTable.filesOf(dir, 6L), Seq.empty, "append")
+      val claimed = LakeTable.writeManifest(st)
+      LakeTable.vacuum(dir, keepVersions = 1)
+      assert(Files.exists(Paths.get(dir, s"manifest-v$claimed.json")),
+        "the in-flight claim above the floor survives")
+      assert(Files.exists(Paths.get(dir, s"checkpoint-v$claimed.json")),
+        "the claim's chain crossed the reclaimed set — it needs an anchor")
+      LakeTable.markPublished(dir, claimed)
+      LakeTable.clearResolveCache()
+      assert(LakeTable.readVersion(spark, dir, claimed)
+        .filter(col("k") === 99L).count() == 1L,
+        "the resumed publish must read back through its anchor")
+    } finally {
+      prev match {
+        case Some(p) =>
+          sys.props.put("graft.lake.checkpointInterval", p); ()
+        case None =>
+          sys.props.remove("graft.lake.checkpointInterval"); ()
+      }
+    }
   }
 }

@@ -678,9 +678,13 @@ class SourceFormatSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $cat.default.a2 VALUES (1, 2)")
     assert(spark.table(s"$cat.default.a2").head.getLong(1) == 2L)
 
-    // SET TBLPROPERTIES ('statsBy') changes later inserts' stats
+    // since r15 the footer pass records stats for leading columns
+    // AUTOMATICALLY — a declaration is no longer required for skipping
+    // — and SET TBLPROPERTIES ('statsBy') still guarantees coverage of
+    // the declared column on later inserts
     val dir2 = java.nio.file.Paths.get(wh, "default", "a2").toString
-    assert(!LakeTable.statsOf(dir2, 1L).keys.exists(_._2 == "k"))
+    assert(LakeTable.statsOf(dir2, 1L).keys.exists(_._2 == "k"),
+      "automatic footer stats must cover undeclared leading columns")
     spark.sql(s"ALTER TABLE $cat.default.a2 " +
       "SET TBLPROPERTIES ('statsBy'='k')")
     spark.sql(s"INSERT INTO $cat.default.a2 VALUES (9, 9)")
