@@ -823,7 +823,9 @@ class LakeV2Table(val dir: String, ident: String,
               maxVersionsPerTrigger =
                 Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
               maxFilesPerTrigger =
-                Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+                Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+              maxBytesPerTrigger =
+                Option(options.get("maxBytesPerTrigger")).map(_.toLong))
           }
         }
       }

@@ -71,7 +71,9 @@ private[sources] class LakeFeedTable(val dir: String, ident: String)
             maxVersionsPerTrigger =
               Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
             maxFilesPerTrigger =
-              Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+              Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+            maxBytesPerTrigger =
+              Option(options.get("maxBytesPerTrigger")).map(_.toLong))
       }
     }
   }
@@ -162,9 +164,10 @@ private[sources] case class LakeFeedPartition(
 private[sources] class LakeFeedMicroBatchStream(dir: String,
     tableSchema: StructType, startingVersion: Long,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private def ver(o: Offset): Long = o match {
@@ -173,6 +176,18 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
   }
 
   private var knownMax: Long = -1L
+
+  /** `Trigger.AvailableNow` drain target (r15) — pinned once at trigger
+    * start; see [[LakeMicroBatchStream.prepareForTriggerAvailableNow]]. */
+  private var availableNowCap: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val floor = math.max(knownMax, startingVersion)
+    availableNowCap = discover(floor).lastOption.getOrElse(floor)
+  }
+
+  private def capPin(vs: Seq[Long]): Seq[Long] =
+    if (availableNowCap < 0L) vs else vs.filter(_ <= availableNowCap)
 
   override def initialOffset(): Offset = LakeOffset(startingVersion)
 
@@ -190,7 +205,7 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
 
   override def latestOffset(): Offset = {
     val floor = math.max(knownMax, startingVersion)
-    val off = discover(floor).lastOption.getOrElse(floor)
+    val off = capPin(discover(floor)).lastOption.getOrElse(floor)
     knownMax = math.max(knownMax, off)
     LakeOffset(off)
   }
@@ -199,14 +214,21 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
     * to the next N commit versions (V1-source parity through the
     * admission-control seam — `start` is the committed floor, restarts
     * included). */
-  override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.orElse(maxFilesPerTrigger)
-      .map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxVersionsPerTrigger.orElse(maxFilesPerTrigger)
+        .map(n => ReadLimit.maxFiles(n)),
+      maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b))).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val floor = math.max(ver(start), startingVersion)
-    val pending = discover(floor)
+    val pending = capPin(discover(floor))
     val byVersions = maxVersionsPerTrigger match {
       case Some(n) if pending.nonEmpty => pending.take(n)
       case _ => pending
@@ -214,10 +236,17 @@ private[sources] class LakeFeedMicroBatchStream(dir: String,
     // maxFilesPerTrigger (r14): admit by the ADDED-file budget — the
     // dominant cost of a feed batch; removal/DV partitions ride along
     // with their version (same budget rule as the rows-mode stream)
-    val admitted = maxFilesPerTrigger match {
+    val byFiles = maxFilesPerTrigger match {
       case Some(nf) if byVersions.nonEmpty =>
         LakeMicroBatchStream.admitByFiles(dir, floor, byVersions, nf)
       case _ => byVersions
+    }
+    // maxBytesPerTrigger (r15): cumulative ADDED-byte budget from the
+    // manifest's recorded sizes — strictest cap wins
+    val admitted = maxBytesPerTrigger match {
+      case Some(nb) if byFiles.nonEmpty =>
+        LakeMicroBatchStream.admitByBytes(dir, floor, byFiles, nb)
+      case _ => byFiles
     }
     val off = admitted.lastOption.getOrElse(floor)
     knownMax = math.max(knownMax, off)

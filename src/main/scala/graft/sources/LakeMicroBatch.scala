@@ -44,9 +44,10 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
                            startingVersion: Long,
                            skipChangeCommits: Boolean,
                            maxVersionsPerTrigger: Option[Int] = None,
-                           maxFilesPerTrigger: Option[Int] = None)
+                           maxFilesPerTrigger: Option[Int] = None,
+                           maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private def ver(o: Offset): Long = o match {
@@ -57,6 +58,22 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
   /** Highest advertised offset — the probe floor (engine drives a stream
     * single-threaded). -1 = unprimed. */
   private var knownMax: Long = -1L
+
+  /** `Trigger.AvailableNow` drain target (r15, verdict ask #3): pinned
+    * ONCE when the engine announces the trigger, so the query drains
+    * exactly what was published at start — in ⌈backlog/cap⌉ bounded
+    * batches under the rate limits — then stops by itself; versions
+    * landing mid-drain wait for the next scheduled run. -1 = normal
+    * continuous trigger, no cap. */
+  private var availableNowCap: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val floor = math.max(knownMax, startingVersion)
+    availableNowCap = discover(floor).lastOption.getOrElse(floor)
+  }
+
+  private def capPin(vs: Seq[Long]): Seq[Long] =
+    if (availableNowCap < 0L) vs else vs.filter(_ <= availableNowCap)
 
   override def initialOffset(): Offset = LakeOffset(startingVersion)
 
@@ -75,7 +92,7 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
 
   override def latestOffset(): Offset = {
     val floor = math.max(knownMax, startingVersion)
-    val off = discover(floor).lastOption.getOrElse(floor)
+    val off = capPin(discover(floor)).lastOption.getOrElse(floor)
     knownMax = math.max(knownMax, off)
     LakeOffset(off)
   }
@@ -85,14 +102,21 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
     * the engine's admission-control seam so the capped offset is the
     * one the engine WALs (no side cursor needed; `start` is the
     * committed floor on every call, restarts included). */
-  override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.orElse(maxFilesPerTrigger)
-      .map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxVersionsPerTrigger.orElse(maxFilesPerTrigger)
+        .map(n => ReadLimit.maxFiles(n)),
+      maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b))).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val floor = math.max(ver(start), startingVersion)
-    val pending = discover(floor)
+    val pending = capPin(discover(floor))
     val byVersions = maxVersionsPerTrigger match {
       case Some(n) if pending.nonEmpty => pending.take(n)
       case _ => pending
@@ -102,10 +126,21 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
     // one, so a single oversized commit still drains. The per-version
     // counts are manifest arithmetic on the driver (same diffs
     // planInputPartitions runs), O(pending) manifest reads, no listing.
-    val admitted = maxFilesPerTrigger match {
+    val byFiles = maxFilesPerTrigger match {
       case Some(nf) if byVersions.nonEmpty =>
         LakeMicroBatchStream.admitByFiles(dir, floor, byVersions, nf)
       case _ => byVersions
+    }
+    // maxBytesPerTrigger (r15, verdict ask #4): file counts don't bound
+    // memory when sizes vary 100x — admit by cumulative ADDED bytes,
+    // read from the manifest's recorded per-member sizes (one stat per
+    // file at COMMIT time, zero per trigger). Applied after the other
+    // caps, so the strictest limit wins; the oversized-first-commit
+    // progress guarantee is the same.
+    val admitted = maxBytesPerTrigger match {
+      case Some(nb) if byFiles.nonEmpty =>
+        LakeMicroBatchStream.admitByBytes(dir, floor, byFiles, nb)
+      case _ => byFiles
     }
     val off = admitted.lastOption.getOrElse(floor)
     knownMax = math.max(knownMax, off)
@@ -134,9 +169,13 @@ class LakeMicroBatchStream(dir: String, dataSchema: StructType,
       else {
         val pf = if (prev == 0L) Set.empty[String]
                  else LakeTable.filesOf(dir, prev).toSet
+        // file sizes from the manifest's recorded bytecounts (r15) —
+        // zero per-trigger stats; pre-r15 manifests fall back to one
+        val sizes = LakeTable.bytesOf(dir, v)
         LakeTable.filesOf(dir, v).filterNot(pf).map { f =>
           val p = Paths.get(dir, f)
-          LakeFilePartition(p.toString, Files.size(p))
+          LakeFilePartition(p.toString,
+            sizes.getOrElse(f, Files.size(p)))
         }
       }
     }.toArray
@@ -187,6 +226,34 @@ private[sources] object LakeMicroBatchStream {
         val pf = if (prev == 0L) Set.empty[String]
                  else LakeTable.filesOf(dir, prev).toSet
         val added = LakeTable.filesOf(dir, v).count(!pf.contains(_))
+        if (acc == 0L || acc + added <= budget) {
+          out += v; acc += added; prev = v
+        } else open = false
+      }
+    }
+    out.result()
+  }
+
+  /** Prefix of `pending` whose cumulative ADDED bytes stay within
+    * `budget` — always at least the first element (a single oversized
+    * commit must still drain). Sizes come from the manifest's recorded
+    * `bytecounts` (r15); members a pre-r15 manifest lacks an entry for
+    * fall back to one stat. */
+  private[sources] def admitByBytes(dir: String, floor: Long,
+                                    pending: Seq[Long],
+                                    budget: Long): Seq[Long] = {
+    var acc = 0L
+    var prev = floor
+    val out = Seq.newBuilder[Long]
+    var open = true
+    pending.foreach { v =>
+      if (open) {
+        val pf = if (prev == 0L) Set.empty[String]
+                 else LakeTable.filesOf(dir, prev).toSet
+        val sizes = LakeTable.bytesOf(dir, v)
+        val added = LakeTable.filesOf(dir, v).filterNot(pf.contains)
+          .map(f => sizes.getOrElse(f, scala.util.Try(
+            Files.size(Paths.get(dir, f))).getOrElse(0L))).sum
         if (acc == 0L || acc + added <= budget) {
           out += v; acc += added; prev = v
         } else open = false

@@ -634,6 +634,138 @@ class LakeStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $cat.default.mft")
   }
 
+  test("maxBytesPerTrigger (r15, behavior 53): pending versions admit " +
+       "by the added-BYTE budget from the manifest's recorded sizes, " +
+       "at least one per batch, on both V2 streams") {
+    import spark.implicits._
+    val cat = "graft_lake_mbtcat"
+    val wh = Files.createTempDirectory("graft_lake_whmbt_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "mbt").toString
+    for (i <- 0 to 2)
+      assert(LakeTable.append(spark, dir,
+        Seq((i * 2L, 1L), (i * 2L + 1L, 1L)).toDF("k", "v")
+          .repartition(2))(_ => None) == Right(i + 1L))
+    // per-version ADDED bytes straight from the recorded manifest sizes
+    // — the same arithmetic the admission control runs
+    val addedBytes = (1 to 3).map { v =>
+      val prev = if (v == 1) Set.empty[String]
+                 else LakeTable.filesOf(dir, v - 1L).toSet
+      val sizes = LakeTable.bytesOf(dir, v.toLong)
+      LakeTable.filesOf(dir, v.toLong).filterNot(prev).map(sizes).sum
+    }
+    assert(addedBytes.forall(_ > 0L), s"fixture needs real sizes: $addedBytes")
+    def drain(budget: Long): Seq[Int] = {
+      val sizes = mutable.ArrayBuffer.empty[Int]
+      val cp = Files.createTempDirectory("graft_mbt_cp_").toString
+      val q = spark.readStream
+        .option("maxBytesPerTrigger", budget.toString)
+        .table(s"$cat.default.mbt")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val n = df.count().toInt
+          if (n > 0) sizes.synchronized { sizes += n }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sizes.toSeq
+    }
+    // budget = one version's bytes: each version fits alone, pairs don't
+    assert(drain(addedBytes.max) == Seq(2, 2, 2),
+      "a one-version byte budget admits one version per batch")
+    // budget = two versions' bytes: two versions, then the tail
+    assert(drain(addedBytes(0) + addedBytes(1)) == Seq(4, 2),
+      "a two-version byte budget admits two, then the tail")
+    // budget smaller than any commit: the oversized commit still drains
+    assert(drain(1L) == Seq(2, 2, 2),
+      "an oversized first commit still makes progress")
+    // the change feed takes the same option
+    val feedSizes = mutable.ArrayBuffer.empty[Int]
+    val cp2 = Files.createTempDirectory("graft_mbt_cp2_").toString
+    val qf = spark.readStream
+      .option("maxBytesPerTrigger", addedBytes.max.toString)
+      .table(s"$cat.default.mbt.changes")
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) feedSizes.synchronized { feedSizes += n }
+        ()
+      }
+      .start()
+    try qf.processAllAvailable() finally qf.stop()
+    assert(feedSizes.toSeq == Seq(2, 2, 2),
+      s"the feed admits by the same byte budget: $feedSizes")
+    spark.sql(s"DROP TABLE $cat.default.mbt")
+  }
+
+  test("Trigger.AvailableNow (r15, behavior 54): a backlog drains in " +
+       "ceil(N/cap) bounded batches, the query STOPS BY ITSELF, and a " +
+       "second run reads only what arrived since — both V2 streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val cat = "graft_lake_ancat"
+    val wh = Files.createTempDirectory("graft_lake_whan_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = java.nio.file.Paths.get(wh, "default", "an1").toString
+    for (i <- 1 to 4)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    val cp = Files.createTempDirectory("graft_an_cp_").toString
+    def runOnce(): Seq[Int] = {
+      val sizes = mutable.ArrayBuffer.empty[Int]
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "2")
+        .table(s"$cat.default.an1")
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val n = df.count().toInt
+          if (n > 0) sizes.synchronized { sizes += n }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000),
+        "an AvailableNow query must stop by itself once caught up")
+      sizes.toSeq
+    }
+    // 4 pending versions, cap 2 → two batches of 2 rows, then stop
+    assert(runOnce() == Seq(2, 2),
+      "the backlog drains in ceil(4/2) bounded batches")
+    // nothing new: the next scheduled run reads nothing and stops
+    assert(runOnce() == Seq())
+    // two more commits: only they drain on the next run (same WAL)
+    for (i <- 5 to 6)
+      assert(LakeTable.append(spark, dir,
+        Seq((i.toLong, i * 10L)).toDF("k", "v"))(_ => None)
+        == Right(i.toLong))
+    assert(runOnce() == Seq(2),
+      "a later run reads exactly what arrived since")
+
+    // the change feed drains-and-stops the same way
+    val cp2 = Files.createTempDirectory("graft_an_cp2_").toString
+    val feedRows = mutable.ArrayBuffer.empty[Int]
+    val qf = spark.readStream
+      .option("maxVersionsPerTrigger", "3")
+      .table(s"$cat.default.an1.changes")
+      .writeStream.option("checkpointLocation", cp2)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) feedRows.synchronized { feedRows += n }
+        ()
+      }
+      .start()
+    assert(qf.awaitTermination(120000),
+      "an AvailableNow feed query must stop by itself")
+    assert(feedRows.toSeq == Seq(3, 3),
+      s"6 versions at cap 3 drain in two feed batches: $feedRows")
+    spark.sql(s"DROP TABLE $cat.default.an1")
+  }
+
   test("startingTimestamp (r14): resolves to the newest version at or " +
        "before the instant, tails from there, and a restart replays the " +
        "WALed versions, not the clock") {
