@@ -763,23 +763,22 @@ object StreamOps {
         val st0 = LakeTable.stageAt(spark, dir, base, merged, None,
                                     Seq.empty, Seq.empty, "cdc")
         val st = st0.copy(batches = st0.batches + (sink -> batchId))
-        // a full-table delete would stage ZERO rows — and possibly zero
-        // part files, leaving a manifest no reader can follow (this layout
-        // keeps schema only in the files; real formats keep it in table
-        // metadata, which is what full-truncate needs). Refuse loudly at
-        // the audit instead of publishing an unreadable version.
-        if (st.files.isEmpty)
-          Left("empty table after CDC apply (full-table delete needs " +
-               "schema-in-manifest support)")
+        // FULL-TRUNCATE publishes (r15, behavior 34): a CDC epoch that
+        // tombstones every key stages zero rows — legal since the
+        // declared schema rides the manifest (Staged.schema carries the
+        // base's columns forward even with no fresh files), so the
+        // published empty version still reads with the right shape and
+        // the next epoch repopulates. Pre-r14 this refused because the
+        // layout kept schema only in data files. A truncate against an
+        // ALREADY-schema-less legacy table (base 0, empty batch upserts)
+        // still refuses — there is no schema to carry.
+        if (st.files.isEmpty && st.schema.isEmpty)
+          Left("empty table after CDC apply with no recorded schema " +
+               "(legacy schema-less table)")
         else LakeTable.audit(spark, st) { df =>
           val dup = df.groupBy(keys.map(col): _*).count()
             .filter(col("count") > 1)
-          if (df.isEmpty)
-            // an empty df can still stage one zero-row part file, so the
-            // files.isEmpty guard alone does not catch a full wipe
-            Some("empty table after CDC apply (full-table delete needs " +
-                 "schema-in-manifest support)")
-          else if (dup.isEmpty) None
+          if (dup.isEmpty) None
           else Some("duplicate keys after CDC apply")
         }
       } match {

@@ -366,22 +366,41 @@ class StreamingDurabilitySpec extends SparkTestBase {
     // tombstone; user 3 inserted
     assert(rows == Set((1L, 7L, 7.0), (3L, 5L, 4.0)),
       s"CDC fold must equal one-at-a-time replay: $rows")
-    // a full-table delete must be REFUSED (this layout keeps schema only
-    // in the data files, so an empty version would be unreadable), and
-    // the refusal must leave the last version live
+    // FULL-TRUNCATE epoch (r15, behavior 34): a CDC batch that
+    // tombstones every key PUBLISHES an empty version — legal since
+    // the schema rides the manifest — that still reads with the right
+    // shape; a replay of the wipe epoch is skipped (the table stays
+    // dead); the next epoch repopulates normally
     import spark.implicits._
-    val vBefore = graft.sources.LakeTable.currentVersion(lake)
+    val schemaBefore = graft.sources.LakeTable.read(spark, lake).schema
     val wipe = Seq(ev(8, "2024-01-01 10:03:00", 1, "D", 0.0),
                    ev(9, "2024-01-01 10:03:10", 3, "D", 0.0))
       .toDF().withColumn("op",
         org.apache.spark.sql.functions.col("event_type"))
-    intercept[IllegalStateException] {
-      StreamOps.applyCdcIntoLake(spark, lake, wipe, Seq("user_id"), 99L)
-    }
-    assert(graft.sources.LakeTable.currentVersion(lake) == vBefore,
-      "a refused full-delete must not publish")
-    assert(graft.sources.LakeTable.read(spark, lake).count() == 2L,
-      "the last good version must stay readable")
+    val wipedV = StreamOps.applyCdcIntoLake(spark, lake, wipe,
+      Seq("user_id"), 99L)
+    assert(wipedV.nonEmpty, "a full wipe must publish an empty version")
+    val empty = graft.sources.LakeTable.read(spark, lake)
+    assert(empty.count() == 0L, "the wiped table is empty")
+    assert(empty.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == schemaBefore.fields.map(f => (f.name, f.dataType)).toSeq,
+      "the empty version must keep the declared column names and types")
+    // replay of the wipe epoch: the watermark says applied — skipped,
+    // the table stays dead, no version minted
+    assert(StreamOps.applyCdcIntoLake(spark, lake, wipe,
+      Seq("user_id"), 99L).isEmpty, "a replayed wipe must be skipped")
+    assert(graft.sources.LakeTable.read(spark, lake).count() == 0L)
+    // the next epoch repopulates the empty table
+    val revive = Seq(ev(10, "2024-01-01 10:04:00", 7, "ins", 5.0))
+      .toDF().withColumn("op",
+        org.apache.spark.sql.functions.col("event_type"))
+    assert(StreamOps.applyCdcIntoLake(spark, lake, revive,
+      Seq("user_id"), 100L).nonEmpty)
+    val revived = graft.sources.LakeTable.read(spark, lake)
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(revived == Set((7L, 5.0)),
+      s"the epoch after a truncate must repopulate: $revived")
   }
 
   test("two concurrent streaming sinks on one lake table keep independent watermarks") {
