@@ -97,10 +97,12 @@ object GrowthBench {
       val dir = s"$outDir/lakefiles_$f"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val rows = 200000L
+      // round-robin repartition: every partition holds every band, so
+      // the layout write stages (f/bands) x bands ≈ f files
       val df = spark.range(rows)
         .withColumn("band", col("id") % bands)
         .withColumn("v", col("id") * 2L)
-        .repartition(math.max(1, f / bands), col("band"))
+        .repartition(math.max(1, f / bands))
       require(LakeTable.commit(spark, dir, df, Some("band"),
         Seq("id"))(_ => None) == Right(1L))
       val nFiles = LakeTable.currentFiles(dir).size

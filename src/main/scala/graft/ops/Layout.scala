@@ -676,6 +676,100 @@ object Layout {
       out
     },
 
+    /** INCREMENTAL MANIFEST LOG lifecycle (r15, verdict ask #1): the
+      * whole delta/checkpoint protocol exercised end to end under an
+      * oracle. The table builds a history long enough to cross the
+      * checkpoint interval — v1 snapshot, then single-band partial
+      * merges whose manifests are ADD/REMOVE DELTAS (O(touched files),
+      * requires-pinned far smaller than the v1 snapshot and never
+      * re-listing carried files) — then a DV MERGE-delete tombstones
+      * every custkey ≡ 0 (mod 7), and a keep-3 vacuum reclaims the
+      * early history, forcing the chain guard to anchor the lowest
+      * retained version with a checkpoint. The requires pin the delta
+      * form, the checkpoint cadence, the post-vacuum anchor, and that
+      * a COLD resolution (cache cleared — a fresh JVM's view) still
+      * time-travels the oldest retained version. The oracle computes
+      * the end state straight from `orders`, so the hash-match proves
+      * the fold of checkpoint + delta suffix loses nothing. At 100 TB
+      * this is the difference between O(live-file) and O(touched-file)
+      * commit metadata — the checkpoint interval is pinned to 3 here
+      * (sys prop, restored) so the cadence is exercised at test scale. */
+    OpDef(
+      "q_lake_manifest_log",
+      """SELECT o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders WHERE (o_custkey % 3) = 0 AND (o_custkey % 7) <> 0
+        |GROUP BY 1 ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      import graft.sources.LakeTable
+      val prevIv = sys.props.put("graft.lake.checkpointInterval", "3")
+      try {
+        val dir = TempDirs.create("graft_lake_mlogop_")
+        val o = orders(s, d)
+        val width = math.max(32L,
+          o.agg(max(col("o_custkey"))).head.getLong(0) / 8L + 1L)
+        val table = o
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+               sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                   .cast("long")).cast("long").as("cents"))
+          .withColumn("band", expr(s"custkey div $width"))
+          .filter(col("custkey") % 3 === 0)
+        require(LakeTable.commit(s, dir, table, Some("band"))(_ => None)
+                  == Right(1L), "v1 commit failed")
+        def raw(v: Long): String = new String(java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(dir,
+            s"manifest-v$v.json")), "UTF-8")
+        // synthetic-key appends build the delta chain: each manifest
+        // carries ONLY the appended file, never re-listing the live set
+        import s.implicits._
+        for (i <- 1 to 4) {
+          val k = 900000000L + i
+          require(LakeTable.append(s, dir,
+                    Seq((k, 1L, 1L, k / width)).toDF(
+                      "custkey", "n_orders", "cents", "band")
+                      .coalesce(1))(_ => None) == Right(i + 1L),
+                  s"append ${i + 1} failed")
+        }
+        require(raw(2L).contains("\"delta\":1"),
+                "an append must write a delta manifest")
+        require(raw(2L).length * 4 < raw(1L).length,
+                s"delta ${raw(2L).length} B vs snapshot " +
+                s"${raw(1L).length} B: O(touched), not O(live)")
+        // checkpoint cadence: interval 3 anchors the chain at v4
+        require(java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(dir, "checkpoint-v4.json")),
+                "the depth-K chain must have written a checkpoint")
+        // merge-on-read tombstones (%7 keys AND the synthetic rows),
+        // then reclaim the early history — every retained version must
+        // stay resolvable across the reclaimed chain
+        val doomed = table.filter(col("custkey") % 7 === 0)
+          .select("custkey")
+          .unionAll((1 to 4).map(i => 900000000L + i).toDF("custkey"))
+        require(LakeTable.deleteMatchedDv(s, dir, doomed,
+                  Seq("custkey"))(_ => None) == Right(6L),
+                "the DV delete failed")
+        LakeTable.vacuum(dir, keepVersions = 3)
+        LakeTable.clearResolveCache() // a fresh JVM's cold view
+        require(LakeTable.versions(dir) == Seq(4L, 5L, 6L),
+                "keep-3 vacuum must retain exactly the suffix")
+        require(LakeTable.readVersion(s, dir, 4L).count()
+                  == table.count() + 3L,
+                "the oldest retained version must time-travel cold")
+        LakeTable.read(s, dir)
+          .select("custkey", "n_orders", "cents").orderBy("custkey")
+      } finally {
+        prevIv match {
+          case Some(p) =>
+            sys.props.put("graft.lake.checkpointInterval", p); ()
+          case None =>
+            sys.props.remove("graft.lake.checkpointInterval"); ()
+        }
+      }
+    },
+
     /** CDC CHANGE FEED over the lake (r9): the manifest history replayed
       * as a retract/add stream. The table travels v1 (stale band 0) →
       * partial MERGE (band-0 correction) → OPTIMIZE (layout rewrite) →
