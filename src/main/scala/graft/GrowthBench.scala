@@ -32,13 +32,17 @@ object GrowthBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // iteration switch: measure only the lake live-file axis (the doc
+    // dedup curves take ~15 min and are independent)
+    val lakeOnly = sys.env.contains("SPARK_GRAFT_GROWTH_LAKE_ONLY")
+
     val scales = Seq(1L, 3L, 10L)
     // the three flagship banded shapes additionally run at 30x/100x: the
     // 2x-vs-baseline bound is a claim about 100x, and a super-linear tail
     // (bucket-cap erosion, band skew) would first appear past 10x where
     // the 1x/3x/10x curves cannot see it (r6 verdict ask #5)
     val deepScales = Seq(1L, 3L, 10L, 30L, 100L)
-    for (k <- deepScales)
+    for (k <- if (lakeOnly) Seq.empty[Long] else deepScales)
       Synth.write(spark, s"$outDir/x$k", baseDocs * k,
                   // embeddings are only consumed at 1x/3x (the exact
                   // cosine contrast) — skip the 30x/100x vector volumes
@@ -48,10 +52,12 @@ object GrowthBench {
     def embs(k: Long) = spark.read.parquet(s"$outDir/x$k/embeddings.parquet")
 
     // warm codegen/JVM once so x1 isn't charged the startup cost
-    LlmOps.lshDedupPairs(docs(1), 0.5).count()
-    spark.catalog.clearCache()
+    if (!lakeOnly) {
+      LlmOps.lshDedupPairs(docs(1), 0.5).count()
+      spark.catalog.clearCache()
+    }
 
-    val ops: Seq[(String, Seq[Long], Long => Long)] = Seq(
+    val ops: Seq[(String, Seq[Long], Long => Long)] = if (lakeOnly) Seq.empty else Seq(
       ("lsh_candidates", scales, k => LlmOps.lshDedupPairs(docs(k), 0.0).count()),
       ("lsh_dedup", deepScales, k => LlmOps.lshDedupPairs(docs(k), 0.5).count()),
       ("minhash_pairs", deepScales, k => LlmOps.minhashPairs(docs(k)).count()),
@@ -81,36 +87,39 @@ object GrowthBench {
 
     // LIVE-FILE-COUNT axis (r15, verdict ask #1): per-MERGE commit
     // latency and manifest BYTES at 1x/10x/100x live files with FIXED
-    // total rows — the empirical backing for the incremental manifest
-    // log. Before r15 every commit serialized the full live file list
-    // (O(live files) metadata per commit); with ADD/REMOVE delta
-    // manifests + periodic checkpoints, a band-local merge's manifest
-    // should stay O(touched) no matter how many files the table holds.
-    // Each scale: a band-partitioned table with ~F files, then three
-    // single-band merges; report the median commit latency and the
-    // median DELTA manifest size (checkpoint commits are full by
-    // design — the amortized cost — and report separately).
+    // total rows AND a FIXED touched set — the empirical backing for
+    // the incremental manifest log. Before r15 every commit serialized
+    // the full live file list (O(live files) metadata per commit);
+    // with ADD/REMOVE delta manifests + periodic checkpoints, a
+    // band-local merge's manifest must stay O(touched) no matter how
+    // many files the table holds. The fixture holds ~5 files per band
+    // and scales the BAND COUNT, so a one-band merge touches ~5 files
+    // at every scale while the live set grows 100x. Three single-band
+    // merges per scale; median commit latency + median DELTA manifest
+    // size (checkpoint commits are full by design — that is the
+    // amortization — and land on their own cadence).
     import graft.sources.LakeTable
-    import org.apache.spark.sql.functions.{col, expr => sexpr}
-    val bands = 10
+    import org.apache.spark.sql.functions.col
     val fileCells = Seq(50, 500, 5000).map { f =>
       val dir = s"$outDir/lakefiles_$f"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val rows = 200000L
+      val bands = math.max(10, f / 5)
       // round-robin repartition: every partition holds every band, so
-      // the layout write stages (f/bands) x bands ≈ f files
+      // the layout write stages ~5 files per band ≈ f files total
       val df = spark.range(rows)
         .withColumn("band", col("id") % bands)
         .withColumn("v", col("id") * 2L)
-        .repartition(math.max(1, f / bands))
+        .repartition(5)
       require(LakeTable.commit(spark, dir, df, Some("band"),
         Seq("id"))(_ => None) == Right(1L))
       val nFiles = LakeTable.currentFiles(dir).size
       val merges = (1 to 3).map { i =>
-        val upsert = spark.range(i * 100L, i * 100L + 50L)
+        val upsert = spark.range(0L, rows)
           .withColumn("band", col("id") % bands)
           .withColumn("v", col("id") * 3L)
-          .filter(col("band") === (i % bands))
+          .filter(col("band") === i).limit(50)
+          .coalesce(1)
         val t0 = System.nanoTime()
         val r = LakeTable.mergePartial(spark, dir, upsert,
           Seq("id"), "band")(_ => None)

@@ -414,8 +414,6 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
     if (files.isEmpty)
       ctx.sparkSession.sparkContext.emptyRDD[Row]
     else {
-      val paths = files.map(f =>
-        java.nio.file.Paths.get(dir, f).toString)
       val cols =
         if (requiredColumns.isEmpty) schema.fieldNames.toSeq
         else requiredColumns.toSeq
@@ -426,12 +424,20 @@ class LakeRelation(ctx: SQLContext, dir: String, versionAsOf: Option[Long],
         if (recorded.isEmpty) schema
         else StructType.fromDDL(recorded.mkString(", "))
       }
+      // planned from manifest metadata alone (r15): the pruned file
+      // list + recorded byte sizes feed FileListShim — zero FS calls
+      val sizes = LakeTable.bytesOf(dir, version)
+      val frame = org.apache.spark.sql.graftshim.FileListShim.parquetFrame(
+        ctx.sparkSession, physical,
+        files.map { f =>
+          val p = java.nio.file.Paths.get(dir, f)
+          p.toString -> sizes.getOrElse(f, java.nio.file.Files.size(p))
+        })
       // DV-bearing versions (r11) filter deleted positions before the
       // projection — pruning composes: a dropped file's positions simply
       // never come up, and the anti-join is a broadcast, no shuffle
       LakeTable.toLogical(
-          LakeTable.applyDv(ctx.sparkSession, dir,
-            ctx.sparkSession.read.schema(physical).parquet(paths: _*),
+          LakeTable.applyDv(ctx.sparkSession, dir, frame,
             LakeTable.dvOf(dir, version)), renames)
         .select(cols.map(col): _*)
         .rdd

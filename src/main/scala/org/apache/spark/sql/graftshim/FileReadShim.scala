@@ -61,6 +61,74 @@ object FileReadShim {
     }
 }
 
+/** Build a parquet DataFrame over an ALREADY-KNOWN file list with
+  * ALREADY-KNOWN sizes — ZERO filesystem calls at plan time (r15).
+  *
+  * `spark.read.parquet(paths: _*)` with N explicit paths pays a
+  * per-path qualify + glob + existence check on the driver (measured
+  * ~1.7 ms/path locally: 8.7 s just to CONSTRUCT the frame over a
+  * 5000-file table, before any job runs) and at object-store scale
+  * that is N HEAD/LIST round trips per query plan. A lake reader never
+  * needs any of it: the manifest IS the file listing, immutable and
+  * already carrying per-member byte sizes. This shim hands Spark a
+  * [[FileIndex]] whose listing is the manifest's — the exact design
+  * point of Delta/Iceberg readers — and everything downstream
+  * (FileSourceScanExec, vectorized parquet, `_metadata.file_path` /
+  * `row_index` columns, filter pushdown, maxPartitionBytes splitting)
+  * is Spark's own machinery, unchanged.
+  *
+  * The synthesized [[org.apache.hadoop.fs.FileStatus]]es carry mtime 0
+  * — `_metadata.file_modification_time` is not meaningful through this
+  * path (the lake's event time lives in commit markers instead). */
+object FileListShim {
+  import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+
+  private final class KnownFileIndex(files: Seq[(String, Long)])
+      extends FileIndex {
+    private val statuses: Array[FileStatus] = files.map { case (p, len) =>
+      new FileStatus(len, false, 1, 128L << 20, 0L, new HPath(p))
+    }.toArray
+    override def rootPaths: Seq[HPath] = statuses.map(_.getPath).toSeq
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression])
+        : Seq[PartitionDirectory] =
+      Seq(PartitionDirectory(InternalRow.empty, statuses))
+    override def inputFiles: Array[String] = files.map(_._1).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = files.map(_._2).sum
+    override def partitionSchema: StructType = StructType(Nil)
+  }
+
+  /** DataFrame over `files` = (absolute path, byte size) under the
+    * given schema. The caller owns schema correctness (the lake records
+    * it in the manifest); missing columns null-fill per the additive
+    * evolution contract, exactly as the `spark.read.schema(...)` path. */
+  def parquetFrame(spark: SparkSession, schema: StructType,
+                   files: Seq[(String, Long)]): DataFrame = {
+    // QUALIFY paths exactly as DataSource's glob would (scheme +
+    // authority added by pure string manipulation, no IO) — so
+    // `_metadata.file_path` spells byte-identically to the
+    // spark.read.parquet path and deletion-vector sidecar values
+    // written under either reader keep matching both
+    val fs = new HPath(files.head._1)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = files.map { case (p, len) =>
+      fs.makeQualified(new HPath(p)).toString -> len
+    }
+    val rel = HadoopFsRelation(
+      location = new KnownFileIndex(qualified),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+}
+
 /** The WRITE half of the doorway: Spark's own serializable parquet
   * [[org.apache.spark.sql.execution.datasources.OutputWriterFactory]]
   * (from [[ParquetFileFormat.prepareWrite]]) plus the job configuration
