@@ -1674,6 +1674,15 @@ class LakeSpec extends SparkTestBase {
       assert(LakeTable.read(spark, dir).count() == 8L)
       assert(LakeTable.readVersion(spark, dir, 6L).count() == 6L)
 
+      // checkpoints are DERIVED data: deleting one (crash between claim
+      // and checkpoint write, manual cleanup) must only cost a longer
+      // fold — resolution falls back to the intact delta chain
+      Files.delete(Paths.get(dir, "checkpoint-v4.json"))
+      LakeTable.clearResolveCache()
+      assert(LakeTable.read(spark, dir).count() == 8L,
+        "a deleted checkpoint must not break resolution")
+      assert(LakeTable.readVersion(spark, dir, 5L).count() == 5L)
+
       // vacuum keep-3 retains v6..v8. Chains walk DOWN through base
       // links: v8 anchors at checkpoint-v7, but v6's chain passes
       // through the dropped v5 — the guard must checkpoint v6 before
@@ -1717,4 +1726,51 @@ class LakeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("incremental manifest log (r15): a pre-r15 FULL manifest with no " +
+       "rowcounts/bytecounts/stats interoperates — reads, sizes fall " +
+       "back, and new commits delta against it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_legacy_").toString
+    // hand-write the exact shape the pre-r15 writer produced: a full
+    // file list + schema, nothing else
+    val staging = Paths.get(dir, "data", "legacy-uuid")
+    Files.createDirectories(staging)
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val tmpOut = Files.createTempDirectory("graft_legacy_stage_")
+      .resolve("out")
+    df.coalesce(1).write.parquet(tmpOut.toString)
+    val part = Files.list(tmpOut).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).next()
+    Files.move(part, staging.resolve("part-legacy.parquet"))
+    Files.write(Paths.get(dir, "manifest-v1.json"),
+      ("""{"version":1,"base":0,"op":"overwrite",""" +
+       """"schema":["k BIGINT","v BIGINT"],""" +
+       """"files":["data/legacy-uuid/part-legacy.parquet"]}""")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "commit-v1"),
+      String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+    // reads fall back to one stat per member for the missing sizes
+    assert(readKeys2(dir) == Set(1L, 2L, 3L))
+    assert(LakeTable.rowsOf(dir, 1L).isEmpty,
+      "no recorded rowcounts on a legacy manifest")
+    // a new commit deltas against the legacy base and the mixed chain
+    // resolves cold
+    assert(LakeTable.append(spark, dir,
+      Seq((4L, 40L)).toDF("k", "v"))(_ => None) == Right(2L))
+    val raw2 = new String(Files.readAllBytes(
+      Paths.get(dir, "manifest-v2.json")), "UTF-8")
+    assert(raw2.contains("\"delta\":1"),
+      "a commit over a legacy base still writes a delta")
+    LakeTable.clearResolveCache()
+    assert(readKeys2(dir) == Set(1L, 2L, 3L, 4L))
+    assert(LakeTable.readVersion(spark, dir, 1L).count() == 3L)
+    // DV DML composes over the mixed-era chain
+    assert(LakeTable.deleteWhereDv(spark, dir, col("k") === 2L)(_ => None)
+      == Right(3L))
+    assert(readKeys2(dir) == Set(1L, 3L, 4L))
+  }
+
+  private def readKeys2(dir: String): Set[Long] =
+    LakeTable.read(spark, dir).collect().map(_.getAs[Long]("k")).toSet
 }
