@@ -227,9 +227,16 @@ object Bench {
         .groupBy(_._2 / gaugeEvery)
         .collect(scala.Function.unlift {
           case (b, qs) =>
-            val cur = qs.collect { case ((_, (t, true)), _) => t }.sorted
-            val prevs = qs.flatMap { case ((n, _), _) =>
-              prevDetail.get(n) }.sorted
+            // both medians over the SAME query subset — ok in the
+            // current round AND present in prevDetail — so a block can
+            // only trip on real inflation, never on population mismatch
+            // (failed queries, queries new since prev; ADVICE r15)
+            val shared = qs.collect {
+              case ((n, (t, true)), _) if prevDetail.contains(n) =>
+                (t, prevDetail(n))
+            }
+            val cur = shared.map(_._1).sorted
+            val prevs = shared.map(_._2).sorted
             if (cur.nonEmpty && prevs.length >= math.max(3, qs.length / 2)) {
               val cm = cur(cur.length / 2)
               val pm = prevs(prevs.length / 2)

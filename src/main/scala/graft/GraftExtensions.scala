@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunkWalk, DotProduct, JaroWinkler, ScoreTopK, SpaceSavingTopK}
+import graft.functions.{CdcChunkWalk, DotProduct, ExactPercentile, JaroWinkler, ScoreTopK, SpaceSavingTopK}
 
 /** SparkSessionExtensions entry point: injects graft's native functions so
   * `spark.sql("... graft_dot(a, b) ...")` works in any session built with
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.cdcChunksDescriptor)
     e.injectFunction(GraftFunctions.scoreTopKDescriptor)
     e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    e.injectFunction(GraftFunctions.exactPctDescriptor)
     // SQL UPDATE over lake tables → the merge-on-read DV update (r12);
     // non-lake / out-of-scope UPDATEs fall through to Spark's own error
     e.injectPostHocResolutionRule(session =>
@@ -88,6 +89,34 @@ object GraftFunctions {
     (children: Seq[Expression]) => JaroWinkler(children(0), children(1))
   )
 
+  /** Percentage argument of graft_exact_pct: a foldable double literal
+    * or a foldable array of doubles — returns (values, returnsArray). */
+  private def litPcts(e: Expression): (Seq[Double], Boolean) = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      "graft_exact_pct percentage must be a literal (or literal array), " +
+      s"got non-literal $e")
+    e.eval() match {
+      case n: Number => (Seq(n.doubleValue()), false)
+      case d: org.apache.spark.sql.types.Decimal => (Seq(d.toDouble), false)
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (a.toDoubleArray().toSeq, true)
+      case other => throw new IllegalArgumentException(
+        s"graft_exact_pct percentage must be numeric, got $other")
+    }
+  }
+
+  private[graft] def exactPctFromExprs(children: Seq[Expression]): Expression = {
+    val (ps, isArr) = litPcts(children(1))
+    ExactPercentile(children(0), ps, isArr)
+  }
+
+  private[graft] val exactPctDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_exact_pct"),
+    new ExpressionInfo(classOf[ExactPercentile].getName, "graft_exact_pct"),
+    exactPctFromExprs _
+  )
+
   private[graft] val scoreTopKDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_score_topk"),
@@ -115,5 +144,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_exact_pct", exactPctFromExprs, "scala_udf")
   }
 }

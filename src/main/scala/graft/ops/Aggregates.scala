@@ -415,14 +415,18 @@ object Aggregates {
         |GROUP BY d.l_returnflag, m.med, m.mad
         |ORDER BY d.l_returnflag""".stripMargin
     ) { (s, d) =>
+      graft.GraftFunctions.register(s)
       val li = lineitem(s, d)
+      // graft_exact_pct ≡ percentile bit-for-bit (same sort + interpolation)
+      // minus the boxed value→count map — r16: the two exact-percentile
+      // aggs were ~80% of this query's cost, all of it boxing/hashing
       val med = li.groupBy("l_returnflag")
-        .agg(Det.r4(expr("percentile(l_extendedprice, 0.5)")).as("med"))
+        .agg(Det.r4(expr("graft_exact_pct(l_extendedprice, 0.5)")).as("med"))
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("med"),
                 abs(col("l_extendedprice") - col("med")).as("dev"))
       val mad = dev.groupBy("l_returnflag", "med")
-        .agg(Det.r4(expr("percentile(dev, 0.5)")).as("mad"))
+        .agg(Det.r4(expr("graft_exact_pct(dev, 0.5)")).as("mad"))
       dev.join(broadcast(mad.drop("med")), Seq("l_returnflag"))
         .groupBy("l_returnflag", "med", "mad")
         .agg(count(lit(1)).as("n"),
@@ -464,10 +468,14 @@ object Aggregates {
         |  floor((avg(price)) * 10000.0 + 0.5) / 10000.0 AS avg_price
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     ) { (s, d) =>
+      graft.GraftFunctions.register(s)
       val li = lineitem(s, d)
+      // graft_exact_pct (r16): the single-task boundary aggregate was
+      // 2.85 s of OpenHashMap boxing at sf0.1; the primitive buffer
+      // computes the identical nine boundaries in one sort
       val b = li.agg(transform(
-        expr("percentile(l_extendedprice, " +
-             "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"),
+        expr("graft_exact_pct(l_extendedprice, " +
+             "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"),
         q => Det.r4(q)).as("bs"))
       li.crossJoin(broadcast(b))
         .select(size(filter(col("bs"), x => col("l_extendedprice") > x))

@@ -48,11 +48,22 @@ object Extras {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
     ) { (s, d) =>
+      graft.GraftFunctions.register(s)
+      // one array-percentile aggregate instead of three scalar ones
+      // (r16): Spark plans one `percentile` buffer per DISTINCT
+      // (child, percentage) aggregate, so the scalar spelling built and
+      // sorted the same value buffer three times; graft_exact_pct is
+      // additionally primitive (no boxed value map), bit-identical
+      // results either way
       orders(s, d)
         .groupBy("o_orderstatus")
-        .agg(Det.r4(expr("percentile(o_totalprice, 0.25)")).as("p25"),
-             Det.r4(expr("percentile(o_totalprice, 0.50)")).as("p50"),
-             Det.r4(expr("percentile(o_totalprice, 0.75)")).as("p75"))
+        .agg(transform(
+          expr("graft_exact_pct(o_totalprice, array(0.25D, 0.5D, 0.75D))"),
+          q => Det.r4(q)).as("ps"))
+        .select(col("o_orderstatus"),
+                col("ps").getItem(0).as("p25"),
+                col("ps").getItem(1).as("p50"),
+                col("ps").getItem(2).as("p75"))
         .orderBy("o_orderstatus")
     },
 
@@ -736,8 +747,10 @@ object Extras {
       val o = orders(s, d)
       val a = o.filter(col("o_orderdate") < cut).select(col("o_totalprice").as("v"))
       val bt = o.filter(col("o_orderdate") >= cut).select(col("o_totalprice").as("v"))
+      graft.GraftFunctions.register(s)
       val bounds = a.agg(transform(
-        expr("percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"),
+        expr("graft_exact_pct(v, " +
+             "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"),
         q => Det.r4(q)).as("bs"))
       def binCounts(df: org.apache.spark.sql.DataFrame, cn: String) =
         df.crossJoin(broadcast(bounds))

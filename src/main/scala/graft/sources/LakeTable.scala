@@ -860,9 +860,19 @@ object LakeTable {
     }
     val fCol = free("_dv_file")
     val pCol = free("_dv_pos")
-    val tagged = reader
-      .withColumn(fCol, relFileCol)
-      .withColumn(pCol, col("_metadata.row_index"))
+    // a zero-file version (legal since the full-truncate CDC epoch,
+    // behavior 34) has no `_metadata` to tag from — DV DML against a
+    // truncated table plans over the empty tagged frame instead of
+    // crashing (ADVICE r15); the frame keeps the identity-column shape
+    // every caller expects
+    val tagged =
+      if (files.isEmpty)
+        reader.withColumn(fCol, lit("").cast("string"))
+          .withColumn(pCol, lit(0L))
+          .filter(lit(false))
+      else reader
+        .withColumn(fCol, relFileCol)
+        .withColumn(pCol, col("_metadata.row_index"))
     val prevDv = manifestDv(json)
     val live =
       if (prevDv.isEmpty) tagged
@@ -988,6 +998,20 @@ object LakeTable {
   }
 
   private def vacuumKeeping(dir: String, published: Seq[Long],
+                            keep: Set[Long],
+                            dryRun: Boolean = false): (Int, Int) =
+    // serialized with publish (ADVICE r15): renderForClaim verifies its
+    // delta base's manifest exists, then links the claim — a vacuum
+    // running its anchor walk between those two steps cannot see the
+    // not-yet-linked claim and could reclaim the base, leaving the new
+    // manifest a delta against a deleted version. Same-process the lock
+    // closes the window; cross-process it is the same conditional-put
+    // window the class doc assigns to the store.
+    publishLock.synchronized {
+      vacuumKeepingLocked(dir, published, keep, dryRun)
+    }
+
+  private def vacuumKeepingLocked(dir: String, published: Seq[Long],
                             keep: Set[Long],
                             dryRun: Boolean = false): (Int, Int) = {
     val keepFloor = if (keep.isEmpty) 0L else keep.min

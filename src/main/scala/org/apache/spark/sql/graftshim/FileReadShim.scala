@@ -108,6 +108,13 @@ object FileListShim {
     * evolution contract, exactly as the `spark.read.schema(...)` path. */
   def parquetFrame(spark: SparkSession, schema: StructType,
                    files: Seq[(String, Long)]): DataFrame = {
+    // a zero-file version (legal since the full-truncate CDC publishes
+    // one) reads back as the empty frame under the recorded schema —
+    // mirrors the readFiles zero-file branch (ADVICE r15: liveTagged
+    // fed this an empty list and crashed DV DML on truncated tables)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // QUALIFY paths exactly as DataSource's glob would (scheme +
     // authority added by pure string manipulation, no IO) — so
     // `_metadata.file_path` spells byte-identically to the

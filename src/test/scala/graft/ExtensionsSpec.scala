@@ -123,4 +123,54 @@ class ExtensionsSpec extends AnyFunSuite {
              s"streamed sketch diverged from exact cross-batch totals: $got")
     } finally q.stop()
   }
+
+  test("graft_exact_pct is bit-identical to Spark's percentile") {
+    // r16: the primitive-buffer exact percentile replaced Spark's boxed
+    // value→count map in q_agg_mad / q_agg_eqdepth / q_agg_percentile /
+    // q_dq_psi — this pin holds the swap to BIT-equality (same sort,
+    // same interpolation, same NULL-on-empty), across duplicates, ties,
+    // negative values, nulls, group keys, and both scalar and array
+    // percentage forms, on an adversarial value set (n and n-1 both
+    // non-divisible by common percentage denominators so interpolation
+    // actually fires).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-exact-pct-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 9973).map { i =>
+      val g = i % 3
+      val v: java.lang.Double =
+        if (i % 97 == 0) null
+        else if (i % 11 == 0) math.floor(rnd.nextDouble() * 10) // ties
+        else rnd.nextDouble() * 2000.0 - 1000.0
+      (g, v)
+    } :+ ((3, null: java.lang.Double)) // an all-null group → NULL out
+    val df = spark.createDataFrame(rows).toDF("g", "v")
+    df.createOrReplaceTempView("pct_probe")
+    val q =
+      """SELECT g,
+        |  percentile(v, 0.5) AS sp_med,
+        |  graft_exact_pct(v, 0.5) AS gr_med,
+        |  percentile(v, array(0.1, 0.25, 0.333, 0.5, 0.77, 0.9, 1.0)) AS sp_arr,
+        |  graft_exact_pct(v, array(0.1D, 0.25D, 0.333D, 0.5D, 0.77D, 0.9D, 1.0D)) AS gr_arr,
+        |  percentile(v, 0.0) AS sp_min, graft_exact_pct(v, 0.0D) AS gr_min
+        |FROM pct_probe GROUP BY g""".stripMargin
+    spark.sql(q).collect().foreach { r =>
+      val g = r.getInt(0)
+      assert(java.util.Objects.equals(r.get(1), r.get(2)),
+        s"scalar median diverged for group $g: ${r.get(1)} vs ${r.get(2)}")
+      assert(java.util.Objects.equals(r.get(3), r.get(4)),
+        s"array percentiles diverged for group $g: ${r.get(3)} vs ${r.get(4)}")
+      assert(java.util.Objects.equals(r.get(5), r.get(6)),
+        s"p0 diverged for group $g: ${r.get(5)} vs ${r.get(6)}")
+      if (g == 3) assert(r.get(2) == null,
+        "all-null group must evaluate to NULL, like percentile")
+    }
+  }
 }

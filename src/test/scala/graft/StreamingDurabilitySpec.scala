@@ -390,6 +390,19 @@ class StreamingDurabilitySpec extends SparkTestBase {
     assert(StreamOps.applyCdcIntoLake(spark, lake, wipe,
       Seq("user_id"), 99L).isEmpty, "a replayed wipe must be skipped")
     assert(graft.sources.LakeTable.read(spark, lake).count() == 0L)
+    // DV DML against the zero-file version (ADVICE r15): liveTagged must
+    // plan over the empty tagged frame, not crash on files.head /
+    // _metadata — non-strict DELETE is a clean no-op returning the live
+    // version, strict DELETE refuses with the nothing-matched message
+    val wipedLive = graft.sources.LakeTable.currentVersion(lake).get
+    assert(graft.sources.LakeTable.deleteWhereDv(spark, lake,
+      org.apache.spark.sql.functions.col("user_id") === 7L)(_ => None)
+      == Right(wipedLive),
+      "non-strict DELETE on a truncated table must no-op to the live version")
+    assert(graft.sources.LakeTable.deleteWhereDv(spark, lake,
+      org.apache.spark.sql.functions.col("user_id") === 7L,
+      strict = true)(_ => None).isLeft,
+      "strict DELETE on a truncated table must refuse, not crash")
     // the next epoch repopulates the empty table
     val revive = Seq(ev(10, "2024-01-01 10:04:00", 7, "ins", 5.0))
       .toDF().withColumn("op",
