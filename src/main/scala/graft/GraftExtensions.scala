@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunkWalk, DotProduct, ExactPercentile, JaroWinkler, ScoreTopK, SpaceSavingTopK}
+import graft.functions.{CdcChunkWalk, DotProduct, ExactPercentile, JaroWinkler, RangeL2, ScoreTopK, SpaceSavingTopK, SrpCodes}
 
 /** SparkSessionExtensions entry point: injects graft's native functions so
   * `spark.sql("... graft_dot(a, b) ...")` works in any session built with
@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.scoreTopKDescriptor)
     e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     e.injectFunction(GraftFunctions.exactPctDescriptor)
+    e.injectFunction(GraftFunctions.srpCodesDescriptor)
+    e.injectFunction(GraftFunctions.rangeL2Descriptor)
     // SQL UPDATE over lake tables → the merge-on-read DV update (r12);
     // non-lake / out-of-scope UPDATEs fall through to Spark's own error
     e.injectPostHocResolutionRule(session =>
@@ -117,6 +119,25 @@ object GraftFunctions {
     exactPctFromExprs _
   )
 
+  private[graft] def srpCodesFromExprs(children: Seq[Expression]): Expression =
+    SrpCodes(children(0), litInt(children(1), "tables"),
+             litInt(children(2), "bits"), litInt(children(3), "dims"))
+
+  private[graft] val srpCodesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_srp_codes"),
+    new ExpressionInfo(classOf[SrpCodes].getName, "graft_srp_codes"),
+    srpCodesFromExprs _
+  )
+
+  private[graft] val rangeL2Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_l2"),
+    new ExpressionInfo(classOf[RangeL2].getName, "graft_l2"),
+    (children: Seq[Expression]) => RangeL2(
+      children(0), children(1), children(2), children(3))
+  )
+
   private[graft] val scoreTopKDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_score_topk"),
@@ -146,5 +167,10 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_exact_pct", exactPctFromExprs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_codes", srpCodesFromExprs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2", exprs => RangeL2(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
   }
 }

@@ -83,6 +83,8 @@ object ProfileQ {
       Thread.sleep(300)
       println(f"\n[profileq] $n runs=" +
         times.map(t => f"$t%.3f").mkString(" "))
+      for ((label, sec, calls) <- graft.ops.Prof.dumpAndReset())
+        println(f"[profileq]   prof $label%-26s ${sec / runs}%7.3f s/run  ($calls calls)")
       val snap = jobs.synchronized(jobs.toVector)
       val done = snap.filter(_.end > 0)
       println(f"[profileq] ${done.length} jobs, " +

@@ -31,14 +31,37 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  /** A foldable (literal) operand hoisted to a primitive double[] once —
+    * `lit(Array[Double])` arrives as a GenericArrayData over BOXED
+    * java.lang.Doubles, so the SRP hyperplane dots were paying an unbox
+    * + megamorphic ArrayData dispatch per element (r16: measured ~25 µs
+    * per 64-dim dot in the q_sim_cosine_dup_srp sig build — ~60 ns after
+    * hoisting). Right side only: every registry call site puts the
+    * constant hyperplane/centroid on the right. */
+  private lazy val rightConst: Array[Double] =
+    if (right.foldable) {
+      right.eval(null) match {
+        case null => null
+        case a: ArrayData => a.toDoubleArray()
+      }
+    } else null
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    if (rightConst != null) {
+      val n = math.min(x.numElements(), rightConst.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * rightConst(i); i += 1 }
+      s
+    } else {
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,6 +69,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      if (rightConst != null) {
+        val ref = ctx.addReferenceObj("graftDotConst", rightConst, "double[]")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $ref.length);
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $ref[$i];
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      } else
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;

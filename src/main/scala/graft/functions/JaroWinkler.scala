@@ -26,18 +26,76 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII so the two conventions coincide there regardless.
   */
 object JaroWinklerUtil {
+  /** Per-thread scratch: the scorer runs millions of times per task in
+    * the blocked self-join's hot loop, and per-call allocation of the
+    * two codepoint arrays + two matched-flag arrays (plus the IntStream
+    * machinery `codePoints().toArray` spins up) was the dominant cost
+    * (r16 — measured ~5.5 s of the q_text_jarowinkler noop time in the
+    * scorer against ~1 s of pair generation). Tasks are single-threaded,
+    * so one growable scratch per thread is race-free. */
+  private final class Scratch {
+    var ca: Array[Int] = new Array[Int](64)
+    var cb: Array[Int] = new Array[Int](64)
+    var ma: Array[Boolean] = new Array[Boolean](64)
+    var mb: Array[Boolean] = new Array[Boolean](64)
+    def fit(la: Int, lb: Int): Unit = {
+      if (la > ca.length) { ca = new Array[Int](la * 2); ma = new Array[Boolean](la * 2) }
+      if (lb > cb.length) { cb = new Array[Int](lb * 2); mb = new Array[Boolean](lb * 2) }
+      java.util.Arrays.fill(ma, 0, la, false)
+      java.util.Arrays.fill(mb, 0, lb, false)
+    }
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
   def score(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
-    val la = s.codePointCount(0, s.length)
-    val lb = t.codePointCount(0, t.length)
-    if (la == 0 && lb == 0) return 1.0
-    if (la == 0 || lb == 0) return 0.0
-    val ca = s.codePoints().toArray
-    val cb = t.codePoints().toArray
+    val sc = scratch.get()
+    // ASCII fast path: every byte IS a codepoint — no String decode, no
+    // stream; the generic path below decodes codepoints once into the
+    // same scratch. Both paths run the identical algorithm, so scores
+    // are bit-identical either way.
+    var la = 0
+    var lb = 0
+    if (a.isFullAscii && b.isFullAscii) {
+      la = a.numBytes()
+      lb = b.numBytes()
+      if (la == 0 && lb == 0) return 1.0
+      if (la == 0 || lb == 0) return 0.0
+      sc.fit(la, lb)
+      var i = 0
+      while (i < la) { sc.ca(i) = a.getByte(i).toInt; i += 1 }
+      i = 0
+      while (i < lb) { sc.cb(i) = b.getByte(i).toInt; i += 1 }
+    } else {
+      val s = a.toString
+      val t = b.toString
+      la = s.codePointCount(0, s.length)
+      lb = t.codePointCount(0, t.length)
+      if (la == 0 && lb == 0) return 1.0
+      if (la == 0 || lb == 0) return 0.0
+      sc.fit(la, lb)
+      var i = 0
+      var o = 0
+      while (o < s.length) {
+        val cp = s.codePointAt(o); sc.ca(i) = cp; i += 1
+        o += Character.charCount(cp)
+      }
+      i = 0
+      o = 0
+      while (o < t.length) {
+        val cp = t.codePointAt(o); sc.cb(i) = cp; i += 1
+        o += Character.charCount(cp)
+      }
+    }
+    scoreArrays(sc.ca, la, sc.cb, lb, sc.ma, sc.mb)
+  }
+
+  private def scoreArrays(ca: Array[Int], la: Int,
+                          cb: Array[Int], lb: Int,
+                          matchedA: Array[Boolean],
+                          matchedB: Array[Boolean]): Double = {
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
-    val matchedA = new Array[Boolean](la)
-    val matchedB = new Array[Boolean](lb)
     var m = 0
     var i = 0
     while (i < la) {

@@ -647,6 +647,7 @@ object Approx {
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
       }
     ) { (s, d) =>
+      graft.GraftFunctions.register(s)
       val el = embeddings(s, d)
         .select(col("vec_id"), col("label"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -660,10 +661,11 @@ object Approx {
         .select(col("vec_id"), col("cl"), col("v"), col("cv"),
                 explode(sequence(lit(0), lit(7))).as("s"))
         .select(col("vec_id"), col("s"), col("cl"),
-          Det.r6(expr(
-            "aggregate(sequence(s*8 + 1, s*8 + 8), CAST(0.0 AS DOUBLE), " +
-            "(acc, i) -> acc + (element_at(v, i) - element_at(cv, i)) " +
-            "* (element_at(v, i) - element_at(cv, i)))")).as("dist"))
+          // native graft_l2 ≡ the aggregate(sequence(...)) HOF fold
+          // bit-for-bit (r16): the HOF is CodegenFallback — interpreted
+          // lambda dispatch n×k×8 times per query, plus a sequence array
+          // materialized per row
+          Det.r6(expr("graft_l2(v, cv, s*8 + 1, s*8 + 8)")).as("dist"))
       val best = sub.groupBy("vec_id", "s")
         .agg(min(struct(col("dist"), col("cl"))).as("b"))
         .select(col("vec_id"), col("s"), col("b.cl").as("code"),
@@ -764,6 +766,7 @@ object Approx {
            |WHERE rnk <= 8 ORDER BY qid, rnk""".stripMargin
       }
     ) { (s, d) =>
+      graft.GraftFunctions.register(s)
       val el = embeddings(s, d)
         .select(col("vec_id"), col("label"),
                 transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -773,14 +776,12 @@ object Approx {
         .groupBy("cl")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
                p => p.getField("cx")).as("cv"))
-      def l2(a: String, b: String) = Det.r6(expr(
-        s"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) -> " +
-        s"acc + (element_at($a, i) - element_at($b, i)) " +
-        s"* (element_at($a, i) - element_at($b, i)))"))
-      def l2sub(a: String, b: String) = Det.r6(expr(
-        s"aggregate(sequence(s*8 + 1, s*8 + 8), CAST(0.0 AS DOUBLE), (acc, i) -> " +
-        s"acc + (element_at($a, i) - element_at($b, i)) " +
-        s"* (element_at($a, i) - element_at($b, i)))"))
+      // native graft_l2 ≡ the aggregate(sequence(...)) HOF fold
+      // bit-for-bit (r16) — the HOF interpreted its lambda per element
+      // across every crossJoin(cent) row below
+      def l2(a: String, b: String) = Det.r6(expr(s"graft_l2($a, $b, 1, 64)"))
+      def l2sub(a: String, b: String) =
+        Det.r6(expr(s"graft_l2($a, $b, s*8 + 1, s*8 + 8)"))
       val qs = el.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val wq = Window.partitionBy(col("qid"))

@@ -916,7 +916,13 @@ object Inference {
         .select(col("event_id"),
                 floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
                   .as("vi"))
-      val u = p.select(col("vi"),
+      // fan the purchase rows out to the session's shuffle parallelism
+      // before the 100× replica explode (r16, guide §2.5 input skew): the
+      // fixture table is ONE file → one scan task, so the n×100 md5 draws
+      // all ran single-threaded; the pre-explode shuffle moves only the
+      // n small (event_id, vi) rows
+      val u = p.repartition(s.sessionState.conf.numShufflePartitions)
+        .select(col("vi"),
           explode(sequence(lit(1L), lit(100L))).as("r"), col("event_id"))
         .withColumn("u",
           expr("CAST(conv(substring(md5(concat('bs', " +
@@ -1109,7 +1115,17 @@ object Inference {
           when(col("bn") > lit(jwBlockCap),
                split_part(col("p_name"), lit(" "), lit(1)))
             .otherwise(lit("")))
-      val a = p.select(col("p_partkey").as("p1"), col("p_name").as("name1"),
+      // fan the STREAM side out to the session's shuffle parallelism
+      // (r16): the scoring loop emits Σ block² pairs — orders of
+      // magnitude more work than input rows — so sizing its task count
+      // from the input bytes (one small file = ONE task; measured: the
+      // whole 3.9M-pair JW loop ran single-threaded, 2.4 s of a 2.7 s
+      // plan) starves it at any scale where the input underestimates
+      // the blow-up. Round-robin repartition costs one tiny shuffle of
+      // the dimension rows.
+      val fan = s.sessionState.conf.numShufflePartitions
+      val a = p.repartition(fan)
+        .select(col("p_partkey").as("p1"), col("p_name").as("name1"),
                        col("p_size").as("s1"), col("sub").as("sub1"))
       val b = p.select(col("p_partkey").as("p2"), col("p_name").as("name2"),
                        col("p_size").as("s2"), col("sub").as("sub2"))

@@ -721,7 +721,15 @@ object LlmOps {
     graft.GraftFunctions.register(spark)
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+    // fan the STREAM side out to the shuffle parallelism (r16): the
+    // n² scoring loop does n dots per stream row, so a task count sized
+    // from the input bytes (one small embedding file = one task — the
+    // whole 250k-dot loop measured single-threaded) starves the
+    // quadratic stage at any scale where file count underestimates the
+    // blow-up; one tiny round-robin shuffle of the stream rows buys
+    // full-width scoring
+    val a = e.repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id").as("i"), col("v").as("va"))
     val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
     // rank via the bounded graft_score_topk aggregate, not a window: the
     // window spelling's WindowGroupLimit still SORTS the full n² scored
@@ -795,11 +803,13 @@ object LlmOps {
     * *rounded* sim so cross-engine float noise cannot flip order. The
     * ANN scale paths are q_sim_ann_lsh / q_sim_ann_ivf (Approx.scala). */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val e = emb
+    val e0 = emb
       .select(col("vec_id"),
               transform(col("embedding"), x => x.cast("double")).as("v"))
-    val q = e.filter(queryPred)
+    val q = e0.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // stream-side fan-out (r16): |q| dots per corpus row — see knnGraph
+    val e = e0.repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     broadcast(q).join(e, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
@@ -809,19 +819,10 @@ object LlmOps {
       .orderBy("qid", "rn")
   }
 
-  /** Deterministic Rademacher hyperplane for SRP banding: component d of
-    * hyperplane (table t, bit j) is ±1 by the first hex digit of
-    * md5("srp:t:j:d") — a value Scala (java MessageDigest), Spark (md5)
-    * and DuckDB (md5) all compute identically, so the banding is
-    * oracle-checkable. Evaluated ONCE driver-side into literal sign
-    * arrays: hyperplanes are L·k constant vectors, not data. */
-  private def srpSigns(t: Int, j: Int, dims: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(dims) { d =>
-      val h = md.digest(s"srp:$t:$j:$d".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
-    }
-  }
+  // Deterministic Rademacher hyperplanes for SRP banding — md5-derived,
+  // oracle-checkable — live in [[graft.functions.SrpCodesUtil.signs]]
+  // since r16 (the native graft_srp_codes expression computes the full
+  // code set per row; see its scaladoc for the derivation and why).
 
   /** Sign-random-projection (hyperplane LSH) cosine near-dup pairs — the
     * deterministic 100 TB path for HIGH-similarity embedding dedup.
@@ -850,13 +851,16 @@ object LlmOps {
       .select(col("vec_id"),
               transform(col("embedding"), x => x.cast("double")).as("v"))
       .cache() // feeds the sig build and both re-rank sides
-    def code(t: Int): Column = concat((0 until bits).map { j =>
-      val hp = lit(srpSigns(t, j, dims))
-      when(call_function("graft_dot", col("v"), hp) >= 0, lit("1"))
-        .otherwise(lit("0"))
-    }: _*)
+    // the full code set in ONE native call (r16): the inline
+    // 64-dot when/concat tree compiled into a single giant method the
+    // JIT refused, running interpreted at ~1 ms/row — graft_srp_codes
+    // computes the identical codes (same md5 hyperplanes, same >= 0
+    // threshold, same bit order) in ~4 µs/row. CACHED because the
+    // hot-bucket pass reads the banded table twice (count + anti-join) —
+    // the same sig-table discipline minhashPairs already follows.
     val banded = e.select(col("vec_id"),
-      posexplode(array((0 until tables).map(code): _*)).as(Seq("band", "sig")))
+      posexplode(expr(s"graft_srp_codes(v, $tables, $bits, $dims)"))
+        .as(Seq("band", "sig"))).cache()
     val buckets = dropHotBuckets(banded, Seq("band", "sig"))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
@@ -880,7 +884,9 @@ object LlmOps {
     val e = emb
       .select(col("vec_id"),
               transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    // stream-side fan-out before the quadratic join (r16) — see knnGraph
+    val a = e.repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),

@@ -1194,6 +1194,7 @@ object LakeTable {
     val statsBy = statsBy0.map(c => l2p.getOrElse(c, c))
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(dir, "data", uuid)
+    graft.ops.Prof("lake.stage.write") {
     if (layoutCols.isEmpty) df.write.parquet(staging.toString)
     else {
       // one shadow column per layout column (r14: multi-column layout) —
@@ -1202,9 +1203,29 @@ object LakeTable {
       val shadows = layoutCols.zipWithIndex.map { case (c, i) =>
         layoutShadow(i) -> c
       }
-      shadows.foldLeft(df) { case (d, (s, c)) => d.withColumn(s, col(c)) }
+      val shadowed =
+        shadows.foldLeft(df) { case (d, (s, c)) => d.withColumn(s, col(c)) }
+      // REBALANCE by the layout columns before a partitioned write (r16,
+      // guide §2.2/§6 — Delta's "optimized writes"): without it every
+      // task writes one file per layout value it happens to hold, so a
+      // T-task staging sprays up to T×V tiny files and the local commit
+      // protocol pays a rename per file (measured: 256 files / 2.5 s →
+      // 8 files / 0.7 s for one 9-band staging at sf0.1; on an object
+      // store that is 256 PUT+COPY round trips). AQE's RebalancePartitions
+      // is the scale-adaptive spelling: it merges small layout partitions
+      // AND splits skewed ones at the advisory size, so write parallelism
+      // survives at 100 TB where a plain repartition(layout) would
+      // serialize each value through one task. Flat (non-layout) stagings
+      // keep the caller's partitioning — OPTIMIZE's range-clustered bins
+      // and multi-file ingests stay byte-shaped as before.
+      val rebalanced =
+        if (sys.props.get("graft.lake.rebalanceStaging").contains("false"))
+          shadowed
+        else shadowed.hint("rebalance", shadows.map(_._1): _*)
+      rebalanced
         .write.partitionBy(shadows.map(_._1): _*)
         .parquet(staging.toString)
+    }
     }
     val fresh = walkDir(staging)
       .filter(p => Files.isRegularFile(p))
@@ -1217,10 +1238,15 @@ object LakeTable {
     else {
       // fresh files come from ONE write, so any single footer is the
       // whole staging's schema — no mergeSchema race (the r8 bug: the
-      // staged schema was inferred over carry++fresh mixed footers)
-      val read = spark.read.parquet(
-        fresh.map(f => Paths.get(dir, f).toString): _*)
-      val schema = read.schema.fields.toSeq
+      // staged schema was inferred over carry++fresh mixed footers);
+      // since r16 the schema comes from that one footer's Spark metadata
+      // directly instead of constructing a reader relation
+      val structType = graft.ops.Prof("lake.stage.schemaRead") {
+        footerSparkSchema(dir, fresh.head).getOrElse(
+          spark.read.parquet(
+            fresh.map(f => Paths.get(dir, f).toString): _*).schema)
+      }
+      val schema = structType.fields.toSeq
         .map(f => s"${f.name} ${f.dataType.sql}")
       // layout columns get their per-file stats SYNTHESIZED from the
       // path segments (r14): a layout file's value is its min = max, so
@@ -1228,7 +1254,7 @@ object LakeTable {
       // the existing typed-stats machinery — partition pruning for free,
       // zero extra scan, no statsBy declaration needed. The grouped
       // stats pass covers only the remaining declared columns.
-      val types = read.schema.fields.map(f => f.name -> f.dataType).toMap
+      val types = structType.fields.map(f => f.name -> f.dataType).toMap
       val layoutStats = fresh.flatMap { f =>
         val vs = layoutValuesOf(f)
         if (vs.length != layoutCols.length) Seq.empty
@@ -1245,8 +1271,10 @@ object LakeTable {
       // used to record — pruning stayed safe (missing = keep-file) but
       // data skipping on that column regressed
       val synthesized = layoutCols.filter(c => pathStatEncodable(types.get(c)))
-      val (stats, rows) = statsAndRows(spark, dir, read, fresh,
-        statsBy.filterNot(synthesized.contains))
+      val (stats, rows) = graft.ops.Prof("lake.stage.stats") {
+        statsAndRows(spark, dir, structType, fresh,
+          statsBy.filterNot(synthesized.contains))
+      }
       Fresh(fresh, schema, (stats ++ layoutStats).sorted, rows)
     }
   }
@@ -1315,10 +1343,10 @@ object LakeTable {
     * file gets a rows entry — a schema-only zero-row file records 0,
     * keeping the manifest-arithmetic cardinality exact. */
   private def statsAndRows(spark: SparkSession, dir: String,
-                           read: DataFrame, fresh: Seq[String],
+                           structType: StructType, fresh: Seq[String],
                            statsBy: Seq[String])
       : (Seq[String], Map[String, Long]) = {
-    val fields = read.schema.fields.toSeq
+    val fields = structType.fields.toSeq
     val byType = fields.map(f => f.name -> f.dataType).toMap
     val declared = statsBy.filter(byType.contains)
     val wanted = (fields.take(statsColumnCap).map(_.name) ++ declared)
@@ -1336,7 +1364,11 @@ object LakeTable {
                    groupedEncodable(byType(c)))
     val grouped =
       if (missing.isEmpty || rows.values.sum == 0L) Seq.empty
-      else groupedStatsPass(dir, read, missing, byType)
+      else groupedStatsPass(dir,
+        // reader constructed ONLY on this rare fallback path (r16) —
+        // the common all-footer case never builds a relation
+        spark.read.parquet(fresh.map(f => Paths.get(dir, f).toString): _*),
+        missing, byType)
     ((footerStats ++ grouped).sorted, rows)
   }
 
@@ -1377,7 +1409,9 @@ object LakeTable {
       : Seq[(String, FooterMeta)] = {
     import scala.collection.parallel.CollectionConverters._
     if (files.isEmpty) Seq.empty
-    else files.par.map(f => f -> harvestOne(dir, f, wanted)).seq.toSeq
+    else graft.ops.Prof("lake.footerHarvest") {
+      files.par.map(f => f -> harvestOne(dir, f, wanted)).seq.toSeq
+    }
   }
 
   private def harvestOne(dir: String, rel: String,
@@ -1398,6 +1432,27 @@ object LakeTable {
           }
         }
       FooterMeta(rows, entries)
+    } finally r.close()
+  }
+
+  /** The Spark schema recorded in a staged file's footer key-value
+    * metadata (`org.apache.spark.sql.parquet.row.metadata`) — every
+    * Spark-written parquet carries it, and staged files are always
+    * Spark-written, so staging never needs a `spark.read.parquet`
+    * relation (per-path driver qualify/exists plus a schema-inference
+    * pass) just to learn the schema it itself wrote one job earlier
+    * (r16; the fallback below keeps foreign files working). */
+  private def footerSparkSchema(dir: String, rel: String)
+      : Option[StructType] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(dir, rel).toUri), footerConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(j => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]).toOption)
     } finally r.close()
   }
 
@@ -1751,6 +1806,10 @@ object LakeTable {
     * a tombstone gate would see ghosts that no reader can).
     * Left(reason) blocks publish. */
   def audit(spark: SparkSession, staged: Staged)(
+      check: DataFrame => Option[String]): Either[String, Staged] =
+    graft.ops.Prof("lake.audit")(auditImpl(spark, staged)(check))
+
+  private def auditImpl(spark: SparkSession, staged: Staged)(
       check: DataFrame => Option[String]): Either[String, Staged] = {
     evolutionError(staged) match {
       case Some(reason) => Left(s"audit failed for v${staged.version}: $reason")
@@ -2027,13 +2086,13 @@ object LakeTable {
         // a commit landing MID-plan can leave the returned stage anchored
         // above `base` — that is a fresher anchor, not an error; the
         // publish step conflict-checks against the stage's own base
-        plan(base) match {
+        graft.ops.Prof("lake.commit.plan")(plan(base)) match {
           case Left(reason) => return Left(reason)
           case Right(s) => staged = s
         }
       }
       testAfterPlanHook(attempts)
-      tryPublishSerialized(staged) match {
+      graft.ops.Prof("lake.commit.publish")(tryPublishSerialized(staged)) match {
         case Some(v) => return Right(v)
         case None => ()
       }
@@ -2259,12 +2318,15 @@ object LakeTable {
       check: DataFrame => Option[String]): Either[String, Option[Long]] = {
     if (appliedBatch(dir, sink).exists(_ >= batch)) return Right(None)
     if (relFiles.isEmpty) return Right(None)
-    val read = spark.read.parquet(
-      relFiles.map(f => Paths.get(dir, f).toString): _*)
-    val schema = read.schema.fields.toSeq
+    // schema from one staged footer's Spark metadata (r16) — the epoch's
+    // DataWriters wrote through ParquetFileFormat, which records it
+    val structType = footerSparkSchema(dir, relFiles.head).getOrElse(
+      spark.read.parquet(
+        relFiles.map(f => Paths.get(dir, f).toString): _*).schema)
+    val schema = structType.fields.toSeq
       .map(f => s"${f.name} ${f.dataType.sql}")
     val (entries, rowCounts) =
-      statsAndRows(spark, dir, read, relFiles, statsBy)
+      statsAndRows(spark, dir, structType, relFiles, statsBy)
     // emptiness by footer row total (r14) — no probe job
     if (rowCounts.values.sum == 0L) return Right(None)
     val fresh = Fresh(relFiles.sorted, schema, entries, rowCounts)
@@ -2483,7 +2545,9 @@ object LakeTable {
     val uuid = java.util.UUID.randomUUID().toString
     val tmpOut = Paths.get(dir, "data", uuid, "dvw")
     val shards = math.max(1, math.min(16, nFiles / 4))
-    positions.repartition(shards, col("file")).write.parquet(tmpOut.toString)
+    graft.ops.Prof("lake.dv.sidecarWrite") {
+      positions.repartition(shards, col("file")).write.parquet(tmpOut.toString)
+    }
     val parts = listDir(tmpOut).filter { p =>
       val n = p.getFileName.toString
       Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".")
@@ -3207,8 +3271,20 @@ object LakeTable {
     // values are TUPLES in declaration order
     val layoutCols = layoutColsOf(Some(layoutCol))
     require(layoutCols.nonEmpty, "partial rewrite needs a layout column")
-    val touchedRows = touching.select(layoutCols.map(col): _*).distinct()
-      .limit(maxTouchedLayoutValues + 1).collect()
+    // the change set is evaluated several times per commit — the
+    // touched-value collect, the change-key anti-join, the staging
+    // write, CDC's ghost gate — and each evaluation re-runs the
+    // caller's whole upstream plan. Pin it for the commit's duration
+    // (r16): a partial-rewrite batch is bounded by definition (the
+    // touched-value cap above refuses table-scale batches), so the
+    // materialization is planner-scale, not data-scale.
+    val pinned = (Seq(touching, upserts) ++ deleted.toSeq).distinct
+    pinned.foreach(_.persist())
+    try {
+    val touchedRows = graft.ops.Prof("lake.pr.touchedCollect") {
+      touching.select(layoutCols.map(col): _*).distinct()
+        .limit(maxTouchedLayoutValues + 1).collect()
+    }
     require(touchedRows.length <= maxTouchedLayoutValues,
       s"partial rewrite touches more than $maxTouchedLayoutValues " +
       s"distinct '$layoutCol' values: that is a table-scale rewrite — " +
@@ -3333,6 +3409,7 @@ object LakeTable {
       }
     }
     result
+    } finally pinned.foreach(_.unpersist(false))
   }
 
   /** OPTIMIZE — the compaction ACTION the q_layout_compaction planner

@@ -173,4 +173,51 @@ class ExtensionsSpec extends AnyFunSuite {
         "all-null group must evaluate to NULL, like percentile")
     }
   }
+
+  test("graft_l2 is bit-identical to the aggregate(sequence(...)) HOF") {
+    // r16: the native range-L2 replaced the interpreted HOF fold in
+    // q_vec_pq / q_sim_ivfpq — this pin holds the swap to BIT-equality
+    // (same left-to-right FP op order) on random vectors, including
+    // expression-valued subspace bounds and null propagation.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-l2-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 500).map { i =>
+      (i % 8, Array.fill(64)(rnd.nextDouble() * 2 - 1),
+              Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    spark.createDataFrame(rows).toDF("s", "a", "b")
+      .createOrReplaceTempView("l2_probe")
+    val q =
+      """SELECT
+        |  graft_l2(a, b, 1, 64) AS nat_full,
+        |  aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) ->
+        |    acc + (element_at(a, i) - element_at(b, i))
+        |        * (element_at(a, i) - element_at(b, i))) AS hof_full,
+        |  graft_l2(a, b, s*8 + 1, s*8 + 8) AS nat_sub,
+        |  aggregate(sequence(s*8 + 1, s*8 + 8), CAST(0.0 AS DOUBLE), (acc, i) ->
+        |    acc + (element_at(a, i) - element_at(b, i))
+        |        * (element_at(a, i) - element_at(b, i))) AS hof_sub
+        |FROM l2_probe""".stripMargin
+    spark.sql(q).collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"full-range L2 drift: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"subspace L2 drift: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+    // hi < lo ≡ empty sequence ≡ 0.0; null array → NULL
+    val edge = spark.sql(
+      """SELECT graft_l2(array(1.0D), array(2.0D), 2, 1),
+        |  graft_l2(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D), 1, 1)"""
+        .stripMargin).collect().head
+    assert(edge.getDouble(0) == 0.0)
+    assert(edge.isNullAt(1))
+  }
 }
