@@ -691,7 +691,11 @@ object Graph {
         .select(col("cust"),
                 floor(lit(1000000.0) / log(col("dg").cast("double"))
                       + lit(0.5)).cast("long").as("w"))
+      // explicit-width shuffle before the C(degree,2) pair explosion —
+      // see the cooccur helper's note (r16)
       val buckets = cs.join(ok, Seq("cust"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+                     col("cust"), col("w"))
         .groupBy("cust", "w")
         .agg(sort_array(collect_list(col("supp"))).as("ss"))
       buckets
@@ -967,7 +971,16 @@ object Graph {
     // after it — s1 < s2 by sortedness) instead of a corpus self-join:
     // one groupBy replaces the join's double shuffle of the big side,
     // and the C(degree, 2) fan-out happens inside the scan task
-    val buckets = c2.groupBy("cust")
+    // explicit-width shuffle (r16, guide §2.5): the reduce stage below
+    // emits C(degree,2) pairs per bucket — compute far exceeding its
+    // shuffled bytes, which AQE's byte-based coalescing under-sizes
+    // (measured 11 tasks / 1.2 s for q_graph_adamic_adar's twin stage);
+    // the explicit partition count pins the width to the session conf
+    // and satisfies the groupBy's distribution, so no extra exchange
+    val buckets = c2
+      .repartition(cs.sparkSession.sessionState.conf.numShufflePartitions,
+                   col("cust"))
+      .groupBy("cust")
       .agg(sort_array(collect_list(col("supp"))).as("ss"))
     buckets
       .select(posexplode(col("ss")).as(Seq("i", "s1")), col("ss"))

@@ -41,7 +41,11 @@ object LlmOps {
   /** word 3-gram shingles, distinct per doc: (doc_id, g).
     * `docs` needs (doc_id, text) — any table shaped like that works. */
   def grams(docs: DataFrame): DataFrame =
-    docs
+    // doc fan-out before the tokenize + 3-gram shingle explode (r16,
+    // guide §2.5): the corpus arrives as one scan task and the gram
+    // blow-up is ~L× the input rows; the shuffle moves only the raw
+    // doc rows once
+    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingles(col("toks"))).as("g"))
@@ -216,6 +220,21 @@ object LlmOps {
     banded.join(oversized, keys, "left_anti")
   }
 
+  /** Pin a bucket table's shuffle to the session's full shuffle width
+    * (r16, guide §2.5): the bucket groupBys feeding [[pairsWithin]] emit
+    * Σ bucket² pairs in their REDUCE stage — work orders of magnitude
+    * larger than the shuffled bytes — so AQE's byte-based partition
+    * coalescing (correct for byte-bound stages) collapses them to 1-2
+    * tasks (measured: q_dedup_near ran its whole pair explosion in one
+    * 0.9 s task). A user repartition with an EXPLICIT partition count on
+    * the same keys provides the aggregation's required distribution (no
+    * second exchange) and is exempt from AQE coalescing. Width follows
+    * the session conf, not a constant — scale-adaptive. Map-side partial
+    * aggregation loses nothing: collect_list does not reduce map-side. */
+  private def fanWide(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+                   keys.map(col): _*)
+
   /** Emit all ordered pairs (i < j) from a sorted id-array column,
     * map-side: posexplode picks the left element, slice takes everything
     * after it. The caller's groupBy already paid the only shuffle. */
@@ -241,7 +260,8 @@ object LlmOps {
     * the memoized [[DocCore.sigs]] artifact plugs into. */
   private[graft] def minhashPairsFromSigs(sigs: DataFrame): DataFrame =
     pairsWithin(
-      dropHotBuckets(minhashBands(sigs), Seq("band", "sig"))
+      fanWide(dropHotBuckets(minhashBands(sigs), Seq("band", "sig")),
+              Seq("band", "sig"))
         .groupBy("band", "sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2),
@@ -261,7 +281,10 @@ object LlmOps {
     * consuming op the dedup family's one no-oracle member (recall vs the
     * md5 operator and the planted-dup floor are pinned in ApproxSpec). */
   def minhashSigsFast(docs: DataFrame): DataFrame =
-    docs
+    // fan the doc rows out before the 16-permutation shingle hashing
+    // (r16, guide §2.5): the corpus arrives as one scan task and the sig
+    // build is the dominant per-doc work of the fast twins
+    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingles(col("toks")).as("gs"))
@@ -273,8 +296,9 @@ object LlmOps {
     * capping and pair generation; only the hash family changes. */
   def minhashPairsFast(docs: DataFrame): DataFrame =
     pairsWithin(
-      dropHotBuckets(minhashBands(minhashSigsFast(docs).cache()),
-                     Seq("band", "sig"))
+      fanWide(dropHotBuckets(minhashBands(minhashSigsFast(docs).cache()),
+                             Seq("band", "sig")),
+              Seq("band", "sig"))
         .groupBy("band", "sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2),
@@ -316,10 +340,10 @@ object LlmOps {
     // it on BOTH sides), pair generation and the agreement estimate run
     // map-side, and the duplicate-collapsing distinct then moves three
     // scalars per row — sig arrays never shuffle again.
-    val buckets = dropHotBuckets(
+    val buckets = fanWide(dropHotBuckets(
         minhashBands(sigs.withColumn("sig16", sigArr).cache(),
                      col("sig16")),
-        Seq("band", "sig"))
+        Seq("band", "sig")), Seq("band", "sig"))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig16")))).as("ms"))
       .filter(size(col("ms")) >= 2)
@@ -365,7 +389,8 @@ object LlmOps {
     // with it the quadratic within-bucket pair count — at
     // min(hotGramFrac·n_docs, hotGramAbs) ids.
     val inter = pairsWithin(
-        g.groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        fanWide(g, Seq("g"))
+          .groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) >= 2),
         "ids")
       .select(col("a").as("i"), col("b").as("j"))
@@ -397,7 +422,10 @@ object LlmOps {
     * (e.g. 64-bit hash, 4×16-bit bands). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4x12-bit banding guarantees recall only for Hamming <= 3")
+    // doc fan-out before the per-token md5 pass (r16, guide §2.5): the
+    // one-file corpus otherwise hashes every token in a single scan task
     val toks = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         expr("CAST(conv(reverse(substring(md5(tok), 1, 12)), 16, 10) AS BIGINT)")
@@ -420,6 +448,9 @@ object LlmOps {
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), 12 * i).bitwiseAND(lit(4095L))): _*))
           .as(Seq("band", "bv")))
+    // NO fanWide here (r16): 4×12-bit banding keeps buckets tiny, so the
+    // pair explosion is negligible — the extra exchange's AQE round cost
+    // more than it saved (measured +0.15 s)
     val buckets = dropHotBuckets(banded, Seq("band", "bv"))
       .groupBy("band", "bv")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
@@ -623,9 +654,9 @@ object LlmOps {
         .withColumn("side", lit(side))
     // the cap counts the COMBINED (both-side) bucket population — exactly
     // the row the groupBy would materialize
-    val buckets = dropHotBuckets(
+    val buckets = fanWide(dropHotBuckets(
         banded(newSigs, 0).unionByName(banded(corpusSigs, 1)),
-        Seq("band", "sig"))
+        Seq("band", "sig")), Seq("band", "sig"))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("side"), col("sig16")))).as("ms"))
@@ -681,7 +712,8 @@ object LlmOps {
                                           threshold: Double): DataFrame = {
     val gcnt = g.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = pairsWithin(
-        g.groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        fanWide(g, Seq("g"))
+          .groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) >= 2),
         "ids")
       .select(col("a").as("i"), col("b").as("j"))
@@ -861,7 +893,8 @@ object LlmOps {
     val banded = e.select(col("vec_id"),
       posexplode(expr(s"graft_srp_codes(v, $tables, $bits, $dims)"))
         .as(Seq("band", "sig"))).cache()
-    val buckets = dropHotBuckets(banded, Seq("band", "sig"))
+    val buckets = fanWide(dropHotBuckets(banded, Seq("band", "sig")),
+                          Seq("band", "sig"))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)

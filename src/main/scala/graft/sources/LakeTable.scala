@@ -1179,7 +1179,8 @@ object LakeTable {
     * publish loser re-manifests, never re-stages). */
   private def stageFresh(spark: SparkSession, dir: String, df0: DataFrame,
                          layoutBy0: Option[String],
-                         statsBy0: Seq[String]): Fresh = {
+                         statsBy0: Seq[String],
+                         rebalance: Boolean = true): Fresh = {
     // column mapping (r13): frames arrive in LOGICAL names; files are
     // written in PHYSICAL names forever, so a renamed table's new files
     // stay consistent with every already-written one. Identity for the
@@ -1218,8 +1219,18 @@ object LakeTable {
       // serialize each value through one task. Flat (non-layout) stagings
       // keep the caller's partitioning — OPTIMIZE's range-clustered bins
       // and multi-file ingests stay byte-shaped as before.
+      // …but only on the TABLE-SCALE staging paths (r16 ABAB
+      // measurement): the rebalance is an extra AQE exchange per
+      // staging, ~0.1-0.2 s of fixed cost, so the bounded-DML paths
+      // (partial rewrites, DV merges, streaming epoch commits — all
+      // capped by definition) pass rebalance=false: their stagings are
+      // small enough that T×V never explodes, and q_lake_stream paid
+      // +0.7 s/query in pure exchange overhead for zero file savings.
+      // Full commits / overwrite / append / COPY INTO keep it: those are
+      // the writes whose task count scales with the table.
       val rebalanced =
-        if (sys.props.get("graft.lake.rebalanceStaging").contains("false"))
+        if (!rebalance ||
+            sys.props.get("graft.lake.rebalanceStaging").contains("false"))
           shadowed
         else shadowed.hint("rebalance", shadows.map(_._1): _*)
       rebalanced
@@ -2287,7 +2298,8 @@ object LakeTable {
                                   batches: Map[String, Long])(
       check: DataFrame => Option[String]): Either[String, Option[Long]] = {
     Files.createDirectories(Paths.get(dir))
-    val fresh = stageFresh(spark, dir, df, layoutBy, statsBy)
+    val fresh = stageFresh(spark, dir, df, layoutBy, statsBy,
+                           rebalance = false) // epoch-bounded staging
     // an empty micro-batch can still stage ONE schema-only parquet file
     // (Spark records the schema of a zero-partition write), so the
     // emptiness check is the staged FOOTER row total (r14) — pure
@@ -2663,7 +2675,8 @@ object LakeTable {
           val updated = set.foldLeft(live.filter(predicate)) {
             case (df, (c, v)) => df.withColumn(c, v)
           }.select(cols.map(col): _*)
-          val fresh = stageFresh(spark, dir, updated, layoutBy, statsBy)
+          val fresh = stageFresh(spark, dir, updated, layoutBy, statsBy,
+                                 rebalance = false) // DML-bounded
           val (sidecars, dvRows, dvHidden) =
             writeDvSidecars(spark, dir, freshPos, files.length)
           val st = Staged(dir, base + 1L, files ++ fresh.files,
@@ -2930,7 +2943,8 @@ object LakeTable {
           val freshPos = liveT
             .join(srcKeys, keys, "left_semi")
             .select(col(fCol).as("file"), col(pCol).as("pos"))
-          val fresh = stageFresh(spark, dir, source, layoutBy, statsBy)
+          val fresh = stageFresh(spark, dir, source, layoutBy, statsBy,
+                                 rebalance = false) // source-bounded
           // the matched cardinality IS the sidecar row total (r14,
           // verdict ask #4): write the sidecars, read the count off the
           // written files — ONE evaluation of the target semi-join
@@ -3173,7 +3187,8 @@ object LakeTable {
         // not put schema-only litter in the manifest; an all-no-op merge
         // leaves only unreferenced staging files vacuum reclaims.
         val fresh = freshRows.map(fr =>
-          stageFresh(spark, dir, fr, layoutBy, statsBy))
+          stageFresh(spark, dir, fr, layoutBy, statsBy,
+                     rebalance = false)) // cap-bounded partial rewrite
         val freshFiles = fresh.map(_.files).getOrElse(Seq.empty)
         val freshCount = fresh.map(_.rowTotal).getOrElse(0L)
         val (sidecars0, dvRows, dvHidden) = hidden.map(h =>
@@ -3271,16 +3286,13 @@ object LakeTable {
     // values are TUPLES in declaration order
     val layoutCols = layoutColsOf(Some(layoutCol))
     require(layoutCols.nonEmpty, "partial rewrite needs a layout column")
-    // the change set is evaluated several times per commit — the
-    // touched-value collect, the change-key anti-join, the staging
-    // write, CDC's ghost gate — and each evaluation re-runs the
-    // caller's whole upstream plan. Pin it for the commit's duration
-    // (r16): a partial-rewrite batch is bounded by definition (the
-    // touched-value cap above refuses table-scale batches), so the
-    // materialization is planner-scale, not data-scale.
-    val pinned = (Seq(touching, upserts) ++ deleted.toSeq).distinct
-    pinned.foreach(_.persist())
-    try {
+    // NOT pinned (r16, measured): persisting the change-set frames for
+    // the commit's duration looked attractive (they are evaluated by the
+    // touched-value collect, the change-key anti-join, the staging write
+    // and CDC's ghost gate), but InMemoryRelation materializes ALL
+    // columns, so the cache defeats per-phase column pruning — the
+    // touched-value collect alone went 0.2 → 0.5 s/query and the whole
+    // query net-regressed ~0.3 s. Each phase re-plans pruned instead.
     val touchedRows = graft.ops.Prof("lake.pr.touchedCollect") {
       touching.select(layoutCols.map(col): _*).distinct()
         .limit(maxTouchedLayoutValues + 1).collect()
@@ -3365,7 +3377,8 @@ object LakeTable {
             // value than it is stored under must still leave its old row
             .join(changeKeys, keys, "left_anti")
         val fresh = stageFresh(spark, dir, baseRows.unionByName(ups),
-                               Some(layoutCol), statsBy)
+                               Some(layoutCol), statsBy,
+                               rebalance = false) // stale-file-bounded
         val byVal = fresh.files.groupBy(f =>
           if (hasFlat) FLAT else layoutValuesOf(f) match {
             case vs if vs.length == layoutCols.length => vs
@@ -3409,7 +3422,6 @@ object LakeTable {
       }
     }
     result
-    } finally pinned.foreach(_.unpersist(false))
   }
 
   /** OPTIMIZE — the compaction ACTION the q_layout_compaction planner
@@ -3504,7 +3516,8 @@ object LakeTable {
           case _ if clusterBy.isEmpty => snap.coalesce(bins)
           case _ => snap.repartitionByRange(bins, clusterBy.map(col): _*)
         }
-        val fresh = stageFresh(spark, dir, laid, layoutBy, statsBy)
+        val fresh = stageFresh(spark, dir, laid, layoutBy, statsBy,
+                               rebalance = false) // laid out above
         val st0 = assemble(dir, base, fresh, carry, "optimize")
         // carried files have NO hidden positions by construction (any
         // vectored file is in the rewrite set), so the compacted
